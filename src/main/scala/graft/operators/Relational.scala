@@ -480,6 +480,81 @@ object Relational extends QueryGroup {
       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority
+    """)),
+
+    // ---------------------------------------------------------------- JSON extraction (events.props is a JSON string)
+    ("q25_json_funcs", (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"),
+                col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             round(avg("k"), 4).as("avg_k"),
+             max("k").as("max_k"),
+             round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type,
+             count(*)                                             AS n,
+             round(avg(json_extract_string(props, '$.k')::INTEGER), 4) AS avg_k,
+             max(json_extract_string(props, '$.k')::INTEGER)      AS max_k,
+             round(sum(value), 2)                                 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ---------------------------------------------------------------- array (vector) columns: higher-order functions
+    ("q26_array_funcs", (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                size(col("embedding")).as("dim"),
+                round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+                round(sqrt(aggregate(col("embedding"), lit(0.0),
+                  (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id, label,
+             len(embedding)                       AS dim,
+             round(embedding[1]::DOUBLE, 4)       AS first_val,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm
+      FROM embeddings
+      ORDER BY vec_id
+    """)),
+
+    // ---------------------------------------------------------------- event-time tumbling window (batch form of the streaming agg)
+    ("q27_event_hourly_window", (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }, Some("""
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type
+    """)),
+
+    // ---------------------------------------------------------------- event-time sliding window (2h window, 1h slide)
+    ("q28_event_sliding_window", (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"))
+        // avg as round(sum)/count: bit-deterministic on both engines,
+        // unlike round(avg(...), n) which can land on half-way decimal
+        // boundaries where Spark and DuckDB round differently.
+        .agg(count(lit(1)).as("n"),
+             (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
+        .orderBy("win_start")
+    }, Some("""
+      SELECT win_start, count(*) AS n, round(sum(value), 2) / count(*) AS avg_value
+      FROM (SELECT date_trunc('hour', ts)::TIMESTAMP AS win_start, value FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR, value FROM events) t
+      GROUP BY win_start
+      ORDER BY win_start
     """))
   )
 
