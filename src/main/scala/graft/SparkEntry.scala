@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.Sessions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

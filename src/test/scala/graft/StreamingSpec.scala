@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{RecordStream, Sessionize}
+
+/** Streaming capability specs — the reference's test scenarios
+  * (`ProcessorTest.java:49-129`, `KafkaTestExample.java`) rebuilt on
+  * Structured Streaming with real assertions (the reference asserted
+  * nothing). MemoryStream replaces the embedded Kafka cluster; the
+  * file-source test replaces topic produce/consume; checkpoint restart
+  * replaces (and fixes) the reference's broken recovery factory.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("testschema record round-trip: json value parse → memory sink (ProcessorTest equivalent)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String)]
+    val records = in.toDF().toDF("key", "value")
+    val parsed = RecordStream.parseValues(records, RecordStream.testschema)
+    val q = RecordStream.startSink(parsed, "memory", "testschema_sink", tmp("ck-ts"), 100L)
+    in.addData(("key", """{"name":"Gilberto","age":59}"""))
+    q.processAllAvailable()
+    val rows = spark.table("testschema_sink").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("key") == "key")
+    assert(rows(0).getAs[String]("name") == "Gilberto")
+    assert(rows(0).getAs[Int]("age") == 59)
+  }
+
+  test("nullable age (avro union [int,null] equivalent) parses as null") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String)]
+    val parsed = RecordStream.parseValues(in.toDF().toDF("key", "value"), RecordStream.testschema)
+    val q = RecordStream.startSink(parsed, "memory", "null_age_sink", tmp("ck-na"), 100L)
+    in.addData(("k1", """{"name":"NoAge"}"""), ("k2", "not-json-at-all"))
+    q.processAllAvailable()
+    val rows = spark.table("null_age_sink").collect().sortBy(_.getString(0))
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "NoAge" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // malformed → null struct, not a crash
+  }
+
+  test("file source + checkpoint: restart resumes from offset log, exactly-once to file sink") {
+    // The memory sink rejects checkpoint recovery by design; the
+    // fault-tolerant path is a file sink, whose commit log makes the
+    // whole pipeline exactly-once across restarts.
+    val srcDir = tmp("src"); val ckDir = tmp("ck-restart"); val outDir = tmp("out-restart")
+    def writeFile(n: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, n),
+        String.join("\n", lines: _*).getBytes)
+
+    writeFile("batch1.json", Seq(
+      """{"key":"a","value":"{\"name\":\"N1\",\"age\":1}","topic":"t","partition":0,"offset":0,"timestamp":"2024-01-01T00:00:00Z"}""",
+      """{"key":"b","value":"{\"name\":\"N2\",\"age\":2}","topic":"t","partition":0,"offset":1,"timestamp":"2024-01-01T00:00:01Z"}"""))
+
+    val src1 = RecordStream.jsonDirSource(spark, srcDir)
+    val parsed1 = RecordStream.parseValues(src1, RecordStream.testschema)
+    val q1 = RecordStream.startSink(parsed1, "parquet", "restart_q1", ckDir, 100L,
+      outputPath = Some(outDir))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // New file arrives while "down"; a re-declared query on the same
+    // checkpoint resumes from the offset log — batch1 is NOT reprocessed.
+    writeFile("batch2.json", Seq(
+      """{"key":"c","value":"{\"name\":\"N3\",\"age\":3}","topic":"t","partition":0,"offset":2,"timestamp":"2024-01-01T00:00:02Z"}"""))
+    val src2 = RecordStream.jsonDirSource(spark, srcDir)
+    val parsed2 = RecordStream.parseValues(src2, RecordStream.testschema)
+    val q2 = RecordStream.startSink(parsed2, "parquet", "restart_q2", ckDir, 100L,
+      outputPath = Some(outDir))
+    q2.processAllAvailable()
+    q2.stop()
+    val names = spark.read.parquet(outDir).collect().map(_.getAs[String]("name")).toSeq.sorted
+    assert(names == Seq("N1", "N2", "N3"), s"exactly-once violated: $names")
+  }
+
+  test("watermark drops late data beyond the bound (append windowed agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, Double)]
+    val windowed = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = RecordStream.startSink(windowed, "memory", "late_sink", tmp("ck-late"), 100L)
+    def t(min: Int) = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+    in.addData((t(0), 1.0), (t(2), 1.0))   // window [00:00,00:05): 2 events
+    q.processAllAvailable()
+    in.addData((t(60), 1.0))               // advances watermark to 00:50
+    q.processAllAvailable()
+    in.addData((t(1), 99.0))               // late: < watermark → dropped
+    in.addData((t(61), 1.0))
+    q.processAllAvailable()
+    in.addData((t(120), 1.0))              // push watermark past 01:05 to flush
+    q.processAllAvailable()
+    val byWindow = spark.table("late_sink").collect().map(r => r.getTimestamp(0).toInstant.toString -> r.getLong(1)).toMap
+    q.stop()
+    assert(byWindow("2024-01-01T00:00:00Z") == 2L, s"late event must not re-open the window: $byWindow")
+    assert(byWindow("2024-01-01T01:00:00Z") == 2L)
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates keyed records across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = in.toDF().toDF("key", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key")
+    val q = RecordStream.startSink(deduped, "memory", "dedup_sink", tmp("ck-dd"), 100L)
+    def t(min: Int) = java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+    in.addData(("a", t(0)), ("a", t(1)), ("b", t(2)))
+    q.processAllAvailable()
+    in.addData(("a", t(3)), ("c", t(4)))
+    q.processAllAvailable()
+    val keys = spark.table("dedup_sink").collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(keys.sorted == Seq("a", "b", "c"), s"got $keys")
+  }
+
+  test("stateful sessionize emits closed sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Sessionize.Event]
+    val sessions = Sessionize.sessions(
+      in.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Event],
+      gapMs = 10 * 60 * 1000L)
+    val q = RecordStream.startSink(sessions.toDF(), "memory", "sess_sink", tmp("ck-sess"), 100L)
+    def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+    in.addData(Sessionize.Event(1L, at(0), 1.0), Sessionize.Event(1L, at(5), 2.0))
+    q.processAllAvailable()
+    // 30 min later: previous session (gap 10m) is closed by the new batch.
+    in.addData(Sessionize.Event(1L, at(30), 5.0))
+    q.processAllAvailable()
+    in.addData(Sessionize.Event(1L, at(60), 7.0)) // closes the 00:30 session
+    q.processAllAvailable()
+    val rows = spark.table("sess_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start").toInstant,
+                 r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).sortBy(_._2)
+    q.stop()
+    assert(rows.length >= 2)
+    assert(rows(0) == ((1L, at(0), 2L, 3.0)), s"first session wrong: ${rows.toSeq}")
+    assert(rows(1) == ((1L, at(30), 1L, 5.0)), s"second session wrong: ${rows.toSeq}")
+  }
+
+  test("batch sessionize matches built-in session_window on real events data") {
+    val a = SparkEntry.queries("q29_session_window")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q30_sessionize_stateful")(spark, sfDir).collect()
+    assert(a.length == b.length, s"session counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"mismatch: $x vs $y") }
+  }
+}
