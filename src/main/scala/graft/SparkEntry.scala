@@ -14,7 +14,10 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     operators.Relational,
-    operators.Sessions)
+    operators.Sessions,
+    operators.Dedup,
+    operators.TextAnalysis,
+    operators.Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

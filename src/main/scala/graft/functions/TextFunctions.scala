@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text building blocks for the dedup / text-analysis
+  * operators. Everything here composes Spark built-ins (codegen'd,
+  * whole-stage-compatible, no UDFs) so the operators stay on the
+  * Tungsten fast path at scale.
+  *
+  * Two hash families:
+  *  - `xxhash64(...)` where speed matters and cross-engine parity does
+  *    not (pure-Spark paths);
+  *  - `portableHash` (md5-prefix → 60-bit long) where the DuckDB oracle
+  *    must reproduce the value exactly: DuckDB computes the identical
+  *    `('0x'||substring(md5(s),1,15))::BIGINT`.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens; empty strings filtered out.
+    * DuckDB mirror: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '')
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word k-shingles joined with a single space. Guarded: fewer than k
+    * tokens → empty array (Spark's `sequence(0, negative)` would count
+    * DOWN, not produce an empty range).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+
+  /** Character n-grams of a string (1-based sliding substrings). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))
+
+  /** 60-bit hash reproducible in DuckDB (oracle parity): first 15 hex
+    * digits of md5, parsed base-16. Always positive (< 2^60).
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded portable hash — the seed is mixed into the hashed string,
+    * giving independent hash functions for MinHash signatures.
+    */
+  def portableHash(c: Column, seed: Int): Column =
+    portableHash(concat_ws("#", lit(seed.toString), c))
+
+  /** MinHash value for one seed over a shingle array: min over shingles
+    * of the seeded portable hash. Empty array → null (caller filters).
+    */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s =>
+      portableHash(concat_ws("#", lit(seed.toString), s))))
+
+  /** Count of tokens present in a fixed vocabulary list. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(vocab.toArray), t)))
+}

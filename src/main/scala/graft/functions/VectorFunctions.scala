@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (higher-order functions — codegen'd, no UDF).
+  *
+  * Determinism contract for oracle parity: every element is cast to
+  * double BEFORE multiplication, and sums are strictly sequential
+  * left-to-right folds — DuckDB's `list_sum(list_transform(...))` over
+  * `::DOUBLE[]` computes the identical IEEE sequence, so cosine values
+  * match bit-for-bit across engines.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ as a sequential double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ² — dot(a, a) without the zip. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; callers should pre-compute norms when ranking
+    * many pairs (see Similarity) so each vector's norm is computed once.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sign-bit of a vector against a fixed hyperplane (random-projection
+    * LSH). The plane rides as an array literal column.
+    */
+  def planeBit(v: Column, plane: Seq[Double]): Column = {
+    val p = array(plane.map(lit): _*)
+    when(aggregate(zip_with(v, p, (x, y) => x.cast("double") * y),
+                   lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)
+  }
+
+  /** Pack `bitsPerBand` plane-bits into an int bucket id per band. */
+  def bandBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.map(planeBit(v, _)).reduce((acc, b) => acc * 2 + b)
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for a training-data pipeline, smallest to
+  * largest hammer:
+  *
+  *  - q31 exact dedup: hash-groupBy on the raw text (one shuffle of
+  *    (text, id) — at 100 TB you'd group on a digest instead, which is
+  *    exactly q32).
+  *  - q32 digest dedup: sha256 of whitespace-normalized text; the
+  *    shuffle key drops from ~KB of text to 32 bytes.
+  *  - q33 MinHash signatures: 16 seeded hashes over word 3-shingles,
+  *    folded into 4 LSH band keys — all Spark built-ins (transform /
+  *    array_min), fully codegen'd, zero UDFs, linear scan.
+  *  - q34 MinHash-LSH near-dup pairs: band-equality self-join produces
+  *    candidates (the only shuffle — keyed by 8-byte band hash), then
+  *    exact shingle-Jaccard verifies ≥ 0.8. At scale this is the
+  *    standard shingle→minhash→band→bucket-join plan: candidates are
+  *    O(collisions), never O(n²).
+  *  - q35/q36 SimHash: 60-bit signature from per-bit token-hash
+  *    majorities; near-dup pairs = Hamming distance ≤ 8 (bit_count of
+  *    XOR). Pairs here are a self-join for oracle parity; the scale
+  *    path blocks on 4×15-bit chunks first (any pair within Hamming 3
+  *    shares a chunk).
+  *
+  * Every query — including the sketches — is DuckDB-oracle-checked:
+  * hashes use `portableHash` (md5-prefix → 60-bit long), which DuckDB
+  * reproduces bit-for-bit, so LSH bucketing and SimHash bits match
+  * exactly across engines.
+  */
+object Dedup extends QueryGroup {
+
+  private val numHashes = 16
+  private val numBands = 4
+  private val rowsPerBand = numHashes / numBands
+  private val simBits = 60
+
+  // ------------------------------------------------------------------ shared oracle SQL fragments
+  /** tokens / distinct 3-shingles per doc (mirrors TextFunctions). */
+  private val shinglesCte = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) s
+      FROM toks WHERE len(t) >= 3
+    )"""
+
+  /** 16 minhashes + 4 band hashes per doc (mirrors the Spark plan). */
+  private val bandsCte: String = {
+    val mh = (0 until numHashes).map(k =>
+      s"list_min(list_transform(s, x -> ('0x'||substring(md5('$k#'||x),1,15))::BIGINT)) mh$k").mkString(",\n             ")
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}::VARCHAR").mkString("||'#'||")
+      s"('0x'||substring(md5($cols),1,15))::BIGINT b$b"
+    }.mkString(",\n             ")
+    s"""$shinglesCte,
+    mh AS (
+      SELECT doc_id, s,
+             $mh
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, s,
+             $bands
+      FROM mh
+    )"""
+  }
+
+  /** Spark side of the same signature plan. */
+  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("t"), 3)).as("s"))
+    val withMh = (0 until numHashes).foldLeft(base) { (df, k) =>
+      df.withColumn(s"mh$k", minhash(col("s"), k))
+    }
+    (0 until numBands).foldLeft(withMh) { (df, b) =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      df.withColumn(s"b$b", portableHash(concat_ws("#", cols: _*)))
+    }
+  }
+
+  /** Generated SimHash SQL: per-bit majority over token hashes. */
+  private val simhashCte: String = {
+    val bitSums = (0 until simBits).map(b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) s$b").mkString(",\n             ")
+    val assemble = (0 until simBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) tk
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x'||substring(md5(tk),1,15))::BIGINT th FROM tok
+    ),
+    bits AS (
+      SELECT doc_id,
+             $bitSums
+      FROM th GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id, $assemble AS simhash FROM bits
+    )"""
+  }
+
+  /** Spark side of SimHash: explode tokens → hash → 60 bit-majority aggs. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val th = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), portableHash(col("tk")).as("th"))
+    val bitAggs = (0 until simBits).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
+    val bits = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val assembled = (0 until simBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    bits.select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  // ------------------------------------------------------------------ queries
+  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q31_dedup_exact", (s, d) => {
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id
+    """)),
+
+    ("q32_dedup_hash", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("digest"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }, Some("""
+      SELECT sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id
+    """)),
+
+    ("q33_minhash_signatures", (s, d) => {
+      bandsDf(s, d)
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $bandsCte
+      SELECT doc_id, b0, b1, b2, b3 FROM bands ORDER BY doc_id
+    """)),
+
+    ("q34_minhash_lsh_pairs", (s, d) => {
+      val bands = bandsDf(s, d)
+      val exploded = bands.select(col("doc_id"), col("s"),
+        posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
+      val candidates = exploded.as("x").join(exploded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sa = bands.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val sb = bands.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $bandsCte,
+      pairs AS (
+        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.s sa, b.s sb
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      )
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa, sb))::DOUBLE
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      FROM pairs
+      WHERE len(list_intersect(sa, sb))::DOUBLE
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.8
+      ORDER BY doc_a, doc_b
+    """)),
+
+    ("q35_simhash", (s, d) => {
+      simhashDf(s, d).orderBy("doc_id")
+    }, Some(s"""
+      WITH $simhashCte
+      SELECT doc_id, simhash FROM sim ORDER BY doc_id
+    """)),
+
+    ("q36_simhash_pairs", (s, d) => {
+      val sh = simhashDf(s, d)
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+        .filter(col("hamming") <= 8)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH $simhashCte
+      SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash)) hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      ORDER BY doc_a, doc_b
+    """))
+  )
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  override val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table.
+  *
+  *  - q41: brute-force cosine top-k per query vector — the exact
+  *    baseline. Queries are broadcast against the corpus (one narrow
+  *    scan, no shuffle until the per-query top-k), so the plan is
+  *    `corpus-scan × broadcast(queries)` — exactly how you'd run exact
+  *    kNN for a small query batch against 100 TB of vectors.
+  *  - q42: threshold similarity self-join (near-duplicate detection by
+  *    embedding): all pairs with cosine ≥ 0.4.
+  *  - q43: LSH-bucketed ANN — 16 deterministic random-hyperplane bits
+  *    as 4 bands of 4-bit buckets; candidates collide in ≥1 band, then
+  *    exact cosine re-ranks. The band join is the only shuffle and is
+  *    keyed by (band, 4-bit bucket): at scale candidates are
+  *    O(bucket collisions), not O(n²). Accuracy vs q41 is asserted in
+  *    SimilaritySpec (recall floor), not by oracle — approximate
+  *    results are the point.
+  *  - q44: per-label centroids in long (label, pos, c) form — the
+  *    coarse-quantizer build step of an IVF index.
+  *
+  * Norms are precomputed once per vector before ranking joins; cosine
+  * folds are element-cast-then-multiply sequential sums so the DuckDB
+  * oracle reproduces them bit-for-bit (see VectorFunctions).
+  */
+object Similarity extends QueryGroup {
+
+  private val numQueries = 10   // query set: vec_id < 10
+  private val topK = 10
+  private val pairThreshold = 0.4
+
+  /** 16 fixed hyperplanes (4 bands × 4 bits) in 64-d, generated from a
+    * seeded PRNG — deterministic across runs and JVMs.
+    */
+  private[operators] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** DuckDB fragment: embeddings with double vectors + precomputed norm. */
+  private val normedCte = """
+    e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) nrm
+      FROM embeddings
+    )"""
+
+  private val dotSql =
+    "list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))"
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              l2Norm(col("embedding")).as("nrm"))
+
+  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q41_cosine_topk", (s, d) => {
+      val e = normed(s, d)
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "neighbor_id", "cos")
+        .orderBy("query_id", "rk")
+    }, Some(s"""
+      WITH $normedCte,
+      scored AS (
+        SELECT q.vec_id query_id, c.vec_id neighbor_id,
+               $dotSql / (q.nrm * c.nrm) AS cos
+        FROM e q JOIN e c ON q.vec_id < $numQueries AND c.vec_id <> q.vec_id
+      )
+      SELECT query_id, rk, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rk
+            FROM scored) t
+      WHERE rk <= $topK
+      ORDER BY query_id, rk
+    """)),
+
+    ("q42_cosine_pairs", (s, d) => {
+      val e = normed(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+                (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= pairThreshold)
+        .orderBy("vec_a", "vec_b")
+    }, Some(s"""
+      WITH $normedCte
+      SELECT q.vec_id vec_a, c.vec_id vec_b,
+             $dotSql / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id < c.vec_id
+      WHERE $dotSql / (q.nrm * c.nrm) >= $pairThreshold
+      ORDER BY vec_a, vec_b
+    """)),
+
+    ("q43_ann_lsh_topk", (s, d) => {
+      val e = normed(s, d)
+      val bandCols = (0 until 4).map(bd =>
+        bandBucket(col("embedding"), planes.slice(bd * 4, bd * 4 + 4)).as(s"band$bd"))
+      val banded = e.select(col("vec_id") +: col("embedding") +: col("nrm") +: bandCols: _*)
+      val exploded = banded.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until 4).map(bd => col(s"band$bd")): _*)).as(Seq("band_id", "bucket")))
+      val q = exploded.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+                col("band_id"), col("bucket"))
+      val candidates = exploded.join(broadcast(q),
+          Seq("band_id", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("qn"),
+                col("embedding"), col("nrm"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      candidates
+        .select(col("query_id"), col("neighbor_id"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "neighbor_id", "cos")
+        .orderBy("query_id", "rk")
+    }, None),   // approximate by design: verified by recall assertion in SimilaritySpec
+
+    ("q44_label_centroids", (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .orderBy("label", "pos")
+    }, Some("""
+      SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings, generate_series(1, 64) g(i)
+      GROUP BY label, i
+      ORDER BY label, pos
+    """))
+  )
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  override val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and rolling-hash
+  * fingerprinting. All pure Column expressions (codegen'd, linear
+  * scans, no shuffles except the final aggregations) — per-document
+  * work is embarrassingly parallel at any scale.
+  *
+  * Determinism: ratios are int/int double divisions (exact IEEE, same
+  * bits on both engines); weighted sums keep identical association
+  * order in Spark and oracle SQL; hashes are `portableHash`.
+  */
+object TextAnalysis extends QueryGroup {
+
+  /** Stopword lists for the n-gram language heuristic. Deliberately
+    * tiny — the heuristic's mechanics (per-language vocabulary hit
+    * counts + deterministic argmax) are the operator; production would
+    * swap in real lists.
+    */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "row", "table"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    // ------------------------------------------------------------ per-doc token statistics
+    ("q37_token_stats", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"), length(col("text")).as("n_chars2"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), col("lang"),
+                size(col("t")).as("n_tokens"),
+                size(array_distinct(col("t"))).as("n_distinct"),
+                (aggregate(col("t"), lit(0), (acc, x) => acc + length(x)).cast("double") / size(col("t"))).as("avg_token_len"),
+                (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("type_token_ratio"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') t
+        FROM documents
+      )
+      SELECT doc_id, lang,
+             len(t)                                               AS n_tokens,
+             len(list_distinct(t))                                AS n_distinct,
+             list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS avg_token_len,
+             len(list_distinct(t))::DOUBLE / len(t)               AS type_token_ratio
+      FROM toks WHERE len(t) > 0
+      ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ quality scoring
+    ("q38_quality_score", (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("double")
+      val stopRatio = vocabHits(t, stopwords.head._2).cast("double") / size(t)
+      val alnumRatio = length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).cast("double") / length(col("text"))
+      val lenScore = least(lit(1.0), nTok / 100.0)
+      Tables.documents(s, d)
+        .filter(size(t) > 0)
+        .select(col("doc_id"),
+                stopRatio.as("stopword_ratio"),
+                alnumRatio.as("alnum_ratio"),
+                lenScore.as("len_score"),
+                (stopRatio * 0.4 + alnumRatio * 0.3 + lenScore * 0.3).as("quality"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') t
+        FROM documents
+      )
+      SELECT doc_id,
+             len(list_filter(t, x -> list_contains(${sqlList(stopwords.head._2)}, x)))::DOUBLE / len(t) AS stopword_ratio,
+             len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE / len(text)   AS alnum_ratio,
+             least(1.0, len(t)::DOUBLE / 100.0)                                            AS len_score,
+             (len(list_filter(t, x -> list_contains(${sqlList(stopwords.head._2)}, x)))::DOUBLE / len(t)) * 0.4
+               + (len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE / len(text)) * 0.3
+               + least(1.0, len(t)::DOUBLE / 100.0) * 0.3                                  AS quality
+      FROM toks WHERE len(t) > 0
+      ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ language ID (vocabulary-hit argmax)
+    ("q39_lang_id", (s, d) => {
+      val t = tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .filter(size(t) > 0)
+        .select(col("doc_id") +: col("lang") +:
+          stopwords.map { case (l, ws) => vocabHits(t, ws).as(s"score_$l") }: _*)
+      // deterministic argmax: first language (in declared order) with the max score
+      val maxScore = greatest(stopwords.map { case (l, _) => col(s"score_$l") }: _*)
+      val pred = stopwords.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+      }
+      scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }, Some {
+      val scores = stopwords.map { case (l, ws) =>
+        s"len(list_filter(t, x -> list_contains(${sqlList(ws)}, x))) AS score_$l"
+      }.mkString(",\n               ")
+      val maxExpr = "greatest(" + stopwords.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+      val predExpr = stopwords.map { case (l, _) =>
+        s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') t
+        FROM documents
+      ),
+      scored AS (
+        SELECT doc_id, lang,
+               $scores
+        FROM toks WHERE len(t) > 0
+      )
+      SELECT lang, $predExpr AS pred_lang, count(*) AS n_docs
+      FROM scored
+      GROUP BY 1, 2
+      ORDER BY lang, pred_lang
+    """
+    }),
+
+    // ------------------------------------------------------------ rolling-hash fingerprint (winnowing-lite)
+    ("q40_fingerprint", (s, d) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), charNgrams(norm, 8).as("g"))
+        .filter(size(col("g")) > 0)
+        .select(col("doc_id"),
+                array_join(slice(array_sort(array_distinct(transform(col("g"), x => portableHash(x)))), 1, 5)
+                  .cast("array<string>"), "-").as("fingerprint"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(s) - 7), i -> substring(s, i, 8)) grams
+        FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') s FROM documents)
+        WHERE len(s) >= 8
+      )
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_transform(grams, x -> ('0x'||substring(md5(x),1,15))::BIGINT)))[1:5], '-') AS fingerprint
+      FROM g WHERE len(grams) > 0
+      ORDER BY doc_id
+    """))
+  )
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  override val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+}
