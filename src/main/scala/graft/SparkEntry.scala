@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Sessions,
     operators.Dedup,
     operators.TextAnalysis,
-    operators.Similarity)
+    operators.Similarity,
+    operators.MultimodalOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
