@@ -1,0 +1,57 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product over two `array<float>` columns.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*),0.0,+)`) evaluates an interpreted
+  * lambda per element — ~64 boxed calls per pair, which dominated the
+  * pairwise-similarity benchmarks. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen.
+  *
+  * Numeric contract (DuckDB-oracle parity): each float is widened to
+  * double BEFORE the multiply, and accumulation is strictly sequential
+  * left-to-right — the identical IEEE sequence as the HOF version and
+  * as DuckDB's `list_sum(list_transform(v::DOUBLE[], ...))`, so results
+  * are bit-for-bit unchanged.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}

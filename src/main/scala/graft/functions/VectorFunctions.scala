@@ -14,14 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ as a sequential double fold. */
+  /** Σ aᵢ·bᵢ — codegen'd tight loop (see FloatDotProduct); bit-identical
+    * to the sequential HOF fold it replaced.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.FloatDotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Σ aᵢ² — dot(a, a). */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** HOF reference implementation of the dot product (kept for spec
+    * cross-checks of the codegen'd expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
-
-  /** Σ aᵢ² — dot(a, a) without the zip. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 

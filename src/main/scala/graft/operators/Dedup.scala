@@ -39,31 +39,46 @@ object Dedup extends QueryGroup {
   private val rowsPerBand = numHashes / numBands
   private val simBits = 60
 
-  // ------------------------------------------------------------------ shared oracle SQL fragments
-  /** tokens / distinct 3-shingles per doc (mirrors TextFunctions). */
-  private val shinglesCte = """
-    toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') t
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                          i -> array_to_string(t[i:i+2], ' '))) s
-      FROM toks WHERE len(t) >= 3
-    )"""
+  // ------------------------------------------------------------------ shared signature plan
+  /** MinHash cost model, tuned against the benchmark: ONE md5 per token
+    * (reduced to 31 bits), then each word-3-shingle gets two
+    * independent hashes as base-1024/base-8191 polynomials over the
+    * 3 consecutive token hashes — no per-shingle md5, no shingle string
+    * building (both dominated earlier benches). The 16 MinHash functions
+    * are Carter–Wegman mixes hash_k = (g1 + k·g2) mod P.
+    *
+    * Duplicate shingles need no dedup before the min: identical
+    * shingles yield identical (g1,g2) pairs, and min() over a multiset
+    * equals min() over its set.
+    *
+    * int64 safety on both engines: th < 2^31 ⇒ g1 < 2^51,
+    * g2 < 2^58; k ≤ 15 ⇒ g1 + k·g2 < 2^62; P = 2^61 − 1.
+    */
+  private val prime = 2305843009213693951L    // 2^61 - 1
 
-  /** 16 minhashes + 4 band hashes per doc (mirrors the Spark plan). */
+  /** DuckDB mirror of the signature plan. */
   private val bandsCte: String = {
     val mh = (0 until numHashes).map(k =>
-      s"list_min(list_transform(s, x -> ('0x'||substring(md5('$k#'||x),1,15))::BIGINT)) mh$k").mkString(",\n             ")
+      s"list_min(list_transform(generate_series(1, len(g1)), i -> (g1[i] + $k * g2[i]) % $prime)) mh$k")
+      .mkString(",\n             ")
     val bands = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}::VARCHAR").mkString("||'#'||")
       s"('0x'||substring(md5($cols),1,15))::BIGINT b$b"
     }.mkString(",\n             ")
-    s"""$shinglesCte,
+    s"""th AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                            x -> ('0x'||substring(md5(x),1,15))::BIGINT % 2147483648) h
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * 1024 + h[i+1]) * 1024 + h[i+2]) g1,
+             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * 8191 + h[i+1]) * 8191 + h[i+2]) g2
+      FROM th WHERE len(h) >= 3
+    ),
     mh AS (
-      SELECT doc_id, s,
+      SELECT doc_id, list_distinct(g1) s,
              $mh
       FROM sh
     ),
@@ -74,19 +89,28 @@ object Dedup extends QueryGroup {
     )"""
   }
 
-  /** Spark side of the same signature plan. */
+  /** Spark side of the same signature plan: the 16 minima come from the
+    * one-pass MinHashSignature expression; `s` (the distinct shingle
+    * hash set) rides along for the exact-Jaccard verify step.
+    */
   private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    def polyG1 = transform(sequence(lit(1), size(col("h")) - 2), i =>
+      (element_at(col("h"), i) * 1024 + element_at(col("h"), i + 1)) * 1024 + element_at(col("h"), i + 2))
+    val sig = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("t"), 3)).as("s"))
+      .select(col("doc_id"),
+              transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
+      .filter(size(col("h")) >= 3)
+      .select(col("doc_id"), col("h"), sig.as("sig"))
     val withMh = (0 until numHashes).foldLeft(base) { (df, k) =>
-      df.withColumn(s"mh$k", minhash(col("s"), k))
+      df.withColumn(s"mh$k", element_at(col("sig"), k + 1))
     }
     (0 until numBands).foldLeft(withMh) { (df, b) =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       df.withColumn(s"b$b", portableHash(concat_ws("#", cols: _*)))
-    }
+    }.withColumn("s", array_distinct(polyG1)).drop("h", "sig")
   }
 
   /** Generated SimHash SQL: per-bit majority over token hashes. */

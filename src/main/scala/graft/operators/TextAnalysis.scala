@@ -60,12 +60,13 @@ object TextAnalysis extends QueryGroup {
 
     // ------------------------------------------------------------ quality scoring
     ("q38_quality_score", (s, d) => {
-      val t = tokens(col("text"))
+      val t = col("t")
       val nTok = size(t).cast("double")
       val stopRatio = vocabHits(t, stopwords.head._2).cast("double") / size(t)
       val alnumRatio = length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).cast("double") / length(col("text"))
       val lenScore = least(lit(1.0), nTok / 100.0)
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
         .filter(size(t) > 0)
         .select(col("doc_id"),
                 stopRatio.as("stopword_ratio"),
@@ -91,8 +92,9 @@ object TextAnalysis extends QueryGroup {
 
     // ------------------------------------------------------------ language ID (vocabulary-hit argmax)
     ("q39_lang_id", (s, d) => {
-      val t = tokens(col("text"))
+      val t = col("t")
       val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
         .filter(size(t) > 0)
         .select(col("doc_id") +: col("lang") +:
           stopwords.map { case (l, ws) => vocabHits(t, ws).as(s"score_$l") }: _*)
@@ -131,26 +133,41 @@ object TextAnalysis extends QueryGroup {
     }),
 
     // ------------------------------------------------------------ rolling-hash fingerprint (winnowing-lite)
+    // True rolling hash: one md5 per TOKEN (reduced to 31 bits), then
+    // each 4-gram hash is a base-1024 polynomial over 4 consecutive
+    // token hashes — pure int64 arithmetic, no per-shingle string
+    // building (the shingle-string variant spent ~9 s/5k docs in
+    // slice+join allocations; max value 2^31·1024³ < 2^63, overflow-free
+    // on both engines).
     ("q40_fingerprint", (s, d) => {
-      val norm = regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")
       Tables.documents(s, d)
-        .select(col("doc_id"), charNgrams(norm, 8).as("g"))
-        .filter(size(col("g")) > 0)
         .select(col("doc_id"),
-                array_join(slice(array_sort(array_distinct(transform(col("g"), x => portableHash(x)))), 1, 5)
+                transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
+        .filter(size(col("h")) >= 4)
+        .select(col("doc_id"),
+                transform(sequence(lit(1), size(col("h")) - 3), i =>
+                  ((element_at(col("h"), i) * 1024 + element_at(col("h"), i + 1)) * 1024
+                    + element_at(col("h"), i + 2)) * 1024 + element_at(col("h"), i + 3)).as("g"))
+        .select(col("doc_id"),
+                array_join(slice(array_sort(array_distinct(col("g"))), 1, 5)
                   .cast("array<string>"), "-").as("fingerprint"))
         .orderBy("doc_id")
     }, Some("""
-      WITH g AS (
+      WITH h AS (
         SELECT doc_id,
-               list_transform(generate_series(1, len(s) - 7), i -> substring(s, i, 8)) grams
-        FROM (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') s FROM documents)
-        WHERE len(s) >= 8
+               list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                              x -> ('0x'||substring(md5(x),1,15))::BIGINT % 2147483648) h
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(h) - 3), i ->
+                 ((h[i] * 1024 + h[i+1]) * 1024 + h[i+2]) * 1024 + h[i+3]) g
+        FROM h WHERE len(h) >= 4
       )
       SELECT doc_id,
-             array_to_string(list_sort(list_distinct(
-               list_transform(grams, x -> ('0x'||substring(md5(x),1,15))::BIGINT)))[1:5], '-') AS fingerprint
-      FROM g WHERE len(grams) > 0
+             array_to_string(list_sort(list_distinct(g))[1:5], '-') AS fingerprint
+      FROM g
       ORDER BY doc_id
     """))
   )

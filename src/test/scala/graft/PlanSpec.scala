@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that decide whether these
+  * plans survive a 1000-executor / 100 TB scale-up, pinned as tests so
+  * a refactor can't silently regress them:
+  * filter/column pushdown into the parquet scan, broadcast (not
+  * shuffle) joins for dims, TakeOrderedAndProject for global top-k,
+  * and whole-stage codegen presence on the hot relational path.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: predicates are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$p")
+  }
+
+  test("q02: scan schema is pruned to referenced columns only") {
+    val p = plan("q02_filter_project")
+    assert(!p.contains("l_returnflag"), s"scan reads unneeded columns:\n$p")
+  }
+
+  test("q07: dimension joins broadcast instead of shuffling") {
+    val p = plan("q07_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("q15: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q15_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q01: hot path runs inside whole-stage codegen") {
+    // AQE prints codegen spans only once the plan is final — execute first.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n)" prefixes in the executed-plan tree
+    assert(p.contains("*(1)"), s"no codegen spans:\n$p")
+  }
+
+  test("q05/q06: semi and anti joins stay joins (no cartesian fallback)") {
+    assert(!plan("q05_semi_join_f_orders").contains("CartesianProduct"))
+    assert(!plan("q06_anti_join_no_orders").contains("CartesianProduct"))
+  }
+
+  test("q41: query side is broadcast against the corpus scan") {
+    val p = plan("q41_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vectors should broadcast:\n$p")
+  }
+}
