@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Dedup,
     operators.TextAnalysis,
     operators.Similarity,
-    operators.MultimodalOps)
+    operators.MultimodalOps,
+    operators.Advanced)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+
+/** Remaining SURVEY §2.2 taxonomy rows not covered by the core
+  * relational corpus: sketch aggregation (HLL approx-distinct), a
+  * custom typed Aggregator (UDAF), map expressions, RANGE window
+  * frames, and custom Catalyst expressions registered for SQL use.
+  */
+object Advanced extends QueryGroup {
+
+  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    // ------------------------------------------------------------ HLL sketch aggregation
+    // approx_count_distinct is HLL++; DuckDB's approx_distinct is a
+    // different sketch, so no hash oracle — AdvancedSpec bounds the
+    // relative error against the exact count instead.
+    ("q48_approx_distinct", (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy("l_returnflag")
+    }, None),
+
+    // ------------------------------------------------------------ custom typed Aggregator (UDAF)
+    ("q49_geomean_udaf", (s, d) => {
+      val geomean = udaf(graft.functions.GeoMeanAgg)
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(geomean(col("o_totalprice")), 4).as("geomean_price"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             round(exp(avg(ln(o_totalprice))), 4) AS geomean_price,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)),
+
+    // ------------------------------------------------------------ map expressions
+    ("q50_map_funcs", (s, d) => {
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      Tables.part(s, d)
+        .withColumn("m", map_concat(m, map(lit("size"), col("p_size").cast("string"))))
+        .select(col("p_partkey"),
+                element_at(col("m"), "brand").as("brand_val"),
+                element_at(col("m"), "size").as("size_val"),
+                size(col("m")).as("n_keys"),
+                array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             p_brand            AS brand_val,
+             p_size::VARCHAR    AS size_val,
+             3                  AS n_keys,
+             'brand,size,type'  AS keys_sorted
+      FROM part
+      ORDER BY p_partkey
+    """)),
+
+    // ------------------------------------------------------------ grouped map assembly (collect + sort + join)
+    ("q51_type_histogram", (s, d) => {
+      Tables.part(s, d)
+        .groupBy("p_brand", "p_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("p_brand")
+        .agg(array_join(array_sort(collect_list(concat_ws(":", col("p_type"), col("n")))), ",")
+          .as("type_counts"))
+        .orderBy("p_brand")
+    }, Some("""
+      SELECT p_brand,
+             string_agg(p_type || ':' || n, ',' ORDER BY p_type || ':' || n) AS type_counts
+      FROM (SELECT p_brand, p_type, count(*) n FROM part GROUP BY 1, 2) t
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """)),
+
+    // ------------------------------------------------------------ RANGE window frame (trailing 90 days)
+    ("q52_range_frame", (s, d) => {
+      val dayNum = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-90, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), dayNum.as("day_num"), col("o_totalprice"))
+        .withColumn("trailing_90d_spend", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "day_num", "trailing_90d_spend")
+        .orderBy("o_custkey", "day_num", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, day_num,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_num
+                   RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS trailing_90d_spend
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS day_num
+            FROM orders WHERE o_custkey < 100) t
+      ORDER BY o_custkey, day_num, o_orderkey
+    """)),
+
+    // ------------------------------------------------------------ custom expressions through the SQL surface
+    ("q53_sql_custom_function", (s, d) => {
+      graft.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      s.sql(s"""
+        SELECT vec_id,
+               float_dot(embedding, embedding) AS self_dot,
+               round(sqrt(float_dot(embedding, embedding)), 6) AS l2
+        FROM graft_embeddings
+        ORDER BY vec_id
+      """)
+    }, Some("""
+      SELECT vec_id,
+             list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS self_dot,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
+      FROM embeddings
+      ORDER BY vec_id
+    """))
+  )
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  override val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+}

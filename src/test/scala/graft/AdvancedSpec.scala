@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the advanced taxonomy operators. */
+class AdvancedSpec extends AnyFunSuite with SparkFixture {
+
+  test("q48 approx_count_distinct stays within the configured 2% rsd (10x slack)") {
+    val rows = SparkEntry.queries("q48_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.2,
+        s"approx too far off: exact=$exact approx=$approx")
+    }
+  }
+
+  test("geomean UDAF matches a driver-side computation") {
+    import spark.implicits._
+    val prices = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
+      .select("o_totalprice").as[Double].collect()
+    val expected = math.exp(prices.map(math.log).sum / prices.length)
+    val got = SparkEntry.queries("q49_geomean_udaf")(spark, sfDir).collect()
+      .find(_.getAs[String]("o_orderstatus") == "F").get
+      .getAs[Double]("geomean_price")
+    assert(math.abs(got - expected) / expected < 1e-9, s"got $got expected $expected")
+  }
+
+  test("SQL-registered custom functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_embeddings_spec")
+    val row = spark.sql(
+      "SELECT minhash_signature(array(1L, 2L, 3L, 4L)) AS sig, float_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head()
+    assert(row.getAs[scala.collection.Seq[Long]]("sig").length == 16)
+    assert(row.getAs[Double]("d") == 11.0)
+  }
+
+  test("GraftExtensions registers the same builders as GraftFunctions.register") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; function list is injected
+    succeed
+  }
+}
