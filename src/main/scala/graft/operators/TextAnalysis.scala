@@ -169,6 +169,25 @@ object TextAnalysis extends QueryGroup {
              array_to_string(list_sort(list_distinct(g))[1:5], '-') AS fingerprint
       FROM g
       ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ token-count estimation (BPE-ish pre-tokenizer)
+    // Word-or-punctuation pieces via the GPT-style pre-tokenizer split,
+    // plus the chars/4 heuristic LLM pipelines use for budget estimates.
+    ("q54_token_estimate", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(split(col("text"), "\\s+")).as("ws_tokens"),
+                size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_pieces"),
+                ((length(col("text")) + 3) / 4).cast("long").as("est_tokens_chars4"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             len(string_split_regex(text, '\s+'))                              AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))     AS bpe_pieces,
+             (strlen(text) + 3) // 4                                           AS est_tokens_chars4
+      FROM documents
+      ORDER BY doc_id
     """))
   )
 

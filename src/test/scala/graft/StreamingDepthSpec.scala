@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{RecordStream, Sessionize}
+
+/** Streaming operators beyond the reference surface: stream-stream
+  * joins with watermark-bounded state, foreachBatch sinks, and state
+  * recovery for the custom stateful operator across a checkpoint
+  * restart (the scenario the reference's recovery factory could never
+  * survive — SURVEY §3 EP3).
+  */
+class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L))
+
+  test("stream-stream join: clicks attribute to impressions within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+      .join(clicks.toDF().toDF("click_ad_id", "click_ts").withWatermark("click_ts", "10 minutes"),
+            expr("ad_id = click_ad_id AND click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"))
+      .select("ad_id", "imp_ts", "click_ts")
+    val q = RecordStream.startSink(joined, "memory", "ss_join_sink", tmp("ck-ssj"), 100L)
+    imps.addData((1L, ts(0)), (2L, ts(1)))
+    clicks.addData((1L, ts(5)))    // within 10 min of impression 1 → match
+    clicks.addData((2L, ts(30)))   // 29 min after impression 2 → no match
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_sink").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("ad_id")).toSeq == Seq(1L), s"got ${rows.toSeq}")
+  }
+
+  test("foreachBatch sink receives micro-batches with increasing ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val parsed = RecordStream.parseValues(in.toDF().toDF("key", "value"), RecordStream.testschema)
+    val q = RecordStream.startForeachBatch(parsed, "feb_sink", tmp("ck-feb"), 100L) {
+      (df, id) => seen.add((id, df.count()))
+    }
+    in.addData(("a", """{"name":"X","age":1}"""))
+    q.processAllAvailable()
+    in.addData(("b", """{"name":"Y","age":2}"""), ("c", """{"name":"Z","age":3}"""))
+    q.processAllAvailable()
+    q.stop()
+    val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    val nonEmpty = batches.filter(_._2 > 0)
+    assert(nonEmpty.map(_._2) == Seq(1L, 2L), s"batch sizes wrong: $batches")
+    assert(batches.map(_._1) == batches.map(_._1).sorted, "batch ids not increasing")
+  }
+
+  test("stateful sessionize recovers open-session state across checkpoint restart") {
+    import spark.implicits._
+    // File source, not MemoryStream: a fresh MemoryStream instance
+    // cannot serve the offsets recorded in a recovered checkpoint.
+    val src = tmp("sess-src"); val ck = tmp("ck-sess-restart"); val out = tmp("out-sess-restart")
+    val gapMs = 10 * 60 * 1000L
+    def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+    def writeEvents(file: String, rows: Seq[(Long, Int, Double)]): Unit =
+      Files.write(java.nio.file.Paths.get(src, file),
+        rows.map { case (u, m, v) => s"""{"user_id":$u,"ts":"${at(m)}","value":$v}""" }
+          .mkString("\n").getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    def sessionQuery(name: String) = {
+      val events = spark.readStream.schema(schema).json(src)
+        .withWatermark("ts", "0 seconds").as[Sessionize.Event]
+      RecordStream.startSink(Sessionize.sessions(events, gapMs).toDF(),
+        "parquet", name, ck, 100L, outputPath = Some(out))
+    }
+
+    writeEvents("b1.json", Seq((7L, 0, 1.0), (7L, 5, 2.0)))
+    val q1 = sessionQuery("sess_r1")
+    q1.processAllAvailable()
+    q1.stop() // session (t0, n=2) still OPEN in the state store
+
+    // restart: same checkpoint, re-declared query. An event within the
+    // gap must merge into the RECOVERED session; later events close it.
+    writeEvents("b2.json", Seq((7L, 8, 4.0)))
+    val q2 = sessionQuery("sess_r2")
+    q2.processAllAvailable()
+    writeEvents("b3.json", Seq((7L, 60, 9.0)))
+    q2.processAllAvailable()
+    writeEvents("b4.json", Seq((7L, 120, 1.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val sessions = spark.read.parquet(out)
+      .orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toInstant,
+                 r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    assert(sessions.nonEmpty, "no sessions emitted after restart")
+    assert(sessions.head == ((at(0), 3L, 7.0)),
+      s"state not recovered across restart: ${sessions.toSeq}")
+  }
+}
