@@ -41,6 +41,10 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(g) != len(e_):
             print(f"FAIL {name}: rows {len(g)} != {len(e_)}"); n_fail += 1; continue
+        dt_mismatch = [(c, str(g[c].dtype), str(e_[c].dtype))
+                       for c in g.columns if str(g[c].dtype) != str(e_[c].dtype)]
+        if dt_mismatch:
+            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
         g = g.sort_values(by=list(g.columns)).reset_index(drop=True)
         e_ = e_.sort_values(by=list(e_.columns)).reset_index(drop=True)
         try:

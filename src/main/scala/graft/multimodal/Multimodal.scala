@@ -73,6 +73,6 @@ object Multimodal {
     media
       .select(col("doc_id"), col("format"), length(col("payload")).as("byte_len"), col("n_frames"),
               posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("frame_id", "_f")))
-      .select(col("doc_id"), col("format"), col("frame_id"),
+      .select(col("doc_id"), col("format"), col("frame_id").cast("long").as("frame_id"),
               (col("frame_id") * expr("byte_len DIV n_frames")).as("frame_offset"))
 }

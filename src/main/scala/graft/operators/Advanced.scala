@@ -89,7 +89,7 @@ object Advanced extends QueryGroup {
         .rangeBetween(-90, Window.currentRow)
       Tables.orders(s, d)
         .filter(col("o_custkey") < 100)
-        .select(col("o_custkey"), col("o_orderkey"), dayNum.as("day_num"), col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"), dayNum.cast("long").as("day_num"), col("o_totalprice"))
         .withColumn("trailing_90d_spend", round(sum("o_totalprice").over(w), 2))
         .select("o_custkey", "o_orderkey", "day_num", "trailing_90d_spend")
         .orderBy("o_custkey", "day_num", "o_orderkey")

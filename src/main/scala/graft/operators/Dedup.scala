@@ -231,13 +231,13 @@ object Dedup extends QueryGroup {
     ("q36_simhash_pairs", (s, d) => {
       val sh = simhashDf(s, d)
       sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+        .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
         .filter(col("hamming") <= 8)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     }, Some(s"""
       WITH $simhashCte
-      SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash)) hamming
+      SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash))::BIGINT hamming
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
       ORDER BY doc_a, doc_b

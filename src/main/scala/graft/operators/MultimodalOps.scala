@@ -22,8 +22,10 @@ object MultimodalOps extends QueryGroup {
     ("q45_multimodal_meta", (s, d) => {
       Multimodal.mediaTable(Tables.documents(s, d))
         .select(col("doc_id"), col("format"),
-                length(col("payload")).as("byte_len"),
-                col("width"), col("height"), col("n_frames"))
+                length(col("payload")).cast("long").as("byte_len"),
+                col("width").cast("long").as("width"),
+                col("height").cast("long").as("height"),
+                col("n_frames").cast("long").as("n_frames"))
         .orderBy("doc_id")
     }, Some(s"""
       SELECT doc_id,
@@ -57,7 +59,7 @@ object MultimodalOps extends QueryGroup {
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.documents(s, d)).as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(media).toDF()
-        .select(col("doc_id") +: col("format") +: col("byte_len") +:
+        .select(col("doc_id") +: col("format") +: col("byte_len").cast("long").as("byte_len") +:
           (0 until Multimodal.featureDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy("doc_id")
     }, Some {

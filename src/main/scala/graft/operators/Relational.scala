@@ -268,8 +268,8 @@ object Relational extends QueryGroup {
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       Tables.part(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("rk", rank().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rk", rank().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("p_brand", "rn", "rk", "p_partkey", "p_retailprice")
         .orderBy("p_brand", "rn")
@@ -364,7 +364,7 @@ object Relational extends QueryGroup {
         .select(col("p_partkey"),
                 upper(col("p_name")).as("up_name"),
                 substring(col("p_name"), 1, 8).as("prefix"),
-                length(col("p_name")).as("name_len"),
+                length(col("p_name")).cast("long").as("name_len"),
                 concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
                 regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"),
                 regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel"))
@@ -384,10 +384,10 @@ object Relational extends QueryGroup {
     // ---------------------------------------------------------------- date functions
     ("q20_date_funcs", (s, d) => {
       Tables.orders(s, d)
-        .select(year(col("o_orderdate")).as("o_year"),
-                month(col("o_orderdate")).as("o_month"),
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+                month(col("o_orderdate")).cast("long").as("o_month"),
                 date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
-                datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"),
+                datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("age_days"),
                 col("o_totalprice"))
         .groupBy("o_year", "o_month", "month_start")
         .agg(count(lit(1)).as("n_orders"),
@@ -509,7 +509,7 @@ object Relational extends QueryGroup {
     ("q26_array_funcs", (s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-                size(col("embedding")).as("dim"),
+                size(col("embedding")).cast("long").as("dim"),
                 round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
                 round(sqrt(aggregate(col("embedding"), lit(0.0),
                   (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))

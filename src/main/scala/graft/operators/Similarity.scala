@@ -69,7 +69,7 @@ object Similarity extends QueryGroup {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
                 (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rk", row_number().over(w))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= topK)
         .select("query_id", "rk", "neighbor_id", "cos")
         .orderBy("query_id", "rk")
@@ -125,7 +125,7 @@ object Similarity extends QueryGroup {
       candidates
         .select(col("query_id"), col("neighbor_id"),
                 (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= topK)
         .select("query_id", "rk", "neighbor_id", "cos")
         .orderBy("query_id", "rk")
@@ -134,6 +134,7 @@ object Similarity extends QueryGroup {
     ("q44_label_centroids", (s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("pos", col("pos").cast("long"))
         .groupBy("label", "pos")
         .agg(round(avg(col("x").cast("double")), 6).as("c"))
         .orderBy("label", "pos")

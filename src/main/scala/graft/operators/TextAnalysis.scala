@@ -39,8 +39,8 @@ object TextAnalysis extends QueryGroup {
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"), length(col("text")).as("n_chars2"))
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("lang"),
-                size(col("t")).as("n_tokens"),
-                size(array_distinct(col("t"))).as("n_distinct"),
+                size(col("t")).cast("long").as("n_tokens"),
+                size(array_distinct(col("t"))).cast("long").as("n_distinct"),
                 (aggregate(col("t"), lit(0), (acc, x) => acc + length(x)).cast("double") / size(col("t"))).as("avg_token_len"),
                 (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("type_token_ratio"))
         .orderBy("doc_id")
@@ -177,8 +177,8 @@ object TextAnalysis extends QueryGroup {
     ("q54_token_estimate", (s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-                size(split(col("text"), "\\s+")).as("ws_tokens"),
-                size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_pieces"),
+                size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+                size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_pieces"),
                 ((length(col("text")) + 3) / 4).cast("long").as("est_tokens_chars4"))
         .orderBy("doc_id")
     }, Some("""

@@ -21,7 +21,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
   test("q36 simhash near-dup pairs stay within the hamming threshold") {
     val rows = SparkEntry.queries("q36_simhash_pairs")(spark, sfDir).collect()
     rows.foreach { r =>
-      val h = r.getAs[Int]("hamming")
+      val h = r.getAs[Long]("hamming")
       assert(h >= 0 && h <= 8, s"hamming out of range: $r")
     }
   }
@@ -47,7 +47,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       .groupBy(_.getAs[Long]("query_id"))
     assert(rows.size == 10)
     rows.foreach { case (_, rs) =>
-      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      val cs = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "not descending")
     }
   }
