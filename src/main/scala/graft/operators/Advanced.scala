@@ -103,6 +103,67 @@ object Advanced extends QueryGroup {
       ORDER BY o_custkey, day_num, o_orderkey
     """)),
 
+    // ------------------------------------------------------------ pivot (wide aggregation)
+    ("q55_pivot", (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+          "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+             count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS n_high,
+             count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS n_medium,
+             count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+             count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS n_low
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)),
+
+    // ------------------------------------------------------------ filtered / conditional aggregates
+    ("q56_filtered_agg", (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count_if(col("l_discount") > 0.05).as("n_discounted"),
+             round(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(0.0)), 2)
+               .as("bulk_revenue"),
+             count_if(col("l_tax") === 0.0).as("n_taxfree"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05)  AS n_discounted,
+             round(coalesce(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 0), 2) AS bulk_revenue,
+             count(*) FILTER (WHERE l_tax = 0.0)        AS n_taxfree
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)),
+
+    // ------------------------------------------------------------ exact percentiles (interpolated)
+    ("q57_percentiles", (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+             round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+             round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+             round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)),
+
     // ------------------------------------------------------------ custom expressions through the SQL surface
     ("q53_sql_custom_function", (s, d) => {
       graft.GraftFunctions.register(s)
