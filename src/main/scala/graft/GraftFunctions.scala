@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{FloatDotProduct, MinHashSignature}
+import graft.expressions.{FloatDotProduct, MinHashScheme, MinHashSignature}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
   * so `spark.sql("SELECT float_dot(a, b) ...")` works alongside the
@@ -16,7 +16,7 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(spark, "float_dot",
       exprs => FloatDotProduct(exprs(0), exprs(1)))
     GraftSqlBridge.registerFunction(spark, "minhash_signature",
-      exprs => MinHashSignature(exprs(0), 16))
+      exprs => MinHashSignature(exprs(0), MinHashScheme.numHashes))
   }
 }
 
@@ -31,6 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => FloatDotProduct(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      exprs => MinHashSignature(exprs(0), 16)))
+      exprs => MinHashSignature(exprs(0), MinHashScheme.numHashes)))
   }
 }

@@ -45,6 +45,16 @@ object Tables {
   * check (reserved for non-SQL-expressible operators).
   */
 trait QueryGroup {
-  def queries: Map[String, (SparkSession, String) => DataFrame]
-  def oracleSql: Map[String, String]
+  /** (name, spark query, oracle DuckDB SQL) — oracle None ⇒ the driver's
+    * weaker rows-only check (reserved for non-SQL-expressible ops).
+    * Groups either populate this or override the maps directly.
+    */
+  protected def entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Vector.empty
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

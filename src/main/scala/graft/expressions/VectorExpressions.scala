@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `array<float>` columns.
   *
@@ -18,6 +19,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * left-to-right — the identical IEEE sequence as the HOF version and
   * as DuckDB's `list_sum(list_transform(v::DOUBLE[], ...))`, so results
   * are bit-for-bit unchanged.
+  *
+  * Input types are enforced at analysis time: this expression is also
+  * registered on the SQL surface (GraftFunctions), where reading
+  * array<double> data through `getFloat` would otherwise return
+  * silent garbage.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -25,6 +31,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "float_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,13 +55,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

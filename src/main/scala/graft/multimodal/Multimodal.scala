@@ -38,9 +38,9 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4"), lit("image/jpeg")),
         pmod(regexp_extract(col("source"), "src(\\d+)", 1).cast("int"), lit(4)) + 1).as("format"),
-      (lit(64) + pmod(length(col("text")), lit(192))).as("width"),
-      (lit(64) + pmod(length(col("text")) * 7, lit(128))).as("height"),
-      (lit(1) + pmod(length(col("text")), lit(5))).as("n_frames"))
+      (lit(64) + pmod(octet_length(col("text")), lit(192))).as("width"),
+      (lit(64) + pmod(octet_length(col("text")) * 7, lit(128))).as("height"),
+      (lit(1) + pmod(octet_length(col("text")), lit(5))).as("n_frames"))
 
   /** STUB decoder: a real implementation would parse `payload` with a
     * codec; this derives a deterministic pseudo-feature vector from the

@@ -12,7 +12,7 @@ import graft.{QueryGroup, Tables}
   */
 object Advanced extends QueryGroup {
 
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ HLL sketch aggregation
     // approx_count_distinct is HLL++; DuckDB's approx_distinct is a
@@ -184,9 +184,4 @@ object Advanced extends QueryGroup {
     """))
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

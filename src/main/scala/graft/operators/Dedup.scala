@@ -34,7 +34,9 @@ import graft.functions.TextFunctions._
   */
 object Dedup extends QueryGroup {
 
-  private val numHashes = 16
+  import graft.expressions.MinHashScheme
+
+  private val numHashes = MinHashScheme.numHashes
   private val numBands = 4
   private val rowsPerBand = numHashes / numBands
   private val simBits = 60
@@ -54,7 +56,7 @@ object Dedup extends QueryGroup {
     * int64 safety on both engines: th < 2^31 ⇒ g1 < 2^51,
     * g2 < 2^58; k ≤ 15 ⇒ g1 + k·g2 < 2^62; P = 2^61 − 1.
     */
-  private val prime = 2305843009213693951L    // 2^61 - 1
+  private val prime = MinHashScheme.prime
 
   /** DuckDB mirror of the signature plan. */
   private val bandsCte: String = {
@@ -68,13 +70,13 @@ object Dedup extends QueryGroup {
     s"""th AS (
       SELECT doc_id,
              list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
-                            x -> ('0x'||substring(md5(x),1,15))::BIGINT % 2147483648) h
+                            x -> ('0x'||substring(md5(x),1,15))::BIGINT % ${MinHashScheme.tokenMod}) h
       FROM documents
     ),
     sh AS (
       SELECT doc_id,
-             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * 1024 + h[i+1]) * 1024 + h[i+2]) g1,
-             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * 8191 + h[i+1]) * 8191 + h[i+2]) g2
+             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * ${MinHashScheme.base1} + h[i+1]) * ${MinHashScheme.base1} + h[i+2]) g1,
+             list_transform(generate_series(1, len(h) - 2), i -> (h[i] * ${MinHashScheme.base2} + h[i+1]) * ${MinHashScheme.base2} + h[i+2]) g2
       FROM th WHERE len(h) >= 3
     ),
     mh AS (
@@ -95,13 +97,13 @@ object Dedup extends QueryGroup {
     */
   private def bandsDf(s: SparkSession, d: String): DataFrame = {
     def polyG1 = transform(sequence(lit(1), size(col("h")) - 2), i =>
-      (element_at(col("h"), i) * 1024 + element_at(col("h"), i + 1)) * 1024 + element_at(col("h"), i + 2))
+      (element_at(col("h"), i) * MinHashScheme.base1 + element_at(col("h"), i + 1)) * MinHashScheme.base1 + element_at(col("h"), i + 2))
     val sig = org.apache.spark.sql.GraftSqlBridge.column(
       graft.expressions.MinHashSignature(
         org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
-              transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
+              transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
       .filter(size(col("h")) >= 3)
       .select(col("doc_id"), col("h"), sig.as("sig"))
     val withMh = (0 until numHashes).foldLeft(base) { (df, k) =>
@@ -151,7 +153,7 @@ object Dedup extends QueryGroup {
   }
 
   // ------------------------------------------------------------------ queries
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q31_dedup_exact", (s, d) => {
       Tables.documents(s, d)
@@ -244,9 +246,4 @@ object Dedup extends QueryGroup {
     """))
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

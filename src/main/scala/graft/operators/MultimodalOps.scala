@@ -17,7 +17,7 @@ object MultimodalOps extends QueryGroup {
   private val fmtSql =
     "['image/png','audio/wav','video/mp4','image/jpeg'][(regexp_extract(source,'src(\\d+)',1)::INTEGER % 4) + 1]"
 
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q45_multimodal_meta", (s, d) => {
       Multimodal.mediaTable(Tables.documents(s, d))
@@ -76,9 +76,4 @@ object MultimodalOps extends QueryGroup {
     })
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

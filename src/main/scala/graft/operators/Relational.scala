@@ -26,7 +26,7 @@ object Relational extends QueryGroup {
   private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** (name, spark query, oracle DuckDB SQL) — oracle None => rows-only check. */
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ---------------------------------------------------------------- scan / filter / agg / sort
     ("q01_pricing_summary", (s, d) => {
@@ -558,9 +558,4 @@ object Relational extends QueryGroup {
     """))
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

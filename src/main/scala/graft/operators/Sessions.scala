@@ -20,7 +20,7 @@ object Sessions extends QueryGroup {
   private val gapMinutes = 30
   private val gapMs = gapMinutes * 60 * 1000L
 
-  private def oracle(startCol: String): String = s"""
+  private val oracle: String = s"""
     WITH marked AS (
       SELECT user_id, ts::TIMESTAMP AS ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -65,6 +65,6 @@ object Sessions extends QueryGroup {
   )
 
   override val oracleSql: Map[String, String] = Map(
-    "q29_session_window" -> oracle("session_start"),
-    "q30_sessionize_stateful" -> oracle("session_start"))
+    "q29_session_window" -> oracle,
+    "q30_sessionize_stateful" -> oracle)
 }

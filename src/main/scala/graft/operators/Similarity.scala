@@ -59,7 +59,7 @@ object Similarity extends QueryGroup {
       .select(col("vec_id"), col("label"), col("embedding"),
               l2Norm(col("embedding")).as("nrm"))
 
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q41_cosine_topk", (s, d) => {
       val e = normed(s, d)
@@ -146,9 +146,4 @@ object Similarity extends QueryGroup {
     """))
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

@@ -31,7 +31,7 @@ object TextAnalysis extends QueryGroup {
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ per-doc token statistics
     ("q37_token_stats", (s, d) => {
@@ -185,15 +185,10 @@ object TextAnalysis extends QueryGroup {
       SELECT doc_id,
              len(string_split_regex(text, '\s+'))                              AS ws_tokens,
              len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))     AS bpe_pieces,
-             (strlen(text) + 3) // 4                                           AS est_tokens_chars4
+             (length(text) + 3) // 4                                           AS est_tokens_chars4
       FROM documents
       ORDER BY doc_id
     """))
   )
 
-  override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(e => e._1 -> e._2).toMap
-
-  override val oracleSql: Map[String, String] =
-    entries.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

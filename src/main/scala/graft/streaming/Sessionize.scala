@@ -66,18 +66,24 @@ object Sessionize {
             val batch = it.toSeq
             if (batch.isEmpty) Iterator.empty
             else {
-              val merged = state.getOption match {
-                case Some(prev) =>
-                  val seeded = split(batch, gapUs)
-                  seeded.headOption match {
-                    case Some(first) if first.startUs - prev.lastUs < gapUs =>
-                      prev.copy(lastUs = first.lastUs, n = prev.n + first.n,
-                                sum = prev.sum + first.sum) +: seeded.tail
-                    case _ => prev +: seeded
-                  }
-                case None => split(batch, gapUs)
+              // Interval-merge the recovered open session with the batch's
+              // sessions, ordered by start time. A plain "does the first
+              // batch session extend the state" test breaks on late (but
+              // within-watermark) events that precede the open session:
+              // it would drag lastUs backwards and emit a session that
+              // ends before it starts. Sorting + gap-merging with
+              // max(lastUs) handles any arrival order.
+              val all = (state.getOption.toSeq ++ split(batch, gapUs)).sortBy(_.startUs)
+              val merged = all.tail.foldLeft(Vector(all.head)) { (acc, s) =>
+                val prev = acc.last
+                if (s.startUs - prev.lastUs < gapUs)
+                  acc.init :+ prev.copy(lastUs = math.max(prev.lastUs, s.lastUs),
+                                        n = prev.n + s.n, sum = prev.sum + s.sum)
+                else acc :+ s
               }
-              // All but the newest session are closed; keep the newest open.
+              // The latest session stays open; everything earlier is closed
+              // (any future event that could extend one would be behind the
+              // watermark once the timeout for the open session fires).
               val (closed, open) = (merged.init, merged.last)
               state.update(open)
               state.setTimeoutTimestamp((open.lastUs + gapUs) / 1000L)

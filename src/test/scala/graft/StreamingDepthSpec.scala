@@ -60,6 +60,32 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     assert(batches.map(_._1) == batches.map(_._1).sorted, "batch ids not increasing")
   }
 
+  test("sessionize keeps order-correct sessions when a late event arrives within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(min: Int) = Instant.parse("2024-01-01T10:00:00Z").plusSeconds(min * 60L)
+    val in = MemoryStream[Sessionize.Event]
+    // 2h watermark: an event 90 min late is still admissible and must
+    // NOT be merged backwards into the later open session.
+    val sessions = Sessionize.sessions(
+      in.toDS().withWatermark("ts", "2 hours"), gapMs = 10 * 60 * 1000L)
+    val q = RecordStream.startSink(sessions.toDF(), "memory", "late_sess_sink", tmp("ck-lsess"), 100L)
+    in.addData(Sessionize.Event(3L, at(0), 1.0))    // 10:00 — open session
+    q.processAllAvailable()
+    in.addData(Sessionize.Event(3L, at(-90), 5.0))  // 08:30, late but in-watermark
+    q.processAllAvailable()
+    in.addData(Sessionize.Event(3L, at(300), 1.0))  // 15:00 — flush everything
+    q.processAllAvailable()
+    val rows = spark.table("late_sess_sink").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toInstant,
+                 r.getAs[java.sql.Timestamp]("session_end").toInstant,
+                 r.getAs[Long]("n_events"))).sortBy(_._1)
+    q.stop()
+    rows.foreach { case (s, e, _) => assert(!e.isBefore(s), s"session ends before it starts: $rows") }
+    assert(rows.take(2).toSeq == Seq((at(-90), at(-80), 1L), (at(0), at(10), 1L)),
+      s"late event corrupted sessions: ${rows.toSeq}")
+  }
+
   test("stateful sessionize recovers open-session state across checkpoint restart") {
     import spark.implicits._
     // File source, not MemoryStream: a fresh MemoryStream instance
