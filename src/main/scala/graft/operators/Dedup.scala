@@ -23,9 +23,10 @@ import graft.functions.TextFunctions._
   *    O(collisions), never O(n²).
   *  - q35/q36 SimHash: 60-bit signature from per-bit token-hash
   *    majorities; near-dup pairs = Hamming distance ≤ 8 (bit_count of
-  *    XOR). Pairs here are a self-join for oracle parity; the scale
-  *    path blocks on 4×15-bit chunks first (any pair within Hamming 3
-  *    shares a chunk).
+  *    XOR). Pair generation blocks on 9 disjoint bit chunks (pigeonhole:
+  *    ≤8 differing bits leave ≥1 chunk identical), equi-joins on
+  *    (chunk_id, chunk_bits), then verifies the exact Hamming bound —
+  *    lossless, and candidates stay O(collisions) at any scale.
   *
   * Every query — including the sketches — is DuckDB-oracle-checked:
   * hashes use `portableHash` (md5-prefix → 60-bit long), which DuckDB
@@ -190,7 +191,10 @@ object Dedup extends QueryGroup {
 
     ("q34_minhash_lsh_pairs", (s, d) => {
       val bands = bandsDf(s, d)
-      val exploded = bands.select(col("doc_id"), col("s"),
+      // The band self-join shuffles ONLY (doc_id, band_id, band_hash) —
+      // the distinct-shingle arrays stay out of the 4×-exploded shuffle
+      // and are re-joined by doc_id for the exact-Jaccard verify below.
+      val exploded = bands.select(col("doc_id"),
         posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
       val candidates = exploded.as("x").join(exploded.as("y"),
           col("x.band_id") === col("y.band_id") &&
@@ -231,11 +235,35 @@ object Dedup extends QueryGroup {
     """)),
 
     ("q36_simhash_pairs", (s, d) => {
+      // Pigeonhole blocking: two 60-bit signatures within Hamming
+      // distance 8 must agree EXACTLY on at least one of 9 disjoint bit
+      // chunks (8 differing bits can dirty at most 8 chunks). So:
+      // explode each signature to its 9 (chunk_id, chunk_bits) keys,
+      // equi-join on them, then verify bit_count(xor) <= 8. Candidates
+      // are O(chunk collisions), the shuffle is keyed by a <=7-bit
+      // chunk value — never the all-pairs O(n²) BNLJ this replaces.
+      // Lossless: the result set is identical to a full self-join, which
+      // the (unchanged, all-pairs) DuckDB oracle proves independently.
       val sh = simhashDf(s, d)
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      val widths = Seq.fill(6)(7) ++ Seq.fill(3)(6)        // 6×7 + 3×6 = 60 bits
+      val offsets = widths.scanLeft(0)(_ + _)
+      val chunkStructs = (0 until 9).map { c =>
+        struct(lit(c).as("chunk_id"),
+               shiftright(col("simhash"), offsets(c))
+                 .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_bits"))
+      }
+      val exploded = sh.select(col("doc_id"), col("simhash"),
+          explode(array(chunkStructs: _*)).as("ch"))
+        .select(col("doc_id"), col("simhash"),
+                col("ch.chunk_id").as("chunk_id"), col("ch.chunk_bits").as("chunk_bits"))
+      exploded.as("a").join(exploded.as("b"),
+          col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_bits") === col("b.chunk_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }, Some(s"""
       WITH $simhashCte

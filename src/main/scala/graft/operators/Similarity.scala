@@ -14,7 +14,13 @@ import graft.functions.VectorFunctions._
   *    `corpus-scan × broadcast(queries)` — exactly how you'd run exact
   *    kNN for a small query batch against 100 TB of vectors.
   *  - q42: threshold similarity self-join (near-duplicate detection by
-  *    embedding): all pairs with cosine ≥ 0.4.
+  *    embedding): all pairs with cosine ≥ 0.4 — the EXACT small-N tool
+  *    (all-pairs by construction; keep it off 100 TB inputs).
+  *  - q58: the scale path for the same task — LSH band buckets generate
+  *    candidates via an equi-join keyed by (band_id, 4-bit bucket), then
+  *    exact cosine verifies ≥ 0.4. The planes are deterministic, so the
+  *    DuckDB oracle replays the identical bucketing from embedded plane
+  *    literals and the query is fully hash-checked, not rows-only.
   *  - q43: LSH-bucketed ANN — 16 deterministic random-hyperplane bits
   *    as 4 bands of 4-bit buckets; candidates collide in ≥1 band, then
   *    exact cosine re-ranks. The band join is the only shuffle and is
@@ -58,6 +64,37 @@ object Similarity extends QueryGroup {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
               l2Norm(col("embedding")).as("nrm"))
+
+  /** DuckDB CTE computing the exact same 4 band buckets as
+    * `bandBucket(embedding, planes.slice(b*4, b*4+4))`: per-plane sign
+    * bit of a sequential dot product against the embedded plane
+    * literals, packed MSB-first within each 4-bit band. Double literals
+    * use Scala's shortest-round-trip printing, which DuckDB parses back
+    * to the identical IEEE-754 value, so the bucketing matches Spark
+    * bit-for-bit.
+    */
+  private val bandedCte: String = {
+    val planeRows = planes.zipWithIndex.map { case (p, pid) =>
+      s"($pid, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               ")
+    s"""p(pid, pv) AS (
+      VALUES $planeRows
+    ),
+    bits AS (
+      SELECT e.vec_id, p.pid,
+             CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * p.pv[i])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM e, p
+    ),
+    banded AS (
+      SELECT vec_id,
+             sum(CASE WHEN pid // 4 = 0 THEN bit << (3 - pid % 4) ELSE 0 END) band0,
+             sum(CASE WHEN pid // 4 = 1 THEN bit << (3 - pid % 4) ELSE 0 END) band1,
+             sum(CASE WHEN pid // 4 = 2 THEN bit << (3 - pid % 4) ELSE 0 END) band2,
+             sum(CASE WHEN pid // 4 = 3 THEN bit << (3 - pid % 4) ELSE 0 END) band3
+      FROM bits GROUP BY vec_id
+    )"""
+  }
 
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
@@ -143,6 +180,48 @@ object Similarity extends QueryGroup {
       FROM embeddings, generate_series(1, 64) g(i)
       GROUP BY label, i
       ORDER BY label, pos
+    """)),
+
+    ("q58_cosine_pairs_lsh", (s, d) => {
+      // Scale path for q42: candidate pairs collide in >=1 of 4 LSH
+      // band buckets (equi-join keyed by (band_id, bucket) — the only
+      // pair-generating shuffle, O(bucket collisions), no all-pairs
+      // BNLJ), then exact cosine re-verifies the 0.4 threshold. The
+      // oracle replays the identical deterministic bucketing, so the
+      // result is fully hash-checked. Recall vs exact q42 is asserted
+      // separately in SimilaritySpec.
+      val e = normed(s, d)
+      val bandCols = (0 until 4).map(bd =>
+        bandBucket(col("embedding"), planes.slice(bd * 4, bd * 4 + 4)).as(s"band$bd"))
+      val banded = e.select(col("vec_id") +: bandCols: _*)
+      val exploded = banded.select(col("vec_id"),
+        posexplode(array((0 until 4).map(bd => col(s"band$bd")): _*)).as(Seq("band_id", "bucket")))
+      val cand = exploded.as("x").join(exploded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val xa = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val xb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+      cand.join(xa, "vec_a").join(xb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+                (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= pairThreshold)
+        .orderBy("vec_a", "vec_b")
+    }, Some(s"""
+      WITH $normedCte,
+      $bandedCte,
+      cand AS (
+        SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+        FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+      )
+      SELECT c.vec_a, c.vec_b,
+             list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c2.v[i])) / (q.nrm * c2.nrm) AS cos
+      FROM cand c JOIN e q ON q.vec_id = c.vec_a JOIN e c2 ON c2.vec_id = c.vec_b
+      WHERE list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c2.v[i])) / (q.nrm * c2.nrm) >= $pairThreshold
+      ORDER BY vec_a, vec_b
     """))
   )
 

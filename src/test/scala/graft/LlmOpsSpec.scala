@@ -68,6 +68,18 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.2, f"mean recall@10 $mean%.3f below floor")
   }
 
+  test("q58 LSH cosine pairs are a subset of exact q42 with bounded recall loss") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairs("q42_cosine_pairs")
+    val lsh = pairs("q58_cosine_pairs_lsh")
+    assert(lsh.subsetOf(exact), "LSH pairs must pass the same exact-cosine verify")
+    // near-random embeddings make 4×4-bit banding recall structurally
+    // modest; the floor guards the mechanism, not a tuned constant.
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, f"q58 recall $recall%.3f below floor (${lsh.size}/${exact.size})")
+  }
+
   test("q39 lang-id output is a confusion matrix over known languages") {
     val rows = SparkEntry.queries("q39_lang_id")(spark, sfDir).collect()
     val langs = rows.map(_.getAs[String]("lang")).toSet

@@ -55,6 +55,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan("q06_anti_join_no_orders").contains("CartesianProduct"))
   }
 
+  test("pair-generating queries never fall back to all-pairs plans") {
+    // q34 (minhash bands), q36 (simhash chunks), q43 (ANN buckets) and
+    // q58 (cosine LSH buckets) generate candidates via equi-joins on
+    // block keys; a BroadcastNestedLoopJoin or CartesianProduct here
+    // means the O(n²) plan crept back — the round-1 scale defect.
+    for (q <- Seq("q34_minhash_lsh_pairs", "q36_simhash_pairs",
+                  "q43_ann_lsh_topk", "q58_cosine_pairs_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
   test("q41: query side is broadcast against the corpus scan") {
     val p = plan("q41_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
