@@ -37,6 +37,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Fan a scan out to the session's shuffle parallelism before
+    * CPU-heavy per-row work (tokenize+hash, per-pair dot products) —
+    * but ONLY when the scan itself yields fewer partitions. A small or
+    * single-row-group file otherwise serializes the whole pipeline on
+    * one core (parquet can't split inside a row group). On a real
+    * cluster reading many splits this is a no-op — no shuffle is added
+    * at scale; it only rescues the few-huge-files / tiny-bench shape.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
 
 /** A named group of judged queries plus their DuckDB oracle SQL.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
@@ -92,29 +92,41 @@ object Dedup extends QueryGroup {
     )"""
   }
 
-  /** Spark side of the same signature plan: the 16 minima come from the
-    * one-pass MinHashSignature expression; `s` (the distinct shingle
-    * hash set) rides along for the exact-Jaccard verify step.
-    */
-  private def bandsDf(s: SparkSession, d: String): DataFrame = {
-    def polyG1 = transform(sequence(lit(1), size(col("h")) - 2), i =>
-      (element_at(col("h"), i) * MinHashScheme.base1 + element_at(col("h"), i + 1)) * MinHashScheme.base1 + element_at(col("h"), i + 2))
-    val sig = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.expressions.MinHashSignature(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
-    val base = Tables.documents(s, d)
+  /** Word-3-shingle g1 hashes of the tokenized text (shared by the
+    * signature build and the exact-Jaccard verify). */
+  private def polyG1: Column = transform(sequence(lit(1), size(col("h")) - 2), i =>
+    (element_at(col("h"), i) * MinHashScheme.base1 + element_at(col("h"), i + 1)) * MinHashScheme.base1 + element_at(col("h"), i + 2))
+
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
               transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
       .filter(size(col("h")) >= 3)
-      .select(col("doc_id"), col("h"), sig.as("sig"))
+
+  /** Spark side of the same signature plan: the 16 minima come from the
+    * one-pass MinHashSignature expression, folded into 4 band keys.
+    */
+  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    val sig = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
+    val base = tokenHashes(s, d).select(col("doc_id"), col("h"), sig.as("sig"))
     val withMh = (0 until numHashes).foldLeft(base) { (df, k) =>
       df.withColumn(s"mh$k", element_at(col("sig"), k + 1))
     }
     (0 until numBands).foldLeft(withMh) { (df, b) =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       df.withColumn(s"b$b", portableHash(concat_ws("#", cols: _*)))
-    }.withColumn("s", array_distinct(polyG1)).drop("h", "sig")
+    }.drop("h", "sig")
   }
+
+  /** Distinct-shingle sets, computed ONLY for the doc_ids in `ids` —
+    * the verify stage tokenizes candidate docs, not the whole corpus
+    * (at 100 TB the candidate set is orders of magnitude smaller).
+    */
+  private def shingleSets(s: SparkSession, d: String, ids: DataFrame): DataFrame =
+    tokenHashes(s, d).join(ids, "doc_id")
+      .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
   /** Generated SimHash SQL: per-bit majority over token hashes. */
   private val simhashCte: String = {
@@ -141,7 +153,7 @@ object Dedup extends QueryGroup {
 
   /** Spark side of SimHash: explode tokens → hash → 60 bit-majority aggs. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val th = Tables.documents(s, d)
+    val th = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
       .select(col("doc_id"), portableHash(col("tk")).as("th"))
     val bitAggs = (0 until simBits).map(b =>
@@ -191,19 +203,25 @@ object Dedup extends QueryGroup {
 
     ("q34_minhash_lsh_pairs", (s, d) => {
       val bands = bandsDf(s, d)
-      // The band self-join shuffles ONLY (doc_id, band_id, band_hash) —
-      // the distinct-shingle arrays stay out of the 4×-exploded shuffle
-      // and are re-joined by doc_id for the exact-Jaccard verify below.
+      // The band self-join shuffles ONLY (doc_id, band_id, band_hash);
+      // shuffle_hash makes both sides' exchanges identical so the
+      // signature build is computed once (AQE stage reuse), and the
+      // shingle sets for the exact-Jaccard verify are computed only for
+      // docs that appear in a candidate pair.
       val exploded = bands.select(col("doc_id"),
-        posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
+          posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
+        .hint("shuffle_hash")
       val candidates = exploded.as("x").join(exploded.as("y"),
           col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sa = bands.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-      val sb = bands.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      val needed = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val shingles = shingleSets(s, d, needed)
+      val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+      val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb"))
       candidates.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
         .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
@@ -252,18 +270,29 @@ object Dedup extends QueryGroup {
                shiftright(col("simhash"), offsets(c))
                  .bitwiseAND(lit((1L << widths(c)) - 1)).as("chunk_bits"))
       }
+      // shuffle_hash hint: both join sides then plan the IDENTICAL
+      // shuffle over the signature aggregation, so ReuseExchange
+      // computes the (expensive) simhash build once, not per side.
       val exploded = sh.select(col("doc_id"), col("simhash"),
           explode(array(chunkStructs: _*)).as("ch"))
         .select(col("doc_id"), col("simhash"),
                 col("ch.chunk_id").as("chunk_id"), col("ch.chunk_bits").as("chunk_bits"))
+        .hint("shuffle_hash")
+      // A qualifying pair collides in every clean chunk; keeping it only
+      // at its FIRST clean chunk (computable from the xor alone) emits
+      // each pair exactly once — no distinct, one shuffle fewer.
+      val xorCol = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      val firstClean = (8 to 0 by -1).foldLeft(lit(9): Column) { (acc, c) =>
+        when(shiftright(xorCol, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1)) === 0L,
+             lit(c)).otherwise(acc)
+      }
       exploded.as("a").join(exploded.as("b"),
           col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk_bits") === col("b.chunk_bits") &&
           col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(xorCol) <= 8 && col("a.chunk_id") === firstClean)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 8)
-        .distinct()
+                bit_count(xorCol).cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b")
     }, Some(s"""
       WITH $simhashCte

@@ -61,7 +61,7 @@ object Similarity extends QueryGroup {
     "list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))"
 
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
               l2Norm(col("embedding")).as("nrm"))
 
@@ -195,7 +195,8 @@ object Similarity extends QueryGroup {
         bandBucket(col("embedding"), planes.slice(bd * 4, bd * 4 + 4)).as(s"band$bd"))
       val banded = e.select(col("vec_id") +: bandCols: _*)
       val exploded = banded.select(col("vec_id"),
-        posexplode(array((0 until 4).map(bd => col(s"band$bd")): _*)).as(Seq("band_id", "bucket")))
+          posexplode(array((0 until 4).map(bd => col(s"band$bd")): _*)).as(Seq("band_id", "bucket")))
+        .hint("shuffle_hash")   // identical exchanges both sides → banding computed once
       val cand = exploded.as("x").join(exploded.as("y"),
           col("x.band_id") === col("y.band_id") &&
           col("x.bucket") === col("y.bucket") &&

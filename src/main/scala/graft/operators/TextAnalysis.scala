@@ -35,7 +35,7 @@ object TextAnalysis extends QueryGroup {
 
     // ------------------------------------------------------------ per-doc token statistics
     ("q37_token_stats", (s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"), length(col("text")).as("n_chars2"))
         .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("lang"),
@@ -65,7 +65,7 @@ object TextAnalysis extends QueryGroup {
       val stopRatio = vocabHits(t, stopwords.head._2).cast("double") / size(t)
       val alnumRatio = length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).cast("double") / length(col("text"))
       val lenScore = least(lit(1.0), nTok / 100.0)
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
         .filter(size(t) > 0)
         .select(col("doc_id"),
@@ -93,7 +93,7 @@ object TextAnalysis extends QueryGroup {
     // ------------------------------------------------------------ language ID (vocabulary-hit argmax)
     ("q39_lang_id", (s, d) => {
       val t = col("t")
-      val scored = Tables.documents(s, d)
+      val scored = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
         .filter(size(t) > 0)
         .select(col("doc_id") +: col("lang") +:
@@ -140,7 +140,7 @@ object TextAnalysis extends QueryGroup {
     // slice+join allocations; max value 2^31·1024³ < 2^63, overflow-free
     // on both engines).
     ("q40_fingerprint", (s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
                 transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
         .filter(size(col("h")) >= 4)
@@ -175,7 +175,7 @@ object TextAnalysis extends QueryGroup {
     // Word-or-punctuation pieces via the GPT-style pre-tokenizer split,
     // plus the chars/4 heuristic LLM pipelines use for budget estimates.
     ("q54_token_estimate", (s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
                 size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
                 size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_pieces"),

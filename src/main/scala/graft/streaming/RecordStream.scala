@@ -46,13 +46,25 @@ object RecordStream {
     * `maxFilesPerTrigger` bounds each micro-batch (the knob that at
     * scale keeps a 1000-executor backfill from reading the whole log in
     * one batch).
+    *
+    * `latestFirst`/`maxFileAge` are the file-source analog of the
+    * reference's `--earliest` offset toggle (`Processor.java:132`,
+    * `auto.offset.reset`): by default the source replays the full
+    * backlog oldest-first ("earliest"); `latestFirst=true` processes
+    * newest files first, and `maxFileAge` skips files older than the
+    * given age relative to the newest ("latest"-style catch-up that
+    * ignores the deep backlog).
     */
   def jsonDirSource(spark: SparkSession, dir: String,
                     schema: StructType = envelope,
-                    maxFilesPerTrigger: Int = 0): DataFrame = {
-    val r = spark.readStream.schema(schema)
-    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r)
-      .json(dir)
+                    maxFilesPerTrigger: Int = 0,
+                    latestFirst: Boolean = false,
+                    maxFileAge: Option[String] = None): DataFrame = {
+    var r = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0) r = r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    if (latestFirst) r = r.option("latestFirst", "true")
+    maxFileAge.foreach(a => r = r.option("maxFileAge", a))
+    r.json(dir)
   }
 
   /** O2 equivalent: deserialize the value payload against an explicit

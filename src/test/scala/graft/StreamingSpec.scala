@@ -86,6 +86,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(names == Seq("N1", "N2", "N3"), s"exactly-once violated: $names")
   }
 
+  test("latestFirst serves the newest backlog file first (--earliest/latest toggle analog)") {
+    val srcDir = tmp("lf-src")
+    def write(n: String, key: String, mtimeOffsetMs: Long): Unit = {
+      val p = java.nio.file.Paths.get(srcDir, n)
+      Files.write(p, s"""{"key":"$key","value":"{}","topic":"t","partition":0,"offset":0,"timestamp":"2024-01-01T00:00:00Z"}""".getBytes)
+      assert(p.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    write("old.json", "old", -120000L)
+    write("new.json", "new", 0L)
+    val src = RecordStream.jsonDirSource(spark, srcDir, maxFilesPerTrigger = 1, latestFirst = true)
+    val batches = scala.collection.concurrent.TrieMap[Long, Seq[String]]()
+    val q = RecordStream.startForeachBatch(src, "lf_q", tmp("ck-lf"), 100L) { (df, id) =>
+      batches.put(id, df.collect().map(_.getAs[String]("key")).toSeq)
+      ()
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(batches(0L) == Seq("new"), s"latestFirst must serve the newest file in batch 0: $batches")
+    assert(batches.values.flatten.toSet == Set("old", "new"), s"all backlog still processed: $batches")
+  }
+
+  test("maxFileAge ignores files older than the age bound relative to the newest seen") {
+    val srcDir = tmp("age-src")
+    def write(n: String, key: String, mtimeOffsetMs: Long): Unit = {
+      val p = java.nio.file.Paths.get(srcDir, n)
+      Files.write(p, s"""{"key":"$key","value":"{}","topic":"t","partition":0,"offset":0,"timestamp":"2024-01-01T00:00:00Z"}""".getBytes)
+      assert(p.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    write("a.json", "a", 0L)
+    val src = RecordStream.jsonDirSource(spark, srcDir, maxFileAge = Some("1h"))
+    val q = RecordStream.startSink(src.select(col("key")), "memory", "age_sink", tmp("ck-age"), 100L)
+    q.processAllAvailable()
+    // Arrives "2h old" after the stream has seen a file — beyond the 1h
+    // age bound relative to the newest file, so the source skips it
+    // (the first batch exempts pre-existing files, hence the staging).
+    write("b.json", "b", -7200000L)
+    q.processAllAvailable()
+    write("c.json", "c", 1000L)
+    q.processAllAvailable()
+    val keys = spark.table("age_sink").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(keys == Set("a", "c"), s"stale file must be skipped: $keys")
+  }
+
   test("watermark drops late data beyond the bound (append windowed agg)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
