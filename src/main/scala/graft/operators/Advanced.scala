@@ -18,13 +18,39 @@ object Advanced extends QueryGroup {
     // approx_count_distinct is HLL++; DuckDB's approx_distinct is a
     // different sketch, so no hash oracle — AdvancedSpec bounds the
     // relative error against the exact count instead.
+    // Mixing countDistinct with non-distinct aggs forces Catalyst's
+    // Expand-based distinct rewrite (every input row duplicated per
+    // aggregate group through the shuffle). Splitting the exact count
+    // into its own two-level aggregation keeps both pipelines on the
+    // cheap partial+final path, joined on the 3-row group key.
     ("q48_approx_distinct", (s, d) => {
-      Tables.lineitem(s, d)
+      val exact = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_partkey").agg(lit(1))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+      val approx = Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
              approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      exact.join(approx, "l_returnflag")
+        .select("l_returnflag", "exact_parts", "approx_parts", "approx_supps")
         .orderBy("l_returnflag")
+    }, None),
+
+    // ------------------------------------------------------------ approximate percentiles (GK sketch)
+    // The mergeable-sketch companion to exact q57 — what you'd actually
+    // run at 100 TB (percentile() sorts per group; approx_percentile is
+    // a bounded-memory mergeable summary). Sketch outputs differ across
+    // engines, so no hash oracle; AdvancedSpec bounds the error against
+    // the exact q57 values instead.
+    ("q59_approx_percentiles", (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").as("p"))
+        .select(col("o_orderstatus"),
+                element_at(col("p"), 1).as("p50"),
+                element_at(col("p"), 2).as("p90"),
+                element_at(col("p"), 3).as("p99"))
+        .orderBy("o_orderstatus")
     }, None),
 
     // ------------------------------------------------------------ custom typed Aggregator (UDAF)

@@ -16,6 +16,23 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q59 approx percentiles track exact q57 within GK-sketch rank error") {
+    def byStatus(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))).toMap
+    val exact = byStatus("q57_percentiles")
+    val approx = byStatus("q59_approx_percentiles")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (st, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(st)
+      // accuracy=1000 ⇒ rank error ≤ n/1000; value tolerance 5% is
+      // generous slack over that for this price distribution.
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.05, s"$st: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("geomean UDAF matches a driver-side computation") {
     import spark.implicits._
     val prices = Tables.orders(spark, sfDir)
