@@ -13,18 +13,34 @@ object Explain {
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(sys.error("usage: Explain <q1,q2,...> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(s"local[$cpus]")
       .appName("graft-explain")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // stage-level wall/CPU profile: the plan tells you the shape, this
+    // tells you where the time actually went.
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
+        if (wall >= 0.2) {
+          val cpu = i.taskMetrics.executorCpuTime / 1e9
+          val run = i.taskMetrics.executorRunTime / 1e3
+          println(f"[stage ${i.stageId}%3d] $wall%6.1fs run=$run%6.1fs cpu=$cpu%6.1fs tasks=${i.numTasks}%-3d in=${i.taskMetrics.inputMetrics.recordsRead} sh_r=${i.taskMetrics.shuffleReadMetrics.recordsRead} sh_w=${i.taskMetrics.shuffleWriteMetrics.recordsWritten}")
+          println("    rdds: " + i.rddInfos.map(r => r.name.linesIterator.next().take(60)).distinct.mkString(" | "))
+        }
+      }
+    })
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val t0 = System.nanoTime()
       df.collect()   // drive THIS execution so AQE finalizes in place
-      println(s"==== $n ====")
+      println(f"==== $n  (${(System.nanoTime() - t0) / 1e9}%.1f s) ====")
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

@@ -42,9 +42,19 @@ object TextFunctions {
 
   /** 60-bit hash reproducible in DuckDB (oracle parity): first 15 hex
     * digits of md5, parsed base-16. Always positive (< 2^60).
+    *
+    * Wrapped in coalesce so the expression is NON-NULLABLE by
+    * construction (inputs here are never null, so the 0 branch never
+    * fires). This matters: when a join keys on a value derived from a
+    * nullable expression, Catalyst's InferFiltersFromConstraints
+    * synthesizes `isnotnull(<derived key>)` and pushes it below the
+    * repartition — alias-substituted into the FULL hash pipeline, it
+    * re-evaluated every md5 per row, interpreted, inside the
+    * single-task scan stage (measured 65 s vs 2.5 s on q61's map
+    * stage). Non-nullable keys make the constraint vacuous.
     */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    coalesce(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(0L))
 
   /** Seeded portable hash — the seed is mixed into the hashed string,
     * giving independent hash functions for MinHash signatures.

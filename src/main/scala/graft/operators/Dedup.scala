@@ -93,15 +93,27 @@ object Dedup extends QueryGroup {
   }
 
   /** Word-3-shingle g1 hashes of the tokenized text (shared by the
-    * signature build and the exact-Jaccard verify). */
+    * signature build and the exact-Jaccard verify). The lambda is
+    * coalesce-wrapped so the ELEMENT type is non-nullable (element_at
+    * is nullable by signature, never null here) — otherwise a join on
+    * an exploded shingle infers an isnotnull over this whole pipeline
+    * and re-evaluates it below the exchange (see portableHash).
+    */
   private def polyG1: Column = transform(sequence(lit(1), size(col("h")) - 2), i =>
-    (element_at(col("h"), i) * MinHashScheme.base1 + element_at(col("h"), i + 1)) * MinHashScheme.base1 + element_at(col("h"), i + 2))
+    coalesce((element_at(col("h"), i) * MinHashScheme.base1 + element_at(col("h"), i + 1)) * MinHashScheme.base1 + element_at(col("h"), i + 2),
+             lit(0L)))
 
+  /** Filtering on the token COUNT (no hashing) keeps the predicate
+    * that Catalyst pushes into the scan cheap — filtering on `size(h)`
+    * after the projection alias-substitutes the whole md5 pipeline
+    * into the scan's DataFilters, where it runs once per row,
+    * single-threaded, before the fan-out repartition.
+    */
   private def tokenHashes(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"),
               transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
-      .filter(size(col("h")) >= 3)
 
   /** Spark side of the same signature plan: the 16 minima come from the
     * one-pass MinHashSignature expression, folded into 4 band keys.
@@ -121,11 +133,16 @@ object Dedup extends QueryGroup {
   }
 
   /** Distinct-shingle sets, computed ONLY for the doc_ids in `ids` —
-    * the verify stage tokenizes candidate docs, not the whole corpus
-    * (at 100 TB the candidate set is orders of magnitude smaller).
+    * the raw scan is filtered by a broadcast semi-join FIRST and the
+    * tokenize+hash projection applied after, so the verify stage
+    * tokenizes candidate docs, not the whole corpus (at 100 TB the
+    * candidate set is orders of magnitude smaller).
     */
   private def shingleSets(s: SparkSession, d: String, ids: DataFrame): DataFrame =
-    tokenHashes(s, d).join(ids, "doc_id")
+    Tables.fanOut(Tables.documents(s, d)).join(broadcast(ids), "doc_id")
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+              transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
   /** Generated SimHash SQL: per-bit majority over token hashes. */
@@ -299,6 +316,80 @@ object Dedup extends QueryGroup {
       SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash))::BIGINT hamming
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      ORDER BY doc_a, doc_b
+    """)),
+
+    ("q61_ngram_jaccard_pairs", (s, d) => {
+      // Set-similarity join on word-trigram sets with AllPairs/PPJoin
+      // prefix filtering: under a consistent GLOBAL gram order, any
+      // pair with Jaccard >= t must share a gram within each side's
+      // first (len - ceil(t*len) + 1) grams, so an equi-join on prefix
+      // grams is a LOSSLESS candidate generator — exact, unlike q34's
+      // probabilistic minhash bands — which the all-pairs DuckDB oracle
+      // proves. Grams are the same portable int64 trigram hashes as
+      // q34's verify sets, and the HASH VALUE is the global order:
+      // the classic rarest-first ordering would need a corpus-wide
+      // frequency join + per-doc re-sort (a ~20-exchange DAG whose
+      // fixed overhead dwarfed its pruning win here — trigram doc
+      // frequency is already capped ≈25 in this corpus), while the
+      // hash order makes the prefix a pure per-row slice of the sorted
+      // set. ceil(t*len) uses exact integer arithmetic
+      // ((3*len + 4) DIV 5 for t = 0.6) — a float ceil could round up
+      // and silently shorten the prefix below the lossless bound.
+      val jt = 0.6
+      // `len` is a join-condition column below; coalesce makes it
+      // non-nullable so no `isnotnull(size(<full hash pipeline>))`
+      // constraint is inferred and pushed under the exchange (that
+      // inferred filter alone cost 60 s/5k docs — see portableHash).
+      val grams = tokenHashes(s, d).select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
+      val prefix = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
+          posexplode(slice(col("g"), lit(1), expr("size(g) - ((3 * size(g) + 4) DIV 5) + 1")))
+            .as(Seq("pos", "gram")))
+        .hint("shuffle_hash")
+      // PPJoin length filter (t·|a| ≤ |b| ≤ |a|/t, here 3|a| ≤ 5|b| ∧
+      // 3|b| ≤ 5|a|) and positional filter: matching at 0-based
+      // positions (pa, pb), the overlap can't exceed
+      // min(la−pa, lb−pb), which must reach minoverlap =
+      // ceil(t/(1+t)·(la+lb)) = (3(la+lb)+7) DIV 8. Both are lossless
+      // (a qualifying pair's FIRST shared gram sits in both prefixes
+      // and bounds the true overlap) and prune before the distinct and
+      // the expensive set-intersect verify.
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.len") * 3 <= col("y.len") * 5 && col("y.len") * 3 <= col("x.len") * 5 &&
+          least(col("x.len") - col("x.pos"), col("y.len") - col("y.pos")) >=
+            expr("(3 * (x.len + y.len) + 7) DIV 8"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val needed = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val gsets = shingleSets(s, d, needed)
+      val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga"))
+      val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb"))
+      cand.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("jaccard", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+        .filter(col("jaccard") >= jt)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                              x -> ('0x'||substring(md5(x),1,15))::BIGINT % ${MinHashScheme.tokenMod}) h
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(h) - 2),
+                 i -> (h[i] * ${MinHashScheme.base1} + h[i+1]) * ${MinHashScheme.base1} + h[i+2])) g
+        FROM th WHERE len(h) >= 3
+      )
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.6
       ORDER BY doc_a, doc_b
     """))
   )

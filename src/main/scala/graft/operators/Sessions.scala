@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.streaming.Sessionize
 
@@ -14,6 +15,12 @@ import graft.streaming.Sessionize
   *  - q30: the custom stateful `Sessionize` used by the streaming
   *    pipeline, run through its batch entry point — proving the
   *    streaming operator's logic against SQL semantics.
+  *  - q60: as-of join (click → latest view at-or-before it, per user).
+  *    Spark has no ASOF JOIN; the scalable form is the union+window
+  *    plan — tag both sides, one shuffle by key, sort by (ts, side),
+  *    carry the last view forward — never a per-pair range join. The
+  *    oracle is DuckDB's native ASOF LEFT JOIN, an independent
+  *    implementation of the same semantics.
   */
 object Sessions extends QueryGroup {
 
@@ -61,10 +68,49 @@ object Sessions extends QueryGroup {
       Sessionize.sessionsBatch(ev, gapMs).toDF()
         .withColumn("sum_value", round(col("sum_value"), 2))
         .orderBy("user_id", "session_start")
+    }),
+    "q60_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // one view per (user_id, ts): keep max event_id so ties are deterministic
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+      // union+window as-of: views sort before clicks at equal ts, so a
+      // same-instant view is matched ("at or before"); last(ignoreNulls)
+      // carries the most recent view forward within each user.
+      val u = views.select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("view_id"), lit(null).cast("long").as("click_id"),
+            lit(null).cast("double").as("value"))
+        .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("side"),
+            lit(null).cast("long").as("view_id"), col("click_id"), col("value")))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("asof_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_view_ts",
+          last(when(col("view_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("value"),
+                col("asof_view_id").as("view_id"), col("asof_view_ts").as("view_ts"))
+        .orderBy("click_id")
     })
   )
 
   override val oracleSql: Map[String, String] = Map(
     "q29_session_window" -> oracle,
-    "q30_sessionize_stateful" -> oracle)
+    "q30_sessionize_stateful" -> oracle,
+    "q60_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id AS click_id, value
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.click_id, c.user_id, c.ts AS click_ts, c.value,
+             v.view_id, v.ts AS view_ts
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+      ORDER BY click_id
+    """.trim)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -223,6 +223,83 @@ object Similarity extends QueryGroup {
       FROM cand c JOIN e q ON q.vec_id = c.vec_a JOIN e c2 ON c2.vec_id = c.vec_b
       WHERE list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c2.v[i])) / (q.nrm * c2.nrm) >= $pairThreshold
       ORDER BY vec_a, vec_b
+    """)),
+
+    ("q62_ivf_probe_topk", (s, d) => {
+      // IVF probe search on top of the q44 coarse quantizer: rank cells
+      // (per-label centroids) by query↔centroid cosine, probe the
+      // nprobe=3 best, exact-rerank only vectors inside those cells.
+      // At scale the corpus is partitioned by cell, so a probe touches
+      // nprobe/ncells of the data — the standard IVF trade. Fully
+      // deterministic (centroids rounded at 6dp like q44), so unlike
+      // LSH-ANN q43 this approximate index IS hash-oracled end-to-end.
+      val nprobe = 3
+      // centroid build reads the un-fanned scan: a single input split
+      // keeps float partial-sum order identical to DuckDB's sequential
+      // avg (same determinism reasoning as q44).
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      def dotFD(f: Column, dd: Column) =
+        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+      val e = normed(s, d)
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val wp = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("label"))
+      val probes = cvec.crossJoin(broadcast(q))
+        .select(col("query_id"), col("label"), col("qv"), col("qn"),
+                (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= nprobe)
+        .select("query_id", "label", "qv", "qn")
+      val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      e.join(broadcast(probes), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "neighbor_id", "cos")
+        .orderBy("query_id", "rk")
+    }, Some(s"""
+      WITH $normedCte,
+      cent AS (
+        SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i
+      ),
+      cv AS (
+        SELECT label, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label
+      ),
+      probes AS (
+        SELECT query_id, label FROM (
+          SELECT q.vec_id AS query_id, cv.label,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i])) / (q.nrm * cv.cnrm) DESC,
+                   cv.label) AS pr
+          FROM e q, cv WHERE q.vec_id < $numQueries
+        ) WHERE pr <= 3
+      ),
+      scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+        FROM probes p
+        JOIN e c ON c.label = p.label
+        JOIN e q ON q.vec_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+      )
+      SELECT query_id, rk, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rk
+            FROM scored) t
+      WHERE rk <= $topK
+      ORDER BY query_id, rk
     """))
   )
 

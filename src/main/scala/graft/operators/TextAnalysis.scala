@@ -35,9 +35,11 @@ object TextAnalysis extends QueryGroup {
 
     // ------------------------------------------------------------ per-doc token statistics
     ("q37_token_stats", (s, d) => {
+      // Filter on the raw-text token count so the scan-pushed predicate
+      // stays cheap (see Dedup.tokenHashes for the pushdown trap).
       Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"), length(col("text")).as("n_chars2"))
-        .filter(size(col("t")) > 0)
         .select(col("doc_id"), col("lang"),
                 size(col("t")).cast("long").as("n_tokens"),
                 size(array_distinct(col("t"))).cast("long").as("n_distinct"),
@@ -66,8 +68,8 @@ object TextAnalysis extends QueryGroup {
       val alnumRatio = length(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).cast("double") / length(col("text"))
       val lenScore = least(lit(1.0), nTok / 100.0)
       Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
-        .filter(size(t) > 0)
         .select(col("doc_id"),
                 stopRatio.as("stopword_ratio"),
                 alnumRatio.as("alnum_ratio"),
@@ -94,8 +96,8 @@ object TextAnalysis extends QueryGroup {
     ("q39_lang_id", (s, d) => {
       val t = col("t")
       val scored = Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) > 0)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-        .filter(size(t) > 0)
         .select(col("doc_id") +: col("lang") +:
           stopwords.map { case (l, ws) => vocabHits(t, ws).as(s"score_$l") }: _*)
       // deterministic argmax: first language (in declared order) with the max score
@@ -141,9 +143,9 @@ object TextAnalysis extends QueryGroup {
     // on both engines).
     ("q40_fingerprint", (s, d) => {
       Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) >= 4)
         .select(col("doc_id"),
                 transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
-        .filter(size(col("h")) >= 4)
         .select(col("doc_id"),
                 transform(sequence(lit(1), size(col("h")) - 3), i =>
                   ((element_at(col("h"), i) * 1024 + element_at(col("h"), i + 1)) * 1024

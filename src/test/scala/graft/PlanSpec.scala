@@ -61,11 +61,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // block keys; a BroadcastNestedLoopJoin or CartesianProduct here
     // means the O(n²) plan crept back — the round-1 scale defect.
     for (q <- Seq("q34_minhash_lsh_pairs", "q36_simhash_pairs",
-                  "q43_ann_lsh_topk", "q58_cosine_pairs_lsh")) {
+                  "q43_ann_lsh_topk", "q58_cosine_pairs_lsh",
+                  "q61_ngram_jaccard_pairs")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
+    // q62's query×centroid scoring is an intentional broadcast cross of
+    // 10×10 rows; only an un-broadcast cartesian would be a defect.
+    assert(!plan("q62_ivf_probe_topk").contains("CartesianProduct"))
   }
 
   test("q41: query side is broadcast against the corpus scan") {
