@@ -33,7 +33,7 @@ object Sessionize {
   private def instant(u: Long): Instant = Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)
 
   /** Split a user's events into gap-separated sessions (input sorted here). */
-  private def split(events: Seq[Event], gapUs: Long): Vector[SessionState] =
+  private[streaming] def split(events: Seq[Event], gapUs: Long): Vector[SessionState] =
     events.sortBy(e => us(e.ts)).foldLeft(Vector.empty[SessionState]) { (acc, e) =>
       val t = us(e.ts)
       acc.lastOption match {
@@ -43,8 +43,25 @@ object Sessionize {
       }
     }
 
-  private def toSession(uid: Long, s: SessionState, gapUs: Long): Session =
+  private[streaming] def toSession(uid: Long, s: SessionState, gapUs: Long): Session =
     Session(uid, instant(s.startUs), instant(s.lastUs + gapUs), s.n, s.sum)
+
+  /** Interval-merge a recovered open session with a batch's sessions,
+    * ordered by start time (shared by the flatMapGroupsWithState and
+    * transformWithState implementations — see the in-line rationale at
+    * the call site in [[sessions]]).
+    */
+  private[streaming] def mergeSessions(prior: Seq[SessionState], batch: Seq[Event],
+                                       gapUs: Long): Vector[SessionState] = {
+    val all = (prior ++ split(batch, gapUs)).sortBy(_.startUs)
+    all.tail.foldLeft(Vector(all.head)) { (acc, s) =>
+      val prev = acc.last
+      if (s.startUs - prev.lastUs < gapUs)
+        acc.init :+ prev.copy(lastUs = math.max(prev.lastUs, s.lastUs),
+                              n = prev.n + s.n, sum = prev.sum + s.sum)
+      else acc :+ s
+    }
+  }
 
   /** Streaming sessionize. Call on a dataset that already has
     * `withWatermark("ts", ...)`; a user's session closes and emits when
@@ -73,14 +90,7 @@ object Sessionize {
               // it would drag lastUs backwards and emit a session that
               // ends before it starts. Sorting + gap-merging with
               // max(lastUs) handles any arrival order.
-              val all = (state.getOption.toSeq ++ split(batch, gapUs)).sortBy(_.startUs)
-              val merged = all.tail.foldLeft(Vector(all.head)) { (acc, s) =>
-                val prev = acc.last
-                if (s.startUs - prev.lastUs < gapUs)
-                  acc.init :+ prev.copy(lastUs = math.max(prev.lastUs, s.lastUs),
-                                        n = prev.n + s.n, sum = prev.sum + s.sum)
-                else acc :+ s
-              }
+              val merged = mergeSessions(state.getOption.toSeq, batch, gapUs)
               // The latest session stays open; everything earlier is closed
               // (any future event that could extend one would be behind the
               // watermark once the timeout for the open session fires).

@@ -5,7 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{RecordStream, Sessionize}
+import graft.streaming.{RecordStream, Sessionize, Sessionize4}
 
 /** Streaming operators beyond the reference surface: stream-stream
   * joins with watermark-bounded state, foreachBatch sinks, and state
@@ -84,6 +84,41 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { case (s, e, _) => assert(!e.isBefore(s), s"session ends before it starts: $rows") }
     assert(rows.take(2).toSeq == Seq((at(-90), at(-80), 1L), (at(0), at(10), 1L)),
       s"late event corrupted sessions: ${rows.toSeq}")
+  }
+
+  test("transformWithState sessionize matches flatMapGroupsWithState semantics (timers close sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState's state-v2 runtime requires the RocksDB
+    // provider — also the provider you'd run at scale.
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      val in = MemoryStream[Sessionize.Event]
+      val sessions = Sessionize4.sessions(
+        in.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60 * 1000L)
+      val q = RecordStream.startSink(sessions.toDF(), "memory", "tws_sess_sink", tmp("ck-tws"), 100L)
+      in.addData(Sessionize.Event(1L, at(0), 1.0), Sessionize.Event(1L, at(5), 2.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, at(30), 5.0))  // watermark passes t5+gap → timer closes session 1
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, at(60), 7.0))  // closes the 00:30 session
+      q.processAllAvailable()
+      val rows = spark.table("tws_sess_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start").toInstant,
+                   r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).sortBy(_._2)
+      q.stop()
+      assert(rows.length >= 2, s"expected two closed sessions: ${rows.toSeq}")
+      assert(rows(0) == ((1L, at(0), 2L, 3.0)), s"first session wrong: ${rows.toSeq}")
+      assert(rows(1) == ((1L, at(30), 1L, 5.0)), s"second session wrong: ${rows.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("stateful sessionize recovers open-session state across checkpoint restart") {
