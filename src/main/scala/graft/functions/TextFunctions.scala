@@ -72,4 +72,13 @@ object TextFunctions {
   /** Count of tokens present in a fixed vocabulary list. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => array_contains(lit(vocab.toArray), t)))
+
+  /** Fused `transform(tokens(c), x -> portableHash(x) % mod)` as one
+    * JVM loop per row (see TokenHashArray); `mod <= 0` skips the mod.
+    * Bit-identical to the HOF form — asserted in LlmOpsSpec.
+    */
+  def tokenHashArray(c: Column, mod: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.TokenHashArray(
+        org.apache.spark.sql.GraftSqlBridge.expression(c), mod))
 }

@@ -112,8 +112,7 @@ object Dedup extends QueryGroup {
   private def tokenHashes(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"),
-              transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
+      .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
 
   /** Spark side of the same signature plan: the 16 minima come from the
     * one-pass MinHashSignature expression, folded into 4 band keys.
@@ -141,8 +140,7 @@ object Dedup extends QueryGroup {
   private def shingleSets(s: SparkSession, d: String, ids: DataFrame): DataFrame =
     Tables.fanOut(Tables.documents(s, d)).join(broadcast(ids), "doc_id")
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"),
-              transform(tokens(col("text")), x => portableHash(x) % MinHashScheme.tokenMod).as("h"))
+      .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
   /** Generated SimHash SQL: per-bit majority over token hashes. */
@@ -168,11 +166,10 @@ object Dedup extends QueryGroup {
     )"""
   }
 
-  /** Spark side of SimHash: explode tokens → hash → 60 bit-majority aggs. */
+  /** Spark side of SimHash: explode token hashes → 60 bit-majority aggs. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val th = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-      .select(col("doc_id"), portableHash(col("tk")).as("th"))
+      .select(col("doc_id"), explode(tokenHashArray(col("text"), 0L)).as("th"))
     val bitAggs = (0 until simBits).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
     val bits = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)

@@ -144,8 +144,7 @@ object TextAnalysis extends QueryGroup {
     ("q40_fingerprint", (s, d) => {
       Tables.fanOut(Tables.documents(s, d))
         .filter(size(tokens(col("text"))) >= 4)
-        .select(col("doc_id"),
-                transform(tokens(col("text")), x => portableHash(x) % 2147483648L).as("h"))
+        .select(col("doc_id"), tokenHashArray(col("text"), 2147483648L).as("h"))
         .select(col("doc_id"),
                 transform(sequence(lit(1), size(col("h")) - 3), i =>
                   ((element_at(col("h"), i) * 1024 + element_at(col("h"), i + 1)) * 1024

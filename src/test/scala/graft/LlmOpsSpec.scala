@@ -26,6 +26,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fused TokenHashArray is bit-identical to the HOF tokenize+portableHash form") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    for (mod <- Seq(2147483648L, 0L)) {
+      val hofForm =
+        if (mod > 0) transform(tokens(col("text")), x => portableHash(x) % mod)
+        else transform(tokens(col("text")), x => portableHash(x))
+      val diff = Tables.documents(spark, sfDir)
+        .select(tokenHashArray(col("text"), mod).as("fused"), hofForm.as("hof"))
+        .filter(not(col("fused") === col("hof")))
+        .count()
+      assert(diff == 0, s"fused/HOF hash mismatch for mod=$mod on $diff docs")
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("q31_dedup_exact")(spark, sfDir)
     val n1 = once.count()
