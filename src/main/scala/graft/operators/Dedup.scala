@@ -166,18 +166,20 @@ object Dedup extends QueryGroup {
     )"""
   }
 
-  /** Spark side of SimHash: explode token hashes → 60 bit-majority aggs. */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val th = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), explode(tokenHashArray(col("text"), 0L)).as("th"))
-    val bitAggs = (0 until simBits).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b"))
-    val bits = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val assembled = (0 until simBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    bits.select(col("doc_id"), assembled.as("simhash"))
-  }
+  /** Spark side of SimHash: one-pass per-row bit-majority signature over
+    * the fused token-hash array (SimHash64 — no explode, no shuffle, no
+    * 60-aggregate codegen class; semantics and oracle unchanged). The
+    * cheap token-count filter mirrors the aggregation form's behavior
+    * of emitting no row for a tokenless doc.
+    */
+  private def simhashDf(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expressions.SimHash64(
+            org.apache.spark.sql.GraftSqlBridge.expression(tokenHashArray(col("text"), 0L)),
+            simBits)).as("simhash"))
 
   // ------------------------------------------------------------------ queries
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
@@ -233,9 +235,13 @@ object Dedup extends QueryGroup {
         .distinct()
       val needed = candidates
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // shuffle_hash on both verify sides: the two shingle exchanges
+      // (keyed by the renamed doc_id) canonicalize identically, so the
+      // tokenize+shingle build runs ONCE (AQE stage reuse) instead of
+      // once per join side.
       val shingles = shingleSets(s, d, needed)
-      val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-      val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+      val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
+      val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
       candidates.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
         .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
