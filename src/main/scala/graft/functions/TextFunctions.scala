@@ -81,4 +81,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.expressions.TokenHashArray(
         org.apache.spark.sql.GraftSqlBridge.expression(c), mod))
+
+  /** `size(array_intersect(a, b))` for distinct-element long arrays,
+    * without materializing the intersection (see IntersectionSize).
+    */
+  def intersectionSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.IntersectionSize(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 }

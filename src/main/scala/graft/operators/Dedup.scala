@@ -243,7 +243,7 @@ object Dedup extends QueryGroup {
       val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
       val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
       candidates.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("inter", intersectionSize(col("sa"), col("sb")).cast("double"))
         .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -365,11 +365,16 @@ object Dedup extends QueryGroup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       val needed = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      // shuffle_hash (not broadcast) verify joins, as in q34: the gram
+      // sets are heavy array payloads AQE can't see in the candidate
+      // shuffle's byte stats — a broadcast probe would run the whole
+      // verify in one coalesced task. The two shingle exchanges also
+      // canonicalize identically, so the build runs once.
       val gsets = shingleSets(s, d, needed)
-      val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga"))
-      val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb"))
+      val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga")).hint("shuffle_hash")
+      val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb")).hint("shuffle_hash")
       cand.join(ga, "doc_a").join(gb, "doc_b")
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+        .withColumn("inter", intersectionSize(col("ga"), col("gb")).cast("double"))
         .withColumn("jaccard", col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
         .filter(col("jaccard") >= jt)
         .select("doc_a", "doc_b", "jaccard")
