@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** CLI pipeline driver — the O7 config surface of the reference
+  * (`Processor.java:95-116`: argparse4j `--name --zookeeper --registry
+  * --earliest --checkpoint-folder --batch-period --source-topic`, then
+  * `startPipeline` = open → process → start → awaitTermination at
+  * `Processor.java:149-163`) re-expressed for the file transport:
+  *
+  *   --name             app name                  (reference --name)
+  *   --source-dir       input directory           (--source-topic + --zookeeper)
+  *   --value-schema     DDL of the value payload  (--registry schema fetch)
+  *   --checkpoint-folder offset/state checkpoint  (--checkpoint-folder)
+  *   --batch-period     trigger interval ms       (--batch-period)
+  *   --earliest         replay full backlog oldest-first; without it the
+  *                      source runs "latest"-style: newest files first and
+  *                      files older than --max-file-age skipped (the
+  *                      auto.offset.reset analog, Processor.java:132)
+  *   --max-file-age     age bound for latest mode (default 1h)
+  *   --sink             console|memory|parquet    (reference printed to stdout)
+  *   --out              output path for parquet sink
+  *   --max-files        per-trigger file cap
+  *
+  * Unlike the reference's recovery factory (which re-opened the stream
+  * but never re-attached an output — `Processor.java:47-53`), restarting
+  * this main with the same --checkpoint-folder resumes exactly-once.
+  */
+object Pipeline {
+
+  case class Config(name: String = "graft-pipeline",
+                    sourceDir: String = "",
+                    valueSchemaDdl: String = "name STRING, age INT",
+                    checkpoint: String = "",
+                    batchPeriodMs: Long = 1000L,
+                    earliest: Boolean = false,
+                    maxFileAge: String = "1h",
+                    sink: String = "console",
+                    outPath: Option[String] = None,
+                    maxFilesPerTrigger: Int = 0)
+
+  def parse(args: Seq[String]): Config = {
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case "--name" :: v :: t              => loop(t, c.copy(name = v))
+      case "--source-dir" :: v :: t        => loop(t, c.copy(sourceDir = v))
+      case "--value-schema" :: v :: t      => loop(t, c.copy(valueSchemaDdl = v))
+      case "--checkpoint-folder" :: v :: t => loop(t, c.copy(checkpoint = v))
+      case "--batch-period" :: v :: t      => loop(t, c.copy(batchPeriodMs = v.toLong))
+      case "--earliest" :: t               => loop(t, c.copy(earliest = true))
+      case "--max-file-age" :: v :: t      => loop(t, c.copy(maxFileAge = v))
+      case "--sink" :: v :: t              => loop(t, c.copy(sink = v))
+      case "--out" :: v :: t               => loop(t, c.copy(outPath = Some(v)))
+      case "--max-files" :: v :: t         => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
+      case Nil                             => c
+      case other :: _ => sys.error(s"unknown argument: $other")
+    }
+    val c = loop(args.toList, Config())
+    require(c.sourceDir.nonEmpty, "--source-dir is required")
+    require(c.checkpoint.nonEmpty, "--checkpoint-folder is required")
+    c
+  }
+
+  /** Declare and start the pipeline (open → parse → sink), returning the
+    * query so embedders/tests control its lifecycle — the testable core
+    * the reference's `startPipeline` fused with `awaitTermination`.
+    */
+  def start(spark: SparkSession, c: Config): StreamingQuery = {
+    val source = RecordStream.jsonDirSource(spark, c.sourceDir,
+      maxFilesPerTrigger = c.maxFilesPerTrigger,
+      latestFirst = !c.earliest,
+      maxFileAge = if (c.earliest) None else Some(c.maxFileAge))
+    val parsed = RecordStream.parseValues(source, StructType.fromDDL(c.valueSchemaDdl))
+    RecordStream.startSink(parsed, c.sink, c.name, c.checkpoint, c.batchPeriodMs,
+      outputPath = c.outPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parse(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName(c.name)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    start(spark, c).awaitTermination()
+  }
+}

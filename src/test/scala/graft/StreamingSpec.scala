@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(names == Seq("N1", "N2", "N3"), s"exactly-once violated: $names")
   }
 
+  test("Pipeline CLI surface: parse -> start -> restart resumes exactly-once (O7 parity)") {
+    import graft.streaming.Pipeline
+    val src = tmp("cli-src"); val ck = tmp("cli-ck"); val out = tmp("cli-out")
+    val argv = Seq("--name", "cli_q", "--source-dir", src, "--checkpoint-folder", ck,
+      "--batch-period", "100", "--earliest", "--sink", "parquet", "--out", out,
+      "--value-schema", "name STRING, age INT", "--max-files", "4")
+    val c = Pipeline.parse(argv)
+    assert(c.earliest && c.batchPeriodMs == 100L && c.maxFilesPerTrigger == 4)
+    def write(n: String, key: String): Unit =
+      Files.write(java.nio.file.Paths.get(src, n),
+        s"""{"key":"$key","value":"{\\"name\\":\\"$key\\",\\"age\\":1}","topic":"t","partition":0,"offset":0,"timestamp":"2024-01-01T00:00:00Z"}""".getBytes)
+    write("a.json", "a")
+    val q1 = Pipeline.start(spark, c)
+    q1.processAllAvailable(); q1.stop()
+    write("b.json", "b")
+    val q2 = Pipeline.start(spark, c)
+    q2.processAllAvailable(); q2.stop()
+    val names = spark.read.parquet(out).collect().map(_.getAs[String]("name")).toSeq.sorted
+    assert(names == Seq("a", "b"), s"exactly-once across CLI restart violated: $names")
+    intercept[RuntimeException](Pipeline.parse(Seq("--bogus")))
+    intercept[IllegalArgumentException](Pipeline.parse(Seq("--name", "x")))
+  }
+
   test("latestFirst serves the newest backlog file first (--earliest/latest toggle analog)") {
     val srcDir = tmp("lf-src")
     def write(n: String, key: String, mtimeOffsetMs: Long): Unit = {
