@@ -225,6 +225,57 @@ object Similarity extends QueryGroup {
       ORDER BY vec_a, vec_b
     """)),
 
+    ("q63_quantized_topk", (s, d) => {
+      // Scalar int8 quantization search — the memory/bandwidth scale
+      // path (a quantized corpus is 4x smaller to scan than float32):
+      // per-vector symmetric quantization q[i] = floor(x[i]*127/max|x| + 0.5),
+      // ranking by the integer dot product rescaled by both vectors'
+      // scales. floor() and integer dots are exactly portable across
+      // engines (no round-half ambiguity), so unlike most quantized
+      // indexes this one is hash-oracled end-to-end; recall vs exact
+      // q41 is asserted in LlmOpsSpec.
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          aggregate(col("embedding"), lit(0.0), (a, x) => greatest(a, abs(x.cast("double")))).as("mx"))
+        .select(col("vec_id"), col("mx"),
+          transform(col("embedding"), x =>
+            when(col("mx") === 0.0, lit(0L))
+              .otherwise(floor(x.cast("double") * 127 / col("mx") + 0.5).cast("long"))).as("q8"))
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("mx").as("qmx"))
+      val intDot = aggregate(zip_with(col("qq8"), col("q8"), (x, y) => x * y), lit(0L), (a, v) => a + v)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+                (intDot.cast("double") * (col("qmx") / 127.0) * (col("mx") / 127.0)).as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "neighbor_id", "score")
+        .orderBy("query_id", "rk")
+    }, Some(s"""
+      WITH q8 AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) mx,
+               list_transform(embedding::DOUBLE[], x ->
+                 CASE WHEN list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) = 0
+                      THEN 0
+                      ELSE floor(x * 127 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) + 0.5)::BIGINT
+                 END) q8
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT q.vec_id query_id, c.vec_id neighbor_id,
+               list_sum(list_transform(generate_series(1, 64), i -> q.q8[i] * c.q8[i]))::DOUBLE
+                 * (q.mx / 127.0) * (c.mx / 127.0) AS score
+        FROM q8 q JOIN q8 c ON q.vec_id < $numQueries AND c.vec_id <> q.vec_id
+      )
+      SELECT query_id, rk, neighbor_id, score
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) rk
+            FROM scored) t
+      WHERE rk <= $topK
+      ORDER BY query_id, rk
+    """)),
+
     ("q62_ivf_probe_topk", (s, d) => {
       // IVF probe search on top of the q44 coarse quantizer: rank cells
       // (per-label centroids) by query↔centroid cosine, probe the

@@ -119,6 +119,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.1, f"mean IVF recall@10 $mean%.3f below floor")
   }
 
+  test("q63 int8-quantized recall@10 vs exact q41 clears a high floor") {
+    def byQuery(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = byQuery("q41_cosine_topk")
+    val quant = byQuery("q63_quantized_topk")
+    val recalls = exact.map { case (q, ex) =>
+      quant.get(q).map(qs => (qs intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // int8 keeps ~2 decimal digits of each coordinate; unlike the
+    // bucketed indexes it scans everything, so recall should be high.
+    // (Unnormalized dot vs cosine also differ slightly — floor is 0.5.)
+    assert(mean >= 0.5, f"mean quantized recall@10 $mean%.3f below floor")
+  }
+
   test("q60 as-of join: every matched view is at or before its click") {
     val rows = SparkEntry.queries("q60_asof_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)
