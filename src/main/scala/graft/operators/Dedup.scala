@@ -143,6 +143,57 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
+  /** MinHash-LSH near-dup pairs (shared by q34 and the q64 clustering):
+    * band-equality candidates, exact shingle-Jaccard >= 0.8 verify.
+    * The band self-join shuffles ONLY (doc_id, band_id, band_hash);
+    * shuffle_hash makes both sides' exchanges identical so the
+    * signature build runs once (AQE stage reuse), and the shingle sets
+    * for the verify are computed only for docs in a candidate pair —
+    * likewise built once thanks to the verify joins' identical
+    * shuffle-keyed exchanges.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsDf(s, d)
+    val exploded = bands.select(col("doc_id"),
+        posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
+      .hint("shuffle_hash")
+    val candidates = exploded.as("x").join(exploded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val needed = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val shingles = shingleSets(s, d, needed)
+    val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
+    val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", intersectionSize(col("sa"), col("sb")).cast("double"))
+      .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB mirror of [[minhashPairs]]: verified near-dup pairs as the
+    * `near_pairs` CTE (shared by the q34 and q64 oracles).
+    */
+  private val pairsCte: String = s"""$bandsCte,
+    cand AS (
+      SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.s sa, b.s sb
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    ),
+    near_pairs AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa, sb))::DOUBLE
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      FROM cand
+      WHERE len(list_intersect(sa, sb))::DOUBLE
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.8
+    )"""
+
   /** Generated SimHash SQL: per-bit majority over token hashes. */
   private val simhashCte: String = {
     val bitSums = (0 until simBits).map(b =>
@@ -218,52 +269,59 @@ object Dedup extends QueryGroup {
     """)),
 
     ("q34_minhash_lsh_pairs", (s, d) => {
-      val bands = bandsDf(s, d)
-      // The band self-join shuffles ONLY (doc_id, band_id, band_hash);
-      // shuffle_hash makes both sides' exchanges identical so the
-      // signature build is computed once (AQE stage reuse), and the
-      // shingle sets for the exact-Jaccard verify are computed only for
-      // docs that appear in a candidate pair.
-      val exploded = bands.select(col("doc_id"),
-          posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
-        .hint("shuffle_hash")
-      val candidates = exploded.as("x").join(exploded.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val needed = candidates
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      // shuffle_hash on both verify sides: the two shingle exchanges
-      // (keyed by the renamed doc_id) canonicalize identically, so the
-      // tokenize+shingle build runs ONCE (AQE stage reuse) instead of
-      // once per join side.
-      val shingles = shingleSets(s, d, needed)
-      val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
-      val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
-      candidates.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("inter", intersectionSize(col("sa"), col("sb")).cast("double"))
-        .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")
     }, Some(s"""
-      WITH $bandsCte,
-      pairs AS (
-        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.s sa, b.s sb
-        FROM bands a JOIN bands b
-          ON a.doc_id < b.doc_id
-         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-      )
-      SELECT doc_a, doc_b,
-             len(list_intersect(sa, sb))::DOUBLE
-               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
-      FROM pairs
-      WHERE len(list_intersect(sa, sb))::DOUBLE
-               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.8
-      ORDER BY doc_a, doc_b
+      WITH $pairsCte
+      SELECT doc_a, doc_b, jaccard FROM near_pairs ORDER BY doc_a, doc_b
     """)),
+
+    ("q64_dedup_clusters", (s, d) => {
+      // Cluster the near-dup graph and pick each document's canonical
+      // representative (min doc_id in its connected component) — the
+      // step after pair generation in a real dedup pipeline. Min-label
+      // propagation with a FIXED iteration count (k=3) so the oracle
+      // can replay it as chained CTEs; LSH near-dup components are
+      // near-cliques (diameter ~1-2), and the convergence property
+      // (both endpoints of every edge share a canonical id) is asserted
+      // in LlmOpsSpec rather than assumed. Each iteration is one
+      // edges⋈labels shuffle keyed by doc_id. Iterative lineage MUST be
+      // truncated (each unchecked iteration re-plans and re-runs the
+      // whole pair-generation DAG — measured 21 s vs 4 s at sf0.1):
+      // localCheckpoint here, reliable checkpoint() on a real cluster —
+      // the same discipline Spark's own iterative algorithms use.
+      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      for (_ <- 1 to 3) {
+        val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+          .groupBy("src").agg(min("label").as("nbr_label"))
+        labels = labels.join(nbrMin, col("doc_id") === col("src"))
+          .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("doc_id"), col("label").as("canonical_id")).orderBy("doc_id")
+    }, Some {
+      val props = (1 to 3).map { i =>
+        s"""l$i AS (
+        SELECT v.doc_id, least(v.label, min(u.label)) AS label
+        FROM l${i - 1} v JOIN edges e ON e.src = v.doc_id JOIN l${i - 1} u ON u.doc_id = e.dst
+        GROUP BY v.doc_id, v.label
+      )"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $pairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+      ),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+      $props
+      SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id
+    """
+    }),
 
     ("q35_simhash", (s, d) => {
       simhashDf(s, d).orderBy("doc_id")

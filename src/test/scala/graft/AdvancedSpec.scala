@@ -49,10 +49,17 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("graft_embeddings_spec")
     val row = spark.sql(
-      "SELECT minhash_signature(array(1L, 2L, 3L, 4L)) AS sig, float_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      """SELECT minhash_signature(array(1L, 2L, 3L, 4L)) AS sig,
+                float_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
+                token_hashes('Hello, world', 2147483648L) AS th,
+                simhash64(token_hashes('hello world hello')) AS sh,
+                intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS isz""")
       .head()
     assert(row.getAs[scala.collection.Seq[Long]]("sig").length == 16)
     assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[scala.collection.Seq[Long]]("th").length == 2)
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(row.getAs[Int]("isz") == 2)
   }
 
   test("GraftExtensions registers the same builders as GraftFunctions.register") {

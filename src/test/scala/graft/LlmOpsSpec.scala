@@ -95,6 +95,19 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.2, f"q58 recall $recall%.3f below floor (${lsh.size}/${exact.size})")
   }
 
+  test("q64 clustering converged: every near-dup edge shares a canonical id, canonicals are minima") {
+    val canon = SparkEntry.queries("q64_dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val pairs = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty && canon.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"edge ($a,$b) spans clusters — propagation not converged")
+    }
+    canon.values.foreach(c => assert(canon(c) == c, s"canonical $c is not its own representative"))
+    canon.foreach { case (d, c) => assert(c <= d, "canonical must be the component minimum") }
+  }
+
   test("q61 prefix-filtered jaccard pairs respect the threshold and ordering") {
     val rows = SparkEntry.queries("q61_ngram_jaccard_pairs")(spark, sfDir).collect()
     rows.foreach { r =>
