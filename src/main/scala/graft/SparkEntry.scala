@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Similarity,
     operators.MultimodalOps,
-    operators.Advanced)
+    operators.Advanced,
+    operators.Selection)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions._
+
+/** Data-selection operators for training-set construction:
+  *
+  *  - q65 deterministic stratified sampling + split assignment. Random
+  *    sampling isn't reproducible across engines/runs; real pipelines
+  *    sample by HASH: keep a document iff `h(doc_id) % 100` falls under
+  *    its stratum's rate, and carve train/val/test from independent
+  *    hash digits. Fully deterministic ⇒ exact DuckDB oracle — and
+  *    re-running on a grown corpus keeps previous decisions stable
+  *    (the property `sample(fraction)` can't give you).
+  *  - q66 token-budget sharding: pack documents (in doc_id order) into
+  *    shards of ~`budget` estimated tokens — the scale-out precursor to
+  *    sequence packing. The cumulative sum is computed as the standard
+  *    TWO-PASS distributed prefix sum (within-block windows partitioned
+  *    by block + a tiny block-offset window) rather than one global
+  *    single-partition window; the oracle computes the plain global
+  *    running sum and the results are identical — the plan shape is
+  *    the scalable part.
+  */
+object Selection extends QueryGroup {
+
+  private val shardBudget = 8000L // estimated tokens per shard
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q65_hash_sample", (s, d) => {
+      Tables.documents(s, d)
+        .withColumn("h", portableHash(col("doc_id").cast("string")))
+        .withColumn("bucket", expr("h % 100"))
+        .withColumn("rate",
+          when(col("lang") === "en", 50).when(col("lang") === "zh", 10).otherwise(25))
+        .filter(col("bucket") < col("rate"))
+        .withColumn("split",
+          when(expr("(h DIV 100) % 100") < 80, "train")
+            .when(expr("(h DIV 100) % 100") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               ('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT AS h,
+               CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 10 ELSE 25 END AS rate
+        FROM documents
+      )
+      SELECT doc_id, lang, h % 100 AS bucket,
+             CASE WHEN (h // 100) % 100 < 80 THEN 'train'
+                  WHEN (h // 100) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+      WHERE h % 100 < rate
+      ORDER BY doc_id
+    """)),
+
+    ("q66_token_shards", (s, d) => {
+      val est = expr("(length(text) + 3) DIV 4")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), est.as("est_tokens"))
+        .withColumn("blk", expr("doc_id DIV 1000"))
+      // two-pass prefix sum: per-block running totals in parallel, then
+      // offsets from a window over the (tiny) per-block total relation.
+      val wIn = Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blkOffsets = base.groupBy("blk").agg(sum("est_tokens").as("blk_tot"))
+        .withColumn("blk_off",
+          coalesce(sum("blk_tot").over(
+            Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("blk", "blk_off")
+      base
+        .withColumn("in_cum", sum("est_tokens").over(wIn))
+        .join(blkOffsets, "blk")
+        .withColumn("cum", col("blk_off") + col("in_cum"))
+        .withColumn("shard", expr(s"(cum - est_tokens) DIV $shardBudget"))
+        .select("doc_id", "est_tokens", "shard")
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, est AS est_tokens,
+             ((cum - est) // $shardBudget)::BIGINT AS shard
+      FROM (
+        SELECT doc_id, (length(text) + 3) // 4 AS est,
+               sum((length(text) + 3) // 4) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents) t
+      ORDER BY doc_id
+    """))
+  )
+}
