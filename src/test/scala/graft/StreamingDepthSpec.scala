@@ -40,6 +40,24 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("ad_id")).toSeq == Seq(1L), s"got ${rows.toSeq}")
   }
 
+  test("stream-static join enriches streaming records against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold")).toDF("tier_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = in.toDF().toDF("user_id", "value")
+      .withColumn("tier_id", col("user_id") % 3)
+      .join(broadcast(dim), "tier_id")   // static side broadcast: no stream state, re-read per batch
+      .select("user_id", "tier", "value")
+    val q = RecordStream.startSink(enriched, "memory", "enrich_sink", tmp("ck-enrich"), 100L)
+    in.addData((1L, 10.0), (2L, 20.0), (6L, 30.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "silver"), (2L, "gold"), (6L, "bronze")), s"got ${rows.toSeq}")
+  }
+
   test("foreachBatch sink receives micro-batches with increasing ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
