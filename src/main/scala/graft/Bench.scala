@@ -40,12 +40,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (streamRows, streamSec) =
-      if (only.forall(_.contains("stream"))) streamingThroughput(spark) else (0L, 1.0)
+    // stream fields appear ONLY when actually measured — fabricated
+    // zeros would read as a throughput collapse to any JSON consumer
+    val streamJson =
+      if (only.forall(_.contains("stream"))) {
+        val (streamRows, streamSec) = streamingThroughput(spark)
+        f""""stream_rows":$streamRows,"stream_sec":$streamSec%.3f,"stream_rows_per_sec":${streamRows / streamSec}%.0f,"""
+      } else ""
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_rows":$streamRows,"stream_sec":$streamSec%.3f,"stream_rows_per_sec":${streamRows / streamSec}%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$streamJson"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -6,14 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** |A ∩ B| for two long arrays whose elements are DISTINCT within each
-  * array (the shingle/gram sets here are array_distinct outputs) —
-  * equivalent to `size(array_intersect(a, b))` in that case, without
+/** |A ∩ B| over two long arrays treated as SETS — equivalent to
+  * `size(array_intersect(a, b))` for non-null elements, without
   * materializing the intersection: copies to primitive arrays, sorts,
-  * merge-counts. `size(array_intersect(...))` costs ~110 µs per call
-  * on ~250-element arrays (boxed hash set + result array); this is a
-  * few µs, which matters when a set-similarity verify stage evaluates
-  * it hundreds of thousands of times.
+  * merge-counts with duplicate runs skipped (so duplicated inputs
+  * still count each common VALUE once, like array_intersect).
+  * `size(array_intersect(...))` costs ~110 µs per call on ~250-element
+  * arrays (boxed hash set + result array); this is a few µs, which
+  * matters when a set-similarity verify stage evaluates it hundreds of
+  * thousands of times. Null elements are rejected at analysis time —
+  * this is also a registered SQL function, and `ArrayData.getLong`
+  * would otherwise silently read a null as 0.
   */
 case class IntersectionSize(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -24,7 +27,9 @@ case class IntersectionSize(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-null array elements (got a nullable-element array)")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires two array<bigint>, got ${l.simpleString(10)}, ${r.simpleString(10)}")
     }
@@ -35,7 +40,12 @@ case class IntersectionSize(left: Expression, right: Expression)
     var i = 0; var j = 0; var n = 0
     while (i < x.length && j < y.length) {
       val c = java.lang.Long.compare(x(i), y(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
+      if (c == 0) {
+        n += 1
+        val v = x(i)
+        while (i < x.length && x(i) == v) i += 1   // skip duplicate runs:
+        while (j < y.length && y(j) == v) j += 1   // each value counts once
+      }
       else if (c < 0) i += 1
       else j += 1
     }

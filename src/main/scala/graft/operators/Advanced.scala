@@ -25,7 +25,7 @@ object Advanced extends QueryGroup {
     // cheap partial+final path, joined on the 3-row group key.
     ("q48_approx_distinct", (s, d) => {
       val exact = Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_partkey").agg(lit(1))
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
       val approx = Tables.lineitem(s, d)
         .groupBy("l_returnflag")

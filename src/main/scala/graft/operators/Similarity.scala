@@ -169,14 +169,19 @@ object Similarity extends QueryGroup {
     }, None),   // approximate by design: verified by recall assertion in SimilaritySpec
 
     ("q44_label_centroids", (s, d) => {
+      // centroid components are quantized with floor(x*1e6 + 0.5)/1e6,
+      // not round(avg, 6): round's halfway-decimal behavior differs
+      // between Spark (binary expansion) and DuckDB (scaled multiply),
+      // while floor is identically defined for any double on both.
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("pos", col("pos").cast("long"))
         .groupBy("label", "pos")
-        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .agg((floor(avg(col("x").cast("double")) * 1000000.0 + 0.5) / 1000000.0).as("c"))
         .orderBy("label", "pos")
     }, Some("""
-      SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c
+      SELECT label, i - 1 AS pos,
+             floor(avg(embedding[i]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS c
       FROM embeddings, generate_series(1, 64) g(i)
       GROUP BY label, i
       ORDER BY label, pos
@@ -282,8 +287,9 @@ object Similarity extends QueryGroup {
       // nprobe=3 best, exact-rerank only vectors inside those cells.
       // At scale the corpus is partitioned by cell, so a probe touches
       // nprobe/ncells of the data — the standard IVF trade. Fully
-      // deterministic (centroids rounded at 6dp like q44), so unlike
-      // LSH-ANN q43 this approximate index IS hash-oracled end-to-end.
+      // deterministic (centroids floor-quantized at 6dp like q44), so
+      // unlike LSH-ANN q43 this approximate index IS hash-oracled
+      // end-to-end.
       val nprobe = 3
       // centroid build reads the un-fanned scan: a single input split
       // keeps float partial-sum order identical to DuckDB's sequential
@@ -291,7 +297,7 @@ object Similarity extends QueryGroup {
       val cent = Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
-        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .agg((floor(avg(col("x").cast("double")) * 1000000.0 + 0.5) / 1000000.0).as("c"))
       val cvec = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
@@ -320,7 +326,8 @@ object Similarity extends QueryGroup {
     }, Some(s"""
       WITH $normedCte,
       cent AS (
-        SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS c
+        SELECT label, i - 1 AS pos,
+               floor(avg(embedding[i]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS c
         FROM embeddings, generate_series(1, 64) g(i)
         GROUP BY label, i
       ),

@@ -54,6 +54,8 @@ object Pipeline {
       case "--out" :: v :: t               => loop(t, c.copy(outPath = Some(v)))
       case "--max-files" :: v :: t         => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
       case Nil                             => c
+      case flag :: Nil if flag.startsWith("--") && flag != "--earliest" =>
+        sys.error(s"missing value for $flag")
       case other :: _ => sys.error(s"unknown argument: $other")
     }
     val c = loop(args.toList, Config())
@@ -67,9 +69,16 @@ object Pipeline {
     * the reference's `startPipeline` fused with `awaitTermination`.
     */
   def start(spark: SparkSession, c: Config): StreamingQuery = {
+    // latestFirst is ONLY set when no per-trigger file cap is given:
+    // Spark's FileStreamSource silently disables maxFileAge whenever
+    // latestFirst is combined with maxFilesPerTrigger (it would drop
+    // old-but-valid files mid-catchup otherwise), which would turn
+    // "latest" mode into a full newest-first backlog replay. The age
+    // bound is what implements the latest semantics; the ordering is
+    // cosmetic and yields to it.
     val source = RecordStream.jsonDirSource(spark, c.sourceDir,
       maxFilesPerTrigger = c.maxFilesPerTrigger,
-      latestFirst = !c.earliest,
+      latestFirst = !c.earliest && c.maxFilesPerTrigger == 0,
       maxFileAge = if (c.earliest) None else Some(c.maxFileAge))
     val parsed = RecordStream.parseValues(source, StructType.fromDDL(c.valueSchemaDdl))
     RecordStream.startSink(parsed, c.sink, c.name, c.checkpoint, c.batchPeriodMs,

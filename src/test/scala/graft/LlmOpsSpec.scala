@@ -177,9 +177,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("est_tokens"), r.getAs[Long]("shard")))
     assert(rows.nonEmpty)
     // shard ids are non-decreasing in doc order and dense from 0
-    val shards = rows.sortBy(_._1).map(_._3)
-    assert(shards.head == 0L)
-    shards.zip(shards.tail).foreach { case (a, b) => assert(b == a || b == a + 1 || b > a) }
+    // (a single document larger than the budget may legitimately span
+    // several budget multiples, so allow jumps only when the crossing
+    // document exceeds one budget)
+    val ordered = rows.sortBy(_._1)
+    assert(ordered.head._3 == 0L)
+    ordered.zip(ordered.tail).foreach { case ((_, _, a), (_, tok, b)) =>
+      assert(b >= a, s"shard ids must be non-decreasing: $a -> $b")
+      assert(b <= a + 1 || tok > 8000L, s"shard ids must be dense: $a -> $b (doc tokens $tok)")
+    }
     // each shard's total stays under budget + one document's tokens
     // (a doc that crosses the boundary belongs to the shard it starts in)
     val budget = 8000L
