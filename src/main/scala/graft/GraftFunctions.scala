@@ -35,9 +35,11 @@ object GraftFunctions {
   * injects the functions into every session derived from the builder.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftFunctions.type].getName, name), b))
     }
+    e.injectOptimizerRule(_ => graft.plans.RewriteSetIntersectionSize)
+  }
 }

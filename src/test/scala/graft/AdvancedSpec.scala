@@ -67,4 +67,29 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     new GraftExtensions().apply(e) // must not throw; function list is injected
     succeed
   }
+
+  test("optimizer rule rewrites size(array_intersect) on long sets to intersection_size") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteSetIntersectionSize
+    try {
+      val df = spark.range(100).select(
+          array(col("id"), col("id") + 1, col("id") + 2).as("a"),
+          array(col("id") + 1, col("id") + 5).as("b"))
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("intersection_size"),
+        s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().forall(_.getInt(0) == 1), "rewritten result differs")
+      // nullable-element arrays must NOT be rewritten (IntersectionSize
+      // would fail analysis / read nulls as 0)
+      val nullable = spark.range(2).select(
+          array(when(col("id") === 0, col("id"))).as("a"),
+          array(col("id")).as("b"))
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(!nullable.queryExecution.optimizedPlan.toString.contains("intersection_size"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RewriteSetIntersectionSize)
+    }
+  }
 }
