@@ -81,6 +81,16 @@ object Pipeline {
       latestFirst = !c.earliest && c.maxFilesPerTrigger == 0,
       maxFileAge = if (c.earliest) None else Some(c.maxFileAge))
     val parsed = RecordStream.parseValues(source, StructType.fromDDL(c.valueSchemaDdl))
+      // per-micro-batch observability: the reference's only "output" was
+      // printing every record (`Processor.java:141-147`); the modern
+      // equivalent is observed metrics surfaced to every
+      // StreamingQueryListener via QueryProgressEvent.progress
+      // .observedMetrics("graft_pipeline") — records per batch and how
+      // many failed value-schema parsing (null name after from_json).
+      .observe("graft_pipeline",
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.count_if(
+          org.apache.spark.sql.functions.col("name").isNull).as("unparsed"))
     RecordStream.startSink(parsed, c.sink, c.name, c.checkpoint, c.batchPeriodMs,
       outputPath = c.outPath)
   }

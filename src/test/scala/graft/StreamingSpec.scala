@@ -109,6 +109,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException](Pipeline.parse(Seq("--name", "x")))
   }
 
+  test("Pipeline observed metrics report rows and parse failures per batch") {
+    import graft.streaming.Pipeline
+    val src = tmp("obs-src"); val ck = tmp("obs-ck")
+    Files.write(java.nio.file.Paths.get(src, "a.json"), Seq(
+      """{"key":"a","value":"{\"name\":\"A\",\"age\":1}","topic":"t","partition":0,"offset":0,"timestamp":"2024-01-01T00:00:00Z"}""",
+      """{"key":"b","value":"not-json","topic":"t","partition":0,"offset":1,"timestamp":"2024-01-01T00:00:01Z"}""")
+      .mkString("\n").getBytes)
+    val q = Pipeline.start(spark, Pipeline.Config(name = "obs_q", sourceDir = src,
+      checkpoint = ck, batchPeriodMs = 100L, earliest = true, sink = "memory"))
+    q.processAllAvailable()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_pipeline")))
+      .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("unparsed")))
+    q.stop()
+    assert(metrics.exists(_ == ((2L, 1L))),
+      s"expected a batch with 2 rows / 1 unparsed, got ${metrics.toSeq}")
+  }
+
   test("latestFirst serves the newest backlog file first (--earliest/latest toggle analog)") {
     val srcDir = tmp("lf-src")
     def write(n: String, key: String, mtimeOffsetMs: Long): Unit = {
