@@ -72,6 +72,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan("q62_ivf_probe_topk").contains("CartesianProduct"))
   }
 
+  test("q64: iterative lineage is checkpoint-truncated (no pair-generation subtree in the final plan)") {
+    val p = plan("q64_dedup_clusters")
+    // without localCheckpoint the propagation loop embeds the whole
+    // minhash pipeline 2^k times — the tokenize/parquet scan showing up
+    // here means lineage truncation regressed (21 s vs 3 s at sf0.1)
+    assert(!p.contains("FileScan"), s"q64 plan re-reads inputs — lineage not truncated:\n$p")
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
+      s"q64 should read checkpointed RDDs:\n$p")
+  }
+
+  test("q66: prefix sum is two-pass — the only unpartitioned window runs over per-block totals") {
+    val df = SparkEntry.queries("q66_token_shards")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2, s"expected per-block + block-offset windows, got ${windows.size}")
+    val (unpartitioned, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.size == 1, "per-doc running sum must be partitioned (parallel)")
+    assert(unpartitioned.size == 1 &&
+      unpartitioned.head.collectFirst { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty,
+      "the single-partition window must run over the (tiny) per-block aggregate, not raw docs")
+  }
+
   test("q41: query side is broadcast against the corpus scan") {
     val p = plan("q41_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
