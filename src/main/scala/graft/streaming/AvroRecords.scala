@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Confluent-framed Avro value decoding on core Avro (the `spark-avro`
+  * connector is absent in this environment; `avro-1.12.1` ships with
+  * Spark itself) — the real-deserialization half of the reference's O2
+  * (`KafkaAvroDeserializer`, `Processor.java:50-51`):
+  *
+  *  - the wire format is Confluent's: magic byte 0x00, 4-byte
+  *    big-endian schema id, then the Avro binary body;
+  *  - the schema registry becomes a caller-supplied `Map[id -> writer
+  *    schema JSON]` (the registry FETCH was the only part of O2 the
+  *    environment blocks — the lookup-by-embedded-id semantics are
+  *    preserved);
+  *  - decoded `GenericRecord`s are emitted as their canonical JSON
+  *    encoding, so the existing `RecordStream.parseValues` /
+  *    `from_json` path handles typing for ANY schema rather than one
+  *    compiled-in record class. (At scale you'd decode straight to
+  *    InternalRow as spark-avro does; the JSON hop trades peak decode
+  *    rate for schema-agnostic composition with the rest of the
+  *    pipeline and is still one pass per record.)
+  *
+  * Malformed buffers (wrong magic, unknown id, truncated body) decode
+  * to null — the same null-on-malformed convention as `from_json`,
+  * asserted in AvroSpec.
+  */
+object AvroRecords {
+
+  val MagicByte: Byte = 0x00
+
+  /** Confluent framing: prepend magic + big-endian schema id (test
+    * producers use this; the reference's serializer did the same).
+    */
+  def frame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + body.length)
+    out(0) = MagicByte
+    out(1) = ((schemaId >> 24) & 0xff).toByte
+    out(2) = ((schemaId >> 16) & 0xff).toByte
+    out(3) = ((schemaId >> 8) & 0xff).toByte
+    out(4) = (schemaId & 0xff).toByte
+    System.arraycopy(body, 0, out, 5, body.length)
+    out
+  }
+
+  /** UDF: Confluent-framed Avro bytes → canonical JSON string (null on
+    * malformed input). Readers are built once per executor per schema
+    * id via the deserialized closure's lazy map.
+    */
+  def avroJsonUdf(registry: Map[Int, String]): UserDefinedFunction = {
+    val decode = new AvroJsonDecoder(registry)
+    udf((bytes: Array[Byte]) => decode(bytes))
+  }
+
+  /** Column form: `avroJson(col("value"), registry)`. */
+  def avroJson(value: Column, registry: Map[Int, String]): Column =
+    avroJsonUdf(registry)(value)
+
+  private class AvroJsonDecoder(registry: Map[Int, String]) extends Serializable {
+    @transient private lazy val readers: java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[GenericRecord]] =
+      new java.util.concurrent.ConcurrentHashMap()
+
+    private def reader(id: Int): Option[GenericDatumReader[GenericRecord]] =
+      registry.get(id).map { json =>
+        readers.computeIfAbsent(id, _ =>
+          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(json)))
+      }
+
+    def apply(bytes: Array[Byte]): String =
+      if (bytes == null || bytes.length < 6 || bytes(0) != MagicByte) null
+      else {
+        val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+                 ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        reader(id) match {
+          case None => null
+          case Some(r) =>
+            try {
+              val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+              r.read(null.asInstanceOf[GenericRecord], dec).toString // Avro canonical JSON
+            } catch { case scala.util.control.NonFatal(_) => null }
+        }
+      }
+  }
+}

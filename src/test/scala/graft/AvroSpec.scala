@@ -1,0 +1,83 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{AvroRecords, RecordStream}
+
+/** Real Avro decode parity with the reference's Confluent consumer
+  * (`ProcessorTest.java:60-82` produced an actual `testschema` Avro
+  * record; round 1 stood JSON in for it). Here the test PRODUCES real
+  * Confluent-framed Avro binary and the pipeline decodes it with core
+  * Avro + the registry-map stand-in.
+  */
+class AvroSpec extends AnyFunSuite with SparkFixture {
+
+  private val testschemaJson =
+    """{"type":"record","name":"testschema","fields":[
+      |{"name":"name","type":"string"},
+      |{"name":"age","type":["int","null"]}]}""".stripMargin
+
+  private def avroBody(name: String, age: Option[Int]): Array[Byte] = {
+    val schema = new Schema.Parser().parse(testschemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("name", name)
+    rec.put("age", age.map(Int.box).orNull)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("Confluent-framed Avro records decode end-to-end through the streaming pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val registry = Map(7 -> testschemaJson)
+    val in = MemoryStream[(String, Array[Byte])]
+    val records = in.toDF().toDF("key", "value")
+      .withColumn("value", AvroRecords.avroJson(org.apache.spark.sql.functions.col("value"), registry))
+    val parsed = RecordStream.parseValues(records, RecordStream.testschema)
+    val q = RecordStream.startSink(parsed, "memory", "avro_sink",
+      java.nio.file.Files.createTempDirectory("ck-avro").toString, 100L)
+    in.addData(
+      ("key", AvroRecords.frame(7, avroBody("Gilberto", Some(59)))),        // ProcessorTest record
+      ("k2", AvroRecords.frame(7, avroBody("NoAge", None))),                // avro union [int,null]
+      ("k3", AvroRecords.frame(99, avroBody("UnknownSchema", Some(1)))),    // id not in registry
+      ("k4", Array[Byte](1, 2, 3)))                                         // wrong magic/truncated
+    q.processAllAvailable()
+    val rows = spark.table("avro_sink").collect().sortBy(_.getString(0))
+    q.stop()
+    assert(rows.length == 4)
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey("key").getAs[String]("name") == "Gilberto" && byKey("key").getAs[Int]("age") == 59)
+    assert(byKey("k2").getAs[String]("name") == "NoAge" && byKey("k2").isNullAt(2))
+    assert(byKey("k3").isNullAt(1) && byKey("k4").isNullAt(1),
+      "malformed/unknown-schema records must decode to null rows, not crash the stream")
+  }
+
+  test("multi-schema registry: records with different embedded ids decode with their own schemas") {
+    import spark.implicits._
+    val v2Json =
+      """{"type":"record","name":"testschema2","fields":[{"name":"name","type":"string"}]}"""
+    val v2Schema = new Schema.Parser().parse(v2Json)
+    val v2 = new GenericData.Record(v2Schema)
+    v2.put("name", "OnlyName")
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](v2Schema).write(v2, enc)
+    enc.flush()
+    val registry = Map(1 -> testschemaJson, 2 -> v2Json)
+    val df = Seq(
+        AvroRecords.frame(1, avroBody("A", Some(3))),
+        AvroRecords.frame(2, out.toByteArray))
+      .toDF("value")
+      .select(AvroRecords.avroJson(org.apache.spark.sql.functions.col("value"), registry).as("json"))
+    val jsons = df.collect().map(_.getString(0))
+    assert(jsons.exists(j => j.contains("\"A\"") && j.contains("3")))
+    assert(jsons.exists(_.contains("OnlyName")))
+  }
+}
