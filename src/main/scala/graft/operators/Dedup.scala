@@ -143,6 +143,28 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
+  /** Min-label propagation over the near-dup graph (k=3 rounds, shared
+    * by q64 and the q67 leakage-safe split): (doc_id, label) where
+    * label = min doc_id of the connected component, for every doc that
+    * appears in a near-dup pair. Lineage is localCheckpoint-truncated
+    * per round (see q64's rationale).
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      labels = labels.join(nbrMin, col("doc_id") === col("src"))
+        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** MinHash-LSH near-dup pairs (shared by q34 and the q64 clustering):
     * band-equality candidates, exact shingle-Jaccard >= 0.8 verify.
     * The band self-join shuffles ONLY (doc_id, band_id, band_hash);
@@ -193,6 +215,26 @@ object Dedup extends QueryGroup {
       WHERE len(list_intersect(sa, sb))::DOUBLE
                / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.8
     )"""
+
+  /** DuckDB mirror of [[clusterLabels]]: k=3 min-label propagation as
+    * chained CTEs over `near_pairs` (shared by the q64 and q67 oracles).
+    */
+  private val propagationCtes: String = {
+    val props = (1 to 3).map { i =>
+      s"""l$i AS (
+        SELECT v.doc_id, least(v.label, min(u.label)) AS label
+        FROM l${i - 1} v JOIN edges e ON e.src = v.doc_id JOIN l${i - 1} u ON u.doc_id = e.dst
+        GROUP BY v.doc_id, v.label
+      )"""
+    }.mkString(",\n      ")
+    s"""edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM near_pairs
+      ),
+      l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+      $props"""
+  }
 
   /** Generated SimHash SQL: per-bit majority over token hashes. */
   private val simhashCte: String = {
@@ -289,39 +331,47 @@ object Dedup extends QueryGroup {
       // whole pair-generation DAG — measured 21 s vs 4 s at sf0.1):
       // localCheckpoint here, reliable checkpoint() on a real cluster —
       // the same discipline Spark's own iterative algorithms use.
-      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-      for (_ <- 1 to 3) {
-        val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-          .groupBy("src").agg(min("label").as("nbr_label"))
-        labels = labels.join(nbrMin, col("doc_id") === col("src"))
-          .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
-          .localCheckpoint()
-      }
-      labels.select(col("doc_id"), col("label").as("canonical_id")).orderBy("doc_id")
-    }, Some {
-      val props = (1 to 3).map { i =>
-        s"""l$i AS (
-        SELECT v.doc_id, least(v.label, min(u.label)) AS label
-        FROM l${i - 1} v JOIN edges e ON e.src = v.doc_id JOIN l${i - 1} u ON u.doc_id = e.dst
-        GROUP BY v.doc_id, v.label
-      )"""
-      }.mkString(",\n      ")
-      s"""
+      clusterLabels(s, d).select(col("doc_id"), col("label").as("canonical_id")).orderBy("doc_id")
+    }, Some(s"""
       WITH $pairsCte,
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM near_pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM near_pairs
-      ),
-      l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-      $props
+      $propagationCtes
       SELECT doc_id, label AS canonical_id FROM l3 ORDER BY doc_id
-    """
-    }),
+    """)),
+
+    ("q67_leakage_safe_split", (s, d) => {
+      // Split assignment that cannot leak near-duplicates across the
+      // train/test boundary: hash the CLUSTER's canonical id (q64),
+      // not the doc id, so every member of a near-dup component lands
+      // in the same train/val/test bucket. Docs outside any near-dup
+      // pair are their own canonical. The classic contamination
+      // pitfall q65's per-doc split cannot prevent.
+      val canon = clusterLabels(s, d)
+      Tables.documents(s, d).select("doc_id")
+        .join(canon, Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("doc_id")))
+        .withColumn("h", portableHash(col("canonical_id").cast("string")))
+        .withColumn("split",
+          when(expr("h % 100") < 80, "train")
+            .when(expr("h % 100") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "canonical_id", "split")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      assigned AS (
+        SELECT d.doc_id, coalesce(l.label, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN l3 l ON l.doc_id = d.doc_id
+      )
+      SELECT doc_id, canonical_id,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, canonical_id,
+                   ('0x'||substring(md5(canonical_id::VARCHAR),1,15))::BIGINT AS h
+            FROM assigned) t
+      ORDER BY doc_id
+    """)),
 
     ("q35_simhash", (s, d) => {
       simhashDf(s, d).orderBy("doc_id")

@@ -108,6 +108,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     canon.foreach { case (d, c) => assert(c <= d, "canonical must be the component minimum") }
   }
 
+  test("q67 leakage-safe split: near-duplicates never straddle train/val/test") {
+    val split = SparkEntry.queries("q67_leakage_safe_split")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) leaked across splits: ${split(a)} vs ${split(b)}")
+    }
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // every document is assigned exactly once
+    assert(split.size == Tables.documents(spark, sfDir).count())
+  }
+
   test("q61 prefix-filtered jaccard pairs respect the threshold and ordering") {
     val rows = SparkEntry.queries("q61_ngram_jaccard_pairs")(spark, sfDir).collect()
     rows.foreach { r =>
