@@ -13,6 +13,29 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
 
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
+  test("binaryFile source ingests raw media files as binary columns with metadata") {
+    // the multimodal ingestion path: image/audio/video files land as
+    // (path, modificationTime, length, content) rows; pathGlobFilter
+    // selects by extension; metadata-only plans must not require decode
+    val dir = tmp("src-bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4), "b.img" -> Array[Byte](9, 8), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (n, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, n), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir)
+    val rows = df.select(col("path"), col("length"), col("content")).collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a.img", "b.img"), "glob filter must exclude non-media files")
+    assert(rows(0)._2 == 4L && rows(0)._3 == Seq[Byte](1, 2, 3, 4))
+    assert(rows(1)._2 == 2L && rows(1)._3 == Seq[Byte](9, 8))
+    // metadata-only projection never touches content (payload pruning)
+    val metaPlan = df.select("path", "length").queryExecution.executedPlan.toString
+    assert(!metaPlan.contains("content"), s"metadata scan reads payloads:\n$metaPlan")
+  }
+
   test("json round-trip preserves rows under an explicit schema") {
     val out = tmp("src-json")
     val orders = Tables.orders(spark, sfDir)
