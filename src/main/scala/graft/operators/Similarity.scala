@@ -65,6 +65,16 @@ object Similarity extends QueryGroup {
       .select(col("vec_id"), col("label"), col("embedding"),
               l2Norm(col("embedding")).as("nrm"))
 
+  /** 6dp quantization via floor(x*1e6 + 0.5)/1e6 — NOT round(x, 6):
+    * round's halfway-decimal behavior differs between Spark (binary
+    * expansion) and DuckDB (scaled multiply), while floor is
+    * identically defined for any double on both. The Spark and SQL
+    * forms below must stay in lockstep (q44 and q62 both hash against
+    * oracles built from [[quant6Sql]]).
+    */
+  private def quant6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+  private def quant6Sql(e: String): String = s"floor($e * 1000000.0 + 0.5) / 1000000.0"
+
   /** DuckDB CTE computing the exact same 4 band buckets as
     * `bandBucket(embedding, planes.slice(b*4, b*4+4))`: per-plane sign
     * bit of a sequential dot product against the embedded plane
@@ -169,19 +179,15 @@ object Similarity extends QueryGroup {
     }, None),   // approximate by design: verified by recall assertion in SimilaritySpec
 
     ("q44_label_centroids", (s, d) => {
-      // centroid components are quantized with floor(x*1e6 + 0.5)/1e6,
-      // not round(avg, 6): round's halfway-decimal behavior differs
-      // between Spark (binary expansion) and DuckDB (scaled multiply),
-      // while floor is identically defined for any double on both.
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("pos", col("pos").cast("long"))
         .groupBy("label", "pos")
-        .agg((floor(avg(col("x").cast("double")) * 1000000.0 + 0.5) / 1000000.0).as("c"))
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
         .orderBy("label", "pos")
-    }, Some("""
+    }, Some(s"""
       SELECT label, i - 1 AS pos,
-             floor(avg(embedding[i]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS c
+             ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
       FROM embeddings, generate_series(1, 64) g(i)
       GROUP BY label, i
       ORDER BY label, pos
@@ -297,7 +303,7 @@ object Similarity extends QueryGroup {
       val cent = Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
-        .agg((floor(avg(col("x").cast("double")) * 1000000.0 + 0.5) / 1000000.0).as("c"))
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
       val cvec = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
@@ -327,7 +333,7 @@ object Similarity extends QueryGroup {
       WITH $normedCte,
       cent AS (
         SELECT label, i - 1 AS pos,
-               floor(avg(embedding[i]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS c
+               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
         FROM embeddings, generate_series(1, 64) g(i)
         GROUP BY label, i
       ),

@@ -72,7 +72,9 @@ object AvroRecords {
       }
 
     def apply(bytes: Array[Byte]): String =
-      if (bytes == null || bytes.length < 6 || bytes(0) != MagicByte) null
+      // 5 bytes (magic + id) is wire-valid: a no-field record encodes
+      // to a zero-length Avro body
+      if (bytes == null || bytes.length < 5 || bytes(0) != MagicByte) null
       else {
         val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
                  ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)

@@ -41,6 +41,9 @@ object Pipeline {
                     outPath: Option[String] = None,
                     maxFilesPerTrigger: Int = 0)
 
+  private val valueFlags = Set("--name", "--source-dir", "--value-schema",
+    "--checkpoint-folder", "--batch-period", "--max-file-age", "--sink", "--out", "--max-files")
+
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
       case "--name" :: v :: t              => loop(t, c.copy(name = v))
@@ -54,8 +57,7 @@ object Pipeline {
       case "--out" :: v :: t               => loop(t, c.copy(outPath = Some(v)))
       case "--max-files" :: v :: t         => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
       case Nil                             => c
-      case flag :: Nil if flag.startsWith("--") && flag != "--earliest" =>
-        sys.error(s"missing value for $flag")
+      case flag :: Nil if valueFlags(flag) => sys.error(s"missing value for $flag")
       case other :: _ => sys.error(s"unknown argument: $other")
     }
     val c = loop(args.toList, Config())
@@ -78,7 +80,7 @@ object Pipeline {
     // cosmetic and yields to it.
     val source = RecordStream.jsonDirSource(spark, c.sourceDir,
       maxFilesPerTrigger = c.maxFilesPerTrigger,
-      latestFirst = !c.earliest && c.maxFilesPerTrigger == 0,
+      latestFirst = !c.earliest && c.maxFilesPerTrigger <= 0, // mirror jsonDirSource's "no cap" guard
       maxFileAge = if (c.earliest) None else Some(c.maxFileAge))
     val parsed = RecordStream.parseValues(source, StructType.fromDDL(c.valueSchemaDdl))
       // per-micro-batch observability: the reference's only "output" was
