@@ -430,6 +430,51 @@ object Dedup extends QueryGroup {
       ORDER BY doc_a, doc_b
     """)),
 
+    ("q68_incremental_dedup", (s, d) => {
+      // Incremental (daily-ingest) dedup: which NEW documents (batch =
+      // doc_id % 10 == 7, a deterministic stand-in for "today's
+      // arrivals") near-duplicate something already in the corpus?
+      // Unlike q34's self-join, the plan broadcasts the SMALL batch's
+      // band keys against one streaming pass over the corpus signatures
+      // — at 100 TB there is NO shuffle of the corpus at all, which is
+      // why production dedup runs incrementally instead of re-running
+      // the full pairwise job per ingest.
+      val bands = bandsDf(s, d)
+      val bandArr = posexplode(array((0 until numBands).map(b => col(s"b$b")): _*))
+      val isNew = col("doc_id") % 10 === 7
+      val newEx = bands.filter(isNew)
+        .select(col("doc_id").as("new_id"), bandArr.as(Seq("band_id", "band_hash")))
+      val oldEx = bands.filter(!isNew)
+        .select(col("doc_id").as("old_id"), bandArr.as(Seq("band_id", "band_hash")))
+      val cand = oldEx.join(broadcast(newEx), Seq("band_id", "band_hash"))
+        .select("new_id", "old_id").distinct()
+      val needed = cand.select(explode(array(col("new_id"), col("old_id"))).as("doc_id")).distinct()
+      val shingles = shingleSets(s, d, needed)
+      val sn = shingles.select(col("doc_id").as("new_id"), col("s").as("sn")).hint("shuffle_hash")
+      val so = shingles.select(col("doc_id").as("old_id"), col("s").as("so")).hint("shuffle_hash")
+      cand.join(sn, "new_id").join(so, "old_id")
+        .withColumn("inter", intersectionSize(col("sn"), col("so")).cast("double"))
+        .withColumn("jaccard", col("inter") / (size(col("sn")) + size(col("so")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select("new_id", "old_id", "jaccard")
+        .orderBy("new_id", "old_id")
+    }, Some(s"""
+      WITH $bandsCte,
+      cand AS (
+        SELECT DISTINCT n.doc_id new_id, o.doc_id old_id, n.s sn, o.s so
+        FROM bands n JOIN bands o
+          ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+         AND (n.b0 = o.b0 OR n.b1 = o.b1 OR n.b2 = o.b2 OR n.b3 = o.b3)
+      )
+      SELECT new_id, old_id,
+             len(list_intersect(sn, so))::DOUBLE
+               / (len(sn) + len(so) - len(list_intersect(sn, so))) AS jaccard
+      FROM cand
+      WHERE len(list_intersect(sn, so))::DOUBLE
+               / (len(sn) + len(so) - len(list_intersect(sn, so))) >= 0.8
+      ORDER BY new_id, old_id
+    """)),
+
     ("q61_ngram_jaccard_pairs", (s, d) => {
       // Set-similarity join on word-trigram sets with AllPairs/PPJoin
       // prefix filtering: under a consistent GLOBAL gram order, any

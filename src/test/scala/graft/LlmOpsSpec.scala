@@ -122,6 +122,20 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(split.size == Tables.documents(spark, sfDir).count())
   }
 
+  test("q68 incremental dedup finds exactly the q34 pairs that cross the batch boundary") {
+    val full = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val inc = SparkEntry.queries("q68_incremental_dedup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")))
+    assert(inc.nonEmpty, "testdata plants cross-batch near-duplicates")
+    inc.foreach { case (n, o) =>
+      assert(n % 10 == 7 && o % 10 != 7, s"batch condition violated: ($n, $o)")
+      assert(full((math.min(n, o), math.max(n, o))), s"($n, $o) not a full-corpus near-dup pair")
+    }
+    val expected = full.count { case (a, b) => (a % 10 == 7) != (b % 10 == 7) }
+    assert(inc.length == expected, s"incremental found ${inc.length} of $expected cross-batch pairs")
+  }
+
   test("q61 prefix-filtered jaccard pairs respect the threshold and ordering") {
     val rows = SparkEntry.queries("q61_ngram_jaccard_pairs")(spark, sfDir).collect()
     rows.foreach { r =>
