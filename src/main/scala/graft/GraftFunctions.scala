@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.expressions.{FloatDotProduct, IntersectionSize, MinHashScheme, MinHashSignature, SimHash64, TokenHashArray}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
@@ -15,15 +16,35 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), MinHashScheme.numHashes)),
-    // token_hashes(text[, mod]) — mod defaults to 0 (raw 60-bit hashes)
+    // token_hashes(text[, mod]) — mod defaults to 0 (raw 60-bit hashes).
+    // The mod arg accepts any FOLDABLE integral expression (so -1,
+    // 2+2, or a short literal all work, not just bare Int/Long
+    // literals), evaluated once at analysis time.
     "token_hashes" -> (exprs => TokenHashArray(exprs(0), exprs.lift(1) match {
-      case Some(Literal(m: Long, _)) => m
-      case Some(Literal(m: Int, _))  => m.toLong
       case None => 0L
-      case other => sys.error(s"token_hashes mod must be an integer literal, got $other")
+      case Some(e) => foldToLong(e, "token_hashes", "mod")
     })),
     "simhash64" -> (exprs => SimHash64(exprs(0), 60)),
     "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))))
+
+  /** Constant-fold an integral function argument to Long, or raise an
+    * AnalysisException naming the function (not a builder crash).
+    */
+  private def foldToLong(e: Expression, fn: String, param: String): Long = {
+    def bad() = new AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.LONG",
+      messageParameters = Map(
+        "parameter" -> s"`$param`", "functionName" -> s"`$fn`",
+        "invalidValue" -> scala.util.Try(e.sql).getOrElse(e.toString)))
+    e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType if e.foldable =>
+        e.eval() match {
+          case n: Number => n.longValue()
+          case _         => throw bad() // NULL literal
+        }
+      case _ => throw bad()
+    }
+  }
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit =

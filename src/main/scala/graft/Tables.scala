@@ -45,10 +45,33 @@ object Tables {
     * one core (parquet can't split inside a row group). On a real
     * cluster reading many splits this is a no-op — no shuffle is added
     * at scale; it only rescues the few-huge-files / tiny-bench shape.
+    *
+    * The split count is ESTIMATED from the relation's file index
+    * (already listed and cached by `spark.read`), mirroring
+    * `FilePartition.maxSplitBytes` packing — not from
+    * `df.rdd.getNumPartitions`, which would eagerly build the full
+    * physical plan + RDD lineage per query construction just to read a
+    * number.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val estimates = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val openCost = conf.filesOpenCostInBytes
+            val totalBytes = fs.location.listFiles(Nil, Nil)
+              .iterator.flatMap(_.files).map(_.getLen + openCost).sum
+            val bytesPerCore =
+              totalBytes / math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+            val maxSplit =
+              math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+            math.max(1L, math.ceil(totalBytes.toDouble / math.max(1L, maxSplit)).toLong)
+          case _ => target.toLong // non-file relation: leave as-is
+        }
+    }
+    if (estimates.nonEmpty && estimates.min < target) df.repartition(target) else df
   }
 }
 

@@ -62,6 +62,25 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     assert(row.getAs[Int]("isz") == 2)
   }
 
+  test("token_hashes mod accepts any foldable integral expression and rejects others cleanly") {
+    GraftFunctions.register(spark)
+    // negative literal parses as UnaryMinus(Literal) — foldable, must work
+    val neg = spark.sql("SELECT token_hashes('a b c', -1L) AS th").head()
+    assert(neg.getAs[scala.collection.Seq[Long]]("th").nonEmpty)
+    // folded arithmetic and a non-Long integral type must also work
+    val folded = spark.sql("SELECT token_hashes('a b c', 2 + 2) AS th").head()
+    assert(folded.getAs[scala.collection.Seq[Long]]("th").forall(h => h >= 0 && h < 4))
+    // non-integral arg → AnalysisException naming the function, not a builder crash
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_hashes('a b c', 'nope')").head()
+    }
+    assert(err.getMessage.contains("token_hashes"))
+    val errNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_hashes('a b c', CAST(NULL AS INT))").head()
+    }
+    assert(errNull.getMessage.contains("token_hashes"))
+  }
+
   test("GraftExtensions registers the same builders as GraftFunctions.register") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; function list is injected

@@ -80,4 +80,22 @@ class AvroSpec extends AnyFunSuite with SparkFixture {
     assert(jsons.exists(j => j.contains("\"A\"") && j.contains("3")))
     assert(jsons.exists(_.contains("OnlyName")))
   }
+
+  test("schemas with bytes/fixed fields are rejected at UDF construction, not silently nulled") {
+    val bytesSchema =
+      """{"type":"record","name":"blob","fields":[{"name":"payload","type":"bytes"}]}"""
+    val err = intercept[IllegalArgumentException] {
+      AvroRecords.avroJsonUdf(Map(1 -> bytesSchema))
+    }
+    assert(err.getMessage.contains("BYTES"))
+    val fixedNested =
+      """{"type":"record","name":"outer","fields":[{"name":"inner","type":
+        |{"type":"array","items":{"type":"fixed","name":"f16","size":16}}}]}""".stripMargin
+    intercept[IllegalArgumentException] {
+      AvroRecords.avroJsonUdf(Map(1 -> fixedNested))
+    }
+    // the supported subset (incl. unions + nested records) still constructs
+    AvroRecords.avroJsonUdf(Map(1 -> testschemaJson))
+    succeed
+  }
 }

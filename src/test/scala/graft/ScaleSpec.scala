@@ -15,6 +15,22 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
 
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
+  test("fanOut repartitions small file scans and leaves non-file plans untouched") {
+    // sf parquet is far below one split per core → must fan out to the
+    // session's shuffle parallelism (decision made from the file index,
+    // without materializing df.rdd during query construction)
+    val target = spark.sessionState.conf.numShufflePartitions
+    val fanned = Tables.fanOut(Tables.documents(spark, sfDir))
+    assert(fanned.queryExecution.analyzed.toString.contains("Repartition"),
+      "small scan should gain a repartition")
+    assert(fanned.rdd.getNumPartitions == target)
+    // a projected scan (events adds a withColumn) still finds the relation
+    assert(Tables.fanOut(Tables.events(spark, sfDir)).rdd.getNumPartitions == target)
+    // non-file relation (range): estimate list is empty → untouched plan
+    assert(!Tables.fanOut(spark.range(1000).toDF()).queryExecution.analyzed.toString.contains("Repartition"),
+      "non-file plans must not gain a repartition")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t1 = tmp("b-orders"); val t2 = tmp("b-cust")
     Tables.orders(spark, sfDir).write.mode("overwrite")
