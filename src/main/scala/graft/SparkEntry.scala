@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Similarity,
     operators.MultimodalOps,
     operators.Advanced,
-    operators.Selection)
+    operators.Selection,
+    operators.Corpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

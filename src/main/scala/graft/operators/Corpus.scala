@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.SketchFunctions
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw ingest and training (round 3; beyond the
+  * reference's surface, which has no text processing at all —
+  * `Processor.java:141-147` prints records):
+  *
+  *  - q69 document chunking: fixed-size overlapping token windows
+  *    (size 32, stride 24) — the RAG / context-packing primitive.
+  *    Pure per-row explode: embarrassingly parallel, no shuffle.
+  *  - q70 TF-IDF top terms per document. idf is the raw ratio
+  *    `N/df` (not `ln(N/df)`): integer-derived doubles and one IEEE
+  *    division are bit-deterministic across engines, while `ln` is
+  *    only correctly-rounded-ish and can differ by 1 ulp between
+  *    libm and the JVM — rank order is preserved per document for
+  *    any monotone idf. Two key-partitioned aggregations
+  *    ((doc,term) then term) + a term-keyed join; the 1-row corpus
+  *    count is broadcast.
+  *  - q71 policy filtering + redaction: per-doc banned-term hit
+  *    count (token-exact), keep/drop decision, and a redacted text
+  *    via anchored `regexp_replace` — the same shape as PII
+  *    scrubbing (see CorpusSpec for email/phone/URL regexes over
+  *    constructed rows; the synthetic corpus has no digits).
+  *    Per-row only, no shuffle.
+  *  - q72 inverted index: term → (document frequency, sorted
+  *    postings capped at 1000). At 100 TB you keep the (term, doc)
+  *    pair relation and never assemble hot-term postings arrays;
+  *    the cap bounds the assembled form the API exposes.
+  *  - q73 bloom-prefiltered incremental dedup: membership sketch of
+  *    the corpus' fingerprints (40-char-prefix md5) built
+  *    distributed, collected once (~sketch bytes, never data),
+  *    re-broadcast as a literal; batch rows the sketch rules out
+  *    skip the join entirely, only maybe-dups are verified with an
+  *    exact anti-join. Result is EXACT (bloom has no false
+  *    negatives) ⇒ plain anti-join oracle. At scale the verify
+  *    join's left side shrinks to true-dups + the ~1% false-positive
+  *    residue of the batch, instead of the whole batch.
+  *  - q74 corpus bigram top-k: n-gram LM / tokenizer-training
+  *    counts. Partial map-side aggregation then a global
+  *    TakeOrdered(50) — no full sort at any scale.
+  */
+object Corpus extends QueryGroup {
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+  private val policyTerms = Seq("slow", "merge", "drop")
+
+  /** DuckDB mirror of `TextFunctions.tokens`. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q69_doc_chunks", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0) // empty docs produce no chunks
+        .withColumn("chunk_id", explode(expr(s"sequence(0, (n - 1) DIV $chunkStride)")))
+        .withColumn("chunk", expr(s"slice(toks, chunk_id * $chunkStride + 1, $chunkSize)"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      st AS (SELECT doc_id, t,
+                    unnest(generate_series(0, (n - 1) // $chunkStride)) AS chunk_id
+             FROM nz)
+      SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+             len(t[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkSize])::BIGINT AS chunk_tokens,
+             array_to_string(t[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkSize], ' ') AS chunk_text
+      FROM st
+      ORDER BY doc_id, chunk_id
+    """)),
+
+    ("q70_tfidf_topk", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfRel, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rk").cast("long").as("rk"))
+        .orderBy("doc_id", "rk")
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf::DOUBLE * n.n_docs::DOUBLE / df.df::DOUBLE AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+      w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+            FROM r)
+      SELECT doc_id, term, tf, df, score, rk FROM w WHERE rk <= 5
+      ORDER BY doc_id, rk
+    """)),
+
+    ("q71_policy_filter", (s, d) => {
+      val pattern = "\\b(" + policyTerms.mkString("|") + ")\\b"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(tokens(col("text")), t => t.isin(policyTerms: _*)))
+            .cast("long").as("policy_hits"),
+          regexp_replace(col("text"), pattern, "<POLICY>").as("redacted"))
+        .withColumn("keep", col("policy_hits") <= 2)
+        .select("doc_id", "policy_hits", "keep", "redacted")
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+             len(list_filter($toksSql,
+                 t -> t IN (${policyTerms.map("'" + _ + "'").mkString(", ")})))::BIGINT AS policy_hits,
+             len(list_filter($toksSql,
+                 t -> t IN (${policyTerms.map("'" + _ + "'").mkString(", ")}))) <= 2 AS keep,
+             regexp_replace(text, '\\b(${policyTerms.mkString("|")})\\b', '<POLICY>', 'g') AS redacted
+      FROM documents
+      ORDER BY doc_id
+    """)),
+
+    ("q72_inverted_index", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(distinctTokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("plist"))
+        .filter(col("df") >= 5)
+        // comparator-safe serialized postings (capped); the scale form
+        // is the un-assembled (term, doc_id) pair relation anyway
+        .withColumn("postings",
+          expr("array_join(transform(slice(plist, 1, 1000), x -> cast(x as string)), ',')"))
+        .select("term", "df", "postings")
+        .orderBy("term")
+    }, Some(s"""
+      WITH pairs AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents)
+      SELECT term, count(*) AS df,
+             array_to_string((list_sort(list(doc_id)))[1:1000], ',') AS postings
+      FROM pairs
+      GROUP BY term
+      HAVING count(*) >= 5
+      ORDER BY term
+    """)),
+
+    ("q73_bloom_incremental_dedup", (s, d) => {
+      val digested = Tables.documents(s, d)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("digest"))
+      val corpus = digested.filter(col("doc_id") % 10 =!= 7)
+      val batch = digested.filter(col("doc_id") % 10 === 7)
+      // distributed sketch build; ONE binary row comes back (the
+      // sketch, not data) and goes out again as a foldable literal
+      val bf = corpus
+        .agg(SketchFunctions.bloomFilterAgg(xxhash64(col("digest")), 100000L, 1L << 20).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val flagged = batch.withColumn("maybe_dup",
+        SketchFunctions.mightContain(lit(bf), xxhash64(col("digest"))))
+      val newFast = flagged.filter(!col("maybe_dup")).select("doc_id", "digest")
+      val newVerified = flagged.filter(col("maybe_dup"))
+        .join(corpus.select("digest"), Seq("digest"), "left_anti")
+        .select("doc_id", "digest")
+      newFast.union(newVerified).orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, md5(substr(text, 1, 40)) AS digest
+      FROM documents
+      WHERE doc_id % 10 = 7
+        AND md5(substr(text, 1, 40)) NOT IN
+            (SELECT md5(substr(text, 1, 40)) FROM documents WHERE doc_id % 10 <> 7)
+      ORDER BY doc_id
+    """)),
+
+    ("q74_bigram_topk", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50)
+    }, Some(s"""
+      WITH toks AS (SELECT $toksSql AS t FROM documents),
+      idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+      b AS (SELECT t[i] || ' ' || t[i + 1] AS bigram FROM idx)
+      SELECT bigram, count(*) AS cnt FROM b
+      GROUP BY bigram
+      ORDER BY cnt DESC, bigram
+      LIMIT 50
+    """))
+  )
+}

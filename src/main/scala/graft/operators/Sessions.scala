@@ -21,11 +21,23 @@ import graft.streaming.Sessionize
   *    carry the last view forward — never a per-pair range join. The
   *    oracle is DuckDB's native ASOF LEFT JOIN, an independent
   *    implementation of the same semantics.
+  *  - q75: interval-containment join with NO equi key (each purchase
+  *    counted against every 5-minute error window containing it).
+  *    Written naively this is a cartesian/BNLJ — the q36/q42 disease.
+  *    The scale plan is TIME-BIN BLOCKING: bin width == window width,
+  *    so a window covers at most 2 bins; explode windows to their
+  *    distinct covered bins, equi-join on the bin (one shuffle keyed
+  *    by time bin — AQE's skew split handles hot bins), then apply
+  *    the exact containment predicate. Lossless (a probe's single bin
+  *    always appears among its containing window's bins, and distinct
+  *    bins mean no double-match), so the oracle is the plain
+  *    range-predicate LEFT JOIN.
   */
 object Sessions extends QueryGroup {
 
   private val gapMinutes = 30
   private val gapMs = gapMinutes * 60 * 1000L
+  private val windowMinutes = 5
 
   private val oracle: String = s"""
     WITH marked AS (
@@ -93,6 +105,28 @@ object Sessions extends QueryGroup {
         .select(col("click_id"), col("user_id"), col("ts").as("click_ts"), col("value"),
                 col("asof_view_id").as("view_id"), col("asof_view_ts").as("view_ts"))
         .orderBy("click_id")
+    }),
+    "q75_interval_join" -> ((s, d) => {
+      val binMicros = windowMinutes * 60L * 1000000L
+      val ev = Tables.events(s, d)
+      // each error opens a [ts, ts+5min) incident window; explode to
+      // its (≤2, distinct) covered time bins — the blocking key
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+        .withColumn("bin", explode(expr(
+          s"array_distinct(array(unix_micros(err_ts) DIV $binMicros," +
+          s" (unix_micros(err_ts) + $binMicros - 1) DIV $binMicros))")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("bin", expr(s"unix_micros(ts) DIV $binMicros"))
+      purchases.join(windows,
+          purchases("bin") === windows("bin") &&
+          col("ts") >= col("err_ts") &&
+          col("ts") < col("err_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+          "left")
+        .groupBy(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+        .agg(count(col("err_id")).as("n_overlapping_errors"))
+        .orderBy("event_id")
     })
   )
 
@@ -112,5 +146,17 @@ object Sessions extends QueryGroup {
              v.view_id, v.ts AS view_ts
       FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
       ORDER BY click_id
+    """.trim,
+    "q75_interval_join" -> s"""
+      WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+                 FROM events WHERE event_type = 'purchase'),
+      w AS (SELECT event_id AS err_id, ts::TIMESTAMP AS ts
+            FROM events WHERE event_type = 'error')
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+             count(w.err_id) AS n_overlapping_errors
+      FROM p LEFT JOIN w
+        ON p.ts >= w.ts AND p.ts < w.ts + INTERVAL $windowMinutes MINUTE
+      GROUP BY p.event_id, p.user_id, p.ts
+      ORDER BY p.event_id
     """.trim)
 }
