@@ -82,6 +82,29 @@ object TextFunctions {
       graft.expressions.TokenHashArray(
         org.apache.spark.sql.GraftSqlBridge.expression(c), mod))
 
+  /** PII scrubbing (emails → `<EMAIL>`, URLs → `<URL>`, phone-shaped
+    * digit groups → `<PHONE>`). Patterns stay inside RE2's dialect so
+    * an engine using RE2 (DuckDB, Go) reproduces them; Spark evaluates
+    * them with java.util.regex, codegen'd, no UDF. URL must be
+    * replaced before EMAIL (a URL can embed user@host).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+
+  def piiRedact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** (emails, urls, phones) occurrence counts, for filter thresholds. */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))).as("emails"),
+    size(regexp_extract_all(c, lit(UrlRe), lit(0))).as("urls"),
+    size(regexp_extract_all(c, lit(PhoneRe), lit(0))).as("phones"))
+
   /** `size(array_intersect(a, b))` for distinct-element long arrays,
     * without materializing the intersection (see IntersectionSize).
     */
