@@ -88,9 +88,12 @@ object Corpus extends QueryGroup {
       val tf = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      tf.join(dfRel, "term")
+      // df as a whole-partition window count over the tf relation: the
+      // tokenize+explode subtree is computed ONCE (a tf self-join for
+      // df re-evaluated it — DeduplicateRelations defeats exchange
+      // reuse across the two instances)
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
