@@ -555,6 +555,132 @@ object Relational extends QueryGroup {
             SELECT date_trunc('hour', ts)::TIMESTAMP - INTERVAL 1 HOUR, value FROM events) t
       GROUP BY win_start
       ORDER BY win_start
+    """)),
+
+    // ---------------------------------------------------------------- full outer join (round 3)
+    // Year-over-year revenue per customer: either side may be absent.
+    // A shuffled full-outer hash/SMJ on the key — no driver-side logic.
+    ("q76_full_outer_join", (s, d) => {
+      val o = Tables.orders(s, d)
+      def rev(y: Int, out: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as(out))
+      rev(1995, "rev95").join(rev(1996, "rev96"), Seq("o_custkey"), "full_outer")
+        .orderBy("o_custkey")
+    }, Some("""
+      WITH a AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev95
+                 FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+      b AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev96
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey, a.rev95, b.rev96
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      ORDER BY o_custkey
+    """)),
+
+    // ---------------------------------------------------------------- bag-semantics set ops (round 3)
+    // UNION ALL / INTERSECT ALL / EXCEPT ALL with multiplicities — the
+    // ALL variants plan as aggregating joins (no dedup pass), distinct
+    // from q16-q18's set-semantics forms.
+    ("q77_setops_all", (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val hi = l.filter(col("l_quantity") > 45).select("l_orderkey")
+      val ret = l.filter(col("l_returnflag") === "R").select("l_orderkey")
+      def tag(df: DataFrame, op: String) = df.withColumn("op", lit(op))
+      tag(hi.union(ret), "union_all")
+        .union(tag(hi.intersectAll(ret), "intersect_all"))
+        .union(tag(hi.exceptAll(ret), "except_all"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("l_orderkey").as("n_keys"))
+        .orderBy("op")
+    }, Some("""
+      WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45),
+      ret AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+      u AS (SELECT l_orderkey FROM hi UNION ALL SELECT l_orderkey FROM ret),
+      i AS (SELECT l_orderkey FROM hi INTERSECT ALL SELECT l_orderkey FROM ret),
+      e AS (SELECT l_orderkey FROM hi EXCEPT ALL SELECT l_orderkey FROM ret)
+      SELECT 'union_all' AS op, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys FROM u
+      UNION ALL
+      SELECT 'intersect_all', count(*), count(DISTINCT l_orderkey) FROM i
+      UNION ALL
+      SELECT 'except_all', count(*), count(DISTINCT l_orderkey) FROM e
+      ORDER BY op
+    """)),
+
+    // ---------------------------------------------------------------- lateral (correlated) join (round 3)
+    // Top-2 orders per customer via SQL LATERAL — Catalyst decorrelates
+    // the per-row subquery into a ranked window join, not a per-row
+    // re-execution.
+    ("q78_lateral_join", (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g78_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g78_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM g78_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM g78_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+      """)
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)),
+
+    // ---------------------------------------------------------------- time-series gap fill (round 3)
+    // Densify sparse hourly counts: the (hour × type) grid is built
+    // from two TINY aggregates (time bounds, distinct types) and the
+    // left join shuffles on (hour, type) — the sparse→dense resample
+    // every monitoring/feature pipeline needs.
+    ("q79_gap_fill", (s, d) => {
+      val ev = Tables.events(s, d)
+      val hours = ev
+        .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+             max(date_trunc("hour", col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val types = ev.select("event_type").distinct()
+      val counts = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("hour", "event_type"), "left")
+        .na.fill(0L, Seq("n"))
+        .orderBy("hour", "event_type")
+    }, Some("""
+      WITH b AS (SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1 FROM events),
+      hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))::TIMESTAMP AS hour FROM b),
+      types AS (SELECT DISTINCT event_type FROM events),
+      c AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2)
+      SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS n
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type
+      ORDER BY h.hour, t.event_type
+    """)),
+
+    // ---------------------------------------------------------------- distribution window functions (round 3)
+    // ntile / percent_rank / cume_dist; the ORDER BY includes the
+    // unique key so rank ties can't exist and the doubles are exact
+    // rational divisions — bit-deterministic cross-engine.
+    ("q80_window_distribution", (s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey
     """))
   )
 

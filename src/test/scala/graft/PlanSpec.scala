@@ -73,6 +73,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan("q62_ivf_probe_topk").contains("CartesianProduct"))
   }
 
+  test("q78: lateral subquery decorrelates to a group-limit window, not per-row re-execution") {
+    val p = plan("q78_lateral_join")
+    // Catalyst must rewrite the correlated ORDER BY ... LIMIT 2 into
+    // WindowGroupLimit (partial+final top-k per key) + an equi-join;
+    // a BNLJ here would mean per-customer subquery evaluation
+    assert(p.contains("WindowGroupLimit"), s"no group-limit rewrite:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"lateral fell back to BNLJ:\n$p")
+  }
+
   test("q64: iterative lineage is checkpoint-truncated (no pair-generation subtree in the final plan)") {
     val p = plan("q64_dedup_clusters")
     // without localCheckpoint the propagation loop embeds the whole
