@@ -25,7 +25,19 @@ object GraftFunctions {
       case Some(e) => foldToLong(e, "token_hashes", "mod")
     })),
     "simhash64" -> (exprs => SimHash64(exprs(0), 60)),
-    "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))))
+    "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))),
+    // SQL surface over Spark's internal bloom expressions (the names
+    // Catalyst itself uses, which FunctionRegistry does not expose;
+    // the analyzer wraps a bare AggregateFunction from a builder).
+    // bloom arg of might_contain must be a constant or scalar
+    // subquery: `might_contain((SELECT bloom_filter_agg(...) FROM t), x)`.
+    "bloom_filter_agg" -> (exprs => exprs.length match {
+      case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0))
+      case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1))
+      case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    }),
+    "might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
 
   /** Constant-fold an integral function argument to Long, or raise an
     * AnalysisException naming the function (not a builder crash).

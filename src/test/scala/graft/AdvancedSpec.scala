@@ -81,6 +81,25 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     assert(errNull.getMessage.contains("token_hashes"))
   }
 
+  test("bloom_filter_agg / might_contain work through the SQL surface") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "md5(text) AS digest")
+      .createOrReplaceTempView("g_bloom_docs")
+    // sketch the even docs, probe all: every even doc must hit (no
+    // false negatives); odd docs mostly miss (1M bits >> 250 items)
+    val rows = spark.sql("""
+      SELECT doc_id,
+             might_contain((SELECT bloom_filter_agg(xxhash64(digest), 100000L, 1048576L)
+                            FROM g_bloom_docs WHERE doc_id % 2 = 0),
+                           xxhash64(digest)) AS hit
+      FROM g_bloom_docs""").collect()
+    val (even, odd) = rows.partition(_.getLong(0) % 2 == 0)
+    assert(even.forall(_.getBoolean(1)), "bloom false negative")
+    val oddHits = odd.count(_.getBoolean(1))
+    assert(oddHits <= math.max(1, odd.length / 10), s"fp rate too high: $oddHits/${odd.length}")
+  }
+
   test("GraftExtensions registers the same builders as GraftFunctions.register") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; function list is injected
