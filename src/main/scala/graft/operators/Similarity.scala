@@ -364,6 +364,58 @@ object Similarity extends QueryGroup {
             FROM scored) t
       WHERE rk <= $topK
       ORDER BY query_id, rk
+    """)),
+
+    // ---------------------------------------------------------------- k-means Lloyd iteration (round 3)
+    // One distributed Lloyd step with deterministic seeds (vec_id < 8
+    // as initial centroids): assign each vector to its nearest centroid
+    // (squared-L2 as a sequential zip_with fold — bit-exact cross-
+    // engine; ties break on centroid id), then recompute centroids as
+    // per-dimension means (quant6 absorbs the engines' different
+    // summation orders, the q44 precedent). The ONLY shuffle is the
+    // (cluster, pos) aggregation; the 8-centroid side is broadcast —
+    // the textbook scalable k-means step, iterable to convergence.
+    ("q81_kmeans_iter", (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val sqDist = expr(
+        """aggregate(
+             zip_with(embedding, ce,
+               (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+             cast(0 as double), (acc, v) -> acc + v)""")
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", sqDist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("embedding"))
+      assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("pos", col("pos").cast("long"))
+        .groupBy("cid", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"),
+             count(lit(1)).as("n_members"))
+        .orderBy("cid", "pos")
+    }, Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, c.cid,
+                   list_sum([(e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+                             * (e.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+                             for i in generate_series(1, 64)]) AS dist
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, cid
+            FROM (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d) t
+            WHERE rn = 1),
+      m AS (SELECT a.cid, e.embedding FROM a JOIN embeddings e USING (vec_id))
+      SELECT cid, i - 1 AS pos,
+             ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c,
+             count(*) AS n_members
+      FROM m, generate_series(1, 64) g(i)
+      GROUP BY cid, i
+      ORDER BY cid, pos
     """))
   )
 
