@@ -72,15 +72,22 @@ object StreamDedup {
       .start()
 
   /** The seen-set scan, or None before any batch has written one.
+    * Listed through the Hadoop FS API so `seenDir` may live on any
+    * supported filesystem (HDFS/object store), not just local disk.
     * (`basePath` keeps the `batch=` partition column out of the join.)
     */
   private def readSeen(spark: SparkSession, seenDir: String, keyCol: String,
                        excludeBatchId: Long): Option[DataFrame] = {
-    val dir = new java.io.File(seenDir)
-    val parts = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("batch=") && f.getName != s"batch=$excludeBatchId")
+    val path = new org.apache.hadoop.fs.Path(seenDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(path).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch=") && n != s"batch=$excludeBatchId"
+      }
     if (parts.isEmpty) None
     else Some(spark.read.option("basePath", seenDir)
-      .parquet(parts.map(_.getPath): _*).select(keyCol))
+      .parquet(parts.map(_.getPath.toString).toSeq: _*).select(keyCol))
   }
 }
