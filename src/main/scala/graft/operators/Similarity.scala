@@ -384,12 +384,16 @@ object Similarity extends QueryGroup {
              zip_with(embedding, ce,
                (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
              cast(0 as double), (acc, v) -> acc + v)""")
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      // argmin as min(struct(dist, cid)) — lexicographic struct order
+      // gives (min dist, tie → min cid), and unlike a row_number window
+      // the partial aggregate collapses the k candidate rows per vector
+      // MAP-SIDE, so the shuffle carries n rows, not k·n sorted ones
       val assigned = emb.crossJoin(broadcast(cents))
         .withColumn("dist", sqDist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("embedding"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+             first(col("embedding")).as("embedding"))
+        .select(col("m.cid").as("cid"), col("embedding"))
       assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("pos", col("pos").cast("long"))
