@@ -21,7 +21,8 @@ object SparkEntry {
     operators.MultimodalOps,
     operators.Advanced,
     operators.Selection,
-    operators.Corpus)
+    operators.Corpus,
+    operators.Profiling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

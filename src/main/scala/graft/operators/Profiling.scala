@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+
+/** Data-quality profiling + event-sequence analytics (round 3):
+  *
+  *  - q82 table profile: per-column null count, exact distinct count,
+  *    min/max — over ANY DataFrame ([[profile]] is schema-driven, the
+  *    judged query applies it to `orders`). ONE scan: all per-column
+  *    aggregates run in a single wide aggregation and `stack` unpivots
+  *    the 1-row result. The exact multi-distinct forces Catalyst's
+  *    Expand (×|columns| rows); [[profileApprox]] is the 100 TB form —
+  *    HLL distinct counts, no Expand — held to the exact profile by a
+  *    spec instead of the oracle (sketches differ across engines).
+  *  - q83 event transition counts: (prev_type → type) Markov counts
+  *    per user via `lag` over (ts, event_id) — funnels' raw material.
+  *    One shuffle by user_id, then a small keyed aggregation.
+  *  - q84 funnel: strict view → click → purchase ordering per user,
+  *    computed from per-user min event times (single aggregation — no
+  *    self-joins per stage, the naive funnel shape).
+  */
+object Profiling extends QueryGroup {
+
+  /** Single-pass exact profile of `df`; columns sorted by name. */
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(col(c)))
+
+  /** Scale form: approx_count_distinct (mergeable HLL, no Expand);
+    * rsd 2% — the profile's distinct count is an estimate by contract.
+    */
+  def profileApprox(df: DataFrame): DataFrame =
+    profileWith(df, c => approx_count_distinct(col(c), 0.02))
+
+  private def profileWith(df: DataFrame, distinctAgg: String => Column): DataFrame = {
+    val fields = df.schema.fields.map(_.name)
+    val aggs = fields.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      distinctAgg(c).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
+    val stackArgs = fields.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+        s"stack(${fields.length}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
+      .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+      .orderBy("column_name")
+  }
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q82_table_profile", (s, d) => profile(Tables.orders(s, d)), Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+            FROM orders"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }),
+
+    ("q83_transition_counts", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    }, Some("""
+      WITH t AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+        FROM events)
+      SELECT prev_type, event_type, count(*) AS n
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+      ORDER BY prev_type, event_type
+    """)),
+
+    ("q84_funnel", (s, d) => {
+      val stage = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "click", col("ts"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      stage.select(
+        count(lit(1)).as("n_users"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("v").isNotNull && col("c").isNotNull && col("c") > col("v"), 1L)
+          .otherwise(0L)).as("clicked_after_view"),
+        sum(when(col("v").isNotNull && col("c").isNotNull && col("p").isNotNull &&
+                 col("c") > col("v") && col("p") > col("c"), 1L)
+          .otherwise(0L)).as("purchased_after_click"))
+    }, Some("""
+      WITH stage AS (
+        SELECT user_id,
+               min(ts::TIMESTAMP) FILTER (event_type = 'view') AS v,
+               min(ts::TIMESTAMP) FILTER (event_type = 'click') AS c,
+               min(ts::TIMESTAMP) FILTER (event_type = 'purchase') AS p
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             count(*) FILTER (v IS NOT NULL) AS viewed,
+             count(*) FILTER (v IS NOT NULL AND c IS NOT NULL AND c > v) AS clicked_after_view,
+             count(*) FILTER (v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                              AND c > v AND p > c) AS purchased_after_click
+      FROM stage
+    """))
+  )
+}

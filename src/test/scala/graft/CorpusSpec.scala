@@ -103,6 +103,24 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(expect))
   }
 
+  test("profileApprox tracks the exact profile within HLL error on every table column") {
+    val exact = operators.Profiling.profile(Tables.orders(spark, sfDir)).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_nulls"), r.getAs[String]("min_value")))
+      .toMap
+    val approx = operators.Profiling.profileApprox(Tables.orders(spark, sfDir)).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (nd, nn, mn) = exact(r.getAs[String]("column_name"))
+      val a = r.getAs[Long]("n_distinct")
+      // rsd 0.02, 5x slack (same convention as the q48 HLL spec)
+      assert(math.abs(a - nd) <= math.max(2L, (nd * 0.10).toLong),
+        s"${r.getAs[String]("column_name")}: approx $a vs exact $nd")
+      // everything except the distinct estimator must be identical
+      assert(r.getAs[Long]("n_nulls") == nn && r.getAs[String]("min_value") == mn)
+    }
+  }
+
   test("q75 binned interval join equals the direct range-predicate join") {
     val ev = Tables.events(spark, sfDir)
     val w = ev.filter(col("event_type") === "error")
