@@ -31,13 +31,32 @@ object GraftFunctions {
     // the analyzer wraps a bare AggregateFunction from a builder).
     // bloom arg of might_contain must be a constant or scalar
     // subquery: `might_contain((SELECT bloom_filter_agg(...) FROM t), x)`.
-    "bloom_filter_agg" -> (exprs => exprs.length match {
-      case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0))
-      case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1))
-      case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    "bloom_filter_agg" -> (exprs => checkArity("bloom_filter_agg", exprs, 1 to 3) match {
+      case Seq(c)       => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
     }),
-    "might_contain" -> (exprs =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    "might_contain" -> (exprs => {
+      val Seq(bloom, v) = checkArity("might_contain", exprs, 2 to 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, v)
+    }))
+
+  /** Clean arity failure (AnalysisException naming the function) for
+    * builders — not an IndexOutOfBounds crash, and no silently-dropped
+    * extra arguments.
+    */
+  private def checkArity(fn: String, exprs: Seq[Expression], allowed: Range): Seq[Expression] = {
+    if (!allowed.contains(exprs.length))
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> (if (allowed.size == 1) allowed.start.toString
+                            else s"${allowed.start} to ${allowed.last}"),
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    exprs
+  }
 
   /** Constant-fold an integral function argument to Long, or raise an
     * AnalysisException naming the function (not a builder crash).

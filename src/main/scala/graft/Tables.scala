@@ -71,7 +71,11 @@ object Tables {
           case _ => target.toLong // non-file relation: leave as-is
         }
     }
-    if (estimates.nonEmpty && estimates.min < target) df.repartition(target) else df
+    // exactly-one-relation guard: fanOut is a single-scan helper. For
+    // a multi-relation df (e.g. a fact-dim join), min-of-estimates
+    // would let the small dim trigger a repartition of the whole
+    // joined output; leave such plans to Catalyst/AQE.
+    if (estimates.length == 1 && estimates.head < target) df.repartition(target) else df
   }
 }
 

@@ -99,11 +99,19 @@ object TextFunctions {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
-  /** (emails, urls, phones) occurrence counts, for filter thresholds. */
-  def piiCounts(c: Column): Column = struct(
-    size(regexp_extract_all(c, lit(EmailRe), lit(0))).as("emails"),
-    size(regexp_extract_all(c, lit(UrlRe), lit(0))).as("urls"),
-    size(regexp_extract_all(c, lit(PhoneRe), lit(0))).as("phones"))
+  /** (emails, urls, phones) occurrence counts, for filter thresholds.
+    * Emails/phones are counted AFTER removing URLs, mirroring
+    * [[piiRedact]]'s replacement order — an email embedded in a URL
+    * path is one URL, not a phantom email the redacted text never
+    * contained.
+    */
+  def piiCounts(c: Column): Column = {
+    val noUrls = regexp_replace(c, UrlRe, " ")
+    struct(
+      size(regexp_extract_all(noUrls, lit(EmailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(c, lit(UrlRe), lit(0))).as("urls"),
+      size(regexp_extract_all(noUrls, lit(PhoneRe), lit(0))).as("phones"))
+  }
 
   /** `size(array_intersect(a, b))` for distinct-element long arrays,
     * without materializing the intersection (see IntersectionSize).

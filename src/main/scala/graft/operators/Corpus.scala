@@ -170,8 +170,12 @@ object Corpus extends QueryGroup {
       val bf = corpus
         .agg(SketchFunctions.bloomFilterAgg(xxhash64(col("digest")), 100000L, 1L << 20).as("bf"))
         .head.getAs[Array[Byte]]("bf")
+      // coalesce: an EMPTY corpus aggregates to a null sketch and
+      // might_contain then returns NULL, which both filter branches
+      // would drop — the correct reading of "no sketch" is "nothing
+      // was ever seen", matching the anti-join-on-empty-set oracle
       val flagged = batch.withColumn("maybe_dup",
-        SketchFunctions.mightContain(lit(bf), xxhash64(col("digest"))))
+        coalesce(SketchFunctions.mightContain(lit(bf), xxhash64(col("digest"))), lit(false)))
       val newFast = flagged.filter(!col("maybe_dup")).select("doc_id", "digest")
       val newVerified = flagged.filter(col("maybe_dup"))
         .join(corpus.select("digest"), Seq("digest"), "left_anti")

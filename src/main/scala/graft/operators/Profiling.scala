@@ -24,7 +24,12 @@ import graft.{QueryGroup, Tables}
   */
 object Profiling extends QueryGroup {
 
-  /** Single-pass exact profile of `df`; columns sorted by name. */
+  /** Single-pass exact profile of `df`; columns sorted by name.
+    * Supported: flat columns of atomic (orderable, equatable) types
+    * with identifier-safe names — validated up front so a map column
+    * or a quote-bearing name fails fast here, not as a parse error
+    * inside the generated `stack` call.
+    */
   def profile(df: DataFrame): DataFrame =
     profileWith(df, c => countDistinct(col(c)))
 
@@ -35,9 +40,20 @@ object Profiling extends QueryGroup {
     profileWith(df, c => approx_count_distinct(col(c), 0.02))
 
   private def profileWith(df: DataFrame, distinctAgg: String => Column): DataFrame = {
+    df.schema.fields.foreach { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"profile: unsupported column name '${f.name}' (identifier-safe names only)")
+      require(!Seq(classOf[org.apache.spark.sql.types.ArrayType],
+                   classOf[org.apache.spark.sql.types.MapType],
+                   classOf[org.apache.spark.sql.types.StructType])
+                .exists(_.isInstance(f.dataType)),
+        s"profile: column '${f.name}' has non-atomic type ${f.dataType.simpleString}")
+    }
     val fields = df.schema.fields.map(_.name)
     val aggs = fields.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      // coalesce: conditional sum over ZERO rows is NULL, but an empty
+      // table has 0 nulls, not unknown
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
       distinctAgg(c).as(s"${c}__distinct"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max"))

@@ -26,11 +26,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    anti-joins the (small) batch against the seen-set scan and
   *    appends the survivors to both the output and the seen-set. At
   *    100 TB the seen-set side is pruned with a bloom prefilter
-  *    exactly like q73 before the anti-join shuffle. Batch writes are
-  *    keyed by `batchId` subdirectories, so a replayed micro-batch
-  *    (failure between the two writes) overwrites its own previous
-  *    attempt instead of double-appending — idempotent re-execution,
-  *    preserving exactly-once end to end.
+  *    exactly like q73 before the anti-join shuffle.
+  *
+  * Write layout: `<dir>/run=<ckId>/batch=<batchId>`, where `ckId` is
+  * derived from the checkpoint location. Within one checkpoint
+  * lineage, a replayed micro-batch (failure between the two writes)
+  * keeps its (run, batch) key and OVERWRITES its own previous attempt
+  * — idempotent re-execution, exactly-once end to end. A redeployment
+  * with a fresh checkpoint gets a new `run=` namespace, so it can
+  * never clobber (or wrongly exclude) a previous deployment's
+  * partitions — earlier runs' keys stay in the seen-set forever.
+  * Writers with distinct checkpoints compose the same way; a batch
+  * racing a concurrent writer's in-flight micro-batch may not see
+  * keys that writer has not committed yet (cross-writer dedup is
+  * eventual, per-writer dedup is exact).
   */
 object StreamDedup {
 
@@ -39,13 +48,17 @@ object StreamDedup {
     parsed.dropDuplicates(keys)
 
   /** Incremental dedup against a parquet seen-set that outlives the
-    * query. Emits never-seen keys to `outDir/batch=<id>` and records
-    * them in `seenDir/batch=<id>`; per-batch directories make the
-    * foreachBatch body idempotent under replay.
+    * query; see the object scaladoc for the idempotency layout.
     */
   def startIncremental(parsed: DataFrame, keyCol: String, outDir: String,
                        seenDir: String, checkpointDir: String,
-                       batchPeriodMs: Long = 100L): StreamingQuery =
+                       batchPeriodMs: Long = 100L): StreamingQuery = {
+    // stable per-checkpoint-lineage namespace: same across restarts of
+    // this checkpoint (replay idempotency), different for any other
+    // deployment (no cross-run clobbering)
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     parsed.writeStream
       .queryName("graft-stream-dedup")
       .outputMode("append")
@@ -57,7 +70,7 @@ object StreamDedup {
         // exclude THIS batch's own seen-partition: on replay after a
         // failure between the two writes, the previous attempt's keys
         // must not anti-join the batch against itself (empty output)
-        val fresh = readSeen(spark, seenDir, keyCol, excludeBatchId = batchId) match {
+        val fresh = readSeen(spark, seenDir, keyCol, runId, batchId) match {
           case Some(seen) => withinBatch.join(seen, Seq(keyCol), "left_anti")
           case None       => withinBatch
         }
@@ -65,29 +78,32 @@ object StreamDedup {
         // anti-join (and re-read the seen-set) per write
         fresh.persist()
         try {
-          fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
-          fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/batch=$batchId")
+          fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/run=$runId/batch=$batchId")
+          fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/run=$runId/batch=$batchId")
         } finally fresh.unpersist()
       }
       .start()
+  }
 
-  /** The seen-set scan, or None before any batch has written one.
+  /** The seen-set scan (all runs, all batches) minus the current
+    * (run, batch) partition, or None when nothing has been written.
     * Listed through the Hadoop FS API so `seenDir` may live on any
     * supported filesystem (HDFS/object store), not just local disk.
-    * (`basePath` keeps the `batch=` partition column out of the join.)
+    * (`basePath` keeps the partition columns out of the join.)
     */
   private def readSeen(spark: SparkSession, seenDir: String, keyCol: String,
-                       excludeBatchId: Long): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(seenDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                       runId: String, excludeBatchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(seenDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
-      if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(path).filter { st =>
-        val n = st.getPath.getName
-        n.startsWith("batch=") && n != s"batch=$excludeBatchId"
-      }
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else for {
+        run <- fs.listStatus(root) if run.getPath.getName.startsWith("run=")
+        b <- fs.listStatus(run.getPath) if b.getPath.getName.startsWith("batch=")
+        if !(run.getPath.getName == s"run=$runId" && b.getPath.getName == s"batch=$excludeBatchId")
+      } yield b.getPath
     if (parts.isEmpty) None
     else Some(spark.read.option("basePath", seenDir)
-      .parquet(parts.map(_.getPath.toString).toSeq: _*).select(keyCol))
+      .parquet(parts.map(_.toString).toSeq: _*).select(keyCol))
   }
 }

@@ -98,6 +98,14 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     assert(even.forall(_.getBoolean(1)), "bloom false negative")
     val oddHits = odd.count(_.getBoolean(1))
     assert(oddHits <= math.max(1, odd.length / 10), s"fp rate too high: $oddHits/${odd.length}")
+    // arity errors are clean AnalysisExceptions naming the function,
+    // and extra args are rejected rather than silently dropped
+    for (bad <- Seq("SELECT bloom_filter_agg()",
+                    "SELECT bloom_filter_agg(1L, 2L, 3L, 4L) FROM range(1)",
+                    "SELECT might_contain(X'00')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.contains("bloom_filter_agg") || e.getMessage.contains("might_contain"), bad)
+    }
   }
 
   test("GraftExtensions registers the same builders as GraftFunctions.register") {

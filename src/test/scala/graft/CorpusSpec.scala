@@ -57,7 +57,8 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       "see https://example.com/a?b=c&d=e and http://x.io",
       "call 555-123-4567 or 555 1234 4321 now",
       "mixed https://a.b/c bob@corp.com 123-456-7890",
-      "clean text with no identifiers at all")
+      "clean text with no identifiers at all",
+      "url-embedded https://x.io/a@b.co?p=555-123-4567 only")
       .toDF("text")
       .select(col("text"), TextFunctions.piiRedact(col("text")).as("red"),
         TextFunctions.piiCounts(col("text")).as("c"))
@@ -68,10 +69,15 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(red(2) == "call <PHONE> or <PHONE> now")
     assert(red(3) == "mixed <URL> <EMAIL> <PHONE>")
     assert(red(4) == "clean text with no identifiers at all")
+    assert(red(5) == "url-embedded <URL> only")
     val c3 = rows(3).getStruct(2)
     assert((c3.getInt(0), c3.getInt(1), c3.getInt(2)) == ((1, 1, 1)))
     val c4 = rows(4).getStruct(2)
     assert((c4.getInt(0), c4.getInt(1), c4.getInt(2)) == ((0, 0, 0)))
+    // counts mirror redaction order: the email/phone INSIDE the url is
+    // one URL, not a phantom email/phone
+    val c5 = rows(5).getStruct(2)
+    assert((c5.getInt(0), c5.getInt(1), c5.getInt(2)) == ((0, 1, 0)))
   }
 
   test("q73 bloom prefilter has no false negatives and prunes most true-new docs") {
