@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Z-order layout: both dimensions must cluster. The quantitative
+  * assertion is file-containment — how many FILES hold rows matching a
+  * narrow range on each dimension. A singly-sorted layout clusters its
+  * sort column but scatters the other across ~every file; the z-order
+  * layout keeps both small. (File containment is exactly what parquet
+  * min/max pruning exploits at read time.)
+  */
+class LayoutSpec extends AnyFunSuite with SparkFixture {
+
+  private def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+    spark.read.parquet(path).filter(pred)
+      .select(input_file_name()).distinct().count()
+
+  test("z-values interleave bits correctly and preserve locality") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b")).as("z")).as[Long].collect()
+    // (1,0)->1, (0,1)->2, (1,1)->3; (3,5) = a bits 11, b bits 101:
+    // z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5 = 1+2+4+0+0+32
+    assert(rows.sameElements(Array(0L, 1L, 2L, 3L, 39L)))
+  }
+
+  test("z-ordered layout prunes files on BOTH dimensions; single-sort only on one") {
+    val nFiles = 16
+    val zDir = Files.createTempDirectory("zorder").toString
+    val sDir = Files.createTempDirectory("singlesort").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val (okLo, okHi, pkLo, pkHi) = {
+      val r = li.agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey")).head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)
+    }
+    Layout.zorderWrite(li,
+      Layout.bucketRank(col("l_orderkey"), okLo, okHi),
+      Layout.bucketRank(col("l_partkey"), pkLo, pkHi),
+      zDir, nFiles)
+    // the conventional alternative: sort by the first key only
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sDir)
+
+    // ~1/16 range predicates on each dimension
+    val okW = ((okHi - okLo) / 16).toLong; val pkW = ((pkHi - pkLo) / 16).toLong
+    val onFirst = col("l_orderkey").between(okLo.toLong + 5 * okW, okLo.toLong + 6 * okW)
+    val onSecond = col("l_partkey").between(pkLo.toLong + 5 * pkW, pkLo.toLong + 6 * pkW)
+
+    // sanity: same rows either way
+    assert(spark.read.parquet(zDir).filter(onSecond).count() ==
+           spark.read.parquet(sDir).filter(onSecond).count())
+
+    val zFirst = filesTouched(zDir, onFirst)
+    val zSecond = filesTouched(zDir, onSecond)
+    val sFirst = filesTouched(sDir, onFirst)
+    val sSecond = filesTouched(sDir, onSecond)
+    // single-sort: first dimension clusters tightly, second scatters everywhere
+    assert(sFirst <= 3, s"single-sort should cluster its sort key (touched $sFirst)")
+    assert(sSecond >= nFiles - 2, s"second dim should scatter in single-sort (touched $sSecond)")
+    // z-order: BOTH dimensions confined to a fraction of the files
+    assert(zFirst <= nFiles / 2, s"z-order first dim touched $zFirst of $nFiles")
+    assert(zSecond <= nFiles / 2, s"z-order second dim touched $zSecond of $nFiles")
+    assert(zSecond * 2 <= sSecond, s"z-order must beat single-sort on the non-sort dim ($zSecond vs $sSecond)")
+  }
+}
