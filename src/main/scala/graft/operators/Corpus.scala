@@ -190,6 +190,45 @@ object Corpus extends QueryGroup {
       ORDER BY doc_id
     """)),
 
+    // Benchmark decontamination (the Pile/GPT-3 hygiene step): count
+    // each training doc's distinct word-3-grams (8-13 in production; 3 so
+    // the small synthetic vocab yields real overlap) that also appear in
+    // the benchmark set (here: doc_id % 100 == 0 stands in for the
+    // eval suite), flag docs above 5% overlap. The benchmark gram set
+    // is tiny → broadcast semi-join; the corpus side shuffles once per
+    // keyed aggregation. At 100 TB the benchmark set stays broadcast
+    // (eval suites are MBs) — per-doc cost is linear in grams.
+    ("q85_decontamination", (s, d) => {
+      val grams = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+      val bench = grams.filter(col("doc_id") % 100 === 0).select("g").distinct()
+      val corpus = grams.filter(col("doc_id") % 100 =!= 0)
+      val matched = corpus.join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+      corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(matched, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_matched"))
+        .withColumn("contaminated", col("n_matched") * 20 >= col("n_grams"))
+        .select("doc_id", "n_grams", "n_matched", "contaminated")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct([array_to_string(t[i : i + 2], ' ')
+                                         for i in generate_series(1, len(t) - 2)])) AS g
+            FROM toks WHERE len(t) >= 3),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0),
+      corpus AS (SELECT * FROM g WHERE doc_id % 100 <> 0),
+      m AS (SELECT doc_id, count(*) AS n_matched FROM corpus
+            WHERE g IN (SELECT g FROM bench) GROUP BY doc_id),
+      t2 AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+      SELECT t2.doc_id, t2.n_grams, COALESCE(m.n_matched, 0) AS n_matched,
+             COALESCE(m.n_matched, 0) * 20 >= t2.n_grams AS contaminated
+      FROM t2 LEFT JOIN m USING (doc_id)
+      ORDER BY doc_id
+    """)),
+
     ("q74_bigram_topk", (s, d) => {
       Tables.fanOut(Tables.documents(s, d))
         .select(tokens(col("text")).as("t"))
