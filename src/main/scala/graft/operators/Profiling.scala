@@ -103,6 +103,35 @@ object Profiling extends QueryGroup {
       ORDER BY prev_type, event_type
     """)),
 
+    // Weekly cohort retention: users grouped by first-seen week, then
+    // distinct-active counts at week offsets 0..3 — two keyed
+    // aggregations and one user-keyed join, no per-week self-joins.
+    ("q86_cohort_retention", (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(firstSeen, "user_id")
+        .withColumn("k", expr("datediff(week, cohort) DIV 7").cast("long"))
+        .filter(col("k") <= 3)
+        .groupBy("cohort", "k")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "k")
+    }, Some("""
+      WITH f AS (SELECT user_id, min(date_trunc('week', ts::TIMESTAMP)) AS cohort
+                 FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS week FROM events),
+      j AS (SELECT a.user_id, f.cohort,
+                   datediff('day', f.cohort, a.week) // 7 AS k
+            FROM a JOIN f USING (user_id))
+      SELECT cohort, k, count(DISTINCT user_id) AS n_users
+      FROM j WHERE k <= 3
+      GROUP BY cohort, k
+      ORDER BY cohort, k
+    """)),
+
     ("q84_funnel", (s, d) => {
       val stage = Tables.events(s, d).groupBy("user_id").agg(
         min(when(col("event_type") === "view", col("ts"))).as("v"),
