@@ -202,13 +202,20 @@ object Corpus extends QueryGroup {
       val grams = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
-      val bench = grams.filter(col("doc_id") % 100 === 0).select("g").distinct()
-      val corpus = grams.filter(col("doc_id") % 100 =!= 0)
-      val matched = corpus.join(broadcast(bench), Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-      corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        .join(matched, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_matched"))
+      // one pass over the corpus: a left join against the (tiny,
+      // broadcast) benchmark gram set feeds BOTH counts from a single
+      // groupBy — bench grams are distinct so the join never multiplies
+      // rows, count(hit) counts exactly the matched grams. (The
+      // previous two-aggregation form re-evaluated the tokenize→
+      // shingle→explode subtree per aggregation: DeduplicateRelations
+      // defeats exchange reuse across plan instances, same disease as
+      // q70's df self-join.) Only the 1% bench slice tokenizes twice.
+      val bench = grams.filter(col("doc_id") % 100 === 0)
+        .select("g").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_matched"))
         .withColumn("contaminated", col("n_matched") * 20 >= col("n_grams"))
         .select("doc_id", "n_grams", "n_matched", "contaminated")
         .orderBy("doc_id")

@@ -104,20 +104,26 @@ object Profiling extends QueryGroup {
     """)),
 
     // Weekly cohort retention: users grouped by first-seen week, then
-    // distinct-active counts at week offsets 0..3 — two keyed
-    // aggregations and one user-keyed join, no per-week self-joins.
+    // distinct-active counts at week offsets 0..3. ONE events scan and
+    // ONE user-keyed shuffle: the per-user distinct-week set is built
+    // with collect_set (map-side partial dedup), the cohort is its
+    // minimum, and the explode re-emits exactly one row per
+    // (user, week) — so the final count per (cohort, k) is a plain
+    // count, no distinct Expand. (The previous form scanned events
+    // twice — first-seen agg + active distinct — and joined the halves
+    // back by user.) Weeks-per-user is bounded by the corpus timespan,
+    // so the set state is small at any scale.
     ("q86_cohort_retention", (s, d) => {
-      val ev = Tables.events(s, d)
-      val firstSeen = ev.groupBy("user_id")
-        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
-      val active = ev
+      Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-        .distinct()
-      active.join(firstSeen, "user_id")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("week"))).as("weeks"))
+        .select(col("user_id"), element_at(col("weeks"), 1).as("cohort"),
+          explode(col("weeks")).as("week"))
         .withColumn("k", expr("datediff(week, cohort) DIV 7").cast("long"))
         .filter(col("k") <= 3)
         .groupBy("cohort", "k")
-        .agg(countDistinct("user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "k")
     }, Some("""
       WITH f AS (SELECT user_id, min(date_trunc('week', ts::TIMESTAMP)) AS cohort

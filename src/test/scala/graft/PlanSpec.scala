@@ -105,6 +105,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the single-partition window must run over the (tiny) per-block aggregate, not raw docs")
   }
 
+  test("q85: corpus is tokenized once — exactly two explodes (corpus + 1% bench slice)") {
+    // the round-3 shape fed two aggregations from the same grams
+    // subtree; DeduplicateRelations split it into two full tokenize
+    // passes (three Generates). The fused form keeps one corpus
+    // Generate plus the tiny bench-side one.
+    val gens = SparkEntry.queries("q85_decontamination")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+    assert(gens.size == 2, s"expected 2 Generates (corpus + bench), got ${gens.size}")
+  }
+
+  test("q86: single events scan, no join") {
+    val qe = SparkEntry.queries("q86_cohort_retention")(spark, sfDir).queryExecution
+    val scans = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 events scan, got ${scans.size}")
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"cohort retention should not join:\n${qe.optimizedPlan}")
+  }
+
+  test("q82: exact-distinct Expand runs over the fanned-out scan") {
+    val plan = SparkEntry.queries("q82_table_profile")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.nonEmpty, s"exact profile should plan an Expand:\n$plan")
+    assert(plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }.nonEmpty, s"the ×|columns| Expand partial agg must not run on a 1-task scan:\n$plan")
+  }
+
   test("q41: query side is broadcast against the corpus scan") {
     val p = plan("q41_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
