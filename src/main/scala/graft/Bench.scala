@@ -42,18 +42,34 @@ object Bench {
         val (streamRows, streamSec) = streamingThroughput(spark)
         f""""stream_rows":$streamRows,"stream_sec":$streamSec%.3f,"stream_rows_per_sec":${streamRows / streamSec}%.0f,"""
       } else ""
+    // Each query is timed TWICE and the min is recorded: the first run
+    // pays one-time codegen/Janino compilation and cold page cache, and
+    // host contention can inflate any single run 3-6x (BASELINE.md) —
+    // a single sample cannot certify a perf gate. The min of two is the
+    // steady-state estimate the per-query comparison needs.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$streamJson"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"queries":$qs,$streamJson"sf":"$sfDir"}"""
+    println(json)
+    // stdout interleaves with Spark logging under some runners and the
+    // round-3 artifact lost its head to truncation — persist the full
+    // line as a file too
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 
