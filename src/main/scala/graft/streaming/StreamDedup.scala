@@ -49,10 +49,19 @@ object StreamDedup {
 
   /** Incremental dedup against a parquet seen-set that outlives the
     * query; see the object scaladoc for the idempotency layout.
+    *
+    * Every `compactEvery` batches the run's accumulated
+    * `batch=<id>` partitions are folded into one consolidated
+    * `batch=c<id>` partition and the originals deleted, so the
+    * seen-set stays at O(compactEvery) directories per run instead of
+    * growing one directory per micro-batch forever (at a 100 ms
+    * trigger that would be ~864k directories/day — the listing and
+    * the anti-join's file-open cost would grow without bound).
     */
   def startIncremental(parsed: DataFrame, keyCol: String, outDir: String,
                        seenDir: String, checkpointDir: String,
-                       batchPeriodMs: Long = 100L): StreamingQuery = {
+                       batchPeriodMs: Long = 100L,
+                       compactEvery: Int = 16): StreamingQuery = {
     // stable per-checkpoint-lineage namespace: same across restarts of
     // this checkpoint (replay idempotency), different for any other
     // deployment (no cross-run clobbering)
@@ -81,8 +90,58 @@ object StreamDedup {
           fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/run=$runId/batch=$batchId")
           fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/run=$runId/batch=$batchId")
         } finally fresh.unpersist()
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactSeen(spark, seenDir, keyCol, runId, batchId)
       }
       .start()
+  }
+
+  /** Fold every seen-partition of THIS run except the current batch's
+    * into one consolidated `batch=c<currentBatchId>` directory, then
+    * delete the originals. Crash-safe at every point:
+    *
+    *  - the consolidated dir is complete iff its `_SUCCESS` marker
+    *    exists; a partial write from a crashed attempt is deleted and
+    *    redone (the originals are only removed AFTER a complete write,
+    *    so no key is ever lost);
+    *  - it contains only batches STRICTLY BEFORE the current one, so a
+    *    replay of the current batch — which must not see its own
+    *    previous attempt's keys — stays correct (`readSeen` excludes
+    *    `batch=<id>` by name, which cannot un-exclude keys folded into
+    *    a consolidated dir);
+    *  - a crash between the write and the deletes leaves keys present
+    *    twice (consolidated + original) — harmless to an anti-join,
+    *    and the next compaction removes the leftovers.
+    *
+    * Only this run's namespace is touched: other runs may have LIVE
+    * concurrent writers, and compacting their in-flight partitions
+    * would race their replay logic. A retired run's directories stay
+    * as its own compactions left them — already bounded.
+    */
+  private def compactSeen(spark: SparkSession, seenDir: String, keyCol: String,
+                          runId: String, currentBatchId: Long): Unit = {
+    val runPath = new org.apache.hadoop.fs.Path(s"$seenDir/run=$runId")
+    val fs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(runPath)) return
+    val compactName = s"batch=c$currentBatchId"
+    val compactPath = new org.apache.hadoop.fs.Path(runPath, compactName)
+    if (fs.exists(compactPath) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(compactPath, "_SUCCESS")))
+      fs.delete(compactPath, true) // partial write from a crashed attempt
+    val olds = fs.listStatus(runPath)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+        p.getName != s"batch=$currentBatchId" && p.getName != compactName
+      }
+    if (!fs.exists(compactPath)) {
+      if (olds.isEmpty) return
+      spark.read.option("basePath", seenDir)
+        .parquet(olds.map(_.toString).toSeq: _*)
+        .select(keyCol)
+        .write.mode(SaveMode.ErrorIfExists).parquet(compactPath.toString)
+    }
+    olds.foreach(p => fs.delete(p, true))
   }
 
   /** The seen-set scan (all runs, all batches) minus the current

@@ -80,4 +80,49 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(all.sorted.sameElements(Array("w", "x", "y", "z")),
       s"seen-set did not outlive the first query: ${all.sorted.mkString(",")}")
   }
+
+  test("compaction bounds the seen-set directory count without changing dedup") {
+    val in = tmp("sdc-in"); val out = tmp("sdc-out")
+    val seen = tmp("sdc-seen"); val ck = tmp("sdc-ck")
+    val N = 3 // compact every 3 batches; 13 batches = 4 compactions
+    // batch i emits key k$i plus a re-delivery of k${i-1} (dropped)
+    (0 until 13).foreach { i =>
+      writeKeys(in, f"b$i%02d.json", Seq(s"k$i") ++ (if (i > 0) Seq(s"k${i - 1}") else Nil))
+    }
+    val parsed = RecordStream.parseValues(
+      RecordStream.jsonDirSource(spark, in,
+        schema = RecordStream.envelope, maxFilesPerTrigger = 1),
+      RecordStream.testschema)
+    val q = StreamDedup.startIncremental(parsed, "key", out, seen, ck, compactEvery = N)
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.read.parquet(out).select("key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(emitted.toSeq == (0 until 13).map(i => s"k$i").sorted,
+      s"dedup changed under compaction: ${emitted.mkString(",")}")
+
+    // the run's seen-set must be O(compactEvery) directories, not one
+    // per micro-batch: after the batch-12 compaction only the
+    // consolidated dir plus the batches since it remain
+    val runDir = java.nio.file.Paths.get(seen).toFile.listFiles()
+      .filter(_.getName.startsWith("run=")).head
+    val batchDirs = runDir.listFiles().map(_.getName).filter(_.startsWith("batch="))
+    assert(batchDirs.length <= N + 1,
+      s"seen-set grew unbounded: ${batchDirs.sorted.mkString(",")}")
+    assert(batchDirs.exists(_.startsWith("batch=c")), "no consolidated partition written")
+
+    // and the compacted seen-set still outlives the query: a fresh
+    // deployment (new checkpoint) rejects every previously-seen key
+    val ck2 = tmp("sdc-ck2")
+    writeKeys(in, "b99.json", Seq("k5", "k12", "fresh"))
+    val parsed2 = RecordStream.parseValues(
+      RecordStream.jsonDirSource(spark, in, schema = RecordStream.envelope),
+      RecordStream.testschema)
+    val q2 = StreamDedup.startIncremental(parsed2, "key", out, seen, ck2, compactEvery = N)
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(out).select("key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(all.length == 14 && all.contains("fresh"),
+      s"compacted seen-set misread on redeploy: ${all.sorted.mkString(",")}")
+  }
 }
