@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Advanced,
     operators.Selection,
     operators.Corpus,
-    operators.Profiling)
+    operators.Profiling,
+    operators.Layout)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
 
 /** Z-order (Morton-curve) data layout for multi-dimensional data
   * skipping — the write-side half of scan performance at 100 TB.
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions._
   * fraction of z-ordered files vs ~all files of a singly-sorted
   * layout.
   */
-object Layout {
+object Layout extends QueryGroup {
 
   /** Morton z-value: interleave the low `bits` bits of two non-negative
     * int keys (a even positions, b odd). 16+16 → one long.
@@ -53,4 +54,43 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  // q87 judged query: write events z-ordered by (time, user) into a
+  // scratch layout, read it back through a TWO-SIDED predicate — one
+  // range per dimension, the access pattern z-order exists for — and
+  // return the matching rows. Result values are layout-independent
+  // (the oracle filters the raw table), so CORRECTNESS checks the
+  // round trip while LayoutSpec keeps the quantitative
+  // file-containment assert (both dimensions prune). The write is part
+  // of the measured query: this is a write-side operator.
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+    ("q87_zorder_scan", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // grid bounds from one tiny 1-row aggregate (4 longs cross the
+      // driver — same pattern as LayoutSpec; never data)
+      val r = ev.agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        min("user_id"), max("user_id")).head
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-zorder-" + Integer.toHexString(d.hashCode)).toString
+      zorderWrite(ev,
+        bucketRank(unix_micros(col("ts")), r.getLong(0).toDouble, r.getLong(1).toDouble),
+        bucketRank(col("user_id"), r.getLong(2).toDouble, r.getLong(3).toDouble),
+        dir, 16)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(3, 9) &&
+          col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type
+      FROM events
+      WHERE user_id BETWEEN 3 AND 9
+        AND ts::TIMESTAMP >= TIMESTAMP '2024-01-08'
+        AND ts::TIMESTAMP < TIMESTAMP '2024-01-15'
+      ORDER BY event_id
+    """))
+  )
 }

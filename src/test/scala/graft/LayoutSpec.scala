@@ -67,4 +67,16 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(zSecond <= nFiles / 2, s"z-order second dim touched $zSecond of $nFiles")
     assert(zSecond * 2 <= sSecond, s"z-order must beat single-sort on the non-sort dim ($zSecond vs $sSecond)")
   }
+
+  test("q87: the judged z-order round trip confines its two-sided predicate to a minority of files") {
+    SparkEntry.queries("q87_zorder_scan")(spark, sfDir).collect() // writes the layout
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-zorder-" + Integer.toHexString(sfDir.hashCode)).toString
+    val pred = col("user_id").between(3, 9) &&
+      col("ts") >= lit("2024-01-08").cast("timestamp") &&
+      col("ts") < lit("2024-01-15").cast("timestamp")
+    val total = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    val touched = filesTouched(dir, pred)
+    assert(touched * 2 <= total, s"two-sided predicate touched $touched of $total z-ordered files")
+  }
 }
