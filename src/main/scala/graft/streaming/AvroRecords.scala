@@ -3,7 +3,7 @@ package graft.streaming
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.generic.{GenericDatumReader, GenericEnumSymbol, GenericFixed, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.UserDefinedFunction
@@ -20,25 +20,24 @@ import org.apache.spark.sql.functions.udf
   *    schema JSON]` (the registry FETCH was the only part of O2 the
   *    environment blocks — the lookup-by-embedded-id semantics are
   *    preserved);
-  *  - decoded `GenericRecord`s are emitted as `GenericRecord.toString`
-  *    JSON, so the existing `RecordStream.parseValues` / `from_json`
+  *  - decoded `GenericRecord`s are emitted as spec-compliant JSON
+  *    rendered by a value-directed Jackson writer (NOT
+  *    `GenericRecord.toString`, which emits raw ISO-8859-1 escapes for
+  *    bytes/fixed and bare `NaN`/`Infinity` tokens — both invalid
+  *    JSON), so the existing `RecordStream.parseValues` / `from_json`
   *    path handles typing without one compiled-in record class. (At
   *    scale you'd decode straight to InternalRow as spark-avro does;
   *    the JSON hop trades peak decode rate for schema-agnostic
   *    composition with the rest of the pipeline and is still one pass
   *    per record.)
   *
-  * SUPPORTED SCHEMA SUBSET: record/array/map/union/enum over string,
-  * boolean, int, long, float, double, null. `GenericRecord.toString`
-  * emits union values as the plain branch value (what `from_json`
-  * expects — Avro's spec `JsonEncoder` would wrap them as
-  * `{"branch": v}` and break the downstream parse), but it does NOT
-  * produce valid JSON for `bytes`/`fixed` fields (raw ISO-8859-1
-  * escapes), so registering a schema containing those types throws
-  * `IllegalArgumentException` at UDF construction rather than silently
-  * nulling every downstream row. Non-finite float/double values
-  * (`NaN`/`Infinity`) are likewise unrepresentable in JSON and null
-  * out in `from_json`; finite values round-trip exactly.
+  * RENDERING: record → object, array → array, map → object, enum →
+  * symbol string, union → the plain branch value (what `from_json`
+  * expects — Avro's own `JsonEncoder` wraps unions as `{"branch": v}`
+  * and would break the downstream parse), `bytes`/`fixed` → base64
+  * string (type the field as STRING downstream and recover the raw
+  * bytes with `unbase64`), non-finite float/double → JSON null (JSON
+  * has no NaN/Infinity literal); finite values round-trip exactly.
   *
   * Malformed buffers (wrong magic, unknown id, truncated body) decode
   * to null — the same null-on-malformed convention as `from_json`,
@@ -64,48 +63,68 @@ object AvroRecords {
 
   /** UDF: Confluent-framed Avro bytes → JSON string (null on malformed
     * input). Readers are built once per executor per schema id via the
-    * deserialized closure's lazy map. Throws `IllegalArgumentException`
-    * here (driver-side, fail-fast) if a registry schema uses a type
-    * outside the supported subset — see the object scaladoc.
+    * deserialized closure's lazy map. Registry schemas are parsed
+    * eagerly here so an invalid schema fails fast, driver-side.
     */
   def avroJsonUdf(registry: Map[Int, String]): UserDefinedFunction = {
-    registry.foreach { case (id, json) =>
-      val schema = new Schema.Parser().parse(json)
-      unsupportedTypes(schema).headOption.foreach { t =>
-        throw new IllegalArgumentException(
-          s"AvroRecords: schema id $id uses Avro type $t, whose " +
-          "GenericRecord.toString form is not valid JSON; supported " +
-          "types: record/array/map/union/enum over " +
-          "string/boolean/int/long/float/double/null")
-      }
-    }
+    registry.foreach { case (_, json) => new Schema.Parser().parse(json) }
     val decode = new AvroJsonDecoder(registry)
     udf((bytes: Array[Byte]) => decode(bytes))
-  }
-
-  /** Avro types in `schema` whose `toString` rendering is not valid
-    * JSON (`bytes`/`fixed`). Cycle-safe via the seen-set (Avro schemas
-    * may be recursive through named record types).
-    */
-  private[streaming] def unsupportedTypes(schema: Schema): Set[Schema.Type] = {
-    val seen = scala.collection.mutable.Set[Schema]()
-    def walk(s: Schema): Set[Schema.Type] =
-      if (!seen.add(s)) Set.empty
-      else s.getType match {
-        case Schema.Type.BYTES | Schema.Type.FIXED => Set(s.getType)
-        case Schema.Type.RECORD =>
-          s.getFields.asScala.flatMap(f => walk(f.schema())).toSet
-        case Schema.Type.ARRAY => walk(s.getElementType)
-        case Schema.Type.MAP   => walk(s.getValueType)
-        case Schema.Type.UNION => s.getTypes.asScala.flatMap(walk).toSet
-        case _ => Set.empty
-      }
-    walk(schema)
   }
 
   /** Column form: `avroJson(col("value"), registry)`. */
   def avroJson(value: Column, registry: Map[Int, String]): Column =
     avroJsonUdf(registry)(value)
+
+  /** Spec-compliant JSON for a decoded Avro value, value-directed (the
+    * decoded object graph is self-identifying, so no schema plumbing):
+    * see the object scaladoc for the type mapping.
+    */
+  private[streaming] def toJson(v: Any): String = {
+    val sw = new java.io.StringWriter()
+    val gen = jsonFactory.createGenerator(sw)
+    writeJson(gen, v)
+    gen.close()
+    sw.toString
+  }
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private def writeJson(gen: com.fasterxml.jackson.core.JsonGenerator, v: Any): Unit = v match {
+    case null => gen.writeNull()
+    case r: GenericRecord =>
+      gen.writeStartObject()
+      r.getSchema.getFields.asScala.foreach { f =>
+        gen.writeFieldName(f.name()); writeJson(gen, r.get(f.pos()))
+      }
+      gen.writeEndObject()
+    case m: java.util.Map[_, _] =>
+      gen.writeStartObject()
+      m.asScala.foreach { case (k, mv) =>
+        gen.writeFieldName(String.valueOf(k)); writeJson(gen, mv)
+      }
+      gen.writeEndObject()
+    case c: java.util.Collection[_] =>
+      gen.writeStartArray()
+      c.asScala.foreach(writeJson(gen, _))
+      gen.writeEndArray()
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining())
+      b.duplicate().get(arr)
+      gen.writeString(java.util.Base64.getEncoder.encodeToString(arr))
+    case fx: GenericFixed =>
+      gen.writeString(java.util.Base64.getEncoder.encodeToString(fx.bytes()))
+    case s: CharSequence => gen.writeString(s.toString) // Utf8 + String
+    case e: GenericEnumSymbol[_] => gen.writeString(e.toString)
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) gen.writeNull() else gen.writeNumber(d.doubleValue())
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) gen.writeNull() else gen.writeNumber(f.floatValue())
+    case i: java.lang.Integer => gen.writeNumber(i.intValue())
+    case l: java.lang.Long    => gen.writeNumber(l.longValue())
+    case b: java.lang.Boolean => gen.writeBoolean(b.booleanValue())
+    case other => gen.writeString(other.toString) // defensive: never emit invalid JSON
+  }
 
   private class AvroJsonDecoder(registry: Map[Int, String]) extends Serializable {
     @transient private lazy val readers: java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[GenericRecord]] =
@@ -129,7 +148,7 @@ object AvroRecords {
           case Some(r) =>
             try {
               val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
-              r.read(null.asInstanceOf[GenericRecord], dec).toString // JSON for the validated subset
+              toJson(r.read(null.asInstanceOf[GenericRecord], dec))
             } catch { case scala.util.control.NonFatal(_) => null }
         }
       }

@@ -81,21 +81,52 @@ class AvroSpec extends AnyFunSuite with SparkFixture {
     assert(jsons.exists(_.contains("OnlyName")))
   }
 
-  test("schemas with bytes/fixed fields are rejected at UDF construction, not silently nulled") {
-    val bytesSchema =
-      """{"type":"record","name":"blob","fields":[{"name":"payload","type":"bytes"}]}"""
-    val err = intercept[IllegalArgumentException] {
-      AvroRecords.avroJsonUdf(Map(1 -> bytesSchema))
-    }
-    assert(err.getMessage.contains("BYTES"))
-    val fixedNested =
-      """{"type":"record","name":"outer","fields":[{"name":"inner","type":
-        |{"type":"array","items":{"type":"fixed","name":"f16","size":16}}}]}""".stripMargin
-    intercept[IllegalArgumentException] {
-      AvroRecords.avroJsonUdf(Map(1 -> fixedNested))
-    }
-    // the supported subset (incl. unions + nested records) still constructs
-    AvroRecords.avroJsonUdf(Map(1 -> testschemaJson))
-    succeed
+  test("bytes and fixed fields render as base64 and round-trip through unbase64") {
+    import org.apache.spark.sql.functions.{col, from_json, unbase64}
+    import spark.implicits._
+    val blobJson =
+      """{"type":"record","name":"blob","fields":[
+        |{"name":"payload","type":"bytes"},
+        |{"name":"tag","type":{"type":"fixed","name":"f4","size":4}}]}""".stripMargin
+    val schema = new Schema.Parser().parse(blobJson)
+    val rec = new GenericData.Record(schema)
+    val payload = Array[Byte](0, 1, -2, 127, -128, 33) // full signed range incl. non-ASCII
+    val tag = Array[Byte](9, 8, 7, 6)
+    rec.put("payload", java.nio.ByteBuffer.wrap(payload))
+    rec.put("tag", new GenericData.Fixed(schema.getField("tag").schema(), tag))
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val row = Seq(AvroRecords.frame(5, out.toByteArray)).toDF("value")
+      .select(AvroRecords.avroJson(col("value"), Map(5 -> blobJson)).as("json"))
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL("payload STRING, tag STRING")).as("r"))
+      .select(unbase64(col("r.payload")).as("payload"), unbase64(col("r.tag")).as("tag"))
+      .head()
+    assert(row.getAs[Array[Byte]]("payload").sameElements(payload),
+      "bytes field must survive the base64 round trip")
+    assert(row.getAs[Array[Byte]]("tag").sameElements(tag),
+      "fixed field must survive the base64 round trip")
+  }
+
+  test("non-finite doubles render as JSON null (GenericRecord.toString would emit bare NaN)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dJson =
+      """{"type":"record","name":"m","fields":[
+        |{"name":"x","type":"double"},{"name":"y","type":"double"}]}""".stripMargin
+    val schema = new Schema.Parser().parse(dJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("x", Double.NaN)
+    rec.put("y", 2.5d)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val json = Seq(AvroRecords.frame(6, out.toByteArray)).toDF("value")
+      .select(AvroRecords.avroJson(col("value"), Map(6 -> dJson)).as("json"))
+      .head().getString(0)
+    assert(json == """{"x":null,"y":2.5}""", json)
   }
 }
