@@ -84,6 +84,12 @@ object Profiling extends QueryGroup {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     }),
 
+    // The 100 TB profile form, judged under the driver's rows-only
+    // check (HLL estimates differ across engines, so no value oracle;
+    // CorpusSpec holds it to the exact profile within HLL error): same
+    // single scan, mergeable sketches instead of the ×|columns| Expand.
+    ("q88_table_profile_approx", (s, d) => profileApprox(Tables.fanOut(Tables.orders(s, d))), None),
+
     ("q83_transition_counts", (s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(s, d)

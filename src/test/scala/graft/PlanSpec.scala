@@ -140,6 +140,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }.nonEmpty, s"the ×|columns| Expand partial agg must not run on a 1-task scan:\n$plan")
   }
 
+  test("q88: approx profile plans NO Expand — the scale form of q82") {
+    val plan = SparkEntry.queries("q88_table_profile_approx")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.isEmpty, s"HLL profile must not multiply rows:\n$plan")
+  }
+
   test("q41: query side is broadcast against the corpus scan") {
     val p = plan("q41_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
