@@ -22,11 +22,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - [[startIncremental]]: `foreachBatch` dedup against a persistent
   *    parquet seen-set — the regime where the dedup horizon must
   *    OUTLIVE the streaming query (re-deployments, multiple writers,
-  *    batch+streaming sharing one corpus). Each micro-batch
-  *    anti-joins the (small) batch against the seen-set scan and
-  *    appends the survivors to both the output and the seen-set. At
-  *    100 TB the seen-set side is pruned with a bloom prefilter
-  *    exactly like q73 before the anti-join shuffle.
+  *    batch+streaming sharing one corpus). Each micro-batch is
+  *    prefiltered through a persistent bloom sketch of the seen keys
+  *    (q73's pattern): keys the sketch rules out are definitely new
+  *    and skip the seen-set entirely, so a steady-state batch with no
+  *    suspected re-deliveries costs ZERO seen-set IO; only suspected
+  *    dups (true dups + the sketch's ~1% false positives) pay the
+  *    exact anti-join verify. Survivors append to the output, the
+  *    seen-set, and the run's sketch. Per-run sketches live at
+  *    `<seenDir>/_sketch/run=<ckId>` (the `_` prefix keeps them out
+  *    of partition discovery), are written atomically (temp+rename)
+  *    BEFORE the batch's data writes — so a sketch is always a
+  *    SUPERSET of its run's committed keys and a miss is trustworthy
+  *    at every crash point (extra keys only cause harmless verify
+  *    joins). If any `run=` data directory lacks a sketch (a writer
+  *    predating sketching), the prefilter is skipped for safety and
+  *    every key takes the exact anti-join, as before.
   *
   * Write layout: `<dir>/run=<ckId>/batch=<batchId>`, where `ckId` is
   * derived from the checkpoint location. Within one checkpoint
@@ -74,26 +85,124 @@ object StreamDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(batchPeriodMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{coalesce, col, lit, not, xxhash64}
         val spark = batch.sparkSession
         val withinBatch = batch.dropDuplicates(keyCol)
         // exclude THIS batch's own seen-partition: on replay after a
         // failure between the two writes, the previous attempt's keys
         // must not anti-join the batch against itself (empty output)
-        val fresh = readSeen(spark, seenDir, keyCol, runId, batchId) match {
-          case Some(seen) => withinBatch.join(seen, Seq(keyCol), "left_anti")
-          case None       => withinBatch
+        val seenOpt = readSeen(spark, seenDir, keyCol, runId, batchId)
+        val sketchOpt = if (seenOpt.isEmpty) None else loadMergedSketch(spark, seenDir)
+        var flagged: Option[DataFrame] = None
+        val fresh = (seenOpt, sketchOpt) match {
+          case (None, _) => withinBatch
+          case (Some(seen), None) => // a run predates sketching: exact path for every key
+            withinBatch.join(seen, Seq(keyCol), "left_anti")
+          case (Some(seen), Some(sketch)) =>
+            // sketch miss ⇒ definitely new (sketches are supersets of
+            // committed keys at every crash point); only suspected dups
+            // — true dups + ~1% false positives — pay the seen-set
+            // scan + anti-join. coalesce: a null might_contain result
+            // must read as "not seen", not silently drop rows
+            val fl = withinBatch.withColumn("__maybe",
+              coalesce(graft.functions.SketchFunctions.mightContain(
+                lit(serializeSketch(sketch)), xxhash64(col(keyCol))), lit(false)))
+              .persist()
+            flagged = Some(fl)
+            if (fl.filter(col("__maybe")).isEmpty)
+              fl.drop("__maybe") // ZERO seen-set IO this batch
+            else fl.filter(not(col("__maybe"))).drop("__maybe")
+              .unionByName(fl.filter(col("__maybe")).drop("__maybe")
+                .join(seen, Seq(keyCol), "left_anti"))
         }
-        // cache: fresh is written twice; recomputing would re-run the
-        // anti-join (and re-read the seen-set) per write
+        // cache: fresh is written twice (plus the sketch aggregate);
+        // recomputing would re-run the anti-join per action
         fresh.persist()
         try {
+          // sketch FIRST: written before any data commit so it stays a
+          // superset of this run's committed keys even if the data
+          // writes crash mid-batch (replay then re-verifies exactly)
+          updateSketch(spark, seenDir, runId, fresh, keyCol)
           fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/run=$runId/batch=$batchId")
           fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/run=$runId/batch=$batchId")
-        } finally fresh.unpersist()
+        } finally {
+          fresh.unpersist()
+          flagged.foreach(_.unpersist())
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactSeen(spark, seenDir, keyCol, runId, batchId)
       }
       .start()
+  }
+
+  // Bloom sketch parameters — FIXED constants so sketches from any
+  // batch or run are merge-compatible (merging requires identical bit
+  // size and hash count). 2^23 bits = 1 MiB per run; ~1% fp at 1M keys.
+  private val SketchItems = 1000000L
+  private val SketchBits = 1L << 23
+
+  private def sketchFile(seenDir: String, runName: String) =
+    new org.apache.hadoop.fs.Path(s"$seenDir/_sketch/$runName")
+
+  /** The OR of every run's sketch, or None when any `run=` data
+    * directory lacks a sketch file (a writer predating sketching): a
+    * miss would then not be trustworthy, so the caller disables the
+    * prefilter and verifies every key exactly.
+    */
+  private def loadMergedSketch(spark: SparkSession,
+                               seenDir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val root = new org.apache.hadoop.fs.Path(seenDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val runs = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("run="))
+    if (runs.isEmpty || runs.exists(r => !fs.exists(sketchFile(seenDir, r)))) return None
+    val merged = BloomFilter.create(SketchItems, SketchBits)
+    runs.foreach { r =>
+      val in = fs.open(sketchFile(seenDir, r))
+      try merged.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
+    }
+    Some(merged)
+  }
+
+  /** `writeTo` bytes — the same wire form `BloomFilterAggregate`
+    * produces and `BloomFilterMightContain` folds as a literal.
+    */
+  private def serializeSketch(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Fold `fresh`'s keys into this run's sketch (distributed aggregate
+    * — sketch bytes cross the driver, never data) and replace the file
+    * via temp-write + rename. A crash between the delete and the
+    * rename leaves the run sketchless, which downgrades the NEXT batch
+    * to the exact path (safe, slower) until this rewrite recurs.
+    */
+  private def updateSketch(spark: SparkSession, seenDir: String, runId: String,
+                           fresh: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.util.sketch.BloomFilter
+    val bytes = fresh
+      .agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(xxhash64(col(keyCol)), SketchItems, SketchBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf") // null when the batch has no fresh keys
+    val target = sketchFile(seenDir, s"run=$runId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target.getParent)
+    val own =
+      if (fs.exists(target)) {
+        val in = fs.open(target)
+        try BloomFilter.readFrom(in) finally in.close()
+      } else BloomFilter.create(SketchItems, SketchBits)
+    if (bytes != null)
+      own.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".run=$runId.tmp")
+    val out = fs.create(tmp, true)
+    try own.writeTo(out) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(tmp, target)
   }
 
   /** Fold every seen-partition of THIS run except the current batch's

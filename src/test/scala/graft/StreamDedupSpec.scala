@@ -125,4 +125,37 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(all.length == 14 && all.contains("fresh"),
       s"compacted seen-set misread on redeploy: ${all.sorted.mkString(",")}")
   }
+
+  test("bloom prefilter: sketches are written per run; a sketchless legacy seen-set still dedups") {
+    val in = tmp("sdb-in"); val out = tmp("sdb-out")
+    val seen = tmp("sdb-seen"); val ck = tmp("sdb-ck")
+    def drain(ckDir: String): Unit = {
+      val parsed = RecordStream.parseValues(
+        RecordStream.jsonDirSource(spark, in,
+          schema = RecordStream.envelope, maxFilesPerTrigger = 1),
+        RecordStream.testschema)
+      val q = StreamDedup.startIncremental(parsed, "key", out, seen, ckDir)
+      q.processAllAvailable(); q.stop()
+    }
+    writeKeys(in, "b1.json", Seq("a", "b"))
+    writeKeys(in, "b2.json", Seq("b", "c")) // cross-batch dup through the sketch path
+    drain(ck)
+    val sketchDir = java.nio.file.Paths.get(seen, "_sketch").toFile
+    assert(sketchDir.exists && sketchDir.listFiles().exists(_.getName.startsWith("run=")),
+      "per-run sketch file missing")
+    val emitted = spark.read.parquet(out).select("key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(emitted.toSeq == Seq("a", "b", "c"), emitted.mkString(","))
+
+    // simulate a seen-set written by a pre-sketch deployment: remove
+    // the sketches; the prefilter must disable itself (a miss would
+    // not be trustworthy) and dedup exactly
+    sketchDir.listFiles().foreach(_.delete()); sketchDir.delete()
+    writeKeys(in, "b3.json", Seq("c", "d"))
+    drain(tmp("sdb-ck2"))
+    val all = spark.read.parquet(out).select("key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted
+    assert(all.toSeq == Seq("a", "b", "c", "d"),
+      s"legacy fallback mis-deduped: ${all.mkString(",")}")
+  }
 }
