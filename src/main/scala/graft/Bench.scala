@@ -95,9 +95,13 @@ object Bench {
           "timestamp_millis(1700000000000 + id) as `timestamp`")
         .repartition(files).write.mode("overwrite").json(dir)
 
+    // Per-trigger file bound: fewer files than cores per batch caps
+    // scan parallelism at that file count (8 of 32 cores idle 3/4 of
+    // the backlog). Default = one file per core per micro-batch.
+    val filesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "32").toInt
     def drain(dir: String, ck: String): Double = {
       val parsed = streaming.RecordStream.parseValues(
-        streaming.RecordStream.jsonDirSource(spark, dir, maxFilesPerTrigger = 8),
+        streaming.RecordStream.jsonDirSource(spark, dir, maxFilesPerTrigger = filesPerTrigger),
         streaming.RecordStream.testschema)
       val t0 = System.nanoTime()
       val q = parsed.writeStream.format("noop")
