@@ -236,6 +236,54 @@ object Corpus extends QueryGroup {
       ORDER BY doc_id
     """)),
 
+    // Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    // per-doc top-bigram mass fraction and duplicate-trigram fraction,
+    // plus a keep flag. ONE tokenize pass for both gram orders — the
+    // 2- and 3-grams ride the same explode as tag-prefixed keys, then
+    // one (doc,gram) count and one per-doc rollup (two keyed shuffles,
+    // linear at any scale). Thresholds are data-scaled: production
+    // Gopher drops top2frac > 0.20; this synthetic corpus peaks at
+    // ~0.07, so the judged flag uses 0.04 (top2*25 <= n2) to exercise
+    // both outcomes. Integer-only comparisons — no float thresholds to
+    // drift cross-engine.
+    ("q89_repetition_stats", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(concat(
+          expr("transform(sequence(1, size(t) - 1), i -> concat('2|', element_at(t, i), ' ', element_at(t, i + 1)))"),
+          expr("transform(sequence(1, size(t) - 2), i -> concat('3|', element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))")
+        )).as("gr"))
+        .groupBy("doc_id", "gr").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(when(col("gr").startsWith("2|"), col("c"))).as("top2"),
+          sum(when(col("gr").startsWith("2|"), col("c"))).as("n2"),
+          sum(when(col("gr").startsWith("3|"), col("c"))).as("n3"),
+          count(when(col("gr").startsWith("3|"), lit(1))).as("d3"))
+        .select(col("doc_id"), col("top2"), col("n2"),
+          (col("n3") - col("d3")).as("dup3"), col("n3"),
+          (col("top2") * 25 <= col("n2")).as("keep"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      nz AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+      g AS (SELECT doc_id, unnest(
+             ['2|' || t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)] ||
+             ['3|' || t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] for i in generate_series(1, len(t) - 2)]) AS gr
+           FROM nz),
+      c AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id,
+             max(CASE WHEN gr LIKE '2|%' THEN c END)::BIGINT AS top2,
+             sum(CASE WHEN gr LIKE '2|%' THEN c END)::BIGINT AS n2,
+             (sum(CASE WHEN gr LIKE '3|%' THEN c END)
+              - count(CASE WHEN gr LIKE '3|%' THEN 1 END))::BIGINT AS dup3,
+             sum(CASE WHEN gr LIKE '3|%' THEN c END)::BIGINT AS n3,
+             max(CASE WHEN gr LIKE '2|%' THEN c END) * 25
+               <= sum(CASE WHEN gr LIKE '2|%' THEN c END) AS keep
+      FROM c GROUP BY doc_id
+      ORDER BY doc_id
+    """)),
+
     ("q74_bigram_topk", (s, d) => {
       Tables.fanOut(Tables.documents(s, d))
         .select(tokens(col("text")).as("t"))
