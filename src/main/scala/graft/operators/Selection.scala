@@ -28,7 +28,53 @@ object Selection extends QueryGroup {
 
   private val shardBudget = 8000L // estimated tokens per shard
 
+  /** q90 target mixture weight per source (percent); the demo policy
+    * derives it from the source number so every weight tier appears.
+    */
+  private val weightSql =
+    "CASE WHEN cast(substring(source, 4) AS INT) % 4 = 0 THEN 20 " +
+    "WHEN cast(substring(source, 4) AS INT) % 4 = 1 THEN 10 ELSE 5 END"
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    // Source-mixture rebalancing (the dataset-mixing step of training
+    // prep: The Pile / Llama-style source weights): find the largest
+    // corpus consistent with the target weights (budget = min over
+    // sources of cnt*100/w), cap each source at its share, and select
+    // deterministically by hash bucket — reproducible across runs and
+    // engines, stable under corpus growth. Two passes over documents,
+    // both scale-shaped: pass 1 aggregates (source) only — a
+    // column-pruned count scan — and produces a PER-SOURCE table
+    // (tiny, broadcast); pass 2 filters row-local against the
+    // broadcast rates. No wide shuffle anywhere.
+    ("q90_source_mixture", (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("w", expr(weightSql))
+      val stats = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      val budget = stats.agg(min(expr("cnt * 100 DIV w")).as("budget"))
+      val rates = stats.crossJoin(broadcast(budget))
+        .withColumn("n_keep", least(col("cnt"), expr("budget * w DIV 100")))
+        .select("source", "cnt", "n_keep")
+      docs.join(broadcast(rates), "source")
+        .withColumn("h", portableHash(col("doc_id").cast("string")))
+        .filter(col("h") % col("cnt") < col("n_keep"))
+        .select("doc_id", "source", "n_keep")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, source,
+                   CASE WHEN substring(source, 4)::INT % 4 = 0 THEN 20
+                        WHEN substring(source, 4)::INT % 4 = 1 THEN 10 ELSE 5 END AS w,
+                   ('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+                 FROM documents),
+      stats AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+      b AS (SELECT min(cnt * 100 // w) AS budget FROM stats),
+      r AS (SELECT source, cnt,
+                   least(cnt, (SELECT budget FROM b) * w // 100)::BIGINT AS n_keep
+            FROM stats)
+      SELECT w.doc_id, w.source, r.n_keep
+      FROM w JOIN r USING (source)
+      WHERE w.h % r.cnt < r.n_keep
+      ORDER BY w.doc_id
+    """)),
 
     ("q65_hash_sample", (s, d) => {
       Tables.documents(s, d)
