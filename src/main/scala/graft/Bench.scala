@@ -51,13 +51,18 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a run that dies 1 s in must not
+      // masquerade as a 1 s steady state. All-failed: report the max
+      // elapsed (never a flattering number) alongside the stderr lines.
+      val good = times.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

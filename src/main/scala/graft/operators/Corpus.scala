@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -247,13 +247,22 @@ object Corpus extends QueryGroup {
     // both outcomes. Integer-only comparisons — no float thresholds to
     // drift cross-engine.
     ("q89_repetition_stats", (s, d) => {
+      // the token array is bound ONCE via a single-element-array lambda
+      // and short docs yield an empty gram array (dropped by explode)
+      // instead of a Filter: a `.filter(size(tokens(text)) >= 3)` would
+      // be pushed into the scan's DataFilters with the tokenize inlined
+      // — evaluated per row, interpreted, in the 1-task pre-fanOut scan
+      // stage (the round-2 measured trap), and again in the projection
+      val grams = (t: Column) => when(size(t) >= 3, concat(
+          transform(sequence(lit(1), size(t) - 1), i =>
+            concat(lit("2|"), element_at(t, i), lit(" "), element_at(t, i + 1))),
+          transform(sequence(lit(1), size(t) - 2), i =>
+            concat(lit("3|"), element_at(t, i), lit(" "), element_at(t, i + 1),
+              lit(" "), element_at(t, i + 2)))))
+        .otherwise(array().cast("array<string>"))
       Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(concat(
-          expr("transform(sequence(1, size(t) - 1), i -> concat('2|', element_at(t, i), ' ', element_at(t, i + 1)))"),
-          expr("transform(sequence(1, size(t) - 2), i -> concat('3|', element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))")
-        )).as("gr"))
+        .select(col("doc_id"),
+          explode(flatten(transform(array(tokens(col("text"))), grams))).as("gr"))
         .groupBy("doc_id", "gr").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(
           max(when(col("gr").startsWith("2|"), col("c"))).as("top2"),

@@ -49,11 +49,22 @@ object Selection extends QueryGroup {
     // broadcast rates. No wide shuffle anywhere.
     ("q90_source_mixture", (s, d) => {
       val docs = Tables.documents(s, d).withColumn("w", expr(weightSql))
-      val stats = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-      val budget = stats.agg(min(expr("cnt * 100 DIV w")).as("budget"))
-      val rates = stats.crossJoin(broadcast(budget))
-        .withColumn("n_keep", least(col("cnt"), expr("budget * w DIV 100")))
-        .select("source", "cnt", "n_keep")
+      // per-source stats cross the driver ONCE — one row per source
+      // (sources are an enumerable registry, not data), so budget and
+      // rates are computed locally and re-broadcast as a literal
+      // table. Referencing the aggregate subtree twice instead would
+      // re-scan documents per reference (DeduplicateRelations defeats
+      // exchange reuse across plan instances — the q85 disease).
+      val stats = docs.groupBy("source", "w").agg(count(lit(1)).as("cnt")).collect()
+      val budget =
+        if (stats.isEmpty) 0L
+        else stats.map(r => r.getAs[Long]("cnt") * 100L / r.getAs[Int]("w")).min
+      import s.implicits._
+      val rates = stats.toSeq.map { r =>
+        val cnt = r.getAs[Long]("cnt")
+        val w = r.getAs[Int]("w")
+        (r.getAs[String]("source"), cnt, math.min(cnt, budget * w / 100L))
+      }.toDF("source", "cnt", "n_keep")
       docs.join(broadcast(rates), "source")
         .withColumn("h", portableHash(col("doc_id").cast("string")))
         .filter(col("h") % col("cnt") < col("n_keep"))

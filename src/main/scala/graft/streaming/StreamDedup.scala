@@ -79,6 +79,15 @@ object StreamDedup {
     val runId = java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
+    // Closure-cached sketches (rebuilt from disk on restart): the run's
+    // OWN sketch is single-writer, so the in-memory copy is exact and
+    // never re-read; OTHER runs' sketches are re-read every
+    // `compactEvery` batches — cross-writer dedup was already eventual
+    // (a racing writer's in-flight keys are invisible), this bounds the
+    // staleness window at compactEvery × trigger instead of one batch.
+    var ownSketch: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    var othersSketch: Option[Array[org.apache.spark.util.sketch.BloomFilter]] = None
+    var othersReadAt: Long = Long.MinValue
     parsed.writeStream
       .queryName("graft-stream-dedup")
       .outputMode("append")
@@ -87,50 +96,74 @@ object StreamDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.{coalesce, col, lit, not, xxhash64}
         val spark = batch.sparkSession
-        val withinBatch = batch.dropDuplicates(keyCol)
-        // exclude THIS batch's own seen-partition: on replay after a
-        // failure between the two writes, the previous attempt's keys
-        // must not anti-join the batch against itself (empty output)
-        val seenOpt = readSeen(spark, seenDir, keyCol, runId, batchId)
-        val sketchOpt = if (seenOpt.isEmpty) None else loadMergedSketch(spark, seenDir)
-        var flagged: Option[DataFrame] = None
-        val fresh = (seenOpt, sketchOpt) match {
-          case (None, _) => withinBatch
-          case (Some(seen), None) => // a run predates sketching: exact path for every key
-            withinBatch.join(seen, Seq(keyCol), "left_anti")
-          case (Some(seen), Some(sketch)) =>
-            // sketch miss ⇒ definitely new (sketches are supersets of
-            // committed keys at every crash point); only suspected dups
-            // — true dups + ~1% false positives — pay the seen-set
-            // scan + anti-join. coalesce: a null might_contain result
-            // must read as "not seen", not silently drop rows
-            val fl = withinBatch.withColumn("__maybe",
-              coalesce(graft.functions.SketchFunctions.mightContain(
-                lit(serializeSketch(sketch)), xxhash64(col(keyCol))), lit(false)))
-              .persist()
-            flagged = Some(fl)
-            if (fl.filter(col("__maybe")).isEmpty)
-              fl.drop("__maybe") // ZERO seen-set IO this batch
-            else fl.filter(not(col("__maybe"))).drop("__maybe")
-              .unionByName(fl.filter(col("__maybe")).drop("__maybe")
-                .join(seen, Seq(keyCol), "left_anti"))
-        }
-        // cache: fresh is written twice (plus the sketch aggregate);
-        // recomputing would re-run the anti-join per action
-        fresh.persist()
+        val compactDue = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+        val withinBatch = batch.dropDuplicates(keyCol).persist()
         try {
-          // sketch FIRST: written before any data commit so it stays a
-          // superset of this run's committed keys even if the data
-          // writes crash mid-batch (replay then re-verifies exactly)
-          updateSketch(spark, seenDir, runId, fresh, keyCol)
-          fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/run=$runId/batch=$batchId")
-          fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/run=$runId/batch=$batchId")
-        } finally {
-          fresh.unpersist()
-          flagged.foreach(_.unpersist())
-        }
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compactSeen(spark, seenDir, keyCol, runId, batchId)
+          if (!withinBatch.isEmpty) {
+            // exclude THIS batch's own seen-partition: on replay after a
+            // failure between the two writes, the previous attempt's keys
+            // must not anti-join the batch against itself (empty output)
+            val seenOpt = readSeen(spark, seenDir, keyCol, runId, batchId)
+            if (ownSketch.isEmpty)
+              ownSketch = Some(loadOrRebuildOwnSketch(spark, seenDir, keyCol, runId))
+            if (othersSketch.isEmpty || batchId - othersReadAt >= math.max(compactEvery, 1)) {
+              othersSketch = loadOtherSketches(spark, seenDir, runId)
+              othersReadAt = batchId
+            }
+            // coverage: prefilter only when EVERY other run has a sketch
+            // (a miss is only trustworthy then); own is always in memory
+            val sketchOpt = othersSketch.map { others =>
+              val merged = org.apache.spark.util.sketch.BloomFilter.create(SketchItems, SketchBits)
+              (others :+ ownSketch.get).foreach(merged.mergeInPlace)
+              merged
+            }
+            var flagged: Option[DataFrame] = None
+            val fresh = (seenOpt, sketchOpt) match {
+              case (None, _) => withinBatch
+              case (Some(seen), None) => // some run predates sketching: exact path for every key
+                withinBatch.join(seen, Seq(keyCol), "left_anti")
+              case (Some(seen), Some(sketch)) =>
+                // sketch miss ⇒ definitely new (sketches are supersets of
+                // committed keys at every crash point); only suspected dups
+                // — true dups + ~1% false positives — pay the seen-set
+                // scan + anti-join. coalesce: a null might_contain result
+                // must read as "not seen", not silently drop rows
+                val fl = withinBatch.withColumn("__maybe",
+                  coalesce(graft.functions.SketchFunctions.mightContain(
+                    lit(serializeSketch(sketch)), xxhash64(col(keyCol))), lit(false)))
+                  .persist()
+                flagged = Some(fl)
+                if (fl.filter(col("__maybe")).isEmpty)
+                  fl.drop("__maybe") // ZERO seen-set IO this batch
+                else fl.filter(not(col("__maybe"))).drop("__maybe")
+                  .unionByName(fl.filter(col("__maybe")).drop("__maybe")
+                    .join(seen, Seq(keyCol), "left_anti"))
+            }
+            // cache: fresh is written twice (plus the sketch aggregate);
+            // recomputing would re-run the anti-join per action
+            fresh.persist()
+            try {
+              // sketch FIRST: written before any data commit so it stays a
+              // superset of this run's committed keys even if the data
+              // writes crash mid-batch (replay then re-verifies exactly)
+              val freshBytes = fresh
+                .agg(graft.functions.SketchFunctions
+                  .bloomFilterAgg(xxhash64(col(keyCol)), SketchItems, SketchBits).as("bf"))
+                .head.getAs[Array[Byte]]("bf") // null when no fresh keys
+              if (freshBytes != null) {
+                ownSketch.get.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(freshBytes)))
+                writeSketchAtomic(spark, seenDir, runId, ownSketch.get)
+              }
+              fresh.write.mode(SaveMode.Overwrite).parquet(s"$outDir/run=$runId/batch=$batchId")
+              fresh.select(keyCol).write.mode(SaveMode.Overwrite).parquet(s"$seenDir/run=$runId/batch=$batchId")
+            } finally {
+              fresh.unpersist()
+              flagged.foreach(_.unpersist())
+            }
+          }
+        } finally withinBatch.unpersist()
+        if (compactDue) compactSeen(spark, seenDir, keyCol, runId, batchId)
       }
       .start()
   }
@@ -144,26 +177,64 @@ object StreamDedup {
   private def sketchFile(seenDir: String, runName: String) =
     new org.apache.hadoop.fs.Path(s"$seenDir/_sketch/$runName")
 
-  /** The OR of every run's sketch, or None when any `run=` data
-    * directory lacks a sketch file (a writer predating sketching): a
-    * miss would then not be trustworthy, so the caller disables the
-    * prefilter and verifies every key exactly.
+  /** This run's sketch: the file if present, else REBUILT from the
+    * run's committed seen partitions (one distributed aggregate —
+    * covers a lost/deleted sketch file without ever violating the
+    * superset invariant: seen partitions ARE the committed keys), else
+    * empty. Including a crashed previous attempt's partition of the
+    * current batch is harmless — supersets only cause verify joins.
     */
-  private def loadMergedSketch(spark: SparkSession,
-                               seenDir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+  private def loadOrRebuildOwnSketch(spark: SparkSession, seenDir: String, keyCol: String,
+                                     runId: String): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     import org.apache.spark.util.sketch.BloomFilter
+    val target = sketchFile(seenDir, s"run=$runId")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSketch(fs, target).getOrElse {
+      val runPath = new org.apache.hadoop.fs.Path(s"$seenDir/run=$runId")
+      val parts =
+        if (!fs.exists(runPath)) Array.empty[String]
+        else fs.listStatus(runPath).map(_.getPath)
+          .filter(_.getName.startsWith("batch=")).map(_.toString)
+      if (parts.isEmpty) BloomFilter.create(SketchItems, SketchBits)
+      else {
+        val bytes = spark.read.option("basePath", seenDir).parquet(parts.toSeq: _*)
+          .agg(graft.functions.SketchFunctions
+            .bloomFilterAgg(xxhash64(col(keyCol)), SketchItems, SketchBits).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        if (bytes == null) BloomFilter.create(SketchItems, SketchBits)
+        else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      }
+    }
+  }
+
+  /** Every OTHER run's sketch, or None when any other `run=` data
+    * directory lacks a readable sketch (a writer predating sketching,
+    * or a replacement racing this read): a miss would then not be
+    * trustworthy, so the caller disables the prefilter and verifies
+    * every key exactly — degrade, never corrupt.
+    */
+  private def loadOtherSketches(spark: SparkSession, seenDir: String,
+                                runId: String): Option[Array[org.apache.spark.util.sketch.BloomFilter]] = {
     val root = new org.apache.hadoop.fs.Path(seenDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val runs = fs.listStatus(root).map(_.getPath.getName).filter(_.startsWith("run="))
-    if (runs.isEmpty || runs.exists(r => !fs.exists(sketchFile(seenDir, r)))) return None
-    val merged = BloomFilter.create(SketchItems, SketchBits)
-    runs.foreach { r =>
-      val in = fs.open(sketchFile(seenDir, r))
-      try merged.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
-    }
-    Some(merged)
+    if (!fs.exists(root)) return Some(Array.empty)
+    val others = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("run=") && n != s"run=$runId")
+    val sketches = others.map(r => readSketch(fs, sketchFile(seenDir, r)))
+    if (sketches.exists(_.isEmpty)) None else Some(sketches.map(_.get))
   }
+
+  /** TOCTOU-safe sketch read: any failure (missing file, a concurrent
+    * writer mid-replace) reads as "no sketch", which callers treat as
+    * prefilter-off — safe, just slower for one batch.
+    */
+  private def readSketch(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Option[org.apache.spark.util.sketch.BloomFilter] =
+    try {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `writeTo` bytes — the same wire form `BloomFilterAggregate`
     * produces and `BloomFilterMightContain` folds as a literal.
@@ -174,35 +245,22 @@ object StreamDedup {
     out.toByteArray
   }
 
-  /** Fold `fresh`'s keys into this run's sketch (distributed aggregate
-    * — sketch bytes cross the driver, never data) and replace the file
-    * via temp-write + rename. A crash between the delete and the
-    * rename leaves the run sketchless, which downgrades the NEXT batch
-    * to the exact path (safe, slower) until this rewrite recurs.
+  /** Replace the run's sketch file via temp write + ATOMIC overwrite
+    * rename (FileContext.rename(OVERWRITE) — no delete-then-rename
+    * window in which a crash could orphan the run's sketch).
     */
-  private def updateSketch(spark: SparkSession, seenDir: String, runId: String,
-                           fresh: DataFrame, keyCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
-    import org.apache.spark.util.sketch.BloomFilter
-    val bytes = fresh
-      .agg(graft.functions.SketchFunctions
-        .bloomFilterAgg(xxhash64(col(keyCol)), SketchItems, SketchBits).as("bf"))
-      .head.getAs[Array[Byte]]("bf") // null when the batch has no fresh keys
+  private def writeSketchAtomic(spark: SparkSession, seenDir: String, runId: String,
+                                bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val target = sketchFile(seenDir, s"run=$runId")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(target.getParent)
-    val own =
-      if (fs.exists(target)) {
-        val in = fs.open(target)
-        try BloomFilter.readFrom(in) finally in.close()
-      } else BloomFilter.create(SketchItems, SketchBits)
-    if (bytes != null)
-      own.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
     val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".run=$runId.tmp")
     val out = fs.create(tmp, true)
-    try own.writeTo(out) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(tmp, target)
+    try bf.writeTo(out) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Fold every seen-partition of THIS run except the current batch's
