@@ -59,17 +59,25 @@ object Corpus extends QueryGroup {
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q69_doc_chunks", (s, d) => {
+      // token array bound ONCE via the single-element-array lambda (see
+      // q89): empty docs yield an empty chunk array dropped by explode,
+      // so no Filter exists to push the tokenize into the scan's
+      // DataFilters. The `when` also guards sequence(1, 0, stride),
+      // which would throw on an empty token array. Chunk starts are the
+      // stepped sequence 1, 1+stride, …; transform's index IS chunk_id.
+      val chunks = (t: Column) => when(size(t) > 0,
+          transform(sequence(lit(1), size(t), lit(chunkStride)), (st, i) =>
+            struct(i.cast("long").as("chunk_id"),
+              slice(t, st, lit(chunkSize)).as("chunk"))))
+        .otherwise(array().cast("array<struct<chunk_id:bigint,chunk:array<string>>>"))
       Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") > 0) // empty docs produce no chunks
-        .withColumn("chunk_id", explode(expr(s"sequence(0, (n - 1) DIV $chunkStride)")))
-        .withColumn("chunk", expr(s"slice(toks, chunk_id * $chunkStride + 1, $chunkSize)"))
+        .select(col("doc_id"),
+          explode(flatten(transform(array(tokens(col("text"))), chunks))).as("c"))
         .select(
           col("doc_id"),
-          col("chunk_id").cast("long").as("chunk_id"),
-          size(col("chunk")).cast("long").as("chunk_tokens"),
-          array_join(col("chunk"), " ").as("chunk_text"))
+          col("c.chunk_id").as("chunk_id"),
+          size(col("c.chunk")).cast("long").as("chunk_tokens"),
+          array_join(col("c.chunk"), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     }, Some(s"""
       WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -294,12 +302,14 @@ object Corpus extends QueryGroup {
     """)),
 
     ("q74_bigram_topk", (s, d) => {
+      // lambda-bound token array (see q69/q89): short docs produce an
+      // empty bigram array instead of a scan-pushed tokenize Filter
+      val bigrams = (t: Column) => when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1), i =>
+            concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
       Tables.fanOut(Tables.documents(s, d))
-        .select(tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-          .as("bigram"))
+        .select(explode(flatten(transform(array(tokens(col("text"))), bigrams))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(50)
     }, Some(s"""

@@ -117,6 +117,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(gens.size == 2, s"expected 2 Generates (corpus + bench), got ${gens.size}")
   }
 
+  test("q69/q74/q89: no tokenize pushed into the scan's DataFilters") {
+    // `.filter(size(tokens(text)) >= k)` after a tokens projection gets
+    // alias-substituted and pushed into the parquet scan as a
+    // DataFilter — the split pipeline then runs per row, interpreted,
+    // in the pre-fanOut scan stage AND again in the projection. The
+    // lambda-bound empty-array form removes the Filter entirely.
+    def leafScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leafScans(a.inputPlan) // AQE hides the inner plan from collect
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leafScans)
+    }
+    for (q <- Seq("q69_doc_chunks", "q74_bigram_topk", "q89_repetition_stats")) {
+      val scans = leafScans(
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan)
+      assert(scans.nonEmpty, s"$q: expected a parquet scan")
+      scans.foreach(s => assert(s.dataFilters.isEmpty,
+        s"$q: scan must carry no DataFilters, got ${s.dataFilters}"))
+    }
+  }
+
   test("q86: single events scan, no join") {
     val qe = SparkEntry.queries("q86_cohort_retention")(spark, sfDir).queryExecution
     val scans = qe.optimizedPlan.collect {
