@@ -321,6 +321,73 @@ object Corpus extends QueryGroup {
       GROUP BY bigram
       ORDER BY cnt DESC, bigram
       LIMIT 50
+    """)),
+
+    // ExactSubstr-style duplicate-span statistics (the dedup shape of
+    // Lee et al. 2021, "Deduplicating Training Data Makes Language
+    // Models Better", at K=8 token granularity): every K-gram whose
+    // first corpus occurrence (lowest (doc_id, pos)) is elsewhere marks
+    // a duplicate span [pos, pos+K-1]; overlapping spans merge via
+    // gaps-and-islands and the merged token mass is what ExactSubstr
+    // would cut from the doc. Two keyed shuffles (gram, then doc) and
+    // two per-doc windows — linear at any scale; no pair join exists
+    // anywhere (the gram relation IS the index). Production would key
+    // the gram shuffle on a 128-bit fingerprint instead of the joined
+    // string; the string keeps the oracle engine-portable here. Docs
+    // with no duplicated span produce no row (explode semantics), which
+    // is the useful output: the removal worklist.
+    ("q91_dup_spans", (s, d) => {
+      val K = 8
+      // lambda-bound token array (see q69/q89): short docs yield an
+      // empty gram array, not a scan-pushed tokenize Filter
+      val gramsOf = (t: Column) => when(size(t) >= K,
+          transform(sequence(lit(1), size(t) - (K - 1)), i =>
+            struct(i.as("pos"), array_join(slice(t, i, lit(K)), " ").as("g"),
+              size(t).as("n"))))
+        .otherwise(array().cast("array<struct<pos:int,g:string,n:int>>"))
+      val grams = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(flatten(transform(array(tokens(col("text"))), gramsOf))).as("c"))
+        .select(col("doc_id"), col("c.pos").as("pos"), col("c.g").as("g"), col("c.n").as("n"))
+      val dup = grams
+        .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("doc_id", "pos")))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), col("n"), col("pos").as("s"), (col("pos") + (K - 1)).as("e"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("s")
+      dup
+        .withColumn("brk", when(col("s") > coalesce(
+            max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(-1)),
+          1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(wDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(max("n").as("n"), min("s").as("ms"), max("e").as("me"))
+        .groupBy("doc_id")
+        .agg(max("n").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_dup_spans"),
+          sum(col("me") - col("ms") + 1).cast("long").as("dup_tokens"))
+        .withColumn("dup_frac",
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+      idx AS (SELECT doc_id, t, n, unnest(generate_series(1, n - 7)) AS pos FROM base),
+      gs AS (SELECT doc_id, n, pos, array_to_string(t[pos : pos + 7], ' ') AS g FROM idx),
+      dup AS (SELECT doc_id, n, pos AS s, pos + 7 AS e FROM gs
+              QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1),
+      mk AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk FROM dup),
+      isl AS (SELECT *, sum(brk) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk),
+      m AS (SELECT doc_id, island, max(n) AS n, min(s) AS ms, max(e) AS me
+            FROM isl GROUP BY 1, 2)
+      SELECT doc_id, max(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_dup_spans,
+             sum(me - ms + 1)::BIGINT AS dup_tokens,
+             (sum(me - ms + 1)::DOUBLE / max(n)::DOUBLE) AS dup_frac
+      FROM m GROUP BY doc_id ORDER BY doc_id
     """))
   )
 }

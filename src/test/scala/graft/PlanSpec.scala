@@ -130,7 +130,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
       case other => other.children.flatMap(leafScans)
     }
-    for (q <- Seq("q69_doc_chunks", "q74_bigram_topk", "q89_repetition_stats")) {
+    for (q <- Seq("q69_doc_chunks", "q74_bigram_topk", "q89_repetition_stats",
+                  "q91_dup_spans")) {
       val scans = leafScans(
         SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan)
       assert(scans.nonEmpty, s"$q: expected a parquet scan")
