@@ -420,6 +420,135 @@ object Similarity extends QueryGroup {
       FROM m, generate_series(1, 64) g(i)
       GROUP BY cid, i
       ORDER BY cid, pos
+    """)),
+
+    // ------------------------------------------------------- product quantization + ADC search (round 4)
+    // The memory scale path past int8 (q63): each vector becomes M=8
+    // subspace codes (5 bits each here — 32 centroids/subspace), so the
+    // searched corpus is CODES, not floats — at 100 TB the scan
+    // touches ~1 byte/vector/subspace plus a broadcast distance table.
+    // Codebooks are trained with ONE deterministic Lloyd step per
+    // subspace (seed = vec_id < 8 subvectors, the q81 recipe:
+    // sequential-fold distances, min-struct argmin, quant6 centroid
+    // means), then vectors are encoded against the updated codebooks
+    // and queries shortlist by asymmetric distance — the sum of
+    // per-subspace query↔centroid squared-L2 looked up by code — then
+    // exact-re-rank the top-50 (the production PQ shape). Per-subspace
+    // distances are floored to integer micro-units BEFORE the sum so
+    // the M-way addition is order-free (long arithmetic) and the whole
+    // index — train, encode, search — hash-matches the oracle, which
+    // replays it bit-for-bit. In production the train pass runs on a
+    // sample and codes/codebooks persist; here the single query fuses
+    // build + search so the oracle can see the whole lifecycle.
+    ("q92_pq_adc_topk", (s, d) => {
+      val M = 8; val sub = 8; val seeds = 32; val rerankDepth = 50
+      // single-split scan (no fanOut): centroid avg must accumulate in
+      // file order to match DuckDB's sequential sum (q44/q81 precedent)
+      val slices = array((0 until M).map(m =>
+        transform(slice(col("embedding"), m * sub + 1, sub), x => x.cast("double"))): _*)
+      val svd = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(slices).as(Seq("m", "sd")))
+      val init = svd.filter(col("vec_id") < seeds)
+        .select(col("m"), col("vec_id").as("cid"), col("sd").as("cv"))
+      def sqd(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      def assign(to: DataFrame): DataFrame = svd.join(broadcast(to), Seq("m"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(sqd(col("sd"), col("cv")).as("dist"), col("cid"))).as("a"),
+             first(col("sd")).as("sd"))
+        .select(col("vec_id"), col("m"), col("a.cid").as("cid"), col("sd"))
+      val upd = assign(init)
+        .select(col("m"), col("cid"), posexplode(col("sd")).as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos").agg(quant6(avg(col("x"))).as("c"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+      val codes = assign(upd).select(col("vec_id"), col("m"), col("cid"))
+      val dtab = svd.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("m"), col("sd"))
+        .join(broadcast(upd), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"),
+          floor(sqd(col("sd"), col("cv")) * 1000000.0 + 0.5).cast("long").as("dq"))
+      // ADC shortlist (top-50 by code distance) → exact re-rank, the
+      // production PQ shape: codes prune 90% of the corpus, floats are
+      // fetched only for the shortlist (recall@10 0.30 → 0.74 here)
+      val ws = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("neighbor_id"))
+      val shortlist = codes.join(broadcast(dtab), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dq")).as("approx_dist"))
+        .withColumn("rs", row_number().over(ws))
+        .filter(col("rs") <= rerankDepth)
+        .select("query_id", "neighbor_id")
+      val emb64 = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qv = emb64.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      emb64.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), sqd(col("v"), col("qv")).as("dist"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "neighbor_id", "dist")
+        .orderBy("query_id", "rk")
+    }, Some(s"""
+      WITH svd AS (
+        SELECT vec_id, m,
+               list_transform(embedding[m * 8 + 1 : m * 8 + 8], x -> x::DOUBLE) AS sd
+        FROM embeddings, generate_series(0, 7) g(m)
+      ),
+      init AS (SELECT m, vec_id AS cid, sd AS cv FROM svd WHERE vec_id < 32),
+      a1 AS (
+        SELECT v.vec_id, v.m, i.cid,
+               list_sum([(v.sd[j] - i.cv[j]) * (v.sd[j] - i.cv[j])
+                         for j in generate_series(1, 8)]) AS dist
+        FROM svd v JOIN init i USING (m)
+      ),
+      asg AS (SELECT vec_id, m, cid FROM a1
+              QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      upd AS (
+        SELECT m, cid, list(c ORDER BY pos) AS cv FROM (
+          SELECT a.m, a.cid, j - 1 AS pos,
+                 ${quant6Sql("avg(v.sd[j])")} AS c
+          FROM asg a JOIN svd v USING (vec_id, m), generate_series(1, 8) g(j)
+          GROUP BY a.m, a.cid, j)
+        GROUP BY m, cid
+      ),
+      a2 AS (
+        SELECT v.vec_id, v.m, u.cid,
+               list_sum([(v.sd[j] - u.cv[j]) * (v.sd[j] - u.cv[j])
+                         for j in generate_series(1, 8)]) AS dist
+        FROM svd v JOIN upd u USING (m)
+      ),
+      codes AS (SELECT vec_id, m, cid FROM a2
+                QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      dtab AS (
+        SELECT q.vec_id AS query_id, q.m, u.cid,
+               floor(list_sum([(q.sd[j] - u.cv[j]) * (q.sd[j] - u.cv[j])
+                               for j in generate_series(1, 8)]) * 1000000.0 + 0.5)::BIGINT AS dq
+        FROM svd q JOIN upd u USING (m) WHERE q.vec_id < $numQueries
+      ),
+      scored AS (
+        SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.dq)::BIGINT AS approx_dist
+        FROM codes c JOIN dtab d ON d.m = c.m AND d.cid = c.cid
+        WHERE c.vec_id <> d.query_id
+        GROUP BY 1, 2
+      ),
+      sl AS (SELECT query_id, neighbor_id FROM scored
+             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) <= 50),
+      ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+      rr AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               list_sum([(c.v[j] - q.v[j]) * (c.v[j] - q.v[j])
+                         for j in generate_series(1, 64)]) AS dist
+        FROM sl JOIN ev q ON q.vec_id = sl.query_id JOIN ev c ON c.vec_id = sl.neighbor_id
+      )
+      SELECT query_id, rk, neighbor_id, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) rk
+            FROM rr) t
+      WHERE rk <= $topK
+      ORDER BY query_id, rk
     """))
   )
 

@@ -83,6 +83,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.2, f"mean recall@10 $mean%.3f below floor")
   }
 
+  test("q92 PQ-ADC recall@10 vs exact L2 clears the floor") {
+    import org.apache.spark.sql.functions._
+    // exact squared-L2 top-10 baseline (PQ approximates L2, not cosine,
+    // so q41 is the wrong yardstick)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, v) => a + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val pq = SparkEntry.queries("q92_pq_adc_topk")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = exact.map { case (k, ex) =>
+      pq.get(k).map(an => (an intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // 40-bit codes + exact re-rank of the ADC top-50; near-random
+    // embeddings cap what any code can resolve — floor guards mechanism
+    assert(mean >= 0.5, f"mean PQ recall@10 $mean%.3f below floor")
+  }
+
   test("q58 LSH cosine pairs are a subset of exact q42 with bounded recall loss") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
