@@ -189,6 +189,48 @@ object TextAnalysis extends QueryGroup {
              (length(text) + 3) // 4                                           AS est_tokens_chars4
       FROM documents
       ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ unigram-rarity quality score (round 4)
+    // The inverse-frequency half of a perplexity-style curation signal
+    // (rare-token-heavy docs are outliers; common-token-only docs are
+    // boilerplate). Per token: floor(1e9 / tf) — inverse corpus
+    // frequency in integer nano-units, so the per-doc sum is LONG
+    // arithmetic: order-free across partitions and bit-identical
+    // cross-engine (a float sum would depend on shuffle arrival order;
+    // ln() differs by ulps between libm and the JVM, the q70 lesson).
+    // Deliberately N-free: normalizing by corpus size would cost a
+    // second full tokenize pass (the q85 disease) for a constant that
+    // doesn't change within-corpus ranking. ONE tokenize pass: corpus
+    // tf is a term-partitioned window count over the exploded relation,
+    // then one doc-keyed aggregation — two keyed shuffles, linear at
+    // any scale.
+    ("q93_unigram_rarity", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .withColumn("tf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(floor(lit(1000000000L) / col("tf")).cast("long")).as("rarity_nano"))
+        .select(col("doc_id"), col("n_tokens"), col("rarity_nano"),
+          (col("rarity_nano").cast("double") / col("n_tokens").cast("double"))
+            .as("rarity_per_token"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tk AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM documents
+      ),
+      tf AS (SELECT doc_id, count(*) OVER (PARTITION BY term) AS tf FROM tk),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(floor(1000000000 / tf))::BIGINT AS rarity_nano
+        FROM tf GROUP BY doc_id
+      )
+      SELECT doc_id, n_tokens, rarity_nano,
+             rarity_nano::DOUBLE / n_tokens::DOUBLE AS rarity_per_token
+      FROM agg ORDER BY doc_id
     """))
   )
 
