@@ -388,6 +388,52 @@ object Corpus extends QueryGroup {
              sum(me - ms + 1)::BIGINT AS dup_tokens,
              (sum(me - ms + 1)::DOUBLE / max(n)::DOUBLE) AS dup_frac
       FROM m GROUP BY doc_id ORDER BY doc_id
+    """)),
+
+    // End-to-end curation export — the "ship it to the trainer" query
+    // composing the library's corpus operators in ONE plan: exact dedup
+    // (first doc per md5 digest wins), policy + length gates, and
+    // overlapping chunking with provenance (source, lang) carried
+    // through. One scan, one digest-keyed shuffle (the unavoidable
+    // dedup cost — text crosses the wire exactly once), then pure
+    // per-row work: the gates live INSIDE the chunk lambda (fail ⇒
+    // empty array ⇒ dropped by explode), so no Filter exists for
+    // Catalyst to push a tokenize into the scan (the q69/q89 pattern).
+    ("q94_curation_export", (s, d) => {
+      val banned = array(policyTerms.map(lit): _*)
+      val chunksIf = (t: Column) => when(
+          size(t) >= 8 && !arrays_overlap(t, banned),
+          transform(sequence(lit(1), size(t), lit(chunkStride)), (st, i) =>
+            struct(i.cast("long").as("chunk_id"),
+              slice(t, st, lit(chunkSize)).as("chunk"))))
+        .otherwise(array().cast("array<struct<chunk_id:bigint,chunk:array<string>>>"))
+      Tables.fanOut(Tables.documents(s, d))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(flatten(transform(array(tokens(col("text"))), chunksIf))).as("c"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("c.chunk_id").as("chunk_id"),
+          size(col("c.chunk")).cast("long").as("chunk_tokens"),
+          array_join(col("c.chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }, Some(s"""
+      WITH surv AS (
+        SELECT doc_id, source, lang, text FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      ),
+      toks AS (SELECT doc_id, source, lang, $toksSql AS t FROM surv),
+      ok AS (SELECT * FROM toks
+             WHERE len(t) >= 8 AND len(list_intersect(t, ['slow', 'merge', 'drop'])) = 0),
+      st AS (SELECT doc_id, source, lang, t,
+                    unnest(generate_series(0, (len(t) - 1) // $chunkStride)) AS chunk_id
+             FROM ok)
+      SELECT doc_id, source, lang, chunk_id::BIGINT AS chunk_id,
+             len(t[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkSize])::BIGINT AS chunk_tokens,
+             array_to_string(t[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkSize], ' ') AS chunk_text
+      FROM st
+      ORDER BY doc_id, chunk_id
     """))
   )
 }
