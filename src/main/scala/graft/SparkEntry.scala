@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Selection,
     operators.Corpus,
     operators.Profiling,
-    operators.Layout)
+    operators.Layout,
+    operators.Salting)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,6 +91,53 @@ object Layout extends QueryGroup {
         AND ts::TIMESTAMP >= TIMESTAMP '2024-01-08'
         AND ts::TIMESTAMP < TIMESTAMP '2024-01-15'
       ORDER BY event_id
+    """)),
+
+    // Bucketed co-located join — the OTHER write-side layout operator:
+    // both fact tables are written bucketed (and sorted) 8 ways on the
+    // join key, so the sort-merge join reads bucket i against bucket i
+    // directly and NEITHER side shuffles or sorts at read time. At
+    // 100 TB this converts the daily lineitem⋈orders shuffle (the
+    // single largest exchange in the pipeline) into a pure map-side
+    // join, paid once at write time. Result values are
+    // layout-independent (oracle joins the raw parquet); PlanSpec pins
+    // the no-Exchange plan. hint("merge") keeps the demo honest — at
+    // bench scale the orders side would otherwise broadcast, which
+    // bucketing is not about. External-table form (option("path")):
+    // bucket METADATA lives in the session catalog, bytes in scratch.
+    ("q96_bucketed_join", (s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bucketed-$tag").toString
+      def bucketed(df: DataFrame, key: String, name: String): DataFrame = {
+        val table = s"graft_${name}_$tag"
+        if (!s.catalog.tableExists(table) ||
+            !new java.io.File(s"$dir/$name/_SUCCESS").exists) {
+          df.write.format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$dir/$name")
+            .mode("overwrite").saveAsTable(table)
+        }
+        s.table(table)
+      }
+      val li = bucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity")),
+        "l_orderkey", "lineitem")
+      val ord = bucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", "orders")
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             round(sum(col("l_extendedprice")), 2).as("revenue"),
+             sum(col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             round(sum(l_extendedprice), 2) AS revenue,
+             sum(l_quantity)::BIGINT AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
     """))
   )
 }

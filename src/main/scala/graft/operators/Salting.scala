@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{QueryGroup, Tables}
 
 /** Skew mitigation for equi-joins: salt the skewed (large) side into
   * `saltFactor` sub-keys and replicate the small side across all salts,
@@ -15,7 +16,7 @@ import org.apache.spark.sql.functions._
   * per-row expression works since the salt only needs to spread rows,
   * not be stable across datasets.
   */
-object Salting {
+object Salting extends QueryGroup {
 
   def saltedEquiJoin(large: DataFrame, small: DataFrame,
                      largeKey: String, smallKey: String,
@@ -29,4 +30,29 @@ object Salting {
         saltedLarge("_salt") === replicatedSmall("_salt"))
       .drop("_salt")
   }
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+    // Judged form of the salted join: events (the skewed fact — hot
+    // users at 100 TB follow a power law) against customer, salted 8
+    // ways, then a nation rollup. Salting changes the shuffle layout,
+    // never the result, so the oracle is the PLAIN join+group — the
+    // hash-match proves semantic transparency. The value sum is
+    // floored to integer cents before summing: long aggregation is
+    // order-free across the salt-split partials (a double sum would
+    // depend on which salt bucket's partial lands first).
+    ("q95_salted_skew_join", (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("value"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      saltedEquiJoin(ev, cust, "user_id", "c_custkey", 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, count(*) AS n_events,
+             sum(floor(value * 100 + 0.5))::BIGINT AS value_cents
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey
+    """)))
 }

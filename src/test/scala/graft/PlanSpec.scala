@@ -140,6 +140,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q96: bucketed join has no exchange on either join key") {
+    val p = plan("q96_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+           !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed sides must not shuffle at read time:\n$p")
+  }
+
   test("q86: single events scan, no join") {
     val qe = SparkEntry.queries("q86_cohort_retention")(spark, sfDir).queryExecution
     val scans = qe.optimizedPlan.collect {
