@@ -53,6 +53,54 @@ object Advanced extends QueryGroup {
         .orderBy("o_orderstatus")
     }, None),
 
+    // ------------------------------------------------------------ count-min heavy hitters (round 4)
+    // Completes the mergeable-sketch family (bloom q73, HLL q48/q88,
+    // GK q59): estimate term frequencies from ONE distributed
+    // count-min aggregate instead of a corpus-wide groupBy — the
+    // 100 TB heavy-hitters pattern. Only sketch bytes (~1 MB at
+    // eps=1e-3) cross the driver, the q73 rule; candidates come from
+    // an exact pass over the 1% doc sample, and the driver probes the
+    // sketch locally for just those. Deterministic (fixed seed;
+    // counter updates commute), so the output is stable — but DuckDB
+    // has no CMS, so the check is AdvancedSpec's guarantee asserts
+    // (est ≥ exact always; bounded overestimate) rather than an oracle.
+    ("q97_cms_heavy_hitters", (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val bytes = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("term"))
+        .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val cand = Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+        .select(explode(tokens(col("text"))).as("term")).distinct()
+        .collect().map(_.getString(0)).sorted
+      import s.implicits._
+      cand.toSeq.map(t => (t, cms.estimateCount(t)))
+        .toDF("term", "est_count")
+        .orderBy(col("est_count").desc, col("term"))
+    }, None),
+
+    // ------------------------------------------------------------ mergeable HLL rollup (round 4)
+    // The incremental-distinct pattern: sketch each day ONCE, answer
+    // any coarser rollup by merging sketches — at 100 TB you never
+    // recount history, you union yesterday's sketch. DataSketches HLL
+    // register maxima commute, so per-day sketches and their union are
+    // deterministic regardless of partitioning. No oracle (DuckDB's
+    // approx sketch differs); AdvancedSpec bounds each estimate
+    // against the exact distinct count.
+    ("q98_hll_incremental", (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val perDay = daily.select(col("day").cast("string").as("period"),
+        expr("hll_sketch_estimate(sk)").as("est_users"))
+      val total = daily
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"))
+        .select(lit("total").as("period"), col("est_users"))
+      perDay.unionByName(total).orderBy("period")
+    }, None),
+
     // ------------------------------------------------------------ custom typed Aggregator (UDAF)
     ("q49_geomean_udaf", (s, d) => {
       val geomean = udaf(graft.functions.GeoMeanAgg)

@@ -16,6 +16,42 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q97 count-min estimates never undercount and overcount within eps*N slack") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("term"))
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val rows = SparkEntry.queries("q97_cms_heavy_hitters")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, est) = (r.getString(0), r.getAs[Long]("est_count"))
+      val ex = exact.getOrElse(t, 0L)
+      assert(est >= ex, s"CMS undercounted '$t': est=$est exact=$ex")
+      assert(est <= ex + (0.001 * 5 * n).ceil.toLong,
+        s"CMS overcount beyond 5*eps*N for '$t': est=$est exact=$ex n=$n")
+    }
+  }
+
+  test("q98 HLL daily/total estimates stay within 10% of exact distincts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("period"), col("user_id"))
+    val exactDaily = ev.groupBy("period").agg(countDistinct("user_id").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactTotal = ev.select("user_id").distinct().count()
+    val est = SparkEntry.queries("q98_hll_incremental")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+    assert(est.keySet == exactDaily.keySet + "total")
+    (exactDaily + ("total" -> exactTotal)).foreach { case (p, ex) =>
+      val e = est(p)
+      assert(math.abs(e - ex).toDouble / ex <= 0.1,
+        s"HLL estimate off >10% for $p: est=$e exact=$ex")
+    }
+  }
+
   test("q59 approx percentiles track exact q57 within GK-sketch rank error") {
     def byStatus(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
       .map(r => r.getAs[String]("o_orderstatus") ->
