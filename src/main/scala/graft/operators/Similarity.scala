@@ -442,11 +442,14 @@ object Similarity extends QueryGroup {
     // build + search so the oracle can see the whole lifecycle.
     ("q92_pq_adc_topk", (s, d) => {
       val M = 8; val sub = 8; val seeds = 32; val rerankDepth = 50
-      // single-split scan (no fanOut): centroid avg must accumulate in
-      // file order to match DuckDB's sequential sum (q44/q81 precedent)
+      // fanned-out scan everywhere: unlike q44/q81 (single-split scans
+      // to keep float partial-sum order), the centroid mean here sums
+      // 2^20-scaled LONGS — order-free across partitions — so every
+      // stage parallelizes. The 1e-6 input quantization is immaterial
+      // for a codebook and the oracle replays it exactly.
       val slices = array((0 until M).map(m =>
         transform(slice(col("embedding"), m * sub + 1, sub), x => x.cast("double"))): _*)
-      val svd = Tables.embeddings(s, d)
+      val svd = Tables.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), posexplode(slices).as(Seq("m", "sd")))
       val init = svd.filter(col("vec_id") < seeds)
         .select(col("m"), col("vec_id").as("cid"), col("sd").as("cv"))
@@ -459,7 +462,9 @@ object Similarity extends QueryGroup {
         .select(col("vec_id"), col("m"), col("a.cid").as("cid"), col("sd"))
       val upd = assign(init)
         .select(col("m"), col("cid"), posexplode(col("sd")).as(Seq("pos", "x")))
-        .groupBy("m", "cid", "pos").agg(quant6(avg(col("x"))).as("c"))
+        .groupBy("m", "cid", "pos")
+        .agg(quant6((sum(floor(col("x") * 1048576.0 + 0.5).cast("long")).cast("double")
+          / count(lit(1)).cast("double")) / 1048576.0).as("c"))
         .groupBy("m", "cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
@@ -510,7 +515,7 @@ object Similarity extends QueryGroup {
       upd AS (
         SELECT m, cid, list(c ORDER BY pos) AS cv FROM (
           SELECT a.m, a.cid, j - 1 AS pos,
-                 ${quant6Sql("avg(v.sd[j])")} AS c
+                 ${quant6Sql("(sum(floor(v.sd[j] * 1048576.0 + 0.5))::DOUBLE / count(*)::DOUBLE) / 1048576.0")} AS c
           FROM asg a JOIN svd v USING (vec_id, m), generate_series(1, 8) g(j)
           GROUP BY a.m, a.cid, j)
         GROUP BY m, cid
