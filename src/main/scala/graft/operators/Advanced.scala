@@ -101,6 +101,50 @@ object Advanced extends QueryGroup {
       perDay.unionByName(total).orderBy("period")
     }, None),
 
+    // ------------------------------------------------------------ CDC upsert merge (round 4)
+    // Last-write-wins MERGE — the incremental-snapshot maintenance op
+    // (Delta/Iceberg MERGE INTO, expressed Spark-native): union the
+    // snapshot (version 0) with a CDC batch (version 1, here a
+    // deterministic 1-in-97-keys update slice), keep the max-version
+    // row per key via one key-partitioned window. ONE key shuffle — at
+    // 100 TB the snapshot is bucketed by key (q96) and the CDC batch is
+    // tiny, so the window runs bucket-local with no snapshot shuffle at
+    // all. Output is a post-merge status rollup in integer cents
+    // (order-free long sums) proving updated AND untouched rows landed.
+    ("q100_upsert_merge", (s, d) => {
+      val snap = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                lit(0).as("version"))
+      val cdc = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+                (col("o_totalprice") + 10.0).as("o_totalprice"), lit(1).as("version"))
+      val wk = Window.partitionBy("o_orderkey").orderBy(col("version").desc)
+      snap.unionByName(cdc)
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("price_cents"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      WITH cdc AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 10.0 AS o_totalprice, 1 AS version
+        FROM orders WHERE o_orderkey % 97 = 0
+      ),
+      unioned AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        UNION ALL SELECT * FROM cdc
+      ),
+      merged AS (
+        SELECT * FROM unioned
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+      )
+      SELECT o_orderstatus, count(*) AS n_orders,
+             sum(floor(o_totalprice * 100 + 0.5))::BIGINT AS price_cents
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)),
+
     // ------------------------------------------------------------ custom typed Aggregator (UDAF)
     ("q49_geomean_udaf", (s, d) => {
       val geomean = udaf(graft.functions.GeoMeanAgg)

@@ -434,6 +434,50 @@ object Corpus extends QueryGroup {
              array_to_string(t[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkSize], ' ') AS chunk_text
       FROM st
       ORDER BY doc_id, chunk_id
+    """)),
+
+    // Tokenizer vocab-coverage curve — the "how big must the vocab be"
+    // step of tokenizer training: rank terms by corpus frequency and
+    // report the smallest vocab whose cumulative frequency covers each
+    // target per-mille. Integer arithmetic end to end (counts, integer
+    // cumsum, cross-multiplied threshold compare — no float division),
+    // so fully hash-oracled. The global-order window runs over the
+    // POST-AGGREGATION vocab relation (Zipf-small next to the corpus;
+    // the q66 two-pass prefix sum is the shape if vocab itself ever
+    // needs partitioning).
+    ("q99_vocab_coverage", (s, d) => {
+      val thresholds = Seq(500, 900, 950, 990)
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+      // total as a full-frame window over the SAME vocab relation — a
+      // separate agg subtree would re-tokenize the corpus (q85 disease)
+      val wr = Window.orderBy(col("tf").desc, col("term"))
+      tf.withColumn("rank", row_number().over(wr))
+        .withColumn("cum", sum("tf").over(wr.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum("tf").over(
+          wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("rank"), col("cum"), col("total"),
+          explode(array(thresholds.map(lit): _*)).as("threshold_permille"))
+        .filter(col("cum") * 1000 >= col("threshold_permille") * col("total"))
+        .groupBy("threshold_permille")
+        .agg(min("rank").cast("long").as("vocab_size"))
+        .orderBy("threshold_permille")
+    }, Some(s"""
+      WITH tk AS (SELECT unnest($toksSql) AS term FROM documents),
+      tf AS (SELECT term, count(*) AS tf FROM tk GROUP BY term),
+      r AS (SELECT term, tf,
+                   row_number() OVER (ORDER BY tf DESC, term) AS rank,
+                   sum(tf) OVER (ORDER BY tf DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(tf) OVER () AS total
+            FROM tf),
+      x AS (SELECT r.rank, r.cum, r.total, t.threshold_permille
+            FROM r
+            CROSS JOIN (SELECT unnest([500, 900, 950, 990]) AS threshold_permille) t
+            WHERE r.cum * 1000 >= t.threshold_permille * r.total)
+      SELECT threshold_permille, min(rank)::BIGINT AS vocab_size
+      FROM x GROUP BY threshold_permille ORDER BY threshold_permille
     """))
   )
 }
