@@ -48,7 +48,13 @@ object Bench {
     // a single sample cannot certify a perf gate. The min of two is the
     // steady-state estimate the per-query comparison needs.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      // ContextCleaner only removes dead shuffle files after a driver
+      // GC; a 48g heap collects rarely, so 100 queries × runs
+      // accumulate GBs of spill whose dirty-page writeback perturbs
+      // the tail of the corpus. Collect explicitly every 10 queries —
+      // OUTSIDE the timed region.
+      if (qi % 10 == 9) { System.gc(); Thread.sleep(200) }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
