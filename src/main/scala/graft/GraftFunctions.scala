@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-import graft.expressions.{FloatDotProduct, IntersectionSize, MinHashScheme, MinHashSignature, SimHash64, TokenHashArray}
+import graft.expressions.{FloatDotProduct, IntersectionSize, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
   * so `spark.sql("SELECT float_dot(a, b) ...")` works alongside the
@@ -25,6 +25,7 @@ object GraftFunctions {
       case Some(e) => foldToLong(e, "token_hashes", "mod")
     })),
     "simhash64" -> (exprs => SimHash64(exprs(0), 60)),
+    "nfc_normalize" -> (exprs => NfcNormalize({ checkArity("nfc_normalize", exprs, 1 to 1); exprs(0) })),
     "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))),
     // SQL surface over Spark's internal bloom expressions (the names
     // Catalyst itself uses, which FunctionRegistry does not expose;

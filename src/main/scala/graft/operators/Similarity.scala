@@ -554,6 +554,108 @@ object Similarity extends QueryGroup {
             FROM rr) t
       WHERE rk <= $topK
       ORDER BY query_id, rk
+    """)),
+
+    // ------------------------------------------------------- semantic dedup (SemDeDup form, round 4)
+    // Embedding-space near-duplicate removal (Abbas et al. 2023,
+    // arXiv:2303.09540): duplicates are sought only WITHIN a cluster
+    // cell (here the label cells that q44/q62 use as the coarse
+    // quantizer — at 100 TB the same join keyed by trained IVF cell
+    // ids), and a document is dropped when its cell contains a
+    // smaller-id neighbor with cosine ≥ τ. Keep-lowest-id is the
+    // deterministic stand-in for SemDeDup's keep-one-per-ε-ball; the
+    // candidate join is a cell-keyed equi-join (the dedup analog of
+    // q58's band join), so pair work is O(Σ cell²), never corpus².
+    // The anti-join evaluates cosine inside the join condition — no
+    // pair materialization, no second pass.
+    ("q101_semantic_dedup", (s, d) => {
+      val tau = 0.35
+      val e = normed(s, d)
+      val nb = e.select(col("label").as("nb_label"), col("vec_id").as("nb_id"),
+                        col("embedding").as("nb_v"), col("nrm").as("nb_nrm"))
+      e.join(nb,
+          col("nb_label") === col("label") && col("nb_id") < col("vec_id") &&
+          dot(col("nb_v"), col("embedding")) / (col("nb_nrm") * col("nrm")) >= tau,
+          "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH $normedCte,
+      dropped AS (
+        SELECT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm) >= 0.35
+      )
+      SELECT vec_id, label FROM e
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id
+    """)),
+
+    // ------------------------------------------------- prototypicality pruning (round 4)
+    // SSL-prototypes-style data pruning (Sorscher et al. 2022,
+    // arXiv:2206.14486): score each example by cosine to its cluster
+    // centroid, then prune the most prototypical decile (redundant,
+    // contributes nothing a cluster-mate doesn't) and the bottom
+    // 5% outlier tail (noise) per cell. Centroids are the q44 coarse
+    // quantizer (quant6-stabilized means, broadcast — k rows); the
+    // scoring pass is a single corpus scan, and the per-cell ranks are
+    // one (cell)-keyed window. Cut points are pure integer arithmetic
+    // (n DIV 10 / n DIV 20) so the row set is engine-portable.
+    ("q103_prototype_pruning", (s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      def dotFD(f: Column, dd: Column) =
+        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+      val wr = Window.partitionBy("label").orderBy(col("proto_cos").desc, col("vec_id"))
+      val wn = Window.partitionBy("label")
+      normed(s, d).join(broadcast(cvec), Seq("label"))
+        .select(col("vec_id"), col("label"),
+                (dotFD(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("proto_cos"))
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("action",
+          when(expr("rk <= n DIV 10"), lit("prune_easy"))
+            .when(expr("rk > n - n DIV 20"), lit("prune_outlier"))
+            .otherwise(lit("keep")))
+        .select("vec_id", "label", "proto_cos", "action")
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH $normedCte,
+      cent AS (
+        SELECT label, i - 1 AS pos,
+               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i
+      ),
+      cv AS (
+        SELECT label, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label
+      ),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * cv.cv[i]))
+                 / (e.nrm * cv.cnrm) AS proto_cos
+        FROM e JOIN cv USING (label)
+      ),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY label ORDER BY proto_cos DESC, vec_id) rk,
+               count(*) OVER (PARTITION BY label) n
+        FROM scored
+      )
+      SELECT vec_id, label, proto_cos,
+             CASE WHEN rk <= n // 10 THEN 'prune_easy'
+                  WHEN rk > n - n // 20 THEN 'prune_outlier'
+                  ELSE 'keep' END AS action
+      FROM r
+      ORDER BY vec_id
     """))
   )
 

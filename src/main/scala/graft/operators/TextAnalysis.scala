@@ -231,6 +231,47 @@ object TextAnalysis extends QueryGroup {
       SELECT doc_id, n_tokens, rarity_nano,
              rarity_nano::DOUBLE / n_tokens::DOUBLE AS rarity_per_token
       FROM agg ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------- Unicode NFC normalization (round 4)
+    // The canonical first step of text curation: byte-level dedup (q31/
+    // q32) and every hash-based operator downstream require `é` and
+    // `e`+U+0301 to be ONE representation, so normalization must run
+    // before any of them. Spark has no normalize function; this drives
+    // graft's NfcNormalize — a real-codegen UnaryExpression with an
+    // ASCII/`isNormalized` fast path, so the pass is a zero-shuffle
+    // narrow map that stays inside WholeStageCodegen (the test corpus
+    // is ASCII, so half the rows here are decorated with decomposed
+    // combining sequences to force actual composition; the other half
+    // exercises the fast path the 100 TB corpus would mostly take).
+    // Oracle: DuckDB's built-in nfc_normalize over the same decoration
+    // — both engines count code points for length(), so n_before/
+    // n_after pin the 3-codepoint collapse and norm_text pins the
+    // composed bytes themselves.
+    ("q102_nfc_normalize", (s, d) => {
+      val decorated = when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" cafe\u0301 o\u0308 A\u030A")))
+        .otherwise(col("text"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), decorated.as("raw"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.expressions.NfcNormalize(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("raw")))).as("norm_text"),
+          length(col("raw")).cast("long").as("n_before"))
+        .withColumn("n_after", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' cafe' || chr(769) || ' o' || chr(776) || ' A' || chr(778)
+                    ELSE text END AS raw
+        FROM documents
+      )
+      SELECT doc_id, nfc_normalize(raw) AS norm_text,
+             length(raw) AS n_before, length(nfc_normalize(raw)) AS n_after
+      FROM raw ORDER BY doc_id
     """))
   )
 

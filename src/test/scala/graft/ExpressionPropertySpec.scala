@@ -65,4 +65,31 @@ class ExpressionPropertySpec extends AnyFunSuite with SparkFixture {
     val diff = joined.filter(col("sh") =!= col("ref_sh")).count()
     assert(diff == 0, s"$diff random docs diverged between SimHash64 and the aggregate form")
   }
+
+  test("NfcNormalize matches java.text.Normalizer NFC on arbitrary unicode (codegen path)") {
+    import spark.implicits._
+    val texts = Seq.fill(300)(randomText()) ++ Seq(
+      "café",            // decomposed → composes to café
+      "café",             // already composed → unchanged
+      "ö Å ṩ", // multiple combining marks + s-dot
+      "", "plain ascii only", "😀 é") // surrogate pair + combining
+    val rows = texts.toDF("text").select(col("text"),
+        org.apache.spark.sql.GraftSqlBridge.column(graft.expressions.NfcNormalize(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("text")))).as("norm"))
+      .collect()
+    rows.foreach { r =>
+      val expected = java.text.Normalizer.normalize(r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == expected,
+        s"NFC mismatch for ${r.getString(0).map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
+  test("nfc_normalize is SQL-registered, composes decomposed sequences, and passes null through") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS composed, nfc_normalize(cast(NULL AS string)) AS n")
+      .collect()(0)
+    assert(r.getString(0) == "café", "decomposed e+U+0301 must compose to U+00E9")
+    assert(r.isNullAt(1), "null input must stay null")
+  }
 }

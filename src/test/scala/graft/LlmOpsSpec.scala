@@ -266,4 +266,47 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     val distinct = rows.map(_.getAs[String]("fingerprint")).distinct.length
     assert(distinct > 400, s"too many fingerprint collisions: $distinct distinct of 500")
   }
+
+  test("q101 semantic dedup keeps exactly the docs with no smaller-id within-cell neighbor at tau") {
+    val tau = 0.35
+    val kept = SparkEntry.queries("q101_semantic_dedup")(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // brute-force reference over the same cells, same sequential dot
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Any]("label"),
+                 r.getAs[Seq[Float]]("embedding").toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val expectedKept = embs.filter { case (id, lbl, v) =>
+      !embs.exists { case (id2, lbl2, v2) =>
+        lbl2 == lbl && id2 < id && dot(v2, v) / (nrm(v2) * nrm(v)) >= tau
+      }
+    }.map(_._1).toSet
+    assert(kept == expectedKept,
+      s"kept-set mismatch: extra=${kept -- expectedKept}, missing=${expectedKept -- kept}")
+    assert(kept.size < embs.length, "testdata contains within-cell near-dups; some doc must drop")
+  }
+
+  test("q103 prototype pruning: per-cell action counts follow the integer decile cuts") {
+    val rows = SparkEntry.queries("q103_prototype_pruning")(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Any]("label")).foreach { case (lbl, rs) =>
+      val n = rs.length
+      val easy = rs.filter(_.getAs[String]("action") == "prune_easy")
+      val outlier = rs.filter(_.getAs[String]("action") == "prune_outlier")
+      assert(easy.length == n / 10, s"label $lbl: ${easy.length} prune_easy, expected ${n / 10}")
+      assert(outlier.length == n / 20, s"label $lbl: ${outlier.length} prune_outlier, expected ${n / 20}")
+      rs.foreach { r =>
+        val c = r.getAs[Double]("proto_cos")
+        assert(c >= -1.0000001 && c <= 1.0000001, s"proto_cos out of range: $r")
+      }
+      // pruned-easy docs are the MOST prototypical slice of the cell
+      val keeps = rs.filter(_.getAs[String]("action") == "keep")
+      if (easy.nonEmpty && keeps.nonEmpty)
+        assert(easy.map(_.getAs[Double]("proto_cos")).min >=
+               keeps.map(_.getAs[Double]("proto_cos")).max,
+          s"label $lbl: a kept doc outranks a pruned-easy doc")
+    }
+  }
 }
