@@ -50,6 +50,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("*(1)"), s"no codegen spans:\n$p")
   }
 
+  test("q102: NFC normalization is a zero-shuffle codegen'd map over one scan") {
+    val df = SparkEntry.queries("q102_nfc_normalize")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // NfcNormalize implements doGenCode, so the normalize projection
+    // must sit INSIDE a WholeStageCodegen span, not break it the way a
+    // CodegenFallback expression would
+    assert("""\*\(\d+\) Project \[.*nfc_normalize""".r.findFirstIn(p).nonEmpty,
+      s"nfc_normalize fell out of whole-stage codegen:\n$p")
+    // the only exchanges are the deliberate fanOut round-robin (the
+    // 1-row-group scan parallelizer) and the presentation sort's range
+    // partition — the normalization itself must not key a shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected keyed shuffle in a narrow map:\n$p")
+  }
+
   test("q05/q06: semi and anti joins stay joins (no cartesian fallback)") {
     assert(!plan("q05_semi_join_f_orders").contains("CartesianProduct"))
     assert(!plan("q06_anti_join_no_orders").contains("CartesianProduct"))
