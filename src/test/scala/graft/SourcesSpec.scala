@@ -64,4 +64,31 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() == li.count())
     assert(back.schema == li.schema)
   }
+
+  test("hive-partitioned layout: partition filters prune directories at plan time") {
+    // At 100 TB the first-line scan eliminator isn't row-group min/max
+    // (LayoutSpec's z-order test) but DIRECTORY pruning on the hive
+    // partition key: a date predicate must reach PartitionFilters and
+    // cut the scanned file set before any IO is scheduled.
+    val out = tmp("src-part")
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val back = spark.read.parquet(out).filter(col("o_year") === 1995)
+    val scan = back.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty, "year predicate missed PartitionFilters")
+    val years = spark.read.parquet(out).select("o_year").distinct().count()
+    assert(years > 1, "testdata spans multiple years; partitioning is vacuous otherwise")
+    val prunedFiles = scan.selectedPartitions.totalNumberOfFiles
+    val allFiles = spark.read.parquet(out).queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get.selectedPartitions.totalNumberOfFiles
+    assert(prunedFiles < allFiles,
+      s"pruning read $prunedFiles of $allFiles files — no directories eliminated")
+    // and the values survive the layout: partition-column round trip
+    val expected = Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1995).count()
+    assert(back.count() == expected)
+  }
 }
