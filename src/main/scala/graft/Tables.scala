@@ -38,6 +38,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** One-call SQL surface: every corpus table as a temp view (the
+    * `events` view carries the nanos→micros normalization) plus all of
+    * graft's custom SQL functions — after this, the entire engine is
+    * reachable from plain `spark.sql("...")` with no DataFrame code,
+    * which is how a reference user would actually adopt the library.
+    * Temp views are metadata only (no data copied, scans still prune
+    * and push down); idempotent per session.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    GraftFunctions.register(s)
+    all.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n        => apply(s, d, n).createOrReplaceTempView(n)
+    }
+  }
+
   /** Fan a scan out to the session's shuffle parallelism before
     * CPU-heavy per-row work (tokenize+hash, per-pair dot products) —
     * but ONLY when the scan itself yields fewer partitions. A small or

@@ -53,4 +53,24 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(prices.length == 20)
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
+
+  test("registerViews exposes the whole corpus + custom functions to plain spark.sql") {
+    Tables.registerViews(spark, sfDir)
+    // cross-table join through views, custom function in the same statement
+    val row = spark.sql("""
+      SELECT count(*) AS n,
+             sum(CASE WHEN nfc_normalize(d.text) = d.text THEN 1 ELSE 0 END) AS ascii_stable
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """).head()
+    assert(row.getAs[Long]("n") > 0)
+    assert(row.getAs[Long]("ascii_stable") == row.getAs[Long]("n"),
+      "corpus text is ASCII; NFC must be identity on it")
+    // events view carries the nanos normalization: ts must be a timestamp
+    assert(spark.sql("SELECT date_trunc('hour', ts) FROM events LIMIT 1").head() != null)
+    // view scans still push down (metadata-only indirection)
+    val p = spark.sql("SELECT o_orderkey FROM orders WHERE o_orderkey = 42")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]") ||
+           p.contains("EqualTo(o_orderkey,42)"), s"view scan lost pushdown:\n$p")
+  }
 }
