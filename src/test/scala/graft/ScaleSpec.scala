@@ -84,6 +84,42 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    // q95's salting handles KNOWN-hot keys; AQE's skew-join is the
+    // runtime net for skew nobody predicted. sf-sized shuffles sit far
+    // below the production thresholds, so shrink them to prove the
+    // mechanism actually engages and preserves the join result.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 90% of left rows share key 0 (with payload so the hot shuffle
+      // partition crosses the shrunken threshold); right is tiny but
+      // un-broadcastable by config, forcing a shuffled join
+      val left = spark.range(200000).select(
+        when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), lit(1).as("m"))
+      // collect() drives joined's OWN QueryExecution (count() would
+      // plan a separate aggregate query and leave this one unexecuted,
+      // AQE never finalized). pad must survive projection pruning into
+      // the output — it's what makes the hot partition's shuffle bytes
+      // cross the skew threshold.
+      val joined = left.join(right, "k").select("k", "pad")
+      val n = joined.collect().length
+      assert(n == 180000, s"unexpected join cardinality: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val out = tmp("part-events")
     Tables.events(spark, sfDir).write.mode("overwrite")
