@@ -65,6 +65,39 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.schema == li.schema)
   }
 
+  test("malformed records: PERMISSIVE captures them, DROPMALFORMED drops them, counts reconcile") {
+    // At corpus scale some fraction of ingested JSON/CSV is always
+    // broken; a reader that throws on the first bad line cannot ingest
+    // 100 TB. Pin the two production behaviors: quarantine-and-continue
+    // (PERMISSIVE + corrupt-record column) and silent drop.
+    val dir = tmp("src-corrupt")
+    Files.write(java.nio.file.Paths.get(dir, "mixed.json"), java.util.Arrays.asList(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2, "name": "also ok"}""",
+      """{"id": 3, "name": truncated""",
+      """not json at all""",
+      """{"id": 4, "name": "fine"}"""))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, _corrupt_record STRING")
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    permissive.cache()   // corrupt-record column requires materializing the full row
+    val good = permissive.filter(col("_corrupt_record").isNull)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 3 && bad.count() == 2,
+      s"expected 3 good + 2 quarantined, got ${good.count()} + ${bad.count()}")
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 4L)))
+    // quarantined rows keep the raw line for a repair pipeline
+    assert(bad.select("_corrupt_record").collect().forall(r => r.getString(0).nonEmpty))
+    permissive.unpersist()
+    val dropped = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, name STRING"))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() == 3, s"DROPMALFORMED kept ${dropped.count()} rows, expected 3")
+  }
+
   test("hive-partitioned layout: partition filters prune directories at plan time") {
     // At 100 TB the first-line scan eliminator isn't row-group min/max
     // (LayoutSpec's z-order test) but DIRECTORY pruning on the hive
