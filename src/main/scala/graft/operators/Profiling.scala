@@ -170,6 +170,38 @@ object Profiling extends QueryGroup {
              count(*) FILTER (v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
                               AND c > v AND p > c) AS purchased_after_click
       FROM stage
+    """)),
+
+    // ------------------------------------------------- equi-width histogram (round 4)
+    // The distribution companion to q82's min/max profile: one scan,
+    // bin assignment is a per-row floor (map-side), the aggregate is 20
+    // groups, and the bin grid joins back so EMPTY bins appear as zero
+    // rows (a histogram with silent gaps misreads as continuous). The
+    // unpartitioned pct window runs over the 20-row aggregate, never
+    // the data (the q66 rule). floor(x / width) is exactly portable;
+    // the overflow bin clamps with least().
+    ("q104_histogram", (s, d) => {
+      val binW = 30000L; val nBins = 20
+      val binned = Tables.orders(s, d)
+        .select(least(lit(nBins - 1L), floor(col("o_totalprice") / binW)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+      val grid = s.range(nBins).select(col("id").as("bin"))
+      grid.join(binned, Seq("bin"), "left")
+        .select(col("bin"), (col("bin") * binW).as("lo"), ((col("bin") + 1) * binW).as("hi"),
+                coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("pct", col("n").cast("double") /
+          sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .orderBy("bin")
+    }, Some("""
+      WITH b AS (
+        SELECT least(19, floor(o_totalprice / 30000))::BIGINT AS bin, count(*) AS n
+        FROM orders GROUP BY 1),
+      g AS (SELECT i AS bin FROM generate_series(0, 19) t(i))
+      SELECT g.bin, g.bin * 30000 AS lo, (g.bin + 1) * 30000 AS hi,
+             coalesce(b.n, 0)::BIGINT AS n,
+             coalesce(b.n, 0)::DOUBLE / sum(coalesce(b.n, 0)) OVER () AS pct
+      FROM g LEFT JOIN b USING (bin)
+      ORDER BY bin
     """))
   )
 }
