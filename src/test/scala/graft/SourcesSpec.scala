@@ -98,6 +98,29 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(dropped.count() == 3, s"DROPMALFORMED kept ${dropped.count()} rows, expected 3")
   }
 
+  test("schema drift across parquet batches: mergeSchema unifies, old rows read as null") {
+    // A 100 TB corpus is written over months; later batches grow
+    // columns. The reader must unify drifted batch schemas (mergeSchema
+    // pays a per-file footer read — that's why it's opt-in) and old
+    // rows must surface the new column as null, not error.
+    val out = tmp("src-drift")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$out/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+      .write.parquet(s"$out/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score", "batch"))
+    assert(merged.count() == 4)
+    val old = merged.filter(col("batch") === 1)
+    assert(old.count() == 2 && old.filter(col("score").isNull).count() == 2,
+      "pre-drift rows must read the new column as null")
+    assert(merged.filter(col("score").isNotNull).count() == 2)
+    // without mergeSchema the footer-sampled schema wins — both modes
+    // must at least read all rows
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("hive-partitioned layout: partition filters prune directories at plan time") {
     // At 100 TB the first-line scan eliminator isn't row-group min/max
     // (LayoutSpec's z-order test) but DIRECTORY pruning on the hive
