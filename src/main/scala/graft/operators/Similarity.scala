@@ -567,7 +567,12 @@ object Similarity extends QueryGroup {
     // candidate join is a cell-keyed equi-join (the dedup analog of
     // q58's band join), so pair work is O(Σ cell²), never corpus².
     // The anti-join evaluates cosine inside the join condition — no
-    // pair materialization, no second pass.
+    // pair materialization, no second pass. Cells are also the unit of
+    // JOIN PARALLELISM, and their count is a parameter, not a plan
+    // shape: this corpus ships 10 labels, a 100 TB run trains k ≈ √N
+    // cells (the paper uses 50k for 5B docs) with exactly the
+    // oracle-demonstrated quantizer builds of q81/q92 — same join,
+    // thousands-way parallel, smaller cells.
     ("q101_semantic_dedup", (s, d) => {
       val tau = 0.35
       val e = normed(s, d)
