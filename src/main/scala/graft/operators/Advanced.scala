@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
@@ -299,6 +299,57 @@ object Advanced extends QueryGroup {
              round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
       FROM embeddings
       ORDER BY vec_id
+    """)),
+
+    // ------------------------------------------------- statistical aggregates, exact-moment form (round 4)
+    // variance / stddev / correlation / regression slope — the moment
+    // aggregates every profiler needs, in the ONLY form that hash-
+    // matches across engines: float streaming aggregates (Welford/
+    // merge) differ in ulps by partition merge order, so the moments
+    // are accumulated as EXACT integer sums (l_quantity and
+    // l_linenumber are integer-valued; products bounded ≪ 2^63 at any
+    // per-group n this corpus reaches — a planetary-scale run swaps the
+    // long sums for decimal(38) and keeps the same closed forms) and
+    // the doubles are derived at the END with identical expression
+    // structure on both sides. Map-side partial sums, one 3-group
+    // shuffle; AdvancedSpec pins equivalence to Spark's built-in
+    // var_pop/stddev_pop/corr within 1e-9.
+    ("q105_stats_moments", (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"), col("l_linenumber").cast("long").as("x"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("q") * col("x")).as("sqx"))
+      def D(c: Column) = c.cast("double")
+      val varNum = col("n") * col("sqq") - col("sq") * col("sq")
+      val xVarNum = col("n") * col("sxx") - col("sx") * col("sx")
+      val covNum = col("n") * col("sqx") - col("sq") * col("sx")
+      m.select(col("l_returnflag"), col("n"),
+          (D(col("sq")) / D(col("n"))).as("mean_qty"),
+          (D(varNum) / D(col("n") * col("n"))).as("var_pop_qty"),
+          sqrt(D(varNum) / D(col("n") * col("n"))).as("stddev_pop_qty"),
+          (D(covNum) / (sqrt(D(varNum)) * sqrt(D(xVarNum)))).as("corr_qty_line"),
+          (D(covNum) / D(xVarNum)).as("slope_qty_on_line"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH m AS (
+        SELECT l_returnflag, count(*)::BIGINT n,
+               sum(l_quantity::BIGINT)::BIGINT sq,
+               sum((l_quantity::BIGINT) * (l_quantity::BIGINT))::BIGINT sqq,
+               sum(l_linenumber::BIGINT)::BIGINT sx,
+               sum((l_linenumber::BIGINT) * (l_linenumber::BIGINT))::BIGINT sxx,
+               sum((l_quantity::BIGINT) * (l_linenumber::BIGINT))::BIGINT sqx
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+             sq::DOUBLE / n::DOUBLE AS mean_qty,
+             (n * sqq - sq * sq)::DOUBLE / (n * n)::DOUBLE AS var_pop_qty,
+             sqrt((n * sqq - sq * sq)::DOUBLE / (n * n)::DOUBLE) AS stddev_pop_qty,
+             (n * sqx - sq * sx)::DOUBLE
+               / (sqrt((n * sqq - sq * sq)::DOUBLE) * sqrt((n * sxx - sx * sx)::DOUBLE)) AS corr_qty_line,
+             (n * sqx - sq * sx)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope_qty_on_line
+      FROM m ORDER BY l_returnflag
     """))
   )
 

@@ -174,4 +174,25 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
         spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RewriteSetIntersectionSize)
     }
   }
+
+  test("q105 exact-moment statistics agree with Spark's streaming var_pop/stddev_pop/corr") {
+    import org.apache.spark.sql.functions._
+    val mine = SparkEntry.queries("q105_stats_moments")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+              col("l_linenumber").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(var_pop(col("q")).as("v"), stddev_pop(col("q")).as("sd"),
+           corr(col("q"), col("x")).as("c"))
+      .collect()
+    assert(ref.nonEmpty)
+    ref.foreach { r =>
+      val m = mine(r.getAs[String]("l_returnflag"))
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      assert(close(m.getAs[Double]("var_pop_qty"), r.getAs[Double]("v")), s"var: $m vs $r")
+      assert(close(m.getAs[Double]("stddev_pop_qty"), r.getAs[Double]("sd")), s"stddev: $m vs $r")
+      assert(close(m.getAs[Double]("corr_qty_line"), r.getAs[Double]("c")), s"corr: $m vs $r")
+    }
+  }
 }
