@@ -31,7 +31,7 @@ object Bench {
     // Unset for the full driver run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(f => f.exists(SparkEntry.onlyMatches(n, _))) }
     // The streaming segment runs BEFORE the query corpus: 67 queries
     // leave GBs of shuffle spill whose dirty-page writeback competes
     // with the backlog scan and crushed the measured rate 10-20x.
@@ -68,13 +68,18 @@ object Bench {
       // masquerade as a 1 s steady state. All-failed: report the max
       // elapsed (never a flattering number) alongside the stderr lines.
       val good = times.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
+      (name, if (good.nonEmpty) good.min else times.map(_._1).max, good.nonEmpty)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    // all-runs-failed queries, machine-readable: stderr alone would let
+    // an automated bench comparison silently count a broken query's
+    // elapsed time as a slow success
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"queries":$qs,$streamJson"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"errors":$errs,"queries":$qs,$streamJson"sf":"$sfDir"}"""
     println(json)
     // stdout interleaves with Spark logging under some runners and the
     // round-3 artifact lost its head to truncation — persist the full

@@ -38,4 +38,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.flatMap(_.oracleSql).toMap
+
+  /** SPARK_GRAFT_ONLY selection for Verify/Bench: exact name, or the
+    * prefix up to an underscore — so ONLY=q9 selects q9_* but NOT
+    * q90–q99 (bare startsWith surprised the dev loop).
+    */
+  def onlyMatches(name: String, filter: String): Boolean =
+    name == filter || name.startsWith(filter + "_")
 }

@@ -19,7 +19,7 @@ object Verify {
     // Unset for the full driver run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(f => f.exists(SparkEntry.onlyMatches(n, _))) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

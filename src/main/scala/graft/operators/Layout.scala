@@ -72,8 +72,11 @@ object Layout extends QueryGroup {
       val r = ev.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
         min("user_id"), max("user_id")).head
+      // per-process scratch (applicationId): two concurrent processes
+      // benchmarking the same dataset must not overwrite each other's
+      // layout mid-read
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-zorder-" + Integer.toHexString(d.hashCode)).toString
+        s"graft-zorder-${s.sparkContext.applicationId}").toString
       zorderWrite(ev,
         bucketRank(unix_micros(col("ts")), r.getLong(0).toDouble, r.getLong(1).toDouble),
         bucketRank(col("user_id"), r.getLong(2).toDouble, r.getLong(3).toDouble),
@@ -106,12 +109,25 @@ object Layout extends QueryGroup {
     // bucketing is not about. External-table form (option("path")):
     // bucket METADATA lives in the session catalog, bytes in scratch.
     ("q96_bucketed_join", (s, d) => {
-      val tag = Integer.toHexString(d.hashCode)
+      // Cache key = canonical dataset path (hashCode collisions between
+      // dataset dirs must not alias tables) + applicationId (concurrent
+      // processes must not race on one scratch dir). Within a process
+      // the bucketed layout is written once and reused — sound because
+      // the key pins the exact input directory and the app; test data
+      // is immutable for a session's lifetime.
+      val canonical = new java.io.File(d).getCanonicalPath
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest((canonical + "|" + s.sparkContext.applicationId).getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
       val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bucketed-$tag").toString
       def bucketed(df: DataFrame, key: String, name: String): DataFrame = {
         val table = s"graft_${name}_$tag"
-        if (!s.catalog.tableExists(table) ||
-            !new java.io.File(s"$dir/$name/_SUCCESS").exists) {
+        // _SUCCESS through the Hadoop FS API — the write path
+        // (option("path")) is FS-agnostic, so the completeness check
+        // must be too, not a java.io.File local-disk assumption
+        val success = new org.apache.hadoop.fs.Path(s"$dir/$name/_SUCCESS")
+        val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!s.catalog.tableExists(table) || !fs.exists(success)) {
           df.write.format("parquet")
             .bucketBy(8, key).sortBy(key)
             .option("path", s"$dir/$name")

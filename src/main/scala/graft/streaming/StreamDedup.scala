@@ -85,8 +85,16 @@ object StreamDedup {
     // `compactEvery` batches — cross-writer dedup was already eventual
     // (a racing writer's in-flight keys are invisible), this bounds the
     // staleness window at compactEvery × trigger instead of one batch.
+    // The run SET is re-listed every batch (one cheap listStatus): a
+    // run that first appears after the cached load is a distinct case
+    // from a known run's sketch growing — its keys would pass the
+    // "sketch miss ⇒ definitely new" path for up to compactEvery
+    // batches and be emitted as duplicates. An unknown run directory
+    // forces an immediate reload; the compactEvery refresh covers only
+    // staleness of known runs.
     var ownSketch: Option[org.apache.spark.util.sketch.BloomFilter] = None
     var othersSketch: Option[Array[org.apache.spark.util.sketch.BloomFilter]] = None
+    var othersRuns: Set[String] = Set.empty
     var othersReadAt: Long = Long.MinValue
     parsed.writeStream
       .queryName("graft-stream-dedup")
@@ -106,8 +114,11 @@ object StreamDedup {
             val seenOpt = readSeen(spark, seenDir, keyCol, runId, batchId)
             if (ownSketch.isEmpty)
               ownSketch = Some(loadOrRebuildOwnSketch(spark, seenDir, keyCol, runId))
-            if (othersSketch.isEmpty || batchId - othersReadAt >= math.max(compactEvery, 1)) {
+            val runsNow = listOtherRuns(spark, seenDir, runId)
+            if (othersSketch.isEmpty || runsNow != othersRuns ||
+                batchId - othersReadAt >= math.max(compactEvery, 1)) {
               othersSketch = loadOtherSketches(spark, seenDir, runId)
+              othersRuns = runsNow
               othersReadAt = batchId
             }
             // coverage: prefilter only when EVERY other run has a sketch
@@ -206,6 +217,19 @@ object StreamDedup {
         else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
       }
     }
+  }
+
+  /** The set of other runs' `run=` directory names — re-listed every
+    * batch so a newly appeared run (fresh deployment, concurrent
+    * writer) invalidates the cached sketch merge immediately.
+    */
+  private def listOtherRuns(spark: SparkSession, seenDir: String,
+                            runId: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(seenDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("run=") && n != s"run=$runId").toSet
   }
 
   /** Every OTHER run's sketch, or None when any other `run=` data
