@@ -24,7 +24,9 @@ object SparkEntry {
     operators.Corpus,
     operators.Profiling,
     operators.Layout,
-    operators.Salting)
+    operators.Salting,
+    operators.Retrieval,
+    operators.Graph)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

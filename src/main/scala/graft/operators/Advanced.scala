@@ -350,6 +350,153 @@ object Advanced extends QueryGroup {
                / (sqrt((n * sqq - sq * sq)::DOUBLE) * sqrt((n * sxx - sx * sx)::DOUBLE)) AS corr_qty_line,
              (n * sqx - sq * sx)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope_qty_on_line
       FROM m ORDER BY l_returnflag
+    """)),
+
+    // ------------------------------------------------------------ SCD type-2 build (round 5)
+    // The warehouse-side companion to q100's CDC upsert: turn a change
+    // log (purchase events, per-user `value` changes over time) into a
+    // slowly-changing-dimension-2 table — change-detect with lag()
+    // (drop rows whose value equals the previous one), then tile
+    // validity intervals with lead(): valid_from = the change's ts,
+    // valid_to = the next change's ts, open interval ⇒ current row.
+    // Both window passes share one user-keyed sort order, so Spark
+    // plans a SINGLE shuffle + sort and runs the two Window operators
+    // back to back — the 100 TB cost is one exchange, independent of
+    // history length per key.
+    ("q109_scd2_build", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("prev_v", lag("value", 1).over(w))
+        .filter(col("prev_v").isNull || col("prev_v") =!= col("value"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("value"), col("ts").as("valid_from"),
+                col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }, Some("""
+      WITH p AS (
+        SELECT user_id, event_id, value, ts::TIMESTAMP AS ts,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev_v
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM p WHERE prev_v IS NULL OR prev_v <> value)
+      SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM c ORDER BY user_id, valid_from
+    """)),
+
+    // ------------------------------------------------------------ aggregate completions (round 5)
+    // The remaining everyday aggregates: string_agg/listagg (as a
+    // DETERMINISTIC sorted-distinct join — collect_set order is
+    // partition-arrival-dependent, array_sort pins it), mode with an
+    // explicit tie-break (most-frequent, ties → smallest value; both
+    // engines' built-in mode() leaves ties unspecified, so it's
+    // computed from a (flag, qty) count relation via min(struct) —
+    // map-side combinable, no per-group sort), exact median, and
+    // bool_and/bool_or/count_if. Three tiny per-flag aggregates
+    // broadcast-joined on the 3-row group key.
+    //
+    // Median at scale: NEVER a row-level window partitioned by the
+    // 3-value flag (that funnels the whole table through 3 tasks).
+    // l_quantity is low-cardinality, so the median comes from the same
+    // (flag, qty, cnt) relation the mode uses: cumulative counts over
+    // ~50 rows/flag locate the middle one-or-two VALUES, and
+    // (v1+v2)/2 — commutative-exact for 2 doubles — equals the oracle's
+    // middle-rows average bit-for-bit (n odd ⇒ v1=v2 ⇒ (v+v)/2 = v
+    // exactly). The two branches over `counts` share one physical
+    // aggregation via ReusedExchange (the q106 pattern).
+    ("q110_agg_completions", (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val base = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), "|").as("status_list"),
+        expr("bool_and(l_quantity >= 1.0)").as("all_qty_pos"),
+        expr("bool_or(l_quantity > 45.0)").as("any_qty_big"),
+        expr("count_if(l_discount > 0.05)").cast("long").as("n_discounted"))
+      val counts = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      // mode: argmax via min(struct): lexicographic (-cnt, qty)
+      // minimum == (max count, min value)
+      val mode = counts
+        .groupBy("l_returnflag")
+        .agg(min(struct((-col("cnt")).as("nc"), col("l_quantity").as("v"))).as("m"))
+        .select(col("l_returnflag"), col("m.v").as("mode_qty"))
+      // median: cumulative counts over the value histogram; the middle
+      // positions' values via conditional min
+      val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = counts
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("nn", sum("cnt").over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(((min(when(col("cum") >= expr("(nn + 1) DIV 2"), col("l_quantity"))) +
+               min(when(col("cum") >= expr("(nn + 2) DIV 2"), col("l_quantity")))) / lit(2.0))
+          .as("median_qty"))
+      base.join(mode, "l_returnflag").join(med, "l_returnflag")
+        .select("l_returnflag", "n", "status_list", "mode_qty", "median_qty",
+                "all_qty_pos", "any_qty_big", "n_discounted")
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH base AS (
+        SELECT l_returnflag, count(*) AS n,
+               string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS status_list,
+               bool_and(l_quantity >= 1.0) AS all_qty_pos,
+               bool_or(l_quantity > 45.0) AS any_qty_big,
+               count_if(l_discount > 0.05)::BIGINT AS n_discounted
+        FROM lineitem GROUP BY l_returnflag),
+      mo AS (
+        SELECT l_returnflag, l_quantity AS mode_qty
+        FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2) t
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity) = 1),
+      med AS (
+        SELECT l_returnflag, sum(l_quantity) / count(*) AS median_qty
+        FROM (SELECT l_returnflag, l_quantity,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS cnt
+              FROM lineitem) t
+        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY l_returnflag)
+      SELECT b.l_returnflag, n, status_list, mode_qty, median_qty,
+             all_qty_pos, any_qty_big, n_discounted
+      FROM base b JOIN mo USING (l_returnflag) JOIN med USING (l_returnflag)
+      ORDER BY l_returnflag
+    """)),
+
+    // ------------------------------------------------------------ IGNORE NULLS windows / LOCF (round 5)
+    // Gap-filling over sparse observations — last-observation-carried-
+    // forward (`last(v, ignoreNulls)` over an unbounded-preceding ROWS
+    // frame) and previous-non-null (`lag(v) IGNORE NULLS`), the two
+    // window forms every feature pipeline needs and q79's grid-based
+    // gap fill doesn't cover. `view` events are masked to NULL to
+    // create the sparsity. Pure window pass: one user-keyed shuffle,
+    // both functions share the sort.
+    ("q111_window_fill", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "view", lit(null).cast("double"))
+            .otherwise(col("value")))
+        .withColumn("v_locf",
+          last(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("v_prev", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+        .filter(col("user_id") < 30)
+        .select("event_id", "user_id", "ts", "v", "v_locf", "v_prev")
+        .orderBy("user_id", "ts", "event_id")
+    }, Some("""
+      WITH m AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+             lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v_prev
+      FROM m
+      WHERE user_id < 30
+      ORDER BY user_id, ts, event_id
     """))
   )
 

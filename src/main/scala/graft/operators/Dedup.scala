@@ -552,6 +552,43 @@ object Dedup extends QueryGroup {
       WHERE len(list_intersect(a.g, b.g))::DOUBLE
                / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.6
       ORDER BY doc_a, doc_b
+    """)),
+
+    // ------------------------------------------------------------ canonical selection (round 5)
+    // The step a real dedup pipeline runs AFTER clustering (q64):
+    // collapse each near-dup cluster to ONE kept document — by policy
+    // "longest wins, ties to the smallest doc_id" (keep-longest is the
+    // standard web-corpus heuristic; q64's min-id canonical is an
+    // arbitrary label, not a quality choice). Singleton docs are their
+    // own cluster. The argmax is min(struct(-n_chars, doc_id)) —
+    // map-side combinable, no per-cluster sort, one cluster-keyed
+    // shuffle at any scale.
+    ("q112_canonical_docs", (s, d) => {
+      val canon = clusterLabels(s, d)
+      Tables.documents(s, d).select("doc_id", "n_chars")
+        .join(canon, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+             min(struct((-col("n_chars")).as("neg_chars"),
+                        col("doc_id").as("id"))).as("m"))
+        .select(col("cluster_id"), col("m.id").as("keep_id"),
+                (-col("m.neg_chars")).as("keep_chars"), col("n_members"))
+        .orderBy("cluster_id")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      assigned AS (
+        SELECT d.doc_id, d.n_chars, coalesce(l.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN l3 l ON l.doc_id = d.doc_id),
+      ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM assigned)
+      SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_members
+      FROM ranked WHERE rn = 1 ORDER BY cluster_id
     """))
   )
 

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions.{dot, l2Norm}
+
+/** Retrieval operators (round 5) — the query side of a training-data /
+  * RAG pipeline, beyond the reference's surface (`Processor.java`
+  * prints records; it has no search capability):
+  *
+  *  - q106 BM25 top-k: Okapi BM25 (k1=1.2, b=0.75) of every document
+  *    against a fixed term query. ONE tokenize pass (the q85/q93
+  *    discipline): per-doc tf for each query term AND the document
+  *    length come out of a single doc-keyed aggregation over the
+  *    exploded token relation; corpus stats (N, Σdl, per-term df) are
+  *    ONE row aggregated from that same relation and broadcast back.
+  *    The stats branch consumes the per-doc aggregation's SHUFFLE
+  *    OUTPUT via ReusedExchange (identical exchanges ⇒ one physical
+  *    tokenize even though DeduplicateRelations clones the logical
+  *    subtree) — pinned by a PlanSpec assert on the executed plan.
+  *    Top-k via orderBy+limit (TakeOrderedAndProject — never a global
+  *    sort).
+  *  - q107 hybrid retrieval with reciprocal-rank fusion: the standard
+  *    two-tower serving shape — a semantic candidate list (cosine vs a
+  *    query embedding, the q41 machinery) and a lexical candidate list
+  *    (q106's BM25), each cut to its top-100, fused by
+  *    RRF(d) = Σᵢ 1/(60 + rankᵢ(d)) over a full-outer join of the two
+  *    lists. Fusing bounded candidate LISTS (not full rankings) is the
+  *    scale contract: each side is a top-k, the fusion join is
+  *    O(fuseK), and at 100 TB the candidate generators are the only
+  *    full-corpus passes.
+  *
+  * Oracle determinism: BM25 scores are doubles built exclusively from
+  * integer-derived values (tf, df, N, dl, Σdl) through a FIXED
+  * arithmetic tree written identically in the DataFrame code and the
+  * DuckDB SQL — every division/multiplication in the same order, the
+  * per-term contributions summed left-to-right in fixed term order
+  * (join, hash, spark, window) — so both engines execute the same IEEE
+  * operation sequence and the doubles hash-match bit-for-bit (the q70
+  * raw-ratio-idf lesson: ln() differs by ulps across libms, so idf is
+  * the raw ratio N/df — monotone in df, same ranking, deterministic).
+  * RRF scores are 1/(60+rank) of integer ranks — same argument.
+  */
+object Retrieval extends QueryGroup {
+
+  /** Fixed term query, in contribution-sum order. */
+  private val queryTerms = Seq("join", "hash", "spark", "window")
+  private val semQueryId = 0 // query embedding: vec_id 0
+  private val fuseK = 100    // per-list candidate depth fed to RRF
+  private val topK = 20
+
+  /** DuckDB mirror of `TextFunctions.tokens`. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** (doc_id, score): BM25 of every document against [[queryTerms]].
+    * Single tokenize pass; the 1-row corpus-stats aggregate is
+    * broadcast (a 1-row BroadcastNestedLoopJoin — the q70 pattern).
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tfAggs = queryTerms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tk.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    val statAggs = queryTerms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +: statAggs: _*)
+    // Per-term BM25 contribution — this tree must stay in lockstep
+    // with bm25Cte's SQL: (N/df) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl)))
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = col("n_docs").cast("double") / col(s"df_$t").cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), queryTerms.map(contrib).reduce(_ + _).as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25Scored]] as a `bm25(doc_id, score)` CTE. */
+  private val bm25Cte: String = {
+    val tfCases = queryTerms.map(t =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
+    val dfCases = queryTerms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val contribs = queryTerms.map(t =>
+      s"""(n_docs::DOUBLE / df_$t::DOUBLE) * (tf_$t::DOUBLE * 2.2::DOUBLE)
+          / (tf_$t::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))""")
+      .mkString("\n        + ")
+    s"""tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dl, $tfCases
+      FROM tk GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCases
+      FROM per_doc),
+    bm25 AS (
+      SELECT doc_id,
+        $contribs AS score
+      FROM per_doc, stats)"""
+  }
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q106_bm25_topk", (s, d) => {
+      val top = bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rk", "doc_id", "score")
+        .orderBy("rk")
+    }, Some(s"""
+      WITH $bm25Cte
+      SELECT rk, doc_id, score
+      FROM (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM bm25) t
+      WHERE rk <= $topK
+      ORDER BY rk
+    """)),
+
+    ("q107_hybrid_rrf", (s, d) => {
+      // semantic list: cosine of every embedding vs vec 0's, top fuseK.
+      // Norms precomputed once; the 1-row query vector is broadcast.
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val qv = e.filter(col("vec_id") === semQueryId)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))
+      val semTop = e.filter(col("vec_id") =!= semQueryId).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(fuseK)
+      val sem = semTop.withColumn("r_sem",
+          row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+        .select("id", "r_sem")
+      val lexTop = bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(fuseK)
+      val lex = lexTop.withColumn("r_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("r_lex"))
+      // RRF over the union of the two candidate lists; absent rank
+      // contributes 0 (the list simply didn't retrieve the doc)
+      sem.join(lex, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_sem").cast("double")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60.0) + col("r_lex").cast("double")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("id")).limit(topK)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+        .select("rk", "id", "rrf")
+        .orderBy("rk")
+    }, Some(s"""
+      WITH $bm25Cte,
+      e AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) nrm
+        FROM embeddings),
+      qv AS (SELECT v, nrm FROM e WHERE vec_id = $semQueryId),
+      sem AS (
+        SELECT c.vec_id AS id,
+               row_number() OVER (ORDER BY
+                 (list_sum(list_transform(generate_series(1, 64), i -> qv.v[i] * c.v[i])) / (qv.nrm * c.nrm)) DESC,
+                 c.vec_id) AS r_sem
+        FROM e c, qv
+        WHERE c.vec_id <> $semQueryId
+        QUALIFY r_sem <= $fuseK),
+      lex AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM bm25
+        QUALIFY r_lex <= $fuseK),
+      fused AS (
+        SELECT coalesce(s.id, l.id) AS id,
+               coalesce(1.0::DOUBLE / (60.0::DOUBLE + s.r_sem::DOUBLE), 0.0::DOUBLE)
+             + coalesce(1.0::DOUBLE / (60.0::DOUBLE + l.r_lex::DOUBLE), 0.0::DOUBLE) AS rrf
+        FROM sem s FULL JOIN lex l ON s.id = l.id)
+      SELECT rk, id, rrf
+      FROM (SELECT id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, id) AS rk
+            FROM fused) t
+      WHERE rk <= $topK
+      ORDER BY rk
+    """))
+  )
+}

@@ -200,4 +200,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query vectors should broadcast:\n$p")
   }
+
+  test("q106/q107: BM25 tokenizes the corpus once at runtime (exchange reuse)") {
+    // The per-doc (dl, tf) aggregation feeds both the final scoring
+    // projection and the 1-row corpus-stats aggregate. Logically
+    // DeduplicateRelations clones the tokenize subtree (two Generates),
+    // but physically the stats branch MUST consume the same per-doc
+    // shuffle via ReusedExchange — otherwise the corpus is tokenized
+    // twice (the q85 disease). Pinned on the executed plan because the
+    // reuse is a physical-planning property.
+    for (q <- Seq("q106_bm25_topk", "q107_hybrid_rrf")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$q: stats branch must reuse the per-doc exchange, not re-tokenize:\n$p")
+    }
+  }
+
+  test("q106: global top-k plans as TakeOrderedAndProject") {
+    val p = plan("q106_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q108: co-purchase edge generation is an equi-join, never cartesian") {
+    val p = plan("q108_pagerank_iter")
+    assert(!p.contains("CartesianProduct"), s"q108 plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q108 plans a BNLJ:\n$p")
+  }
+
+  test("q110: distinct-free aggregate completions plan no Expand") {
+    // mode/median/string_agg are all computed without countDistinct's
+    // row-multiplying Expand rewrite — the design point of the query
+    val plan = SparkEntry.queries("q110_agg_completions")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.isEmpty, s"q110 must stay on the partial+final path:\n$plan")
+  }
 }
