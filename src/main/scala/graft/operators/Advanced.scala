@@ -372,7 +372,13 @@ object Advanced extends QueryGroup {
         .withColumn("valid_to", lead("ts", 1).over(w))
         .select(col("user_id"), col("value"), col("ts").as("valid_from"),
                 col("valid_to"), col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from")
+        // total order for the hash oracle: (user_id, valid_from) can tie
+        // when one user logs two distinct surviving changes at the same
+        // timestamp — break by value (adjacent changes always differ)
+        // then valid_to with EXPLICIT nulls-last (Spark defaults nulls
+        // first on ASC, DuckDB nulls last — pin it on both sides)
+        .orderBy(col("user_id"), col("valid_from"), col("value"),
+                 col("valid_to").asc_nulls_last)
     }, Some("""
       WITH p AS (
         SELECT user_id, event_id, value, ts::TIMESTAMP AS ts,
@@ -382,7 +388,7 @@ object Advanced extends QueryGroup {
       SELECT user_id, value, ts AS valid_from,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-      FROM c ORDER BY user_id, valid_from
+      FROM c ORDER BY user_id, valid_from, value, valid_to ASC NULLS LAST
     """)),
 
     // ------------------------------------------------------------ aggregate completions (round 5)

@@ -43,6 +43,16 @@ object Layout extends QueryGroup {
       .cast("long")
   }
 
+  /** Scratch dir q87 writes its z-ordered layout into. Single source of
+    * truth for the naming scheme — LayoutSpec reads the same path, so a
+    * rename here can't silently point the test at a stale directory.
+    * Keyed by applicationId: two concurrent processes benchmarking the
+    * same dataset must not overwrite each other's layout mid-read.
+    */
+  def zorderDir(spark: SparkSession): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-zorder-${spark.sparkContext.applicationId}").toString
+
   /** Write `df` z-ordered by (a, b) into `files` parquet files at
     * `path`: range-partition by z-value (equal-size files via range
     * boundaries sampling) and sort within each file so row-group
@@ -72,11 +82,7 @@ object Layout extends QueryGroup {
       val r = ev.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
         min("user_id"), max("user_id")).head
-      // per-process scratch (applicationId): two concurrent processes
-      // benchmarking the same dataset must not overwrite each other's
-      // layout mid-read
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-zorder-${s.sparkContext.applicationId}").toString
+      val dir = zorderDir(s)
       zorderWrite(ev,
         bucketRank(unix_micros(col("ts")), r.getLong(0).toDouble, r.getLong(1).toDouble),
         bucketRank(col("user_id"), r.getLong(2).toDouble, r.getLong(3).toDouble),

@@ -72,12 +72,18 @@ object Retrieval extends QueryGroup {
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("sum_dl") +: statAggs: _*)
     // Per-term BM25 contribution — this tree must stay in lockstep
-    // with bm25Cte's SQL: (N/df) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl)))
+    // with bm25Cte's SQL: (N/df) * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))).
+    // df=0 guard: a query term absent from the whole corpus would make
+    // idf = N/0 → Inf, and Inf * 0 (tf is also 0 then) → NaN for EVERY
+    // document; DuckDB's ÷0 behavior also differs by version. A term
+    // nobody has simply contributes nothing.
     def contrib(t: String): Column = {
       val tf = col(s"tf_$t").cast("double")
       val idf = col("n_docs").cast("double") / col(s"df_$t").cast("double")
       val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      when(col(s"df_$t") > 0,
+        idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+        .otherwise(lit(0.0))
     }
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), queryTerms.map(contrib).reduce(_ + _).as("score"))
@@ -90,8 +96,10 @@ object Retrieval extends QueryGroup {
     val dfCases = queryTerms.map(t =>
       s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
     val contribs = queryTerms.map(t =>
-      s"""(n_docs::DOUBLE / df_$t::DOUBLE) * (tf_$t::DOUBLE * 2.2::DOUBLE)
-          / (tf_$t::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))""")
+      s"""CASE WHEN df_$t > 0 THEN
+            (n_docs::DOUBLE / df_$t::DOUBLE) * (tf_$t::DOUBLE * 2.2::DOUBLE)
+            / (tf_$t::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))
+          ELSE 0.0::DOUBLE END""")
       .mkString("\n        + ")
     s"""tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
     per_doc AS (

@@ -70,8 +70,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
 
   test("q87: the judged z-order round trip confines its two-sided predicate to a minority of files") {
     SparkEntry.queries("q87_zorder_scan")(spark, sfDir).collect() // writes the layout
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-zorder-" + Integer.toHexString(sfDir.hashCode)).toString
+    val dir = Layout.zorderDir(spark)
     val pred = col("user_id").between(3, 9) &&
       col("ts") >= lit("2024-01-08").cast("timestamp") &&
       col("ts") < lit("2024-01-15").cast("timestamp")
