@@ -26,7 +26,8 @@ object SparkEntry {
     operators.Layout,
     operators.Salting,
     operators.Retrieval,
-    operators.Graph)
+    operators.Graph,
+    operators.Training)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

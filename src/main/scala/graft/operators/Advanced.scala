@@ -503,6 +503,87 @@ object Advanced extends QueryGroup {
       FROM m
       WHERE user_id < 30
       ORDER BY user_id, ts, event_id
+    """)),
+
+    // ------------------------------------------------------------ skyline / pareto front (round 6)
+    // The SKYLINE operator (Börzsönyi et al., ICDE'01) — parts that are
+    // pareto-optimal on (minimize p_retailprice, maximize p_size):
+    // no other part is at-least-as-good on both dimensions and
+    // strictly better on one. Spark has no skyline; the scalable
+    // 2-D formulation is grouping + a staircase sweep, NOT the naive
+    // quadratic NOT EXISTS:
+    //   1. collapse parts to one row per distinct price with the max
+    //      size at that price (hash agg, map-side partials — the only
+    //      pass over the full table),
+    //   2. sweep the DISTINCT-PRICE staircase: a price survives iff
+    //      its max size strictly exceeds every cheaper price's
+    //      (running max over the price-sorted aggregate). The window
+    //      is single-partition but runs over the price-DOMAIN-bounded
+    //      aggregate (thousands of rows however large the table), not
+    //      the data,
+    //   3. broadcast the surviving (price, size) staircase back to
+    //      re-join the full rows (ties: every part matching a
+    //      surviving (price, max-size) cell is in the skyline).
+    // The oracle is the INDEPENDENT quadratic NOT-EXISTS definition,
+    // so the sweep's correctness is checked against the spec, not
+    // against itself.
+    ("q117_skyline_parts", (s, d) => {
+      val p = Tables.part(s, d)
+      val cells = p.groupBy("p_retailprice").agg(max("p_size").as("ms"))
+      val front = cells
+        .withColumn("prev_ms",
+          max("ms").over(Window.orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("prev_ms").isNull || col("ms") > col("prev_ms"))
+        .select(col("p_retailprice").as("fp"), col("ms").as("fs"))
+      p.join(broadcast(front),
+          col("p_retailprice") === col("fp") && col("p_size") === col("fs"))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    }, Some("""
+      SELECT p_partkey, p_name, p_retailprice, p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_retailprice, p_partkey
+    """)),
+
+    // ------------------------------------------------------------ time-range window frame (round 6)
+    // Sliding TIME-interval aggregates — "spend and activity over the
+    // trailing 7 days at every purchase" — the RANGE-frame-over-time
+    // form q52's numeric RANGE frame doesn't cover. The frame is keyed
+    // on unix MICROSECONDS (bigint) so the 7-day bound is exact integer
+    // arithmetic on both engines (DuckDB's epoch() returns fractional-
+    // second DOUBLEs — epoch_us is the portable key). The summed value
+    // is floor(value*100) CENTS: a RANGE frame's peer rows are summed
+    // in engine-dependent order, so only an order-independent integer
+    // sum hash-matches (the q105/q108 fixed-point discipline; floor,
+    // never ::BIGINT alone — DuckDB's double→int cast rounds while
+    // Spark's truncates). One user-keyed shuffle + sort; both window
+    // functions share the frame.
+    ("q118_time_range_frame", (s, d) => {
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-sevenDaysUs, 0)
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 40)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                count(lit(1)).over(w).as("n_7d"),
+                sum("cents").over(w).as("spend_7d_cents"))
+        .orderBy("user_id", "ts", "event_id")
+    }, Some("""
+      SELECT event_id, user_id, ts,
+             count(*) OVER w AS n_7d,
+             (sum(cents) OVER w)::BIGINT AS spend_7d_cents
+      FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+                   floor(value * 100)::BIGINT AS cents
+            FROM events WHERE event_type = 'purchase' AND user_id < 40)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id
     """))
   )
 

@@ -153,8 +153,11 @@ object Dedup extends QueryGroup {
     val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // checkpointed: round 1 reads `labels` on BOTH sides (nbrMin build
+    // and the least() update) — without it the distinct runs twice
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     for (_ <- 1 to 3) {
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min("label").as("nbr_label"))

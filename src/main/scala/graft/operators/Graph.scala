@@ -45,7 +45,11 @@ object Graph extends QueryGroup {
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
         .localCheckpoint()
+      // checkpointed: BOTH withDeg and r0 read outdeg — without the
+      // checkpoint Spark recomputes the full-edge-pass aggregation
+      // twice (two identical stages in the profile)
       val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        .localCheckpoint()
       val withDeg = edges.join(outdeg, "src")
       def step(ranks: DataFrame): DataFrame =
         withDeg.join(ranks, col("src") === col("node"))
@@ -75,6 +79,60 @@ object Graph extends QueryGroup {
       SELECT node AS part_id, r AS rank_fp
       FROM r2
       ORDER BY rank_fp DESC, part_id
+      LIMIT $topK
+    """)),
+
+    // ----------------------------------------------- triangle counting (round 6)
+    // Per-node triangle counts over the STRONG co-purchase graph
+    // (parts bought together in >= 2 distinct orders) — the clustering
+    // signal community detection and recommender features are built
+    // on. The weight threshold is load-bearing at scale: the raw
+    // co-purchase graph is a union of per-order cliques and its wedge
+    // count (the triangle join's intermediate) measured 49M at sf0.1;
+    // thresholding to repeat co-purchases cuts that to ~5k while
+    // keeping the semantically meaningful edges. The enumeration is
+    // the canonical two-join shape on canonically ORIENTED edges
+    // (u < v), so each triangle is generated exactly once as
+    // u < v < w: wedges = E(u,v) ⋈ E(v,w) on the middle node, closed
+    // by an equi-join against E(u,w). All three legs are hash
+    // equi-joins on node ids — no BNLJ, no all-pairs; at 100 TB the
+    // orientation bounds the wedge fanout by the ordered out-degree
+    // (≤ √m after thresholding), the standard MapReduce triangle
+    // recipe. Each triangle credits all three corners (explode), then
+    // one count aggregation; top-30 via TakeOrderedAndProject.
+    ("q116_triangle_counts", (s, d) => {
+      // distinct (order, part) first: a part listed twice in one order
+      // must not double-count that order toward the weight threshold
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint() // three self-join legs read it — build once
+      val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+        .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("part_id")).limit(topK)
+    }, Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tri AS (
+        SELECT w1.u, w1.v, w2.v AS w
+        FROM e w1 JOIN e w2 ON w1.v = w2.u
+             JOIN e w3 ON w3.u = w1.u AND w3.v = w2.v),
+      corners AS (
+        SELECT unnest([u, v, w]) AS part_id FROM tri)
+      SELECT part_id, count(*)::BIGINT AS n_triangles
+      FROM corners GROUP BY part_id
+      ORDER BY n_triangles DESC, part_id
       LIMIT $topK
     """))
   )

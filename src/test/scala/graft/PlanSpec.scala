@@ -229,6 +229,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q108 plans a BNLJ:\n$p")
   }
 
+  test("q113: BPE pair counting is scan → explode → partial+final agg → TakeOrdered") {
+    val p = plan("q113_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"tokenizer counting must not join:\n$p")
+  }
+
+  test("q114: random projection is a zero-shuffle narrow map") {
+    val p = plan("q114_random_projection")
+    // the only allowed exchange is the presentation sort's range
+    // partition — the projection itself must never key a shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected keyed shuffle in a narrow projection:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+  }
+
+  test("q116: triangle enumeration stays on hash equi-joins (no BNLJ/cartesian)") {
+    val p = plan("q116_triangle_counts")
+    assert(!p.contains("CartesianProduct"), s"q116 plans a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q116 plans a BNLJ:\n$p")
+  }
+
+  test("q117: the skyline sweep's window runs over the price aggregate, not the table") {
+    val df = SparkEntry.queries("q117_skyline_parts")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    // the Window's child must contain the price-cell Aggregate — a
+    // Window directly over the scan would funnel every row through
+    // one task
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"expected a staircase window:\n$plan")
+    windows.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, s"skyline window must sweep the aggregate, not raw rows:\n$plan")
+    }
+    // and the front is broadcast back to the full table
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"front re-join should broadcast:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

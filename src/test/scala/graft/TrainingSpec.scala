@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 operators: BPE pair counting, random projection, sequence
+  * packing, triangle counting, skyline. Each is held to an independent
+  * in-memory ground-truth recompute on top of the DuckDB hash oracle.
+  */
+class TrainingSpec extends AnyFunSuite with SparkFixture {
+
+  private def tok(t: String): Array[String] =
+    t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  test("q113: BPE pair counts match a brute-force recount") {
+    val docs = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    val counts = collection.mutable.Map.empty[String, Long]
+    for (d <- docs; t <- tok(d) if t.length >= 2; i <- 0 until t.length - 1) {
+      val p = t.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(40)
+    val got = SparkEntry.queries("q113_bpe_pair_counts")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
+  test("q114: projection matches an in-order scalar recompute bit-for-bit") {
+    def sign(j: Int, i: Int): Double =
+      if ((scala.util.hashing.MurmurHash3.stringHash(s"rp_${j}_$i") & 1) == 0) 1.0 else -1.0
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = SparkEntry.queries("q114_random_projection")(spark, sfDir).collect()
+    assert(got.length == emb.size)
+    got.foreach { r =>
+      val v = emb(r.getAs[Long]("vec_id"))
+      for (j <- 0 until 8) {
+        var s = 0.0
+        var i = 0
+        while (i < 64) { s = s + v(i).toDouble * sign(j, i); i += 1 }
+        assert(r.getAs[Double](s"p$j") == s,
+          s"vec ${r.getAs[Long]("vec_id")} p$j: got ${r.getAs[Double](s"p$j")}, want $s")
+      }
+    }
+  }
+
+  test("q114: the fixed sign matrix is balanced enough to be a JL projection") {
+    def sign(j: Int, i: Int): Double =
+      if ((scala.util.hashing.MurmurHash3.stringHash(s"rp_${j}_$i") & 1) == 0) 1.0 else -1.0
+    for (j <- 0 until 8) {
+      val pos = (0 until 64).count(i => sign(j, i) > 0)
+      assert(pos >= 20 && pos <= 44, s"row $j badly unbalanced: $pos/64 positive")
+    }
+  }
+
+  test("q115: packing offsets replay each source stream sequentially") {
+    val rows = SparkEntry.queries("q115_sequence_packing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_start") == cum,
+          s"source $src doc ${r.getAs[Long]("doc_id")}: tok_start")
+        val n = r.getAs[Long]("n_tok")
+        assert(n > 0)
+        assert(r.getAs[Long]("seq_first") == cum / 2048)
+        assert(r.getAs[Long]("seq_last") == (cum + n - 1) / 2048)
+        cum += n
+      }
+    }
+    // the doc-count invariant: only empty-token docs may be dropped
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length <= total && rows.length > 0)
+  }
+
+  test("q116: triangle counts match a brute-force enumeration of the strong graph") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w = collection.mutable.Map.empty[(Long, Long), Int]
+    li.groupBy(_._1).values.foreach { lines =>
+      val parts = lines.map(_._2).distinct.sorted
+      for (ai <- parts.indices; bi <- ai + 1 until parts.length) {
+        val k = (parts(ai), parts(bi))
+        w(k) = w.getOrElse(k, 0) + 1
+      }
+    }
+    val edges = w.filter(_._2 >= 2).keySet
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val triCount = collection.mutable.Map.empty[Long, Long]
+    for ((u, v) <- edges; ws <- adj.get(v); w3 <- ws if adj.getOrElse(u, Set.empty)(w3)) {
+      Seq(u, v, w3).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1L)
+    }
+    val expected = triCount.toSeq.sortBy { case (n, c) => (-c, n) }.take(30)
+    val got = SparkEntry.queries("q116_triangle_counts")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("n_triangles"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
+  test("q118: trailing 7-day frame matches a per-user sequential replay") {
+    val rows = SparkEntry.queries("q118_time_range_frame")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      // replay uses (ts, event_id) order but the frame is ts-keyed:
+      // peers at the same timestamp are all in each other's frame
+      val sorted = rs.sortBy(r => (tsUs(r), r.getAs[Long]("event_id")))
+      sorted.foreach { r =>
+        val t = tsUs(r)
+        val inFrame = sorted.filter(x => tsUs(x) >= t - sevenDaysUs && tsUs(x) <= t)
+        assert(r.getAs[Long]("n_7d") == inFrame.length,
+          s"user $u event ${r.getAs[Long]("event_id")}: n_7d")
+      }
+    }
+  }
+
+  private def tsUs(r: org.apache.spark.sql.Row): Long = {
+    val ts = r.getAs[java.sql.Timestamp]("ts")
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  }
+
+  test("q117: skyline equals the quadratic dominance definition") {
+    val parts = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pp, ps) =>
+      !parts.exists { case (_, qp, qs) =>
+        qp <= pp && qs >= ps && (qp < pp || qs > ps)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q117_skyline_parts")(spark, sfDir).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    assert(got.nonEmpty)
+  }
+}
