@@ -102,7 +102,11 @@ object Graph extends QueryGroup {
     // one count aggregation; top-30 via TakeOrderedAndProject.
     ("q116_triangle_counts", (s, d) => {
       // distinct (order, part) first: a part listed twice in one order
-      // must not double-count that order toward the weight threshold
+      // must not double-count that order toward the weight threshold.
+      // (A collect_set-per-order + pair-explode variant was measured
+      // and REJECTED: the set aggregation + array HOFs cost more CPU
+      // than the exchange they save — 15.2 s vs 12.6 s total task time
+      // at sf0.1.)
       val li = Tables.fanOut(Tables.lineitem(s, d))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
