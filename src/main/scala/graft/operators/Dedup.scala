@@ -592,6 +592,79 @@ object Dedup extends QueryGroup {
         FROM assigned)
       SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_members
       FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """)),
+
+    // ------------------------------------------------------------ containment join (round 6)
+    // DIRECTIONAL set-containment pairs: C(A→B) = |A∩B| / |A| ≥ 0.8
+    // over the q61 word-trigram sets — the asymmetric complement to
+    // Jaccard dedup. A 200-gram excerpt fully quoted inside a
+    // 5000-gram page has Jaccard ≈ 0.04 (q61/q34 never see it) but
+    // containment 1.0; quote/excerpt detection is exactly this join.
+    // Candidate generation is the PPJoin prefix filter adapted to
+    // containment: under the global hash order, a qualifying pair
+    // must match within the CONTAINED side's first
+    // len − ⌈0.8·len⌉ + 1 grams, equi-joined against the container
+    // side's FULL sorted gram list (an inverted-index probe — the
+    // container side has no prefix bound because containment imposes
+    // no upper length limit on B). Lossless one-sided length filter
+    // (|B| ≥ 0.8·|A|) and positional filter (remaining grams past the
+    // first shared position must still reach ⌈0.8·|A|⌉) prune before
+    // the exact intersectionSize verify. The oracle is the
+    // independent all-pairs definition.
+    ("q119_containment_pairs", (s, d) => {
+      // ceil(0.8·len) in exact integer arithmetic: (4·len + 4) DIV 5
+      val grams = tokenHashes(s, d)
+        .select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
+      val probe = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
+          posexplode(slice(col("g"), lit(1), expr("size(g) - ((4 * size(g) + 4) DIV 5) + 1")))
+            .as(Seq("pos", "gram")))
+        .hint("shuffle_hash")
+      // posexplode over a NO-OP slice, not the bare column: a bare
+      // posexplode(g) makes Catalyst infer `size(g) > 0 ∧ isnotnull(g)`
+      // and push it — alias-substituted into the ENTIRE md5+gram
+      // pipeline — below the fan-out exchange into the single-task scan
+      // stage (measured 15 s of the 17 s total; the portableHash/q61
+      // trap). A slice-rooted generator gets no inferred constraint,
+      // and the two branches' scan filters then canonicalize
+      // identically, so the fan-out exchange is built once and reused.
+      val index = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
+          posexplode(slice(col("g"), lit(1), size(col("g")))).as(Seq("pos", "gram")))
+        .hint("shuffle_hash")
+      val cand = probe.as("x").join(index.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.len") * 5 >= col("x.len") * 4 &&
+          least(col("x.len") - col("x.pos"), col("y.len") - col("y.pos")) >=
+            expr("(4 * x.len + 4) DIV 5"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val needed = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val gsets = shingleSets(s, d, needed)
+      val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga")).hint("shuffle_hash")
+      val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb")).hint("shuffle_hash")
+      cand.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("containment",
+          intersectionSize(col("ga"), col("gb")).cast("double") / size(col("ga")))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                              x -> ('0x'||substring(md5(x),1,15))::BIGINT % ${MinHashScheme.tokenMod}) h
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(h) - 2),
+                 i -> (h[i] * ${MinHashScheme.base1} + h[i+1]) * ${MinHashScheme.base1} + h[i+2])) g
+        FROM th WHERE len(h) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) AS containment
+      FROM g a JOIN g b ON a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) >= 0.8
+      ORDER BY doc_a, doc_b
     """))
   )
 

@@ -79,7 +79,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     for (q <- Seq("q34_minhash_lsh_pairs", "q36_simhash_pairs",
                   "q43_ann_lsh_topk", "q58_cosine_pairs_lsh",
                   "q61_ngram_jaccard_pairs", "q68_incremental_dedup",
-                  "q75_interval_join", "q101_semantic_dedup")) {
+                  "q75_interval_join", "q101_semantic_dedup",
+                  "q119_containment_pairs")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

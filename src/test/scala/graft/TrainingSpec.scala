@@ -119,6 +119,38 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
   }
 
+  test("q119: containment pairs equal the brute-force directional definition (prefix filter is lossless)") {
+    val tokenMod = graft.expressions.MinHashScheme.tokenMod
+    val base1 = graft.expressions.MinHashScheme.base1
+    def hash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % tokenMod
+    }
+    val sets = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val h = tok(r.getString(1)).map(hash)
+        val g = (0 until h.length - 2).map(i =>
+          (h(i) * base1 + h(i + 1)) * base1 + h(i + 2)).toSet
+        r.getLong(0) -> g
+      }.filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (a, ga) <- sets.toSeq; (b, gb) <- sets.toSeq if a != b
+      c = ga.intersect(gb).size.toDouble / ga.size if c >= 0.8
+    } yield (a, b, c)).sortBy(p => (p._1, p._2))
+    val got = SparkEntry.queries("q119_containment_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("containment")))
+      .toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    assert(got.nonEmpty)
+    // directionality: each direction carries its own denominator, so
+    // paired scores differ whenever the two set sizes differ
+    got.foreach { case (a, b, c) =>
+      assert(c == sets(a).intersect(sets(b)).size.toDouble / sets(a).size,
+        s"($a,$b): containment must be normalized by the CONTAINED side")
+    }
+  }
+
   test("q117: skyline equals the quadratic dominance definition") {
     val parts = Tables.part(spark, sfDir)
       .select("p_partkey", "p_retailprice", "p_size")
