@@ -138,6 +138,57 @@ object Graph extends QueryGroup {
       FROM corners GROUP BY part_id
       ORDER BY n_triangles DESC, part_id
       LIMIT $topK
+    """)),
+
+    // ----------------------------------------------- association rules (round 6)
+    // Market-basket mining over the same co-purchase relation: for
+    // every directed part pair (u → v) bought together in ≥ 2 distinct
+    // orders, support, confidence = supp(u,v)/supp(u), and
+    // lift = N·supp(u,v) / (supp(u)·supp(v)); top-30 rules by lift.
+    // The pair supports are q116's thresholded edge weights; item
+    // supports are a tiny per-part aggregate broadcast to the pair
+    // relation (two broadcast joins, no extra big-side shuffle); N is
+    // a 1-row broadcast. Confidence and lift are each a SINGLE
+    // division of exact integer counts — both engines divide the same
+    // two longs, so the doubles hash-match (the q105 discipline).
+    ("q120_association_rules", (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // read by pair supports, item supports, and N
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("supp_uv"))
+        .filter(col("supp_uv") >= 2)
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val n = li.select(countDistinct("ok").as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("pk").as("u"), col("supp").as("supp_u"))), "u")
+        .join(broadcast(item.select(col("pk").as("v"), col("supp").as("supp_v"))), "v")
+        .crossJoin(broadcast(n))
+        .select(col("u"), col("v"), col("supp_uv"),
+          (col("supp_uv").cast("double") / col("supp_u").cast("double")).as("confidence"),
+          ((col("n_orders") * col("supp_uv")).cast("double") /
+           (col("supp_u") * col("supp_v")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("u"), col("v")).limit(topK)
+    }, Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (
+        SELECT a.pk AS u, b.pk AS v, count(*)::BIGINT AS supp_uv
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      item AS (SELECT pk, count(*)::BIGINT AS supp FROM li GROUP BY pk),
+      n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li)
+      SELECT u, v, supp_uv,
+             supp_uv::DOUBLE / iu.supp::DOUBLE AS confidence,
+             (n.n_orders * supp_uv)::DOUBLE / (iu.supp * iv.supp)::DOUBLE AS lift
+      FROM pairs
+        JOIN item iu ON iu.pk = u
+        JOIN item iv ON iv.pk = v
+        CROSS JOIN n
+      ORDER BY lift DESC, u, v
+      LIMIT $topK
     """))
   )
 }

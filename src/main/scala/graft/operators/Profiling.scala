@@ -202,6 +202,41 @@ object Profiling extends QueryGroup {
              coalesce(b.n, 0)::DOUBLE / sum(coalesce(b.n, 0)) OVER () AS pct
       FROM g LEFT JOIN b USING (bin)
       ORDER BY bin
+    """)),
+
+    // ------------------------------------------------------------ cooldown dedup (round 6)
+    // Time-horizon event deduplication: suppress repeats of the same
+    // (user, event_type) within a 12-hour cooldown of the PREVIOUS
+    // occurrence — the alerting/notification dedup every event
+    // pipeline runs (and the time-aware form of exact dedup: q31
+    // collapses identical payloads forever; this collapses them only
+    // while they arrive in bursts). One lag() over the key-partitioned
+    // timeline — a single key shuffle, each group's history streamed
+    // through one sorted pass regardless of length. Kept = first event
+    // ever, or gap from the previous SAME-KEY event > cooldown
+    // (equivalently: the first event of each 12-hour gap-session —
+    // session_window in a dedup role). The (ts, event_id) sort makes
+    // same-microsecond bursts deterministic.
+    ("q121_cooldown_dedup", (s, d) => {
+      val cooldownUs = 12L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+                unix_micros(col("ts")) - col("prev_us") > cooldownUs)
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    }, Some("""
+      WITH t AS (
+        SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts,
+               lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        FROM events)
+      SELECT event_id, user_id, event_type, ts
+      FROM t
+      WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 43200000000
+      ORDER BY event_id
     """))
   )
 }

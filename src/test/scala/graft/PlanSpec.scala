@@ -253,6 +253,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q116 plans a BNLJ:\n$p")
   }
 
+  test("q120: item supports broadcast to the pair relation; no cartesian") {
+    val p = plan("q120_association_rules")
+    assert(!p.contains("CartesianProduct"), s"q120 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"item supports should broadcast:\n$p")
+  }
+
   test("q117: the skyline sweep's window runs over the price aggregate, not the table") {
     val df = SparkEntry.queries("q117_skyline_parts")(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan

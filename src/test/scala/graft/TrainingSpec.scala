@@ -151,6 +151,46 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q120: association rules match a brute-force market-basket recompute") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val itemSupp = li.groupBy(_._2).map { case (p, rs) => p -> rs.length.toLong }
+    val pairSupp = collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).values.foreach { lines =>
+      val parts = lines.map(_._2).distinct
+      for (u <- parts; v <- parts if u != v)
+        pairSupp((u, v)) = pairSupp.getOrElse((u, v), 0L) + 1L
+    }
+    val expected = pairSupp.toSeq.filter(_._2 >= 2).map { case ((u, v), suv) =>
+      (u, v, suv, suv.toDouble / itemSupp(u).toDouble,
+       (nOrders * suv).toDouble / (itemSupp(u) * itemSupp(v)).toDouble)
+    }.sortBy { case (u, v, _, _, lift) => (-lift, u, v) }.take(30)
+    val got = SparkEntry.queries("q120_association_rules")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("supp_uv"),
+                 r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
+  test("q121: cooldown dedup keeps exactly the first event of each 12h burst") {
+    val cooldownUs = 12L * 3600L * 1000000L
+    val all = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+    val expected = all.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .values.flatMap { rs =>
+        val sorted = rs.sortBy(r => (tsUs(r), r.getAs[Long]("event_id")))
+        sorted.zipWithIndex.collect {
+          case (r, 0) => r.getAs[Long]("event_id")
+          case (r, i) if tsUs(r) - tsUs(sorted(i - 1)) > cooldownUs => r.getAs[Long]("event_id")
+        }
+      }.toSet
+    val got = SparkEntry.queries("q121_cooldown_dedup")(spark, sfDir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty && got.size < all.length, "dedup must drop some repeats")
+  }
+
   test("q117: skyline equals the quadratic dominance definition") {
     val parts = Tables.part(spark, sfDir)
       .select("p_partkey", "p_retailprice", "p_size")
