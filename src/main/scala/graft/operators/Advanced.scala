@@ -64,19 +64,27 @@ object Advanced extends QueryGroup {
     // counter updates commute), so the output is stable — but DuckDB
     // has no CMS, so the check is AdvancedSpec's guarantee asserts
     // (est ≥ exact always; bounded overestimate) rather than an oracle.
+    // The candidate terms STAY a DataFrame end to end: the sketch
+    // bytes are broadcast and probed executor-side (one deserialize
+    // per partition), so the only thing that ever crosses the driver
+    // is the ~1 MB sketch — at 100× corpus the candidate vocabulary
+    // scales with the data but never funnels through the driver.
     ("q97_cms_heavy_hitters", (s, d) => {
       import graft.functions.TextFunctions.tokens
       val bytes = Tables.fanOut(Tables.documents(s, d))
         .select(explode(tokens(col("text"))).as("term"))
         .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
         .head.getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val cand = Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
-        .select(explode(tokens(col("text"))).as("term")).distinct()
-        .collect().map(_.getString(0)).sorted
+      val bcSketch = s.sparkContext.broadcast(bytes)
       import s.implicits._
-      cand.toSeq.map(t => (t, cms.estimateCount(t)))
+      Tables.documents(s, d).filter(col("doc_id") % 100 === 0)
+        .select(explode(tokens(col("text"))).as("term")).distinct()
+        .as[String]
+        .mapPartitions { terms =>
+          val cms = org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(bcSketch.value))
+          terms.map(t => (t, cms.estimateCount(t)))
+        }
         .toDF("term", "est_count")
         .orderBy(col("est_count").desc, col("term"))
     }, None),
@@ -375,9 +383,12 @@ object Advanced extends QueryGroup {
         // total order for the hash oracle: (user_id, valid_from) can tie
         // when one user logs two distinct surviving changes at the same
         // timestamp — break by value (adjacent changes always differ)
-        // then valid_to with EXPLICIT nulls-last (Spark defaults nulls
-        // first on ASC, DuckDB nulls last — pin it on both sides)
-        .orderBy(col("user_id"), col("valid_from"), col("value"),
+        // then valid_to — both with EXPLICIT nulls-last (Spark defaults
+        // nulls first on ASC, DuckDB nulls last — pin EVERY nullable
+        // sort key on both sides, value included, so a null value can
+        // never make the engines interleave ties differently)
+        .orderBy(col("user_id"), col("valid_from"),
+                 col("value").asc_nulls_last,
                  col("valid_to").asc_nulls_last)
     }, Some("""
       WITH p AS (
@@ -388,7 +399,7 @@ object Advanced extends QueryGroup {
       SELECT user_id, value, ts AS valid_from,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-      FROM c ORDER BY user_id, valid_from, value, valid_to ASC NULLS LAST
+      FROM c ORDER BY user_id, valid_from, value ASC NULLS LAST, valid_to ASC NULLS LAST
     """)),
 
     // ------------------------------------------------------------ aggregate completions (round 5)

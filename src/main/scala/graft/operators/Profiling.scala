@@ -215,8 +215,18 @@ object Profiling extends QueryGroup {
     // through one sorted pass regardless of length. Kept = first event
     // ever, or gap from the previous SAME-KEY event > cooldown
     // (equivalently: the first event of each 12-hour gap-session —
-    // session_window in a dedup role). The (ts, event_id) sort makes
-    // same-microsecond bursts deterministic.
+    // session_window in a dedup role). WARNING — gap-session, not
+    // sliding-cooldown semantics: the cooldown measures from the
+    // previous OCCURRENCE (kept or suppressed), NOT from the last
+    // KEPT event, so a steady drip of sub-12h events stays suppressed
+    // after the first (one alert per burst). Alerting pipelines that
+    // want "re-emit every 12h during a sustained burst" need
+    // last-emitted state (streaming form: mapGroupsWithState keeping
+    // last_kept_ts, cf. streaming/StreamDedup.scala); this batch form
+    // is the windowable one — lag() is a single pass, while
+    // last-KEPT-event is a running recurrence no window frame
+    // expresses. The (ts, event_id) sort makes same-microsecond
+    // bursts deterministic.
     ("q121_cooldown_dedup", (s, d) => {
       val cooldownUs = 12L * 3600L * 1000000L
       val w = Window.partitionBy("user_id", "event_type")

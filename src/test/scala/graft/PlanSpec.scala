@@ -279,6 +279,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"front re-join should broadcast:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q97: candidate probe is distributed — no LocalTableScan of driver-built rows") {
+    // the CMS sketch bytes are broadcast and probed executor-side via
+    // mapPartitions; only the sketch crosses the driver. A
+    // LocalTableScan in the plan would mean the candidate list was
+    // collected and re-parallelized through the driver (the round-6
+    // scale-killer this pins against).
+    val p = plan("q97_cms_heavy_hitters")
+    assert(!p.contains("LocalTableScan"), s"q97 candidates built driver-side:\n$p")
+    assert(p.contains("MapPartitions"), s"expected executor-side sketch probe:\n$p")
+  }
+
+  test("q121: cooldown dedup is one key shuffle — no exchange beyond the window's") {
+    // lag() needs exactly one hashpartitioning exchange on the window
+    // key; the final orderBy adds its range exchange. Anything more
+    // means the dedup re-shuffled the table.
+    val p = plan("q121_cooldown_dedup")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

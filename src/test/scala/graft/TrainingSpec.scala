@@ -100,6 +100,15 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
   test("q118: trailing 7-day frame matches a per-user sequential replay") {
     val rows = SparkEntry.queries("q118_time_range_frame")(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    // cents per event recomputed independently from the source table
+    // (q118's output omits value) — verifies the fixed-point sum
+    // directly, not just via the oracle hash
+    val centsById = Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase" &&
+              org.apache.spark.sql.functions.col("user_id") < 40)
+      .select("event_id", "value").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        math.floor(r.getAs[Double]("value") * 100).toLong).toMap
     val sevenDaysUs = 7L * 86400L * 1000000L
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
       // replay uses (ts, event_id) order but the frame is ts-keyed:
@@ -110,6 +119,9 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
         val inFrame = sorted.filter(x => tsUs(x) >= t - sevenDaysUs && tsUs(x) <= t)
         assert(r.getAs[Long]("n_7d") == inFrame.length,
           s"user $u event ${r.getAs[Long]("event_id")}: n_7d")
+        val wantCents = inFrame.map(x => centsById(x.getAs[Long]("event_id"))).sum
+        assert(r.getAs[Long]("spend_7d_cents") == wantCents,
+          s"user $u event ${r.getAs[Long]("event_id")}: spend_7d_cents")
       }
     }
   }
@@ -189,6 +201,22 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected,
       s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
     assert(got.nonEmpty && got.size < all.length, "dedup must drop some repeats")
+  }
+
+  test("q121: cooldown dedup is idempotent — re-running it on its own output is a no-op") {
+    // consecutive kept events are always > 12h apart (the immediate
+    // predecessor occurrence is at least as late as the previous kept
+    // event), so a second pass must keep everything
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val once = SparkEntry.queries("q121_cooldown_dedup")(spark, sfDir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val twice = once
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 12L * 3600L * 1000000L)
+    assert(twice.count() == once.count(), "second dedup pass dropped rows")
   }
 
   test("q117: skyline equals the quadratic dominance definition") {
