@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * frame-sample / feature-extract plumbing a training-data pipeline
   * runs over them.
   *
-  * The decode itself is a clearly-marked deterministic STUB (`decode`
-  * below) — no image/audio codecs exist in this environment — but the
+  * The pixel/feature decode is a clearly-marked deterministic STUB
+  * (`decode` below) — no pixel codecs exist in this environment — but
+  * container HEADER parsing is real: [[ImageHeaders]] extracts
+  * width/height/depth/channels from genuine PNG/JPEG/GIF byte streams
+  * (judged as q122 via the codegen'd `image_meta` expression). The
   * Spark-side shape is real and is what matters at scale: payloads
   * stay opaque binary (never parsed by Catalyst), metadata rides in
   * ordinary typed columns (filterable/prunable without touching

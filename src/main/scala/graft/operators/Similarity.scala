@@ -422,6 +422,91 @@ object Similarity extends QueryGroup {
       ORDER BY cid, pos
     """)),
 
+    // ------------------------------------------------------------ kNN-graph construction (round 7)
+    // Top-k neighbor EDGES for EVERY vector — the input relation for
+    // graph-based curation (agglomerative semantic dedup, label
+    // propagation over embeddings, graph-connectivity diversity
+    // sampling all start from this). q62's IVF machinery with all n
+    // vectors as queries: rank the per-label centroid cells per vector
+    // (ncells is small by design, so cells broadcast and the ranking
+    // is a narrow map), probe the nprobe best, exact-rerank ONLY
+    // within probed cells. Candidate generation is an equi-join on
+    // the cell key — n·nprobe·(n/ncells) pairs, never n² — and the
+    // rerank shuffle is keyed by cell, the partition-by-cell layout an
+    // ANN corpus already has at 100 TB (skewed cells → AQE skew
+    // split). Deterministic (quant6 centroids, sequential-fold dots,
+    // lexicographic tie-breaks), so the whole approximate index is
+    // hash-oracled; recall vs exact q41 is asserted in LlmOpsSpec.
+    ("q124_knn_graph", (s, d) => {
+      val nprobe = 2; val kGraph = 5
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("label").as("cell"), col("cv"), col("cnrm"))
+      def dotFD(f: Column, dd: Column) =
+        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+      val e = normed(s, d)
+      val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
+      val probes = e.select(col("vec_id").as("src"), col("embedding").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cvec))
+        .select(col("src"), col("cell"), col("qv"), col("qn"),
+                (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= nprobe)
+        .select("src", "cell", "qv", "qn")
+      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      e.select(col("label").as("cell"), col("vec_id").as("dst"),
+               col("embedding"), col("nrm"))
+        .join(probes, Seq("cell"))
+        .filter(col("dst") =!= col("src"))
+        .select(col("src"), col("dst"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= kGraph)
+        .select("src", "rk", "dst", "cos")
+        .orderBy("src", "rk")
+    }, Some(s"""
+      WITH $normedCte,
+      cent AS (
+        SELECT label, i - 1 AS pos,
+               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i
+      ),
+      cv AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label
+      ),
+      probes AS (
+        SELECT src, cell FROM (
+          SELECT q.vec_id AS src, cv.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i])) / (q.nrm * cv.cnrm) DESC,
+                   cv.cell) AS pr
+          FROM e q, cv
+        ) WHERE pr <= 2
+      ),
+      scored AS (
+        SELECT p.src, c.vec_id AS dst,
+               list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+        FROM probes p
+        JOIN e c ON c.label = p.cell
+        JOIN e q ON q.vec_id = p.src
+        WHERE c.vec_id <> p.src
+      )
+      SELECT src, rk, dst, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) rk
+            FROM scored) t
+      WHERE rk <= 5
+      ORDER BY src, rk
+    """)),
+
     // ------------------------------------------------------- product quantization + ADC search (round 4)
     // The memory scale path past int8 (q63): each vector becomes M=8
     // subspace codes (5 bits each here — 32 centroids/subspace), so the

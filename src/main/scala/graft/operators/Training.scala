@@ -17,8 +17,9 @@ import graft.functions.TextFunctions.{charNgrams, tokens}
   *    one count aggregation with map-side partials, top-k via
   *    TakeOrderedAndProject. At 100 TB this is the canonical
   *    "train a tokenizer on the corpus" scan: linear, no joins, the
-  *    only shuffle carries (pair, partial_count) — 2-char keys, so
-  *    ~26² distinct keys per partition regardless of data size.
+  *    only shuffle carries (pair, partial_count) — 2-char keys over
+  *    the [a-z0-9] token alphabet, so ~36² distinct keys per
+  *    partition regardless of data size (scales with charset).
   *  - q114 random projection: Johnson–Lindenstrauss sign-matrix
   *    dimensionality reduction of the embedding column (64 → 8 dims).
   *    The projection matrix is a FIXED ±1 sign matrix derived from
@@ -78,6 +79,116 @@ object Training extends QueryGroup {
       ORDER BY n DESC, pair
       LIMIT $pairTopK
     """)),
+
+    // ------------------------------------------------------------ full BPE induction (round 7)
+    // k REAL merge rounds of byte-pair-encoding — q113 is one pair
+    // count; this is the loop: count weighted adjacent pairs, take the
+    // argmax merge (ties → lexicographic, pinned on both engines),
+    // APPLY it greedily left-to-right non-overlapping, recount. The
+    // scale design is the classic BPE trick: the corpus is scanned
+    // ONCE into a (word, freq) vocabulary, and all k rounds iterate
+    // over the vocab-sized symbol table (millions of rows at 100 TB,
+    // not the corpus) — every merge round is pure window/agg work
+    // hash-partitioned by word, lineage checkpoint-truncated like q64.
+    //
+    // Greedy non-overlap is made RELATIONAL with the islands+parity
+    // trick: a raw match at pos i can chain with one at i+1 only when
+    // a==b (else sym[i+1]=b≠a), so maximal runs of raw matches are
+    // grouped (grp = pos - running_raw_count, gaps-and-islands) and
+    // the 1st, 3rd, … of each run are the active merges — exactly the
+    // left-to-right scan, with no sequential dependence. Consumed
+    // right-halves drop via lag(active); positions renumber with
+    // row_number. Window keys (word), (word,grp) share one word-hash
+    // exchange per round (subset-key reuse).
+    ("q123_bpe_merge_rounds", (s, d) => {
+      val rounds = 5
+      val vocab = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var syms = vocab
+        .select(col("word"), col("cnt"),
+                posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+        .localCheckpoint()
+      val wSeq = Window.partitionBy("word").orderBy("pos")
+      var merges = Vector.empty[DataFrame]
+      for (r <- 1 to rounds) {
+        val adj = syms.withColumn("nxt", lead("sym", 1).over(wSeq))
+        val best = adj.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum("cnt").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .localCheckpoint()
+        merges :+= best.select(lit(r).cast("long").as("round"), col("a"), col("b"), col("n"))
+        val marked = adj.crossJoin(broadcast(best.select("a", "b")))
+          .withColumn("raw", col("nxt").isNotNull &&
+                             col("sym") === col("a") && col("nxt") === col("b"))
+          .withColumn("rrn", sum(when(col("raw"), 1L).otherwise(0L)).over(wSeq))
+          .withColumn("grp", when(col("raw"), col("pos") - col("rrn")))
+        val wGrp = Window.partitionBy("word", "grp")
+        syms = marked
+          .withColumn("active",
+            col("raw") && (col("rrn") - min("rrn").over(wGrp)) % 2 === 0)
+          .withColumn("consumed", coalesce(lag("active", 1).over(wSeq), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("word"), col("cnt"),
+                  row_number().over(wSeq).as("pos"),
+                  when(col("active"), concat(col("sym"), col("nxt")))
+                    .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionByName _).orderBy("round")
+    }, Some {
+      // mechanically generated k-round iterative CTE — the same
+      // islands+parity relational merge, so every round's argmax AND
+      // its application are verified, not just round 1
+      val rounds = 5
+      val roundCtes = (1 to rounds).map { r =>
+        val prev = s"s${r - 1}"
+        s"""
+      adj$r AS (
+        SELECT word, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM $prev),
+      best$r AS (
+        SELECT sym AS a, nxt AS b, sum(cnt)::BIGINT AS n
+        FROM adj$r WHERE nxt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+      m$r AS (
+        SELECT *, (nxt IS NOT NULL AND sym = (SELECT a FROM best$r)
+                   AND nxt = (SELECT b FROM best$r)) AS raw
+        FROM adj$r),
+      g$r AS (
+        SELECT *, sum(CASE WHEN raw THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS rrn
+        FROM m$r),
+      i$r AS (SELECT *, CASE WHEN raw THEN pos - rrn END AS grp FROM g$r),
+      a$r AS (
+        SELECT *, raw AND (rrn - min(rrn) OVER (PARTITION BY word, grp)) % 2 = 0 AS active
+        FROM i$r),
+      s$r AS (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+        FROM (SELECT *, lag(active) OVER (PARTITION BY word ORDER BY pos) AS consumed
+              FROM a$r)
+        WHERE consumed IS NULL OR NOT consumed)"""
+      }.mkString(",")
+      val unions = (1 to rounds)
+        .map(r => s"SELECT $r::BIGINT AS round, a, b, n FROM best$r")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH vocab AS (
+        SELECT tok AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        WHERE length(tok) >= 2 GROUP BY tok),
+      s0 AS (
+        SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
+        FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
+      $roundCtes
+      $unions ORDER BY round
+    """
+    }),
 
     ("q114_random_projection", (s, d) => {
       val projCols = (0 until outDims).map { j =>

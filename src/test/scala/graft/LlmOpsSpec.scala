@@ -112,6 +112,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.5, f"mean PQ recall@10 $mean%.3f below floor")
   }
 
+  test("q124 kNN-graph recall@5 vs exact q41 clears the floor; k edges per vector") {
+    // q41's exact top-10 restricted to rk<=5 is the exact top-5 for
+    // the 10 query vectors; q124's IVF-blocked edges should recover
+    // most of them (nprobe=2 of the label cells)
+    val exact = SparkEntry.queries("q41_cosine_topk")(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rk") <= 5)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val edges = SparkEntry.queries("q124_knn_graph")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    // every vector gets exactly kGraph=5 edges (cells are big enough)
+    val perSrc = edges.groupBy(_.getAs[Long]("src"))
+    assert(perSrc.size == n, s"expected $n sources, got ${perSrc.size}")
+    perSrc.values.foreach(rs => assert(rs.length == 5))
+    val knn = perSrc.map { case (s, rs) => s -> rs.map(_.getAs[Long]("dst")).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      knn.get(q).map(an => (an intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // near-random embeddings: nprobe=2/ncells coverage bounds recall —
+    // the floor guards the candidate mechanism, not index quality
+    assert(mean >= 0.3, f"mean kNN-graph recall@5 $mean%.3f below floor")
+  }
+
   test("q58 LSH cosine pairs are a subset of exact q42 with bounded recall loss") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -52,4 +52,72 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .filter(col("count") =!= col("n_frames")).count()
     assert(joined == 0, "frame count mismatch with n_frames metadata")
   }
+
+  // ------------------------------------------------------------ real header codec
+  import graft.multimodal.ImageHeaders
+
+  test("PNG round-trip: IHDR fields survive encode → decode, including 16-bit depth and alpha") {
+    for ((w, h, depth, ct, ch) <- Seq((1, 1, 8, 0, 1), (640, 480, 8, 2, 3),
+                                      (255, 191, 16, 6, 4), (65535, 1, 8, 3, 1))) {
+      val m = ImageHeaders.decodePng(ImageHeaders.encodePng(w, h, depth, ct))
+      assert(m.contains(ImageHeaders.ImageMeta("png", w, h, depth, ch)), s"w=$w h=$h ct=$ct")
+    }
+  }
+
+  test("JPEG round-trip: SOF0 parsed through skipped APP0/COM segments; big-endian dims") {
+    for ((w, h, ch) <- Seq((1, 1, 1), (320, 240, 3), (65535, 65535, 3))) {
+      val m = ImageHeaders.decodeJpeg(ImageHeaders.encodeJpeg(w, h, ch))
+      assert(m.contains(ImageHeaders.ImageMeta("jpeg", w, h, 8, ch)), s"w=$w h=$h")
+    }
+  }
+
+  test("GIF round-trip: little-endian u16 dims from the Logical Screen Descriptor") {
+    for ((w, h) <- Seq((1, 1), (300, 200), (65535, 257))) {
+      val m = ImageHeaders.decodeGif(ImageHeaders.encodeGif(w, h))
+      assert(m.contains(ImageHeaders.ImageMeta("gif", w, h, 8, 3)), s"w=$w h=$h")
+    }
+  }
+
+  test("decode dispatch sniffs magic bytes; garbage, truncation, and empty input yield None") {
+    assert(ImageHeaders.decode(ImageHeaders.encodePng(2, 3, 8, 2)).exists(_.format == "png"))
+    assert(ImageHeaders.decode(ImageHeaders.encodeJpeg(2, 3, 3)).exists(_.format == "jpeg"))
+    assert(ImageHeaders.decode(ImageHeaders.encodeGif(2, 3)).exists(_.format == "gif"))
+    assert(ImageHeaders.decode(null).isEmpty)
+    assert(ImageHeaders.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageHeaders.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    // valid signatures, truncated bodies
+    assert(ImageHeaders.decode(ImageHeaders.encodePng(9, 9, 8, 2).take(12)).isEmpty)
+    assert(ImageHeaders.decode(ImageHeaders.encodeJpeg(9, 9, 3).take(6)).isEmpty)
+    assert(ImageHeaders.decode(ImageHeaders.encodeGif(9, 9).take(7)).isEmpty)
+    // JPEG with EOI but no SOF (no frame header to report)
+    assert(ImageHeaders.decodeJpeg(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+  }
+
+  test("image_meta expression: SQL surface, codegen'd plan, NULL for non-images") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, ImageHeaders.encodePng(100, 50, 8, 2)),
+      (2L, ImageHeaders.encodeJpeg(31, 17, 3)),
+      (3L, ImageHeaders.encodeGif(12, 34)),
+      (4L, "plain text bytes".getBytes("UTF-8"))).toDF("id", "payload")
+    df.createOrReplaceTempView("imgs")
+    val rows = spark.sql(
+      """SELECT id, image_meta(payload).format AS f, image_meta(payload).width AS w,
+                image_meta(payload).height AS h
+         FROM imgs ORDER BY id""").collect()
+    assert(rows.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      Seq((1L, "png"), (2L, "jpeg"), (3L, "gif"), (4L, null)))
+    assert(rows.take(3).map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((100, 50), (31, 17), (12, 34)))
+    // the parse must stay inside a whole-stage-codegen span (real
+    // doGenCode). A plain local Seq would constant-fold to a
+    // LocalTableScan (ConvertToLocalRelation) with no codegen at all —
+    // repartition pins a distributed plan like a real scan's.
+    val q = df.repartition(2)
+      .select(expr("image_meta(payload).width").as("w")).filter(col("w") > 0)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).nonEmpty, s"no codegen span:\n$plan")
+  }
 }

@@ -299,6 +299,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("q123: BPE rounds are checkpoint-truncated — final plan reads RDDs, no re-scan/re-explode") {
+    // each merge round localCheckpoints its symbol table and best-pair;
+    // without truncation the final union would embed the corpus
+    // tokenize/explode subtree 5 times over
+    val p = plan("q123_bpe_merge_rounds")
+    assert(!p.contains("FileScan"), s"q123 plan re-reads inputs — lineage not truncated:\n$p")
+    assert(!p.contains("Generate"), s"q123 plan re-runs explodes:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"q123 should read checkpointed RDDs:\n$p")
+  }
+
+  test("q124: kNN-graph candidates come from a cell equi-join, never all-pairs") {
+    // the vector×centroid ranking is an intentional broadcast cross
+    // against the tiny cell relation; the n-vector side must never
+    // cartesian with itself
+    val p = plan("q124_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"q124 plans a cartesian:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("BroadcastHashJoin"), s"q124 rerank must be an equi-join:\n$p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -25,6 +25,36 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"\n got=$got\nwant=$expected")
   }
 
+  test("q123: five merge rounds match a sequential reference BPE (count AND application)") {
+    // the textbook algorithm, run sequentially in memory: weighted
+    // adjacent-pair count over the vocab, argmax with (n desc, a, b)
+    // tie-break, greedy left-to-right non-overlapping merge, recount
+    val vocab = Tables.documents(spark, sfDir).select("text")
+      .collect().flatMap(r => tok(r.getString(0))).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w.split("").toVector -> ws.length.toLong }
+    var words = vocab
+    val expected = (1 to 5).map { r =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), n) = counts.toSeq.sortBy { case ((x, y), m) => (-m, x, y) }.head
+      words = words.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.result() -> c
+      }
+      (r.toLong, a, b, n)
+    }
+    val got = SparkEntry.queries("q123_bpe_merge_rounds")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("a"),
+                 r.getAs[String]("b"), r.getAs[Long]("n"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
   test("q114: projection matches an in-order scalar recompute bit-for-bit") {
     def sign(j: Int, i: Int): Double =
       if ((scala.util.hashing.MurmurHash3.stringHash(s"rp_${j}_$i") & 1) == 0) 1.0 else -1.0
