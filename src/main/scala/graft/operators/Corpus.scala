@@ -478,6 +478,93 @@ object Corpus extends QueryGroup {
             WHERE r.cum * 1000 >= t.threshold_permille * r.total)
       SELECT threshold_permille, min(rank)::BIGINT AS vocab_size
       FROM x GROUP BY threshold_permille ORDER BY threshold_permille
+    """)),
+
+    // ------------------------------------------------------------ paragraph-level filter + rebuild (round 7)
+    // Hierarchical document cleaning — the FineWeb/C4-style step where
+    // quality filtering happens BELOW document granularity: split each
+    // document into segments (here: '.'-delimited sentences), drop
+    // segments failing a quality gate (trimmed length < 10 — a stand-in
+    // for any per-segment scorer), and REASSEMBLE the survivors in
+    // original order. The explode→filter→reassemble round trip is the
+    // operator; the gate is pluggable. Reassembly = groupBy(doc) over
+    // (pos, seg) structs + array_sort + array_join — collect_list alone
+    // is NOT order-stable under shuffles, sorting by the carried
+    // position is what makes the rebuild deterministic. One explode
+    // pass, one doc-keyed shuffle; segment state per doc is bounded by
+    // document length, so groups never outgrow an executor.
+    ("q129_paragraph_rebuild", (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\.")).as(Seq("pos", "seg")))
+        .withColumn("seg", trim(col("seg")))
+        .withColumn("keep", length(col("seg")) >= 10)
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+          array_join(
+            transform(array_sort(collect_list(when(col("keep"), struct(col("pos"), col("seg"))))),
+              x => x("seg")),
+            ". ").as("rebuilt"))
+        .filter(col("n_kept") > 0)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH seg AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, '.'), 1) AS pos,
+               trim(unnest(string_split(text, '.'))) AS seg
+        FROM documents)
+      SELECT doc_id,
+             count(*) FILTER (length(seg) >= 10) AS n_kept,
+             count(*) FILTER (length(seg) < 10) AS n_dropped,
+             string_agg(seg, '. ' ORDER BY pos) FILTER (length(seg) >= 10) AS rebuilt
+      FROM seg
+      GROUP BY doc_id
+      HAVING count(*) FILTER (length(seg) >= 10) > 0
+      ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ shingle novelty (round 7)
+    // Per-document novelty scoring — what fraction of a document's
+    // distinct word-3-shingles appear in NO earlier document (earlier =
+    // smaller doc_id; in production, earlier crawl snapshot)? The
+    // standard "how much of this is new text" curation signal, and the
+    // aggregate sibling of q91's duplicate-span stats. Plan: ONE
+    // tokenize+explode pass to the (doc_id, shingle) relation, a
+    // shingle-keyed aggregate for each shingle's FIRST owner
+    // (min(doc_id)), and a doc-keyed roll-up counting shingles whose
+    // first owner is the document itself. Both shuffles key on
+    // high-cardinality columns (shingle, then doc) — no skew, no
+    // broadcast of anything data-sized, novelty of every document in
+    // two map-reduce rounds at any scale. Self-novelty counts via
+    // first_owner = doc_id, so repeated text WITHIN a doc still counts
+    // once (distinct shingles), matching the dedup intuition.
+    ("q132_shingle_novelty", (s, d) => {
+      val sh = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+      val firstOwner = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+      sh.join(firstOwner, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM toks),
+      fo AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+      SELECT sh.doc_id, count(*) AS n_shingles,
+             count(*) FILTER (fo.first_doc = sh.doc_id) AS n_novel,
+             round(count(*) FILTER (fo.first_doc = sh.doc_id) / count(*)::DOUBLE, 6) AS novelty
+      FROM sh JOIN fo USING (g)
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id
     """))
   )
 }

@@ -247,6 +247,203 @@ object Profiling extends QueryGroup {
       FROM t
       WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 43200000000
       ORDER BY event_id
+    """)),
+
+    // ------------------------------------------------------------ drift detection: PSI (round 7)
+    // Population Stability Index between a reference window (first half
+    // of the corpus timespan) and the current window, per event_type —
+    // the standard production check for "did this feature's
+    // distribution move?". Fixed-width value bins (not quantile bins:
+    // quantile edges computed on one engine would not reproduce on the
+    // other, and at 100 TB fixed edges need no pre-pass) and Laplace
+    // smoothing (+1 per bin) so empty bins contribute finitely. Bins
+    // empty in BOTH windows all contribute the SAME smoothing-only
+    // term ((1/(Nc+B)) − (1/(Nr+B)))·ln((Nr+B)/(Nc+B)), so instead of
+    // materializing a type×bin grid (which costs a second
+    // distinct-types pass over events — Catalyst rewrites
+    // binned.select(type).distinct() into a fresh scan, measured), the
+    // missing-bin mass is added in closed form: ONE events scan, one
+    // (type, bin) shuffle, and everything after the first aggregate
+    // runs on ≤ |types|×|bins| rows (bounded by the schema, not the
+    // data).
+    ("q126_drift_psi", (s, d) => {
+      val binW = 50.0; val nBins = 10
+      val binned = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("is_ref"),
+          least(lit(nBins - 1L), floor(col("value") / binW)).cast("long").as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+      val wType = Window.partitionBy("event_type")
+      binned
+        .withColumn("tr", (sum("nr").over(wType) + nBins).cast("double"))
+        .withColumn("tc", (sum("nc").over(wType) + nBins).cast("double"))
+        .withColumn("pr", (col("nr") + 1).cast("double") / col("tr"))
+        .withColumn("pc", (col("nc") + 1).cast("double") / col("tc"))
+        .groupBy("event_type")
+        .agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"),
+             round(
+               sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))) +
+               (lit(nBins) - count(lit(1))) *
+                 (lit(1.0) / first("tc") - lit(1.0) / first("tr")) *
+                 log(first("tr") / first("tc")),
+               6).as("psi"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH b AS (
+        SELECT event_type, least(9, floor(value / 50))::BIGINT AS bin,
+               count(*) FILTER (ts::TIMESTAMP < TIMESTAMP '2024-01-16') AS nr,
+               count(*) FILTER (ts::TIMESTAMP >= TIMESTAMP '2024-01-16') AS nc
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT event_type, nr, nc,
+               (sum(nr) OVER (PARTITION BY event_type) + 10)::DOUBLE AS tr,
+               (sum(nc) OVER (PARTITION BY event_type) + 10)::DOUBLE AS tc,
+               (nr + 1)::DOUBLE / (sum(nr) OVER (PARTITION BY event_type) + 10)::DOUBLE AS pr,
+               (nc + 1)::DOUBLE / (sum(nc) OVER (PARTITION BY event_type) + 10)::DOUBLE AS pc
+        FROM b)
+      SELECT event_type, sum(nr)::BIGINT AS n_ref, sum(nc)::BIGINT AS n_cur,
+             round(sum((pc - pr) * ln(pc / pr)) +
+                   (10 - count(*)) * (1.0 / any_value(tc) - 1.0 / any_value(tr))
+                                   * ln(any_value(tr) / any_value(tc)),
+                   6) AS psi
+      FROM p GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ robust outliers: median/MAD (round 7)
+    // Per-group robust anomaly flagging: median + MAD (median absolute
+    // deviation), outlier = |x - med| > 3 · 1.4826 · MAD — the
+    // z-score's robust cousin (mean/stddev move with the outliers
+    // they're supposed to flag; the median doesn't). Exact medians need
+    // a sorted pass per statistic, so this is deliberately 3 scans of
+    // the (projected, 2-column) input: median → MAD → outlier count,
+    // each group-aggregated and the tiny per-type stats BROADCAST back
+    // (never a shuffle of events by a stats join key). The 100 TB form
+    // swaps `percentile` for `approx_percentile` (one scan, mergeable
+    // GK sketches — cf. q59) at 1–2% edge error; exact is judged here
+    // because the oracle can reproduce it bit-for-bit.
+    ("q128_robust_outliers", (s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val meds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = ev.join(broadcast(meds), "event_type")
+      val stats = withMed.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             expr("percentile(abs(value - med), 0.5)").as("mad"),
+             first("med").as("med"))
+      withMed.join(broadcast(stats.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(sum(when(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH meds AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      stats AS (
+        SELECT e.event_type, count(*) AS n, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN meds m USING (event_type)
+        GROUP BY e.event_type, m.med)
+      SELECT s.event_type, s.n, round(s.med, 6) AS med, round(s.mad, 6) AS mad,
+             count(*) FILTER (abs(e.value - s.med) > 3 * 1.4826 * s.mad) AS n_outliers
+      FROM events e JOIN stats s USING (event_type)
+      GROUP BY s.event_type, s.n, s.med, s.mad
+      ORDER BY s.event_type
+    """)),
+
+    // ------------------------------------------------------------ last-touch attribution (round 7)
+    // Marketing-style conversion attribution: each purchase credits the
+    // most recent preceding view/click by the same user within a 24 h
+    // lookback, else counts as "direct". The touch is carried by an
+    // IGNORE-NULLS last_value over the user timeline (ROWS … 1
+    // PRECEDING excludes the purchase itself) — ONE user-keyed shuffle
+    // and a single sorted pass per user, not a per-purchase self-join
+    // (the naive form is a range join that re-scans each user's history
+    // per conversion). Touch ts and type ride in two parallel windows
+    // with identical frames (null together, so they stay consistent)
+    // because windowed struct IGNORE-NULLS is not portable SQL.
+    ("q130_attribution", (s, d) => {
+      val lookbackUs = 24L * 3600L * 1000000L
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("view", "click")
+      Tables.events(s, d)
+        .withColumn("touch_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch_us").isNotNull &&
+               unix_micros(col("ts")) - col("touch_us") <= lookbackUs, col("touch_type"))
+            .otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+        .orderBy("channel")
+    }, Some("""
+      WITH t AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts::TIMESTAMP) AS us,
+               last_value(CASE WHEN event_type IN ('view','click')
+                               THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us,
+               last_value(CASE WHEN event_type IN ('view','click')
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        FROM events)
+      SELECT CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 86400000000
+                  THEN touch_type ELSE 'direct' END AS channel,
+             count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1
+      ORDER BY channel
+    """)),
+
+    // ------------------------------------------------------------ correlation matrix (round 7)
+    // Pairwise Pearson correlation of lineitem's numeric measures in
+    // ONE scan and ONE 1-row aggregate: all C(4,2) corr() aggregates
+    // run in the same wide agg (each keeps (n, Σx, Σy, Σxy, Σx², Σy²)
+    // running state — mergeable, map-side partial, no Expand), and
+    // `stack` unpivots the single row into the matrix's upper
+    // triangle. The profiling companion to q105's per-column moments:
+    // q105 says how each column is shaped, this says how they move
+    // together (feature-selection / leakage screening raw material).
+    ("q131_corr_matrix", (s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"${a}__${b}") }
+      val wide = Tables.lineitem(s, d).agg(count(lit(1)).as("__n"), aggs: _*)
+      val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }.mkString(", ")
+      wide.selectExpr("__n AS n_rows",
+          s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, pearson_r)")
+        .select("col_a", "col_b", "n_rows", "pearson_r")
+        .orderBy("col_a", "col_b")
+    }, Some("""
+      WITH s AS (
+        SELECT count(*) AS n,
+               round(corr(l_quantity, l_extendedprice), 4) AS c_qe,
+               round(corr(l_quantity, l_discount), 4)      AS c_qd,
+               round(corr(l_quantity, l_tax), 4)           AS c_qt,
+               round(corr(l_extendedprice, l_discount), 4) AS c_ed,
+               round(corr(l_extendedprice, l_tax), 4)      AS c_et,
+               round(corr(l_discount, l_tax), 4)           AS c_dt
+        FROM lineitem)
+      SELECT col_a, col_b, n AS n_rows, pearson_r FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, c_qe AS pearson_r FROM s
+        UNION ALL SELECT 'l_quantity', 'l_discount', n, c_qd FROM s
+        UNION ALL SELECT 'l_quantity', 'l_tax', n, c_qt FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', n, c_ed FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', n, c_et FROM s
+        UNION ALL SELECT 'l_discount', 'l_tax', n, c_dt FROM s)
+      ORDER BY col_a, col_b
     """))
   )
 }

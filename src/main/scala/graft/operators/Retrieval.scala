@@ -194,6 +194,51 @@ object Retrieval extends QueryGroup {
             FROM fused) t
       WHERE rk <= $topK
       ORDER BY rk
+    """)),
+
+    // ------------------------------------------------------------ positional phrase search (round 7)
+    // Exact-phrase matching — the retrieval operation q72's
+    // document-level inverted index cannot answer (it knows WHICH docs
+    // contain "table" and "hash", not whether they're ADJACENT). The
+    // POSITIONAL index (doc_id, pos, term) is built in one
+    // tokenize+posexplode pass; a phrase "w1 w2" is then the equi-join
+    // of the w1 postings with the w2 postings on (doc_id, pos+1) —
+    // never a string re-scan of the documents. Both sides are
+    // term-filtered BEFORE the join (isin over the phrase vocabulary),
+    // so the join input is |postings of query terms|, not |corpus
+    // positions| — the standard phrase-query plan of a search engine,
+    // and at 100 TB exactly the persisted-index probe shape. Longer
+    // phrases chain one join per extra term; the phrase table is a
+    // literal relation (broadcast), so many phrases batch in ONE pass
+    // over the postings.
+    ("q125_phrase_search", (s, d) => {
+      val phrases = Seq(("table", "hash"), ("customer", "join"))
+      val pos = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      val w1s = phrases.map(_._1); val w2s = phrases.map(_._2)
+      val phraseDf = s.createDataFrame(phrases).toDF("w1", "w2")
+      val a = pos.filter(col("term").isin(w1s: _*))
+        .select(col("doc_id"), col("pos"), col("term").as("w1"))
+      val b = pos.filter(col("term").isin(w2s: _*))
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"), col("term").as("w2"))
+      a.join(b, col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
+        .join(broadcast(phraseDf), Seq("w1", "w2"))
+        .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("phrase"))
+        .groupBy("phrase", "doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("phrase", "doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      pos AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS term
+              FROM toks),
+      ph(w1, w2) AS (VALUES ('table', 'hash'), ('customer', 'join'))
+      SELECT a.w1 || ' ' || b.w2 AS phrase, a.doc_id AS doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, pos, term AS w1 FROM pos WHERE term IN ('table', 'customer')) a
+      JOIN (SELECT doc_id, pos, term AS w2 FROM pos WHERE term IN ('hash', 'join')) b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN ph ON a.w1 = ph.w1 AND b.w2 = ph.w2
+      GROUP BY 1, 2
+      ORDER BY phrase, doc_id
     """))
   )
 }

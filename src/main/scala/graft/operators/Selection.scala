@@ -145,6 +145,51 @@ object Selection extends QueryGroup {
                sum((length(text) + 3) // 4) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         FROM documents) t
       ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ weighted sampling (round 7)
+    // Deterministic weighted sampling WITHOUT replacement, per source:
+    // Efraimidis–Spirakis A-Res — each item draws a uniform u and is
+    // ranked by ln(u)/w (monotone-equivalent to the classic u^(1/w)
+    // key, but u^(1/w) underflows to 1.0-indistinguishable values for
+    // large w; the log form keeps full double resolution); the top-k
+    // per stratum IS a weight-proportional sample without replacement.
+    // q65 solves unweighted rate sampling; this is its importance-
+    // weighted cousin (sample long documents proportionally to length
+    // for a token-budget corpus). u is the q65 portable md5 hash mapped
+    // into (0,1) — deterministic, reproducible across engines and
+    // incremental corpus growth. ONE scan; the per-source top-k is a
+    // rank-k window per stratum (bounded output per group, no global
+    // sort). Ranking compares doubles computed from identical rational
+    // inputs via one ln() and one division on both engines — ulp
+    // differences could in principle swap two keys, but keys are
+    // continuous md5-derived values (adjacent-key gaps ~1e-3 at n=600
+    // per stratum vs ~1e-16 ulp error; collision probability ~1e-13).
+    ("q127_weighted_sample", (s, d) => {
+      val k = 5
+      // u in (0,1): 60-bit hash + 0.5 over 2^60 — never exactly 0 or 1
+      val u = (portableHash(col("doc_id").cast("string")).cast("double") + 0.5) /
+        lit(Math.pow(2.0, 60))
+      val w = Window.partitionBy("source")
+        .orderBy(col("key").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (log(u) / col("n_chars").cast("double")).as("key"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    }, Some("""
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT::DOUBLE + 0.5)
+                  / 1152921504606846976.0) / n_chars::DOUBLE AS key
+        FROM documents)
+      SELECT source, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank,
+             doc_id, n_chars
+      FROM keyed
+      QUALIFY rank <= 5
+      ORDER BY source, rank
     """))
   )
 }

@@ -320,6 +320,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
            p.contains("BroadcastHashJoin"), s"q124 rerank must be an equi-join:\n$p")
   }
 
+  test("q126: PSI is ONE events pass — closed-form missing bins, no grid re-scan") {
+    // the type×bin grid variant cost a second distinct-types scan of
+    // events (Catalyst rewrites binned.select(type).distinct() into a
+    // fresh FileScan); the closed-form smoothing term keeps it to one
+    val p = plan("q126_drift_psi")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans:\n$p")
+  }
+
+  test("q128: per-type stats join back by BROADCAST, never a shuffle of events") {
+    val p = plan("q128_robust_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stats joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"events must not shuffle on a stats join key:\n$p")
+  }
+
+  test("q130: attribution is window+filter+agg — no per-purchase self-join") {
+    val p = plan("q130_attribution")
+    assert(!p.contains("Join"), s"attribution must not join events to events:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected user window + channel agg exchanges only, got $hashEx:\n$p")
+  }
+
+  test("q125: phrase join is an equi-join of term-filtered postings — no cartesian") {
+    val p = plan("q125_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase matching must never pair unfiltered positions:\n$p")
+  }
+
+  test("q132: novelty's two shingle consumers share ONE tokenize pass (ReusedExchange)") {
+    val df = SparkEntry.queries("q132_shingle_novelty")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"tokenize+explode runs twice:\n$p")
+  }
+
+  test("q131: corr matrix is one scan and a single 1-row aggregate") {
+    val p = plan("q131_corr_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"expected one lineitem scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a 1-row global aggregate needs no hash exchange:\n$p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operators, each held to an INDEPENDENT sequential reference
+  * implementation (plain Scala over collected sf0.001 rows) — the
+  * oracle hash says "matches DuckDB", these say "matches the
+  * definition written a second way".
+  */
+class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
+
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def md5Hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Spark/DuckDB `percentile(x, 0.5)`: linear interpolation at
+    * rank p·(n−1) over the sorted values.
+    */
+  private def medianInterp(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val pos = 0.5 * (s.length - 1)
+    val lo = pos.toInt; val frac = pos - lo
+    if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+  }
+
+  test("q125: positional phrase join matches a sequential sliding-window count") {
+    val phrases = Seq(("table", "hash"), ("customer", "join"))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")))
+    val expected = (for {
+      (id, toks) <- docs
+      (w1, w2) <- phrases
+      n = toks.sliding(2).count(p => p.length == 2 && p(0) == w1 && p(1) == w2)
+      if n > 0
+    } yield (s"$w1 $w2", id, n.toLong)).toSet
+    val got = SparkEntry.queries("q125_phrase_search")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+      .toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty, "phrase fixture found no hits — pick livelier phrases")
+  }
+
+  test("q126: closed-form PSI equals the naive full-grid reference") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "ts", "value").collect()
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val expected = byType.map { case (t, rs) =>
+      val bins = rs.map { r =>
+        val bin = math.min(9L, math.floor(r.getAs[Double]("value") / 50.0).toLong)
+        (bin, r.getAs[java.sql.Timestamp]("ts").before(cut))
+      }
+      val nr = (0L to 9L).map(b => bins.count(x => x._1 == b && x._2).toLong)
+      val nc = (0L to 9L).map(b => bins.count(x => x._1 == b && !x._2).toLong)
+      val (tr, tc) = (nr.sum + 10.0, nc.sum + 10.0)
+      val psi = (0 until 10).map { b =>
+        val pr = (nr(b) + 1) / tr; val pc = (nc(b) + 1) / tc
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      t -> (nr.sum, nc.sum, psi)
+    }
+    val got = SparkEntry.queries("q126_drift_psi")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nr, nc, psi) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_ref") == nr && r.getAs[Long]("n_cur") == nc)
+      // closed-form missing-bin mass vs grid sum: same math, different
+      // association order — equal to addition noise, well inside 1e-9
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-6,
+        s"${r.getAs[String]("event_type")}: got ${r.getAs[Double]("psi")} want $psi")
+    }
+  }
+
+  test("q127: A-Res weighted sample matches the sequential top-k per stratum") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (id, _, nch) =>
+        val u = (md5Hash60(id.toString).toDouble + 0.5) / math.pow(2.0, 60)
+        (src, id, nch, math.log(u) / nch.toDouble)
+      }.sortBy { case (_, id, _, key) => (-key, id) }
+        .take(5).zipWithIndex
+        .map { case ((s2, id, nch, _), i) => (s2, i + 1L, id, nch) }
+    }.toSet
+    val got = SparkEntry.queries("q127_weighted_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+                 r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("q127: sampling is weight-sensitive — long docs overrepresented vs unweighted rates") {
+    // with w = n_chars, the sampled docs' mean length must exceed the
+    // corpus mean (the whole point of importance-weighted selection)
+    val corpusMean = Tables.documents(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_chars").toDouble).sum /
+      Tables.documents(spark, sfDir).count()
+    val sample = SparkEntry.queries("q127_weighted_sample")(spark, sfDir).collect()
+    val sampleMean = sample.map(_.getAs[Long]("n_chars").toDouble).sum / sample.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("q128: median/MAD outlier flags match the sequential robust reference") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val xs = rs.map(_._2).toSeq
+      val med = medianInterp(xs)
+      val mad = medianInterp(xs.map(x => math.abs(x - med)))
+      val nOut = xs.count(x => math.abs(x - med) > 3 * 1.4826 * mad)
+      t -> (xs.length.toLong, med, mad, nOut.toLong)
+    }
+    val got = SparkEntry.queries("q128_robust_outliers")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, med, mad, nOut) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("n_outliers") == nOut)
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-6)
+    }
+  }
+
+  test("q130: windowed attribution matches a sequential per-user replay") {
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000L % 1000L,
+        r.getAs[Double]("value")))
+    val lookback = 24L * 3600L * 1000000L
+    val attributed = rows.groupBy(_._2).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._1))
+      sorted.zipWithIndex.collect { case ((_, _, "purchase", us, v), i) =>
+        val touch = sorted.take(i).reverse
+          .find(e => e._3 == "view" || e._3 == "click")
+        val channel = touch match {
+          case Some(t) if us - t._4 <= lookback => t._3
+          case _ => "direct"
+        }
+        (channel, v)
+      }
+    }.toSeq
+    val expected = attributed.groupBy(_._1).map { case (ch, vs) =>
+      ch -> (vs.length.toLong,
+        BigDecimal(vs.map(_._2).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = SparkEntry.queries("q130_attribution")(spark, sfDir).collect()
+    assert(got.length == expected.size, s"channels: got ${got.length} want ${expected.size}")
+    got.foreach { r =>
+      val (n, rev) = expected(r.getAs[String]("channel"))
+      assert(r.getAs[Long]("n_purchases") == n, s"${r.getAs[String]("channel")}: n")
+      assert((BigDecimal(r.getAs[Double]("revenue")) - rev).abs < 0.02,
+        s"${r.getAs[String]("channel")}: revenue ${r.getAs[Double]("revenue")} want $rev")
+    }
+  }
+
+  test("q131: corr matrix matches a sequential Pearson computation") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val data = Tables.lineitem(spark, sfDir).select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => cols.indices.map(i => r.getDouble(i)).toArray)
+    def pearson(i: Int, j: Int): Double = {
+      val n = data.length.toDouble
+      val (xs, ys) = (data.map(_(i)), data.map(_(j)))
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val (sx, sy) = (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum),
+                      math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+      cov / (sx * sy)
+    }
+    val got = SparkEntry.queries("q131_corr_matrix")(spark, sfDir).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (i, j) = (cols.indexOf(r.getAs[String]("col_a")), cols.indexOf(r.getAs[String]("col_b")))
+      assert(i >= 0 && j > i, "upper triangle only, in declared column order")
+      assert(math.abs(r.getAs[Double]("pearson_r") - pearson(i, j)) < 1e-3,
+        s"(${cols(i)},${cols(j)}): got ${r.getAs[Double]("pearson_r")} want ${pearson(i, j)}")
+    }
+  }
+
+  test("q129: rebuild round-trip — kept segments only, original order, counts add up") {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = SparkEntry.queries("q129_paragraph_rebuild")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val segs = src(r.getAs[Long]("doc_id")).split("\\.", -1).map(_.trim)
+      val kept = segs.filter(_.length >= 10)
+      assert(r.getAs[Long]("n_kept") == kept.length)
+      assert(r.getAs[Long]("n_dropped") == segs.length - kept.length)
+      assert(r.getAs[String]("rebuilt") == kept.mkString(". "),
+        s"doc ${r.getAs[Long]("doc_id")}: rebuilt text diverges")
+    }
+    // every (doc with >=1 kept segment) must appear
+    val expectedDocs = src.filter { case (_, t) =>
+      t.split("\\.", -1).map(_.trim).exists(_.length >= 10) }.keySet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expectedDocs)
+  }
+
+  test("q132: shingle novelty matches the sequential first-owner reference") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")))
+    val shingleSets = docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val firstOwner = shingleSets.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val got = SparkEntry.queries("q132_shingle_novelty")(spark, sfDir).collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = shingleSets.toMap.apply(id)
+      val nNovel = gs.count(g => firstOwner(g) == id).toLong
+      assert(r.getAs[Long]("n_shingles") == gs.size.toLong, s"doc $id shingle count")
+      assert(r.getAs[Long]("n_novel") == nNovel, s"doc $id novel count")
+    }
+    // the smallest doc_id owning shingles is fully novel by construction
+    val first = got.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0, "first doc must be 100% novel")
+  }
+}
