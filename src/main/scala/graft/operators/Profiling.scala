@@ -249,6 +249,32 @@ object Profiling extends QueryGroup {
       ORDER BY event_id
     """)),
 
+    // ------------------------------------------------------------ sliding-cooldown dedup (round 7)
+    // q121's missing sibling, made explicit: suppress only while
+    // within the cooldown of the last EMITTED event (re-alert every
+    // 12 h during a sustained burst), not the last occurrence. The
+    // recurrence (kept_i depends on which earlier events were kept)
+    // is not expressible as a window frame OR portable SQL — hence
+    // NO DuckDB oracle (driver rows-only check); correctness is held
+    // by StreamingDepthSpec's sequential reference and a
+    // q121-divergence property (steady sub-cooldown drip: q121 keeps
+    // 1 event, this re-emits every cooldown). Implementation is the
+    // batch twin of streaming/CooldownDedup (flatMapGroups, one
+    // sorted pass per (user, event_type) group, single key shuffle);
+    // the streaming form persists the kept-frontier in the state
+    // store across restarts.
+    ("q136_sliding_cooldown", (s, d) => {
+      import s.implicits._
+      import graft.streaming.CooldownDedup
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("ts").cast("timestamp").as("ts"))
+        .as[CooldownDedup.KeyedEvent]
+      CooldownDedup.keptBatch(ev, 12L * 3600L * 1000L).toDF()
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    }, None),
+
     // ------------------------------------------------------------ drift detection: PSI (round 7)
     // Population Stability Index between a reference window (first half
     // of the corpus timespan) and the current window, per event_type —
@@ -311,6 +337,43 @@ object Profiling extends QueryGroup {
       FROM p GROUP BY event_type
       ORDER BY event_type
     """)),
+
+    // ------------------------------------------------------------ time-decayed engagement (round 7)
+    // Exponentially time-decayed engagement score per user — the
+    // recency-weighted aggregate every ranking/retention system keeps
+    // (recent activity counts fully, week-old activity counts half):
+    // score(u) = Σ value·exp(−λ·(T − t)) with λ = ln2 / 7-day
+    // half-life, T = corpus max timestamp. NOT the EWMA recurrence
+    // (s_i = αx + (1−α)s_{i−1} — sequential, unexpressible as a window
+    // frame): anchoring the decay at a global T makes each term
+    // independent, so the score is a plain SUM — map-side partial,
+    // mergeable, ONE user shuffle after a broadcast of the 1-row T.
+    // λ is computed ONCE driver-side and interpolated into both
+    // engines' plans via Double.toString (shortest round-trip repr —
+    // both parse the identical IEEE double; computing ln(2)/hl
+    // independently per engine risks a ulp of libm skew in the
+    // EXPONENT, which exp() amplifies).
+    ("q133_decayed_engagement", (s, d) => {
+      val lambda = math.log(2.0) / (7L * 24 * 3600 * 1000000L).toDouble
+      val tmax = Tables.events(s, d).agg(max(unix_micros(col("ts"))).as("tmax"))
+      Tables.events(s, d)
+        .crossJoin(broadcast(tmax))
+        .select(col("user_id"),
+          (col("value") *
+            exp(lit(-lambda) * (col("tmax") - unix_micros(col("ts"))).cast("double"))).as("w"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("w"), 6).as("score"))
+        .orderBy("user_id")
+    }, Some {
+      val lambda = math.log(2.0) / (7L * 24 * 3600 * 1000000L).toDouble
+      s"""
+      WITH t AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS tmax FROM events)
+      SELECT user_id, count(*) AS n_events,
+             round(sum(value * exp(-$lambda * (t.tmax - epoch_us(ts::TIMESTAMP))::DOUBLE)), 6) AS score
+      FROM events, t
+      GROUP BY user_id
+      ORDER BY user_id
+    """}),
 
     // ------------------------------------------------------------ robust outliers: median/MAD (round 7)
     // Per-group robust anomaly flagging: median + MAD (median absolute

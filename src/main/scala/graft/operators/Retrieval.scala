@@ -239,6 +239,103 @@ object Retrieval extends QueryGroup {
       JOIN ph ON a.w1 = ph.w1 AND b.w2 = ph.w2
       GROUP BY 1, 2
       ORDER BY phrase, doc_id
-    """))
+    """)),
+
+    // ------------------------------------------------------------ MMR diversified re-rank (round 7)
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
+    // the diversity-aware re-ranker RAG/few-shot serving puts after
+    // candidate retrieval: greedily pick argmax of
+    // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so the 5 returned
+    // items are relevant AND mutually dissimilar (plain top-k returns
+    // 5 near-copies when the corpus has near-dups). Two-stage scale
+    // shape: candidate generation is the DISTRIBUTED part (top-20
+    // cosine via TakeOrderedAndProject over the full corpus — the
+    // q41/q107 machinery); the greedy loop then runs k=5 rounds over
+    // the TINY candidate relation (localCheckpointed: 20 rows, so
+    // each round plans against a snapshot, not the corpus lineage).
+    // Each round is executor-side (crossJoin against the ≤k-row
+    // broadcast selected set, aggregate max-sim, TakeOrdered(1));
+    // only the WINNER'S ID (one long per round) crosses the driver to
+    // parameterize the next round's filter — selection state, not
+    // data (the q90/q97 boundary rule). The k result rows stay
+    // in-plan as a union of the per-round 1-row winners. Oracle: the
+    // same greedy unrolled as k generated CTE steps (the q123
+    // generated-oracle pattern), correlated max-sim subquery per
+    // step; scores on both engines share one IEEE op order (q62
+    // precedent), rel quant6-quantized on output.
+    ("q137_mmr_rerank", (s, d) => {
+      val k = 5; val nCand = 20; val lam = 0.7; val mu = 0.3
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val qv = e.filter(col("vec_id") === semQueryId)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))
+      val cand = e.filter(col("vec_id") =!= semQueryId).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(nCand)
+        .localCheckpoint()
+      var selectedIds = Vector.empty[Long]
+      var steps = Vector.empty[DataFrame]
+      for (i <- 1 to k) {
+        val remaining = cand.filter(!col("vec_id").isin(selectedIds: _*))
+        val scored =
+          if (selectedIds.isEmpty) remaining.withColumn("mmr", col("rel"))
+          else {
+            val sel = cand.filter(col("vec_id").isin(selectedIds: _*))
+              .select(col("embedding").as("sv"), col("nrm").as("sn"))
+            remaining.crossJoin(broadcast(sel))
+              .groupBy("vec_id")
+              .agg(first("rel").as("rel"),
+                   max(dot(col("embedding"), col("sv")) / (col("nrm") * col("sn"))).as("maxsim"))
+              .withColumn("mmr", lit(lam) * col("rel") - lit(mu) * col("maxsim"))
+          }
+        val winner = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel")).localCheckpoint()
+        selectedIds :+= winner.collect()(0).getAs[Long]("vec_id")
+        steps :+= winner.withColumn("rk", lit(i.toLong))
+      }
+      steps.reduce(_.unionByName(_))
+        .select(col("rk"), col("vec_id"),
+                (floor(col("rel") * 1000000.0 + 0.5) / 1000000.0).as("rel"))
+        .orderBy("rk")
+    }, Some {
+      val k = 5
+      // maxsim as join+group (not a correlated subquery: DuckDB lambdas
+      // can't capture outer-query columns inside list_transform)
+      val simCS = "list_sum(list_transform(generate_series(1, 64), j -> c.v[j] * s.v[j])) / (c.nrm * s.nrm)"
+      val steps = (1 until k).map { i =>
+        s"""sel$i AS (
+          SELECT vec_id, v, nrm, rel, ${i + 1}::BIGINT AS rk FROM (
+            SELECT c.vec_id, any_value(c.v) AS v, any_value(c.nrm) AS nrm, any_value(c.rel) AS rel,
+                   max($simCS) AS maxsim
+            FROM cand c, selu${i - 1} s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+            GROUP BY c.vec_id) t
+          ORDER BY (0.7 * rel - 0.3 * maxsim) DESC, vec_id LIMIT 1),
+        selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)"""
+      }.mkString(",\n")
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) nrm
+        FROM embeddings),
+      qv AS (SELECT v, nrm FROM e WHERE vec_id = $semQueryId),
+      cand AS (
+        SELECT vec_id, v, nrm, rel FROM (
+          SELECT c.vec_id, c.v, c.nrm,
+                 list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS rel,
+                 row_number() OVER (ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) DESC,
+                   c.vec_id) AS crk
+          FROM e c, qv q WHERE c.vec_id <> $semQueryId) t
+        WHERE crk <= 20),
+      selu0 AS (
+        SELECT vec_id, v, nrm, rel, 1::BIGINT AS rk FROM cand
+        ORDER BY rel DESC, vec_id LIMIT 1),
+      $steps
+      SELECT rk, vec_id, floor(rel * 1000000.0 + 0.5) / 1000000.0 AS rel
+      FROM selu${k - 1}
+      ORDER BY rk
+    """})
   )
 }

@@ -746,6 +746,72 @@ object Similarity extends QueryGroup {
                   ELSE 'keep' END AS action
       FROM r
       ORDER BY vec_id
+    """)),
+
+    // ------------------------------------------------------------ nearest-centroid eval (round 7)
+    // Classifier-evaluation over the embedding corpus: predict each
+    // vector's label as its nearest (max-cosine) q44 centroid, then
+    // emit the CONFUSION MATRIX with per-cell row share — the quality
+    // report that closes the loop on the centroid family (q44 builds
+    // them, q103 prunes with them, q62 probes them; this measures
+    // them). The vector×centroid scoring is a broadcast of the
+    // |labels|-row centroid relation against ONE pass over the
+    // vectors (the q62 probe shape — never a shuffle of vectors by
+    // anything centroid-derived); the argmax is a per-vector
+    // row_number over |labels| scored rows, tie-broken (sim DESC,
+    // label) deterministically; the matrix aggregate is ≤|labels|²
+    // rows. Centroids quant6-quantized exactly as q44, so both
+    // engines rank identical doubles.
+    ("q134_confusion_matrix", (s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("label").as("pred_label"), col("cv"), col("cnrm"))
+      def dotFD(f: Column, dd: Column) =
+        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+      val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label"))
+      val pred = normed(s, d)
+        .crossJoin(broadcast(cvec))
+        .select(col("vec_id"), col("label"), col("pred_label"),
+          (dotFD(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
+        .withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+      pred.groupBy(col("label").as("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_share",
+          round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("true_label")), 6))
+        .orderBy("true_label", "pred_label")
+    }, Some(s"""
+      WITH $normedCte,
+      cent AS (
+        SELECT label, i - 1 AS pos, ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i),
+      cv AS (
+        SELECT label AS pred_label, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label),
+      pred AS (
+        SELECT vec_id, label, pred_label FROM (
+          SELECT q.vec_id, q.label, cv.pred_label,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i]))
+                     / (q.nrm * cv.cnrm) DESC,
+                   cv.pred_label) AS rk
+          FROM e q, cv) t
+        WHERE rk = 1)
+      SELECT label AS true_label, pred_label, count(*) AS n,
+             round(count(*)::DOUBLE /
+                   sum(count(*)) OVER (PARTITION BY label), 6) AS row_share
+      FROM pred
+      GROUP BY label, pred_label
+      ORDER BY true_label, pred_label
     """))
   )
 

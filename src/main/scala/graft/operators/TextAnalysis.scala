@@ -17,6 +17,10 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis extends QueryGroup {
 
+  /** DuckDB mirror of `TextFunctions.tokens`. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
   /** Stopword lists for the n-gram language heuristic. Deliberately
     * tiny — the heuristic's mechanics (per-language vocabulary hit
     * counts + deterministic argmax) are the operator; production would
@@ -272,6 +276,123 @@ object TextAnalysis extends QueryGroup {
       SELECT doc_id, nfc_normalize(raw) AS norm_text,
              length(raw) AS n_before, length(nfc_normalize(raw)) AS n_after
       FROM raw ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ token co-occurrence PMI (round 7)
+    // Pointwise mutual information over document-level co-occurrence —
+    // the classic collocation / topic-signal statistic (and the
+    // word2vec-era objective's exact form): PMI(u,v) =
+    // ln(N·c_uv / (c_u·c_v)) where counts are DOCUMENT frequencies.
+    // Pair enumeration is the scale hazard (all token pairs is
+    // vocab²); it's bounded by restricting to a FIXED top-|V| df
+    // vocabulary (the standard practice — PMI on rare words is noise
+    // anyway): the (doc, term) relation filters against the broadcast
+    // vocab BEFORE the self-join, so pair candidates are ≤ C(|V∩doc|,2)
+    // per doc and the join is an equi-join on doc_id, never all-pairs.
+    // Top-50 vocab deterministically tie-broken (df DESC, term). N and
+    // the per-term df ride the broadcast — nothing data-sized crosses
+    // the driver. ln() of exact-integer ratios; 6dp round (q49
+    // precedent: sub-ulp libm noise sits 9 digits below).
+    ("q135_token_pmi", (s, d) => {
+      val vocabK = 50; val minPairDf = 5; val topOut = 30
+      val dt = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(distinctTokens(col("text"))).as("term"))
+      val vocab = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(vocabK)
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val fx = dt.join(broadcast(vocab), "term")
+      val fy = fx.select(col("doc_id").as("doc_id2"), col("term").as("v"), col("df").as("df_v"))
+      fx.select(col("doc_id"), col("term").as("u"), col("df").as("df_u"))
+        .join(fy, col("doc_id") === col("doc_id2") && col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("c_uv"), first("df_u").as("df_u"), first("df_v").as("df_v"))
+        .filter(col("c_uv") >= minPairDf)
+        .crossJoin(broadcast(nDocs))
+        .select(col("u"), col("v"), col("c_uv"),
+          round(log(col("n_docs").cast("double") * col("c_uv") /
+            (col("df_u") * col("df_v"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("u"), col("v")).limit(topOut)
+    }, Some(s"""
+      WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
+      vocab AS (
+        SELECT term, count(*) AS df FROM dt GROUP BY term
+        ORDER BY df DESC, term LIMIT 50),
+      f AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+      pairs AS (
+        SELECT a.term AS u, b.term AS v, count(*) AS c_uv,
+               any_value(a.df) AS df_u, any_value(b.df) AS df_v
+        FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= 5)
+      SELECT u, v, c_uv,
+             round(ln((SELECT count(*) FROM documents)::DOUBLE * c_uv / (df_u * df_v)), 6) AS pmi
+      FROM pairs
+      ORDER BY pmi DESC, u, v LIMIT 30
+    """)),
+
+    // ------------------------------------------------------------ interpolated-LM scoring (round 7)
+    // Language-model quality scoring — the CCNet-style filter: train a
+    // bigram LM on the corpus itself, score every document by mean
+    // token log-probability, p(w|u) = 0.75·c₂(u,w)/c₁(u) + 0.25·c₁(w)/T
+    // (interpolation keeps the mass zero-free; self-trained, every
+    // doc bigram exists in the model). Production pipelines threshold
+    // this score to drop gibberish/boilerplate; q93's unigram rarity
+    // is the order-0 version, this adds sequence structure. Plan: ONE
+    // tokenize pass produces the (doc, u, w) bigram relation via a
+    // zero-join zip_with over adjacent slices (no posexplode
+    // self-join); the model IS three aggregates of that relation
+    // (c₂ by (u,w), c₁ by token, T one row) — vocabulary-sized,
+    // joined back by term keys (hash equi-joins that scale with
+    // vocabulary, broadcast nothing data-sized); the per-doc score is
+    // one doc-keyed mean. Bigram keys shuffle ~|corpus| rows twice —
+    // the irreducible cost of fitting the model and scoring in one
+    // judged query; a production run would persist the model and pay
+    // only the scoring joins.
+    ("q138_lm_score", (s, d) => {
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bigrams = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("u"), b.as("w")))).as("bg"))
+        .select(col("doc_id"), col("bg.u").as("u"), col("bg.w").as("w"))
+      val uni = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum("c1").as("t_tokens"))
+      val c2 = bigrams.groupBy("u", "w").agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(c2, Seq("u", "w"))
+        .join(uni.select(col("tok").as("u"), col("c1").as("c1_u")), Seq("u"))
+        .join(uni.select(col("tok").as("w"), col("c1").as("c1_w")), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          log(lit(0.75) * col("c2").cast("double") / col("c1_u") +
+              lit(0.25) * col("c1_w").cast("double") / col("t_tokens")).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 6).as("lm_score"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 2),
+      bg AS (
+        SELECT doc_id, t[i] AS u, t[i+1] AS w
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      uni AS (
+        SELECT unnest($toksSql) AS tok FROM documents),
+      c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+      tot AS (SELECT sum(c1)::DOUBLE AS t_tokens FROM c1),
+      c2 AS (SELECT u, w, count(*) AS c2 FROM bg GROUP BY u, w)
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(ln(0.75 * c2.c2::DOUBLE / cu.c1 + 0.25 * cw.c1::DOUBLE / tot.t_tokens)), 6) AS lm_score
+      FROM bg
+      JOIN c2 ON bg.u = c2.u AND bg.w = c2.w
+      JOIN c1 cu ON bg.u = cu.tok
+      JOIN c1 cw ON bg.w = cw.tok
+      CROSS JOIN tot
+      GROUP BY bg.doc_id
+      ORDER BY bg.doc_id
     """))
   )
 

@@ -363,6 +363,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"a 1-row global aggregate needs no hash exchange:\n$p")
   }
 
+  test("q133: decayed engagement is one scan + 1-row broadcast + one user aggregate") {
+    val p = plan("q133_decayed_engagement")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected only the user groupBy exchange, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the T_max join must broadcast:\n$p")
+  }
+
+  test("q134: centroid scoring never shuffles vectors by a centroid key") {
+    val p = plan("q134_confusion_matrix")
+    assert(!p.contains("CartesianProduct"), s"q134 plans a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vector×centroid scoring must ride a broadcast, not a shuffle join:\n$p")
+  }
+
+  test("q135: PMI vocab filter broadcasts; the pair join is an equi-join") {
+    val p = plan("q135_token_pmi")
+    assert(p.contains("BroadcastHashJoin"), s"vocab filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q135 plans a cartesian:\n$p")
+    // the only BNLJ allowed is the 1-row n_docs broadcast cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"pair generation must stay equi-keyed on doc_id:\n$p")
+  }
+
+  test("q136: sliding cooldown is one key shuffle into a single object pass") {
+    val p = plan("q136_sliding_cooldown")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly the groupByKey exchange, got $hashEx:\n$p")
+  }
+
+  test("q138: LM model joins are all equi-joins — nothing data-sized broadcasts") {
+    val p = plan("q138_lm_score")
+    assert(!p.contains("CartesianProduct"), s"q138 plans a cartesian:\n$p")
+    // the only BNLJ allowed is the 1-row total-tokens broadcast cross
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"vocabulary relations must join by key, not broadcast-cross:\n$p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -205,6 +205,183 @@ class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getAs[Long]("doc_id")).toSet == expectedDocs)
   }
 
+  test("q133: decayed engagement matches a sequential exp-weighted sum") {
+    val rows = Tables.events(spark, sfDir).select("user_id", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000L % 1000L,
+        r.getAs[Double]("value")))
+    val lambda = math.log(2.0) / (7L * 24 * 3600 * 1000000L).toDouble
+    val tmax = rows.map(_._2).max
+    val expected = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> (rs.length.toLong, rs.map { case (_, t, v) => v * math.exp(-lambda * (tmax - t)) }.sum)
+    }
+    val got = SparkEntry.queries("q133_decayed_engagement")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, score) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(math.abs(r.getAs[Double]("score") - score) < 1e-6,
+        s"user ${r.getAs[Long]("user_id")}: ${r.getAs[Double]("score")} want $score")
+    }
+    // decay sanity: half-life weighting means a score can never exceed
+    // the plain sum, and events at tmax count fully
+    val sums = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._3).sum }
+    got.foreach(r => assert(r.getAs[Double]("score") <= sums(r.getAs[Long]("user_id")) + 1e-9))
+  }
+
+  test("q134: confusion matrix matches a sequential nearest-centroid evaluation") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[collection.Seq[Float]]("embedding").toArray))
+    def quant6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val centroids = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(i => quant6(vs.map(_._3(i).toDouble).sum / vs.length)).toArray
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val predicted = vecs.map { case (_, label, v) =>
+      val vd = v.map(_.toDouble)
+      val nrm = math.sqrt(dot(vd, vd))
+      val pred = centroids.toSeq.map { case (l, c) =>
+        (dot(vd, c) / (nrm * math.sqrt(dot(c, c))), l)
+      }.maxBy { case (sim, l) => (sim, -l) }._2
+      (label, pred)
+    }
+    val expected = predicted.groupBy(identity).map { case ((t, p), xs) =>
+      (t.toLong, p.toLong) -> xs.length.toLong }
+    val got = SparkEntry.queries("q134_confusion_matrix")(spark, sfDir).collect()
+    assert(got.map(r => (r.getAs[Int]("true_label").toLong, r.getAs[Int]("pred_label").toLong) ->
+      r.getAs[Long]("n")).toMap == expected)
+    // the classifier must comfortably beat 10-class chance (the sf0.001
+    // clusters overlap too much for a stronger floor — 37% measured)
+    val diag = got.filter(r => r.getAs[Int]("true_label") == r.getAs[Int]("pred_label"))
+      .map(_.getAs[Long]("n")).sum
+    val total = got.map(_.getAs[Long]("n")).sum
+    assert(diag.toDouble / total > 0.2,
+      s"nearest-centroid accuracy not better than 2x chance: $diag/$total")
+  }
+
+  test("q135: token PMI matches the sequential co-occurrence reference") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")).distinct.toSet)
+    val df_ = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val vocab = df_.toSeq.sortBy { case (t, d) => (-d, t) }.take(50).toMap
+    val nDocs = docs.length.toLong
+    val pairCounts = docs.flatMap { case (_, ts) =>
+      val inVocab = ts.filter(vocab.contains).toSeq.sorted
+      for (i <- inVocab.indices; j <- i + 1 until inVocab.length)
+        yield (inVocab(i), inVocab(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5)
+    val expected = pairCounts.toSeq.map { case ((u, v), cuv) =>
+      (u, v, cuv, math.log(nDocs.toDouble * cuv / (vocab(u) * vocab(v))))
+    }.sortBy { case (u, v, _, pmi) => (-pmi, u, v) }.take(30)
+      .map { case (u, v, cuv, pmi) => (u, v, cuv) }
+    val got = SparkEntry.queries("q135_token_pmi")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("u"), r.getAs[String]("v"), r.getAs[Long]("c_uv"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
+  test("q136: sliding cooldown matches a sequential last-kept replay on real events") {
+    val cooldownUs = 12L * 3600L * 1000000L
+    val all = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+    def us(r: org.apache.spark.sql.Row): Long = {
+      val t = r.getAs[java.sql.Timestamp]("ts")
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    }
+    val expected = all.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .values.flatMap { rs =>
+        val sorted = rs.sortBy(r => (us(r), r.getAs[Long]("event_id")))
+        sorted.foldLeft((Vector.empty[Long], Option.empty[Long])) { case ((acc, last), r) =>
+          if (last.forall(us(r) - _ > cooldownUs)) (acc :+ r.getAs[Long]("event_id"), Some(us(r)))
+          else (acc, last)
+        }._1
+      }.toSet
+    val got = SparkEntry.queries("q136_sliding_cooldown")(spark, sfDir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
+  test("q136 vs q121: a steady sub-cooldown drip re-emits every cooldown, gap-session keeps one") {
+    import spark.implicits._
+    import graft.streaming.CooldownDedup
+    // events every 6h for 30h; 12h cooldown
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val drip = (0 to 5).map(i =>
+      CooldownDedup.KeyedEvent(1L, "drip", i.toLong, t0.plusSeconds(i * 6L * 3600L)))
+    val slid = CooldownDedup.keptBatch(drip.toDS(), 12L * 3600L * 1000L)
+      .collect().map(_.event_id).sorted.toSeq
+    // sliding: kept at 0h, 18h (first > 12h after 0h), 30h+... within range: 0,18,30 won't... 30-18=12h NOT >12 → suppressed
+    assert(slid == Seq(0L, 3L), s"sliding-cooldown drip: $slid")
+    // gap-session (q121 semantics): every gap is 6h < 12h → only the first survives
+    val gapKept = drip.sortBy(_.event_id).foldLeft(Vector.empty[Long] -> Option.empty[Long]) {
+      case ((acc, prev), e) =>
+        val eus = e.ts.getEpochSecond * 1000000L
+        val kept = prev.forall(eus - _ > 12L * 3600L * 1000000L)
+        ((if (kept) acc :+ e.event_id else acc), Some(eus))
+    }._1
+    assert(gapKept == Vector(0L), s"gap-session drip: $gapKept")
+  }
+
+  test("q137: MMR re-rank matches a sequential greedy reference") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Float]]("embedding").toArray.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(q, v)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var selected = Vector.empty[(Long, Array[Double], Double)]
+    for (_ <- 1 to 5) {
+      val remaining = cand.filterNot(c => selected.exists(_._1 == c._1))
+      val pick =
+        if (selected.isEmpty) remaining.maxBy { case (id, _, rel) => (rel, -id) }
+        else remaining.maxBy { case (id, v, rel) =>
+          (0.7 * rel - 0.3 * selected.map(s => cos(v, s._2)).max, -id) }
+      selected :+= pick
+    }
+    val got = SparkEntry.queries("q137_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id"))).toSeq
+    val expected = selected.zipWithIndex.map { case ((id, _, _), i) => (i + 1L, id) }
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    // diversity must have engaged: the MMR list is not plain top-5 by relevance
+    val top5 = cand.take(5).map(_._1).toSet
+    assert(got.map(_._2).toSet != top5 || cand.size <= 5,
+      "MMR selected exactly the undiversified top-5 — penalty term inert")
+  }
+
+  test("q138: LM score matches a sequential interpolated-bigram reference") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")))
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = uni.values.sum.toDouble
+    val big = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = docs.filter(_._2.length >= 2).map { case (id, ts) =>
+      val lps = ts.sliding(2).filter(_.length == 2).map { p =>
+        math.log(0.75 * big((p(0), p(1))).toDouble / uni(p(0)) +
+                 0.25 * uni(p(1)).toDouble / total)
+      }.toSeq
+      id -> (lps.length.toLong, lps.sum / lps.length)
+    }.toMap
+    val got = SparkEntry.queries("q138_lm_score")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, score) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(math.abs(r.getAs[Double]("lm_score") - score) < 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("lm_score")} want $score")
+      assert(r.getAs[Double]("lm_score") < 0.0, "log-probs must be negative")
+    }
+  }
+
   test("q132: shingle novelty matches the sequential first-owner reference") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")))

@@ -183,4 +183,45 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     assert(sessions.head == ((at(0), 3L, 7.0)),
       s"state not recovered across restart: ${sessions.toSeq}")
   }
+
+  test("sliding-cooldown dedup recovers the kept-frontier across checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.CooldownDedup
+    val src = tmp("cd-src"); val ck = tmp("ck-cd-restart"); val out = tmp("out-cd-restart")
+    val cooldownMs = 12L * 3600L * 1000L
+    def at(h: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)
+    def writeEvents(file: String, rows: Seq[(Long, Int)]): Unit =
+      Files.write(java.nio.file.Paths.get(src, file),
+        rows.map { case (id, h) =>
+          s"""{"user_id":7,"event_type":"alert","event_id":$id,"ts":"${at(h)}"}"""
+        }.mkString("\n").getBytes)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_type", "string")
+      .add("event_id", "long").add("ts", "timestamp")
+    def query(name: String) = {
+      val events = spark.readStream.schema(schema).json(src)
+        .withWatermark("ts", "0 seconds").as[CooldownDedup.KeyedEvent]
+      RecordStream.startSink(CooldownDedup.kept(events, cooldownMs).toDF(),
+        "parquet", name, ck, 100L, outputPath = Some(out))
+    }
+
+    writeEvents("b1.json", Seq((0L, 0), (1L, 6))) // kept(0h) sets frontier; 6h suppressed
+    val q1 = query("cd_r1")
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: same checkpoint. 10h is inside the RECOVERED frontier's
+    // cooldown (would wrongly be kept by a fresh query); 13h clears it.
+    writeEvents("b2.json", Seq((2L, 10), (3L, 13)))
+    val q2 = query("cd_r2")
+    q2.processAllAvailable()
+    // frontier advanced to 13h by the same lineage: 20h suppressed, 26h kept
+    writeEvents("b3.json", Seq((4L, 20), (5L, 26)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val kept = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 5L),
+      s"kept-frontier not recovered/advanced across restart: $kept")
+  }
 }
