@@ -27,7 +27,8 @@ object SparkEntry {
     operators.Salting,
     operators.Retrieval,
     operators.Graph,
-    operators.Training)
+    operators.Training,
+    operators.Quality)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+
+/** Data-quality and feature-engineering operators (round 7) — the
+  * validation/statistics layer a production lake runs BETWEEN ingest
+  * (the reference's entire surface) and training-data export:
+  *
+  *  - q139 constraint validation suite: dbt-test-style checks
+  *    (referential integrity, key uniqueness, null/empty rates, value
+  *    ranges) over multiple tables, one row per check. Each check is
+  *    the cheapest plan of its kind: anti-joins for orphans (broadcast
+  *    the DISTINCT parent keys — at 100 TB the parent-key set is the
+  *    small side after distinct), a single-pass conditional aggregate
+  *    for every same-table predicate, a keyed count>1 aggregate for
+  *    uniqueness.
+  *  - q140 change-point detection: best two-segment mean split of the
+  *    per-day event series per type — argmax over split points of
+  *    |mean_before − mean_after| via prefix sums. The series aggregate
+  *    is the only data-sized pass; the split search runs on the
+  *    |days|×|types| aggregate (~150 rows) through windows.
+  *  - q141 Neyman allocation: optimal stratified-sample budget split
+  *    n_h ∝ N_h·σ_h across sources — the statistically-grounded
+  *    version of q65's fixed rates and q90's target mixture. One
+  *    scan, per-source (N, σ) aggregates, 1-row total broadcast back.
+  *  - q142 weight-of-evidence bins: per value-bin
+  *    ln(good%/bad%) + information value, the classic credit-scoring
+  *    feature transform (here: purchase vs non-purchase events over
+  *    fixed value bins, +0.5 Laplace smoothing). One scan, one
+  *    (bin)-keyed aggregate, window totals over ≤10 rows.
+  */
+object Quality extends QueryGroup {
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    ("q139_data_quality_checks", (s, d) => {
+      val orders = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+      val cust = Tables.customer(s, d); val docs = Tables.documents(s, d)
+      val ev = Tables.events(s, d)
+      def check(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check_name"), col("n_violations"))
+      val orphanOrders = orders.join(cust.select("c_custkey").distinct(),
+          orders("o_custkey") === cust("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val orphanLines = li.join(orders.select("o_orderkey").distinct(),
+          li("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).agg(count(lit(1)).as("n_violations"))
+      val emptyDocs = docs.agg(sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("n_violations"))
+      val badQty = li.agg(sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("n_violations"))
+      val badValue = ev.agg(sum(when(col("value") <= 0.0, 1L).otherwise(0L)).as("n_violations"))
+      check("orders_customer_fk", orphanOrders)
+        .unionByName(check("lineitem_orders_fk", orphanLines))
+        .unionByName(check("orders_key_unique", dupKeys))
+        .unionByName(check("documents_nonempty", emptyDocs))
+        .unionByName(check("lineitem_qty_range", badQty))
+        .unionByName(check("events_value_positive", badValue))
+        .orderBy("check_name")
+    }, Some("""
+      SELECT 'orders_customer_fk' AS check_name,
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+      UNION ALL SELECT 'lineitem_orders_fk',
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL SELECT 'orders_key_unique',
+             (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                    GROUP BY o_orderkey HAVING count(*) > 1) t)
+      UNION ALL SELECT 'documents_nonempty',
+             (SELECT count(*) FILTER (text IS NULL OR length(trim(text)) = 0) FROM documents)
+      UNION ALL SELECT 'lineitem_qty_range',
+             (SELECT count(*) FILTER (l_quantity <= 0 OR l_quantity > 50) FROM lineitem)
+      UNION ALL SELECT 'events_value_positive',
+             (SELECT count(*) FILTER (value <= 0.0) FROM events)
+      ORDER BY check_name
+    """)),
+
+    ("q140_changepoint", (s, d) => {
+      // per-day counts → prefix sums → two-segment means per split
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val wPick = Window.partitionBy("event_type").orderBy(col("diff").desc, col("day"))
+      daily
+        .withColumn("i", row_number().over(Window.partitionBy("event_type").orderBy("day")))
+        .withColumn("cum", sum("n").over(wCum))
+        .withColumn("total", sum("n").over(wAll))
+        .withColumn("days", count(lit(1)).over(wAll))
+        .filter(col("i") < col("days")) // split AFTER day i needs a non-empty right segment
+        .withColumn("mean_before", col("cum").cast("double") / col("i"))
+        .withColumn("mean_after",
+          (col("total") - col("cum")).cast("double") / (col("days") - col("i")))
+        .withColumn("diff", abs(col("mean_before") - col("mean_after")))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          round(col("mean_before"), 6).as("mean_before"),
+          round(col("mean_after"), 6).as("mean_after"),
+          round(col("diff"), 6).as("diff"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      pre AS (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               sum(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS days
+        FROM daily),
+      scored AS (
+        SELECT event_type, day,
+               cum::DOUBLE / i AS mean_before,
+               (total - cum)::DOUBLE / (days - i) AS mean_after,
+               abs(cum::DOUBLE / i - (total - cum)::DOUBLE / (days - i)) AS diff
+        FROM pre WHERE i < days),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY diff DESC, day) AS rk
+        FROM scored)
+      SELECT event_type, day AS split_day,
+             round(mean_before, 6) AS mean_before,
+             round(mean_after, 6) AS mean_after,
+             round(diff, 6) AS diff
+      FROM best WHERE rk = 1
+      ORDER BY event_type
+    """)),
+
+    ("q141_neyman_allocation", (s, d) => {
+      val budget = 1000L
+      val strata = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_h"), stddev_samp(col("n_chars").cast("double")).as("sigma"))
+        .withColumn("weight", col("n_h") * col("sigma"))
+      val tot = strata.agg(sum("weight").as("w_total"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_h"), round(col("sigma"), 6).as("sigma"),
+          floor(lit(budget) * col("weight") / col("w_total")).cast("long").as("n_alloc"))
+        .orderBy("source")
+    }, Some("""
+      WITH strata AS (
+        SELECT source, count(*) AS n_h,
+               stddev_samp(n_chars::DOUBLE) AS sigma,
+               count(*) * stddev_samp(n_chars::DOUBLE) AS weight
+        FROM documents GROUP BY source),
+      tot AS (SELECT sum(weight) AS w_total FROM strata)
+      SELECT source, n_h, round(sigma, 6) AS sigma,
+             floor(1000 * weight / w_total)::BIGINT AS n_alloc
+      FROM strata, tot
+      ORDER BY source
+    """)),
+
+    ("q142_woe_bins", (s, d) => {
+      val nBins = 10L; val binW = 50.0
+      val wAll = Window.partitionBy(lit(1))
+      Tables.events(s, d)
+        .select(least(lit(nBins - 1), floor(col("value") / binW)).cast("long").as("bin"),
+                (col("event_type") === "purchase").as("good"))
+        .groupBy("bin")
+        .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+             sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
+        .withColumn("g_pct",
+          (col("n_good") + 0.5) / (sum("n_good").over(wAll) + 0.5 * nBins))
+        .withColumn("b_pct",
+          (col("n_bad") + 0.5) / (sum("n_bad").over(wAll) + 0.5 * nBins))
+        .withColumn("woe", round(log(col("g_pct") / col("b_pct")), 6))
+        .withColumn("iv_term", round((col("g_pct") - col("b_pct")) *
+          log(col("g_pct") / col("b_pct")), 6))
+        .select("bin", "n_good", "n_bad", "woe", "iv_term")
+        .orderBy("bin")
+    }, Some("""
+      WITH b AS (
+        SELECT least(9, floor(value / 50))::BIGINT AS bin,
+               count(*) FILTER (event_type = 'purchase') AS n_good,
+               count(*) FILTER (event_type <> 'purchase') AS n_bad
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT bin, n_good, n_bad,
+               (n_good + 0.5) / (sum(n_good) OVER () + 0.5 * 10) AS g_pct,
+               (n_bad + 0.5) / (sum(n_bad) OVER () + 0.5 * 10) AS b_pct
+        FROM b)
+      SELECT bin, n_good, n_bad,
+             round(ln(g_pct / b_pct), 6) AS woe,
+             round((g_pct - b_pct) * ln(g_pct / b_pct), 6) AS iv_term
+      FROM p
+      ORDER BY bin
+    """))
+  )
+}

