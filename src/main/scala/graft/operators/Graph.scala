@@ -189,6 +189,70 @@ object Graph extends QueryGroup {
         CROSS JOIN n
       ORDER BY lift DESC, u, v
       LIMIT $topK
+    """)),
+
+    // ----------------------------------------------- node neighborhood similarity (round 7)
+    // Jaccard similarity of node NEIGHBORHOODS over the strong
+    // co-purchase graph — |N(u)∩N(v)| / |N(u)∪N(v)| for every strong
+    // edge (u,v): the link-prediction / "customers also bought"
+    // score, and the graph-structural sibling of q61's set-similarity
+    // join (there the sets are token shingles, here they're adjacency
+    // lists). Same scale discipline as q116: the graph is first cut
+    // to weight≥2 strong edges (49M wedge candidates → ~5k at sf0.1),
+    // common neighbors come from ONE wedge equi-join of the
+    // undirected adjacency with itself (adj(u,w) ⋈ adj(v,w) on w,
+    // u<v), degrees are a tiny per-node aggregate broadcast back, and
+    // |union| = deg(u)+deg(v)−|∩| needs no second join. Restricted to
+    // pairs that are themselves strong edges (semi-join) so the
+    // output is "how alike are DIRECTLY-linked products", the
+    // recommendation form.
+    ("q145_node_jaccard", (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint() // adjacency, degrees, and the edge filter all read it
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      val common = adj.select(col("u"), col("v").as("w"))
+        .join(adj.select(col("u").as("v"), col("v").as("w")), "w")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("n_common"))
+      e.join(common, Seq("u", "v"))
+        .join(broadcast(deg.select(col("u"), col("deg").as("deg_u"))), "u")
+        .join(broadcast(deg.select(col("u").as("v"), col("deg").as("deg_v"))), "v")
+        .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"),
+          round(col("n_common").cast("double") /
+            (col("deg_u") + col("deg_v") - col("n_common")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v")).limit(topK)
+    }, Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT u, count(*)::BIGINT AS deg FROM adj GROUP BY u),
+      common AS (
+        SELECT x.u AS u, y.u AS v, count(*)::BIGINT AS n_common
+        FROM (SELECT u, v AS w FROM adj) x
+        JOIN (SELECT u, v AS w FROM adj) y ON x.w = y.w
+        WHERE x.u < y.u
+        GROUP BY 1, 2)
+      SELECT e.u, e.v, c.n_common, du.deg AS deg_u, dv.deg AS deg_v,
+             round(c.n_common::DOUBLE / (du.deg + dv.deg - c.n_common)::DOUBLE, 6) AS jaccard
+      FROM e
+        JOIN common c ON c.u = e.u AND c.v = e.v
+        JOIN deg du ON du.u = e.u
+        JOIN deg dv ON dv.u = e.v
+      ORDER BY jaccard DESC, e.u, e.v
+      LIMIT $topK
     """))
   )
 }

@@ -195,6 +195,129 @@ object Quality extends QueryGroup {
              round((g_pct - b_pct) * ln(g_pct / b_pct), 6) AS iv_term
       FROM p
       ORDER BY bin
+    """)),
+
+    // ------------------------------------------------------------ lag-1 autocorrelation (round 7)
+    // Temporal self-similarity of each event series: Pearson
+    // correlation of the per-day count with its previous-day value —
+    // the first ACF coefficient, the standard "is this series
+    // momentum-driven or noise" diagnostic (and the statistical
+    // companion to q140's change-point: q140 finds the level shift,
+    // this measures persistence). The daily aggregate is the only
+    // data-sized pass; lag + corr run over ≤|days| rows per type.
+    ("q143_autocorrelation", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("prev", lag("n", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             round(corr(col("n").cast("double"), col("prev").cast("double")), 4).as("acf1"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily)
+      SELECT event_type, count(*) AS n_days,
+             round(corr(n::DOUBLE, prev::DOUBLE), 4) AS acf1
+      FROM lagged WHERE prev IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ seasonality matrix (round 7)
+    // Day-of-week × hour-of-day activity profile with per-row share
+    // and peak flag — the load-shape report behind capacity planning
+    // and anomaly baselines ("is Tuesday 3am traffic normal?"). ONE
+    // scan into a ≤168-row aggregate; shares and peak ranks are
+    // windows over that aggregate. Dow normalized to 0=Sunday on both
+    // engines (Spark dayofweek is 1-based, DuckDB 0-based).
+    ("q144_seasonality", (s, d) => {
+      val wDow = Window.partitionBy("dow")
+      val wPeak = Window.partitionBy("dow").orderBy(col("n").desc, col("hour"))
+      Tables.events(s, d)
+        .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+                hour(col("ts")).cast("long").as("hour"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") / sum("n").over(wDow), 6))
+        .withColumn("is_peak", row_number().over(wPeak) === 1)
+        .orderBy("dow", "hour")
+    }, Some("""
+      WITH m AS (
+        SELECT dayofweek(ts::TIMESTAMP)::BIGINT AS dow,
+               hour(ts::TIMESTAMP)::BIGINT AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT dow, hour, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY dow), 6) AS share,
+             row_number() OVER (PARTITION BY dow ORDER BY n DESC, hour) = 1 AS is_peak
+      FROM m
+      ORDER BY dow, hour
+    """)),
+
+    // ------------------------------------------------------------ session path mining (round 7)
+    // Top session-opening paths: sessionize each user's timeline by a
+    // 30-minute inactivity gap (lag + running flag-sum — the
+    // WINDOW-expressible sessionizer, unlike q136's recurrence), take
+    // each session's first ≤3 event types in order, count path
+    // strings corpus-wide. The "how do journeys start" report that
+    // generalizes q83's single-transition counts to k-step prefixes.
+    // One user-keyed shuffle does sessionize + rank; the path
+    // aggregate keys on (user, session) then path — all bounded
+    // state, no per-session iteration.
+    ("q146_top_paths", (s, d) => {
+      val gapUs = 30L * 60L * 1000000L
+      val wUser = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")), col("event_id"))
+      val wSess = Window.partitionBy("user_id", "sess")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(wUser))
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
+    }, Some("""
+      WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+               lag(epoch_us(ts::TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      s AS (
+        SELECT user_id, event_id, event_type, us,
+               sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+        FROM t),
+      r AS (
+        SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess ORDER BY us, event_id) AS rn
+        FROM s),
+      paths AS (
+        SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3
+        GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions
+      FROM paths
+      GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 10
     """))
   )
 }

@@ -100,6 +100,103 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(byAlloc == byWeight)
   }
 
+  test("q143: lag-1 autocorrelation matches a sequential Pearson over lagged pairs") {
+    val daily = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")).as("day"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString))
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toDouble) }.toSeq
+    def pearson(pairs: Seq[(Double, Double)]): Double = {
+      val n = pairs.length.toDouble
+      val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+      val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      cov / (math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum) *
+             math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum))
+    }
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      t -> (series.length - 1L, pearson(series.drop(1).zip(series.dropRight(1)).toSeq))
+    }
+    val got = SparkEntry.queries("q143_autocorrelation")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, acf) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") == n)
+      assert(math.abs(r.getAs[Double]("acf1") - acf) < 1e-3,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("acf1")} want $acf")
+    }
+  }
+
+  test("q144: seasonality matrix counts, shares, and peaks match a direct tally") {
+    val rows = Tables.events(spark, sfDir).select("ts").collect().map { r =>
+      val t = r.getAs[java.sql.Timestamp]("ts").toLocalDateTime
+      (t.getDayOfWeek.getValue % 7L, t.getHour.toLong) // ISO Mon=1..Sun=7 → Sun=0
+    }
+    val counts = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SparkEntry.queries("q144_seasonality")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == rows.length.toLong)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("dow"), r.getAs[Long]("hour"))
+      assert(counts(key) == r.getAs[Long]("n"), s"cell $key")
+    }
+    // exactly one peak per dow, and it carries that row's max count
+    val byDow = got.groupBy(_.getAs[Long]("dow"))
+    byDow.foreach { case (dow, cells) =>
+      val peaks = cells.filter(_.getAs[Boolean]("is_peak"))
+      assert(peaks.length == 1, s"dow $dow: ${peaks.length} peaks")
+      assert(peaks.head.getAs[Long]("n") == cells.map(_.getAs[Long]("n")).max)
+      val shares = cells.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shares - 1.0) < 1e-4, s"dow $dow shares sum to $shares")
+    }
+  }
+
+  test("q145: neighborhood jaccard matches a brute-force adjacency-set computation") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairCounts = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val strong = pairCounts.filter(_._2 >= 2).keySet
+    val adj = strong.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val expected = strong.toSeq.map { case (u, v) =>
+      val c = (adj(u) & adj(v)).size.toLong
+      (u, v, c, adj(u).size.toLong, adj(v).size.toLong,
+        c.toDouble / (adj(u).size + adj(v).size - c))
+    }.filter(_._3 > 0)
+      .sortBy { case (u, v, _, _, _, j) => (-j, u, v) }.take(30)
+      .map { case (u, v, c, du, dv, _) => (u, v, c, du, dv) }
+    val got = SparkEntry.queries("q145_node_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
+  test("q146: top session paths match a sequential sessionize-and-tally") {
+    val gapUs = 30L * 60L * 1000000L
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      }
+    val paths = rows.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(String, Long)]]) { (acc, e) =>
+        if (acc.isEmpty || e._4 - acc.last.last._2 > gapUs) acc :+ Vector((e._3, e._4))
+        else acc.init :+ (acc.last :+ ((e._3, e._4)))
+      }
+      sessions.map(_.take(3).map(_._1).mkString(">"))
+    }.toSeq
+    val expected = paths.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = SparkEntry.queries("q146_top_paths")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
