@@ -318,6 +318,136 @@ object Quality extends QueryGroup {
       GROUP BY path
       ORDER BY n_sessions DESC, path
       LIMIT 10
+    """)),
+
+    // ------------------------------------------------------------ winsorization (round 7)
+    // Percentile clipping — the robust-preprocessing twin of q128's
+    // outlier REPORT: clamp each value into [p01, p99] of its group
+    // and emit before/after moments plus the clipped count, the
+    // feature-scaling step that keeps a fat tail from dominating a
+    // mean/σ-normalized model input. Exact percentile needs its own
+    // sorted pass; the 5-row fence relation then BROADCASTS back onto
+    // one clipping scan (never a shuffle of events by a stats key —
+    // the q128 discipline). At 100 TB: approx_percentile fences, one
+    // pass, same broadcast shape.
+    ("q148_winsorize", (s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val fences = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.01)").as("p01"),
+             expr("percentile(value, 0.99)").as("p99"))
+      ev.join(broadcast(fences), "event_type")
+        .select(col("event_type"), col("value"), col("p01"), col("p99"),
+          least(greatest(col("value"), col("p01")), col("p99")).as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("value") < col("p01") || col("value") > col("p99"), 1L)
+               .otherwise(0L)).as("n_clipped"),
+             round(avg("value"), 6).as("mean_raw"),
+             round(avg("clipped"), 6).as("mean_winsor"),
+             round(stddev_samp(col("value")), 6).as("sd_raw"),
+             round(stddev_samp(col("clipped")), 6).as("sd_winsor"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH fences AS (
+        SELECT event_type, quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n,
+             count(*) FILTER (value < p01 OR value > p99) AS n_clipped,
+             round(avg(value), 6) AS mean_raw,
+             round(avg(least(greatest(value, p01), p99)), 6) AS mean_winsor,
+             round(stddev_samp(value), 6) AS sd_raw,
+             round(stddev_samp(least(greatest(value, p01), p99)), 6) AS sd_winsor
+      FROM events e JOIN fences f USING (event_type)
+      GROUP BY e.event_type
+      ORDER BY e.event_type
+    """)),
+
+    // ------------------------------------------------------------ boilerplate prefix detection (round 7)
+    // Per-source dominant document OPENING: the most common first-8-
+    // token prefix and its share of the source's documents — the
+    // boilerplate detector (crawled sources that template their pages
+    // share an opening; a high top-prefix share says "strip headers
+    // before training"). One tokenize scan into a (source, prefix)
+    // aggregate; the argmax is a rank-1 window over the aggregate.
+    // The flag threshold (share ≥ 5%) is the judged demo policy.
+    ("q149_boilerplate_prefix", (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val wSrc = Window.partitionBy("source")
+      val wTop = Window.partitionBy("source").orderBy(col("n").desc, col("prefix"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"),
+          array_join(slice(tokens(col("text")), 1, 8), " ").as("prefix"))
+        .groupBy("source", "prefix")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_docs", sum("n").over(wSrc))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("prefix"), col("n").as("n_with_prefix"), col("n_docs"),
+          round(col("n").cast("double") / col("n_docs"), 6).as("share"),
+          (col("n").cast("double") / col("n_docs") >= 0.05).as("boilerplate_flag"))
+        .orderBy("source")
+    }, Some("""
+      WITH p AS (
+        SELECT source,
+               array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           t -> t <> '')[1:8], ' ') AS prefix
+        FROM documents),
+      agg AS (
+        SELECT source, prefix, count(*) AS n,
+               sum(count(*)) OVER (PARTITION BY source) AS n_docs
+        FROM p GROUP BY source, prefix),
+      top AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix) AS rk
+        FROM agg)
+      SELECT source, prefix, n AS n_with_prefix, n_docs::BIGINT AS n_docs,
+             round(n::DOUBLE / n_docs, 6) AS share,
+             n::DOUBLE / n_docs >= 0.05 AS boilerplate_flag
+      FROM top WHERE rk = 1
+      ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ cross-domain enrichment (round 7)
+    // The one query that joins the EVENT world to the STAR-SCHEMA
+    // world: events.user_id resolves against customer.c_custkey
+    // (broadcast dim — the q07 discipline), rolled up per market
+    // segment: activity, distinct actors, purchase revenue, and
+    // purchaser share. The "customer 360" shape every warehouse
+    // runs — behavioral facts enriched by a dimension, proving the
+    // engine's relational and event operators compose. Distinct
+    // users per segment uses the q86 trick (collect once per user
+    // via a user-keyed pre-aggregate) — no count-distinct Expand on
+    // the big side.
+    ("q150_segment_engagement", (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("event_type") === "purchase", col("value"))).as("purchase_value"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("is_purchaser"))
+      perUser.join(broadcast(cust), perUser("user_id") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum("n_events").as("n_events"),
+             count(lit(1)).as("n_users"),
+             sum("is_purchaser").as("n_purchasers"),
+             round(sum(coalesce(col("purchase_value"), lit(0.0))), 2).as("revenue"))
+        .withColumn("purchaser_share",
+          round(col("n_purchasers").cast("double") / col("n_users"), 6))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      WITH per_user AS (
+        SELECT user_id, count(*) AS n_events,
+               sum(value) FILTER (event_type = 'purchase') AS purchase_value,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_purchaser
+        FROM events GROUP BY user_id)
+      SELECT c.c_mktsegment, sum(u.n_events)::BIGINT AS n_events,
+             count(*) AS n_users,
+             sum(u.is_purchaser)::BIGINT AS n_purchasers,
+             round(sum(coalesce(u.purchase_value, 0.0)), 2) AS revenue,
+             round(sum(u.is_purchaser)::DOUBLE / count(*), 6) AS purchaser_share
+      FROM per_user u JOIN customer c ON u.user_id = c.c_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment
     """))
   )
 }

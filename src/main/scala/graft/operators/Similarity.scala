@@ -75,6 +75,82 @@ object Similarity extends QueryGroup {
   private def quant6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
   private def quant6Sql(e: String): String = s"floor($e * 1000000.0 + 0.5) / 1000000.0"
 
+  /** q124's IVF-blocked kNN graph, shared with q147's mutual filter:
+    * (src, rk, dst, cos) — top-kGraph exact-reranked neighbors per
+    * vector, candidates limited to the nprobe best coarse cells
+    * (never all-pairs). See the q124 entry for the full design note.
+    */
+  private def knnEdges(s: SparkSession, d: String,
+                       nprobe: Int = 2, kGraph: Int = 5): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(quant6(avg(col("x").cast("double"))).as("c"))
+    val cvec = cent.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                     t => t.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("label").as("cell"), col("cv"), col("cnrm"))
+    def dotFD(f: Column, dd: Column) =
+      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    val e = normed(s, d)
+    val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
+    val probes = e.select(col("vec_id").as("src"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cvec))
+      .select(col("src"), col("cell"), col("qv"), col("qn"),
+              (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select("src", "cell", "qv", "qn")
+    val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    e.select(col("label").as("cell"), col("vec_id").as("dst"),
+             col("embedding"), col("nrm"))
+      .join(probes, Seq("cell"))
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"),
+              (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= kGraph)
+      .select("src", "rk", "dst", "cos")
+  }
+
+  /** DuckDB mirror of [[knnEdges]] as a CTE block ending in `knn`. */
+  private val knnCte = s"""
+      cent AS (
+        SELECT label, i - 1 AS pos,
+               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i
+      ),
+      cv AS (
+        SELECT label AS cell, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label
+      ),
+      probes AS (
+        SELECT src, cell FROM (
+          SELECT q.vec_id AS src, cv.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i])) / (q.nrm * cv.cnrm) DESC,
+                   cv.cell) AS pr
+          FROM e q, cv
+        ) WHERE pr <= 2
+      ),
+      scored AS (
+        SELECT p.src, c.vec_id AS dst,
+               list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+        FROM probes p
+        JOIN e c ON c.label = p.cell
+        JOIN e q ON q.vec_id = p.src
+        WHERE c.vec_id <> p.src
+      ),
+      knn AS (
+        SELECT src, rk, dst, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) rk
+              FROM scored) t
+        WHERE rk <= 5
+      )"""
+
   /** DuckDB CTE computing the exact same 4 band buckets as
     * `bandBucket(embedding, planes.slice(b*4, b*4+4))`: per-plane sign
     * bit of a sequential dot product against the embedded plane
@@ -438,73 +514,44 @@ object Similarity extends QueryGroup {
     // lexicographic tie-breaks), so the whole approximate index is
     // hash-oracled; recall vs exact q41 is asserted in LlmOpsSpec.
     ("q124_knn_graph", (s, d) => {
-      val nprobe = 2; val kGraph = 5
-      val cent = Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(quant6(avg(col("x").cast("double"))).as("c"))
-      val cvec = cent.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-                       t => t.getField("c")).as("cv"))
-        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
-        .select(col("label").as("cell"), col("cv"), col("cnrm"))
-      def dotFD(f: Column, dd: Column) =
-        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
-      val e = normed(s, d)
-      val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
-      val probes = e.select(col("vec_id").as("src"), col("embedding").as("qv"), col("nrm").as("qn"))
-        .crossJoin(broadcast(cvec))
-        .select(col("src"), col("cell"), col("qv"), col("qn"),
-                (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
-        .withColumn("pr", row_number().over(wp))
-        .filter(col("pr") <= nprobe)
-        .select("src", "cell", "qv", "qn")
-      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-      e.select(col("label").as("cell"), col("vec_id").as("dst"),
-               col("embedding"), col("nrm"))
-        .join(probes, Seq("cell"))
-        .filter(col("dst") =!= col("src"))
-        .select(col("src"), col("dst"),
-                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rk", row_number().over(wk).cast("long"))
-        .filter(col("rk") <= kGraph)
-        .select("src", "rk", "dst", "cos")
-        .orderBy("src", "rk")
+      knnEdges(s, d).orderBy("src", "rk")
     }, Some(s"""
       WITH $normedCte,
-      cent AS (
-        SELECT label, i - 1 AS pos,
-               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
-        FROM embeddings, generate_series(1, 64) g(i)
-        GROUP BY label, i
-      ),
-      cv AS (
-        SELECT label AS cell, list(c ORDER BY pos) AS cv,
-               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
-        FROM cent GROUP BY label
-      ),
-      probes AS (
-        SELECT src, cell FROM (
-          SELECT q.vec_id AS src, cv.cell,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i])) / (q.nrm * cv.cnrm) DESC,
-                   cv.cell) AS pr
-          FROM e q, cv
-        ) WHERE pr <= 2
-      ),
-      scored AS (
-        SELECT p.src, c.vec_id AS dst,
-               list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
-        FROM probes p
-        JOIN e c ON c.label = p.cell
-        JOIN e q ON q.vec_id = p.src
-        WHERE c.vec_id <> p.src
-      )
-      SELECT src, rk, dst, cos
-      FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) rk
-            FROM scored) t
-      WHERE rk <= 5
+      $knnCte
+      SELECT src, rk, dst, cos FROM knn
       ORDER BY src, rk
+    """)),
+
+    // ------------------------------------------------- mutual kNN / reciprocal pairs (round 7)
+    // Reciprocal-nearest-neighbor filtering over the q124 kNN graph:
+    // keep (u, v) only when v is in u's top-k AND u is in v's top-k.
+    // The standard hubness guard — a hub vector appears in thousands
+    // of one-directional neighbor lists at scale, and treating those
+    // as semantic duplicates over-merges; mutuality is the cheap,
+    // parameter-free fix (RNN-descent / SNN literature). Plan: the
+    // directed edge list (n·k rows, NEVER all-pairs — it inherits
+    // q124's IVF blocking) self-joins on the REVERSED key pair — an
+    // equi-join on (src,dst)=(dst,src) with u<v canonicalization, so
+    // the mutual check costs one n·k-row shuffle. Output keeps both
+    // directional ranks (their asymmetry is the hubness signal).
+    ("q147_mutual_knn", (s, d) => {
+      val edges = knnEdges(s, d).localCheckpoint() // both join legs read it
+      val fwd = edges.select(col("src").as("u"), col("dst").as("v"),
+        col("rk").as("rank_uv"), col("cos"))
+      val rev = edges.select(col("dst").as("u"), col("src").as("v"),
+        col("rk").as("rank_vu"))
+      fwd.join(rev, Seq("u", "v"))
+        .filter(col("u") < col("v"))
+        .select("u", "v", "rank_uv", "rank_vu", "cos")
+        .orderBy("u", "v")
+    }, Some(s"""
+      WITH $normedCte,
+      $knnCte
+      SELECT f.src AS u, f.dst AS v, f.rk AS rank_uv, r.rk AS rank_vu, f.cos
+      FROM knn f
+      JOIN knn r ON r.src = f.dst AND r.dst = f.src
+      WHERE f.src < f.dst
+      ORDER BY u, v
     """)),
 
     // ------------------------------------------------------- product quantization + ADC search (round 4)

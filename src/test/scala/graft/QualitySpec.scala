@@ -197,6 +197,94 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"\n got=$got\nwant=$expected")
   }
 
+  test("q147: mutual-kNN pairs are exactly the reciprocal edges of the q124 graph") {
+    val edges = SparkEntry.queries("q124_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        r.getAs[Long]("rk")).toMap
+    val expected = edges.keySet.collect {
+      case (u, v) if u < v && edges.contains((v, u)) =>
+        (u, v, edges((u, v)), edges((v, u)))
+    }
+    val got = SparkEntry.queries("q147_mutual_knn")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("rank_uv"), r.getAs[Long]("rank_vu"))).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // mutuality prunes: strictly fewer pairs than directed edges/2
+    assert(got.nonEmpty && got.size < edges.size / 2)
+  }
+
+  test("q148: winsorized moments match a sequential clip-and-recompute") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    def sd(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val got = SparkEntry.queries("q148_winsorize")(spark, sfDir).collect()
+    got.foreach { r =>
+      val xs = rows.filter(_._1 == r.getAs[String]("event_type")).map(_._2).toSeq
+      val (p01, p99) = (pct(xs, 0.01), pct(xs, 0.99))
+      val clipped = xs.map(x => math.min(math.max(x, p01), p99))
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Long]("n_clipped") == xs.count(x => x < p01 || x > p99).toLong)
+      assert(math.abs(r.getAs[Double]("mean_winsor") - clipped.sum / clipped.length) < 1e-4)
+      assert(math.abs(r.getAs[Double]("sd_winsor") - sd(clipped)) < 1e-4)
+      // winsorizing can only shrink dispersion
+      assert(r.getAs[Double]("sd_winsor") <= r.getAs[Double]("sd_raw") + 1e-9)
+    }
+  }
+
+  test("q149: dominant prefix matches a direct per-source tally") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).take(8).mkString(" ")))
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val byPrefix = xs.groupBy(_._2).map { case (p, ys) => p -> ys.length.toLong }
+      val (prefix, n) = byPrefix.toSeq.minBy { case (p, n2) => (-n2, p) }
+      src -> (prefix, n, xs.length.toLong)
+    }
+    val got = SparkEntry.queries("q149_boilerplate_prefix")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (prefix, n, nDocs) = expected(r.getAs[String]("source"))
+      assert(r.getAs[String]("prefix") == prefix, s"${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_with_prefix") == n && r.getAs[Long]("n_docs") == nDocs)
+    }
+  }
+
+  test("q150: segment engagement matches a sequential join-and-rollup") {
+    val seg = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment")).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.length.toLong, xs.filter(_._2 == "purchase").map(_._3).sum,
+        xs.exists(_._2 == "purchase"))
+    }.filter(u => seg.contains(u._1))
+    val expected = perUser.groupBy(u => seg(u._1)).map { case (s2, us) =>
+      s2 -> (us.map(_._2).sum, us.size.toLong, us.count(_._4).toLong,
+        BigDecimal(us.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = SparkEntry.queries("q150_segment_engagement")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nEv, nUs, nPur, rev) = expected(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_events") == nEv && r.getAs[Long]("n_users") == nUs)
+      assert(r.getAs[Long]("n_purchasers") == nPur)
+      assert((BigDecimal(r.getAs[Double]("revenue")) - rev).abs < 0.02)
+    }
+    // every event user resolves against the dimension (synthetic corpus invariant)
+    assert(got.map(_.getAs[Long]("n_users")).sum == perUser.size.toLong)
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
