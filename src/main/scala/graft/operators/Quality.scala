@@ -448,6 +448,174 @@ object Quality extends QueryGroup {
       FROM per_user u JOIN customer c ON u.user_id = c.c_custkey
       GROUP BY c.c_mktsegment
       ORDER BY c.c_mktsegment
+    """)),
+
+    // ------------------------------------------------------------ Poisson bootstrap CI (round 7)
+    // Distributed bootstrap confidence interval for the per-type mean
+    // value — the Poisson bootstrap (each row independently drawn
+    // Poisson(1) times per resample) is THE distributed form: unlike
+    // classic resampling it needs no global n-draw, so each of the
+    // B=100 resample means is a plain weighted aggregate computed
+    // map-side in one pass over the exploded (row × b) relation.
+    // Weights are deterministic (portable md5 of (event_id, b) mapped
+    // through the Poisson(1) CDF: P(0)=.368, P(1)=.368, P(2)=.184,
+    // P(3)=.061, P(4)=.019), so both engines draw IDENTICAL
+    // resamples and the CI hash-matches. Cost is B× the scan rows —
+    // at 100 TB you run it on a stratified sample or cut B; the plan
+    // shape (explode → map-side partial agg, no shuffle wider than
+    // |types|·B rows) is the part that scales.
+    ("q151_bootstrap_ci", (s, d) => {
+      val B = 100
+      import graft.functions.TextFunctions.portableHash
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      val draws = ev
+        .select(col("event_type"), col("value"), col("event_id"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h", portableHash(concat_ws("#", col("event_id"), col("b"))) % 1000)
+        .withColumn("k",
+          when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+            .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
+      val means = draws.groupBy("event_type", "b")
+        .agg((sum(col("k") * col("value")) / sum("k")).as("mean_b"))
+      val point = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("mean"))
+      means.groupBy("event_type")
+        .agg(count(lit(1)).as("n_resamples"),
+             round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+             round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
+        .join(broadcast(point), "event_type")
+        .select("event_type", "n", "mean", "n_resamples", "ci_lo", "ci_hi")
+        .orderBy("event_type")
+    }, Some("""
+      WITH draws AS (
+        SELECT event_type, value, b,
+               ('0x'||substring(md5(event_id::VARCHAR || '#' || b::VARCHAR),1,15))::BIGINT % 1000 AS h
+        FROM events, (SELECT unnest(range(0, 100)) AS b)),
+      weighted AS (
+        SELECT event_type, b,
+               CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+                    WHEN h < 981 THEN 3 ELSE 4 END AS k, value
+        FROM draws),
+      means AS (
+        SELECT event_type, b, sum(k * value) / sum(k) AS mean_b
+        FROM weighted GROUP BY event_type, b),
+      point AS (
+        SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean
+        FROM events GROUP BY event_type)
+      SELECT m.event_type, p.n, p.mean, count(*) AS n_resamples,
+             round(quantile_cont(m.mean_b, 0.025), 6) AS ci_lo,
+             round(quantile_cont(m.mean_b, 0.975), 6) AS ci_hi
+      FROM means m JOIN point p USING (event_type)
+      GROUP BY m.event_type, p.n, p.mean
+      ORDER BY m.event_type
+    """)),
+
+    // ------------------------------------------------------------ RFM segmentation (round 7)
+    // Recency/Frequency/Monetary quintile scoring of purchasers — the
+    // classic CRM segmentation (and a second consumer of q150's
+    // event→dimension bridge): days since last purchase, purchase
+    // count, purchase value, each ntile(5)-scored (1 = best) with
+    // deterministic tie-breaks, concatenated into the familiar "111"
+    // … "555" segment codes. The unpartitioned ntile windows are a
+    // global sort of the PER-USER aggregate (not the events) — at
+    // 100 TB the same scores come from approx_percentile quintile
+    // fences (one pass, no sort); ntile is judged here because the
+    // oracle replays it exactly. Monetary rounded to cents BEFORE
+    // ranking so cross-engine float summation order can't flip
+    // near-tied quintile boundaries.
+    ("q152_rfm_segmentation", (s, d) => {
+      val maxDay = Tables.events(s, d).agg(max(to_date(col("ts"))).as("max_day"))
+      val rfm = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+             count(lit(1)).as("frequency"),
+             round(sum("value"), 2).as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency_days", datediff(col("max_day"), col("last_day")).cast("long"))
+      rfm
+        .withColumn("r", ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+        .withColumn("f", ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m", ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+          col("r"), col("f"), col("m"),
+          concat(col("r"), col("f"), col("m")).as("segment"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH maxd AS (SELECT max(ts::TIMESTAMP::DATE) AS max_day FROM events),
+      rfm AS (
+        SELECT user_id, max(ts::TIMESTAMP::DATE) AS last_day,
+               count(*) AS frequency, round(sum(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      scored AS (
+        SELECT user_id,
+               datediff('day', last_day, max_day)::BIGINT AS recency_days,
+               frequency, monetary,
+               ntile(5) OVER (ORDER BY datediff('day', last_day, max_day), user_id)::BIGINT AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, user_id)::BIGINT AS f,
+               ntile(5) OVER (ORDER BY monetary DESC, user_id)::BIGINT AS m
+        FROM rfm, maxd)
+      SELECT user_id, recency_days, frequency, monetary, r, f, m,
+             r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+      FROM scored
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ time-bound funnel (round 7)
+    // q84's funnel with REAL conversion windows: a purchase counts
+    // only if preceded by a click within 24 h, and that click only if
+    // preceded by a view within 1 h — the attribution-grade funnel
+    // (q84's strict v<c<p ordering has no time bounds, so a January
+    // view "converts" a December purchase). Two IGNORE-NULLS
+    // last_value passes over the SAME user-ordered window (one
+    // shuffle, one sort): pass 1 stamps each click with its last
+    // view; pass 2 stamps each purchase with its last QUALIFIED
+    // click. The windowed recurrence stays one-directional, so no
+    // self-joins and no per-stage re-scans.
+    ("q154_windowed_funnel", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hourUs = 3600L * 1000000L; val dayUs = 24L * hourUs
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("last_view_us",
+          last(when(col("event_type") === "view", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .withColumn("qual_click_us",
+          when(col("event_type") === "click" &&
+               col("us") - col("last_view_us") <= hourUs, col("us")))
+        .withColumn("last_qc_us", last(col("qual_click_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_purchases"),
+             sum(when(col("last_qc_us").isNotNull &&
+                      col("us") - col("last_qc_us") <= dayUs, 1L).otherwise(0L))
+               .as("full_chain_conversions"))
+        .withColumn("conversion_rate",
+          round(col("full_chain_conversions").cast("double") / col("n_purchases"), 6))
+    }, Some("""
+      WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+               last_value(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+        FROM events),
+      q AS (
+        SELECT *, CASE WHEN event_type = 'click' AND us - last_view_us <= 3600000000
+                       THEN us END AS qual_click_us
+        FROM t),
+      f AS (
+        SELECT *, last_value(qual_click_us IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qc_us
+        FROM q)
+      SELECT count(*) AS n_purchases,
+             count(*) FILTER (last_qc_us IS NOT NULL AND us - last_qc_us <= 86400000000)
+               AS full_chain_conversions,
+             round(count(*) FILTER (last_qc_us IS NOT NULL AND us - last_qc_us <= 86400000000)::DOUBLE
+                   / count(*), 6) AS conversion_rate
+      FROM f WHERE event_type = 'purchase'
     """))
   )
 }

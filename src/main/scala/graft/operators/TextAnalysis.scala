@@ -393,6 +393,40 @@ object TextAnalysis extends QueryGroup {
       CROSS JOIN tot
       GROUP BY bg.doc_id
       ORDER BY bg.doc_id
+    """)),
+
+    // ------------------------------------------------------------ readability scoring (round 7)
+    // Flesch reading-ease per document from pure regex counts — the
+    // traditional-NLP quality feature alongside q38's ratios and
+    // q138's LM score: words (token count), sentences ([.!?]+ runs,
+    // floored at 1), syllables approximated by vowel-group runs (the
+    // standard cheap proxy). score = 206.835 − 1.015·(words/sent) −
+    // 84.6·(syll/words). Zero joins, zero shuffles beyond the final
+    // sort — a pure codegen'd projection over one scan, the cheapest
+    // possible operator shape.
+    ("q153_readability", (s, d) => {
+      val words = size(tokens(col("text"))).cast("long")
+      val sents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+      val sylls = regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"), sylls.as("n_sylls"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch",
+          round(lit(206.835) - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_sylls").cast("double") / col("n_words")), 4))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (
+        SELECT doc_id,
+               len($toksSql)::BIGINT AS n_words,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sents,
+               len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS n_sylls
+        FROM documents)
+      SELECT doc_id, n_words, n_sents, n_sylls,
+             round(206.835 - 1.015 * (n_words::DOUBLE / n_sents)
+                   - 84.6 * (n_sylls::DOUBLE / n_words), 4) AS flesch
+      FROM c WHERE n_words > 0
+      ORDER BY doc_id
     """))
   )
 

@@ -382,6 +382,23 @@ class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q153: Flesch readability matches a sequential regex-count reference") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val got = SparkEntry.queries("q153_readability")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val text = docs.toMap.apply(r.getAs[Long]("doc_id"))
+      val words = tokensOf(text).length.toLong
+      val sents = math.max(1L, "[.!?]+".r.findAllIn(text).length.toLong)
+      val sylls = "[aeiou]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_words") == words && r.getAs[Long]("n_sents") == sents &&
+        r.getAs[Long]("n_sylls") == sylls, s"doc ${r.getAs[Long]("doc_id")} counts")
+      val flesch = 206.835 - 1.015 * (words.toDouble / sents) - 84.6 * (sylls.toDouble / words)
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3)
+    }
+  }
+
   test("q132: shingle novelty matches the sequential first-owner reference") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")))

@@ -285,6 +285,112 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getAs[Long]("n_users")).sum == perUser.size.toLong)
   }
 
+  test("q151: bootstrap CI matches a sequential Poisson-weighted replay and brackets the mean") {
+    val rows = Tables.events(spark, sfDir).select("event_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    def md5h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def k(h: Long): Long =
+      if (h < 368) 0L else if (h < 736) 1L else if (h < 920) 2L else if (h < 981) 3L else 4L
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val expected = rows.groupBy(_._2).map { case (t, xs) =>
+      val meansB = (0 until 100).map { b =>
+        val ws = xs.map { case (id, _, v) => (k(md5h(s"$id#$b") % 1000), v) }
+        ws.map { case (w, v) => w * v }.sum / ws.map(_._1).sum
+      }
+      t -> (pct(meansB, 0.025), pct(meansB, 0.975), xs.map(_._3).sum / xs.length)
+    }
+    val got = SparkEntry.queries("q151_bootstrap_ci")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (lo, hi, mean) = expected(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Double]("ci_lo") - lo) < 1e-4)
+      assert(math.abs(r.getAs[Double]("ci_hi") - hi) < 1e-4)
+      // the interval must bracket the point estimate
+      assert(r.getAs[Double]("ci_lo") <= mean && mean <= r.getAs[Double]("ci_hi"),
+        s"${r.getAs[String]("event_type")}: [$lo, $hi] excludes mean $mean")
+      assert(r.getAs[Long]("n_resamples") == 100L)
+    }
+  }
+
+  test("q152: RFM scores match a sequential quintile assignment") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "value").collect()
+    val maxDay = rows.map(_.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate).max
+    val perUser = rows.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id")).map { case (u, xs) =>
+        val lastDay = xs.map(_.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate).max
+        (u, java.time.temporal.ChronoUnit.DAYS.between(lastDay, maxDay),
+          xs.length.toLong,
+          BigDecimal(xs.map(_.getAs[Double]("value")).sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    def ntile5[A](xs: Seq[(Long, A)])(implicit o: Ordering[A]): Map[Long, Long] = {
+      val n = xs.length
+      xs.sortBy(_._2).zipWithIndex.map { case ((u, _), i) =>
+        // SQL ntile: first (n mod 5) buckets get ceil(n/5)
+        val big = n % 5; val base = n / 5
+        val bucket = if (i < big * (base + 1)) i / (base + 1) else big + (i - big * (base + 1)) / base
+        u -> (bucket + 1L)
+      }.toMap
+    }
+    val r = ntile5(perUser.map(u => u._1 -> ((u._2, u._1))))
+    val f = ntile5(perUser.map(u => u._1 -> ((-u._3, u._1))))
+    val m = ntile5(perUser.map(u => u._1 -> ((-u._4, u._1))))
+    val got = SparkEntry.queries("q152_rfm_segmentation")(spark, sfDir).collect()
+    assert(got.length == perUser.length)
+    got.foreach { row =>
+      val u = row.getAs[Long]("user_id")
+      assert(row.getAs[Long]("r") == r(u), s"user $u r")
+      assert(row.getAs[Long]("f") == f(u), s"user $u f")
+      assert(row.getAs[Long]("m") == m(u), s"user $u m")
+      assert(row.getAs[String]("segment") == s"${r(u)}${f(u)}${m(u)}")
+    }
+  }
+
+  test("q154: windowed funnel matches a sequential per-user chain replay") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      }
+    val hourUs = 3600L * 1000000L; val dayUs = 24 * hourUs
+    var nP = 0L; var nChain = 0L
+    rows.groupBy(_._1).values.foreach { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var lastView = Option.empty[Long]; var lastQC = Option.empty[Long]
+      sorted.foreach { e =>
+        e._3 match {
+          case "purchase" =>
+            nP += 1
+            if (lastQC.exists(c => e._4 - c <= dayUs)) nChain += 1
+          case _ =>
+        }
+        // state updates AFTER the purchase check: windows end at 1 PRECEDING
+        e._3 match {
+          case "view" => lastView = Some(e._4)
+          case "click" => if (lastView.exists(v => e._4 - v <= hourUs)) lastQC = Some(e._4)
+          case _ =>
+        }
+      }
+    }
+    val got = SparkEntry.queries("q154_windowed_funnel")(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n_purchases") == nP)
+    assert(got.getAs[Long]("full_chain_conversions") == nChain,
+      s"chain: got ${got.getAs[Long]("full_chain_conversions")} want $nChain")
+    // time bounds must bite: strictly fewer conversions than q84's unbounded funnel allows
+    assert(nChain <= nP)
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
