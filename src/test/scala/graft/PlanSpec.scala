@@ -400,6 +400,58 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(bnlj <= 1, s"vocabulary relations must join by key, not broadcast-cross:\n$p")
   }
 
+  test("q145: wedge join for common neighbors is equi-keyed — no cartesian") {
+    val p = plan("q145_node_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighborhood intersection must ride the shared-neighbor equi-join:\n$p")
+  }
+
+  test("q146: path mining reuses the user partitioning — at most 2 hash exchanges") {
+    // sessionize window (user), session-rank window (user, sess) and the
+    // per-session path aggregate all colocate under hashpartitioning(user)
+    // (subset rule); only the final path count re-keys
+    val p = plan("q146_top_paths")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"sessionize must not re-shuffle per stage, got $hashEx:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
+  test("q151: bootstrap resample means are map-side partial aggregates") {
+    val p = plan("q151_bootstrap_ci")
+    assert(p.contains("partial_sum"), s"weighted sums must combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the point-estimate join must broadcast:\n$p")
+  }
+
+  test("q152: RFM windows run over the per-user aggregate, not events") {
+    // one events shuffle (user groupBy); the three ntile windows are
+    // single-partition passes over the ~|users| aggregate
+    val p = plan("q152_rfm_segmentation")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected only the user groupBy exchange, got $hashEx:\n$p")
+  }
+
+  test("q153: readability is a pure projection — no hash exchange, no join") {
+    val p = plan("q153_readability")
+    assert(!p.contains("Exchange hashpartitioning"), s"no aggregation should shuffle:\n$p")
+    assert(!p.contains("Join"), s"readability needs no join:\n$p")
+  }
+
+  test("q154: windowed funnel is one user shuffle, zero joins") {
+    val p = plan("q154_windowed_funnel")
+    assert(!p.contains("Join"), s"funnel stages must not self-join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"both window passes share the user exchange, got $hashEx:\n$p")
+  }
+
+  test("q148/q150: stats and dimension joins broadcast — events never shuffle on a join key") {
+    for (q <- Seq("q148_winsorize", "q150_segment_engagement")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: expected broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: events shuffled on a join key:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
