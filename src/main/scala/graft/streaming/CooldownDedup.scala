@@ -109,4 +109,59 @@ object CooldownDedup {
           .map(e => Kept(e.user_id, e.event_type, e.event_id, e.ts))
       }
   }
+
+  /** Spark-4 `transformWithState` form of [[kept]] — same semantics,
+    * new-API vocabulary (the Sessionize/Sessionize4 pairing, applied
+    * to the dedup family): the kept-frontier is a named typed
+    * `ValueState`, expiry is an explicit event-time TIMER (fires once
+    * the watermark passes frontier + cooldown — past that point every
+    * event the state could suppress is watermark-late, so clearing is
+    * free), and the runtime is the RocksDB provider you'd run at
+    * scale. StreamingDepthSpec holds both forms to the same output.
+    */
+  class CooldownProcessor(cooldownMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), KeyedEvent, Kept] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    private val cooldownUs = cooldownMs * 1000L
+    @transient private var frontier: ValueState[Frontier] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frontier = getHandle.getValueState("frontier", Encoders.product[Frontier], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[KeyedEvent],
+                                 tv: TimerValues): Iterator[Kept] = {
+      val batch = rows.toVector.sortBy(e => (us(e.ts), e.event_id))
+      val prior = if (frontier.exists()) Some(frontier.get().lastKeptUs) else None
+      prior.foreach(f => getHandle.deleteTimer(f / 1000L + cooldownMs))
+      val (keptEvents, next) = replay(batch, prior, cooldownUs)
+      next.foreach { f =>
+        frontier.update(Frontier(f))
+        getHandle.registerTimer(
+          math.max(f / 1000L + cooldownMs, tv.getCurrentWatermarkInMs() + 1))
+      }
+      keptEvents.iterator.map(e => Kept(e.user_id, e.event_type, e.event_id, e.ts))
+    }
+
+    override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Kept] = {
+      // only clear if the frontier this timer was set for is still
+      // current (a later kept event re-registers a later timer)
+      if (frontier.exists() &&
+          frontier.get().lastKeptUs / 1000L + cooldownMs <= info.getExpiryTimeInMs)
+        frontier.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[kept]] on the transformWithState runtime (RocksDB provider). */
+  def keptTws(events: Dataset[KeyedEvent], cooldownMs: Long): Dataset[Kept] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val keptEnc: org.apache.spark.sql.Encoder[Kept] = Encoders.product[Kept]
+    events
+      .groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .transformWithState(new CooldownProcessor(cooldownMs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

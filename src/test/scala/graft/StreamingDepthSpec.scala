@@ -184,6 +184,45 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
       s"state not recovered across restart: ${sessions.toSeq}")
   }
 
+  test("transformWithState cooldown dedup matches the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CooldownDedup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(h: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)
+      val cooldownMs = 12L * 3600L * 1000L
+      // drip every 6h: sliding-cooldown must keep 0h and 18h (q136's
+      // drip contract), across batches and through timer-based expiry
+      val in = MemoryStream[CooldownDedup.KeyedEvent]
+      val kept = CooldownDedup.keptTws(
+        in.toDS().withWatermark("ts", "0 seconds"), cooldownMs)
+      val q = RecordStream.startSink(kept.toDF(), "memory", "tws_cd_sink", tmp("ck-tws-cd"), 100L)
+      in.addData(CooldownDedup.KeyedEvent(1L, "drip", 0L, at(0)),
+                 CooldownDedup.KeyedEvent(1L, "drip", 1L, at(6)))
+      q.processAllAvailable()
+      in.addData(CooldownDedup.KeyedEvent(1L, "drip", 2L, at(12)),
+                 CooldownDedup.KeyedEvent(1L, "drip", 3L, at(18)))
+      q.processAllAvailable()
+      in.addData(CooldownDedup.KeyedEvent(1L, "drip", 4L, at(24)),
+                 CooldownDedup.KeyedEvent(1L, "drip", 5L, at(30)))
+      q.processAllAvailable()
+      // after expiry (watermark 30h > frontier 18h + 12h), a fresh event is kept again
+      in.addData(CooldownDedup.KeyedEvent(1L, "drip", 6L, at(31)))
+      q.processAllAvailable()
+      val ids = spark.table("tws_cd_sink").collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      q.stop()
+      assert(ids == Seq(0L, 3L, 6L), s"transformWithState cooldown kept: $ids")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sliding-cooldown dedup recovers the kept-frontier across checkpoint restart") {
     import spark.implicits._
     import graft.streaming.CooldownDedup
