@@ -253,6 +253,52 @@ object Graph extends QueryGroup {
         JOIN deg dv ON dv.u = e.v
       ORDER BY jaccard DESC, e.u, e.v
       LIMIT $topK
+    """)),
+
+    // ----------------------------------------------- degree power-law fit (round 7)
+    // Is the co-purchase graph scale-free? Fit ln(count) = α + β·ln(deg)
+    // over the degree histogram with SQL's REGRESSION AGGREGATES
+    // (regr_slope/intercept/r2 — the last §2.2 aggregate family not
+    // yet exercised; β ≈ −2..−3 is the power-law signature that
+    // predicts hub skew, and hub skew is what breaks naive pair
+    // enumeration — the quantitative justification for q116/q145's
+    // weight-threshold discipline). The degree histogram is tiny
+    // (distinct degree values); the regression is one aggregate over
+    // it. Unweighted graph degrees reuse the q145 adjacency.
+    ("q155_degree_powerlaw", (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val hist = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      hist.agg(
+          count(lit(1)).as("n_points"),
+          round(expr("regr_slope(ln(n_nodes), ln(deg))"), 6).as("slope"),
+          round(expr("regr_intercept(ln(n_nodes), ln(deg))"), 6).as("intercept"),
+          round(expr("regr_r2(ln(n_nodes), ln(deg))"), 6).as("r2"))
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      hist AS (
+        SELECT deg, count(*)::BIGINT AS n_nodes FROM (
+          SELECT u, count(*) AS deg FROM adj GROUP BY u) t
+        GROUP BY deg)
+      SELECT count(*) AS n_points,
+             round(regr_slope(ln(n_nodes), ln(deg)), 6) AS slope,
+             round(regr_intercept(ln(n_nodes), ln(deg)), 6) AS intercept,
+             round(regr_r2(ln(n_nodes), ln(deg)), 6) AS r2
+      FROM hist
     """))
   )
 }

@@ -616,6 +616,104 @@ object Quality extends QueryGroup {
              round(count(*) FILTER (last_qc_us IS NOT NULL AND us - last_qc_us <= 86400000000)::DOUBLE
                    / count(*), 6) AS conversion_rate
       FROM f WHERE event_type = 'purchase'
+    """)),
+
+    // ------------------------------------------------------------ Welch's t-test (round 7)
+    // Two-sample hypothesis test (unequal variances) between purchase
+    // and error event values: t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) with the
+    // Welch–Satterthwaite df — the experiment-analysis primitive
+    // behind every A/B readout, computed entirely from ONE pass of
+    // per-group moments (n, mean, var are mergeable — map-side
+    // partials, a 2-row aggregate, arithmetic on the driver-free
+    // 1-row join). The statistic is reported, not a p-value (the t
+    // CDF is a special function; production readouts compare |t|
+    // against the 1.96/2.58 thresholds, which is a plain filter).
+    ("q156_welch_ttest", (s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+             avg("value").as("m"), var_samp(col("value")).as("s2"))
+      val a = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("n1"), col("m").as("m1"), col("s2").as("s21"))
+      val b = g.filter(col("event_type") === "error")
+        .select(col("n").as("n2"), col("m").as("m2"), col("s2").as("s22"))
+      a.crossJoin(broadcast(b))
+        .withColumn("se2", col("s21") / col("n1") + col("s22") / col("n2"))
+        .select(
+          col("n1").cast("long").as("n_purchase"), col("n2").cast("long").as("n_error"),
+          round(col("m1"), 6).as("mean_purchase"), round(col("m2"), 6).as("mean_error"),
+          round((col("m1") - col("m2")) / sqrt(col("se2")), 4).as("t_stat"),
+          round(pow(col("se2"), 2) /
+            (pow(col("s21") / col("n1"), 2) / (col("n1") - 1) +
+             pow(col("s22") / col("n2"), 2) / (col("n2") - 1)), 2).as("welch_df"),
+          (abs((col("m1") - col("m2")) / sqrt(col("se2"))) > 1.96).as("significant_05"))
+    }, Some("""
+      WITH g AS (
+        SELECT event_type, count(*)::DOUBLE AS n, avg(value) AS m, var_samp(value) AS s2
+        FROM events WHERE event_type IN ('purchase', 'error')
+        GROUP BY event_type),
+      a AS (SELECT n AS n1, m AS m1, s2 AS s21 FROM g WHERE event_type = 'purchase'),
+      b AS (SELECT n AS n2, m AS m2, s2 AS s22 FROM g WHERE event_type = 'error'),
+      j AS (SELECT *, s21 / n1 + s22 / n2 AS se2 FROM a, b)
+      SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_error,
+             round(m1, 6) AS mean_purchase, round(m2, 6) AS mean_error,
+             round((m1 - m2) / sqrt(se2), 4) AS t_stat,
+             round(pow(se2, 2) / (pow(s21 / n1, 2) / (n1 - 1) + pow(s22 / n2, 2) / (n2 - 1)), 2) AS welch_df,
+             abs((m1 - m2) / sqrt(se2)) > 1.96 AS significant_05
+      FROM j
+    """)),
+
+    // ------------------------------------------------------------ Kolmogorov–Smirnov statistic (round 7)
+    // Two-sample KS between the purchase and click value
+    // distributions: D = max over the observed support of
+    // |F̂₁(x) − F̂₂(x)| — the nonparametric "are these the same
+    // distribution" test PSI (q126) approximates with bins; KS is
+    // bin-free. Plan: ONE scan into per-distinct-value counts, a
+    // running-sum window over the |support| relation turns counts
+    // into ECDFs, one more pass takes the argmax (diff DESC, value
+    // tie-break). The unpartitioned window is a single sort of the
+    // DISTINCT support — the honest cost of the exact statistic; at
+    // 100 TB you bucket the support (the PSI regime) or sample, and
+    // the ECDF diffs are exact integer ratios so both engines agree
+    // bit-for-bit before the final rounding.
+    ("q157_ks_statistic", (s, d) => {
+      val byVal = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      byVal
+        .withColumn("fa", sum("ca").over(wCum).cast("double") / sum("ca").over(wAll))
+        .withColumn("fb", sum("cb").over(wCum).cast("double") / sum("cb").over(wAll))
+        .withColumn("diff", abs(col("fa") - col("fb")))
+        .withColumn("rk", row_number().over(Window.orderBy(col("diff").desc, col("value"))))
+        .filter(col("rk") === 1)
+        .select(round(col("diff"), 6).as("ks_stat"), col("value").as("at_value"),
+          round(col("fa"), 6).as("ecdf_purchase"), round(col("fb"), 6).as("ecdf_click"))
+    }, Some("""
+      WITH byval AS (
+        SELECT value,
+               count(*) FILTER (event_type = 'purchase') AS ca,
+               count(*) FILTER (event_type = 'click') AS cb
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY value),
+      ecdf AS (
+        SELECT value,
+               sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::DOUBLE
+                 / sum(ca) OVER () AS fa,
+               sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::DOUBLE
+                 / sum(cb) OVER () AS fb
+        FROM byval),
+      best AS (
+        SELECT *, abs(fa - fb) AS diff,
+               row_number() OVER (ORDER BY abs(fa - fb) DESC, value) AS rk
+        FROM ecdf)
+      SELECT round(diff, 6) AS ks_stat, value AS at_value,
+             round(fa, 6) AS ecdf_purchase, round(fb, 6) AS ecdf_click
+      FROM best WHERE rk = 1
     """))
   )
 }
