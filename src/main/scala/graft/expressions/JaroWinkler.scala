@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity as a native codegen'd expression —
+  * the record-linkage classic (census/master-data matching) Spark
+  * lacks (it ships `levenshtein`, which over-penalizes transpositions
+  * and ignores the shared-prefix signal that dominates real name
+  * variants). Standard definition, matching DuckDB's built-in
+  * `jaro_winkler_similarity` value-for-value so the q159 oracle can
+  * hash-check it:
+  *
+  *  - Jaro: matches within a window of floor(max(|a|,|b|)/2)−1,
+  *    transpositions = half the out-of-order matches,
+  *    J = (m/|a| + m/|b| + (m−t)/m) / 3, and 0 when m = 0;
+  *  - Winkler boost only when J > 0.7 (the classic gate):
+  *    JW = J + ℓ·0.1·(1−J), ℓ = common prefix capped at 4.
+  *
+  * Real `doGenCode` (static call, not CodegenFallback) keeps the
+  * whole fuzzy-join verify stage inside whole-stage codegen; the
+  * helper works on char arrays with a reusable boolean-flag pass —
+  * O(|a|·|b|) worst case, O(window) typical, no allocation beyond the
+  * two flag arrays.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two strings, got ${l.simpleString(10)}, ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.JaroWinkler.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def similarity(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString.toCharArray
+    val b = ub.toString.toCharArray
+    if (a.length == 0 && b.length == 0) return 1.0
+    if (a.length == 0 || b.length == 0) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val aMatch = new Array[Boolean](a.length)
+    val bMatch = new Array[Boolean](b.length)
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatch(j) && a(i) == b(j)) {
+          aMatch(i) = true; bMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched subsequences in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < a.length) {
+      if (aMatch(i)) {
+        while (!bMatch(j)) j += 1
+        if (a(i) != b(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val jaro = (m.toDouble / a.length + m.toDouble / b.length +
+      (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxPrefix = math.min(4, math.min(a.length, b.length))
+    while (l < maxPrefix && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}

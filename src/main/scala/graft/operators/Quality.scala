@@ -714,6 +714,127 @@ object Quality extends QueryGroup {
       SELECT round(diff, 6) AS ks_stat, value AS at_value,
              round(fa, 6) AS ecdf_purchase, round(fb, 6) AS ecdf_click
       FROM best WHERE rk = 1
+    """)),
+
+    // ------------------------------------------------------------ fuzzy name matching (round 7)
+    // Record linkage with the custom codegen'd [[graft.expressions.JaroWinkler]]
+    // expression (Spark ships levenshtein only; JW is the
+    // record-linkage standard because it rewards shared prefixes and
+    // forgives transpositions — and DuckDB has it built in, so the
+    // oracle hash-checks the expression value-for-value). Scale
+    // discipline: similarity runs on the DISTINCT-name relation —
+    // bounded by the name VOCABULARY (64 here, at every sf), not the
+    // row count — blocked by the head noun (equi-join, never
+    // all-pairs), and any row-level consumer would join the matched
+    // name pairs back by name. The "cold anvil"/"old anvil" pairs it
+    // surfaces are exactly the typo-variant class ER pipelines chase.
+    ("q159_fuzzy_names", (s, d) => {
+      import org.apache.spark.sql.GraftSqlBridge
+      import graft.expressions.JaroWinkler
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      val a = names.select(col("p_name").as("name_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"), col("noun").as("noun_b"))
+      val jw = GraftSqlBridge.column(JaroWinkler(
+        GraftSqlBridge.expression(col("name_a")), GraftSqlBridge.expression(col("name_b"))))
+      a.join(b, col("noun") === col("noun_b") && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"), round(jw, 4).as("jw"))
+        .filter(col("jw") >= 0.9)
+        .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+    }, Some("""
+      WITH n AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+      FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+      ORDER BY jw DESC, name_a, name_b
+    """)),
+
+    // ------------------------------------------------------------ time-to-convert (round 7)
+    // Latency from last view to purchase — the "how long do users
+    // deliberate" distribution marketing reads next to q154's
+    // conversion counts. The q130 IGNORE-NULLS window stamps each
+    // purchase with its latest preceding view (one user shuffle);
+    // exact percentiles summarize the deltas. Reported in minutes
+    // (integer division of exact µs — portable).
+    ("q160_time_to_convert", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_view_us",
+          last(when(col("event_type") === "view", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+        // DIV, not `/`: Column./ on longs is double division; the
+        // oracle's `//` (and the "whole minutes" contract) is integer
+        .withColumn("mins", expr("(unix_micros(ts) - last_view_us) DIV 60000000"))
+        .agg(count(lit(1)).as("n_converted"),
+             round(expr("percentile(mins, 0.5)"), 2).as("p50_minutes"),
+             round(expr("percentile(mins, 0.9)"), 2).as("p90_minutes"),
+             round(avg("mins"), 2).as("mean_minutes"))
+    }, Some("""
+      WITH t AS (
+        SELECT event_type, epoch_us(ts::TIMESTAMP) AS us,
+               last_value(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+        FROM events),
+      d AS (
+        SELECT (us - last_view_us) // 60000000 AS mins
+        FROM t WHERE event_type = 'purchase' AND last_view_us IS NOT NULL)
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(mins, 0.5), 2) AS p50_minutes,
+             round(quantile_cont(mins, 0.9), 2) AS p90_minutes,
+             round(avg(mins), 2) AS mean_minutes
+      FROM d
+    """)),
+
+    // ------------------------------------------------------------ null imputation (round 7)
+    // Median imputation with a fill report — the missing-data step of
+    // feature preparation. The corpus has no nulls by construction,
+    // so missingness is INJECTED deterministically (portable hash of
+    // event_id, 10% rate — both engines nullify identical rows; the
+    // q65 sampling discipline applied to damage instead of
+    // selection), then repaired: per-type median of the surviving
+    // values, broadcast back (q128 shape), plus the
+    // before(skip-null)/after means that show what imputation does
+    // to the distribution.
+    ("q161_imputation", (s, d) => {
+      import graft.functions.TextFunctions.portableHash
+      val damaged = Tables.events(s, d)
+        .select(col("event_type"),
+          when(portableHash(col("event_id").cast("string")) % 10 === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+      val meds = damaged.filter(col("v").isNotNull)
+        .groupBy("event_type")
+        .agg(expr("percentile(v, 0.5)").as("med"))
+      damaged.join(broadcast(meds), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+             round(first("med"), 6).as("imputed_value"),
+             round(avg("v"), 6).as("mean_skipna"),
+             round(avg(coalesce(col("v"), col("med"))), 6).as("mean_imputed"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH damaged AS (
+        SELECT event_type,
+               CASE WHEN ('0x'||substring(md5(event_id::VARCHAR),1,15))::BIGINT % 10 = 0
+                    THEN NULL ELSE value END AS v
+        FROM events),
+      meds AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM damaged WHERE v IS NOT NULL GROUP BY event_type)
+      SELECT d.event_type, count(*) AS n,
+             count(*) FILTER (v IS NULL) AS n_missing,
+             round(any_value(med), 6) AS imputed_value,
+             round(avg(v), 6) AS mean_skipna,
+             round(avg(coalesce(v, med)), 6) AS mean_imputed
+      FROM damaged d JOIN meds USING (event_type)
+      GROUP BY d.event_type
+      ORDER BY d.event_type
     """))
   )
 }

@@ -554,6 +554,38 @@ object Similarity extends QueryGroup {
       ORDER BY u, v
     """)),
 
+    // ------------------------------------------------- embedding QA: dim-wise stats (round 7)
+    // Per-dimension health report of the embedding corpus — mean,
+    // spread, range for each of the 64 dims plus a dead-dim flag
+    // (σ < 1e-6: a dimension the encoder never varies, which wastes
+    // index bytes and silently degrades every cosine). The routine
+    // pre-flight check before building ANY of the similarity indexes
+    // (q43/q62/q63/q92 all assume live, roughly-scaled dims). ONE
+    // posexplode pass, a 64-group aggregate — the q44 shape with
+    // variance added.
+    ("q158_embedding_qa", (s, d) => {
+      Tables.fanOut(Tables.embeddings(s, d))
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("pos", col("pos").cast("long"))
+        .groupBy("pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("mean"),
+             round(stddev_samp(col("x").cast("double")), 6).as("sd"),
+             round(min(col("x").cast("double")), 6).as("min_x"),
+             round(max(col("x").cast("double")), 6).as("max_x"))
+        .withColumn("dead_dim", col("sd") < 1e-6)
+        .orderBy("pos")
+    }, Some("""
+      SELECT i - 1 AS pos,
+             round(avg(embedding[i]::DOUBLE), 6) AS mean,
+             round(stddev_samp(embedding[i]::DOUBLE), 6) AS sd,
+             round(min(embedding[i]::DOUBLE), 6) AS min_x,
+             round(max(embedding[i]::DOUBLE), 6) AS max_x,
+             round(stddev_samp(embedding[i]::DOUBLE), 6) < 1e-6 AS dead_dim
+      FROM embeddings, generate_series(1, 64) g(i)
+      GROUP BY i
+      ORDER BY pos
+    """)),
+
     // ------------------------------------------------------- product quantization + ADC search (round 4)
     // The memory scale path past int8 (q63): each vector becomes M=8
     // subspace codes (5 bits each here — 32 centroids/subspace), so the

@@ -452,6 +452,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q159: jaro_winkler is codegen'd — the fuzzy projection stays in a WholeStageCodegen span") {
+    // JaroWinkler implements doGenCode (static call); a CodegenFallback
+    // would break the span and interpret per-pair
+    val df = SparkEntry.queries("q159_fuzzy_names")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)[^\n]*jaro_winkler""".r.findFirstIn(p).nonEmpty ||
+           """\*\(\d+\) (Project|Filter)""".r.findFirstIn(p).nonEmpty,
+      s"jaro_winkler fell out of whole-stage codegen:\n$p")
+    assert(!p.contains("CartesianProduct"), s"name pairing must stay noun-blocked:\n$p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -458,6 +458,124 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(ks > 0.0 && ks < 1.0)
   }
 
+  test("q158: dim-wise embedding stats match a sequential recompute; no dead dims in fixture") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(_.getAs[collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
+    val got = SparkEntry.queries("q158_embedding_qa")(spark, sfDir).collect()
+    assert(got.length == 64)
+    got.foreach { r =>
+      val pos = r.getAs[Long]("pos").toInt
+      val xs = vecs.map(_(pos))
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      assert(math.abs(r.getAs[Double]("mean") - m) < 1e-4, s"dim $pos mean")
+      assert(math.abs(r.getAs[Double]("sd") - sd) < 1e-4, s"dim $pos sd")
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
+      assert(!r.getAs[Boolean]("dead_dim"), s"synthetic dim $pos reported dead")
+    }
+  }
+
+  test("JaroWinkler expression: textbook values, symmetry, bounds, identity") {
+    import graft.expressions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    // canonical published examples (also DuckDB's values — the oracle contract)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(jw("red widget", "red widget") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("", "") == 1.0 && jw("", "abc") == 0.0)
+    // no boost below the 0.7 gate: jaro(abcdef, abczzz) = 2/3 stays 2/3
+    assert(math.abs(jw("abcdef", "abczzz") - 2.0 / 3.0) < 1e-12)
+    // window rule: adjacent swap in 2-char strings has window 0 → no match
+    assert(jw("ab", "ba") == 0.0)
+    val strs = Seq("small ring", "red widget", "cold anvil", "old anvil", "a", "")
+    for (a <- strs; b <- strs) {
+      val v = jw(a, b)
+      assert(v >= 0.0 && v <= 1.0, s"($a,$b) out of range: $v")
+      assert(v == jw(b, a), s"($a,$b) not symmetric")
+    }
+  }
+
+  test("q159: fuzzy pairs match a brute-force JW sweep over blocked distinct names") {
+    import graft.expressions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    val names = Tables.part(spark, sfDir).select("p_name").collect()
+      .map(_.getString(0)).distinct
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1)
+      v = BigDecimal(jw(a, b)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if v >= 0.9
+    } yield (a, b, v)).toSet
+    val got = SparkEntry.queries("q159_fuzzy_names")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"), r.getAs[Double]("jw"))).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty, "fixture should contain at least one fuzzy pair")
+  }
+
+  test("q160: conversion latency matches a sequential last-view replay") {
+    val rows = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      }
+    val mins = rows.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var lastView = Option.empty[Long]
+      sorted.flatMap { e =>
+        val out = if (e._3 == "purchase") lastView.map(v => (e._4 - v) / 60000000L) else None
+        if (e._3 == "view") lastView = Some(e._4)
+        out
+      }
+    }.toSeq.map(_.toDouble)
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val r = SparkEntry.queries("q160_time_to_convert")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_converted") == mins.length.toLong)
+    assert(math.abs(r.getAs[Double]("p50_minutes") - pct(mins, 0.5)) < 0.01)
+    assert(math.abs(r.getAs[Double]("mean_minutes") - mins.sum / mins.length) < 0.01)
+  }
+
+  test("q161: imputation fill report matches a sequential damage-and-repair replay") {
+    def md5h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def pct50(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val rows = Tables.events(spark, sfDir).select("event_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val got = SparkEntry.queries("q161_imputation")(spark, sfDir).collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val damaged = rows.filter(_._2 == t)
+        .map { case (id, _, v) => if (md5h(id.toString) % 10 == 0) None else Some(v) }
+      val kept = damaged.flatten.toSeq
+      val med = pct50(kept)
+      assert(r.getAs[Long]("n") == damaged.length.toLong)
+      assert(r.getAs[Long]("n_missing") == damaged.count(_.isEmpty).toLong)
+      assert(math.abs(r.getAs[Double]("imputed_value") - med) < 1e-4)
+      val imputed = damaged.map(_.getOrElse(med))
+      assert(math.abs(r.getAs[Double]("mean_imputed") - imputed.sum / imputed.length) < 1e-4)
+      // ~10% damage rate, and imputation keeps the mean in the data's range
+      assert(r.getAs[Long]("n_missing") > 0)
+    }
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
