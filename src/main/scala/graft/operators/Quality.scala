@@ -457,21 +457,25 @@ object Quality extends QueryGroup {
     // classic resampling it needs no global n-draw, so each of the
     // B=100 resample means is a plain weighted aggregate computed
     // map-side in one pass over the exploded (row × b) relation.
-    // Weights are deterministic (portable md5 of (event_id, b) mapped
-    // through the Poisson(1) CDF: P(0)=.368, P(1)=.368, P(2)=.184,
-    // P(3)=.061, P(4)=.019), so both engines draw IDENTICAL
-    // resamples and the CI hash-matches. Cost is B× the scan rows —
-    // at 100 TB you run it on a stratified sample or cut B; the plan
+    // Weights are deterministic — a two-round multiplicative integer
+    // hash of (event_id, b) mapped through the Poisson(1) CDF:
+    // P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.061, P(4)=.019 — so both
+    // engines draw IDENTICAL resamples and the CI hash-matches.
+    // Integer mixing, NOT the md5 portable hash: the hash runs B×|rows|
+    // times (10M at sf0.1) and md5-of-string there measured 8.3 s vs
+    // ~1 s for two multiply-mods; every intermediate stays < 2^53 so
+    // long arithmetic is exact on both engines. Cost is B× the scan —
+    // at 100 TB you bootstrap a stratified sample or cut B; the plan
     // shape (explode → map-side partial agg, no shuffle wider than
     // |types|·B rows) is the part that scales.
     ("q151_bootstrap_ci", (s, d) => {
       val B = 100
-      import graft.functions.TextFunctions.portableHash
       val ev = Tables.events(s, d).select("event_id", "event_type", "value")
       val draws = ev
         .select(col("event_type"), col("value"), col("event_id"),
           explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("h", portableHash(concat_ws("#", col("event_id"), col("b"))) % 1000)
+        .withColumn("h",
+          expr("(((event_id * 2654435761) % 4294967296 + b) * 40503) % 4294967296 DIV 1024 % 1000"))
         .withColumn("k",
           when(col("h") < 368, 0L).when(col("h") < 736, 1L)
             .when(col("h") < 920, 2L).when(col("h") < 981, 3L).otherwise(4L))
@@ -489,7 +493,7 @@ object Quality extends QueryGroup {
     }, Some("""
       WITH draws AS (
         SELECT event_type, value, b,
-               ('0x'||substring(md5(event_id::VARCHAR || '#' || b::VARCHAR),1,15))::BIGINT % 1000 AS h
+               (((event_id * 2654435761) % 4294967296 + b) * 40503) % 4294967296 // 1024 % 1000 AS h
         FROM events, (SELECT unnest(range(0, 100)) AS b)),
       weighted AS (
         SELECT event_type, b,

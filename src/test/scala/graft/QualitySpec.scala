@@ -288,11 +288,8 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
   test("q151: bootstrap CI matches a sequential Poisson-weighted replay and brackets the mean") {
     val rows = Tables.events(spark, sfDir).select("event_id", "event_type", "value").collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
-    def md5h(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.parseLong(
-        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
-    }
+    def mixh(id: Long, b: Long): Long =
+      ((id * 2654435761L) % 4294967296L + b) * 40503L % 4294967296L / 1024L % 1000L
     def k(h: Long): Long =
       if (h < 368) 0L else if (h < 736) 1L else if (h < 920) 2L else if (h < 981) 3L else 4L
     def pct(xs: Seq[Double], p: Double): Double = {
@@ -302,7 +299,7 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
     val expected = rows.groupBy(_._2).map { case (t, xs) =>
       val meansB = (0 until 100).map { b =>
-        val ws = xs.map { case (id, _, v) => (k(md5h(s"$id#$b") % 1000), v) }
+        val ws = xs.map { case (id, _, v) => (k(mixh(id, b)), v) }
         ws.map { case (w, v) => w * v }.sum / ws.map(_._1).sum
       }
       t -> (pct(meansB, 0.025), pct(meansB, 0.975), xs.map(_._3).sum / xs.length)

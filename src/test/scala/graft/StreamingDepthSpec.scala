@@ -223,6 +223,43 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quota limiter admits at most N per key per event-time hour, resets across windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CooldownDedup, QuotaLimiter}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      val in = MemoryStream[CooldownDedup.KeyedEvent]
+      val adm = QuotaLimiter.admitted(
+        in.toDS().withWatermark("ts", "0 seconds"), maxPerWindow = 3, windowMs = 3600 * 1000L)
+      val q = RecordStream.startSink(adm.toDF(), "memory", "quota_sink", tmp("ck-quota"), 100L)
+      // window 1 (00:00-01:00): 5 events → first 3 admitted
+      in.addData((0 to 4).map(i => CooldownDedup.KeyedEvent(1L, "alert", i.toLong, at(i * 10))): _*)
+      q.processAllAvailable()
+      // window 2 (01:00-02:00): budget resets; 4 more → 3 admitted; a
+      // second key is metered independently
+      in.addData((5 to 8).map(i => CooldownDedup.KeyedEvent(1L, "alert", i.toLong, at(60 + (i - 5) * 10))): _*)
+      in.addData(CooldownDedup.KeyedEvent(2L, "alert", 100L, at(70)))
+      q.processAllAvailable()
+      val rows = spark.table("quota_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("n_in_window")))
+      q.stop()
+      val u1 = rows.filter(_._1 == 1L).map(_._2).sorted.toSeq
+      assert(u1 == Seq(0L, 1L, 2L, 5L, 6L, 7L), s"user 1 admitted: $u1")
+      assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(100L), "user 2 metered independently")
+      // the admission counter is exact within each window
+      assert(rows.filter(r => r._1 == 1L && r._2 >= 5).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sliding-cooldown dedup recovers the kept-frontier across checkpoint restart") {
     import spark.implicits._
     import graft.streaming.CooldownDedup
