@@ -665,6 +665,41 @@ object Dedup extends QueryGroup {
       FROM g a JOIN g b ON a.doc_id <> b.doc_id
       WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) >= 0.8
       ORDER BY doc_a, doc_b
+    """)),
+
+    // ---------------------------------------------- cross-source duplication matrix (round 7)
+    // WHERE does the duplication come from? Roll the q34 near-dup
+    // pairs up to (source_a, source_b): off-diagonal mass is
+    // mirror-site / syndication copying (drop one side wholesale),
+    // diagonal mass is within-source boilerplate (fix the extractor)
+    // — the triage report a curation team reads before deduping 100 TB
+    // blind. The pair relation inherits q34's band-blocked plan; the
+    // doc→source attachment is two hash joins on doc_id against the
+    // 2-column projection (never the text), and the final aggregate
+    // is ≤|sources|² rows. Source pair canonicalized (least/greatest)
+    // so A→B and B→A copying land in one cell.
+    ("q162_source_dup_matrix", (s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+                greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("n_dup_pairs").desc, col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH $pairsCte,
+      attached AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM near_pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b)
+      SELECT source_a, source_b, count(*) AS n_dup_pairs
+      FROM attached
+      GROUP BY source_a, source_b
+      ORDER BY n_dup_pairs DESC, source_a, source_b
     """))
   )
 

@@ -839,6 +839,44 @@ object Quality extends QueryGroup {
       FROM damaged d JOIN meds USING (event_type)
       GROUP BY d.event_type
       ORDER BY d.event_type
+    """)),
+
+    // ------------------------------------------------------------ hourly spike detection (round 7)
+    // Volume-anomaly scoring of the event firehose: each (type, hour)
+    // bucket gets a z-score against that type's own hourly
+    // distribution, spike = z ≥ 3 — the alert line an on-call
+    // dashboard draws (and q140's short-timescale complement: q140
+    // finds the one persistent level shift, this flags transient
+    // bursts). ONE scan into the ≤|types|·|hours| aggregate; the
+    // per-type mean/σ are windows over that aggregate, so the scoring
+    // costs nothing at any data scale. Emits ALL buckets with their
+    // scores (a spike-only report goes empty on calm data and tells
+    // the operator nothing about headroom).
+    ("q163_spike_scores", (s, d) => {
+      val wType = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mu", avg(col("n").cast("double")).over(wType))
+        .withColumn("sigma", stddev_samp(col("n").cast("double")).over(wType))
+        .select(col("event_type"), col("hour_ts"), col("n"),
+          round((col("n") - col("mu")) / col("sigma"), 4).as("z"),
+          ((col("n") - col("mu")) / col("sigma") >= 3.0).as("is_spike"))
+        .orderBy("event_type", "hour_ts")
+    }, Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour_ts, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hour_ts, n,
+               avg(n::DOUBLE) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(n::DOUBLE) OVER (PARTITION BY event_type) AS sigma
+        FROM hourly)
+      SELECT event_type, hour_ts, n,
+             round((n - mu) / sigma, 4) AS z,
+             (n - mu) / sigma >= 3.0 AS is_spike
+      FROM scored
+      ORDER BY event_type, hour_ts
     """))
   )
 }

@@ -573,6 +573,44 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q162: source dup matrix is exactly the q34 pairs rolled up by source") {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SparkEntry.queries("q162_source_dup_matrix")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_dup_pairs")).toMap
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    assert(got.values.sum == pairs.length.toLong, "every pair lands in exactly one cell")
+  }
+
+  test("q163: spike z-scores match a sequential hourly recompute") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "ts").collect()
+      .map { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts").toLocalDateTime
+        (r.getAs[String]("event_type"), t.withMinute(0).withSecond(0).withNano(0))
+      }
+    val hourly = rows.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = SparkEntry.queries("q163_spike_scores")(spark, sfDir).collect()
+    assert(got.length == hourly.size)
+    val byType = hourly.groupBy(_._1._1)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ns = byType(t).values.map(_.toDouble).toSeq
+      val mu = ns.sum / ns.length
+      val sd = math.sqrt(ns.map(x => (x - mu) * (x - mu)).sum / (ns.length - 1))
+      val key = (t, r.getAs[java.sql.Timestamp]("hour_ts").toLocalDateTime)
+      assert(hourly(key) == r.getAs[Long]("n"), s"count at $key")
+      assert(math.abs(r.getAs[Double]("z") - (hourly(key) - mu) / sd) < 1e-3, s"z at $key")
+      assert(r.getAs[Boolean]("is_spike") == ((hourly(key) - mu) / sd >= 3.0))
+    }
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
