@@ -42,39 +42,43 @@ object Bench {
         val (streamRows, streamSec) = streamingThroughput(spark)
         f""""stream_rows":$streamRows,"stream_sec":$streamSec%.3f,"stream_rows_per_sec":${streamRows / streamSec}%.0f,"""
       } else ""
-    // Each query is timed TWICE and the min is recorded: the first run
-    // pays one-time codegen/Janino compilation and cold page cache, and
-    // host contention can inflate any single run 3-6x (BASELINE.md) —
-    // a single sample cannot certify a perf gate. The min of two is the
-    // steady-state estimate the per-query comparison needs.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    // I/O-exposed queries (layout writes, big intermediate spills) are
-    // the ones host contention has historically inflated 3x in a
-    // recorded artifact despite min-of-two (round-6 q87/q92-q95 block)
-    // — give them an extra sample so one contended window can't own
-    // both runs.
-    val contentionProne = Set("q87_zorder_scan", "q92_pq_adc_topk",
-      "q93_unigram_rarity", "q94_curation_export", "q95_salted_skew_join")
-    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
-      // ContextCleaner only removes dead shuffle files after a driver
-      // GC; a 48g heap collects rarely, so 100 queries × runs
-      // accumulate GBs of spill whose dirty-page writeback perturbs
-      // the tail of the corpus. Collect explicitly every 10 queries —
-      // OUTSIDE the timed region.
-      if (qi % 10 == 9) { System.gc(); Thread.sleep(200) }
-      val nRuns = if (contentionProne(name)) math.max(runs, 3) else runs
-      val times = (1 to nRuns).map { _ =>
+    // Sampling discipline: N COMPLETE PASSES over the query list,
+    // round-robin, per-query min taken ACROSS passes — not N
+    // consecutive runs of each query. Three rounds running, the
+    // committed artifact carried 3-7x contention spikes (r6
+    // q87/q92-q95, r7 q89/q90) with unchanged code because a single
+    // host-contention window covered all consecutive samples of one
+    // query, so min-of-N never saw an uncontended run. Interleaved,
+    // the samples of any one query are separated by a full ~100 s
+    // pass: a spike would have to recur at the same query in every
+    // pass to survive into the artifact. The first pass additionally
+    // absorbs per-query one-time costs (Janino codegen, cold page
+    // cache), so later passes measure steady state.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to passes) {
+      selected.zipWithIndex.foreach { case ((name, fn), qi) =>
+        // ContextCleaner only removes dead shuffle files after a driver
+        // GC; a 48g heap collects rarely, so 163 queries × passes
+        // accumulate GBs of spill whose dirty-page writeback perturbs
+        // the tail of the corpus. Collect explicitly every 10 queries —
+        // OUTSIDE the timed region.
+        if (qi % 10 == 9) { System.gc(); Thread.sleep(200) }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+            System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        samples(name) = ((System.nanoTime() - t0) / 1e9, ok) :: samples(name)
       }
+    }
+    val results = selected.map { case (name, _) =>
       // min over SUCCESSFUL runs only — a run that dies 1 s in must not
       // masquerade as a 1 s steady state. All-failed: report the max
       // elapsed (never a flattering number) alongside the stderr lines.
+      val times = samples(name)
       val good = times.collect { case (t, true) => t }
       (name, if (good.nonEmpty) good.min else times.map(_._1).max, good.nonEmpty)
     }
@@ -87,13 +91,23 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,"errors":$errs,"queries":$qs,$streamJson"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$passes,"errors":$errs,"queries":$qs,$streamJson"sf":"$sfDir"}"""
     println(json)
     // stdout interleaves with Spark logging under some runners and the
     // round-3 artifact lost its head to truncation — persist the full
     // line as a file too
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    // The driver's round artifact keeps only the LAST ~2000 chars of
+    // stdout; with 163 queries the full line above is ~6 KB, so every
+    // prior round's artifact held a head-truncated (unparseable)
+    // fragment. Print a compact summary line LAST — small enough to
+    // sit entirely inside that tail window — carrying the headline
+    // numbers plus a pointer to the committed full per-query map.
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$passes,"n_queries":${results.size},"errors":$errs,"slowest":$slowest,${streamJson}"queries_full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 

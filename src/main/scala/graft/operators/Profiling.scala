@@ -249,20 +249,24 @@ object Profiling extends QueryGroup {
       ORDER BY event_id
     """)),
 
-    // ------------------------------------------------------------ sliding-cooldown dedup (round 7)
+    // ------------------------------------------------------------ sliding-cooldown dedup (round 7; oracle round 8)
     // q121's missing sibling, made explicit: suppress only while
     // within the cooldown of the last EMITTED event (re-alert every
     // 12 h during a sustained burst), not the last occurrence. The
     // recurrence (kept_i depends on which earlier events were kept)
-    // is not expressible as a window frame OR portable SQL — hence
-    // NO DuckDB oracle (driver rows-only check); correctness is held
-    // by StreamingDepthSpec's sequential reference and a
+    // is not expressible as a window frame — but it IS replayable in
+    // DuckDB as a recursive CTE that walks each (user, event_type)
+    // timeline one row per iteration, carrying the kept-frontier
+    // (recursion depth = max events per key: ≤ 29 at sf0.1, bounded
+    // by the generator not the corpus). Hash-matched oracle since
+    // round 8; StreamingDepthSpec's sequential reference and the
     // q121-divergence property (steady sub-cooldown drip: q121 keeps
-    // 1 event, this re-emits every cooldown). Implementation is the
-    // batch twin of streaming/CooldownDedup (flatMapGroups, one
-    // sorted pass per (user, event_type) group, single key shuffle);
-    // the streaming form persists the kept-frontier in the state
-    // store across restarts.
+    // 1 event, this re-emits every cooldown) still hold the batch ↔
+    // streaming parity. Implementation is the batch twin of
+    // streaming/CooldownDedup (flatMapGroups, one sorted pass per
+    // (user, event_type) group, single key shuffle); the streaming
+    // form persists the kept-frontier in the state store across
+    // restarts.
     ("q136_sliding_cooldown", (s, d) => {
       import s.implicits._
       import graft.streaming.CooldownDedup
@@ -273,7 +277,28 @@ object Profiling extends QueryGroup {
       CooldownDedup.keptBatch(ev, 12L * 3600L * 1000L).toDF()
         .select("event_id", "user_id", "event_type", "ts")
         .orderBy("event_id")
-    }, None),
+    }, Some("""
+      WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts,
+               epoch_us(ts::TIMESTAMP) AS us,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, event_type, event_id, ts, us, rn,
+               TRUE AS is_kept, us AS last_kept_us
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.event_id, o.ts, o.us, o.rn,
+               o.us - w.last_kept_us > 43200000000 AS is_kept,
+               CASE WHEN o.us - w.last_kept_us > 43200000000
+                    THEN o.us ELSE w.last_kept_us END AS last_kept_us
+        FROM walk w JOIN ordered o ON o.user_id = w.user_id
+          AND o.event_type = w.event_type AND o.rn = w.rn + 1)
+      SELECT event_id, user_id, event_type, ts
+      FROM walk WHERE is_kept
+      ORDER BY event_id
+    """)),
 
     // ------------------------------------------------------------ drift detection: PSI (round 7)
     // Population Stability Index between a reference window (first half

@@ -36,12 +36,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - batch [[keptBatch]]: the same recurrence via `flatMapGroups`
   *    (one sorted pass per key — flatMapGroupsWithState never fires
   *    timeouts in batch mode, same reason Sessionize has a batch
-  *    twin). Registered as judged query q136 under the driver's
-  *    rows-only check: the recurrence is not expressible in plain
-  *    SQL (that inexpressibility is this operator's reason to
-  *    exist), so correctness is held by StreamingDepthSpec's
-  *    sequential reference + the q121-divergence property instead
-  *    of a DuckDB oracle.
+  *    twin). Registered as judged query q136 with a hash-matched
+  *    DuckDB oracle since round 8: the recurrence is not a window
+  *    frame (that inexpressibility is this operator's reason to
+  *    exist) but a recursive CTE replays it one row per key per
+  *    iteration; StreamingDepthSpec's sequential reference + the
+  *    q121-divergence property hold the batch ↔ streaming parity.
   *
   * Scale: one shuffle by (user_id, event_type); per-key state is a
   * single long regardless of burst length; batch form streams each
@@ -51,7 +51,13 @@ object CooldownDedup {
 
   case class KeyedEvent(user_id: Long, event_type: String, event_id: Long, ts: Instant)
   case class Kept(user_id: Long, event_type: String, event_id: Long, ts: Instant)
-  case class Frontier(lastKeptUs: Long)
+  /** `timerMs` (used by the transformWithState form only; 0 in the
+    * fMGWS form) is the expiry timestamp ACTUALLY registered — kept in
+    * state because the max-with-watermark branch at registration can
+    * diverge from `lastKeptUs / 1000 + cooldownMs`, and deleting the
+    * superseded timer needs the real registered value.
+    */
+  case class Frontier(lastKeptUs: Long, timerMs: Long = 0L)
 
   private def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
 
@@ -132,13 +138,17 @@ object CooldownDedup {
     override def handleInputRows(key: (Long, String), rows: Iterator[KeyedEvent],
                                  tv: TimerValues): Iterator[Kept] = {
       val batch = rows.toVector.sortBy(e => (us(e.ts), e.event_id))
-      val prior = if (frontier.exists()) Some(frontier.get().lastKeptUs) else None
-      prior.foreach(f => getHandle.deleteTimer(f / 1000L + cooldownMs))
-      val (keptEvents, next) = replay(batch, prior, cooldownUs)
+      val prior = if (frontier.exists()) Some(frontier.get()) else None
+      val (keptEvents, next) = replay(batch, prior.map(_.lastKeptUs), cooldownUs)
       next.foreach { f =>
-        frontier.update(Frontier(f))
-        getHandle.registerTimer(
-          math.max(f / 1000L + cooldownMs, tv.getCurrentWatermarkInMs() + 1))
+        val newTimer = math.max(f / 1000L + cooldownMs, tv.getCurrentWatermarkInMs() + 1)
+        // delete the ACTUAL registered timestamp from state — recomputing
+        // lastKeptUs/1000 + cooldownMs would miss timers registered via
+        // the max-with-watermark branch and leak them
+        prior.filter(p => p.timerMs != 0L && p.timerMs != newTimer)
+          .foreach(p => getHandle.deleteTimer(p.timerMs))
+        if (!prior.exists(_.timerMs == newTimer)) getHandle.registerTimer(newTimer)
+        frontier.update(Frontier(f, newTimer))
       }
       keptEvents.iterator.map(e => Kept(e.user_id, e.event_type, e.event_id, e.ts))
     }
@@ -146,9 +156,9 @@ object CooldownDedup {
     override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Kept] = {
       // only clear if the frontier this timer was set for is still
-      // current (a later kept event re-registers a later timer)
-      if (frontier.exists() &&
-          frontier.get().lastKeptUs / 1000L + cooldownMs <= info.getExpiryTimeInMs)
+      // current (a later kept event re-registers a later timer and
+      // deletes this one — the guard covers the delete/fire race)
+      if (frontier.exists() && frontier.get().timerMs <= info.getExpiryTimeInMs)
         frontier.clear()
       Iterator.empty
     }
