@@ -276,7 +276,8 @@ object Retrieval extends QueryGroup {
         .localCheckpoint()
       var selectedIds = Vector.empty[Long]
       var steps = Vector.empty[DataFrame]
-      for (i <- 1 to k) {
+      var exhausted = false
+      for (i <- 1 to k if !exhausted) {
         val remaining = cand.filter(!col("vec_id").isin(selectedIds: _*))
         val scored =
           if (selectedIds.isEmpty) remaining.withColumn("mmr", col("rel"))
@@ -291,10 +292,19 @@ object Retrieval extends QueryGroup {
           }
         val winner = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("rel")).localCheckpoint()
-        selectedIds :+= winner.collect()(0).getAs[Long]("vec_id")
-        steps :+= winner.withColumn("rk", lit(i.toLong))
+        // a fixture with < k candidates must yield a partial ranking,
+        // not an IndexOutOfBounds at plan-build time
+        winner.collect().headOption match {
+          case Some(row) =>
+            selectedIds :+= row.getAs[Long]("vec_id")
+            steps :+= winner.withColumn("rk", lit(i.toLong))
+          case None => exhausted = true
+        }
       }
-      steps.reduce(_.unionByName(_))
+      val ranked =
+        if (steps.isEmpty) cand.select(lit(1L).as("rk"), col("vec_id"), col("rel")).limit(0)
+        else steps.reduce(_.unionByName(_))
+      ranked
         .select(col("rk"), col("vec_id"),
                 (floor(col("rel") * 1000000.0 + 0.5) / 1000000.0).as("rel"))
         .orderBy("rk")

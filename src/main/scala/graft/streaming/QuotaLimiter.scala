@@ -33,7 +33,14 @@ object QuotaLimiter {
 
   case class Admitted(user_id: Long, event_type: String, event_id: Long,
                       ts: Instant, n_in_window: Long)
-  case class WindowBudget(windowStartUs: Long, count: Long)
+  /** `timerMs` is the expiry timestamp ACTUALLY registered for this
+    * key — carried in state because it cannot be recomputed from
+    * `windowStartUs` alone (registration takes the max with the
+    * then-current watermark + 1, which later batches don't know).
+    * Tracking it lets each batch delete the superseded timer instead
+    * of accumulating one stale no-op timer per (key, batch).
+    */
+  case class WindowBudget(windowStartUs: Long, count: Long, timerMs: Long)
 
   private def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
 
@@ -51,7 +58,8 @@ object QuotaLimiter {
                                  rows: Iterator[CooldownDedup.KeyedEvent],
                                  tv: TimerValues): Iterator[Admitted] = {
       val batch = rows.toVector.sortBy(e => (us(e.ts), e.event_id))
-      var state = if (budget.exists()) Some(budget.get()) else None
+      val prior = if (budget.exists()) Some(budget.get()) else None
+      var state = prior
       val out = Vector.newBuilder[Admitted]
       batch.foreach { e =>
         val w = windowStart(us(e.ts))
@@ -59,28 +67,36 @@ object QuotaLimiter {
           case Some(b) if w < b.windowStartUs => // late, window already advanced: drop
           case Some(b) if w == b.windowStartUs =>
             if (b.count < maxPerWindow) {
-              val nb = WindowBudget(w, b.count + 1)
+              val nb = b.copy(count = b.count + 1)
               state = Some(nb)
               out += Admitted(e.user_id, e.event_type, e.event_id, e.ts, nb.count)
             } // else: budget exhausted, drop
           case _ => // first event ever, or a newer window: reset the budget
-            state = Some(WindowBudget(w, 1))
+            state = Some(WindowBudget(w, 1, 0L))
             out += Admitted(e.user_id, e.event_type, e.event_id, e.ts, 1)
         }
       }
       state.foreach { b =>
-        budget.update(b)
         // inert once wm passes window end + one window of lateness slack
-        getHandle.registerTimer(math.max(
-          (b.windowStartUs + 2 * windowUs) / 1000L, tv.getCurrentWatermarkInMs() + 1))
+        val newTimer = math.max(
+          (b.windowStartUs + 2 * windowUs) / 1000L, tv.getCurrentWatermarkInMs() + 1)
+        // delete the timer the PREVIOUS batch registered (its actual
+        // registered timestamp, from state) so per-key timer state
+        // stays O(1) instead of growing one stale entry per batch
+        prior.filter(p => p.timerMs != 0L && p.timerMs != newTimer)
+          .foreach(p => getHandle.deleteTimer(p.timerMs))
+        if (!prior.exists(_.timerMs == newTimer)) getHandle.registerTimer(newTimer)
+        budget.update(b.copy(timerMs = newTimer))
       }
       out.result().iterator
     }
 
     override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Admitted] = {
-      if (budget.exists() &&
-          (budget.get().windowStartUs + 2 * windowUs) / 1000L <= info.getExpiryTimeInMs)
+      // only clear if this firing is the timer current state registered
+      // (superseded timers are deleted eagerly; the guard keeps a
+      // just-in-case race from wiping a live window's budget)
+      if (budget.exists() && budget.get().timerMs <= info.getExpiryTimeInMs)
         budget.clear()
       Iterator.empty
     }
