@@ -59,6 +59,87 @@ object Training extends QueryGroup {
   private def sign(j: Int, i: Int): Double =
     if ((scala.util.hashing.MurmurHash3.stringHash(s"rp_${j}_$i") & 1) == 0) 1.0 else -1.0
 
+  /** `rounds` BPE merge-learning rounds over a (word, cnt, pos, sym)
+    * symbol table — shared by q123 (merge-table output) and q164/q165
+    * (corpus-wide application). Each round: weighted adjacent-pair
+    * count, argmax merge (ties → lexicographic, pinned on both
+    * engines), greedy non-overlapping application via the
+    * islands+parity trick (see the q123 comment). Every round iterates
+    * the VOCAB-sized symbol table, never the corpus; lineage is
+    * checkpoint-truncated per round like q64. Returns (per-round
+    * winning merges, final symbol table).
+    */
+  private def bpeRounds(syms0: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
+    val wSeq = Window.partitionBy("word").orderBy("pos")
+    var syms = syms0.localCheckpoint()
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val adj = syms.withColumn("nxt", lead("sym", 1).over(wSeq))
+      val best = adj.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      merges :+= best.select(lit(r).cast("long").as("round"), col("a"), col("b"), col("n"))
+      val marked = adj.crossJoin(broadcast(best.select("a", "b")))
+        .withColumn("raw", col("nxt").isNotNull &&
+                           col("sym") === col("a") && col("nxt") === col("b"))
+        .withColumn("rrn", sum(when(col("raw"), 1L).otherwise(0L)).over(wSeq))
+        .withColumn("grp", when(col("raw"), col("pos") - col("rrn")))
+      val wGrp = Window.partitionBy("word", "grp")
+      syms = marked
+        .withColumn("active",
+          col("raw") && (col("rrn") - min("rrn").over(wGrp)) % 2 === 0)
+        .withColumn("consumed", coalesce(lag("active", 1).over(wSeq), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("word"), col("cnt"),
+                row_number().over(wSeq).as("pos"),
+                when(col("active"), concat(col("sym"), col("nxt")))
+                  .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+    }
+    (merges, syms)
+  }
+
+  /** Mechanically generated k-round DuckDB CTE chain mirroring
+    * [[bpeRounds]] — adj/best/m/g/i/a/s per round, starting from a
+    * symbol-table CTE named `s0`; round r's output table is `s{r}` and
+    * its winning merge is `best{r}`. Shared by the q123/q164/q165
+    * oracles so every round's argmax AND its application are verified
+    * on both engines, not just round 1.
+    */
+  private def bpeRoundCtesSql(rounds: Int): String = (1 to rounds).map { r =>
+    val prev = s"s${r - 1}"
+    s"""
+      adj$r AS (
+        SELECT word, cnt, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM $prev),
+      best$r AS (
+        SELECT sym AS a, nxt AS b, sum(cnt)::BIGINT AS n
+        FROM adj$r WHERE nxt IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+      m$r AS (
+        SELECT *, (nxt IS NOT NULL AND sym = (SELECT a FROM best$r)
+                   AND nxt = (SELECT b FROM best$r)) AS raw
+        FROM adj$r),
+      g$r AS (
+        SELECT *, sum(CASE WHEN raw THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY pos) AS rrn
+        FROM m$r),
+      i$r AS (SELECT *, CASE WHEN raw THEN pos - rrn END AS grp FROM g$r),
+      a$r AS (
+        SELECT *, raw AND (rrn - min(rrn) OVER (PARTITION BY word, grp)) % 2 = 0 AS active
+        FROM i$r),
+      s$r AS (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+        FROM (SELECT *, lag(active) OVER (PARTITION BY word ORDER BY pos) AS consumed
+              FROM a$r)
+        WHERE consumed IS NULL OR NOT consumed)"""
+  }.mkString(",")
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q113_bpe_pair_counts", (s, d) => {
@@ -106,74 +187,13 @@ object Training extends QueryGroup {
         .select(explode(tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 2)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      var syms = vocab
+      val syms0 = vocab
         .select(col("word"), col("cnt"),
                 posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-        .localCheckpoint()
-      val wSeq = Window.partitionBy("word").orderBy("pos")
-      var merges = Vector.empty[DataFrame]
-      for (r <- 1 to rounds) {
-        val adj = syms.withColumn("nxt", lead("sym", 1).over(wSeq))
-        val best = adj.filter(col("nxt").isNotNull)
-          .groupBy(col("sym").as("a"), col("nxt").as("b"))
-          .agg(sum("cnt").as("n"))
-          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-          .localCheckpoint()
-        merges :+= best.select(lit(r).cast("long").as("round"), col("a"), col("b"), col("n"))
-        val marked = adj.crossJoin(broadcast(best.select("a", "b")))
-          .withColumn("raw", col("nxt").isNotNull &&
-                             col("sym") === col("a") && col("nxt") === col("b"))
-          .withColumn("rrn", sum(when(col("raw"), 1L).otherwise(0L)).over(wSeq))
-          .withColumn("grp", when(col("raw"), col("pos") - col("rrn")))
-        val wGrp = Window.partitionBy("word", "grp")
-        syms = marked
-          .withColumn("active",
-            col("raw") && (col("rrn") - min("rrn").over(wGrp)) % 2 === 0)
-          .withColumn("consumed", coalesce(lag("active", 1).over(wSeq), lit(false)))
-          .filter(!col("consumed"))
-          .select(col("word"), col("cnt"),
-                  row_number().over(wSeq).as("pos"),
-                  when(col("active"), concat(col("sym"), col("nxt")))
-                    .otherwise(col("sym")).as("sym"))
-          .localCheckpoint()
-      }
+      val (merges, _) = bpeRounds(syms0, rounds)
       merges.reduce(_ unionByName _).orderBy("round")
     }, Some {
-      // mechanically generated k-round iterative CTE — the same
-      // islands+parity relational merge, so every round's argmax AND
-      // its application are verified, not just round 1
       val rounds = 5
-      val roundCtes = (1 to rounds).map { r =>
-        val prev = s"s${r - 1}"
-        s"""
-      adj$r AS (
-        SELECT word, cnt, pos, sym,
-               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-        FROM $prev),
-      best$r AS (
-        SELECT sym AS a, nxt AS b, sum(cnt)::BIGINT AS n
-        FROM adj$r WHERE nxt IS NOT NULL
-        GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
-      m$r AS (
-        SELECT *, (nxt IS NOT NULL AND sym = (SELECT a FROM best$r)
-                   AND nxt = (SELECT b FROM best$r)) AS raw
-        FROM adj$r),
-      g$r AS (
-        SELECT *, sum(CASE WHEN raw THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY word ORDER BY pos) AS rrn
-        FROM m$r),
-      i$r AS (SELECT *, CASE WHEN raw THEN pos - rrn END AS grp FROM g$r),
-      a$r AS (
-        SELECT *, raw AND (rrn - min(rrn) OVER (PARTITION BY word, grp)) % 2 = 0 AS active
-        FROM i$r),
-      s$r AS (
-        SELECT word, cnt,
-               row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-               CASE WHEN active THEN sym || nxt ELSE sym END AS sym
-        FROM (SELECT *, lag(active) OVER (PARTITION BY word ORDER BY pos) AS consumed
-              FROM a$r)
-        WHERE consumed IS NULL OR NOT consumed)"""
-      }.mkString(",")
       val unions = (1 to rounds)
         .map(r => s"SELECT $r::BIGINT AS round, a, b, n FROM best$r")
         .mkString(" UNION ALL ")
@@ -185,10 +205,128 @@ object Training extends QueryGroup {
       s0 AS (
         SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
         FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
-      $roundCtes
+      ${bpeRoundCtesSql(rounds)}
       $unions ORDER BY round
     """
     }),
+
+    // ------------------------------------------------------------ BPE apply/encode (round 8)
+    // The stage q123 (induce merges) and q115 (pack token counts) were
+    // missing between them: APPLY the learned merge table corpus-wide
+    // and emit real token ids — one row per post-merge symbol position,
+    // (doc_id, tok_pos, token_id, sym). Ids are frequency ranks over
+    // the final symbol vocabulary (corpus-weighted, ties → symbol), the
+    // convention real tokenizers ship. The scale shape is the classic
+    // BPE split: the k merge rounds run on the VOCAB-sized symbol
+    // table (never the corpus — q123's islands+parity loop, reused, no
+    // length filter since 1-char words contribute no pairs and encode
+    // unchanged, so the learned merges are IDENTICAL to q123's); the
+    // corpus is touched exactly twice, once to build the (word, cnt)
+    // vocabulary and once to join each token occurrence against the
+    // per-word encoding — an equi-join whose build side is
+    // vocabulary-bounded (AQE broadcasts it at any realistic vocab;
+    // a billion-key vocab degrades to a shuffled hash join on `word`,
+    // still never all-pairs). Only per-doc windows after that
+    // (tok_pos numbering) — partitioned by doc_id, no global funnel.
+    // The symbol-id ranking window IS single-partition by design: the
+    // symbol vocabulary is bounded by charset + k merges (dozens
+    // here, ~50K for a production tokenizer), schema-sized, not
+    // data-sized.
+    ("q164_bpe_encode", (s, d) => {
+      val rounds = 5
+      val docToks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+                posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
+      val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val syms0 = vocab
+        .select(col("word"), col("cnt"),
+                posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      val (_, finalSyms) = bpeRounds(syms0, rounds)
+      val symId = finalSyms.groupBy("sym").agg(sum("cnt").as("w"))
+        .select(col("sym"), row_number().over(
+          Window.orderBy(col("w").desc, col("sym"))).cast("long").as("token_id"))
+      val wordSyms = finalSyms.join(symId, "sym")
+        .select(col("word"), col("pos"), col("token_id"), col("sym"))
+      docToks.join(wordSyms, "word")
+        .withColumn("tok_pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy("wpos", "pos")).cast("long"))
+        .select(col("doc_id"), col("tok_pos"), col("token_id"), col("sym"))
+        .orderBy("doc_id", "tok_pos")
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      s0 AS (
+        SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
+        FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
+      ${bpeRoundCtesSql(5)},
+      sw AS (SELECT sym, sum(cnt)::BIGINT AS w FROM s5 GROUP BY sym),
+      sid AS (SELECT sym, row_number() OVER (ORDER BY w DESC, sym) AS token_id FROM sw),
+      ws AS (SELECT f.word, f.pos, i.token_id, f.sym FROM s5 f JOIN sid i USING (sym)),
+      dt AS (
+        SELECT doc_id, i AS wpos, toks[i] AS word
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t)
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wpos, pos) AS tok_pos,
+             token_id, sym
+      FROM dt JOIN ws USING (word)
+      ORDER BY doc_id, tok_pos
+    """)),
+
+    // ------------------------------------------------------------ BPE-count packing (round 8)
+    // q115's packing re-run on REAL post-merge token counts — the
+    // handoff the two training stages need to be a pipeline: per-word
+    // encoded length from the final symbol table (vocab-bounded), one
+    // equi-join to the corpus token stream, per-doc sum, then the
+    // per-source running-window cut into fixed 512-id context windows
+    // (same partitioned-by-shard shape as q115 — no global stream).
+    ("q165_bpe_packing", (s, d) => {
+      val rounds = 5; val ctx = 512
+      val docToks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+                explode(tokens(col("text"))).as("word"))
+      val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val syms0 = vocab
+        .select(col("word"), col("cnt"),
+                posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      val (_, finalSyms) = bpeRounds(syms0, rounds)
+      val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docToks.join(wordLen, "word")
+        .groupBy("doc_id", "source").agg(sum("n_sym").as("n_tok"))
+        .withColumn("tok_end", sum("n_tok").over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+                (col("tok_end") - col("n_tok")).as("tok_start"),
+                expr(s"(tok_end - n_tok) DIV $ctx").as("seq_first"),
+                expr(s"(tok_end - 1) DIV $ctx").as("seq_last"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      s0 AS (
+        SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
+        FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
+      ${bpeRoundCtesSql(5)},
+      wl AS (SELECT word, count(*)::BIGINT AS n_sym FROM s5 GROUP BY word),
+      dt AS (
+        SELECT doc_id, source, unnest($toksSql) AS word FROM documents),
+      dl AS (
+        SELECT doc_id, source, sum(n_sym)::BIGINT AS n_tok
+        FROM dt JOIN wl USING (word) GROUP BY 1, 2),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        FROM dl)
+      SELECT doc_id, source, n_tok,
+             (tok_end - n_tok)::BIGINT AS tok_start,
+             ((tok_end - n_tok) // 512)::BIGINT AS seq_first,
+             ((tok_end - 1) // 512)::BIGINT AS seq_last
+      FROM c ORDER BY doc_id
+    """)),
 
     ("q114_random_projection", (s, d) => {
       val projCols = (0 until outDims).map { j =>

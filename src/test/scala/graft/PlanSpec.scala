@@ -464,6 +464,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"name pairing must stay noun-blocked:\n$p")
   }
 
+  test("q155-q163: post-pinning additions stay inside their exchange budgets") {
+    // Shuffle budgets measured when each query landed (round 7) —
+    // pinned so a refactor can't silently add an exchange. Budgets are
+    // per-query structural facts: e.g. q162's 16 covers the 4-source
+    // duplication matrix's per-pair band joins; q153-style zero-shuffle
+    // queries are asserted in their own tests above.
+    val budget = Map(
+      "q155_degree_powerlaw" -> 8, "q156_welch_ttest" -> 2,
+      "q157_ks_statistic" -> 1, "q158_embedding_qa" -> 1,
+      "q159_fuzzy_names" -> 2, "q160_time_to_convert" -> 1,
+      "q161_imputation" -> 2, "q162_source_dup_matrix" -> 16,
+      "q163_spike_scores" -> 2)
+    for ((q, max) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= max, s"$q: expected <= $max hash exchanges, got $hashEx:\n$p")
+      // q156's two scalar aggregates combine via a 1-row broadcast
+      // cross — the sanctioned bounded-relation pattern; everything
+      // else must be equi-keyed
+      if (q != "q156_welch_ttest")
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an unbounded pair join:\n$p")
+    }
+  }
+
+  test("q164/q165: BPE encode touches the corpus once; vocab joins are equi-keyed") {
+    // the k merge rounds are checkpoint-truncated (q123 discipline), so
+    // the final plan must hold exactly ONE corpus FileScan (the token
+    // stream) joined by key against the vocabulary-bounded encoding —
+    // no re-induction, no cartesian, no driver funnel
+    for ((q, maxEx) <- Seq("q164_bpe_encode" -> 4, "q165_bpe_packing" -> 3)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: encode must join token occurrences by word, not pair them:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans == 1, s"$q: expected exactly one corpus scan, got $scans:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -611,6 +611,36 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q148: winsorization is idempotent — re-clipping clipped output is a no-op") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+    val fences = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.01)").as("p01"),
+           expr("percentile(value, 0.99)").as("p99"))
+    val clipped = ev.join(broadcast(fences), "event_type")
+      .select(col("event_type"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("value"))
+    // 1. the clamp is a projection fixpoint: applying it again with the
+    //    same fences changes no value and clips no row
+    val reclipped = clipped.join(broadcast(fences), "event_type")
+      .select(col("event_type"), col("value"), col("p01"), col("p99"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("v2"))
+    assert(reclipped.filter(col("v2") =!= col("value")).count() == 0L,
+      "second clamp moved values")
+    assert(reclipped.filter(col("value") < col("p01") || col("value") > col("p99"))
+      .count() == 0L, "clipped output still holds out-of-fence values")
+    // 2. fences recomputed ON the clipped data stay inside the original
+    //    fences (interpolated percentiles may shift inward at the mass
+    //    points, never outward) — so iterating full winsorization can
+    //    only converge, not oscillate
+    val fences2 = clipped.groupBy("event_type")
+      .agg(expr("percentile(value, 0.01)").as("q01"),
+           expr("percentile(value, 0.99)").as("q99"))
+      .join(fences, "event_type")
+    assert(fences2.filter(col("q01") < col("p01") || col("q99") > col("p99"))
+      .count() == 0L, "re-derived fences escaped the original interval")
+  }
+
   test("q142: WOE bins match the sequential smoothed computation") {
     val rows = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type") == "purchase",
