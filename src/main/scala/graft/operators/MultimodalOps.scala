@@ -17,6 +17,34 @@ object MultimodalOps extends QueryGroup {
   private val fmtSql =
     "['image/png','audio/wav','video/mp4','image/jpeg'][(regexp_extract(source,'src(\\d+)',1)::INTEGER % 4) + 1]"
 
+  /** Header-complete PNG/JFIF/GIF byte-stream fixtures (doc_id, payload)
+    * deterministically derived from each document's length and source —
+    * shared by q122 (header decode) and q166 (digest dedup). Two
+    * documents with equal derivation parameters produce byte-identical
+    * payloads, which is what makes exact media dedup testable without
+    * external files.
+    */
+  private def imageFixtures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.ImageHeaders
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              octet_length(col("text")).as("len"),
+              pmod(regexp_extract(col("source"), "src(\\d+)", 1).cast("int"), lit(3)).as("fmt"))
+      .as[(Long, Int, Int)]
+      .map { case (id, len, fmt) =>
+        val w = 64 + len % 192
+        val h = 64 + (len * 7) % 128
+        val payload = fmt match {
+          case 0 => ImageHeaders.encodePng(w, h, if (len % 2 == 0) 8 else 16,
+                                           if ((len / 2) % 2 == 0) 2 else 6)
+          case 1 => ImageHeaders.encodeJpeg(w, h, 3)
+          case _ => ImageHeaders.encodeGif(w, h)
+        }
+        (id, payload)
+      }.toDF("doc_id", "payload")
+  }
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q45_multimodal_meta", (s, d) => {
@@ -70,24 +98,7 @@ object MultimodalOps extends QueryGroup {
     // ~32 bytes per record inside whole-stage codegen, and bad blobs
     // surface as ordinary NULLs.
     ("q122_image_header_decode", (s, d) => {
-      import s.implicits._
-      import graft.multimodal.ImageHeaders
-      val fixtures = Tables.documents(s, d)
-        .select(col("doc_id"),
-                octet_length(col("text")).as("len"),
-                pmod(regexp_extract(col("source"), "src(\\d+)", 1).cast("int"), lit(3)).as("fmt"))
-        .as[(Long, Int, Int)]
-        .map { case (id, len, fmt) =>
-          val w = 64 + len % 192
-          val h = 64 + (len * 7) % 128
-          val payload = fmt match {
-            case 0 => ImageHeaders.encodePng(w, h, if (len % 2 == 0) 8 else 16,
-                                             if ((len / 2) % 2 == 0) 2 else 6)
-            case 1 => ImageHeaders.encodeJpeg(w, h, 3)
-            case _ => ImageHeaders.encodeGif(w, h)
-          }
-          (id, payload)
-        }.toDF("doc_id", "payload")
+      val fixtures = imageFixtures(s, d)
       val meta = org.apache.spark.sql.GraftSqlBridge.column(
         graft.expressions.ImageMetaExpr(
           org.apache.spark.sql.GraftSqlBridge.expression(col("payload"))))
@@ -111,6 +122,68 @@ object MultimodalOps extends QueryGroup {
                    ELSE 3 END)::BIGINT AS channels
       FROM documents
       ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ exact media dedup (round 8)
+    // Pixel-free media deduplication — the first dedup pass a crawl
+    // pipeline runs on binary columns: SHA-256 the WHOLE payload,
+    // group by (digest, header metadata), keep copy counts and the
+    // canonical (min) doc_id. No codec needed: byte-identical blobs
+    // are duplicates regardless of what they decode to, which is why
+    // this runs before any pixel-level near-dup. Scale shape: the
+    // digest is a codegen'd projection inside the scan stage, the
+    // payload column drops BEFORE the shuffle (the exchange carries a
+    // 32-byte digest + 4 small ints per record, not megabyte blobs),
+    // and the aggregate is partial+final. The oracle can't hash bytes
+    // it can't construct — instead it groups by the fixture's
+    // generation parameters (format, w, h, depth, channels), which
+    // determine the payload bytes exactly; a hash match therefore
+    // proves digest-groups ≡ parameter-groups, i.e. the encoder is
+    // deterministic, distinct params never collide, and the dedup
+    // keyed the right blobs together. MultimodalSpec adds the
+    // digest-side invariants (one digest per parameter tuple, FIPS
+    // test vector for sha2).
+    ("q166_media_digest_dedup", (s, d) => {
+      val fixtures = imageFixtures(s, d)
+      val meta = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expressions.ImageMetaExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("payload"))))
+      fixtures
+        .select(col("doc_id"), sha2(col("payload"), 256).as("digest"),
+                octet_length(col("payload")).cast("long").as("byte_len"), meta.as("m"))
+        .groupBy(col("digest"), col("m.format").as("format"),
+                 col("m.width").cast("long").as("width"),
+                 col("m.height").cast("long").as("height"),
+                 col("m.bit_depth").cast("long").as("bit_depth"),
+                 col("m.channels").cast("long").as("channels"),
+                 col("byte_len"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("first_doc_id"))
+        .drop("digest")
+        .orderBy("first_doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id,
+               ['png','jpeg','gif'][(regexp_extract(source,'src(\d+)',1)::INTEGER % 3) + 1] AS format,
+               (64 + strlen(text) % 192)::BIGINT       AS width,
+               (64 + (strlen(text) * 7) % 128)::BIGINT AS height,
+               (CASE WHEN regexp_extract(source,'src(\d+)',1)::INTEGER % 3 = 0
+                     THEN CASE WHEN strlen(text) % 2 = 0 THEN 8 ELSE 16 END
+                     ELSE 8 END)::BIGINT AS bit_depth,
+               (CASE WHEN regexp_extract(source,'src(\d+)',1)::INTEGER % 3 = 0
+                     THEN CASE WHEN (strlen(text) // 2) % 2 = 0 THEN 3 ELSE 4 END
+                     ELSE 3 END)::BIGINT AS channels
+        FROM documents)
+      SELECT format, width, height, bit_depth, channels,
+             -- fixture sizes are structural constants: PNG = signature 8
+             -- + IHDR chunk 25 + IEND chunk 12; JFIF = SOI 2 + APP0 18 +
+             -- COM 9 + SOF0 19 + EOI 2; GIF = header 6 + LSD 7 + trailer 1
+             (CASE format WHEN 'png' THEN 45 WHEN 'jpeg' THEN 50
+                          ELSE 14 END)::BIGINT AS byte_len,
+             count(*)::BIGINT AS n_copies,
+             min(doc_id) AS first_doc_id
+      FROM params
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY first_doc_id
     """)),
 
     ("q47_decode_features", (s, d) => {

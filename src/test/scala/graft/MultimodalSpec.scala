@@ -120,4 +120,31 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val plan = q.queryExecution.executedPlan.toString
     assert("""\*\(\d+\)""".r.findFirstIn(plan).nonEmpty, s"no codegen span:\n$plan")
   }
+
+  test("q166 digest dedup: sha2 matches the FIPS-180 vector; digests biject with payload params") {
+    import spark.implicits._
+    // FIPS 180-2 appendix B.1: sha256("abc")
+    val vec = Seq(Tuple1("abc".getBytes("US-ASCII"))).toDF("b")
+      .select(sha2(col("b"), 256)).collect()(0).getString(0)
+    assert(vec == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // The q166 oracle equates digest-groups with parameter-groups; that
+    // only holds if the encoder is a pure function of its params (same
+    // params ⇒ same bytes ⇒ same digest) and distinct params never
+    // produce colliding bytes. Assert the bijection directly on the
+    // judged query's inputs: one distinct digest per (format, w, h,
+    // depth, channels) tuple and one tuple per digest.
+    GraftFunctions.register(spark)
+    val fixtures = SparkEntry.queries("q166_media_digest_dedup")(spark, sfDir)
+    val params = fixtures.select("format", "width", "height", "bit_depth", "channels")
+      .distinct().count()
+    assert(fixtures.count() == params,
+      "distinct parameter tuples and digest groups must be 1:1")
+    // and the digest really covers the WHOLE payload: flipping one byte
+    // past the header changes it
+    val png = graft.multimodal.ImageHeaders.encodePng(64, 64, 8, 2)
+    val mutated = png.clone(); mutated(png.length - 1) = (mutated(png.length - 1) ^ 1).toByte
+    val two = Seq(Tuple1(png), Tuple1(mutated)).toDF("b")
+      .select(sha2(col("b"), 256).as("d")).distinct().count()
+    assert(two == 2L, "payload digest must be sensitive to non-header bytes")
+  }
 }
