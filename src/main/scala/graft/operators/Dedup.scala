@@ -131,6 +131,33 @@ object Dedup extends QueryGroup {
     }.drop("h", "sig")
   }
 
+  /** Exploded LSH band keys for ANY (doc_id, text, ...) relation —
+    * (passthrough columns, band_id, band_hash), one row per band; docs
+    * with < 3 tokens produce no bands (no shingle window exists). The
+    * EXACT signature plan of the batch queries (token hashes →
+    * one-pass MinHashSignature → portable band hashes), exposed so the
+    * streaming near-dup gate (streaming/StreamNearDup) shares it and
+    * the two surfaces can never drift — StreamingDepthSpec asserts a
+    * doc keyed here collides with its batch-side twin.
+    */
+  private[graft] def bandKeys(docs: DataFrame, passthrough: Seq[String]): DataFrame = {
+    val keep = passthrough.map(col)
+    val base = docs.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id") +: keep :+
+        tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"): _*)
+    val sig = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
+    val withSig = base.select(col("doc_id") +: keep :+ sig.as("sig"): _*)
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      portableHash(concat_ws("#", cols: _*))
+    }
+    withSig
+      .select(col("doc_id") +: keep :+
+        posexplode(array(bands: _*)).as(Seq("band_id", "band_hash")): _*)
+  }
+
   /** Distinct-shingle sets, computed ONLY for the doc_ids in `ids` —
     * the raw scan is filtered by a broadcast semi-join FIRST and the
     * tokenize+hash projection applied after, so the verify stage

@@ -300,4 +300,116 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Seq(0L, 3L, 5L),
       s"kept-frontier not recovered/advanced across restart: $kept")
   }
+
+  // ------------------------------------------------------------ streaming near-dup (round 8)
+
+  /** Sequential register-all first-wins reference for StreamNearDup,
+    * with bands computed by the BATCH signature plan (Dedup.bandKeys)
+    * — so the test simultaneously pins the streaming gate to its
+    * spec'd recurrence AND to batch-side band agreement.
+    */
+  private def nearDupReference(docs: Seq[graft.streaming.StreamNearDup.Doc]): Seq[Long] = {
+    import spark.implicits._
+    val bandsByDoc = graft.operators.Dedup
+      .bandKeys(docs.toDF("doc_id", "ord", "text"), Seq("ord"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Int]("band_id"), r.getAs[Long]("band_hash"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seen = scala.collection.mutable.Set.empty[(Int, Long)]
+    docs.sortBy(d => (d.ord, d.doc_id)).flatMap { d =>
+      bandsByDoc.get(d.doc_id) match {
+        case None => None // < 3 tokens: no bands, bypasses the gate
+        case Some(bs) =>
+          val collided = bs.exists(seen)
+          bs.foreach(seen += _)
+          if (collided) None else Some(d.doc_id)
+      }
+    }
+  }
+
+  test("streaming near-dup gate matches the sequential register-all replay (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamNearDup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val docs = Seq(
+        StreamNearDup.Doc(1L, 1L, base),
+        StreamNearDup.Doc(2L, 2L, "completely different text about spark streaming state stores"),
+        StreamNearDup.Doc(3L, 3L, base + " again"),          // near-dup of 1
+        StreamNearDup.Doc(4L, 4L, base),                     // exact copy of 1
+        StreamNearDup.Doc(5L, 5L, "completely different text about spark streaming state stores"), // copy of 2
+        StreamNearDup.Doc(6L, 6L, "a third unrelated document mentioning tokenizers and minhash bands"))
+      val in = MemoryStream[StreamNearDup.Doc]
+      val out = tmp("neardup-out")
+      val q = StreamNearDup.start(in.toDS(), out, tmp("ck-neardup"))
+      // two batches: 1-2 then 3-6 (cross-batch state + within-batch order)
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(s"$out/batch=*").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      val ref = nearDupReference(docs).sorted
+      assert(kept == ref, s"streaming kept $kept != sequential reference $ref")
+      // the gate actually engaged: the exact copies (4, 5) must be out,
+      // and at least one NON-exact suppression occurred (doc 3's bands
+      // overlap doc 1's) — otherwise the fixture stopped exercising LSH
+      assert(!kept.contains(4L) && !kept.contains(5L), s"exact copies kept: $kept")
+      assert(!kept.contains(3L), s"near-dup of doc 1 escaped the band gate: $kept")
+      assert(kept.contains(1L) && kept.contains(2L) && kept.contains(6L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming near-dup gate recovers band state across checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.StreamNearDup
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = tmp("neardup-src"); val ck = tmp("ck-neardup-restart")
+      val out = tmp("out-neardup-restart")
+      val base = "sliding minhash bands survive a checkpointed restart of the gate"
+      def writeDocs(file: String, rows: Seq[(Long, Long, String)]): Unit =
+        Files.write(java.nio.file.Paths.get(src, file),
+          rows.map { case (id, ord, text) =>
+            s"""{"doc_id":$id,"ord":$ord,"text":"$text"}"""
+          }.mkString("\n").getBytes)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("ord", "long").add("text", "string")
+      def query() = StreamNearDup.start(
+        spark.readStream.schema(schema).json(src).as[StreamNearDup.Doc], out, ck)
+
+      writeDocs("b1.json", Seq((1L, 1L, base), (2L, 2L, "some other first-run corpus text entirely")))
+      val q1 = query()
+      q1.processAllAvailable()
+      q1.stop()
+
+      // restart from the same checkpoint: an exact copy of doc 1 must
+      // be suppressed by RECOVERED band state (a fresh query would
+      // keep it); a genuinely new doc passes
+      writeDocs("b2.json", Seq((3L, 3L, base), (4L, 4L, "fresh post-restart document with novel shingles throughout")))
+      val q2 = query()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val kept = spark.read.parquet(s"$out/batch=*").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(kept == Seq(1L, 2L, 4L),
+        s"band state not recovered across restart (expected 3 suppressed): $kept")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
