@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN quality artifact: recall@k + result/baseline sizes for every
+  * approximate-similarity judged query, written to `RECALL.json` so
+  * index-quality regressions are visible round-over-round the same way
+  * bench times are (VERDICT r7 item 6). The artifact is committed;
+  * LlmOpsSpec re-computes the sf0.001 metrics live and requires them
+  * to MATCH the committed values (the queries are deterministic by
+  * design — hash-seeded planes, pinned tie-breaks), so the file can
+  * never silently drift from the code.
+  *
+  * Baselines are the exact computations the recall specs use: q41's
+  * brute-force cosine top-10 (q43/q62/q63), exact squared-L2 top-10
+  * (q92 — PQ approximates L2, not cosine), q41 restricted to top-5
+  * (q124), exact cosine threshold pairs q42 (q58), and brute-force
+  * mutual top-5 pairs (q147).
+  */
+object Recall {
+
+  case class Entry(sf: String, query: String, k: Int, recall: Double,
+                   rows: Long, baselineRows: Long)
+
+  private def byQuery(df: DataFrame, idCol: String, nbrCol: String): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long](idCol))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long](nbrCol)).toSet }
+
+  private def meanRecall(exact: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, ex) =>
+      got.get(q).map(g => (g intersect ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    if (rs.isEmpty) 0.0 else rs.sum / rs.size
+  }
+
+  /** Exact squared-L2 top-10 per query vector — q92's yardstick. */
+  private def exactL2(spark: SparkSession, sfDir: String): Map[Long, Set[Long]] = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = aggregate(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    byQuery(
+      emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10),
+      "query_id", "vec_id")
+  }
+
+  /** Brute-force mutual cosine-top-5 pairs — q147's yardstick. Only run
+    * at the small verification SFs (all-pairs by construction).
+    */
+  private def exactMutualPairs(spark: SparkSession, sfDir: String): Set[(Long, Long)] = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val e = emb.select(col("vec_id"), col("v"), nrm.as("n"))
+    val dot = aggregate(zip_with(col("v"), col("bv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val top5 = e.select(col("vec_id").as("src"), col("v"), col("n"))
+      .join(e.select(col("vec_id").as("dst"), col("v").as("bv"), col("n").as("bn")),
+            col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), (dot / (col("n") * col("bn"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    top5.collect { case (a, b) if a < b && top5.contains((b, a)) => (a, b) }
+  }
+
+  /** All seven ANN entries for one scale factor. */
+  def metrics(spark: SparkSession, sfDir: String): Seq[Entry] = {
+    val sf = sfDir.split('/').last
+    def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+    val exactTop10 = byQuery(run("q41_cosine_topk"), "query_id", "neighbor_id")
+    val exactTop5 = byQuery(run("q41_cosine_topk").filter(col("rk") <= 5), "query_id", "neighbor_id")
+
+    def topkEntry(name: String, exact: Map[Long, Set[Long]], k: Int,
+                  idCol: String = "query_id", nbrCol: String = "neighbor_id") = {
+      val rows = run(name)
+      Entry(sf, name, k, meanRecall(exact, byQuery(rows, idCol, nbrCol)),
+            rows.count(), exact.values.map(_.size.toLong).sum)
+    }
+
+    val lshPairs = run("q58_cosine_pairs_lsh").select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = run("q42_cosine_pairs").select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mutual = run("q147_mutual_knn").select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactMutual = exactMutualPairs(spark, sfDir)
+
+    Seq(
+      topkEntry("q43_ann_lsh_topk", exactTop10, 10),
+      topkEntry("q62_ivf_probe_topk", exactTop10, 10),
+      topkEntry("q63_quantized_topk", exactTop10, 10),
+      topkEntry("q92_pq_adc_topk", exactL2(spark, sfDir), 10),
+      topkEntry("q124_knn_graph", exactTop5, 5, idCol = "src", nbrCol = "dst"),
+      Entry(sf, "q58_cosine_pairs_lsh", 0,
+        if (exactPairs.isEmpty) 1.0 else lshPairs.size.toDouble / exactPairs.size,
+        lshPairs.size.toLong, exactPairs.size.toLong),
+      Entry(sf, "q147_mutual_knn", 5,
+        if (exactMutual.isEmpty) 1.0
+        else (mutual intersect exactMutual).size.toDouble / exactMutual.size,
+        mutual.size.toLong, exactMutual.size.toLong))
+  }
+
+  def toJson(entries: Seq[Entry]): String =
+    entries.map { e =>
+      f"""{"sf":"${e.sf}","query":"${e.query}","k":${e.k},"recall":${e.recall}%.6f,"rows":${e.rows},"baseline_rows":${e.baselineRows}}"""
+    }.mkString("{\"entries\":[\n", ",\n", "\n]}\n")
+
+  /** Minimal reader for the flat artifact format (no JSON lib in the
+    * offline environment): one object per line between the brackets.
+    */
+  def parse(json: String): Seq[Entry] = {
+    val obj = """\{"sf":"([^"]+)","query":"([^"]+)","k":(\d+),"recall":([0-9.]+),"rows":(\d+),"baseline_rows":(\d+)\}""".r
+    obj.findAllMatchIn(json).map(m =>
+      Entry(m.group(1), m.group(2), m.group(3).toInt, m.group(4).toDouble,
+            m.group(5).toLong, m.group(6).toLong)).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-recall")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDirs = if (args.nonEmpty) args.toSeq
+                 else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val entries = sfDirs.flatMap(metrics(spark, _))
+    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJson(entries))
+    println(toJson(entries))
+    spark.stop()
+  }
+}

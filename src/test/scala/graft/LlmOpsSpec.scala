@@ -9,6 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LlmOpsSpec extends AnyFunSuite with SparkFixture {
 
+  test("RECALL.json matches live ANN metrics — the committed artifact can't drift from the code") {
+    // graft.Recall writes recall@k + result/baseline sizes for the 7
+    // approximate-similarity queries; every query is deterministic
+    // (hash-seeded planes, pinned tie-breaks), so the committed
+    // sf0.001 section must EQUAL a live recompute. A failure here
+    // means an index change landed without `runMain graft.Recall` —
+    // the artifact is the round-over-round regression ledger, so it
+    // has to move with the code, never lag it.
+    val path = java.nio.file.Paths.get("RECALL.json")
+    assert(java.nio.file.Files.exists(path), "RECALL.json missing — run graft.Recall")
+    val committed = Recall.parse(java.nio.file.Files.readString(path))
+      .filter(_.sf == "sf0.001").map(e => e.query -> e).toMap
+    val live = Recall.metrics(spark, sfDir).map(e => e.query -> e).toMap
+    assert(committed.keySet == live.keySet,
+      s"artifact coverage ${committed.keySet} != live ${live.keySet}")
+    live.foreach { case (q, l) =>
+      val c = committed(q)
+      assert(math.abs(c.recall - l.recall) < 1e-6 && c.rows == l.rows &&
+             c.baselineRows == l.baselineRows,
+        s"$q drifted: committed $c vs live $l — re-run graft.Recall")
+    }
+    // absolute floors (the per-query recall tests' constants) also hold
+    // on the committed values, so the ledger itself gates quality
+    val floors = Map("q43_ann_lsh_topk" -> 0.2, "q62_ivf_probe_topk" -> 0.1,
+      "q63_quantized_topk" -> 0.5, "q92_pq_adc_topk" -> 0.5,
+      "q124_knn_graph" -> 0.3, "q58_cosine_pairs_lsh" -> 0.2)
+    floors.foreach { case (q, f) =>
+      assert(committed(q).recall >= f, s"$q committed recall ${committed(q).recall} < floor $f")
+    }
+  }
+
   test("q34 LSH pairs all verify at jaccard >= 0.8 (no false positives post-verify)") {
     val rows = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
     assert(rows.nonEmpty, "testdata plants near-duplicates; LSH should find some")
