@@ -299,6 +299,68 @@ object Graph extends QueryGroup {
              round(regr_intercept(ln(n_nodes), ln(deg)), 6) AS intercept,
              round(regr_r2(ln(n_nodes), ln(deg)), 6) AS r2
       FROM hist
+    """)),
+
+    // ------------------------------------------------------------ multi-round BFS (round 8)
+    // Bounded-hop breadth-first traversal — the graph primitive the
+    // group still lacked (q108 ranks, q116/q145 count local
+    // structures, q64 labels components; none answers "how FAR is
+    // node x from a seed set", the reachability question behind
+    // blast-radius, recommendation-distance, and taint analyses).
+    // Frontier expansion, 3 rounds: each round joins the CURRENT
+    // frontier (not the full visited set) against the edge relation
+    // hash-partitioned by src — the Pregel BFS shuffle shape — then
+    // anti-joins the visited set so a node's hop count is its FIRST
+    // reach (= min distance, the BFS invariant). Lineage
+    // checkpoint-truncated per round (q64/q108 discipline). At 100 TB
+    // the frontier join is the only per-round scan and it shrinks as
+    // the traversal saturates; the visited anti-join is keyed by
+    // node. The oracle replays it as a recursive CTE that allows
+    // revisits (a recursive step can only see the previous
+    // iteration) and takes min(hops) — equivalent ≤ 3 hops, and the
+    // bounded depth keeps the path explosion finite in DuckDB.
+    ("q167_bfs_hops", (s, d) => {
+      val rounds = 3
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      // deterministic seed set: the 3 smallest node ids in the graph
+      // (edges are symmetric, so src covers every node)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(3)
+      var dist = seeds.withColumn("hops", lit(0L)).localCheckpoint()
+      var frontier = dist.select("node")
+      for (h <- 1 to rounds) {
+        val next = edges.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .localCheckpoint()
+        dist = dist.unionByName(next.withColumn("hops", lit(h.toLong)))
+          .localCheckpoint()
+        frontier = next
+      }
+      dist.orderBy("node")
+    }, Some("""
+      WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+      seeds AS (
+        SELECT src AS node FROM e GROUP BY src ORDER BY node LIMIT 3),
+      walk AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT e.dst AS node, w.hops + 1 AS hops
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 3)
+      SELECT node, min(hops)::BIGINT AS hops
+      FROM walk GROUP BY node
+      ORDER BY node
     """))
   )
 }

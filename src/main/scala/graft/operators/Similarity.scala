@@ -891,6 +891,41 @@ object Similarity extends QueryGroup {
       FROM pred
       GROUP BY label, pred_label
       ORDER BY true_label, pred_label
+    """)),
+
+    // ------------------------------------------------------------ quantile normalization (round 8)
+    // Per-dimension rank (quantile) transform of the embedding matrix —
+    // the rank-gauss/quantile feature prep that precedes indexing when
+    // dimensions have wildly different scales or outliers (q158's QA
+    // report DETECTS skewed dims; this is the repair). Each coordinate
+    // maps to its percent_rank within its dimension: distribution-free,
+    // outlier-immune, preserves per-dim order exactly. One posexplode
+    // pass and ONE window partitioned by dimension — 64 partitions of
+    // n rows each; at 100 TB the per-dim sort is the only heavy stage,
+    // it parallelizes across dims, and the cluster form swaps the
+    // exact rank for approx_percentile bucketing (same shape as q59's
+    // GK sketch) without changing this plan's structure. percent_rank
+    // = (rank-1)/(n-1) is an integer-derived double, identical on both
+    // engines for identical sort keys (float→double widening is
+    // exact), so the oracle hash-matches without quantization beyond
+    // the output rounding.
+    ("q168_quantile_normalize", (s, d) => {
+      val w = Window.partitionBy("pos").orderBy("x")
+      Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x0")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+                col("x0").cast("double").as("x"))
+        .withColumn("q", quant6(percent_rank().over(w)))
+        .select("vec_id", "pos", "q")
+        .orderBy("vec_id", "pos")
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t)
+      SELECT vec_id, pos::BIGINT AS pos,
+             ${quant6Sql("percent_rank() OVER (PARTITION BY pos ORDER BY x)")} AS q
+      FROM e ORDER BY vec_id, pos
     """))
   )
 
