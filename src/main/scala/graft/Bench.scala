@@ -21,6 +21,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Interleaved passes revealed a harness artifact: the generated-
+      // class cache defaults to 100 entries, so with 160+ queries
+      // between a query's samples EVERY sample pays full Janino
+      // recompilation (~+0.2-0.5 s/query uniformly, measured 104→144 s
+      // on the common set). A long-running query service sizes this
+      // cache to its workload; do the same so pass 2+ measures
+      // execution, not compilation. Static conf — must be set before
+      // the session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -154,7 +163,13 @@ object Bench {
     genBacklog(tmp.resolve("warm").toString, 10000L, 2)
     drain(tmp.resolve("warm").toString, tmp.resolve("ck-warm").toString)
     genBacklog(tmp.resolve("in").toString, rows, 32)
-    val sec = drain(tmp.resolve("in").toString, tmp.resolve("ck").toString)
+    // same min-of-N discipline as the query corpus: the backlog
+    // write's own dirty-page flush can contend with the FIRST drain's
+    // scan (measured 1.06M vs 1.35M rows/s run-to-run); a second
+    // drain over the now-cached backlog with a fresh checkpoint
+    // measures the sustained rate
+    val sec = (1 to 2).map(i =>
+      drain(tmp.resolve("in").toString, tmp.resolve(s"ck$i").toString)).min
     // drop the ~hundreds of MB of backlog now — leftover dirty pages
     // otherwise contend with whatever runs next
     org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
