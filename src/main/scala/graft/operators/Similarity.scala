@@ -926,6 +926,69 @@ object Similarity extends QueryGroup {
       SELECT vec_id, pos::BIGINT AS pos,
              ${quant6Sql("percent_rank() OVER (PARTITION BY pos ORDER BY x)")} AS q
       FROM e ORDER BY vec_id, pos
+    """)),
+
+    // ------------------------------------------------------------ hard-negative mining (round 8)
+    // Contrastive-training data assembly: for every vector, the top-3
+    // most-similar vectors with a DIFFERENT label — the "hard
+    // negatives" that make contrastive/embedding fine-tuning work
+    // (random negatives are trivially separable; the informative ones
+    // are the near-misses). Candidate generation inherits q124's IVF
+    // blocking verbatim — rank coarse cells, probe the nprobe best,
+    // exact-score only within probed cells (n·nprobe·(n/ncells)
+    // pairs, never n²) — with the query's OWN label carried through
+    // the probe relation so the mismatch filter (candidate cell ≠
+    // query label) applies BEFORE the ranking window. dst's label IS
+    // its cell key, so the filter drops whole probed cells, not rows.
+    // Deterministic like q124 (quant6 centroids, sequential-fold
+    // dots, lexicographic ties) ⇒ fully hash-oracled.
+    ("q171_hard_negatives", (s, d) => {
+      val nprobe = 2; val kNeg = 3
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("label").as("cell"), col("cv"), col("cnrm"))
+      def dotFD(f: Column, dd: Column) =
+        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+      val e = normed(s, d)
+      val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
+      val probes = e.select(col("vec_id").as("src"), col("label").as("src_label"),
+                            col("embedding").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cvec))
+        .select(col("src"), col("src_label"), col("cell"), col("qv"), col("qn"),
+                (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= nprobe)
+        .select("src", "src_label", "cell", "qv", "qn")
+      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+      e.select(col("label").as("cell"), col("vec_id").as("dst"),
+               col("embedding"), col("nrm"))
+        .join(probes, Seq("cell"))
+        .filter(col("dst") =!= col("src") && col("cell") =!= col("src_label"))
+        .select(col("src"), col("dst"), col("cell").as("neg_label"),
+                (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= kNeg)
+        .select("src", "rk", "dst", "neg_label", "cos")
+        .orderBy("src", "rk")
+    }, Some(s"""
+      WITH $normedCte,
+      $knnCte,
+      hard AS (
+        SELECT s.src, s.dst, c.label AS neg_label, s.cos,
+               row_number() OVER (PARTITION BY s.src ORDER BY s.cos DESC, s.dst) AS rk
+        FROM scored s
+        JOIN e q ON q.vec_id = s.src
+        JOIN e c ON c.vec_id = s.dst
+        WHERE c.label <> q.label)
+      SELECT src, rk, dst, neg_label, cos
+      FROM hard WHERE rk <= 3
+      ORDER BY src, rk
     """))
   )
 

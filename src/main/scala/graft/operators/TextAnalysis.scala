@@ -427,6 +427,104 @@ object TextAnalysis extends QueryGroup {
                    - 84.6 * (n_sylls::DOUBLE / n_words), 4) AS flesch
       FROM c WHERE n_words > 0
       ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ token-entropy quality (round 8)
+    // Per-document Shannon entropy of the token distribution (nats) +
+    // type-token ratio — the information-theoretic quality signal the
+    // ratio features (q38) and repetition counts (q89) approximate:
+    // boilerplate and keyword-stuffed spam have LOW entropy even when
+    // their repetition n-grams vary. H = ln(n) − Σc·ln(c)/n (the
+    // numerically stable rearrangement — one pass over the per-doc
+    // term-frequency table, no per-token probabilities materialized).
+    // One (doc, tok) aggregate then one doc aggregate, both map-side
+    // partial; per-doc work is independent at any scale.
+    ("q169_token_entropy", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+             sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+                round(col("n_types").cast("double") / col("n_tok"), 6).as("ttr"),
+                round(log(col("n_tok").cast("double")) - col("clogc") / col("n_tok"), 6)
+                  .as("entropy"))
+        .withColumn("low_entropy", col("entropy") < 2.0)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2)
+      SELECT doc_id, sum(c)::BIGINT AS n_tok, count(*)::BIGINT AS n_types,
+             round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+             round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy,
+             (round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) < 2.0) AS low_entropy
+      FROM tf GROUP BY doc_id
+      ORDER BY doc_id
+    """)),
+
+    // ------------------------------------------------------------ distinctive source terms (round 8)
+    // Monroe log-odds-ratio keyword extraction: the top-5 terms that
+    // characterize each source AGAINST the rest of the corpus —
+    // "what is this crawl slice about" triage that plain TF-IDF can't
+    // answer when the vocabulary is shared (every term's df = all
+    // sources ⇒ idf 0). score(source, tok) =
+    // ln((a+½)/(A−a+½)) − ln((b+½)/(B−b+½)) with a = tf in source,
+    // A = source total, b/B = the complement — smoothed, defined for
+    // every cell, positive exactly when the term is over-represented.
+    // One (source, tok) aggregate; the per-source totals and global
+    // per-token counts are schema/vocab-bounded relations joined back
+    // broadcast; top-5 via a per-source window over ≤|sources|·|vocab|
+    // rows. Scale: everything after the first aggregate is bounded by
+    // the vocabulary, not the corpus.
+    ("q170_source_keywords", (s, d) => {
+      // tf is read FOUR times (scored + the three totals) — checkpoint
+      // the ≤|sources|·|vocab| aggregate so the corpus is scanned once,
+      // not once per consumer (q123 discipline; Catalyst has no
+      // automatic CTE materialization for DataFrame reuse)
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val tots = tf.groupBy("source").agg(sum("a").as("tot_s"))
+      val gtok = tf.groupBy("tok").agg(sum("a").as("g"))
+      val gtot = tf.agg(sum("a").as("tot_g"))
+      val scored = tf
+        .join(broadcast(tots), "source")
+        .join(broadcast(gtok), "tok")
+        .crossJoin(broadcast(gtot))
+        .withColumn("score",
+          log((col("a") + 0.5) / (col("tot_s") - col("a") + 0.5)) -
+          log((col("g") - col("a") + 0.5) / (col("tot_g") - col("tot_s") - (col("g") - col("a")) + 0.5)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("tok"),
+                col("a").as("tf"), round(col("score"), 6).as("score"))
+        .orderBy("source", "rk")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT source, tok, count(*)::BIGINT AS a
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2),
+      tots AS (SELECT source, sum(a)::BIGINT AS tot_s FROM tf GROUP BY source),
+      gtok AS (SELECT tok, sum(a)::BIGINT AS g FROM tf GROUP BY tok),
+      gtot AS (SELECT sum(a)::BIGINT AS tot_g FROM tf),
+      scored AS (
+        SELECT tf.source, tf.tok, tf.a,
+               ln((tf.a + 0.5) / (t.tot_s - tf.a + 0.5)) -
+               ln((gk.g - tf.a + 0.5) / (gt.tot_g - t.tot_s - (gk.g - tf.a) + 0.5)) AS score
+        FROM tf JOIN tots t USING (source) JOIN gtok gk USING (tok), gtot gt),
+      ranked AS (
+        SELECT source, tok, a, score,
+               row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rk
+        FROM scored)
+      SELECT source, rk, tok, a AS tf, round(score, 6) AS score
+      FROM ranked WHERE rk <= 5
+      ORDER BY source, rk
     """))
   )
 

@@ -505,6 +505,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q166-q171: round-8 additions stay inside their plan budgets") {
+    // (hash-exchange budget, corpus FileScan budget) measured at
+    // landing; q167's 0 scans = the BFS rounds are fully checkpoint-
+    // truncated; q170's 1 scan = the tf aggregate is checkpointed and
+    // feeds all three totals; q171's BNLJ is the sanctioned 10-row
+    // broadcast-centroid cross (q124's pattern)
+    val budget = Map(
+      "q166_media_digest_dedup" -> (1, 1), "q167_bfs_hops" -> (0, 0),
+      "q168_quantile_normalize" -> (1, 1), "q169_token_entropy" -> (2, 1),
+      "q170_source_keywords" -> (7, 1), "q171_hard_negatives" -> (3, 3))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // q170's BNLJ is the 1-row broadcast global-total cross; q171's
+      // is the 10-row broadcast-centroid cross — both the sanctioned
+      // bounded-relation pattern (q124/q156 precedent)
+      if (q != "q171_hard_negatives" && q != "q170_source_keywords")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
