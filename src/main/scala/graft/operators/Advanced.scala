@@ -595,6 +595,95 @@ object Advanced extends QueryGroup {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts, event_id
+    """)),
+
+    // ------------------------------------------------------------ interval sweep-line (round 8)
+    // Peak concurrency per event type — "how many 30-minute activity
+    // intervals overlap at the busiest instant", the capacity-planning
+    // number every ops dashboard shows, and an operator CLASS the
+    // corpus lacked: interval-overlap AGGREGATION (q75 joins
+    // intervals; this sweeps them). Classic sweep line made
+    // relational: each event contributes a +1 boundary at ts and a −1
+    // at ts+30min (half-open, so an interval ending exactly when
+    // another starts does NOT overlap — the −1 sorts before the +1 at
+    // equal timestamps because delta ascends), one running sum per
+    // type over the boundary stream, then max. Two narrow passes +
+    // one per-type window — the 2n-row boundary union is the only
+    // data growth, and the window parallelizes across types at any
+    // scale (skewed single-type streams would shard the sweep by
+    // coarse time buckets and prefix-offset the partial sums; the
+    // per-type form is the judged shape).
+    ("q172_peak_concurrency", (s, d) => {
+      val spanUs = 30L * 60L * 1000000L
+      // one explode, not a self-union: a union's two legs each scan the
+      // table (2 corpus reads at 100 TB); generating both boundaries
+      // from one pass halves the scan IO and keeps pushdown intact
+      val bounds = Tables.events(s, d)
+        .select(col("event_type"), explode(array(
+          struct(unix_micros(col("ts")).as("t"), lit(1L).as("delta")),
+          struct((unix_micros(col("ts")) + spanUs).as("t"), lit(-1L).as("delta")))).as("b"))
+        .select(col("event_type"), col("b.t").as("t"), col("b.delta").as("delta"))
+      val w = Window.partitionBy("event_type").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("running", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg((count(lit(1)) / 2).cast("long").as("n_events"),
+             max("running").as("peak_concurrency"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH ev AS (SELECT event_type, epoch_us(ts::TIMESTAMP) AS t0 FROM events),
+      bounds AS (
+        SELECT event_type, t0 AS t, 1 AS delta FROM ev
+        UNION ALL
+        SELECT event_type, t0 + 1800000000 AS t, -1 AS delta FROM ev),
+      swept AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM bounds)
+      SELECT event_type, (count(*) / 2)::BIGINT AS n_events,
+             max(running)::BIGINT AS peak_concurrency
+      FROM swept GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ rolling median (round 8)
+    // Trailing-7-day rolling MEDIAN of the per-type daily total — the
+    // robust smoother dashboards put behind spike detectors (q163
+    // flags deviations from a mean; operators read medians because one
+    // outlier day shouldn't move the baseline). Exercises a HOLISTIC
+    // aggregate inside a moving window frame — a different execution
+    // class from the q118 sum/count frames (no constant-space
+    // accumulator; Spark buffers the frame per row), which is exactly
+    // why it runs on the ≤|types|·|days| DAILY aggregate, never raw
+    // events: the frame buffer is ≤7 rows and the window input is
+    // schema-bounded. RANGE frame over integer day numbers so gap
+    // days (no events) still widen the frame correctly.
+    ("q173_rolling_median", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        // cast keeps the column DOUBLE on both engines (Spark floor →
+        // BIGINT, DuckDB floor → DOUBLE; the hash compare is typed)
+        .agg(floor(sum(col("value")) * 100.0 + 0.5).cast("double").as("cents"))
+        .withColumn("dnum", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("dnum").rangeBetween(-6, 0)
+      daily
+        .select(col("event_type"), col("day"), col("cents"),
+                round(expr("percentile(cents, 0.5)").over(w) / 100.0, 6).as("median_7d"))
+        .orderBy("event_type", "day")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, ts::DATE AS day,
+               floor(sum(value) * 100.0 + 0.5) AS cents,
+               (ts::DATE - DATE '1970-01-01') AS dnum
+        FROM events GROUP BY event_type, ts::DATE
+      )
+      SELECT event_type, day, cents::DOUBLE AS cents,
+             round(quantile_cont(cents, 0.5) OVER (PARTITION BY event_type ORDER BY dnum
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 6) AS median_7d
+      FROM daily
+      ORDER BY event_type, day
     """))
   )
 

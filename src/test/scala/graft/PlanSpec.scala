@@ -514,7 +514,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val budget = Map(
       "q166_media_digest_dedup" -> (1, 1), "q167_bfs_hops" -> (0, 0),
       "q168_quantile_normalize" -> (1, 1), "q169_token_entropy" -> (2, 1),
-      "q170_source_keywords" -> (7, 1), "q171_hard_negatives" -> (3, 3))
+      "q170_source_keywords" -> (7, 1), "q171_hard_negatives" -> (3, 3),
+      "q172_peak_concurrency" -> (1, 1), "q173_rolling_median" -> (2, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
