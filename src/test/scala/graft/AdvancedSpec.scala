@@ -195,4 +195,55 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
       assert(close(m.getAs[Double]("corr_qty_line"), r.getAs[Double]("c")), s"corr: $m vs $r")
     }
   }
+
+  test("q172: peak concurrency matches a sequential sweep over collected intervals") {
+    import org.apache.spark.sql.functions._
+    val spanUs = 30L * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).map { case (tpe, rows) =>
+      // the same half-open contract: -1 boundaries sort before +1 at
+      // equal timestamps, so touching intervals never overlap
+      val bounds = rows.flatMap { case (_, t) => Seq((t, 1), (t + spanUs, -1)) }
+        .sortBy(b => (b._1, b._2))
+      var cur = 0; var peak = 0
+      bounds.foreach { case (_, d) => cur += d; peak = math.max(peak, cur) }
+      tpe -> (rows.length.toLong, peak.toLong)
+    }
+    val got = SparkEntry.queries("q172_peak_concurrency")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("peak_concurrency"))).toMap
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+    // sanity: at least one type genuinely overlaps (peak > 1), else the
+    // fixture stopped exercising the sweep
+    assert(expected.values.exists(_._2 > 1L), s"no overlap anywhere: $expected")
+  }
+
+  test("q173: rolling median matches a sequential trailing-window recompute") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(floor(sum(col("value")) * 100.0 + 0.5).cast("double").as("cents"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toLocalDate,
+                 r.getAs[Double]("cents")))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      rows.toSeq.map { case (_, day, _) =>
+        val window = rows.toSeq.collect { case (_, d2, c) if !d2.isAfter(day) && !d2.isBefore(day.minusDays(6)) => c }
+        (tpe, day.toString) -> math.floor(median(window) / 100.0 * 1e6 + 0.5) / 1e6
+      }
+    }.toMap
+    val got = SparkEntry.queries("q173_rolling_median")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        r.getAs[Double]("median_7d")).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 1e-6, s"$k: got $v want ${expected(k)}")
+    }
+  }
 }

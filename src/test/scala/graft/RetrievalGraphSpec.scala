@@ -216,4 +216,31 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got.values.map(_._3).sum == docs.size, "membership must cover every doc")
   }
+
+  test("q167: BFS hop counts match a sequential breadth-first traversal") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    li.groupBy(_._1).values.foreach { order =>
+      val parts = order.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    }
+    val seeds = adj.keys.toSeq.sorted.take(3)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      next.foreach(dist(_) = h.toLong)
+      frontier = next
+    }
+    val got = SparkEntry.queries("q167_bfs_hops")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+    assert(got == dist.toMap, s"BFS mismatch: ${got.size} vs ${dist.size} nodes")
+    // the traversal actually expands (not everything is a seed)
+    assert(got.values.exists(_ > 0L), "BFS never left the seed set")
+  }
 }
