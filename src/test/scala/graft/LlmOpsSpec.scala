@@ -40,6 +40,52 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q169: entropy respects its information-theoretic bounds") {
+    val rows = SparkEntry.queries("q169_token_entropy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy"); val types = r.getAs[Long]("n_types")
+      val n = r.getAs[Long]("n_tok"); val ttr = r.getAs[Double]("ttr")
+      // 0 <= H <= ln(n_types) (uniform maximizes), ttr in (0, 1]
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 1e-6, s"entropy out of bounds: $r")
+      assert(ttr > 0.0 && ttr <= 1.0 + 1e-9 && types <= n, s"ttr out of bounds: $r")
+    }
+  }
+
+  test("q170: five keywords per source, each genuinely over-represented (positive log-odds)") {
+    val rows = SparkEntry.queries("q170_source_keywords")(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        s"$src: ranks ${rs.toSeq}")
+      // rank-1 terms should be over-represented (score > 0) — the
+      // corpus plants per-source vocabulary skew
+      assert(rs.filter(_.getAs[Long]("rk") == 1L).forall(_.getAs[Double]("score") > 0.0),
+        s"$src: top keyword not over-represented")
+    }
+  }
+
+  test("q171: hard negatives have mismatched labels and are the TOP different-label candidates") {
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = SparkEntry.queries("q171_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("src")).foreach { case (src, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      // labels genuinely differ and match the claimed neg_label
+      sorted.foreach { r =>
+        val dst = r.getAs[Long]("dst")
+        assert(labels(dst) != labels(src), s"negative $dst shares label with $src")
+        assert(r.getAs[Int]("neg_label") == labels(dst), s"neg_label mislabeled: $r")
+      }
+      // cos non-increasing in rank (these are the HARDEST negatives)
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"$src: not descending")
+    }
+  }
+
   test("q34 LSH pairs all verify at jaccard >= 0.8 (no false positives post-verify)") {
     val rows = SparkEntry.queries("q34_minhash_lsh_pairs")(spark, sfDir).collect()
     assert(rows.nonEmpty, "testdata plants near-duplicates; LSH should find some")
