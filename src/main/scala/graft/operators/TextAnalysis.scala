@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
@@ -525,6 +525,73 @@ object TextAnalysis extends QueryGroup {
       SELECT source, rk, tok, a AS tf, round(score, 6) AS score
       FROM ranked WHERE rk <= 5
       ORDER BY source, rk
+    """)),
+
+    // ------------------------------------------------------------ Heaps'-law vocabulary growth (round 8)
+    // Fit V(N) ≈ k·N^β — vocabulary size as a power law of cumulative
+    // token count (Heaps/Herdan) — the corpus-planning number behind
+    // tokenizer vocab budgets and dedup sizing ("how many NEW types
+    // will the next 10 TB bring?"). The cumulative curve is computed
+    // at BUCKET granularity, not per doc: docs partition into 100
+    // doc_id-ordered buckets (bounds from a broadcast 1-row max —
+    // sanctioned), each bucket contributes its token count and its
+    // count of FIRST-SEEN types (min first-occurrence per type — one
+    // vocab-sized aggregate), and the running sums run over the
+    // 100-row bucket relation — schema-bounded, so the otherwise
+    // global cumulative window never touches data-sized input at any
+    // scale. ln-ln least squares via the q155 regression aggregates.
+    ("q174_heaps_law", (s, d) => {
+      val buckets = 100
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint() // feeds both the first-seen and volume aggregates
+      val mx = toks.agg(max("doc_id").as("m"))
+      // floor(double-division) == integer // here: operands < 2^53 so
+      // the double quotient is exact enough for floor to agree with
+      // DuckDB's integer division on every positive input
+      def bucketOf(c: Column, m: Column): Column =
+        least(lit(buckets - 1L), floor(c * buckets / (m + 1))).cast("long")
+      val firstSeen = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val newTypes = firstSeen.crossJoin(broadcast(mx))
+        .groupBy(bucketOf(col("first_doc"), col("m")).as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val vol = toks.crossJoin(broadcast(mx))
+        .groupBy(bucketOf(col("doc_id"), col("m")).as("bucket"))
+        .agg(count(lit(1)).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      vol.join(newTypes, Seq("bucket"), "left")
+        .withColumn("cum_tok", sum("n_tok").over(w))
+        .withColumn("vocab", sum(coalesce(col("new_types"), lit(0L))).over(w))
+        .agg(count(lit(1)).as("n_points"),
+             round(expr("regr_slope(ln(vocab), ln(cum_tok))"), 6).as("beta"),
+             round(expr("regr_intercept(ln(vocab), ln(cum_tok))"), 6).as("ln_k"),
+             round(expr("regr_r2(ln(vocab), ln(cum_tok))"), 6).as("r2"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      mx AS (SELECT max(doc_id) AS m FROM toks),
+      fs AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+      nt AS (
+        SELECT least(99, first_doc * 100 // (m + 1))::BIGINT AS bucket,
+               count(*)::BIGINT AS new_types
+        FROM fs, mx GROUP BY 1),
+      vol AS (
+        SELECT least(99, doc_id * 100 // (m + 1))::BIGINT AS bucket,
+               count(*)::BIGINT AS n_tok
+        FROM toks, mx GROUP BY 1),
+      curve AS (
+        SELECT v.bucket, v.n_tok,
+               sum(v.n_tok) OVER w AS cum_tok,
+               sum(coalesce(nt.new_types, 0)) OVER w AS vocab
+        FROM vol v LEFT JOIN nt USING (bucket)
+        WINDOW w AS (ORDER BY v.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT count(*)::BIGINT AS n_points,
+             round(regr_slope(ln(vocab), ln(cum_tok)), 6) AS beta,
+             round(regr_intercept(ln(vocab), ln(cum_tok)), 6) AS ln_k,
+             round(regr_r2(ln(vocab), ln(cum_tok)), 6) AS r2
+      FROM curve
     """))
   )
 

@@ -515,14 +515,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q166_media_digest_dedup" -> (1, 1), "q167_bfs_hops" -> (0, 0),
       "q168_quantile_normalize" -> (1, 1), "q169_token_entropy" -> (2, 1),
       "q170_source_keywords" -> (7, 1), "q171_hard_negatives" -> (3, 3),
-      "q172_peak_concurrency" -> (1, 1), "q173_rolling_median" -> (2, 1))
+      "q172_peak_concurrency" -> (1, 1), "q173_rolling_median" -> (2, 1),
+      "q174_heaps_law" -> (3, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       // q170's BNLJ is the 1-row broadcast global-total cross; q171's
       // is the 10-row broadcast-centroid cross — both the sanctioned
       // bounded-relation pattern (q124/q156 precedent)
-      if (q != "q171_hard_negatives" && q != "q170_source_keywords")
+      // q174's BNLJ is the 1-row broadcast max-doc-id cross
+      if (q != "q171_hard_negatives" && q != "q170_source_keywords" &&
+          q != "q174_heaps_law")
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
       val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
