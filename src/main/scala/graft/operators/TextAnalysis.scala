@@ -592,6 +592,197 @@ object TextAnalysis extends QueryGroup {
              round(regr_intercept(ln(vocab), ln(cum_tok)), 6) AS ln_k,
              round(regr_r2(ln(vocab), ln(cum_tok)), 6) AS r2
       FROM curve
+    """)),
+
+    // ------------------------------------------------------------ Zipf rank-frequency fit (round 8)
+    // Zipf's law: term frequency ≈ C·rank^(−s). Fit ln(freq) against
+    // ln(rank) over the top-200 vocabulary — Heaps' (q174) sibling:
+    // Heaps predicts how fast NEW types arrive, Zipf how skewed the
+    // head is, and the head skew is what sizes stopword lists, cache
+    // tiers and the q97 heavy-hitter sketch. The top-200 cut runs as
+    // TakeOrderedAndProject (per-partition partial top-k, no global
+    // vocab sort ever materializes on one task); the rank window then
+    // sees a 200-row relation — schema-bounded at any corpus size.
+    ("q175_zipf_law", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = tf.orderBy(col("c").desc, col("tok")).limit(200)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_points"),
+             round(expr("regr_slope(ln(c), ln(rank))"), 6).as("slope"),
+             round(expr("regr_intercept(ln(c), ln(rank))"), 6).as("intercept"),
+             round(expr("regr_r2(ln(c), ln(rank))"), 6).as("r2"))
+    }, Some(s"""
+      WITH tf AS (
+        SELECT tok, count(*)::BIGINT AS c
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      top AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 200),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM top)
+      SELECT count(*)::BIGINT AS n_points,
+             round(regr_slope(ln(c), ln(rank)), 6) AS slope,
+             round(regr_intercept(ln(c), ln(rank)), 6) AS intercept,
+             round(regr_r2(ln(c), ln(rank)), 6) AS r2
+      FROM r
+    """)),
+
+    // ------------------------------------------------------------ PMI collocations (round 8)
+    // Pointwise mutual information over adjacent-token pairs — the
+    // classic collocation detector ("new york", "machine learning"):
+    // PMI = ln(p(xy)/(p(x)p(y))), high when a pair co-occurs far above
+    // chance — q74's raw bigram counts rank "of the" first; PMI ranks
+    // the pairs that MEAN something. Computed as a sum/difference of
+    // single lns (ln cb + 2·ln N1 − ln N2 − ln cx − ln cy, identical
+    // association order in both engines — no float aggregation at
+    // all), with a min-count floor of 5 against the low-frequency PMI
+    // explosion. Unigram and bigram counts come out of ONE corpus scan
+    // via q89's tagged-gram trick ("1|tok" / "2|w1 w2" in a single
+    // explode + aggregate, checkpointed, split by prefix afterwards —
+    // everything downstream is vocabulary-bounded); both unigram
+    // join-backs are vocab-keyed equi-joins; the totals are 1-row
+    // broadcasts; top-20 via TakeOrdered.
+    ("q176_pmi_collocations", (s, d) => {
+      // lambda-bound token array (q69/q89 discipline): the otherwise-
+      // branch keeps short docs out of a scan-pushed tokenize Filter
+      val grams = (t: Column) => concat(
+          transform(t, x => concat(lit("1|"), x)),
+          when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i =>
+              concat(lit("2|"), element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>")))
+      val counts = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(flatten(transform(array(tokens(col("text"))), grams))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one corpus pass feeds uni, big, and both totals
+      val uni = counts.filter(col("g").startsWith("1|"))
+        .select(expr("substr(g, 3)").as("tok"), col("c").as("cu"))
+      val big = counts.filter(col("g").startsWith("2|"))
+        .select(split(expr("substr(g, 3)"), " ").as("ws"), col("c").as("cb"))
+        .select(element_at(col("ws"), 1).as("w1"), element_at(col("ws"), 2).as("w2"),
+                col("cb"))
+      val n1 = uni.agg(sum("cu").as("n1"))
+      val n2 = big.agg(sum("cb").as("n2"))
+      big.filter(col("cb") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .withColumn("pmi",
+          log(col("cb").cast("double")) + lit(2.0) * log(col("n1").cast("double")) -
+          log(col("n2").cast("double")) - log(col("cu1").cast("double")) -
+          log(col("cu2").cast("double")))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+        .select(col("w1"), col("w2"), col("cb"), round(col("pmi"), 6).as("pmi"))
+    }, Some(s"""
+      WITH toks AS (SELECT $toksSql AS t FROM documents),
+      g AS (SELECT unnest(
+              ['1|' || x for x in t] ||
+              ['2|' || t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]) AS g
+            FROM toks),
+      counts AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY g),
+      uni AS (SELECT substr(g, 3) AS tok, c AS cu FROM counts WHERE g LIKE '1|%'),
+      big AS (SELECT split_part(substr(g, 3), ' ', 1) AS w1,
+                     split_part(substr(g, 3), ' ', 2) AS w2, c AS cb
+              FROM counts WHERE g LIKE '2|%'),
+      n1 AS (SELECT sum(cu)::BIGINT AS n1 FROM uni),
+      n2 AS (SELECT sum(cb)::BIGINT AS n2 FROM big),
+      scored AS (
+        SELECT w1, w2, cb,
+               ln(cb::DOUBLE) + 2.0 * ln(n1::DOUBLE) - ln(n2::DOUBLE)
+                 - ln(u1.cu::DOUBLE) - ln(u2.cu::DOUBLE) AS pmi
+        FROM big JOIN uni u1 ON u1.tok = big.w1
+                 JOIN uni u2 ON u2.tok = big.w2, n1, n2
+        WHERE cb >= 5)
+      SELECT w1, w2, cb, round(pmi, 6) AS pmi
+      FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """)),
+
+    // ------------------------------------------------------------ per-source KL drift (round 8)
+    // KL(source ‖ corpus) over unigram distributions — "which crawl
+    // slice is most off-distribution" in nats, the text-side sibling
+    // of q126's PSI on numeric columns. The corpus mixture CONTAINS
+    // each source, so p_corpus > 0 wherever p_source > 0 — no
+    // smoothing needed, every term defined. Determinism: the per-term
+    // contributions p·ln(p/q) are floored to integer NANO-units
+    // before the per-source sum (the q92/q108 fixed-point discipline)
+    // — long addition is order-free under shuffle where a double sum
+    // over the vocabulary would drift by partial-sum order. One
+    // (source, tok) aggregate feeds everything (checkpointed, q170
+    // discipline); joins are vocab-keyed; totals broadcast.
+    ("q177_source_divergence", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val tots = tf.groupBy("source").agg(sum("a").as("tot_s"))
+      val gtok = tf.groupBy("tok").agg(sum("a").as("g"))
+      val gtot = tf.agg(sum("a").as("tot_g"))
+      val p = col("a").cast("double") / col("tot_s")
+      val q = col("g").cast("double") / col("tot_g")
+      tf.join(broadcast(tots), "source")
+        .join(gtok, "tok")
+        .crossJoin(broadcast(gtot))
+        .withColumn("nano", floor(p * log(p / q) * lit(1e9)).cast("long"))
+        .groupBy("source")
+        .agg(max("tot_s").as("n_tok"), count(lit(1)).as("n_types"),
+             round(sum("nano").cast("double") / 1e9, 6).as("kl_nats"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT source, tok, count(*)::BIGINT AS a
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2),
+      tots AS (SELECT source, sum(a)::BIGINT AS tot_s FROM tf GROUP BY source),
+      gtok AS (SELECT tok, sum(a)::BIGINT AS g FROM tf GROUP BY tok),
+      gtot AS (SELECT sum(a)::BIGINT AS tot_g FROM tf),
+      terms AS (
+        SELECT tf.source,
+               floor((tf.a::DOUBLE / t.tot_s)
+                     * ln((tf.a::DOUBLE / t.tot_s) / (gk.g::DOUBLE / gt.tot_g))
+                     * 1e9)::BIGINT AS nano,
+               t.tot_s
+        FROM tf JOIN tots t USING (source) JOIN gtok gk USING (tok), gtot gt)
+      SELECT source, max(tot_s)::BIGINT AS n_tok, count(*)::BIGINT AS n_types,
+             round(sum(nano)::DOUBLE / 1e9, 6) AS kl_nats
+      FROM terms GROUP BY source
+      ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ Chao1 vocabulary richness (round 8)
+    // Chao1 species-richness estimate of the UNSEEN vocabulary:
+    // V̂ = V_obs + F1(F1−1)/(2(F2+1)) (bias-corrected form, defined
+    // when F2 = 0), where F1/F2 are singleton/doubleton type counts —
+    // "how much vocabulary does this source have that we haven't
+    // sampled yet", the capture-recapture complement to q174's growth
+    // CURVE (Heaps extrapolates the trajectory; Chao1 bounds the
+    // destination). Two aggregates over the (source, tok) relation;
+    // everything after the first is vocab-bounded.
+    ("q178_chao1_richness", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          count(lit(1)).as("v_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .withColumn("chao1", round(
+          col("v_obs") + col("f1").cast("double") * (col("f1") - 1) /
+            (lit(2L) * (col("f2") + 1)), 6))
+        .orderBy("source")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT source, tok, count(*)::BIGINT AS c
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2)
+      SELECT source, count(*)::BIGINT AS v_obs,
+             count(*) FILTER (c = 1)::BIGINT AS f1,
+             count(*) FILTER (c = 2)::BIGINT AS f2,
+             round(count(*) + (count(*) FILTER (c = 1))::DOUBLE
+                     * (count(*) FILTER (c = 1) - 1)
+                     / (2 * (count(*) FILTER (c = 2) + 1)), 6) AS chao1
+      FROM tf GROUP BY source
+      ORDER BY source
     """))
   )
 

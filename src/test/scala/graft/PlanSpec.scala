@@ -534,6 +534,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q175-q178: corpus-statistics additions stay inside their plan budgets") {
+    // (hash-exchange budget, corpus FileScan budget) measured at
+    // landing. q176/q177's 0 scans = the tagged-gram / (source, tok)
+    // aggregates are checkpointed and feed every downstream relation;
+    // their BNLJs are the sanctioned 1-row broadcast-total crosses
+    // (q170/q174 precedent). q175's top-200 cut must run as
+    // TakeOrderedAndProject — a global vocab Sort would serialize the
+    // rank stage on one task at corpus scale.
+    val budget = Map(
+      "q175_zipf_law" -> (1, 1), "q176_pmi_collocations" -> (6, 0),
+      "q177_source_divergence" -> (5, 0), "q178_chao1_richness" -> (2, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "q176_pmi_collocations" && q != "q177_source_divergence")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    assert(plan("q175_zipf_law").contains("TakeOrderedAndProject"),
+      "q175's top-200 must be a TakeOrderedAndProject, not a global Sort")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
