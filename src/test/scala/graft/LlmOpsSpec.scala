@@ -410,4 +410,105 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
           s"label $lbl: a kept doc outranks a pruned-easy doc")
     }
   }
+
+  /** Shared sequential tokenizer for the q175-q178 reference replays —
+    * mirrors TextFunctions.tokens (lower, split [^a-z0-9]+, drop empty).
+    */
+  private def seqTokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def docRows: Seq[(Long, String, String)] = {
+    val ss = spark
+    import ss.implicits._
+    ss.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().toSeq
+  }
+
+  test("q175: Zipf head fit — negative slope, sane r2, exactly the top-200 head") {
+    val r = SparkEntry.queries("q175_zipf_law")(spark, sfDir).collect()(0)
+    val vocab = docRows.flatMap(t => seqTokens(t._3)).groupBy(identity).size
+    assert(r.getAs[Long]("n_points") == math.min(200L, vocab.toLong))
+    assert(r.getAs[Double]("slope") < 0.0, s"Zipf head must decay: $r")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r")
+  }
+
+  test("q176: PMI top-20 equals a sequential reference replay") {
+    val rows = SparkEntry.queries("q176_pmi_collocations")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture corpus repeats phrases; some pair must clear count >= 5")
+    // sequential reference: full unigram/bigram tally in plain Scala
+    val docs = docRows.map(t => seqTokens(t._3))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = docs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = uni.values.sum.toDouble
+    val n2 = big.values.sum.toDouble
+    val ref = big.toSeq.filter(_._2 >= 5).map { case ((w1, w2), cb) =>
+      val pmi = math.log(cb.toDouble) + 2.0 * math.log(n1) - math.log(n2) -
+        math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble)
+      (w1, w2, cb, pmi)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    assert(rows.length == ref.length)
+    rows.zip(ref).foreach { case (r, (w1, w2, cb, pmi)) =>
+      assert(r.getAs[String]("w1") == w1 && r.getAs[String]("w2") == w2 &&
+             r.getAs[Long]("cb") == cb &&
+             math.abs(r.getAs[Double]("pmi") - pmi) < 1e-6,
+        s"mismatch: $r vs ($w1,$w2,$cb,$pmi)")
+    }
+    // PMI ranking is genuinely different from raw-count ranking (the
+    // design point vs q74) — the two top-20 orderings must diverge
+    // somewhere, else the score adds nothing over counting
+    val byCount = big.toSeq.sortBy(t => (-t._2, t._1._1, t._1._2)).take(20).map(_._1)
+    val byPmi = rows.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+    assert(byPmi != byCount,
+      "PMI should surface association, not frequency: top-20 identical to raw counts")
+  }
+
+  test("q177: per-source KL equals the sequential fixed-point replay, within flooring bounds") {
+    val rows = SparkEntry.queries("q177_source_divergence")(spark, sfDir).collect()
+    val bySource = docRows.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    val global = docRows.flatMap(t => seqTokens(t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totG = global.values.sum.toDouble
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val tf = bySource(src).flatMap(t => seqTokens(t._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val totS = tf.values.sum.toDouble
+      // exact replay of the nano-unit flooring — same doubles, same
+      // Math.log, same floor, so equality is exact, not approximate
+      val nano = tf.map { case (tok, a) =>
+        val p = a / totS; val q = global(tok) / totG
+        math.floor(p * math.log(p / q) * 1e9).toLong
+      }.sum
+      val expected = BigDecimal(nano / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r.getAs[Double]("kl_nats")).setScale(6, BigDecimal.RoundingMode.HALF_UP) == expected,
+        s"$src: kl ${r.getAs[Double]("kl_nats")} != replay $expected")
+      assert(r.getAs[Long]("n_tok") == totS.toLong && r.getAs[Long]("n_types") == tf.size.toLong)
+      // true KL >= 0; flooring subtracts < 1e-9 per term
+      assert(r.getAs[Double]("kl_nats") >= -(tf.size * 1e-9) - 1e-6, s"negative KL: $r")
+    }
+  }
+
+  test("q178: Chao1 >= observed vocabulary and matches the sequential tally") {
+    val rows = SparkEntry.queries("q178_chao1_richness")(spark, sfDir).collect()
+    val bySource = docRows.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val freq = bySource(src).flatMap(t => seqTokens(t._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val v = freq.size.toLong
+      val f1 = freq.values.count(_ == 1L).toLong
+      val f2 = freq.values.count(_ == 2L).toLong
+      assert(r.getAs[Long]("v_obs") == v && r.getAs[Long]("f1") == f1 &&
+             r.getAs[Long]("f2") == f2, s"$src tallies drifted: $r")
+      val chao1 = r.getAs[Double]("chao1")
+      assert(chao1 >= v - 1e-9, s"$src: estimator below observed vocabulary: $r")
+      assert(math.abs(chao1 - (v + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1)))) < 5e-7,
+        s"$src: chao1 formula drifted: $r")
+    }
+  }
 }
