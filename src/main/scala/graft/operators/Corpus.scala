@@ -565,6 +565,73 @@ object Corpus extends QueryGroup {
       FROM sh JOIN fo USING (g)
       GROUP BY sh.doc_id
       ORDER BY sh.doc_id
+    """)),
+
+    // ------------------------------------------------- curation funnel attrition (round 8)
+    // The observability complement to q94: q94 SHIPS the survivors;
+    // this reports WHERE THE DATA WENT — every document attributed to
+    // its FIRST failing gate (exact-dup → language → length → entropy
+    // → kept), counts per stage. The number a curation run is judged
+    // by ("you dropped 40% of source X") and the first thing to audit
+    // when a corpus shrinks unexpectedly. One text-bearing pass
+    // computes digest + token entropy together (the md5 rides the
+    // token explode so text is read once); the gate pass reads only
+    // (doc_id, lang, n_chars) — a column-pruned scan with zero text
+    // bytes — and joins back doc-keyed. Gate thresholds reuse the
+    // library's own: q169's entropy < 2.0 flag, q94's first-by-digest.
+    ("q181_curation_funnel", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), md5(col("text")).as("dig"),
+                explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "dig", "tok").agg(count(lit(1)).as("c"))
+      val per = tf.groupBy("doc_id", "dig").agg(
+          sum("c").as("n_tok"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+        .select(col("doc_id"), col("dig"),
+          (log(col("n_tok").cast("double")) - col("clogc") / col("n_tok")).as("entropy"))
+      val staged = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .join(per, Seq("doc_id"), "left")
+        .withColumn("rn", row_number().over(Window.partitionBy("dig").orderBy("doc_id")))
+        .withColumn("stage_id",
+          when(col("rn") > 1, 1L)
+          .when(!col("lang").isin("en", "de", "fr"), 2L)
+          .when(col("n_chars") < 100 || col("n_chars") > 100000, 3L)
+          .when(coalesce(col("entropy"), lit(0.0)) < 2.0, 4L)
+          .otherwise(5L))
+      staged.groupBy("stage_id").agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", expr(
+          """CASE stage_id WHEN 1 THEN 'exact_dup' WHEN 2 THEN 'bad_lang'
+             WHEN 3 THEN 'bad_length' WHEN 4 THEN 'low_entropy'
+             ELSE 'kept' END"""))
+        .select("stage_id", "stage", "n_docs")
+        .orderBy("stage_id")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT doc_id, md5(text) AS dig, tok, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, text, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2, 3),
+      per AS (
+        SELECT doc_id, dig,
+               ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c) AS entropy
+        FROM tf GROUP BY doc_id, dig),
+      ranked AS (
+        SELECT d.doc_id, d.lang, d.n_chars, p.entropy,
+               row_number() OVER (PARTITION BY p.dig ORDER BY d.doc_id) AS rn
+        FROM documents d LEFT JOIN per p USING (doc_id)),
+      staged AS (
+        SELECT CASE WHEN rn > 1 THEN 1
+                    WHEN lang NOT IN ('en', 'de', 'fr') THEN 2
+                    WHEN n_chars < 100 OR n_chars > 100000 THEN 3
+                    WHEN coalesce(entropy, 0) < 2.0 THEN 4
+                    ELSE 5 END AS stage_id
+        FROM ranked)
+      SELECT stage_id::BIGINT AS stage_id,
+             CASE stage_id WHEN 1 THEN 'exact_dup' WHEN 2 THEN 'bad_lang'
+                  WHEN 3 THEN 'bad_length' WHEN 4 THEN 'low_entropy'
+                  ELSE 'kept' END AS stage,
+             count(*)::BIGINT AS n_docs
+      FROM staged GROUP BY stage_id
+      ORDER BY stage_id
     """))
   )
 }

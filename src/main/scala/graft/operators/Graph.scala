@@ -361,6 +361,63 @@ object Graph extends QueryGroup {
       SELECT node, min(hops)::BIGINT AS hops
       FROM walk GROUP BY node
       ORDER BY node
+    """)),
+
+    // ----------------------------------------------- local clustering coefficient (round 8)
+    // C(u) = 2·T(u) / (deg(u)·(deg(u)−1)) — how close each node's
+    // neighborhood is to a clique. q116 counts the triangles, q155
+    // fits the degree tail; this composes them into the per-node
+    // community-density feature (high C = tight co-purchase pocket,
+    // low C at high degree = hub spanning unrelated communities —
+    // the spam/aggregator signature in link graphs). Same thresholded
+    // oriented triangle join as q116 (each triangle found ONCE via
+    // u<v<w chaining on the checkpointed edge list); degrees come
+    // from the symmetric adjacency of the same edges; the join-back
+    // is node-keyed and vocab-bounded. Coefficient is an exact
+    // int/int double division — deterministic, hash-matchable.
+    ("q179_local_clustering", (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint() // triangle legs + adjacency read it — build once
+      val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+        .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+      val deg = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .groupBy(col("u").as("part_id")).agg(count(lit(1)).as("deg"))
+      tri.join(deg, "part_id")
+        .withColumn("coeff", round(
+          lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 6))
+        .select("part_id", "deg", "n_tri", "coeff")
+        .orderBy(col("coeff").desc, col("part_id")).limit(topK)
+    }, Some(s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      tri AS (
+        SELECT w1.u, w1.v, w2.v AS w
+        FROM e w1 JOIN e w2 ON w1.v = w2.u
+             JOIN e w3 ON w3.u = w1.u AND w3.v = w2.v),
+      tcnt AS (
+        SELECT part_id, count(*)::BIGINT AS n_tri
+        FROM (SELECT unnest([u, v, w]) AS part_id FROM tri) GROUP BY part_id),
+      deg AS (
+        SELECT u AS part_id, count(*)::BIGINT AS deg
+        FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) GROUP BY u)
+      SELECT t.part_id, d.deg, t.n_tri,
+             round(2.0 * t.n_tri / (d.deg * (d.deg - 1)), 6) AS coeff
+      FROM tcnt t JOIN deg d USING (part_id)
+      ORDER BY coeff DESC, part_id
+      LIMIT $topK
     """))
   )
 }

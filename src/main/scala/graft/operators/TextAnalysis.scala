@@ -783,6 +783,64 @@ object TextAnalysis extends QueryGroup {
                      / (2 * (count(*) FILTER (c = 2) + 1)), 6) AS chao1
       FROM tf GROUP BY source
       ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ Gini concentration audit (round 8)
+    // Gini coefficient of (a) corpus token-frequency mass — "how much
+    // of the corpus is its top tokens" in one number, the scalar
+    // complement to q175's fitted slope — and (b) per-source document-
+    // length inequality (a source whose length mass sits in a few huge
+    // docs chunks/packs very differently from a uniform one). Computed
+    // on the grouped-data form of the rank formula: the value HISTOGRAM
+    // (value, multiplicity) replaces the raw relation, a value-block of
+    // m equal xs starting at rank r0 contributes x·(m·r0 + m(m−1)/2),
+    // so the rank window runs over the histogram — bounded by DISTINCT
+    // values, never corpus-sized — and every term is integer until the
+    // final division (order-free sums, exact cross-engine parity). The
+    // doc-length pass reads only (source, n_chars) — a column-pruned
+    // scan that touches none of the text bytes.
+    ("q180_concentration_gini", (s, d) => {
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("x"))
+      val h1 = tf.groupBy("x").agg(count(lit(1)).as("m"))
+        .select(lit("token_freq").as("dim"), lit("*").as("source"), col("x"), col("m"))
+      val h2 = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("x")).agg(count(lit(1)).as("m"))
+        .select(lit("doc_chars").as("dim"), col("source"), col("x"), col("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dim", "source").orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      h1.unionByName(h2)
+        .withColumn("cum", sum("m").over(w))
+        .withColumn("s_part", expr("x * (m * (cum - m + 1) + (m * (m - 1)) DIV 2)"))
+        .groupBy("dim", "source")
+        .agg(sum("m").as("n"), sum(expr("x * m")).as("total"), sum("s_part").as("s"))
+        .withColumn("gini", round(
+          lit(2.0) * col("s") / (col("n").cast("double") * col("total")) -
+          (col("n") + lit(1.0)) / col("n"), 6))
+        .select("dim", "source", "n", "total", "gini")
+        .orderBy("dim", "source")
+    }, Some(s"""
+      WITH tf AS (
+        SELECT tok, count(*)::BIGINT AS x
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      h1 AS (SELECT 'token_freq' AS dim, '*' AS source, x, count(*)::BIGINT AS m
+             FROM tf GROUP BY x),
+      h2 AS (SELECT 'doc_chars' AS dim, source, n_chars AS x, count(*)::BIGINT AS m
+             FROM documents GROUP BY source, n_chars),
+      h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+      c AS (SELECT dim, source, x, m,
+                   sum(m) OVER (PARTITION BY dim, source ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM h),
+      agg AS (SELECT dim, source, sum(m)::BIGINT AS n, sum(x * m)::BIGINT AS total,
+                     sum(x * (m * (cum - m + 1) + (m * (m - 1)) // 2))::BIGINT AS s
+              FROM c GROUP BY dim, source)
+      SELECT dim, source, n, total,
+             round(2.0 * s / (n::DOUBLE * total) - (n + 1.0) / n, 6) AS gini
+      FROM agg ORDER BY dim, source
     """))
   )
 

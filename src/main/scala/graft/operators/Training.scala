@@ -328,6 +328,83 @@ object Training extends QueryGroup {
       FROM c ORDER BY doc_id
     """)),
 
+    // ------------------------------------------------------------ packing-efficiency audit (round 8)
+    // The QC read-out over q165's packing: per source — how many
+    // 512-id context windows the stream fills, how much of the last
+    // window is padding waste, and how many documents SPLIT across a
+    // window boundary (split_frac is the score that decides between
+    // greedy-concat and length-binned packing: every split doc puts a
+    // document boundary mid-sequence, every avoided split costs
+    // padding). Same vocab-bounded BPE chain as q164/q165 (merge
+    // rounds never touch the corpus), one extra per-source aggregate
+    // over the packed relation; all ratios are exact int/int double
+    // divisions — hash-clean.
+    ("q182_packing_audit", (s, d) => {
+      val rounds = 5; val ctx = 512
+      val docToks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+                explode(tokens(col("text"))).as("word"))
+      val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val syms0 = vocab
+        .select(col("word"), col("cnt"),
+                posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      val (_, finalSyms) = bpeRounds(syms0, rounds)
+      val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docToks.join(wordLen, "word")
+        .groupBy("doc_id", "source").agg(sum("n_sym").as("n_tok"))
+        .withColumn("tok_end", sum("n_tok").over(w))
+        .select(col("source"), col("n_tok"), col("tok_end"),
+                expr(s"(tok_end - n_tok) DIV $ctx").as("seq_first"),
+                expr(s"(tok_end - 1) DIV $ctx").as("seq_last"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tok"),
+          max(expr(s"(tok_end + $ctx - 1) DIV $ctx")).as("n_seqs"),
+          sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L)).as("split_docs"))
+        .withColumn("waste_tok", col("n_seqs") * ctx - col("total_tok"))
+        .withColumn("util", round(
+          col("total_tok").cast("double") / (col("n_seqs") * ctx), 6))
+        .withColumn("split_frac", round(
+          col("split_docs").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      s0 AS (
+        SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
+        FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
+      ${bpeRoundCtesSql(5)},
+      wl AS (SELECT word, count(*)::BIGINT AS n_sym FROM s5 GROUP BY word),
+      dt AS (
+        SELECT doc_id, source, unnest($toksSql) AS word FROM documents),
+      dl AS (
+        SELECT doc_id, source, sum(n_sym)::BIGINT AS n_tok
+        FROM dt JOIN wl USING (word) GROUP BY 1, 2),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        FROM dl),
+      p AS (
+        SELECT source, n_tok, tok_end,
+               (tok_end - n_tok) // 512 AS seq_first,
+               (tok_end - 1) // 512 AS seq_last
+        FROM c),
+      a AS (
+        SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tok,
+               max((tok_end + 511) // 512)::BIGINT AS n_seqs,
+               count(*) FILTER (seq_last > seq_first)::BIGINT AS split_docs
+        FROM p GROUP BY source)
+      SELECT source, n_docs, total_tok, n_seqs, split_docs,
+             (n_seqs * 512 - total_tok)::BIGINT AS waste_tok,
+             round(total_tok::DOUBLE / (n_seqs * 512), 6) AS util,
+             round(split_docs::DOUBLE / n_docs, 6) AS split_frac
+      FROM a ORDER BY source
+    """)),
+
     ("q114_random_projection", (s, d) => {
       val projCols = (0 until outDims).map { j =>
         (0 until inDims).map(i =>

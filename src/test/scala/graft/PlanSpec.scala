@@ -559,6 +559,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q175's top-200 must be a TakeOrderedAndProject, not a global Sort")
   }
 
+  test("q179-q182: round-8 batch-2 additions stay inside their plan budgets") {
+    // (hash-exchange budget, corpus FileScan budget) measured at
+    // landing. q179's 0 scans = the thresholded edge list is
+    // checkpointed (q116 discipline) and feeds all three triangle legs
+    // plus the adjacency; q180's second scan reads only
+    // (source, n_chars) — column-pruned, no text bytes; q181's second
+    // scan likewise reads (doc_id, lang, n_chars) only; q182 inherits
+    // q165's one-corpus-scan BPE chain.
+    val budget = Map(
+      "q179_local_clustering" -> (7, 0), "q180_concentration_gini" -> (7, 2),
+      "q181_curation_funnel" -> (8, 2), "q182_packing_audit" -> (5, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    // q180/q181's second scans must actually be pruned to metadata
+    // columns — reading text for the histogram/gate pass would defeat
+    // the two-pass split
+    assert(plan("q180_concentration_gini").contains("ReadSchema: struct<source:string,n_chars:bigint"),
+      "q180's doc-length histogram scan must read only (source, n_chars)")
+    assert(plan("q181_curation_funnel").contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint"),
+      "q181's gate scan must read only (doc_id, lang, n_chars)")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
