@@ -727,6 +727,50 @@ object Dedup extends QueryGroup {
       FROM attached
       GROUP BY source_a, source_b
       ORDER BY n_dup_pairs DESC, source_a, source_b
+    """)),
+
+    // ------------------------------------------------------------ dedup impact accounting (round 8)
+    // The before/after ledger for the whole q34→q64 pipeline: per
+    // source — corpus size, docs sitting in a near-dup cluster, docs a
+    // keep-canonical policy (q112's min-id) would REMOVE, docs kept,
+    // distinct clusters represented, and the dedup ratio. This is the
+    // number a curation team actually reports ("web-crawl is 12%
+    // near-duplicate; books is 0.3%") and the sanity gate before
+    // committing to a destructive dedup pass — q162 says WHERE the
+    // duplication comes from, this says HOW MUCH each slice loses.
+    // Plan: clusterLabels' band-blocked pair generation + k=3
+    // propagation (shared, lineage-truncated), one left join against
+    // the (doc_id, source) projection — never the text — and a
+    // ≤|sources| aggregate. The distinct-cluster count rides the same
+    // aggregate via Spark's single-distinct rewrite (bounded by docs
+    // in clusters, a tiny relation after the near-dup filter).
+    ("q186_dedup_impact", (s, d) => {
+      val canon = clusterLabels(s, d)
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(canon, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("label").isNotNull, 1L).otherwise(0L)).as("in_near_dup"),
+          sum(when(col("label").isNotNull && col("label") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("removed"),
+          countDistinct(col("label")).as("n_clusters"))
+        .select(col("source"), col("n_docs"), col("in_near_dup"), col("removed"),
+          (col("n_docs") - col("removed")).as("kept"), col("n_clusters"),
+          round(col("removed").cast("double") / col("n_docs"), 6).as("dedup_ratio"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      j AS (
+        SELECT d.source, d.doc_id, l.label
+        FROM documents d LEFT JOIN l3 l ON l.doc_id = d.doc_id)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(label)::BIGINT AS in_near_dup,
+             coalesce(count(*) FILTER (label <> doc_id), 0)::BIGINT AS removed,
+             (count(*) - coalesce(count(*) FILTER (label <> doc_id), 0))::BIGINT AS kept,
+             count(DISTINCT label)::BIGINT AS n_clusters,
+             round(coalesce(count(*) FILTER (label <> doc_id), 0)::DOUBLE / count(*), 6) AS dedup_ratio
+      FROM j GROUP BY source ORDER BY source
     """))
   )
 

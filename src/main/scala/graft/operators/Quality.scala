@@ -877,6 +877,49 @@ object Quality extends QueryGroup {
              (n - mu) / sigma >= 3.0 AS is_spike
       FROM scored
       ORDER BY event_type, hour_ts
+    """)),
+
+    // ------------------------------------------------------------ rolling active users (round 8)
+    // DAU / rolling-7-day WAU / stickiness per day — the product-
+    // analytics daily readout, and relationally the interesting one:
+    // a DISTINCT count over a MOVING window, which no RANGE frame can
+    // express (count(DISTINCT) isn't frame-decomposable). The scalable
+    // plan inverts the window: reduce events to distinct (user, day)
+    // pairs FIRST (the only corpus-sized shuffle — everything after is
+    // bounded by users×days), then explode each pair into the ≤7
+    // window-END days it serves (a fixed ×7 blowup of the already-
+    // reduced relation, never of raw events), and count distinct users
+    // per end day. A self-join of days × user-days on a BETWEEN range
+    // would plan the same logical result but shuffle user-days |days|
+    // times; the explode form ships each pair exactly 7 times with
+    // plain equi-partitioning — at 100 TB of events the distinct-pair
+    // reduction is the whole game (events >> users×days). Days with no
+    // events carry no DAU row and are excluded (inner join), matching
+    // the oracle's grouping over observed days.
+    ("q183_rolling_actives", (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+                col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+                round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+      wau AS (
+        SELECT w.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        FROM (SELECT day, user_id, unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS wday
+              FROM ud) u
+        JOIN dau w ON w.day = u.wday
+        GROUP BY w.day)
+      SELECT day, dau, wau, round(dau::DOUBLE / wau, 6) AS stickiness
+      FROM dau JOIN wau USING (day)
+      ORDER BY day
     """))
   )
 }

@@ -841,6 +841,57 @@ object TextAnalysis extends QueryGroup {
       SELECT dim, source, n, total,
              round(2.0 * s / (n::DOUBLE * total) - (n + 1.0) / n, 6) AS gini
       FROM agg ORDER BY dim, source
+    """)),
+
+    // ------------------------------------------------------------ token burstiness (round 8)
+    // Church–Gale burstiness per frequent token: function words spread
+    // thin and even (cf/df ≈ 1, dispersion ≈ 1), topical words clump
+    // into few documents with many repeats (both ratios high) — the
+    // standard signal separating stopword induction (q175's head) from
+    // keyword extraction (q170's log-odds). Per token with df ≥ 20:
+    // cf (corpus frequency), df (containing docs), burstiness = cf/df,
+    // and the variance-to-mean Fisher dispersion of the per-doc count
+    // computed over ALL N docs (zeros included) WITHOUT materializing
+    // zeros: E[x]=cf/N and E[x²]=Σc²/N need only the containing-doc
+    // counts plus the corpus size, so the plan stays one tokenize pass
+    // → (tok, doc) count → (tok) rollup; N arrives as the sanctioned
+    // 1-row broadcast cross (q170/q174 precedent), its scan pruned to
+    // row-group metadata. All moment sums are integers (order-free,
+    // exact cross-engine); divisions happen once at the end in
+    // identical association. At 100 TB nothing here is corpus-wide but
+    // the two keyed aggregations, both map-side-combining.
+    ("q184_token_burstiness", (s, d) => {
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val perDoc = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      perDoc.groupBy("tok")
+        .agg(sum("c").as("cf"), count(lit(1)).as("df"),
+             sum(expr("c * c")).as("sumsq"))
+        .filter(col("df") >= 20)
+        .crossJoin(broadcast(n))
+        .select(col("tok"), col("cf"), col("df"),
+          round(col("cf").cast("double") / col("df"), 6).as("burstiness"),
+          round((col("sumsq").cast("double") / col("n_docs") -
+                 (col("cf").cast("double") / col("n_docs")) * (col("cf").cast("double") / col("n_docs"))) /
+                (col("cf").cast("double") / col("n_docs")), 6).as("dispersion"))
+        .orderBy("tok")
+    }, Some(s"""
+      WITH pd AS (
+        SELECT tok, doc_id, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        GROUP BY tok, doc_id),
+      tf AS (
+        SELECT tok, sum(c)::BIGINT AS cf, count(*)::BIGINT AS df,
+               sum(c * c)::BIGINT AS sumsq
+        FROM pd GROUP BY tok HAVING count(*) >= 20),
+      n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+      SELECT tok, cf, df,
+             round(cf::DOUBLE / df, 6) AS burstiness,
+             round((sumsq::DOUBLE / n_docs - (cf::DOUBLE / n_docs) * (cf::DOUBLE / n_docs))
+                     / (cf::DOUBLE / n_docs), 6) AS dispersion
+      FROM tf, n
+      ORDER BY tok
     """))
   )
 

@@ -405,6 +405,57 @@ object Training extends QueryGroup {
       FROM a ORDER BY source
     """)),
 
+    // ------------------------------------------------------------ tokenizer fertility (round 8)
+    // THE standard tokenizer-evaluation metric: fertility = subword
+    // tokens emitted per word, and chars-per-token (compression), per
+    // source — how well the q123-learned merge table fits each slice
+    // of the corpus (a tokenizer trained on web text visibly inflates
+    // on code or non-English slices; fertility per slice is how that's
+    // caught before a training run burns context budget on it). Same
+    // vocab-bounded chain as q164/q165: the merge rounds run on the
+    // VOCABULARY (never the corpus), per-word encoded length comes
+    // from the final symbol table, and one equi-join + per-source
+    // aggregate produces the readout. Word/char totals are integers;
+    // the two ratios divide once at the end (exact cross-engine).
+    ("q185_bpe_fertility", (s, d) => {
+      val rounds = 5
+      val docToks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+      val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val syms0 = vocab
+        .select(col("word"), col("cnt"),
+                posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      val (_, finalSyms) = bpeRounds(syms0, rounds)
+      val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
+      docToks.join(wordLen, "word")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_words"),
+          sum("n_sym").as("n_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok AS word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY tok),
+      s0 AS (
+        SELECT word, cnt, i AS pos, substring(word, i, 1) AS sym
+        FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) t),
+      ${bpeRoundCtesSql(5)},
+      wl AS (SELECT word, count(*)::BIGINT AS n_sym FROM s5 GROUP BY word),
+      dt AS (SELECT source, unnest($toksSql) AS word FROM documents),
+      a AS (
+        SELECT source, count(*)::BIGINT AS n_words, sum(n_sym)::BIGINT AS n_tokens,
+               sum(length(word))::BIGINT AS n_chars
+        FROM dt JOIN wl USING (word) GROUP BY source)
+      SELECT source, n_words, n_tokens, n_chars,
+             round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+             round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token
+      FROM a ORDER BY source
+    """)),
+
     ("q114_random_projection", (s, d) => {
       val projCols = (0 until outDims).map { j =>
         (0 until inDims).map(i =>

@@ -511,4 +511,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
         s"$src: chao1 formula drifted: $r")
     }
   }
+
+  test("q186: dedup ledger is exactly the q64 clustering rolled up by source") {
+    val canon = SparkEntry.queries("q64_dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    val got = SparkEntry.queries("q186_dedup_impact")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._2 == src).map(_._1)
+      val inCluster = mine.filter(canon.contains)
+      val removed = inCluster.count(id => canon(id) != id).toLong
+      assert(r.getAs[Long]("in_near_dup") == inCluster.length.toLong, s"$src in_near_dup")
+      assert(r.getAs[Long]("removed") == removed, s"$src removed")
+      assert(r.getAs[Long]("kept") == mine.length - removed, s"$src kept")
+      assert(r.getAs[Long]("n_clusters") == inCluster.map(canon).distinct.length.toLong,
+        s"$src n_clusters")
+      // ledger invariants: kept + removed partitions the source, and a
+      // cluster member set can never be smaller than its removals
+      assert(r.getAs[Long]("kept") + r.getAs[Long]("removed") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("in_near_dup") >= r.getAs[Long]("removed"))
+    }
+  }
 }

@@ -588,6 +588,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q181's gate scan must read only (doc_id, lang, n_chars)")
   }
 
+  test("q183-q186: round-8 batch-3 additions stay inside their plan budgets") {
+    // (hash-exchange budget, corpus FileScan budget) measured at
+    // landing. q183's two event scans are the dau/wau branches of the
+    // shared distinct-pair relation; q184's second scan is the 1-row
+    // corpus count (metadata-only); q185 inherits q164's one-corpus-
+    // scan BPE chain plus the doc-token rescan; q186's single scan is
+    // the (doc_id, source) projection — the pair generation behind it
+    // is checkpoint-truncated (q64 discipline).
+    val budget = Map(
+      "q183_rolling_actives" -> (6, 2), "q184_token_burstiness" -> (2, 2),
+      "q185_bpe_fertility" -> (6, 2), "q186_dedup_impact" -> (5, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // q184's BNLJ is the sanctioned 1-row broadcast corpus-count
+      // cross (q170/q174 precedent)
+      if (q != "q184_token_burstiness")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    // q186's doc attachment must read only (doc_id, source) — never
+    // the text bytes (the pairs behind the labels already paid for it)
+    assert(plan("q186_dedup_impact").contains("ReadSchema: struct<doc_id:bigint,source:string"),
+      "q186's doc scan must read only (doc_id, source)")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

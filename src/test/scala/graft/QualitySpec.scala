@@ -665,4 +665,58 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     // IV terms are non-negative by construction ((p−q) and ln(p/q) share sign)
     got.foreach(r => assert(r.getAs[Double]("iv_term") >= 0.0))
   }
+
+  test("q183: DAU/WAU match a sequential per-day distinct replay") {
+    val ud = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"), org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("user_id")))
+      .toSet
+    val days = ud.map(_._1)
+    val expected = days.toSeq.sortBy(_.toString).map { d =>
+      val dau = ud.count(_._1 == d).toLong
+      val wau = ud.filter { case (s, _) =>
+        !s.isAfter(d) && !s.isBefore(d.minusDays(6)) }.map(_._2).size.toLong
+      (d, dau, wau)
+    }
+    val got = SparkEntry.queries("q183_rolling_actives")(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (d, dau, wau)) =>
+      assert(r.getAs[java.sql.Date]("day").toLocalDate == d)
+      assert(r.getAs[Long]("dau") == dau, s"dau at $d")
+      assert(r.getAs[Long]("wau") == wau, s"wau at $d")
+      assert(math.abs(r.getAs[Double]("stickiness") - dau.toDouble / wau) < 1e-6)
+      // a week's distinct actives can never undercut one of its days
+      assert(wau >= dau)
+    }
+  }
+
+  test("q184: burstiness/dispersion match sequential moments over per-doc counts") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val n = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(t => (t, id))
+    }.groupBy(identity).map { case ((t, id), xs) => (t, id, xs.length.toLong) }
+    val expected = perDoc.groupBy(_._1).collect {
+      case (tok, rows) if rows.size >= 20 =>
+        val cf = rows.map(_._3).sum
+        val sumsq = rows.map(r => r._3 * r._3).sum
+        val mean = cf.toDouble / n
+        tok -> (cf, rows.size.toLong, cf.toDouble / rows.size,
+                (sumsq.toDouble / n - mean * mean) / mean)
+    }
+    val got = SparkEntry.queries("q184_token_burstiness")(spark, sfDir).collect()
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val (cf, df, burst, disp) = expected(tok)
+      assert(r.getAs[Long]("cf") == cf && r.getAs[Long]("df") == df, tok)
+      assert(math.abs(r.getAs[Double]("burstiness") - burst) < 1e-6, tok)
+      assert(math.abs(r.getAs[Double]("dispersion") - disp) < 1e-6, tok)
+      // multiset mean per containing doc is at least 1; population
+      // variance is non-negative, so dispersion is too
+      assert(r.getAs[Double]("burstiness") >= 1.0 && r.getAs[Double]("dispersion") >= 0.0)
+    }
+  }
 }

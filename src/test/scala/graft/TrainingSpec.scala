@@ -263,4 +263,34 @@ class TrainingSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"\n got=$got\nwant=$expected")
     assert(got.nonEmpty)
   }
+
+  test("q185: fertility totals are consistent with the q165 packing chain") {
+    // Same learned merge table, two independent roll-ups: q165's
+    // per-doc n_tok summed by source must equal q185's n_tokens, and
+    // q185's word count must equal the raw tokenizer's (q115 source).
+    val packed = SparkEntry.queries("q165_bpe_packing")(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    val words = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long").as("w"))
+      .collect().groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("w")).sum).toMap
+    val got = SparkEntry.queries("q185_bpe_fertility")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tokens") == packed(src),
+        s"$src: fertility token total diverges from the packing chain")
+      assert(r.getAs[Long]("n_words") == words(src),
+        s"$src: word total diverges from the raw tokenizer")
+      // every word encodes to >= 1 symbol, so fertility >= 1 and the
+      // merge table can only shrink token counts toward n_words
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"),
+        s"$src: more tokens than characters")
+    }
+  }
 }
