@@ -684,6 +684,52 @@ object Advanced extends QueryGroup {
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 6) AS median_7d
       FROM daily
       ORDER BY event_type, day
+    """)),
+
+    // ------------------------------------------------------------ weighted quantiles (round 8)
+    // Quantity-weighted price percentiles per return flag — the
+    // weighted sibling of q57's exact percentiles (and the shape
+    // behind token-weighted doc-length medians in a curation report:
+    // "half the TOKENS sit in docs shorter than X" is a weighted
+    // quantile, not a row quantile, and no built-in computes it). The
+    // classic cumulative-weight construction: order each group by
+    // value with a unique tie-break, running weight sum, and the
+    // q-quantile is the first value whose cumulative weight reaches
+    // q·total — expressed as three conditional MINs over one windowed
+    // pass, so adding quantiles costs nothing. Scale shape: ONE
+    // per-group sort (the same sort serves all quantiles), no join, no
+    // second pass for the total (a partition-wide window sum rides the
+    // same exchange). Determinism: quantities are integral doubles, so
+    // running sums are exact integers in doubles regardless of order;
+    // the selected prices are raw column values (never arithmetic), so
+    // both engines pick bit-identical rows.
+    ("q190_weighted_quantiles", (s, d) => {
+      val ord = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val all = Window.partitionBy("l_returnflag")
+      val c = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+                col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("cw", sum("l_quantity").over(ord))
+        .withColumn("tw", sum("l_quantity").over(all))
+      c.groupBy("l_returnflag")
+        .agg(max("tw").cast("long").as("total_weight"),
+             min(when(col("cw") >= col("tw") * 0.25, col("l_extendedprice"))).as("wp25"),
+             min(when(col("cw") >= col("tw") * 0.5,  col("l_extendedprice"))).as("wp50"),
+             min(when(col("cw") >= col("tw") * 0.75, col("l_extendedprice"))).as("wp75"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem)
+      SELECT l_returnflag, max(tw)::BIGINT AS total_weight,
+             min(CASE WHEN cw >= tw * 0.25 THEN l_extendedprice END) AS wp25,
+             min(CASE WHEN cw >= tw * 0.5  THEN l_extendedprice END) AS wp50,
+             min(CASE WHEN cw >= tw * 0.75 THEN l_extendedprice END) AS wp75
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag
     """))
   )
 

@@ -182,6 +182,60 @@ object Similarity extends QueryGroup {
     )"""
   }
 
+  /** Nearest-centroid prediction relation (vec_id, label, pred_label,
+    * sim) shared by the model-eval family — q134 (confusion matrix),
+    * q187 (Cohen's kappa), q188 (calibration). One pass over the
+    * vectors against a broadcast of the |labels|-row quant6-quantized
+    * centroid relation (the q62 probe shape; vectors are never
+    * shuffled by a centroid-derived key); argmax via per-vector
+    * row_number tie-broken (sim DESC, label).
+    */
+  private def centroidPred(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(quant6(avg(col("x").cast("double"))).as("c"))
+    val cvec = cent.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                     t => t.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("label").as("pred_label"), col("cv"), col("cnrm"))
+    def dotFD(f: Column, dd: Column) =
+      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label"))
+    normed(s, d)
+      .crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (dotFD(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+  }
+
+  /** DuckDB mirror of [[centroidPred]] as a CTE block ending in
+    * `pred(vec_id, label, pred_label, sim)`. Kept in lockstep with the
+    * Spark side — q134/q187/q188 all hash against oracles built here.
+    */
+  private val centroidPredCtes = s"""$normedCte,
+      cent AS (
+        SELECT label, i - 1 AS pos, ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i),
+      cv AS (
+        SELECT label AS pred_label, list(c ORDER BY pos) AS cv,
+               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
+        FROM cent GROUP BY label),
+      pred AS (
+        SELECT vec_id, label, pred_label, sim FROM (
+          SELECT q.vec_id, q.label, cv.pred_label,
+                 list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i]))
+                   / (q.nrm * cv.cnrm) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i]))
+                     / (q.nrm * cv.cnrm) DESC,
+                   cv.pred_label) AS rk
+          FROM e q, cv) t
+        WHERE rk = 1)"""
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q41_cosine_topk", (s, d) => {
@@ -840,57 +894,135 @@ object Similarity extends QueryGroup {
     // row_number over |labels| scored rows, tie-broken (sim DESC,
     // label) deterministically; the matrix aggregate is ≤|labels|²
     // rows. Centroids quant6-quantized exactly as q44, so both
-    // engines rank identical doubles.
+    // engines rank identical doubles. The prediction relation is
+    // factored out ([[centroidPred]]) because the whole model-eval
+    // family rides on it: q134 (confusion), q187 (kappa), q188
+    // (calibration).
     ("q134_confusion_matrix", (s, d) => {
-      val cent = Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(quant6(avg(col("x").cast("double"))).as("c"))
-      val cvec = cent.groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-                       t => t.getField("c")).as("cv"))
-        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
-        .select(col("label").as("pred_label"), col("cv"), col("cnrm"))
-      def dotFD(f: Column, dd: Column) =
-        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
-      val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label"))
-      val pred = normed(s, d)
-        .crossJoin(broadcast(cvec))
-        .select(col("vec_id"), col("label"), col("pred_label"),
-          (dotFD(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("sim"))
-        .withColumn("rk", row_number().over(wv))
-        .filter(col("rk") === 1)
-      pred.groupBy(col("label").as("true_label"), col("pred_label"))
+      centroidPred(s, d)
+        .groupBy(col("label").as("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
         .withColumn("row_share",
           round(col("n").cast("double") /
             sum("n").over(Window.partitionBy("true_label")), 6))
         .orderBy("true_label", "pred_label")
     }, Some(s"""
-      WITH $normedCte,
-      cent AS (
-        SELECT label, i - 1 AS pos, ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
-        FROM embeddings, generate_series(1, 64) g(i)
-        GROUP BY label, i),
-      cv AS (
-        SELECT label AS pred_label, list(c ORDER BY pos) AS cv,
-               sqrt(list_sum(list_transform(list(c ORDER BY pos), x -> x * x))) AS cnrm
-        FROM cent GROUP BY label),
-      pred AS (
-        SELECT vec_id, label, pred_label FROM (
-          SELECT q.vec_id, q.label, cv.pred_label,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * cv.cv[i]))
-                     / (q.nrm * cv.cnrm) DESC,
-                   cv.pred_label) AS rk
-          FROM e q, cv) t
-        WHERE rk = 1)
+      WITH $centroidPredCtes
       SELECT label AS true_label, pred_label, count(*) AS n,
              round(count(*)::DOUBLE /
                    sum(count(*)) OVER (PARTITION BY label), 6) AS row_share
       FROM pred
       GROUP BY label, pred_label
       ORDER BY true_label, pred_label
+    """)),
+
+    // ------------------------------------------------------------ Cohen's kappa (round 8)
+    // Chance-corrected agreement between the true labels and the
+    // nearest-centroid predictions — the one-number summary a labeling
+    // or distillation pipeline reports next to q134's full matrix
+    // (accuracy alone is inflated whenever the label marginals are
+    // skewed; kappa subtracts the agreement two independent raters
+    // with these marginals would reach by luck). po = diag/N, pe =
+    // Σ_l row_l·col_l / N², kappa = (po−pe)/(1−pe). Everything
+    // downstream of the prediction is computed from the ≤|labels|²
+    // CELL relation, localCheckpoint-pinned so the embedding scan and
+    // centroid broadcast run ONCE even though three tiny derivations
+    // (totals, row marginals, column marginals) branch from it — the
+    // same bounded-materialization discipline as q64's label
+    // propagation (cluster form: reliable checkpoint). All counts are
+    // integers; po/pe/kappa divide once at the end in identical
+    // association on both engines, so the hash matches without any
+    // quantization beyond the output rounding.
+    ("q187_agreement_kappa", (s, d) => {
+      val cells = centroidPred(s, d)
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rowm = cells.groupBy("label").agg(sum("n").as("nt"))
+      val colm = cells.groupBy("pred_label").agg(sum("n").as("np"))
+        .withColumnRenamed("pred_label", "label")
+      val pe = rowm.join(colm, Seq("label"))
+        .agg(sum(col("nt") * col("np")).as("pe_num"))
+      val tot = cells.agg(
+        sum("n").as("n"),
+        sum(when(col("label") === col("pred_label"), col("n")).otherwise(0L)).as("n_agree"))
+      val po = col("n_agree").cast("double") / col("n")
+      val pev = col("pe_num").cast("double") / (col("n") * col("n"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_preds"),
+          round(po, 6).as("accuracy"),
+          round(pev, 6).as("expected_agreement"),
+          round((po - pev) / (lit(1.0) - pev), 6).as("kappa"))
+    }, Some(s"""
+      WITH $centroidPredCtes,
+      cells AS (
+        SELECT label, pred_label, count(*)::BIGINT AS n
+        FROM pred GROUP BY label, pred_label),
+      rm AS (SELECT label, sum(n)::BIGINT AS nt FROM cells GROUP BY label),
+      cm AS (SELECT pred_label AS label, sum(n)::BIGINT AS np FROM cells GROUP BY pred_label),
+      pe AS (SELECT sum(nt * np)::BIGINT AS pe_num FROM rm JOIN cm USING (label)),
+      tot AS (
+        SELECT sum(n)::BIGINT AS n,
+               sum(CASE WHEN label = pred_label THEN n ELSE 0 END)::BIGINT AS n_agree
+        FROM cells)
+      SELECT n AS n_preds,
+             round(n_agree::DOUBLE / n, 6) AS accuracy,
+             round(pe_num::DOUBLE / (n * n), 6) AS expected_agreement,
+             round(((n_agree::DOUBLE / n) - (pe_num::DOUBLE / (n * n)))
+                     / (1.0 - (pe_num::DOUBLE / (n * n))), 6) AS kappa
+      FROM tot, pe
+    """)),
+
+    // ------------------------------------------------------------ calibration / reliability (round 8)
+    // Reliability diagram + Brier decomposition for the centroid
+    // classifier: map each prediction's cosine score to a confidence
+    // in [0,1] (conf = (sim+1)/2), bucket into deciles, and per bucket
+    // report count, mean confidence, empirical accuracy, the
+    // overconfidence gap, and the Brier term — the standard check that
+    // a filtering/labeling model's scores MEAN what they say before
+    // anyone thresholds on them (ECE is the n-weighted |gap| sum, and
+    // a reader gets it from these rows directly). Determinism is the
+    // design point: confidence is quantized ONCE to an integer in
+    // [0, 1e6] (the quant6 floor trick), so every per-bucket statistic
+    // is an INTEGER sum — mean conf = Σq/(n·1e6), Brier = Σ(q−y·1e6)²
+    // /(n·1e12) — order-free and bit-identical across engines, with
+    // the only double divisions at the end. One aggregate over the
+    // prediction relation; nothing after the scan exceeds 10 rows.
+    ("q188_calibration_bins", (s, d) => {
+      val confQ = floor(((col("sim") + lit(1.0)) / lit(2.0)) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+      val binned = centroidPred(s, d)
+        .select(col("label"), col("pred_label"), confQ.as("cq"))
+        .withColumn("y", when(col("label") === col("pred_label"), 1L).otherwise(0L))
+        .withColumn("bin", least(expr("cq DIV 100000"), lit(9L)))
+      binned.groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+             sum("cq").as("sum_cq"),
+             sum("y").as("n_correct"),
+             sum(expr("(cq - y * 1000000) * (cq - y * 1000000)")).as("sum_sq"))
+        .select(col("bin"), col("n"),
+          round(col("sum_cq").cast("double") / (col("n") * lit(1000000.0)), 6).as("avg_conf"),
+          round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"),
+          round(col("sum_cq").cast("double") / (col("n") * lit(1000000.0)) -
+                col("n_correct").cast("double") / col("n"), 6).as("overconfidence"),
+          round(col("sum_sq").cast("double") / (col("n") * lit(1.0e12)), 6).as("brier"))
+        .orderBy("bin")
+    }, Some(s"""
+      WITH $centroidPredCtes,
+      b AS (
+        SELECT least(cq // 100000, 9) AS bin, cq,
+               CASE WHEN label = pred_label THEN 1 ELSE 0 END AS y
+        FROM (SELECT label, pred_label,
+                     floor(((sim + 1.0) / 2.0) * 1000000.0 + 0.5)::BIGINT AS cq
+              FROM pred) t)
+      SELECT bin, count(*)::BIGINT AS n,
+             round(sum(cq)::DOUBLE / (count(*) * 1000000.0), 6) AS avg_conf,
+             round(sum(y)::DOUBLE / count(*), 6) AS accuracy,
+             round(sum(cq)::DOUBLE / (count(*) * 1000000.0)
+                     - sum(y)::DOUBLE / count(*), 6) AS overconfidence,
+             round(sum((cq - y * 1000000) * (cq - y * 1000000))::DOUBLE
+                     / (count(*) * 1e12), 6) AS brier
+      FROM b GROUP BY bin ORDER BY bin
     """)),
 
     // ------------------------------------------------------------ quantile normalization (round 8)

@@ -892,6 +892,59 @@ object TextAnalysis extends QueryGroup {
                      / (cf::DOUBLE / n_docs), 6) AS dispersion
       FROM tf, n
       ORDER BY tok
+    """)),
+
+    // ------------------------------------------------------------ source vocabulary overlap (round 8)
+    // Pairwise vocabulary Jaccard + containment between every pair of
+    // sources — the lexical companion to q177's distributional KL:
+    // KL says the sources WEIGHT words differently, this says whether
+    // they even share the words (two mirrors have jaccard ≈ 1; a code
+    // slice against news has tiny jaccard but possibly high
+    // containment of the smaller vocabulary — the signal that decides
+    // merge-vs-keep-separate for mixture design, q90/q177's consumers).
+    // Plan: the corpus-sized work is ONE distinct (source, token)
+    // reduction; the pair counts come from a vocab-bounded self-equi-
+    // join on the token (each token fans out to its ≤|sources|²/2
+    // source pairs — never a doc-level or all-pairs join), and the
+    // identical distinct subplan under both join sides collapses to a
+    // ReusedExchange. Set sizes attach by broadcast; |∪| = |A|+|B|−|∩|
+    // by arithmetic (q145's identity). At 100 TB: sources ≈ dozens,
+    // so pairs ≤ hundreds — output and join fan-out both bounded.
+    ("q189_source_vocab_overlap", (s, d) => {
+      val sv = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = sv.groupBy("source").agg(count(lit(1)).as("vsize"))
+      val inter = sv.select(col("source").as("source_a"), col("tok"))
+        .join(sv.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("vsize").as("vocab_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("vsize").as("vocab_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+                (col("vocab_a") + col("vocab_b") - col("n_shared")), 6).as("jaccard"),
+          round(col("n_shared").cast("double") /
+                least(col("vocab_a"), col("vocab_b")), 6).as("containment"))
+        .orderBy("source_a", "source_b")
+    }, Some(s"""
+      WITH sv AS (
+        SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+      sz AS (SELECT source, count(*)::BIGINT AS vsize FROM sv GROUP BY source),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+        FROM sv a JOIN sv b USING (tok)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT source_a, source_b, sa.vsize AS vocab_a, sb.vsize AS vocab_b, n_shared,
+             round(n_shared::DOUBLE / (sa.vsize + sb.vsize - n_shared), 6) AS jaccard,
+             round(n_shared::DOUBLE / least(sa.vsize, sb.vsize), 6) AS containment
+      FROM inter
+      JOIN sz sa ON sa.source = source_a
+      JOIN sz sb ON sb.source = source_b
+      ORDER BY source_a, source_b
     """))
   )
 

@@ -246,4 +246,33 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(v - expected(k)) < 1e-6, s"$k: got $v want ${expected(k)}")
     }
   }
+
+  test("q190: weighted quantiles match a sequential cumulative-weight replay") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("l_extendedprice"),
+        r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"), r.getAs[Double]("l_quantity")))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3, r._4))
+      val total = ordered.map(_._5).sum
+      def wq(q: Double): Double = {
+        var cum = 0.0
+        ordered.find { r => cum += r._5; cum >= total * q }.get._2
+      }
+      flag -> (total.toLong, wq(0.25), wq(0.5), wq(0.75))
+    }
+    val got = SparkEntry.queries("q190_weighted_quantiles")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val (tw, p25, p50, p75) = expected(flag)
+      assert(r.getAs[Long]("total_weight") == tw, s"$flag total")
+      assert(r.getAs[Double]("wp25") == p25, s"$flag wp25")
+      assert(r.getAs[Double]("wp50") == p50, s"$flag wp50")
+      assert(r.getAs[Double]("wp75") == p75, s"$flag wp75")
+      // quantiles are monotone in q by construction
+      assert(p25 <= p50 && p50 <= p75, s"$flag monotonicity")
+    }
+  }
 }

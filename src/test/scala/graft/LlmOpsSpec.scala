@@ -512,6 +512,35 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q189: source vocabulary overlap matches sequential set arithmetic") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+    val vocab = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(d => d._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)).toSet).toMap
+    val sources = vocab.keys.toSeq.sorted
+    val expected = (for {
+      i <- sources.indices; j <- i + 1 until sources.length
+      a = sources(i); b = sources(j)
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield (a, b) -> (vocab(a).size.toLong, vocab(b).size.toLong, inter)).toMap
+    val got = SparkEntry.queries("q189_source_vocab_overlap")(spark, sfDir).collect()
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (va, vb, inter) = expected(key)
+      assert(r.getAs[Long]("vocab_a") == va && r.getAs[Long]("vocab_b") == vb, s"$key sizes")
+      assert(r.getAs[Long]("n_shared") == inter, s"$key intersection")
+      val jac = inter.toDouble / (va + vb - inter)
+      val cont = inter.toDouble / math.min(va, vb)
+      assert(math.abs(r.getAs[Double]("jaccard") - jac) < 1e-6, s"$key jaccard")
+      assert(math.abs(r.getAs[Double]("containment") - cont) < 1e-6, s"$key containment")
+      // set identities: jaccard can never exceed containment, and
+      // containment caps at 1 (the smaller set fully inside the larger)
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("containment") + 1e-12)
+      assert(r.getAs[Double]("containment") <= 1.0)
+    }
+  }
+
   test("q186: dedup ledger is exactly the q64 clustering rolled up by source") {
     val canon = SparkEntry.queries("q64_dedup_clusters")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap

@@ -617,6 +617,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q186's doc scan must read only (doc_id, source)")
   }
 
+  test("q187-q190: round-8 batch-4 additions stay inside their plan budgets") {
+    // (hash-exchange budget, corpus FileScan budget), counted on the
+    // pre-AQE plan where nothing is reused yet. q187 plans ZERO file
+    // scans: its cell relation is localCheckpoint-pinned, so the
+    // embedding scan + centroid broadcast ran once at build and the
+    // judged plan aggregates the materialized ≤|labels|² cells. q188
+    // inherits centroidPred's two embedding scans (vectors + centroid
+    // build). q189 nominally plans the (source,tok) distinct subplan 4
+    // times (two self-join sides + the two vocab-size broadcasts), so
+    // 4 FileScans and 7 hash exchanges pre-AQE — at runtime they
+    // collapse onto ONE distinct exchange via stage reuse, asserted
+    // below (ReusedExchange on the executed plan). q190 is one sort
+    // exchange serving window + aggregate.
+    val budget = Map(
+      "q187_agreement_kappa" -> (4, 0), "q188_calibration_bins" -> (4, 2),
+      "q189_source_vocab_overlap" -> (7, 4), "q190_weighted_quantiles" -> (1, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // sanctioned BNLJs: q187's 1-row totals×pe cross, q188's
+      // vector×centroid broadcast cross (the q134/q62 probe shape)
+      if (q != "q187_agreement_kappa" && q != "q188_calibration_bins")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    // q189's two join sides + size aggregates must reuse the single
+    // (source, tok) distinct exchange, not rebuild it — a physical-
+    // planning property, so pinned on the executed plan (q106's shape)
+    val q189 = SparkEntry.queries("q189_source_vocab_overlap")(spark, sfDir)
+    q189.collect()
+    val q189p = q189.queryExecution.executedPlan.toString
+    assert(q189p.contains("ReusedExchange"),
+      s"q189's self-join must reuse the distinct exchange:\n$q189p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -262,6 +262,72 @@ class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
       s"nearest-centroid accuracy not better than 2x chance: $diag/$total")
   }
 
+  test("q187/q188: kappa and calibration match a sequential eval over the same predictions") {
+    // One sequential nearest-centroid replay (the q134 reference
+    // construction, sim retained) feeds both checks.
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[collection.Seq[Float]]("embedding").toArray))
+    def quant6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val centroids = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(i => quant6(vs.map(_._3(i).toDouble).sum / vs.length)).toArray
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val predicted = vecs.map { case (_, label, v) =>
+      val vd = v.map(_.toDouble)
+      val nrm = math.sqrt(dot(vd, vd))
+      val (sim, pred) = centroids.toSeq.map { case (l, c) =>
+        (dot(vd, c) / (nrm * math.sqrt(dot(c, c))), l)
+      }.maxBy { case (s, l) => (s, -l) }
+      (label, pred, sim)
+    }
+
+    // ---- q187: Cohen's kappa from the prediction multiset
+    val n = predicted.length.toDouble
+    val po = predicted.count(p => p._1 == p._2) / n
+    val rowm = predicted.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colm = predicted.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pe = rowm.map { case (l, nt) => nt * colm.getOrElse(l, 0L) }.sum / (n * n)
+    val kappa = (po - pe) / (1 - pe)
+    val k = SparkEntry.queries("q187_agreement_kappa")(spark, sfDir).collect()
+    assert(k.length == 1)
+    assert(k(0).getAs[Long]("n_preds") == predicted.length.toLong)
+    assert(math.abs(k(0).getAs[Double]("accuracy") - po) < 1e-6)
+    assert(math.abs(k(0).getAs[Double]("expected_agreement") - pe) < 1e-6)
+    assert(math.abs(k(0).getAs[Double]("kappa") - kappa) < 1e-6)
+    // chance correction can only deflate: kappa <= accuracy, and a
+    // better-than-chance classifier keeps it strictly positive
+    assert(k(0).getAs[Double]("kappa") <= k(0).getAs[Double]("accuracy") + 1e-12)
+    assert(k(0).getAs[Double]("kappa") > 0.0)
+
+    // ---- q188: calibration bins from quantized confidences
+    val binRows = predicted.map { case (t, p, sim) =>
+      val cq = math.floor(((sim + 1.0) / 2.0) * 1000000.0 + 0.5).toLong
+      (math.min(cq / 100000, 9L), cq, if (t == p) 1L else 0L)
+    }
+    val expected = binRows.groupBy(_._1).view.mapValues { rs =>
+      val nb = rs.length.toLong
+      val sumCq = rs.map(_._2).sum
+      val nc = rs.map(_._3).sum
+      val sq = rs.map(r => (r._2 - r._3 * 1000000L) * (r._2 - r._3 * 1000000L)).sum
+      (nb, sumCq.toDouble / (nb * 1e6), nc.toDouble / nb, sq.toDouble / (nb * 1e12))
+    }.toMap
+    val got = SparkEntry.queries("q188_calibration_bins")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == predicted.length.toLong)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nb, conf, acc, brier) = expected(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n") == nb)
+      assert(math.abs(r.getAs[Double]("avg_conf") - conf) < 1e-6)
+      assert(math.abs(r.getAs[Double]("accuracy") - acc) < 1e-6)
+      assert(math.abs(r.getAs[Double]("overconfidence") - (conf - acc)) < 2e-6)
+      assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-6)
+      // Brier is a mean of squared [0,1] gaps — bounded by 1
+      assert(r.getAs[Double]("brier") >= 0.0 && r.getAs[Double]("brier") <= 1.0)
+    }
+  }
+
   test("q135: token PMI matches the sequential co-occurrence reference") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")).distinct.toSet)
