@@ -771,6 +771,77 @@ object Dedup extends QueryGroup {
              count(DISTINCT label)::BIGINT AS n_clusters,
              round(coalesce(count(*) FILTER (label <> doc_id), 0)::DOUBLE / count(*), 6) AS dedup_ratio
       FROM j GROUP BY source ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ sparse cosine pairs (round 8)
+    // WEIGHTED sparse-vector similarity join: cosine over per-document
+    // term-frequency vectors restricted to the rare-token vocabulary
+    // (df ≤ 25) — the frequency-aware sibling of q61's set Jaccard.
+    // Jaccard treats "tokenizer appears 40×" and "appears once" the
+    // same; tf-cosine is what catches template pages that share the
+    // same rare vocabulary in the same PROPORTIONS (near-identical term
+    // histograms under paraphrase-level edits that break shingle
+    // overlap). The df cap is the semantics, not a shortcut: it IS the
+    // stopword/boilerplate removal an idf weighting would do softly,
+    // and simultaneously the scale contract — candidate generation is
+    // a token-keyed equi-join whose per-token fan-out is ≤ df² ≤ 625
+    // pairs, so candidates are O(Σ_rare df²), never O(n²), at any
+    // corpus size (df=1 tokens can't produce a pair and are pruned
+    // from the JOIN but kept in the norms — pure lossless pruning).
+    // Determinism: numerator Σ tf_a·tf_b and both norm² sums are
+    // INTEGER aggregates (order-free, exact); sqrt/divide happen once
+    // on identical longs, so both engines produce bit-identical
+    // cosines before the final 6-dp rounding. The two join sides are
+    // the same (tok-keyed) subplan — physically one exchange, reused.
+    ("q191_sparse_cosine_pairs", (s, d) => {
+      val dfCap = 25L
+      val simT = 0.5
+      val tf = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val v = tf.join(dfreq, "tok").filter(col("df") <= dfCap)
+      val nrm = v.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val joinable = v.filter(col("df") >= 2)
+      val num = joinable.as("a")
+        .join(joinable.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_terms"),
+             sum(col("a.tf") * col("b.tf")).as("num"))
+      num
+        .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+        .withColumn("cosine",
+          col("num").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+        .filter(col("cosine") >= simT)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+                round(col("cosine"), 6).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    }, Some(s"""
+      WITH tk AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                          t -> t <> '')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tk GROUP BY doc_id, tok),
+      dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+      v AS (SELECT t.doc_id, t.tok, t.tf, f.df
+            FROM tf t JOIN dfreq f USING (tok) WHERE f.df <= 25),
+      nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM v GROUP BY doc_id),
+      num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared_terms, sum(a.tf * b.tf)::BIGINT AS num
+        FROM v a JOIN v b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE a.df >= 2
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, n_shared_terms,
+             round(num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cosine
+      FROM num
+      JOIN nrm na ON na.doc_id = doc_a
+      JOIN nrm nb ON nb.doc_id = doc_b
+      WHERE num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
+      ORDER BY doc_a, doc_b
     """))
   )
 

@@ -1025,6 +1025,115 @@ object Similarity extends QueryGroup {
       FROM b GROUP BY bin ORDER BY bin
     """)),
 
+    // ------------------------------------------------------------ classifier AUC (round 8)
+    // Threshold-free ranking quality of the centroid classifier's
+    // confidence score: AUC = P(conf_correct > conf_wrong) via the
+    // tie-corrected Mann–Whitney rank-sum — q188 asks "do the scores
+    // mean what they say", this asks "do they ORDER right/wrong at
+    // all" (you can be perfectly calibrated and useless for filtering,
+    // and vice versa; a data-filtering team thresholds on this score,
+    // so AUC is the go/no-go). Tie handling is exact, not sampled:
+    // group by the quantized confidence, and each tied group of cnt
+    // predictions at cumulative offset cb contributes average rank
+    // cb + (cnt+1)/2 — doubled to keep everything integer:
+    // 2·R_pos = Σ pos·(2cb + cnt + 1), AUC = (2R_pos − P(P+1))/(2PN).
+    // The ordered window runs over DISTINCT confidence values (≤
+    // predictions, and ≤ 1e6 by construction — the quantization bounds
+    // the relation at any corpus size); everything else is one
+    // integer aggregate. Gini = 2·AUC − 1 from the same integers.
+    ("q192_classifier_auc", (s, d) => {
+      val cq = floor(((col("sim") + lit(1.0)) / lit(2.0)) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+      val g = centroidPred(s, d)
+        .select(cq.as("cq"),
+          when(col("label") === col("pred_label"), 1L).otherwise(0L).as("y"))
+        .groupBy("cq").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      val w = Window.orderBy("cq").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cb", coalesce(sum("cnt").over(w), lit(0L)))
+        .agg(sum("pos").as("n_pos"),
+             sum(col("cnt") - col("pos")).as("n_neg"),
+             sum(col("pos") * (col("cb") * 2 + col("cnt") + 1)).as("num2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("num2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+                (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"),
+          round((col("num2") - col("n_pos") * (col("n_pos") + 1) -
+                 col("n_pos") * col("n_neg")).cast("double") /
+                (col("n_pos") * col("n_neg")), 6).as("gini"))
+    }, Some(s"""
+      WITH $centroidPredCtes,
+      scored AS (
+        SELECT floor(((sim + 1.0) / 2.0) * 1000000.0 + 0.5)::BIGINT AS cq,
+               CASE WHEN label = pred_label THEN 1 ELSE 0 END AS y
+        FROM pred),
+      g AS (SELECT cq, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+            FROM scored GROUP BY cq),
+      w AS (SELECT cq, cnt, pos,
+                   coalesce(sum(cnt) OVER (ORDER BY cq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+            FROM g)
+      SELECT sum(pos)::BIGINT AS n_pos, sum(cnt - pos)::BIGINT AS n_neg,
+             round((sum(pos * (2 * cb + cnt + 1)) - sum(pos) * (sum(pos) + 1))::DOUBLE
+                   / (2 * sum(pos) * sum(cnt - pos)), 6) AS auc,
+             round((sum(pos * (2 * cb + cnt + 1)) - sum(pos) * (sum(pos) + 1)
+                    - sum(pos) * sum(cnt - pos))::DOUBLE
+                   / (sum(pos) * sum(cnt - pos)), 6) AS gini
+      FROM w
+    """)),
+
+    // ------------------------------------------------------------ per-label precision/recall/F1 (round 8)
+    // The per-class report card behind q187's single kappa number:
+    // support, predicted count, true positives, precision, recall, F1
+    // per label — the table that tells a labeling pipeline WHICH class
+    // the classifier is silently sacrificing (macro metrics and kappa
+    // both hide a collapsed minority class). Everything derives from
+    // the ≤|labels|² cell relation, localCheckpoint-pinned (the q187
+    // discipline) so the embedding scan runs once while support,
+    // predicted marginal, and the diagonal branch from materialized
+    // cells. F1 uses the algebraic identity 2PR/(P+R) = 2tp/(pred+sup)
+    // — one division from integers instead of a ratio of ratios, so
+    // no intermediate-double drift. A label never predicted gets NULL
+    // precision (0/0 is a report gap, not a zero).
+    ("q193_label_prf", (s, d) => {
+      val cells = centroidPred(s, d)
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val sup = cells.groupBy("label").agg(sum("n").as("support"))
+      val prd = cells.groupBy("pred_label").agg(sum("n").as("predicted"))
+        .withColumnRenamed("pred_label", "label")
+      val tp = cells.filter(col("label") === col("pred_label"))
+        .select(col("label"), col("n").as("tp"))
+      sup.join(prd, Seq("label"), "left").join(tp, Seq("label"), "left")
+        .select(col("label"), col("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .select(col("label"), col("support"), col("predicted"), col("tp"),
+          when(col("predicted") > 0,
+            round(col("tp").cast("double") / col("predicted"), 6)).as("precision"),
+          round(col("tp").cast("double") / col("support"), 6).as("recall"),
+          round((col("tp") * 2).cast("double") /
+                (col("predicted") + col("support")), 6).as("f1"))
+        .orderBy("label")
+    }, Some(s"""
+      WITH $centroidPredCtes,
+      cells AS (SELECT label, pred_label, count(*)::BIGINT AS n
+                FROM pred GROUP BY label, pred_label),
+      sup AS (SELECT label, sum(n)::BIGINT AS support FROM cells GROUP BY label),
+      prd AS (SELECT pred_label AS label, sum(n)::BIGINT AS predicted
+              FROM cells GROUP BY pred_label),
+      tp AS (SELECT label, n AS tp FROM cells WHERE label = pred_label)
+      SELECT s.label, s.support,
+             coalesce(p.predicted, 0)::BIGINT AS predicted,
+             coalesce(t.tp, 0)::BIGINT AS tp,
+             CASE WHEN coalesce(p.predicted, 0) > 0
+                  THEN round(coalesce(t.tp, 0)::DOUBLE / p.predicted, 6) END AS "precision",
+             round(coalesce(t.tp, 0)::DOUBLE / s.support, 6) AS recall,
+             round((coalesce(t.tp, 0) * 2)::DOUBLE
+                   / (coalesce(p.predicted, 0) + s.support), 6) AS f1
+      FROM sup s LEFT JOIN prd p USING (label) LEFT JOIN tp t USING (label)
+      ORDER BY s.label
+    """)),
+
     // ------------------------------------------------------------ quantile normalization (round 8)
     // Per-dimension rank (quantile) transform of the embedding matrix —
     // the rank-gauss/quantile feature prep that precedes indexing when

@@ -541,6 +541,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q191: sparse cosine pairs match a sequential tf-vector replay") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val tf = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = dfreq.filter(_._2 <= 25).keySet
+    val vecs = tf.map { case (id, m) => id -> m.view.filterKeys(vocab).toMap }
+    val n2 = vecs.map { case (id, m) => id -> m.values.map(v => v * v).sum }
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ids(i); b = ids(j)
+      shared = vecs(a).keySet.intersect(vecs(b).keySet)
+      if shared.nonEmpty
+      num = shared.toSeq.map(t => vecs(a)(t) * vecs(b)(t)).sum
+      cos = num.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      if cos >= 0.5
+    } yield (a, b) -> (shared.size.toLong, cos)).toMap
+    val got = SparkEntry.queries("q191_sparse_cosine_pairs")(spark, sfDir).collect()
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (nShared, cos) = expected(key)
+      assert(r.getAs[Long]("n_shared_terms") == nShared, s"$key shared terms")
+      assert(math.abs(r.getAs[Double]("cosine") - cos) < 1e-6, s"$key cosine")
+      // Cauchy–Schwarz: tf-cosine over a shared subspace is in (0, 1]
+      assert(r.getAs[Double]("cosine") > 0.0 && r.getAs[Double]("cosine") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q186: dedup ledger is exactly the q64 clustering rolled up by source") {
     val canon = SparkEntry.queries("q64_dedup_clusters")(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap

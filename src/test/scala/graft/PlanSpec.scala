@@ -655,6 +655,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"q189's self-join must reuse the distinct exchange:\n$q189p")
   }
 
+  test("q191-q193: round-8 batch-5 additions stay inside their plan budgets") {
+    // q191's nominal plan replicates the (doc, tok, tf)⋈df subplan 4×
+    // (norms + both join sides + the two norm join-backs), so 8
+    // FileScans / 15 hash exchanges pre-AQE — they collapse onto one
+    // physical tf chain at runtime (ReusedExchange, asserted below).
+    // q192 inherits centroidPred's two embedding scans and its
+    // sanctioned vector×centroid broadcast cross (the q188 shape);
+    // its AUC tail is one cq aggregate + one distinct-confidence
+    // window + a 1-row aggregate. q193 plans ZERO scans: the ≤|labels|²
+    // cell relation is localCheckpoint-pinned (the q187 discipline)
+    // and support/predicted/diagonal all branch from materialized
+    // cells.
+    val budget = Map(
+      "q191_sparse_cosine_pairs" -> (15, 8),
+      "q192_classifier_auc" -> (4, 2),
+      "q193_label_prf" -> (3, 0))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "q192_classifier_auc") // sanctioned: 1-row centroid cross
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    // q191's replicated tf chain must physically run once
+    val q191 = SparkEntry.queries("q191_sparse_cosine_pairs")(spark, sfDir)
+    q191.collect()
+    val q191p = q191.queryExecution.executedPlan.toString
+    assert(q191p.contains("ReusedExchange"),
+      s"q191's tf subplan must be physically shared:\n$q191p")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -328,6 +328,75 @@ class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q192/q193: AUC and per-label PRF match brute-force references") {
+    // Same sequential nearest-centroid replay as the q187/q188 test.
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[collection.Seq[Float]]("embedding").toArray))
+    def quant6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val centroids = vecs.groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(i => quant6(vs.map(_._3(i).toDouble).sum / vs.length)).toArray
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val predicted = vecs.map { case (_, label, v) =>
+      val vd = v.map(_.toDouble)
+      val nrm = math.sqrt(dot(vd, vd))
+      val (sim, pred) = centroids.toSeq.map { case (l, c) =>
+        (dot(vd, c) / (nrm * math.sqrt(dot(c, c))), l)
+      }.maxBy { case (s, l) => (s, -l) }
+      (label, pred, sim)
+    }
+
+    // ---- q192: AUC by brute-force pair counting over (correct, conf)
+    val scored = predicted.map { case (t, p, sim) =>
+      (math.floor(((sim + 1.0) / 2.0) * 1000000.0 + 0.5).toLong, if (t == p) 1 else 0)
+    }
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    var wins = 0L; var ties = 0L
+    for (a <- pos; b <- neg) {
+      if (a > b) wins += 1 else if (a == b) ties += 1
+    }
+    val aucRef = (wins + 0.5 * ties) / (pos.length.toDouble * neg.length)
+    val auc = SparkEntry.queries("q192_classifier_auc")(spark, sfDir).collect()
+    assert(auc.length == 1)
+    assert(auc(0).getAs[Long]("n_pos") == pos.length.toLong)
+    assert(auc(0).getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(auc(0).getAs[Double]("auc") - aucRef) < 1e-6,
+      s"auc ${auc(0).getAs[Double]("auc")} vs brute-force $aucRef")
+    assert(math.abs(auc(0).getAs[Double]("gini") - (2 * aucRef - 1)) < 2e-6)
+    // the classifier's confidence must rank better than coin-flip
+    assert(auc(0).getAs[Double]("auc") > 0.5)
+
+    // ---- q193: per-label PRF from the prediction multiset
+    val byTrue = predicted.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byPred = predicted.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tp = predicted.filter(p => p._1 == p._2).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val prf = SparkEntry.queries("q193_label_prf")(spark, sfDir).collect()
+    assert(prf.length == byTrue.size)
+    prf.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val (sup, prd, t) = (byTrue(l), byPred.getOrElse(l, 0L), tp.getOrElse(l, 0L))
+      assert(r.getAs[Long]("support") == sup && r.getAs[Long]("predicted") == prd &&
+             r.getAs[Long]("tp") == t, s"label $l counts")
+      if (prd > 0)
+        assert(math.abs(r.getAs[Double]("precision") - t.toDouble / prd) < 1e-6)
+      else assert(r.isNullAt(r.fieldIndex("precision")))
+      assert(math.abs(r.getAs[Double]("recall") - t.toDouble / sup) < 1e-6)
+      // harmonic mean lies between its two components
+      val f1 = r.getAs[Double]("f1")
+      if (prd > 0) {
+        val p = r.getAs[Double]("precision"); val rc = r.getAs[Double]("recall")
+        assert(f1 >= math.min(p, rc) - 1e-9 && f1 <= math.max(p, rc) + 1e-9)
+      }
+      assert(math.abs(f1 - 2.0 * t / (prd + sup)) < 1e-6)
+    }
+    // tp conservation: Σ tp = the diagonal the q187 accuracy counts
+    assert(prf.map(_.getAs[Long]("tp")).sum == predicted.count(p => p._1 == p._2).toLong)
+  }
+
   test("q135: token PMI matches the sequential co-occurrence reference") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> tokensOf(r.getAs[String]("text")).distinct.toSet)
