@@ -920,6 +920,255 @@ object Quality extends QueryGroup {
       SELECT day, dau, wau, round(dau::DOUBLE / wau, 6) AS stickiness
       FROM dau JOIN wau USING (day)
       ORDER BY day
+    """)),
+
+    // ------------------------------------------------------------ chi-squared independence (round 8)
+    // Pearson chi² test of event_type × day-of-week independence — the
+    // "is traffic mix stable across the week" gate that decides whether
+    // a per-dow stratified sample (q141) is even necessary. Everything
+    // runs on the ≤|types|×7 contingency relation: ONE scan aggregates
+    // the cells, windows over the tiny relation supply both marginals
+    // and N (no second scan, no checkpoint), and the per-cell term uses
+    // the all-integer identity (O−E)²/E = (O·N − row·col)² / (row·col·N)
+    // — the difference O·N − row·col is computed in exact int64
+    // (|O·N| ≤ N² ≈ 10¹² at sf0.1; at trillions of events switch the
+    // products to double, exact to 2⁵³) so both engines square and
+    // divide the SAME integer, leaving only the ≤70-term double sum to
+    // the 4-dp rounding. Cramér's V normalizes chi² to [0,1] effect
+    // size — the number that survives N-fold growth.
+    ("q194_chi2_independence", (s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wRow = Window.partitionBy("event_type")
+      val wCol = Window.partitionBy("dow")
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("row_tot", sum("o").over(wRow))
+        .withColumn("col_tot", sum("o").over(wCol))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("term",
+          pow((col("o") * col("n") - col("row_tot") * col("col_tot")).cast("double"), 2) /
+            (col("row_tot").cast("double") * col("col_tot") * col("n")))
+        .agg(max("n").as("n_events"),
+             countDistinct("event_type").as("n_types"),
+             countDistinct("dow").as("n_dows"),
+             sum("term").as("chi2"))
+        .select(col("n_events"), col("n_types"), col("n_dows"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n_events") * least(col("n_types") - 1, col("n_dows") - 1))), 6)
+            .as("cramers_v"))
+    }, Some("""
+      WITH cells AS (
+        SELECT event_type, dayofweek(ts::TIMESTAMP) AS dow, count(*)::BIGINT AS o
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY dow) AS col_tot,
+               sum(o) OVER () AS n,
+               event_type, dow
+        FROM cells),
+      t AS (
+        SELECT pow((o * n - row_tot * col_tot)::DOUBLE, 2)
+                 / (row_tot::DOUBLE * col_tot * n) AS term,
+               n, event_type, dow
+        FROM m)
+      SELECT max(n)::BIGINT AS n_events,
+             count(DISTINCT event_type)::BIGINT AS n_types,
+             count(DISTINCT dow)::BIGINT AS n_dows,
+             (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS df,
+             round(sum(term), 4) AS chi2,
+             round(sqrt(sum(term) / (max(n) * least(count(DISTINCT event_type) - 1,
+                                                    count(DISTINCT dow) - 1))), 6) AS cramers_v
+      FROM t
+    """)),
+
+    // ------------------------------------------------------------ Benford first-digit audit (round 8)
+    // First-significant-digit distribution of order totals vs Benford's
+    // law — the classic fabricated-or-truncated-data screen an
+    // ingestion pipeline runs on any money/measurement column (synthetic
+    // uniform-ish generators fail it loudly; that failure signature is
+    // itself the fixture's expected shape). Digit extraction is pure
+    // string arithmetic on the INTEGER part — no float log10 on data
+    // values, whose ulp behavior at exact powers of ten differs across
+    // engines; log10 appears only in the Benford constant log10(1+1/d)
+    // where a 1-ulp libm difference dies in the 6-dp rounding. One scan,
+    // one ≤9-row aggregate, shares from a window over it.
+    ("q195_benford_digits", (s, d) => {
+      val g = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .groupBy(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+      val wAll = Window.partitionBy(lit(1))
+      g.withColumn("total", sum("n_orders").over(wAll))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") / col("total"), 6).as("observed_share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"),
+          round(col("n_orders").cast("double") / col("total") -
+                log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("deviation"),
+          (abs(col("n_orders").cast("double") / col("total") -
+               log10(lit(1.0) + lit(1.0) / col("digit"))) > 0.02).as("flag_02"))
+        .orderBy("digit")
+    }, Some("""
+      WITH g AS (
+        SELECT substr((floor(o_totalprice)::BIGINT)::VARCHAR, 1, 1)::INT AS digit,
+               count(*)::BIGINT AS n_orders
+        FROM orders WHERE o_totalprice >= 1.0
+        GROUP BY 1),
+      w AS (SELECT digit, n_orders, sum(n_orders) OVER () AS total FROM g)
+      SELECT digit, n_orders,
+             round(n_orders::DOUBLE / total, 6) AS observed_share,
+             round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+             round(n_orders::DOUBLE / total - log10(1.0 + 1.0 / digit), 6) AS deviation,
+             abs(n_orders::DOUBLE / total - log10(1.0 + 1.0 / digit)) > 0.02 AS flag_02
+      FROM w ORDER BY digit
+    """)),
+
+    // ------------------------------------------------------------ Mann–Kendall trend test (round 8)
+    // Nonparametric monotonic-trend test per event series — the
+    // rank-based sibling of q140's mean-shift search (q140 finds WHERE
+    // a level changed; this says whether the series drifts at all,
+    // immune to outliers because only sign(x_j − x_i) enters). The
+    // q140 discipline: the O(days²) pair sweep runs on the per-day
+    // AGGREGATE (≤ |types|·90 rows — a broadcast self-equi-join on
+    // event_type), never on raw events. S and the tie-corrected
+    // variance numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact
+    // integers; doubles appear only in the final z = (S∓1)/√var
+    // continuity-corrected division.
+    ("q196_mann_kendall", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val sS = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.n") > col("a.n"), 1L)
+          .when(col("b.n") < col("a.n"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy("event_type", "n").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_corr"),
+             sum(col("t")).as("n_days"))
+      sS.join(ties, "event_type")
+        .withColumn("var_s",
+          ((col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) -
+            col("tie_corr")).cast("double") / 18.0))
+        .withColumn("z",
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          round(col("var_s"), 6).as("var_s"), round(col("z"), 4).as("z"),
+          when(col("z") > 1.96, "increasing").when(col("z") < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1),
+      ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) * (t * 2 + 5))::BIGINT AS tie_corr,
+               sum(t)::BIGINT AS n_days
+        FROM (SELECT event_type, n, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+      j AS (
+        SELECT s.event_type, n_days, s_stat,
+               (n_days * (n_days - 1) * (n_days * 2 + 5) - tie_corr)::DOUBLE / 18.0 AS var_s
+        FROM s JOIN ties USING (event_type)),
+      z AS (
+        SELECT *, CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+                       WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+                       ELSE 0.0 END AS z
+        FROM j)
+      SELECT event_type, n_days, s_stat, round(var_s, 6) AS var_s, round(z, 4) AS z,
+             CASE WHEN z > 1.96 THEN 'increasing'
+                  WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+      FROM z ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ Kaplan–Meier retention (round 8)
+    // Product-limit survival curve over user lifetimes (first→last
+    // event, day granularity) with right-censoring: a user whose last
+    // event falls within 7 days of the corpus end may still be active,
+    // so they leave the risk set without counting as churn — the
+    // correction naive "avg lifetime" retention numbers get wrong.
+    // ONE scan → per-user (first, last) aggregate; the curve itself
+    // lives on the ≤|distinct lifetimes| relation (risk set via
+    // cumulative window, survival via exp∘Σln — the distributed
+    // cumulative-product idiom; Spark has no product aggregate and
+    // exp/ln keeps both engines' op sequence identical, window order
+    // makes the double sum order-deterministic). A drop-to-zero day
+    // (everyone at risk churns) is carried as a cumulative zero-factor
+    // count, not ln(0).
+    ("q197_kaplan_meier", (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("first_day"), to_date(max(col("ts"))).as("last_day"))
+      val end = perUser.agg(max(col("last_day")).as("corpus_end"))
+      val byLife = perUser.crossJoin(broadcast(end))
+        .select(datediff(col("last_day"), col("first_day")).cast("long").as("lifetime_days"),
+          (datediff(col("corpus_end"), col("last_day")) < 7).as("censored"))
+        .groupBy("lifetime_days")
+        .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_events"),
+             sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      val wPrev = Window.orderBy("lifetime_days").rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("lifetime_days").rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(1))
+      byLife
+        .withColumn("n_risk",
+          sum(col("n_events") + col("n_censored")).over(wAll) -
+            coalesce(sum(col("n_events") + col("n_censored")).over(wPrev), lit(0L)))
+        .withColumn("factor",
+          (col("n_risk") - col("n_events")).cast("double") / col("n_risk"))
+        .withColumn("lnf", when(col("factor") > 0, log(col("factor"))).otherwise(lit(0.0)))
+        .withColumn("zeros", sum(when(col("factor") === 0, 1L).otherwise(0L)).over(wCum))
+        .select(col("lifetime_days"), col("n_risk"), col("n_events"), col("n_censored"),
+          when(col("zeros") > 0, lit(0.0))
+            .otherwise(round(exp(sum(col("lnf")).over(wCum)), 6)).as("survival"))
+        .orderBy("lifetime_days")
+    }, Some("""
+      WITH pu AS (
+        SELECT user_id, min(ts::TIMESTAMP)::DATE AS first_day,
+               max(ts::TIMESTAMP)::DATE AS last_day
+        FROM events GROUP BY user_id),
+      mx AS (SELECT max(last_day) AS corpus_end FROM pu),
+      bylife AS (
+        SELECT date_diff('day', first_day, last_day)::BIGINT AS lifetime_days,
+               sum(CASE WHEN date_diff('day', last_day, corpus_end) < 7 THEN 0 ELSE 1 END)::BIGINT AS n_events,
+               sum(CASE WHEN date_diff('day', last_day, corpus_end) < 7 THEN 1 ELSE 0 END)::BIGINT AS n_censored
+        FROM pu, mx GROUP BY 1),
+      r AS (
+        SELECT *,
+               (sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY lifetime_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        FROM bylife),
+      f AS (
+        SELECT *, (n_risk - n_events)::DOUBLE / n_risk AS factor FROM r),
+      c AS (
+        SELECT *,
+               CASE WHEN factor > 0 THEN ln(factor) ELSE 0.0 END AS lnf,
+               sum(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER (ORDER BY lifetime_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros
+        FROM f),
+      surv AS (
+        SELECT lifetime_days, n_risk, n_events, n_censored,
+               CASE WHEN zeros > 0 THEN 0.0
+                    ELSE round(exp(sum(lnf) OVER (ORDER BY lifetime_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END AS survival
+        FROM c)
+      SELECT * FROM surv ORDER BY lifetime_days
     """))
   )
 }

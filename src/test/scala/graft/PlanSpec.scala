@@ -689,6 +689,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"q191's tf subplan must be physically shared:\n$q191p")
   }
 
+  test("q194-q197: statistical-test additions stay inside their plan budgets") {
+    // q194: one events scan into the ≤|types|×7 cell aggregate; three
+    // marginal windows + the countDistinct Expand all run on the tiny
+    // cell relation. q195: one orders scan, ≤9-row digit aggregate +
+    // one share window. q196: the O(days²) pair sweep self-joins the
+    // per-day AGGREGATE (nominally 3 daily subplans — AQE reuses), never
+    // raw events. q197: per-user scan + its 1-row corpus-end branch;
+    // the curve windows run on the ≤|lifetimes| relation.
+    val budget = Map(
+      "q194_chi2_independence" -> (10, 1),
+      "q195_benford_digits" -> (4, 1),
+      "q196_mann_kendall" -> (9, 3),
+      "q197_kaplan_meier" -> (9, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "q197_kaplan_meier") // sanctioned: 1-row corpus-end broadcast cross
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -719,4 +719,115 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("burstiness") >= 1.0 && r.getAs[Double]("dispersion") >= 0.0)
     }
   }
+
+  test("q194: chi-squared matches the textbook (O-E)^2/E formula") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        // Sunday=0..Saturday=6, matching (spark dayofweek - 1)
+        r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.getDayOfWeek.getValue % 7))
+    val cells = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colTot = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toDouble
+    // direct O/E algebra — deliberately different from the impl's
+    // integer-difference identity
+    val chi2 = cells.map { case ((t, w), o) =>
+      val e = rowTot(t) * colTot(w) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val r = SparkEntry.queries("q194_chi2_independence")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_events") == rows.length.toLong)
+    assert(r.getAs[Long]("n_types") == rowTot.size.toLong)
+    assert(r.getAs[Long]("n_dows") == colTot.size.toLong)
+    assert(r.getAs[Long]("df") == (rowTot.size - 1).toLong * (colTot.size - 1))
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3 * (1 + chi2),
+      s"chi2 ${r.getAs[Double]("chi2")} want $chi2")
+    val v = math.sqrt(chi2 / (n * math.min(rowTot.size - 1, colTot.size - 1)))
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
+    assert(r.getAs[Double]("cramers_v") >= 0.0 && r.getAs[Double]("cramers_v") <= 1.0)
+  }
+
+  test("q195: Benford shares match a direct digit tally and sum to 1") {
+    val prices = Tables.orders(spark, sfDir).select("o_totalprice").collect()
+      .map(_.getDouble(0)).filter(_ >= 1.0)
+    val tally = prices.map(p => math.floor(p).toLong.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q195_benford_digits")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Int]("digit")).toSet == tally.keySet)
+    got.foreach { r =>
+      val dg = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("n_orders") == tally(dg), s"digit $dg count")
+      val share = tally(dg).toDouble / prices.length
+      assert(math.abs(r.getAs[Double]("observed_share") - share) < 1e-6)
+      val benford = math.log10(1.0 + 1.0 / dg)
+      assert(math.abs(r.getAs[Double]("benford_share") - benford) < 1e-6)
+      assert(r.getAs[Boolean]("flag_02") == (math.abs(share - benford) > 0.02))
+    }
+    assert(math.abs(got.map(_.getAs[Double]("observed_share")).sum - 1.0) < 1e-5)
+  }
+
+  test("q196: Mann-Kendall matches a sequential pair sweep with tie correction") {
+    val rows = Tables.events(spark, sfDir).select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate))
+    val got = SparkEntry.queries("q196_mann_kendall")(spark, sfDir).collect()
+    val byType = rows.groupBy(_._1)
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = byType(t).groupBy(_._2).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1.toEpochDay).map(_._2)
+      val nD = series.length
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until nD)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val tieCorr = series.groupBy(identity).values
+        .map(g => g.length.toLong).map(tt => tt * (tt - 1) * (2 * tt + 5)).sum
+      val varS = (nD.toLong * (nD - 1) * (2L * nD + 5) - tieCorr) / 18.0
+      val z = if (s > 0) (s - 1) / math.sqrt(varS)
+              else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+      assert(r.getAs[Long]("n_days") == nD.toLong, s"$t n_days")
+      assert(r.getAs[Long]("s_stat") == s, s"$t S: ${r.getAs[Long]("s_stat")} want $s")
+      assert(math.abs(r.getAs[Double]("var_s") - varS) < 1e-6, s"$t var")
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-4, s"$t z")
+      val trend = if (z > 1.96) "increasing" else if (z < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == trend, s"$t trend")
+    }
+  }
+
+  test("q197: Kaplan-Meier matches a sequential product-limit replay") {
+    val rows = Tables.events(spark, sfDir).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate))
+    val perUser = rows.groupBy(_._1).view.mapValues { es =>
+      val ds = es.map(_._2)
+      (ds.minBy(_.toEpochDay), ds.maxBy(_.toEpochDay))
+    }.toMap
+    val corpusEnd = perUser.values.map(_._2).maxBy(_.toEpochDay)
+    val users = perUser.values.toSeq.map { case (f, l) =>
+      (l.toEpochDay - f.toEpochDay, corpusEnd.toEpochDay - l.toEpochDay < 7)
+    }
+    val byLife = users.groupBy(_._1).view.mapValues { g =>
+      (g.count(!_._2).toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = users.length.toLong
+    var surv = 1.0
+    val expected = byLife.map { case (life, (dd, cc)) =>
+      val sRow = surv * (atRisk - dd).toDouble / atRisk
+      val row = (life, atRisk, dd, cc, sRow)
+      surv = sRow; atRisk -= dd + cc
+      row
+    }
+    val got = SparkEntry.queries("q197_kaplan_meier")(spark, sfDir).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (life, risk, dd, cc, sv)) =>
+      assert(r.getAs[Long]("lifetime_days") == life)
+      assert(r.getAs[Long]("n_risk") == risk, s"lifetime $life risk")
+      assert(r.getAs[Long]("n_events") == dd && r.getAs[Long]("n_censored") == cc)
+      assert(math.abs(r.getAs[Double]("survival") - sv) < 1e-6, s"lifetime $life survival")
+    }
+    // survival is a non-increasing probability curve
+    val curve = got.map(_.getAs[Double]("survival"))
+    assert(curve.forall(x => x >= 0.0 && x <= 1.0))
+    assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
+  }
 }
