@@ -109,10 +109,33 @@ object Recall {
         mutual.size.toLong, exactMutual.size.toLong))
   }
 
-  def toJson(entries: Seq[Entry]): String =
-    entries.map { e =>
+  /** Reader-facing context for entries whose absolute recall looks
+    * alarming but is the expected regime on this fixture — recorded in
+    * the artifact itself so whoever reads the number sees the caveat
+    * next to it (VERDICT r8 item 7).
+    */
+  private val notes: Map[String, String] = Map(
+    "q147_mutual_knn" ->
+      ("recall 0.09-0.12 vs exact mutual-top-5 is the EXPECTED regime on " +
+       "these uniform-random synthetic embeddings: with no cluster structure, " +
+       "cosine top-5 lists are near-ties, so mutuality hinges on rank " +
+       "inversions far below the IVF candidate cut. The metric is tracked " +
+       "for DRIFT (a change means the index or tie-breaks moved), not as an " +
+       "absolute quality bar; on real clustered embeddings mutual-kNN " +
+       "recall is far higher because top lists are decisive."),
+    "q124_knn_graph" ->
+      ("graph edges beyond the probed IVF cells are invisible by design; " +
+       "0.30-0.32 on random fixtures tracks drift, not absolute quality."))
+
+  def toJson(entries: Seq[Entry]): String = {
+    val entryLines = entries.map { e =>
       f"""{"sf":"${e.sf}","query":"${e.query}","k":${e.k},"recall":${e.recall}%.6f,"rows":${e.rows},"baseline_rows":${e.baselineRows}}"""
-    }.mkString("{\"entries\":[\n", ",\n", "\n]}\n")
+    }.mkString("{\"entries\":[\n", ",\n", "\n],\n")
+    val noteLines = notes.toSeq.sortBy(_._1).map { case (q, t) =>
+      s""""$q":"$t""""
+    }.mkString("\"notes\":{\n", ",\n", "\n}}\n")
+    entryLines + noteLines
+  }
 
   /** Minimal reader for the flat artifact format (no JSON lib in the
     * offline environment): one object per line between the brackets.

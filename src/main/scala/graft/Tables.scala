@@ -24,16 +24,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy flag) and truncate to microseconds — integer DIV, because
-    * a ns epoch (~1.7e18) exceeds double's 2^53 exact-integer range.
-    * Matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast (truncation).
+  /** `events.ts` normalization — ADAPTIVE to the physical encoding the
+    * parquet footer declares, because real tables are written by many
+    * producers over years and ns/us/ms encodings coexist:
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]); the legacy `nanosAsLong` flag (set
+    *     below, a no-op for every other encoding) surfaces it as raw
+    *     LongType nanos, which we truncate to microseconds — integer
+    *     DIV, because a ns epoch (~1.7e18) exceeds double's 2^53
+    *     exact-integer range. Matches DuckDB's TIMESTAMP_NS →
+    *     TIMESTAMP cast (truncation).
+    *   - TIMESTAMP_MICROS/MILLIS without UTC adjustment: Spark scans
+    *     it as TIMESTAMP_NTZ; cast to session-zone TimestampType
+    *     (sessions run UTC → value-identity) so every downstream
+    *     time-window / unix_timestamp / oracle comparison sees one
+    *     type regardless of which producer wrote the file.
+    *   - TimestampType already: pass through.
+    *
+    * Branching on the SCANNED dtype (not a pinned assumption) is what
+    * keeps the whole events-dependent query surface alive across data
+    * refreshes; see TablesSpec for one fixture per encoding.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
