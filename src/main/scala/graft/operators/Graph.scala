@@ -418,6 +418,50 @@ object Graph extends QueryGroup {
       FROM tcnt t JOIN deg d USING (part_id)
       ORDER BY coeff DESC, part_id
       LIMIT $topK
+    """)),
+
+    // ------------------------------------------------------------ HITS hubs & authorities (round 9)
+    // Two UNNORMALIZED power iterations of Kleinberg's HITS on the
+    // bipartite customer–part purchase graph: hubs are customers,
+    // authorities are parts. Skipping the per-iteration rescale keeps
+    // every score an exact INTEGER (a₀=1 ⇒ h₁=deg, a₁=Σh₁, h₂=Σa₁,
+    // a₂=Σh₂ — pure sums), so the ranking is bit-identical across
+    // engines with zero floating point; rescaling only changes
+    // magnitude, never order. Long-safe: each hop multiplies by ≤ the
+    // bipartite degree bound, 4 hops ≈ deg⁴ ≤ ~10¹² here and stays
+    // under 2⁶³ for any realistic degree profile; a production run at
+    // risk of overflow divides by a constant between iterations
+    // (ranking-preserving). Each iteration is one equi-join + keyed
+    // aggregate on the edge list — the same message-passing shape as
+    // q108 PageRank, shuffles only on graph keys, no driver state.
+    ("q200_hits_authorities", (s, d) => {
+      val edges = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+        .select("cust", "part").distinct()
+        .localCheckpoint() // read 4× (one per hop); never recompute the join
+      val h1 = edges.groupBy("cust").agg(count(lit(1)).as("h1"))
+      val a1 = edges.join(h1, "cust").groupBy("part").agg(sum("h1").as("a1"))
+      val h2 = edges.join(a1, "part").groupBy("cust").agg(sum("a1").as("h2"))
+      val a2 = edges.join(h2, "cust").groupBy("part").agg(sum("h2").as("a2"))
+      a2.join(a1, "part")
+        .select(col("part").as("part_id"), col("a1").as("auth_iter1"), col("a2").as("auth_iter2"))
+        .orderBy(col("a2").desc, col("part_id")).limit(15)
+    }, Some("""
+      WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      h1 AS (SELECT cust, count(*)::BIGINT AS h1 FROM edges GROUP BY cust),
+      a1 AS (SELECT part, sum(h1)::BIGINT AS a1
+             FROM edges JOIN h1 USING (cust) GROUP BY part),
+      h2 AS (SELECT cust, sum(a1)::BIGINT AS h2
+             FROM edges JOIN a1 USING (part) GROUP BY cust),
+      a2 AS (SELECT part, sum(h2)::BIGINT AS a2
+             FROM edges JOIN h2 USING (cust) GROUP BY part)
+      SELECT part AS part_id, a1 AS auth_iter1, a2 AS auth_iter2
+      FROM a2 JOIN a1 USING (part)
+      ORDER BY a2 DESC, part_id
+      LIMIT 15
     """))
   )
 }

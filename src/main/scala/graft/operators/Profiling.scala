@@ -532,6 +532,63 @@ object Profiling extends QueryGroup {
         UNION ALL SELECT 'l_extendedprice', 'l_tax', n, c_et FROM s
         UNION ALL SELECT 'l_discount', 'l_tax', n, c_dt FROM s)
       ORDER BY col_a, col_b
+    """)),
+
+    // ------------------------------------------------------------ key & functional-dependency discovery (round 9)
+    // Schema-inference profiling: verify candidate UNIQUE KEYS and
+    // FUNCTIONAL DEPENDENCIES (A→B) on the events table from distinct
+    // counts alone — `A determines B` iff |distinct(A,B)| =
+    // |distinct(A)|, and `K is a key` iff |distinct(K)| = |rows|.
+    // Everything reduces to ONE scan feeding multi-distinct
+    // aggregates (Catalyst's Expand multiplies the scan by the
+    // distinct-group count — the exact-answer cost; the 100 TB form
+    // swaps each count for approx_count_distinct exactly as q88 does
+    // for the profile, turning Expand into mergeable HLL sketches).
+    // The declared candidates are the profiling CONTRACT a downstream
+    // pipeline asserts before keying a join or dedup on a column.
+    ("q201_fd_discovery", (s, d) => {
+      val agg = Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("nd_eid"),
+        countDistinct(col("user_id")).as("nd_uid"),
+        countDistinct(col("event_type")).as("nd_et"),
+        countDistinct(col("user_id"), col("ts")).as("nd_uid_ts"),
+        countDistinct(col("event_id"), col("user_id")).as("nd_eid_uid"),
+        countDistinct(col("event_id"), col("event_type")).as("nd_eid_et"),
+        countDistinct(col("user_id"), col("event_type")).as("nd_uid_et"))
+      agg.select(expr("""stack(8,
+          'key', 'event_id',             nd_eid,     n,          nd_eid = n,
+          'key', 'user_id',              nd_uid,     n,          nd_uid = n,
+          'key', 'event_type',           nd_et,      n,          nd_et = n,
+          'key', 'user_id,ts',           nd_uid_ts,  n,          nd_uid_ts = n,
+          'fd',  'event_id->user_id',    nd_eid,     nd_eid_uid, nd_eid_uid = nd_eid,
+          'fd',  'event_id->event_type', nd_eid,     nd_eid_et,  nd_eid_et = nd_eid,
+          'fd',  'user_id->event_type',  nd_uid,     nd_uid_et,  nd_uid_et = nd_uid,
+          'fd',  'event_type->user_id',  nd_et,      nd_uid_et,  nd_uid_et = nd_et
+        ) AS (check_type, subject, n_lhs, n_rhs, holds)"""))
+        .orderBy("check_type", "subject")
+    }, Some("""
+      WITH s AS (
+        SELECT count(*)::BIGINT AS n,
+               count(DISTINCT event_id)::BIGINT AS nd_eid,
+               count(DISTINCT user_id)::BIGINT AS nd_uid,
+               count(DISTINCT event_type)::BIGINT AS nd_et,
+               count(DISTINCT (user_id, ts))::BIGINT AS nd_uid_ts,
+               count(DISTINCT (event_id, user_id))::BIGINT AS nd_eid_uid,
+               count(DISTINCT (event_id, event_type))::BIGINT AS nd_eid_et,
+               count(DISTINCT (user_id, event_type))::BIGINT AS nd_uid_et
+        FROM events)
+      SELECT check_type, subject, n_lhs, n_rhs, holds FROM (
+        SELECT 'key' AS check_type, 'event_id' AS subject,
+               nd_eid AS n_lhs, n AS n_rhs, nd_eid = n AS holds FROM s
+        UNION ALL SELECT 'key', 'user_id', nd_uid, n, nd_uid = n FROM s
+        UNION ALL SELECT 'key', 'event_type', nd_et, n, nd_et = n FROM s
+        UNION ALL SELECT 'key', 'user_id,ts', nd_uid_ts, n, nd_uid_ts = n FROM s
+        UNION ALL SELECT 'fd', 'event_id->user_id', nd_eid, nd_eid_uid, nd_eid_uid = nd_eid FROM s
+        UNION ALL SELECT 'fd', 'event_id->event_type', nd_eid, nd_eid_et, nd_eid_et = nd_eid FROM s
+        UNION ALL SELECT 'fd', 'user_id->event_type', nd_uid, nd_uid_et, nd_uid_et = nd_uid FROM s
+        UNION ALL SELECT 'fd', 'event_type->user_id', nd_et, nd_uid_et, nd_uid_et = nd_et FROM s)
+      ORDER BY check_type, subject
     """))
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
 
@@ -945,6 +946,99 @@ object TextAnalysis extends QueryGroup {
       JOIN sz sa ON sa.source = source_a
       JOIN sz sb ON sb.source = source_b
       ORDER BY source_a, source_b
+    """)),
+
+    // ------------------------------------------------------------ multinomial naive Bayes (round 9)
+    // Language classifier trained and evaluated in ONE job from
+    // SUFFICIENT STATISTICS — the canonical 100 TB model-fitting
+    // shape: the corpus is reduced to a (class × token) count table
+    // (vocabulary-bounded, NOT corpus-sized), the add-one-smoothed
+    // log-likelihood model is a V×C grid built from that table, and
+    // scoring joins each doc's token counts against the grid on the
+    // token key (a shuffle join that partitions cleanly — the model
+    // side is vocab-sized, never collected to the driver). Confusion
+    // matrix of resubstitution predictions is the judged output; the
+    // diagonal dominating says the NB machinery is real, not a
+    // fixture artifact (lang genuinely shapes tokens).
+    //
+    // Determinism: scores are rounded to 6dp BEFORE the argmax in
+    // both engines, with class name as tie-break, so a last-ulp libm
+    // divergence cannot flip a prediction.
+    ("q198_naive_bayes_lang", (s, d) => {
+      // per-doc token counts — tokenized ONCE, reused by model build
+      // and scoring (localCheckpoint severs the double-tokenize;
+      // reliable checkpoint at cluster scale)
+      val docTok = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val classCnt = docTok.groupBy(col("lang").as("cls"), col("tok"))
+        .agg(sum("cnt").as("n_tc"))
+      val classTot = classCnt.groupBy("cls").agg(sum("n_tc").as("n_c"))
+      val vocab = docTok.select("tok").distinct()
+      val vocabSize = vocab.agg(count(lit(1)).as("v"))
+      val docsPerClass = docTok.select("doc_id", "lang").distinct()
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+      val nDocs = docsPerClass.agg(sum("n_docs_c").as("n_docs"))
+      // V×C smoothed model grid: every (token, class) cell exists, so
+      // a token unseen in a class still contributes its smoothed mass
+      val grid = vocab.crossJoin(broadcast(classTot))
+        .join(classCnt, Seq("tok", "cls"), "left")
+        .na.fill(0L, Seq("n_tc"))
+        .crossJoin(broadcast(vocabSize))
+        .select(col("tok"), col("cls"),
+          log((col("n_tc") + 1).cast("double") / (col("n_c") + col("v"))).as("loglik"))
+      val prior = docsPerClass.crossJoin(broadcast(nDocs))
+        .select(col("cls"), log(col("n_docs_c").cast("double") / col("n_docs")).as("logprior"))
+      val scores = docTok.join(grid, "tok")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(sum(col("cnt") * col("loglik")).as("ll"))
+        .join(broadcast(prior), "cls")
+        .select(col("doc_id"), col("lang"), col("cls"),
+          round(col("ll") + col("logprior"), 6).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("lang").as("actual"), col("cls").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    }, Some(s"""
+      WITH doc_tok AS (
+        SELECT doc_id, lang, tok, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+        GROUP BY doc_id, lang, tok),
+      class_cnt AS (
+        SELECT lang AS cls, tok, sum(cnt)::BIGINT AS n_tc
+        FROM doc_tok GROUP BY lang, tok),
+      class_tot AS (SELECT cls, sum(n_tc)::BIGINT AS n_c FROM class_cnt GROUP BY cls),
+      vocab AS (SELECT DISTINCT tok FROM doc_tok),
+      vsize AS (SELECT count(*)::BIGINT AS v FROM vocab),
+      dpc AS (
+        SELECT lang AS cls, count(DISTINCT doc_id)::BIGINT AS n_docs_c
+        FROM doc_tok GROUP BY lang),
+      ndocs AS (SELECT sum(n_docs_c)::BIGINT AS n_docs FROM dpc),
+      grid AS (
+        SELECT v.tok, t.cls,
+               ln((COALESCE(c.n_tc, 0) + 1)::DOUBLE / (t.n_c + s.v)) AS loglik
+        FROM vocab v CROSS JOIN class_tot t CROSS JOIN vsize s
+        LEFT JOIN class_cnt c ON c.tok = v.tok AND c.cls = t.cls),
+      prior AS (
+        SELECT cls, ln(n_docs_c::DOUBLE / n_docs) AS logprior
+        FROM dpc CROSS JOIN ndocs),
+      scores AS (
+        SELECT d.doc_id, d.lang, g.cls,
+               round(sum(d.cnt * g.loglik) + any_value(p.logprior), 6) AS score
+        FROM doc_tok d
+        JOIN grid g USING (tok)
+        JOIN prior p ON p.cls = g.cls
+        GROUP BY d.doc_id, d.lang, g.cls),
+      pred AS (
+        SELECT doc_id, lang,
+               first(cls ORDER BY score DESC, cls) AS predicted
+        FROM scores GROUP BY doc_id, lang)
+      SELECT lang AS actual, predicted, count(*)::BIGINT AS n_docs
+      FROM pred
+      GROUP BY lang, predicted
+      ORDER BY actual, predicted
     """))
   )
 

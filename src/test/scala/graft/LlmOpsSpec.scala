@@ -597,4 +597,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("in_near_dup") >= r.getAs[Long]("removed"))
     }
   }
+
+  test("q198: naive-Bayes confusion matrix matches a sequential replay and the diagonal dominates") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val docTok = docs.map { case (id, l, t) =>
+      (id, l, toks(t).groupBy(identity).map { case (k, v) => k -> v.length.toLong })
+    }.filter(_._3.nonEmpty)
+    val classes = docTok.map(_._2).distinct.sorted
+    val classCnt = docTok.flatMap { case (_, l, m) => m.map { case (t, c) => ((l, t), c) } }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val classTot = classes.map(c =>
+      c -> classCnt.collect { case ((cl, _), n) if cl == c => n }.sum).toMap
+    val vocabSize = docTok.flatMap(_._3.keys).distinct.length
+    val nDocsC = docTok.groupBy(_._2).map { case (l, ds) => l -> ds.length }
+    val nDocs = docTok.length
+    val expected = docTok.map { case (_, l, m) =>
+      val scored = classes.map { c =>
+        val ll = m.map { case (t, cnt) =>
+          cnt * math.log((classCnt.getOrElse((c, t), 0L) + 1.0) / (classTot(c) + vocabSize))
+        }.sum + math.log(nDocsC(c).toDouble / nDocs)
+        // same 6dp pre-argmax rounding as the query, so a last-ulp
+        // difference in the replay's sum order can't flip a prediction
+        c -> BigDecimal(ll).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      l -> scored.sortBy { case (c, s) => (-s, c) }.head._1
+    }.groupBy(identity).map { case ((a, p), v) => (a, p) -> v.length.toLong }
+    val got = SparkEntry.queries("q198_naive_bayes_lang")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("actual"), r.getAs[String]("predicted")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(got == expected, s"NB confusion mismatch:\n got=$got\nwant=$expected")
+    // guards against the model degenerating to a majority-class
+    // predictor: resubstitution accuracy must beat always-guessing the
+    // largest class (the synthetic corpus shares most vocabulary
+    // across langs, so absolute accuracy is modest — ~0.44 — but the
+    // per-lang stopword signal must still be visibly learned)
+    val correct = got.collect { case ((a, p), n) if a == p => n }.sum
+    val majorityShare = nDocsC.values.max.toDouble / nDocs
+    assert(correct.toDouble / nDocs > majorityShare,
+      s"NB no better than majority class: $correct/$nDocs vs $majorityShare")
+    assert(got.keys.map(_._2).toSet.size > 1, "NB predicts a single class")
+  }
 }

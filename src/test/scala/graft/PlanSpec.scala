@@ -714,6 +714,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q198-q201: round-9 additions stay inside their plan budgets") {
+    // q198: docTok is localCheckpointed (zero live FileScans), the
+    // model/scoring chain shuffles only on the token / (doc,class)
+    // keys; the three BNLJ crosses are the sanctioned 1-row / C-row
+    // broadcast grids (vocabSize, classTot, nDocs). q199: the design
+    // point — ONE corpus scan, partial+final sums, ZERO hash
+    // exchanges (the whole fit is a single-row reduction). q200:
+    // four message-passing hops on the checkpointed edge list, all
+    // equi-joins. q201: one events scan into the multi-distinct
+    // Expand (exact-profile cost, q88's HLL form is the scale path).
+    val budget = Map(
+      "q198_naive_bayes_lang" -> (14, 0),
+      "q199_ridge_probe" -> (0, 1),
+      "q200_hits_authorities" -> (10, 0),
+      "q201_fd_discovery" -> (2, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "q198_naive_bayes_lang") // sanctioned: bounded broadcast grid crosses
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -554,4 +554,37 @@ class ProfilingDepthSpec extends AnyFunSuite with SparkFixture {
     val first = got.minBy(_.getAs[Long]("doc_id"))
     assert(first.getAs[Double]("novelty") == 1.0, "first doc must be 100% novel")
   }
+
+  test("q201: key/FD verdicts match exact distinct counts on collected events") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getAs[java.sql.Timestamp](3)))
+    val n = ev.length.toLong
+    val ndEid = ev.map(_._1).distinct.length.toLong
+    val ndUid = ev.map(_._2).distinct.length.toLong
+    val ndEt = ev.map(_._3).distinct.length.toLong
+    val ndUidTs = ev.map(e => (e._2, e._4)).distinct.length.toLong
+    val ndEidUid = ev.map(e => (e._1, e._2)).distinct.length.toLong
+    val ndEidEt = ev.map(e => (e._1, e._3)).distinct.length.toLong
+    val ndUidEt = ev.map(e => (e._2, e._3)).distinct.length.toLong
+    val expected = Map(
+      ("key", "event_id") -> (ndEid, n, ndEid == n),
+      ("key", "user_id") -> (ndUid, n, ndUid == n),
+      ("key", "event_type") -> (ndEt, n, ndEt == n),
+      ("key", "user_id,ts") -> (ndUidTs, n, ndUidTs == n),
+      ("fd", "event_id->user_id") -> (ndEid, ndEidUid, ndEidUid == ndEid),
+      ("fd", "event_id->event_type") -> (ndEid, ndEidEt, ndEidEt == ndEid),
+      ("fd", "user_id->event_type") -> (ndUid, ndUidEt, ndUidEt == ndUid),
+      ("fd", "event_type->user_id") -> (ndEt, ndUidEt, ndUidEt == ndEt))
+    val got = SparkEntry.queries("q201_fd_discovery")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("check_type"), r.getAs[String]("subject")) ->
+        ((r.getAs[Long]("n_lhs"), r.getAs[Long]("n_rhs"), r.getAs[Boolean]("holds"))))
+      .toMap
+    assert(got == expected, s"FD mismatch:\n got=$got\nwant=$expected")
+    // the fixture's surrogate key must be detected, and the trivial
+    // FDs it implies must hold — the discovery is not vacuous
+    assert(got(("key", "event_id"))._3 && got(("fd", "event_id->user_id"))._3)
+    // a 5-value type column can never determine a 150-value user column
+    assert(!got(("fd", "event_type->user_id"))._3)
+  }
 }

@@ -830,4 +830,51 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(curve.forall(x => x >= 0.0 && x <= 1.0))
     assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
   }
+
+  test("q199: ridge probe matches a sequential normal-equations solve") {
+    val texts = Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val feats = texts.filter(t => toks(t).nonEmpty).map { t =>
+      val tk = toks(t)
+      (math.log(1.0 + t.length),
+       t.toLowerCase.replaceAll("[a-z0-9 ]", "").length.toDouble / t.length,
+       tk.distinct.length.toDouble / tk.length,
+       math.log(1.0 + tk.length))
+    }
+    val n = feats.length.toDouble
+    def s(f: ((Double, Double, Double, Double)) => Double) = feats.map(f).sum
+    val (s1, s2, s3, sy) = (s(_._1), s(_._2), s(_._3), s(_._4))
+    val a11 = s(x => x._1 * x._1) - s1 * s1 / n + 1.0
+    val a12 = s(x => x._1 * x._2) - s1 * s2 / n
+    val a13 = s(x => x._1 * x._3) - s1 * s3 / n
+    val a22 = s(x => x._2 * x._2) - s2 * s2 / n + 1.0
+    val a23 = s(x => x._2 * x._3) - s2 * s3 / n
+    val a33 = s(x => x._3 * x._3) - s3 * s3 / n + 1.0
+    val b1 = s(x => x._1 * x._4) - s1 * sy / n
+    val b2 = s(x => x._2 * x._4) - s2 * sy / n
+    val b3 = s(x => x._3 * x._4) - s3 * sy / n
+    val syyC = s(x => x._4 * x._4) - sy * sy / n
+    val det = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val beta1 = (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)) / det
+    val beta2 = (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)) / det
+    val beta3 = (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)) / det
+    val r = SparkEntry.queries("q199_ridge_probe")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") == feats.length.toLong)
+    // tolerance covers the 6dp output rounding plus distributed-vs-
+    // sequential FP sum order; the solve itself is well-conditioned (λ=1)
+    assert(math.abs(r.getAs[Double]("beta_loglen") - beta1) < 1e-4, s"beta1 ${r.getAs[Double]("beta_loglen")} vs $beta1")
+    assert(math.abs(r.getAs[Double]("beta_punct") - beta2) < 1e-4, s"beta2 ${r.getAs[Double]("beta_punct")} vs $beta2")
+    assert(math.abs(r.getAs[Double]("beta_ttr") - beta3) < 1e-4, s"beta3 ${r.getAs[Double]("beta_ttr")} vs $beta3")
+    val intercept = (sy - beta1 * s1 - beta2 * s2 - beta3 * s3) / n
+    val r2 = (beta1 * b1 + beta2 * b2 + beta3 * b3) / syyC
+    assert(math.abs(r.getAs[Double]("intercept") - intercept) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-4)
+    // log token count is strongly explained by log char length → the
+    // probe must find real signal, not noise
+    assert(r.getAs[Double]("r2") > 0.5, s"r2 unexpectedly weak: ${r.getAs[Double]("r2")}")
+  }
 }

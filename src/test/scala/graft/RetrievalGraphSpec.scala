@@ -243,4 +243,25 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkFixture {
     // the traversal actually expands (not everything is a seed)
     assert(got.values.exists(_ > 0L), "BFS never left the seed set")
   }
+
+  test("q200: HITS authorities match an exact integer replay on the bipartite purchase graph") {
+    // unnormalized power iteration is pure integer arithmetic, so the
+    // replay must match BIT-exactly — any FP would be a design break
+    val custOf = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().flatMap(r => custOf.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    val h1 = edges.groupBy(_._1).map { case (c, es) => c -> es.length.toLong }
+    val a1 = edges.groupBy(_._2).map { case (p, es) => p -> es.map(e => h1(e._1)).sum }
+    val h2 = edges.groupBy(_._1).map { case (c, es) => c -> es.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (p, es) => p -> es.map(e => h2(e._1)).sum }
+    val expected = a2.toSeq.sortBy { case (p, a) => (-a, p) }.take(15)
+      .map { case (p, a) => (p, a1(p), a) }
+    val got = SparkEntry.queries("q200_hits_authorities")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("auth_iter1"), r.getAs[Long]("auth_iter2")))
+    assert(got.toSeq == expected, s"HITS mismatch:\n got=${got.toSeq}\nwant=$expected")
+    // sanity: scores grow monotonically with iteration (sums of positives)
+    assert(got.forall { case (_, i1, i2) => i2 > i1 && i1 > 0 })
+  }
 }
