@@ -730,6 +730,60 @@ object Advanced extends QueryGroup {
              min(CASE WHEN cw >= tw * 0.5  THEN l_extendedprice END) AS wp50,
              min(CASE WHEN cw >= tw * 0.75 THEN l_extendedprice END) AS wp75
       FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """)),
+
+    // ------------------------------------------------------------ SCD2 point-in-time enrichment (round 9)
+    // The LOOKUP side of q109's SCD2 build: stamp every click with the
+    // purchase-value attribute that was in effect at the click's
+    // timestamp. The naive implementation is a range join (fact.ts ∈
+    // [valid_from, valid_to)) — O(F×C) candidate fan-out per user and
+    // un-pushable bounds. The scalable form used here is the
+    // UNION-SORT-CARRY as-of: union the dimension CHANGE rows with the
+    // fact rows, sort per user by (ts, dim-first, event_id), and carry
+    // the last non-null attribute forward with an IGNORE NULLS running
+    // window — ONE shuffle on user_id, linear per partition,
+    // regardless of how many intervals each user has. The dim-first
+    // tie key makes a same-timestamp change visible to the click
+    // (matching the oracle's half-open [from, to) interval semantics,
+    // where the LATEST same-ts change owns the instant). The ORACLE
+    // deliberately runs the range-join formulation — two different
+    // algorithms, one answer.
+    ("q204_scd2_pointintime", (s, d) => {
+      val wChg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("prev_v", lag("value", 1).over(wChg))
+        .filter(col("prev_v").isNull || col("prev_v") =!= col("value"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(1).as("is_dim"), col("value").as("attr"))
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(0).as("is_dim"), lit(null).cast("double").as("attr"))
+      val wCarry = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_dim").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      changes.unionByName(clicks)
+        .withColumn("attr_at_ts", last("attr", ignoreNulls = true).over(wCarry))
+        .filter(col("is_dim") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("attr_at_ts"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH chg AS (
+        SELECT user_id, value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM (
+          SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+          FROM events WHERE event_type = 'purchase')
+        WHERE prev_v IS NULL OR prev_v <> value),
+      fact AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT f.event_id, f.user_id, f.ts, c.value AS attr_at_ts
+      FROM fact f
+      LEFT JOIN chg c ON c.user_id = f.user_id
+        AND f.ts >= c.valid_from
+        AND (c.valid_to IS NULL OR f.ts < c.valid_to)
+      ORDER BY f.event_id
     """))
   )
 

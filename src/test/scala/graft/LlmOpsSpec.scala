@@ -639,4 +639,46 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       s"NB no better than majority class: $correct/$nDocs vs $majorityShare")
     assert(got.keys.map(_._2).toSet.size > 1, "NB predicts a single class")
   }
+
+  test("q202: label-noise audit matches a sequential within-cell kNN replay") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+    def cell(v: Array[Float]) =
+      (if (v(0) > 0) 8 else 0) + (if (v(1) > 0) 4 else 0) +
+        (if (v(2) > 0) 2 else 0) + (if (v(3) > 0) 1 else 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val byCell = embs.groupBy(e => cell(e._3))
+    val perVec = embs.map { case (id, lab, v) =>
+      val nbrs = byCell(cell(v)).filter(_._1 != id)
+        .map { case (nid, nlab, nv) => (nid, nlab, q6(cos(v, nv))) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(5)
+      (lab, nbrs.length.toLong, nbrs.count(_._2 != lab).toLong)
+    }
+    val expected = perVec.groupBy(_._1).map { case (lab, vs) =>
+      lab -> ((vs.length.toLong,
+        vs.count(v => v._3 * 2 > v._2).toLong,
+        BigDecimal(vs.map(v => v._3.toDouble / v._2).sum / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q202_knn_label_noise")(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_flagged"), r.getAs[Double]("avg_disagree"))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((lab, (nv, nf, avg)) <- expected) {
+      val (gNv, gNf, gAvg) = got(lab)
+      assert(gNv == nv && gNf == nf, s"label $lab counts: got ($gNv,$gNf) want ($nv,$nf)")
+      assert(math.abs(gAvg - avg) < 1e-5, s"label $lab avg_disagree $gAvg vs $avg")
+    }
+    // the audit must actually flag someone somewhere (random labels on
+    // random vectors ⇒ plenty of disagreement) and never flag everyone
+    val totalFlagged = expected.values.map(_._2).sum
+    assert(totalFlagged > 0 && totalFlagged < embs.length)
+  }
 }

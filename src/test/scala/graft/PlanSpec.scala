@@ -741,6 +741,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q202-q204: round-9 batch-2 additions stay inside their plan budgets") {
+    // q202: one embeddings scan; pairs blocked on the sign-bit cell
+    // key (equi-join), per-vec + per-label aggregates. q203: the q41
+    // broadcast-queries non-equi join (sanctioned BNLJ — 10 broadcast
+    // rows) + label-count join; metrics are windows on the 10×10
+    // relation. q204: two filtered events scans (changes + clicks)
+    // into ONE user_id-partitioned carry window — the union-sort-carry
+    // as-of, no range join anywhere.
+    val budget = Map(
+      "q202_knn_label_noise" -> (3, 2), // self-join: both cell sides scan pre-AQE
+      "q203_retrieval_eval" -> (4, 3),
+      "q204_scd2_pointintime" -> (3, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q != "q203_retrieval_eval") // sanctioned: 10-row broadcast query set
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

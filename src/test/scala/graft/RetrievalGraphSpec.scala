@@ -264,4 +264,69 @@ class RetrievalGraphSpec extends AnyFunSuite with SparkFixture {
     // sanity: scores grow monotonically with iteration (sums of positives)
     assert(got.forall { case (_, i1, i2) => i2 > i1 && i1 > 0 })
   }
+
+  test("q203: retrieval metrics match a sequential IR-eval replay of the exact ranking") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val labelCnt = embs.groupBy(_._2).map { case (l, vs) => l -> vs.length }
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val got = SparkEntry.queries("q203_retrieval_eval")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_rel_at_10"), r.getAs[Long]("first_rel_rank"),
+          r.getAs[Double]("rr"), r.getAs[Double]("dcg"), r.getAs[Double]("ndcg")))).toMap
+    assert(got.size == 10)
+    for ((qid, qlab, qv) <- embs.filter(_._1 < 10)) {
+      val ranked = embs.filter(_._1 != qid)
+        .map { case (id, l, v) => (id, l, q6(cos(qv, v))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val rels = ranked.map(_._2 == qlab)
+      val nRel = rels.count(identity).toLong
+      val firstRel = rels.indexOf(true) match { case -1 => 0L; case i => i + 1L }
+      val dcg = rels.zipWithIndex.collect { case (true, i) => 1.0 / log2(i + 2.0) }.sum
+      val m = math.max(1, math.min(10, labelCnt(qlab) - 1))
+      val idcg = (1 to m).map(i => 1.0 / log2(i + 1.0)).sum
+      val (gN, gF, gRr, gDcg, gNdcg) = got(qid)
+      assert(gN == nRel && gF == firstRel, s"q$qid rel counts")
+      assert(math.abs(gRr - (if (firstRel == 0) 0.0 else 1.0 / firstRel)) < 1e-6, s"q$qid rr")
+      assert(math.abs(gDcg - dcg) < 1e-5, s"q$qid dcg $gDcg vs $dcg")
+      assert(math.abs(gNdcg - dcg / idcg) < 1e-5, s"q$qid ndcg $gNdcg vs ${dcg / idcg}")
+    }
+  }
+
+  test("q204: point-in-time attrs equal a per-user interval-scan replay, and clicks predate no attr") {
+    // compare at MICROsecond precision — getTime alone drops the
+    // sub-milli digits the fixture's timestamps carry
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        micros(r.getAs[java.sql.Timestamp](3)), r.getDouble(4)))
+    val changes = ev.filter(_._3 == "purchase").groupBy(_._2).map { case (u, ps) =>
+      val sorted = ps.sortBy(p => (p._4, p._1))
+      val kept = sorted.zip(None +: sorted.map(p => Some(p._5)))
+        .collect { case (p, prev) if !prev.contains(p._5) => p }
+      u -> kept.map(p => (p._4, p._1, p._5)).toSeq // (tsMicros, event_id, value)
+    }
+    val expected = ev.filter(_._3 == "click").map { case (eid, u, _, ts, _) =>
+      val attr = changes.getOrElse(u, Seq.empty)
+        // effective change = last change at-or-before the click instant
+        .filter(_._1 <= ts).sortBy(c => (c._1, c._2)).lastOption.map(_._3)
+      eid -> attr
+    }.toMap
+    val got = SparkEntry.queries("q204_scd2_pointintime")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("attr_at_ts")).map(_.doubleValue())).toMap
+    assert(got == expected, s"point-in-time mismatch: ${got.size} clicks")
+    // both populated and pre-first-purchase (null) cases must occur,
+    // or the fixture isn't exercising the carry at all
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
 }
