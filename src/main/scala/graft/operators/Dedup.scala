@@ -842,6 +842,89 @@ object Dedup extends QueryGroup {
       JOIN nrm nb ON nb.doc_id = doc_b
       WHERE num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
       ORDER BY doc_a, doc_b
+    """)),
+
+    // ------------------------------------------------------------ dedup index quality eval (round 9)
+    // Measures the MinHash-LSH pipeline's pair recall IN-ENGINE
+    // against a LOSSLESS exact baseline at the same τ=0.8 — the
+    // go/no-go a dedup owner runs before trusting band parameters on
+    // a new corpus. The exact side is NOT all-pairs: the PPJoin
+    // prefix-filter bound (any pair with J≥τ must share a gram in
+    // each side's first len−⌈τ·len⌉+1 grams, with the τ·|a|≤|b|
+    // length window) makes the candidate generator exact AND
+    // equi-join-shaped — the same contract as q61, here at τ=0.8 with
+    // ⌈0.8·len⌉ = (4·len+4) DIV 5 in exact integer arithmetic. The
+    // DuckDB oracle proves losslessness by brute all-pairs. LSH
+    // verifies candidates exactly, so false positives must be ZERO —
+    // the eval asserts that structurally (fp is an output column);
+    // every miss is a band-collision miss, the quantity RECALL.json
+    // tracks from outside and this query makes auditable from inside.
+    ("q206_dedup_recall_eval", (s, d) => {
+      val tau = 0.8
+      val lsh = minhashPairs(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
+      val allIds = Tables.documents(s, d).select("doc_id")
+      // checkpointed: prefix + both verify sides read the sorted gram
+      // sets — without it the tokenize→hash→sort subtree runs 3×
+      val grams = shingleSets(s, d, allIds)
+        .select(col("doc_id"), sort_array(col("s")).as("g"))
+        .localCheckpoint()
+      val prefix = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
+          explode(slice(col("g"), lit(1), expr("size(g) - ((4 * size(g) + 4) DIV 5) + 1"))).as("gram"))
+        .hint("shuffle_hash")
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.len") * 4 <= col("y.len") * 5 && col("y.len") * 4 <= col("x.len") * 5)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sa = grams.select(col("doc_id").as("doc_a"), col("g").as("ga")).hint("shuffle_hash")
+      val sb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb")).hint("shuffle_hash")
+      val exact = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", intersectionSize(col("ga"), col("gb")).cast("double"))
+        .filter(col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")) >= tau)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_exact"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("in_exact"), lit(0))).cast("long").as("n_exact"),
+             sum(coalesce(col("in_lsh"), lit(0))).cast("long").as("n_lsh"),
+             sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+               .otherwise(0L)).as("tp"),
+             sum(when(col("in_exact").isNotNull && col("in_lsh").isNull, 1L)
+               .otherwise(0L)).as("fn"),
+             sum(when(col("in_exact").isNull && col("in_lsh").isNotNull, 1L)
+               .otherwise(0L)).as("fp"))
+        .select(col("n_exact"), col("n_lsh"), col("tp"), col("fn"), col("fp"),
+          round(when(col("n_lsh") > 0, col("tp").cast("double") / col("n_lsh"))
+            .otherwise(lit(1.0)), 6).as("precision"),
+          round(when(col("n_exact") > 0, col("tp").cast("double") / col("n_exact"))
+            .otherwise(lit(1.0)), 6).as("recall"))
+    }, Some(s"""
+      WITH $pairsCte,
+      exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      j AS (
+        SELECT COALESCE(e.doc_a, n.doc_a) AS doc_a,
+               COALESCE(e.doc_b, n.doc_b) AS doc_b,
+               e.doc_a IS NOT NULL AS in_exact,
+               n.doc_a IS NOT NULL AS in_lsh
+        FROM exact e
+        FULL OUTER JOIN (SELECT doc_a, doc_b FROM near_pairs) n
+          ON e.doc_a = n.doc_a AND e.doc_b = n.doc_b)
+      SELECT sum(CASE WHEN in_exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+             sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)::BIGINT AS n_lsh,
+             sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN in_exact AND NOT in_lsh THEN 1 ELSE 0 END)::BIGINT AS fn,
+             sum(CASE WHEN NOT in_exact AND in_lsh THEN 1 ELSE 0 END)::BIGINT AS fp,
+             round(CASE WHEN sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) > 0
+                        THEN sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END)::DOUBLE
+                             / sum(CASE WHEN in_lsh THEN 1 ELSE 0 END)
+                        ELSE 1.0 END, 6) AS precision,
+             round(CASE WHEN sum(CASE WHEN in_exact THEN 1 ELSE 0 END) > 0
+                        THEN sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END)::DOUBLE
+                             / sum(CASE WHEN in_exact THEN 1 ELSE 0 END)
+                        ELSE 1.0 END, 6) AS recall
+      FROM j
     """))
   )
 

@@ -1290,6 +1290,87 @@ object Quality extends QueryGroup {
              round((sy - beta1*s1 - beta2*s2 - beta3*s3) / n, 6) AS intercept,
              round((beta1*b1 + beta2*b2 + beta3*b3) / syy_c, 6) AS r2
       FROM beta
+    """)),
+
+    // ------------------------------------------------------------ CUPED variance reduction (round 9)
+    // The experiment-analysis companion to q156's Welch t: adjust each
+    // user's experiment-period metric by their PRE-period baseline
+    // (y' = y − θ(x − x̄), θ = cov(x,y)/var(x)) and report how much
+    // metric variance the adjustment removes per arm — the standard
+    // trick that makes small A/B effects detectable without more
+    // traffic. Units are USERS (per-user aggregate first — never
+    // event-level CUPED, which would correlate residuals); arms are
+    // the deterministic user_id%2 pseudo-assignment; the period split
+    // is the fixture's calendar midpoint. θ and x̄ come from ONE
+    // global sufficient-stats row broadcast back onto the per-user
+    // relation; at 100 TB nothing but that 1-row reduction crosses
+    // stages. Users with no pre-period events keep x=0 (they
+    // contribute their own mean — the practical convention when the
+    // covariate is missing).
+    ("q207_cuped_variance", (s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(avg(when(col("ts") < cut, col("value"))).as("x0"),
+             avg(when(col("ts") >= cut, col("value"))).as("y0"))
+        .filter(col("y0").isNotNull)
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+                coalesce(col("x0"), lit(0.0)).as("x"), col("y0").as("y"))
+        // checkpointed: both the θ sufficient-stats row and the final
+        // per-arm pass read the per-user relation — one events scan,
+        // not two
+        .localCheckpoint()
+      val stats = perUser.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val withTheta = stats.select(col("*"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+         (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+        (col("sx") / col("n")).as("xbar"))
+      perUser.crossJoin(broadcast(withTheta))
+        .select(col("arm"), col("y"),
+          (col("y") - col("theta") * (col("x") - col("xbar"))).as("y_adj"),
+          col("theta"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+             round(avg("y"), 6).as("mean_y"),
+             round(var_samp(col("y")), 6).as("var_y"),
+             round(avg("y_adj"), 6).as("mean_y_adj"),
+             round(var_samp(col("y_adj")), 6).as("var_y_adj"),
+             round(max("theta"), 6).as("theta"),
+             round((lit(1.0) - var_samp(col("y_adj")) / var_samp(col("y"))) * 100, 2)
+               .as("var_reduction_pct"))
+        .orderBy("arm")
+    }, Some("""
+      WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               COALESCE(avg(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN value END), 0.0) AS x,
+               avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value END) AS y
+        FROM events
+        GROUP BY user_id
+        HAVING avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END)
+               IS NOT NULL),
+      stats AS (
+        SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(x*y) AS sxy
+        FROM per_user),
+      t AS (
+        SELECT (sxy - sx*sy/n) / (sxx - sx*sx/n) AS theta, sx/n AS xbar
+        FROM stats)
+      SELECT arm, count(*)::BIGINT AS n_users,
+             round(avg(y), 6) AS mean_y,
+             round(var_samp(y), 6) AS var_y,
+             round(avg(y - theta * (x - xbar)), 6) AS mean_y_adj,
+             round(var_samp(y - theta * (x - xbar)), 6) AS var_y_adj,
+             round(max(theta), 6) AS theta,
+             round((1.0 - var_samp(y - theta * (x - xbar)) / var_samp(y)) * 100, 2)
+               AS var_reduction_pct
+      FROM per_user CROSS JOIN t
+      GROUP BY arm
+      ORDER BY arm
     """))
   )
 }

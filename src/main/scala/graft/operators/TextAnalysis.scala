@@ -1039,6 +1039,108 @@ object TextAnalysis extends QueryGroup {
       FROM pred
       GROUP BY lang, predicted
       ORDER BY actual, predicted
+    """)),
+
+    // ------------------------------------------------------------ held-out trigram LM perplexity (round 9)
+    // GENERALIZATION eval for the n-gram LM family (q138 scores docs
+    // with the model they trained; this holds out doc_id%5==0 and
+    // measures per-source perplexity on text the model never saw —
+    // the number that actually predicts how a filter LM behaves on
+    // fresh crawl). Interpolated trigram with fixed weights
+    // (0.55·c₃/c₂ + 0.3·c₂/c₁ + 0.1·c₁/T + 0.05/(V+1)); the
+    // vocabulary-floor term keeps unseen words finite without
+    // data-dependent discounting, so every probability is a pure
+    // ratio of train counts — deterministic on both engines. Count
+    // tables are vocabulary-bounded; scoring joins the held-out
+    // trigram stream against them on gram keys (shuffle keys =
+    // n-gram, the scalable LM-serving shape: no model on the driver).
+    ("q205_heldout_trigram_ppl", (s, d) => {
+      def grams3(t: Column) = transform(sequence(lit(1), size(t) - 2),
+        i => struct(element_at(t, i).as("u"), element_at(t, i + 1).as("v"),
+                    element_at(t, i + 2).as("w")))
+      def grams2(t: Column) = transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("u"), element_at(t, i + 1).as("v")))
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      // held-out key is doc_id % 7: the fixture assigns source as
+      // doc_id % 20, so a %5 (or any divisor-of-20) split would
+      // starve 16 of 20 sources of eval data; 7 is coprime to 20 →
+      // every source holds out ~1/7 of its docs
+      val train = docs.filter(col("doc_id") % 7 =!= 0).localCheckpoint()
+      val uni = train.select(explode(col("t")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum("c1").as("tt"), count(lit(1)).as("vsz"))
+      val bi = train.select(explode(grams2(col("t"))).as("g"))
+        .groupBy(col("g.u").as("bu"), col("g.v").as("bv")).agg(count(lit(1)).as("c2"))
+      val tri = train.select(explode(grams3(col("t"))).as("g"))
+        .groupBy(col("g.u").as("tu"), col("g.v").as("tv"), col("g.w").as("tw"))
+        .agg(count(lit(1)).as("c3"))
+      val held = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), explode(grams3(col("t"))).as("g"))
+        .select(col("source"), col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
+      val p =
+        when(col("c2uv") > 0, lit(0.55) * col("c3") / col("c2uv")).otherwise(lit(0.0)) +
+        when(col("c1v") > 0, lit(0.3) * col("c2vw") / col("c1v")).otherwise(lit(0.0)) +
+        lit(0.1) * col("c1w") / col("tt") + lit(0.05) / (col("vsz") + 1)
+      held
+        .join(tri, col("u") === col("tu") && col("v") === col("tv") && col("w") === col("tw"), "left")
+        .join(bi.select(col("bu"), col("bv"), col("c2").as("c2uv")),
+              col("u") === col("bu") && col("v") === col("bv"), "left")
+        .join(bi.select(col("bu").as("b2u"), col("bv").as("b2v"), col("c2").as("c2vw")),
+              col("v") === col("b2u") && col("w") === col("b2v"), "left")
+        .join(uni.select(col("w1").as("uv"), col("c1").as("c1v")), col("v") === col("uv"), "left")
+        .join(uni.select(col("w1").as("uw"), col("c1").as("c1w")), col("w") === col("uw"), "left")
+        .na.fill(0L, Seq("c3", "c2uv", "c2vw", "c1v", "c1w"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), (-log(p.cast("double"))).as("nll"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_trigrams"),
+             round(avg("nll"), 6).as("avg_nll"),
+             round(exp(avg("nll")), 4).as("perplexity"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, $toksSql AS t FROM documents),
+      f AS (SELECT * FROM toks WHERE len(t) >= 3),
+      train AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+      held_docs AS (SELECT * FROM f WHERE doc_id % 7 = 0),
+      uni AS (
+        SELECT unnest(t) AS w1 FROM train),
+      uni_c AS (SELECT w1, count(*)::BIGINT AS c1 FROM uni GROUP BY w1),
+      tot AS (SELECT sum(c1)::BIGINT AS tt, count(*)::BIGINT AS vsz FROM uni_c),
+      bi_c AS (
+        SELECT u AS bu, v AS bv, count(*)::BIGINT AS c2 FROM (
+          SELECT unnest(t[1:len(t)-1]) AS u, unnest(t[2:len(t)]) AS v FROM train)
+        GROUP BY u, v),
+      tri_c AS (
+        SELECT u AS tu, v AS tv, w AS tw, count(*)::BIGINT AS c3 FROM (
+          SELECT unnest(t[1:len(t)-2]) AS u, unnest(t[2:len(t)-1]) AS v,
+                 unnest(t[3:len(t)]) AS w FROM train)
+        GROUP BY u, v, w),
+      held AS (
+        SELECT source, unnest(t[1:len(t)-2]) AS u, unnest(t[2:len(t)-1]) AS v,
+               unnest(t[3:len(t)]) AS w FROM held_docs),
+      scored AS (
+        SELECT h.source,
+               -ln((CASE WHEN COALESCE(b1.c2, 0) > 0
+                         THEN 0.55 * COALESCE(t3.c3, 0) / b1.c2 ELSE 0.0 END)
+                   + (CASE WHEN COALESCE(u1.c1, 0) > 0
+                           THEN 0.3 * COALESCE(b2.c2, 0) / u1.c1 ELSE 0.0 END)
+                   + 0.1 * COALESCE(u2.c1, 0) / tt.tt
+                   + 0.05 / (tt.vsz + 1)) AS nll
+        FROM held h
+        LEFT JOIN tri_c t3 ON t3.tu = h.u AND t3.tv = h.v AND t3.tw = h.w
+        LEFT JOIN bi_c b1 ON b1.bu = h.u AND b1.bv = h.v
+        LEFT JOIN bi_c b2 ON b2.bu = h.v AND b2.bv = h.w
+        LEFT JOIN uni_c u1 ON u1.w1 = h.v
+        LEFT JOIN uni_c u2 ON u2.w1 = h.w
+        CROSS JOIN tot tt)
+      SELECT source, count(*)::BIGINT AS n_trigrams,
+             round(avg(nll), 6) AS avg_nll,
+             round(exp(avg(nll)), 4) AS perplexity
+      FROM scored
+      GROUP BY source
+      ORDER BY source
     """))
   )
 

@@ -765,6 +765,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q205-q207: round-9 batch-3 additions stay inside their plan budgets") {
+    // q205: train-side count tables are built off one checkpointed
+    // tokenize; the five scoring joins shuffle on gram keys; the
+    // 1-row totals cross is the sanctioned BNLJ. q206: the LSH
+    // pipeline's band machinery plus the checkpointed exact-baseline
+    // gram sets — heavy but every join is key-blocked, zero BNLJ.
+    // q207: one events scan → per-user aggregate → 1-row θ broadcast
+    // back (sanctioned BNLJ) → per-arm aggregate.
+    val budget = Map(
+      "q205_heldout_trigram_ppl" -> (8, 2),
+      // q206's scan count is pre-AQE plan instances of the doc scan
+      // inside the LSH band/verify subtrees — runtime exchange reuse
+      // collapses them (same counting caveat as q191's reuse assert)
+      "q206_dedup_recall_eval" -> (26, 9),
+      "q207_cuped_variance" -> (4, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q == "q206_dedup_recall_eval")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

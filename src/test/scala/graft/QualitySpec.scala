@@ -877,4 +877,45 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     // probe must find real signal, not noise
     assert(r.getAs[Double]("r2") > 0.5, s"r2 unexpectedly weak: ${r.getAs[Double]("r2")}")
   }
+
+  test("q207: CUPED adjustment matches a sequential replay and never inflates variance") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime, r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val pre = es.filter(_._2 < cut).map(_._3)
+      val post = es.filter(_._2 >= cut).map(_._3)
+      if (post.isEmpty) None
+      else Some((u, u % 2, if (pre.isEmpty) 0.0 else pre.sum / pre.length, post.sum / post.length))
+    }.toSeq
+    val n = perUser.length.toDouble
+    val sx = perUser.map(_._3).sum; val sy = perUser.map(_._4).sum
+    val sxx = perUser.map(p => p._3 * p._3).sum
+    val sxy = perUser.map(p => p._3 * p._4).sum
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val xbar = sx / n
+    def varSamp(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val got = SparkEntry.queries("q207_cuped_variance")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    for ((arm, rows) <- perUser.groupBy(_._2)) {
+      val r = got(arm)
+      val ys = rows.map(_._4)
+      val yAdj = rows.map(p => p._4 - theta * (p._3 - xbar))
+      assert(r.getAs[Long]("n_users") == rows.length.toLong, s"arm $arm n")
+      assert(math.abs(r.getAs[Double]("mean_y") - ys.sum / ys.length) < 1e-5)
+      assert(math.abs(r.getAs[Double]("var_y") - varSamp(ys)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("mean_y_adj") - yAdj.sum / yAdj.length) < 1e-5)
+      assert(math.abs(r.getAs[Double]("var_y_adj") - varSamp(yAdj)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-5)
+      // CUPED with the pooled OLS theta cannot inflate pooled variance;
+      // per-arm it can only wiggle within FP noise of the pooled bound —
+      // on this fixture both arms must come out non-inflated
+      assert(r.getAs[Double]("var_y_adj") <= r.getAs[Double]("var_y") * 1.05,
+        s"arm $arm adjustment inflated variance")
+    }
+  }
 }
