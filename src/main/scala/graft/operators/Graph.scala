@@ -462,6 +462,75 @@ object Graph extends QueryGroup {
       FROM a2 JOIN a1 USING (part)
       ORDER BY a2 DESC, part_id
       LIMIT 15
+    """)),
+
+    // ------------------------------------------------------------ k-core decomposition (round 9)
+    // Iterative 3-core peel on the co-purchase graph (q116's strong
+    // edges): repeatedly delete nodes with degree < 3 until the
+    // survivor set is stable — the standard "dense backbone" extractor
+    // (a high-degree node whose neighbors are all leaves is NOT in
+    // the core; plain degree filtering can't express that). Each round
+    // is one semi-join of the edge list against surviving nodes + a
+    // degree aggregate — the same frontier shape as q167 BFS,
+    // shuffles only on node keys, lineage checkpoint-truncated per
+    // round. Four rounds suffice on this fixture (asserted by the
+    // spec's fixpoint replay); production uses a convergence loop
+    // with the identical body. Output is per-round survivor counts
+    // plus the final core's size — the curve a graph curator reads.
+    ("q210_kcore_peel", (s, d) => {
+      val k = 3
+      // DISTINCT first: duplicate lineitems of one part in one order
+      // must not count as co-purchase weight (q116's edge contract)
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select("u", "v").localCheckpoint()
+      val sym = e0.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint()
+      // survivors after round r; round 0 = every node with an edge
+      var alive = sym.select(col("x").as("node")).distinct().localCheckpoint()
+      val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, alive.count()))
+      for (r <- 1 to 4) {
+        val deg = sym
+          .join(alive.select(col("node").as("x")), "x")
+          .join(alive.select(col("node").as("y")), "y")
+          .groupBy("x").agg(count(lit(1)).as("deg"))
+        alive = deg.filter(col("deg") >= k).select(col("x").as("node")).localCheckpoint()
+        counts += ((r, alive.count()))
+      }
+      import s.implicits._
+      counts.toSeq.toDF("round", "n_alive").orderBy("round")
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+      a0 AS (SELECT DISTINCT x AS node FROM sym),
+      a1 AS (SELECT x AS node FROM sym
+             JOIN a0 p ON p.node = sym.x JOIN a0 q ON q.node = sym.y
+             GROUP BY x HAVING count(*) >= 3),
+      a2 AS (SELECT x AS node FROM sym
+             JOIN a1 p ON p.node = sym.x JOIN a1 q ON q.node = sym.y
+             GROUP BY x HAVING count(*) >= 3),
+      a3 AS (SELECT x AS node FROM sym
+             JOIN a2 p ON p.node = sym.x JOIN a2 q ON q.node = sym.y
+             GROUP BY x HAVING count(*) >= 3),
+      a4 AS (SELECT x AS node FROM sym
+             JOIN a3 p ON p.node = sym.x JOIN a3 q ON q.node = sym.y
+             GROUP BY x HAVING count(*) >= 3)
+      SELECT * FROM (
+        SELECT 0 AS round, (SELECT count(*) FROM a0)::BIGINT AS n_alive
+        UNION ALL SELECT 1, (SELECT count(*) FROM a1)
+        UNION ALL SELECT 2, (SELECT count(*) FROM a2)
+        UNION ALL SELECT 3, (SELECT count(*) FROM a3)
+        UNION ALL SELECT 4, (SELECT count(*) FROM a4))
+      ORDER BY round
     """))
   )
 }

@@ -34,9 +34,123 @@ import graft.{QueryGroup, Tables}
   */
 object Quality extends QueryGroup {
 
-  /** DuckDB mirror of `TextFunctions.tokens` (q199). */
+  /** DuckDB mirror of `TextFunctions.tokens` (q199/q208). */
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---- shared ridge-probe machinery (q199 fit, q208 conformal) ----
+
+  /** Doc features for the ridge probe: x1 = log char length, x2 =
+    * punctuation density, x3 = type-token ratio, y = log token count.
+    * One projection over the documents scan.
+    */
+  private def ridgeFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val lower = org.apache.spark.sql.functions.lower(col("text"))
+    val toks = tokens(col("text"))
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        log(lit(1.0) + length(col("text"))).as("x1"),
+        (length(regexp_replace(lower, "[a-z0-9 ]", "")).cast("double") /
+          length(col("text"))).as("x2"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("x3"),
+        log(lit(1.0) + size(toks)).as("y"))
+  }
+
+  /** Single-row ridge fit (λ=1) of y ~ x1+x2+x3 over `feats` via
+    * sufficient statistics + closed-form Cramer solve. Output columns:
+    * n, s1..s3, sy, b1..b3, syy_c, beta1..beta3 (see q199's rationale —
+    * this IS the scalable fixed-dimension fit: one pass, O(d²) comms).
+    */
+  private def ridgeFit(feats: DataFrame): DataFrame = {
+    val lam = 1.0
+    feats.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x2") * col("x3")).as("s23"), sum(col("x3") * col("x3")).as("s33"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"),
+        sum(col("x3") * col("y")).as("s3y"), sum(col("y") * col("y")).as("syy"))
+      .select(col("*"),
+        (col("s11") - col("s1") * col("s1") / col("n") + lam).as("a11"),
+        (col("s12") - col("s1") * col("s2") / col("n")).as("a12"),
+        (col("s13") - col("s1") * col("s3") / col("n")).as("a13"),
+        (col("s22") - col("s2") * col("s2") / col("n") + lam).as("a22"),
+        (col("s23") - col("s2") * col("s3") / col("n")).as("a23"),
+        (col("s33") - col("s3") * col("s3") / col("n") + lam).as("a33"),
+        (col("s1y") - col("s1") * col("sy") / col("n")).as("b1"),
+        (col("s2y") - col("s2") * col("sy") / col("n")).as("b2"),
+        (col("s3y") - col("s3") * col("sy") / col("n")).as("b3"),
+        (col("syy") - col("sy") * col("sy") / col("n")).as("syy_c"))
+      .select(col("*"),
+        (col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13"))).as("det"))
+      .select(col("*"),
+        ((col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3"))) / col("det")).as("beta1"),
+        ((col("a11") * (col("b2") * col("a33") - col("b3") * col("a23"))
+          - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13"))) / col("det")).as("beta2"),
+        ((col("a11") * (col("a22") * col("b3") - col("a23") * col("b2"))
+          - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
+          + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13"))) / col("det")).as("beta3"))
+      .select(col("*"),
+        ((col("sy") - col("beta1") * col("s1") - col("beta2") * col("s2")
+          - col("beta3") * col("s3")) / col("n")).as("intercept"))
+  }
+
+  /** DuckDB mirror of [[ridgeFeatures]] (+ doc_id) → `feats` CTE body,
+    * and of [[ridgeFit]] → the sums/c/dt/beta CTE chain over a
+    * `feats`-shaped relation named by `src`. Shared by q199/q208 so
+    * the two oracles can never drift apart.
+    */
+  private val ridgeFeatsSql: String = s"""
+        SELECT doc_id,
+               ln(1.0 + length(text)) AS x1,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                 / length(text) AS x2,
+               len(list_distinct($toksSql))::DOUBLE / len($toksSql) AS x3,
+               ln(1.0 + len($toksSql)) AS y
+        FROM documents
+        WHERE len($toksSql) > 0"""
+
+  private def ridgeFitSql(src: String): String = s"""
+      sums AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+               sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+               sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+               sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(x3*y) AS s3y,
+               sum(y*y) AS syy
+        FROM $src),
+      c AS (
+        SELECT *,
+               s11 - s1*s1/n + 1.0 AS a11, s12 - s1*s2/n AS a12, s13 - s1*s3/n AS a13,
+               s22 - s2*s2/n + 1.0 AS a22, s23 - s2*s3/n AS a23, s33 - s3*s3/n + 1.0 AS a33,
+               s1y - s1*sy/n AS b1, s2y - s2*sy/n AS b2, s3y - s3*sy/n AS b3,
+               syy - sy*sy/n AS syy_c
+        FROM sums),
+      dt AS (
+        SELECT *,
+               a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+                 + a13*(a12*a23 - a22*a13) AS det
+        FROM c),
+      beta AS (
+        SELECT *,
+               (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+                 + a13*(b2*a23 - a22*b3)) / det AS beta1,
+               (a11*(b2*a33 - b3*a23) - b1*(a12*a33 - a23*a13)
+                 + a13*(a12*b3 - b2*a13)) / det AS beta2,
+               (a11*(a22*b3 - a23*b2) - a12*(a12*b3 - b2*a13)
+                 + b1*(a12*a23 - a22*a13)) / det AS beta3
+        FROM dt),
+      fit AS (
+        SELECT *, (sy - beta1*s1 - beta2*s2 - beta3*s3) / n AS intercept
+        FROM beta)"""
 
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
@@ -1189,107 +1303,91 @@ object Quality extends QueryGroup {
     // check run before spending GPU time on a learned scorer).
     // λ = 1 keeps the system well-conditioned → Cramer is stable.
     ("q199_ridge_probe", (s, d) => {
-      import graft.functions.TextFunctions.tokens
-      val lower = org.apache.spark.sql.functions.lower(col("text"))
-      val toks = tokens(col("text"))
-      val feats = Tables.fanOut(Tables.documents(s, d))
-        .filter(size(tokens(col("text"))) > 0)
-        .select(
-          log(lit(1.0) + length(col("text"))).as("x1"),
-          (length(regexp_replace(lower, "[a-z0-9 ]", "")).cast("double") /
-            length(col("text"))).as("x2"),
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("x3"),
-          log(lit(1.0) + size(toks)).as("y"))
-      val sums = feats.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"), sum("y").as("sy"),
-        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x2")).as("s22"),
-        sum(col("x2") * col("x3")).as("s23"), sum(col("x3") * col("x3")).as("s33"),
-        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"),
-        sum(col("x3") * col("y")).as("s3y"), sum(col("y") * col("y")).as("syy"))
-      // centered second moments + ridge diagonal, then Cramer — all
-      // scalar expressions over the single aggregated row
-      val lam = 1.0
-      sums.select(col("*"),
-          (col("s11") - col("s1") * col("s1") / col("n") + lam).as("a11"),
-          (col("s12") - col("s1") * col("s2") / col("n")).as("a12"),
-          (col("s13") - col("s1") * col("s3") / col("n")).as("a13"),
-          (col("s22") - col("s2") * col("s2") / col("n") + lam).as("a22"),
-          (col("s23") - col("s2") * col("s3") / col("n")).as("a23"),
-          (col("s33") - col("s3") * col("s3") / col("n") + lam).as("a33"),
-          (col("s1y") - col("s1") * col("sy") / col("n")).as("b1"),
-          (col("s2y") - col("s2") * col("sy") / col("n")).as("b2"),
-          (col("s3y") - col("s3") * col("sy") / col("n")).as("b3"),
-          (col("syy") - col("sy") * col("sy") / col("n")).as("syy_c"))
-        .select(col("*"),
-          (col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
-            - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
-            + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13"))).as("det"))
-        .select(col("*"),
-          ((col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
-            - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
-            + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3"))) / col("det")).as("beta1"),
-          ((col("a11") * (col("b2") * col("a33") - col("b3") * col("a23"))
-            - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
-            + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13"))) / col("det")).as("beta2"),
-          ((col("a11") * (col("a22") * col("b3") - col("a23") * col("b2"))
-            - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
-            + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13"))) / col("det")).as("beta3"))
+      ridgeFit(ridgeFeatures(s, d))
         .select(
           col("n").cast("long").as("n_docs"),
           round(col("beta1"), 6).as("beta_loglen"),
           round(col("beta2"), 6).as("beta_punct"),
           round(col("beta3"), 6).as("beta_ttr"),
-          round((col("sy") - col("beta1") * col("s1") - col("beta2") * col("s2")
-            - col("beta3") * col("s3")) / col("n"), 6).as("intercept"),
+          round(col("intercept"), 6).as("intercept"),
           round((col("beta1") * col("b1") + col("beta2") * col("b2")
             + col("beta3") * col("b3")) / col("syy_c"), 6).as("r2"))
     }, Some(s"""
-      WITH feats AS (
-        SELECT ln(1.0 + length(text)) AS x1,
-               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
-                 / length(text) AS x2,
-               len(list_distinct($toksSql))::DOUBLE / len($toksSql) AS x3,
-               ln(1.0 + len($toksSql)) AS y
-        FROM documents
-        WHERE len($toksSql) > 0),
-      sums AS (
-        SELECT count(*)::DOUBLE AS n,
-               sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
-               sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
-               sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
-               sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(x3*y) AS s3y,
-               sum(y*y) AS syy
-        FROM feats),
-      c AS (
-        SELECT *,
-               s11 - s1*s1/n + 1.0 AS a11, s12 - s1*s2/n AS a12, s13 - s1*s3/n AS a13,
-               s22 - s2*s2/n + 1.0 AS a22, s23 - s2*s3/n AS a23, s33 - s3*s3/n + 1.0 AS a33,
-               s1y - s1*sy/n AS b1, s2y - s2*sy/n AS b2, s3y - s3*sy/n AS b3,
-               syy - sy*sy/n AS syy_c
-        FROM sums),
-      dt AS (
-        SELECT *,
-               a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
-                 + a13*(a12*a23 - a22*a13) AS det
-        FROM c),
-      beta AS (
-        SELECT *,
-               (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
-                 + a13*(b2*a23 - a22*b3)) / det AS beta1,
-               (a11*(b2*a33 - b3*a23) - b1*(a12*a33 - a23*a13)
-                 + a13*(a12*b3 - b2*a13)) / det AS beta2,
-               (a11*(a22*b3 - a23*b2) - a12*(a12*b3 - b2*a13)
-                 + b1*(a12*a23 - a22*a13)) / det AS beta3
-        FROM dt)
+      WITH feats AS ($ridgeFeatsSql),
+      ${ridgeFitSql("feats")}
       SELECT n::BIGINT AS n_docs,
              round(beta1, 6) AS beta_loglen,
              round(beta2, 6) AS beta_punct,
              round(beta3, 6) AS beta_ttr,
-             round((sy - beta1*s1 - beta2*s2 - beta3*s3) / n, 6) AS intercept,
+             round(intercept, 6) AS intercept,
              round((beta1*b1 + beta2*b2 + beta3*b3) / syy_c, 6) AS r2
-      FROM beta
+      FROM fit
+    """)),
+
+    // ------------------------------------------------------------ split-conformal interval (round 9)
+    // Distribution-free UNCERTAINTY for the q199 probe: fit on the
+    // train third, take q̂ = the ⌈0.9(n+1)⌉-th smallest absolute
+    // calibration residual, and report empirical coverage of
+    // ŷ ± q̂ on the untouched test third — the finite-sample ≥90%
+    // guarantee needing zero distributional assumptions. The split key
+    // doc_id%3 is coprime to the fixture's source=doc_id%20. q̂ is the
+    // EXACT order statistic, fetched scalably by flipping to the
+    // (n−k+1)-th LARGEST: that tail is ~10% of calibration, so a
+    // TakeOrdered top-k' + min — never a global single-partition sort
+    // of the calibration set (the value is tie-break-invariant:
+    // k-th smallest ≡ min of the n−k+1 largest). Only n_cal (one
+    // scalar) and k' (its arithmetic) cross the driver. At 100 TB the
+    // same code holds; the conformal literature's approx-quantile
+    // variant just widens the guarantee by the sketch error.
+    ("q208_conformal_interval", (s, d) => {
+      val feats = ridgeFeatures(s, d).localCheckpoint()
+      val fit = ridgeFit(feats.filter(col("doc_id") % 3 === 0))
+        .select("beta1", "beta2", "beta3", "intercept")
+      def resid(f: DataFrame): DataFrame = f.crossJoin(broadcast(fit))
+        .select(col("doc_id"),
+          abs(col("y") - (col("intercept") + col("beta1") * col("x1")
+            + col("beta2") * col("x2") + col("beta3") * col("x3"))).as("r"))
+      val calib = resid(feats.filter(col("doc_id") % 3 === 1))
+      val nTrain = feats.filter(col("doc_id") % 3 === 0).count()
+      val nCal = calib.count()
+      val k = math.ceil(0.9 * (nCal + 1)).toLong
+      val kFromTop = (nCal - k + 1).toInt
+      val qhat = calib.orderBy(col("r").desc, col("doc_id")).limit(kFromTop)
+        .agg(min("r").as("qhat"))
+      resid(feats.filter(col("doc_id") % 3 === 2))
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+             sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"),
+             round(max("qhat"), 6).as("qhat"))
+        .select(lit(nTrain).as("n_train"), lit(nCal).as("n_cal"), col("n_test"),
+          col("qhat"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test"), 6).as("coverage"))
+    }, Some(s"""
+      WITH feats AS ($ridgeFeatsSql),
+      train AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
+      ${ridgeFitSql("train")},
+      calib AS (
+        SELECT f.doc_id,
+               abs(f.y - (t.intercept + t.beta1*f.x1 + t.beta2*f.x2 + t.beta3*f.x3)) AS r
+        FROM feats f CROSS JOIN fit t
+        WHERE f.doc_id % 3 = 1),
+      kth AS (
+        SELECT r AS qhat FROM (
+          SELECT r, row_number() OVER (ORDER BY r, doc_id) AS rn FROM calib)
+        WHERE rn = (SELECT CAST(ceil(0.9 * (count(*) + 1)) AS BIGINT) FROM calib)),
+      test AS (
+        SELECT f.doc_id,
+               abs(f.y - (t.intercept + t.beta1*f.x1 + t.beta2*f.x2 + t.beta3*f.x3)) AS r
+        FROM feats f CROSS JOIN fit t
+        WHERE f.doc_id % 3 = 2)
+      SELECT (SELECT count(*) FROM train)::BIGINT AS n_train,
+             (SELECT count(*) FROM calib)::BIGINT AS n_cal,
+             count(*)::BIGINT AS n_test,
+             round(max(k.qhat), 6) AS qhat,
+             sum(CASE WHEN test.r <= k.qhat THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+             round(sum(CASE WHEN test.r <= k.qhat THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS coverage
+      FROM test CROSS JOIN kth k
     """)),
 
     // ------------------------------------------------------------ CUPED variance reduction (round 9)

@@ -28,6 +28,10 @@ object Selection extends QueryGroup {
 
   private val shardBudget = 8000L // estimated tokens per shard
 
+  /** DuckDB mirror of `TextFunctions.tokens` (q209). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
   /** q90 target mixture weight per source (percent); the demo policy
     * derives it from the source number so every weight tier appears.
     */
@@ -190,6 +194,57 @@ object Selection extends QueryGroup {
       FROM keyed
       QUALIFY rank <= 5
       ORDER BY source, rank
+    """)),
+
+    // ------------------------------------------------------------ temperature mixture reweighting (round 9)
+    // The multilingual/temperature sampling rule (w_s ∝ p_s^α,
+    // α = 0.3): flattens the head sources and boosts the tail without
+    // the hard caps q90's rebalance uses — the standard mixture when
+    // a corpus' natural proportions would drown low-resource slices.
+    // Weights are computed over TOKEN counts (what the training run
+    // actually consumes), the budget is half the corpus' tokens, and
+    // the output ledger gives each source its natural share, its
+    // temperature share, the token target, and the implied epoch
+    // factor (>1 ⇒ the source is UPSAMPLED — repeated — under the
+    // mixture; the flag a curator checks before accepting repetition).
+    // One tokenize scan → per-source count → 1-row total broadcast;
+    // the ^α is the only non-rational op and lands after rounding.
+    ("q209_temperature_mixture", (s, d) => {
+      val alpha = 0.3
+      val perSource = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+        // checkpointed: totals row + final ledger both read it — one
+        // tokenize scan, not two (|sources| rows, trivially cheap)
+        .localCheckpoint()
+      val tot = perSource.agg(sum("n_tokens").cast("double").as("t_tokens"),
+        sum(pow(col("n_tokens").cast("double"), alpha)).as("z"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens") / col("t_tokens"), 6).as("p_natural"),
+          round(pow(col("n_tokens").cast("double"), alpha) / col("z"), 6).as("p_temp"),
+          floor(pow(col("n_tokens").cast("double"), alpha) / col("z")
+            * col("t_tokens") * 0.5).cast("long").as("target_tokens"),
+          round(pow(col("n_tokens").cast("double"), alpha) / col("z")
+            * col("t_tokens") * 0.5 / col("n_tokens"), 4).as("epochs"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH per_source AS (
+        SELECT source, sum(len($toksSql))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT sum(n_tokens)::DOUBLE AS t_tokens,
+               sum(pow(n_tokens::DOUBLE, 0.3)) AS z
+        FROM per_source)
+      SELECT source, n_tokens,
+             round(n_tokens / t_tokens, 6) AS p_natural,
+             round(pow(n_tokens::DOUBLE, 0.3) / z, 6) AS p_temp,
+             CAST(floor(pow(n_tokens::DOUBLE, 0.3) / z * t_tokens * 0.5) AS BIGINT)
+               AS target_tokens,
+             round(pow(n_tokens::DOUBLE, 0.3) / z * t_tokens * 0.5 / n_tokens, 4)
+               AS epochs
+      FROM per_source CROSS JOIN tot
+      ORDER BY source
     """))
   )
 }

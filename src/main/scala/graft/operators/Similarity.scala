@@ -1372,6 +1372,63 @@ object Similarity extends QueryGroup {
       JOIN label_cnt l USING (q_label)
       JOIN ideal id ON id.m = greatest(least(l.n_label - 1, 10), 1)
       ORDER BY p.query_id
+    """)),
+
+    // ------------------------------------------------------------ per-dimension ANOVA F (round 9)
+    // Univariate feature relevance for the embedding space: one-way
+    // ANOVA F per dimension (between-label variance over within-label
+    // variance) — the classic F-score feature ranking run before
+    // training a linear probe, and the QA check that tells you WHICH
+    // dimensions carry label signal (a near-zero F across the board
+    // says the labels are random w.r.t. the space — exactly this
+    // fixture's regime, which the spec pins). Shapes: one posexplode
+    // scan → (dim, label) sufficient stats (64×|labels| rows) →
+    // per-dim F from the group relation → rank. Nothing data-sized
+    // past the first aggregate; at 100 TB the (dim,label) grid is
+    // still KBs.
+    ("q211_anova_dims", (s, d) => {
+      val cells = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos", "label")
+        .agg(count(lit(1)).cast("double").as("nl"),
+             sum(col("x").cast("double")).as("sl"),
+             sum(col("x").cast("double") * col("x").cast("double")).as("ql"))
+      val perDim = cells.groupBy("pos")
+        .agg(sum("nl").as("n"), count(lit(1)).as("nlab"),
+             sum("sl").as("st"),
+             sum(col("ql") - col("sl") * col("sl") / col("nl")).as("ssw"),
+             sum(col("sl") * col("sl") / col("nl")).as("sqm"))
+        .select(col("pos"), col("n"), col("nlab"),
+          (col("sqm") - col("st") * col("st") / col("n")).as("ssb"), col("ssw"))
+        .select(col("pos"),
+          (col("ssb") / (col("nlab") - 1) / (col("ssw") / (col("n") - col("nlab")))).as("f"))
+      val w = Window.orderBy(col("rf").desc, col("pos"))
+      perDim.select(col("pos"), round(col("f"), 6).as("rf"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("pos").cast("long").as("dim"), col("rf").as("f_stat"))
+        .orderBy("rk")
+    }, Some("""
+      WITH cells AS (
+        SELECT i - 1 AS pos, label,
+               count(*)::DOUBLE AS nl,
+               sum(embedding[i]::DOUBLE) AS sl,
+               sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ql
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY i, label),
+      per_dim AS (
+        SELECT pos, sum(nl) AS n, count(*) AS nlab, sum(sl) AS st,
+               sum(ql - sl*sl/nl) AS ssw,
+               sum(sl*sl/nl) AS sqm
+        FROM cells GROUP BY pos),
+      f AS (
+        SELECT pos,
+               round(((sqm - st*st/n) / (nlab - 1)) / (ssw / (n - nlab)), 6) AS rf
+        FROM per_dim)
+      SELECT rk, pos::BIGINT AS dim, rf AS f_stat FROM (
+        SELECT pos, rf, row_number() OVER (ORDER BY rf DESC, pos) AS rk FROM f)
+      WHERE rk <= 10
+      ORDER BY rk
     """))
   )
 

@@ -756,4 +756,63 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(nExact == exactPairs, s"exact baseline $nExact vs brute-force $exactPairs")
   }
+
+  test("q209: temperature mixture matches sequential math and actually flattens the head") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong))
+    val perSource = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).sum }
+    val tTok = perSource.values.sum.toDouble
+    val z = perSource.values.map(n => math.pow(n.toDouble, 0.3)).sum
+    val got = SparkEntry.queries("q209_temperature_mixture")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("p_natural"), r.getAs[Double]("p_temp"),
+          r.getAs[Long]("target_tokens"), r.getAs[Double]("epochs")))).toMap
+    assert(got.keySet == perSource.keySet)
+    for ((src, nTok) <- perSource) {
+      val (gN, gPn, gPt, gTarget, gEp) = got(src)
+      val pt = math.pow(nTok.toDouble, 0.3) / z
+      assert(gN == nTok, s"$src token count")
+      assert(math.abs(gPn - nTok / tTok) < 1e-6)
+      assert(math.abs(gPt - pt) < 1e-6)
+      assert(gTarget == math.floor(pt * tTok * 0.5).toLong, s"$src target")
+      assert(math.abs(gEp - pt * tTok * 0.5 / nTok) < 1e-3)
+    }
+    // temperature shares sum to 1, and α<1 must FLATTEN: the largest
+    // source's share shrinks, the smallest source's share grows
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-3)
+    val largest = perSource.maxBy(_._2)._1
+    val smallest = perSource.minBy(_._2)._1
+    assert(got(largest)._3 < got(largest)._2, "head source not flattened")
+    assert(got(smallest)._3 > got(smallest)._2, "tail source not boosted")
+  }
+
+  test("q211: per-dimension ANOVA F matches a sequential recompute") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getAs[Seq[Float]](1).toArray))
+    val dims = embs.head._2.length
+    val fs = (0 until dims).map { d =>
+      val byLabel = embs.groupBy(_._1).map { case (_, vs) => vs.map(_._2(d).toDouble) }
+      val all = byLabel.flatten
+      val n = all.size.toDouble; val nlab = byLabel.size
+      val grand = all.sum / n
+      val ssb = byLabel.map(g => g.size * math.pow(g.sum / g.size - grand, 2)).sum
+      val ssw = byLabel.map(g => { val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum }).sum
+      d.toLong -> (ssb / (nlab - 1)) / (ssw / (n - nlab))
+    }
+    val expectedTop = fs.map { case (d, f) =>
+      (d, BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (d, f) => (-f, d) }.take(10)
+    val got = SparkEntry.queries("q211_anova_dims")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("f_stat")))
+    assert(got.map(_._1).toSeq == expectedTop.map(_._1),
+      s"top-10 F dims: got=${got.map(_._1).toSeq} want=${expectedTop.map(_._1)}")
+    got.zip(expectedTop).foreach { case ((_, gf), (_, ef)) =>
+      assert(math.abs(gf - ef) < 1e-4, s"F $gf vs $ef")
+    }
+    // random labels on random vectors ⇒ F hovers near 1, far below any
+    // significance blowup — pins the "no label signal" regime honestly
+    assert(got.head._2 < 10.0, s"suspicious F ${got.head._2} on random fixture")
+  }
 }

@@ -792,6 +792,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q208-q211: round-9 batch-4 additions stay inside their plan budgets") {
+    // q208: feats checkpointed; the three BNLJ crosses are 1-row fit /
+    // q̂ broadcasts (sanctioned); q̂ itself is TakeOrdered top-k'+min,
+    // never a global sort. q209: one tokenize scan → source aggregate
+    // → 1-row totals cross (sanctioned). q210: the peel runs eagerly
+    // off checkpoints; the judged relation is the driver-built curve
+    // (LocalTableScan). q211: one posexplode scan → (dim,label) grid
+    // → per-dim F → rank.
+    val budget = Map(
+      "q208_conformal_interval" -> (3, 2),
+      "q209_temperature_mixture" -> (3, 1),
+      "q210_kcore_peel" -> (1, 0),
+      "q211_anova_dims" -> (3, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q == "q210_kcore_peel" || q == "q211_anova_dims")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

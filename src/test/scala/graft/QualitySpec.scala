@@ -918,4 +918,56 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
         s"arm $arm adjustment inflated variance")
     }
   }
+
+  test("q208: conformal q-hat and coverage match a sequential split replay") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val feats = docs.filter(d => toks(d._2).nonEmpty).map { case (id, t) =>
+      val tk = toks(t)
+      (id, math.log(1.0 + t.length),
+       t.toLowerCase.replaceAll("[a-z0-9 ]", "").length.toDouble / t.length,
+       tk.distinct.length.toDouble / tk.length,
+       math.log(1.0 + tk.length))
+    }
+    val train = feats.filter(_._1 % 3 == 0)
+    // same closed-form solve as the q199 replay, on the train split
+    val n = train.length.toDouble
+    def s(f: ((Long, Double, Double, Double, Double)) => Double) = train.map(f).sum
+    val (s1, s2, s3, sy) = (s(_._2), s(_._3), s(_._4), s(_._5))
+    val a11 = s(x => x._2 * x._2) - s1 * s1 / n + 1.0
+    val a12 = s(x => x._2 * x._3) - s1 * s2 / n
+    val a13 = s(x => x._2 * x._4) - s1 * s3 / n
+    val a22 = s(x => x._3 * x._3) - s2 * s2 / n + 1.0
+    val a23 = s(x => x._3 * x._4) - s2 * s3 / n
+    val a33 = s(x => x._4 * x._4) - s3 * s3 / n + 1.0
+    val b1 = s(x => x._2 * x._5) - s1 * sy / n
+    val b2 = s(x => x._3 * x._5) - s2 * sy / n
+    val b3 = s(x => x._4 * x._5) - s3 * sy / n
+    val det = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * a23 - a22 * a13)
+    val beta1 = (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+      a13 * (b2 * a23 - a22 * b3)) / det
+    val beta2 = (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * b3 - b2 * a13)) / det
+    val beta3 = (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13) +
+      b1 * (a12 * a23 - a22 * a13)) / det
+    val icpt = (sy - beta1 * s1 - beta2 * s2 - beta3 * s3) / n
+    def resid(x: (Long, Double, Double, Double, Double)) =
+      math.abs(x._5 - (icpt + beta1 * x._2 + beta2 * x._3 + beta3 * x._4))
+    val calib = feats.filter(_._1 % 3 == 1).map(x => (resid(x), x._1)).sortBy(identity)
+    val k = math.ceil(0.9 * (calib.length + 1)).toInt
+    val qhat = calib(k - 1)._1
+    val test = feats.filter(_._1 % 3 == 2).map(resid)
+    val cov = test.count(_ <= qhat).toDouble / test.length
+    val r = SparkEntry.queries("q208_conformal_interval")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_train") == train.length.toLong)
+    assert(r.getAs[Long]("n_cal") == calib.length.toLong)
+    assert(r.getAs[Long]("n_test") == test.length.toLong)
+    assert(math.abs(r.getAs[Double]("qhat") - qhat) < 1e-5, s"qhat ${r.getAs[Double]("qhat")} vs $qhat")
+    assert(math.abs(r.getAs[Double]("coverage") - cov) < 1e-6)
+    // the split-conformal guarantee is marginal ≥0.9; a single split
+    // wobbles around it — sanity-band, not exact-bound
+    assert(cov > 0.75 && cov <= 1.0, s"coverage $cov out of sanity band")
+  }
 }
