@@ -1469,6 +1469,68 @@ object Quality extends QueryGroup {
       FROM per_user CROSS JOIN t
       GROUP BY arm
       ORDER BY arm
+    """)),
+
+    // ------------------------------------------------------------ difference-in-differences (round 9)
+    // The panel-data uplift estimate that survives a level shift
+    // between arms: each user's own pre→post delta is the unit of
+    // analysis (canceling the user fixed effect), DiD is the arm
+    // difference of mean deltas, and the Welch-style SE over per-user
+    // deltas gives the t statistic — the q156/q207 family completed
+    // with the estimator practitioners reach for when arms weren't
+    // randomized at the same baseline. Users need BOTH periods to
+    // contribute (the inner filter); one events scan → per-user
+    // pivot → per-arm moment aggregate → one 2-row reduction.
+    ("q213_diff_in_diff", (s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(avg(when(col("ts") < cut, col("value"))).as("pre"),
+             avg(when(col("ts") >= cut, col("value"))).as("post"))
+        .filter(col("pre").isNotNull && col("post").isNotNull)
+        .select((col("user_id") % 2).as("arm"), (col("post") - col("pre")).as("delta"))
+      val byArm = perUser.groupBy("arm")
+        .agg(count(lit(1)).cast("double").as("n"),
+             avg("delta").as("mean_delta"),
+             var_samp(col("delta")).as("var_delta"))
+      byArm.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("mean_delta").as("m0"), col("var_delta").as("v0"))
+        .crossJoin(byArm.filter(col("arm") === 1)
+          .select(col("n").as("n1"), col("mean_delta").as("m1"), col("var_delta").as("v1")))
+        .select(
+          col("n0").cast("long").as("n_control"),
+          col("n1").cast("long").as("n_treat"),
+          round(col("m0"), 6).as("mean_delta_control"),
+          round(col("m1"), 6).as("mean_delta_treat"),
+          round(col("m1") - col("m0"), 6).as("did"),
+          round(sqrt(col("v1") / col("n1") + col("v0") / col("n0")), 6).as("se"),
+          round((col("m1") - col("m0"))
+            / sqrt(col("v1") / col("n1") + col("v0") / col("n0")), 4).as("t_stat"))
+    }, Some("""
+      WITH per_user AS (
+        SELECT user_id % 2 AS arm,
+               avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END)
+                 - avg(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value END)
+                 AS delta
+        FROM events
+        GROUP BY user_id
+        HAVING avg(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value END)
+                 IS NOT NULL
+           AND avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END)
+                 IS NOT NULL),
+      by_arm AS (
+        SELECT arm, count(*)::DOUBLE AS n, avg(delta) AS mean_delta,
+               var_samp(delta) AS var_delta
+        FROM per_user GROUP BY arm)
+      SELECT a0.n::BIGINT AS n_control, a1.n::BIGINT AS n_treat,
+             round(a0.mean_delta, 6) AS mean_delta_control,
+             round(a1.mean_delta, 6) AS mean_delta_treat,
+             round(a1.mean_delta - a0.mean_delta, 6) AS did,
+             round(sqrt(a1.var_delta / a1.n + a0.var_delta / a0.n), 6) AS se,
+             round((a1.mean_delta - a0.mean_delta)
+                   / sqrt(a1.var_delta / a1.n + a0.var_delta / a0.n), 4) AS t_stat
+      FROM (SELECT * FROM by_arm WHERE arm = 0) a0
+      CROSS JOIN (SELECT * FROM by_arm WHERE arm = 1) a1
     """))
   )
 }

@@ -1429,6 +1429,82 @@ object Similarity extends QueryGroup {
         SELECT pos, rf, row_number() OVER (ORDER BY rf DESC, pos) AS rk FROM f)
       WHERE rk <= 10
       ORDER BY rk
+    """)),
+
+    // ------------------------------------------------------------ truncation-dimension ablation (round 9)
+    // The matryoshka question: how much retrieval quality survives if
+    // we keep only the first m dimensions? Exact cosine top-10 per
+    // query at m ∈ {8,16,32,64}, scored against the full-dim top-10
+    // as ground truth — the curve that decides whether an index can
+    // store truncated vectors (4× memory cut) before anyone re-trains
+    // an embedder. ONE broadcast-queries pass computes all four
+    // prefix cosines (the m=8 dot is a prefix sum of the m=64 dot —
+    // each slice dot is its own codegen'd aggregate over the same
+    // row); `stack` pivots to (m, cos) rows, ranking windows are per
+    // (m, query), and recall joins each m-ranking against the m=64
+    // ranking. Corpus×queries×4 rows total — bounded by the 10-query
+    // eval set, never corpus².
+    ("q212_truncation_ablation", (s, d) => {
+      val e = normed(s, d)
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      def prefixCos(m: Int): Column = {
+        val dp = aggregate(zip_with(slice(col("qv"), 1, m), slice(col("embedding"), 1, m),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+        def nrm(c: Column) = sqrt(aggregate(slice(c, 1, m),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        quant6(dp / (nrm(col("qv")) * nrm(col("embedding"))))
+      }
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          prefixCos(8).as("c8"), prefixCos(16).as("c16"),
+          prefixCos(32).as("c32"), prefixCos(64).as("c64"))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("stack(4, 8, c8, 16, c16, 32, c32, 64, c64) AS (m, cos)"))
+      val wk = Window.partitionBy("m", "query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val ranked = scored.withColumn("rk", row_number().over(wk)).filter(col("rk") <= 10)
+        .select("m", "query_id", "neighbor_id").localCheckpoint()
+      // LEFT join + 0-fill: a query whose truncated top-10 hits NOTHING
+      // from the full-dim truth must average in as recall 0, not drop
+      // out of the mean (an inner join silently inflates low-m recall)
+      val full = ranked.filter(col("m") === 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      ranked.join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("m", "query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_queries"),
+             round(avg(col("n_hit").cast("double") / 10.0), 6).as("mean_recall_at_10"))
+        .select(col("m").cast("long").as("m_dims"), col("n_queries"), col("mean_recall_at_10"))
+        .orderBy("m_dims")
+    }, Some(s"""
+      WITH $normedCte,
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $numQueries),
+      ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+      scored AS (
+        SELECT m.m, q.query_id, c.vec_id AS neighbor_id,
+               ${quant6Sql("""
+                 list_sum([q.qv[i] * c.v[i] for i in generate_series(1, m.m)])
+                 / (sqrt(list_sum([q.qv[i] * q.qv[i] for i in generate_series(1, m.m)]))
+                    * sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, m.m)])))""")} AS cos
+        FROM q CROSS JOIN ms m JOIN e c ON c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT m, query_id, neighbor_id FROM (
+          SELECT m, query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY m, query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+        WHERE rk <= 10),
+      full_rank AS (SELECT query_id, neighbor_id, 1 AS hit FROM ranked WHERE m = 64)
+      SELECT m::BIGINT AS m_dims, count(*)::BIGINT AS n_queries,
+             round(avg(n_hit / 10.0), 6) AS mean_recall_at_10
+      FROM (
+        SELECT r.m, r.query_id, sum(COALESCE(f.hit, 0))::DOUBLE AS n_hit
+        FROM ranked r LEFT JOIN full_rank f
+          ON f.query_id = r.query_id AND f.neighbor_id = r.neighbor_id
+        GROUP BY r.m, r.query_id)
+      GROUP BY m
+      ORDER BY m_dims
     """))
   )
 

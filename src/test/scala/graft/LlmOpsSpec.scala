@@ -815,4 +815,42 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     // significance blowup — pins the "no label signal" regime honestly
     assert(got.head._2 < 10.0, s"suspicious F ${got.head._2} on random fixture")
   }
+
+  test("q212: truncation ablation matches a sequential prefix-cosine replay") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def prefixCos(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until m) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      q6(dp / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def top10(qv: Array[Float], qid: Long, m: Int): Set[Long] =
+      embs.filter(_._1 != qid)
+        .map { case (id, v) => (id, prefixCos(qv, v, m)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val queries = embs.filter(_._1 < 10)
+    val expected = Seq(8, 16, 32, 64).map { m =>
+      val recalls = queries.map { case (qid, qv) =>
+        val full = top10(qv, qid, 64)
+        (top10(qv, qid, m) intersect full).size / 10.0
+      }
+      m.toLong -> BigDecimal(recalls.sum / recalls.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = SparkEntry.queries("q212_truncation_ablation")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("m_dims") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall_at_10")))).toMap
+    assert(got.keySet == Set(8L, 16L, 32L, 64L))
+    for ((m, want) <- expected) {
+      val (nq, rec) = got(m)
+      assert(nq == queries.length.toLong, s"m=$m must average over ALL queries")
+      assert(math.abs(rec - want) < 1e-6, s"m=$m recall $rec vs $want")
+    }
+    // by construction the full-dim row is its own ground truth, and
+    // more dimensions can only help on average in this eval
+    assert(got(64L)._2 == 1.0)
+    assert(got(8L)._2 <= got(32L)._2 + 1e-9)
+  }
 }

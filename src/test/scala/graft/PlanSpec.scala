@@ -817,6 +817,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q212-q213: round-9 batch-5 additions stay inside their plan budgets") {
+    // q212: one corpus pass computes all four prefix cosines (the
+    // 10-row query set broadcasts — sanctioned non-equi BNLJ); stack
+    // pivots in-place, ranking + recall run on the checkpointed
+    // ≤4×10×10 relation. q213: one events scan → per-user pivot →
+    // 2-row arm moments → 1×1 cross (sanctioned).
+    val budget = Map(
+      "q212_truncation_ablation" -> (6, 2),
+      "q213_diff_in_diff" -> (6, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -970,4 +970,39 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     // wobbles around it — sanity-band, not exact-bound
     assert(cov > 0.75 && cov <= 1.0, s"coverage $cov out of sanity band")
   }
+
+  test("q213: DiD estimate matches a sequential per-user delta replay") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime, r.getDouble(2)))
+    // .toSeq BEFORE flatMap: flatMapping a Map with a pair-valued
+    // function rebuilds a Map keyed by u%2 — two entries total
+    val deltas = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val pre = es.filter(_._2 < cut).map(_._3)
+      val post = es.filter(_._2 >= cut).map(_._3)
+      if (pre.isEmpty || post.isEmpty) None
+      else Some(u % 2 -> (post.sum / post.length - pre.sum / pre.length))
+    }
+    def varSamp(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val d0 = deltas.filter(_._1 == 0).map(_._2)
+    val d1 = deltas.filter(_._1 == 1).map(_._2)
+    val (m0, m1) = (d0.sum / d0.length, d1.sum / d1.length)
+    val se = math.sqrt(varSamp(d1) / d1.length + varSamp(d0) / d0.length)
+    val r = SparkEntry.queries("q213_diff_in_diff")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_control") == d0.length.toLong)
+    assert(r.getAs[Long]("n_treat") == d1.length.toLong)
+    assert(math.abs(r.getAs[Double]("mean_delta_control") - m0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_delta_treat") - m1) < 1e-5)
+    assert(math.abs(r.getAs[Double]("did") - (m1 - m0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-5)
+    assert(math.abs(r.getAs[Double]("t_stat") - (m1 - m0) / se) < 1e-3)
+    // arms are a deterministic pseudo-split of one population: the
+    // "uplift" must be statistically nothing (|t| small), pinning that
+    // the estimator doesn't hallucinate effects
+    assert(math.abs(r.getAs[Double]("t_stat")) < 4.0,
+      s"pseudo-experiment found an effect: t=${r.getAs[Double]("t_stat")}")
+  }
 }
