@@ -1531,6 +1531,91 @@ object Quality extends QueryGroup {
                    / sqrt(a1.var_delta / a1.n + a0.var_delta / a0.n), 4) AS t_stat
       FROM (SELECT * FROM by_arm WHERE arm = 0) a0
       CROSS JOIN (SELECT * FROM by_arm WHERE arm = 1) a1
+    """)),
+
+    // ------------------------------------------------------------ right-to-be-forgotten cascade audit (round 9)
+    // The deletion-compliance workflow: given a subject list (here
+    // c_custkey % 37 = 0 stands in for the GDPR request queue),
+    // tombstone the subjects and CASCADE through the FK chain
+    // (customer → orders → lineitem), then AUDIT the surviving rows
+    // for residual references — n_orphans_after must be zero at every
+    // hop, and the lineitem hop is the real test because its subject
+    // linkage is two joins away. Tombstone membership travels as
+    // semi/anti joins on the FK keys (shuffle- and broadcast-safe at
+    // any subject-list size — never a collected IN-list), and each
+    // table contributes one ledger row: before / tombstoned / after /
+    // orphans. This is the audit a data-platform team runs after
+    // every deletion batch; a nonzero orphan count is a compliance
+    // incident, not a statistic.
+    ("q215_forget_audit", (s, d) => {
+      val subjects = Tables.customer(s, d).filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey").as("k"))
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val tombOrders = orders.join(subjects, col("o_custkey") === col("k"), "left_semi")
+        .select("o_orderkey").localCheckpoint() // read by lineitem hop twice (tomb + orphan)
+      def row(name: String, before: DataFrame, tomb: DataFrame, orphansAfter: DataFrame) = {
+        val b = before.agg(count(lit(1)).as("n_before"))
+        val t = tomb.agg(count(lit(1)).as("n_tombstoned"))
+        val o = orphansAfter.agg(count(lit(1)).as("n_orphans_after"))
+        b.crossJoin(t).crossJoin(o)
+          .select(lit(name).as("table_name"), col("n_before"), col("n_tombstoned"),
+            (col("n_before") - col("n_tombstoned")).as("n_after"), col("n_orphans_after"))
+      }
+      val custAfter = cust.join(subjects, col("c_custkey") === col("k"), "left_anti")
+      val ordersAfter = orders.join(subjects, col("o_custkey") === col("k"), "left_anti")
+      val liAfter = li.join(tombOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      row("customer",
+          cust,
+          cust.join(subjects, col("c_custkey") === col("k"), "left_semi"),
+          custAfter.join(subjects, col("c_custkey") === col("k"), "left_semi"))
+        .unionByName(row("orders",
+          orders,
+          orders.join(subjects, col("o_custkey") === col("k"), "left_semi"),
+          ordersAfter.join(subjects, col("o_custkey") === col("k"), "left_semi")))
+        .unionByName(row("lineitem",
+          li,
+          li.join(tombOrders, col("l_orderkey") === col("o_orderkey"), "left_semi"),
+          // the 2-hop residual check: surviving lineitems whose order
+          // belongs to a deleted customer
+          liAfter.join(ordersAfter.join(subjects, col("o_custkey") === col("k"), "left_semi")
+            .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")))
+        .orderBy("table_name")
+    }, Some("""
+      WITH subjects AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 37 = 0),
+      tomb_orders AS (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM subjects)),
+      cust_row AS (
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM customer)::BIGINT AS n_before,
+               (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM subjects))::BIGINT AS n_tombstoned,
+               (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM subjects)
+                  AND c_custkey IN (SELECT k FROM subjects))::BIGINT AS n_orphans_after),
+      orders_row AS (
+        SELECT 'orders' AS table_name,
+               (SELECT count(*) FROM orders)::BIGINT AS n_before,
+               (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM subjects))::BIGINT AS n_tombstoned,
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM subjects)
+                  AND o_custkey IN (SELECT k FROM subjects))::BIGINT AS n_orphans_after),
+      li_row AS (
+        SELECT 'lineitem' AS table_name,
+               (SELECT count(*) FROM lineitem)::BIGINT AS n_before,
+               (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM tomb_orders))::BIGINT AS n_tombstoned,
+               (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM tomb_orders)
+                    AND l_orderkey IN (
+                      SELECT o_orderkey FROM orders
+                      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tomb_orders)
+                        AND o_custkey IN (SELECT k FROM subjects)))::BIGINT AS n_orphans_after)
+      SELECT table_name, n_before, n_tombstoned,
+             n_before - n_tombstoned AS n_after, n_orphans_after
+      FROM (SELECT * FROM cust_row
+            UNION ALL SELECT * FROM orders_row
+            UNION ALL SELECT * FROM li_row)
+      ORDER BY table_name
     """))
   )
 }

@@ -1141,6 +1141,70 @@ object TextAnalysis extends QueryGroup {
       FROM scored
       GROUP BY source
       ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ feature-hashing collision audit (round 9)
+    // The hashing-trick QA: before replacing a vocabulary with
+    // hash-bucketed features (the standard move when the vocab won't
+    // fit a model — Vowpal/fastText style), measure what 2^k buckets
+    // actually cost on THIS corpus: how many distinct tokens collide,
+    // what fraction of token MASS lands in collided buckets (mass is
+    // what distorts a downstream model — a rare token colliding with
+    // 'the' is drowned), and the worst buckets by distinct-token
+    // pile-up. One tokenize scan → vocab aggregate (vocab-bounded) →
+    // bucket aggregate (≤2^k rows); the audit table is tiny at any
+    // corpus size. portableHash keeps bucket assignment bit-identical
+    // in the DuckDB oracle.
+    ("q214_feature_hash_audit", (s, d) => {
+      // bucket count scaled to the fixture's 31-token template vocab so
+      // the audit exercises REAL collisions (31 tokens → ~30 expected in
+      // 16 buckets); production uses 2^18+ against a multi-million vocab
+      // — the ledger shape is identical
+      val bits = 4
+      val nBuckets = 1 << bits
+      val vocab = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(col("tok"), col("cnt"), (portableHash(col("tok")) % nBuckets).as("bucket"))
+      val buckets = vocab.groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens_in_bucket"), sum("cnt").as("mass"))
+      val summary = buckets.agg(
+        count(lit(1)).as("n_used_buckets"),
+        sum("n_tokens_in_bucket").as("n_vocab"),
+        sum(when(col("n_tokens_in_bucket") > 1, col("n_tokens_in_bucket")).otherwise(0L))
+          .as("n_collided_tokens"),
+        sum(when(col("n_tokens_in_bucket") > 1, col("mass")).otherwise(0L))
+          .as("collided_mass"),
+        sum("mass").as("total_mass"),
+        max("n_tokens_in_bucket").as("worst_bucket_tokens"))
+      summary.select(
+        lit(nBuckets.toLong).as("n_buckets"),
+        col("n_used_buckets"), col("n_vocab"), col("n_collided_tokens"),
+        round(col("n_collided_tokens").cast("double") / col("n_vocab"), 6)
+          .as("token_collision_rate"),
+        round(col("collided_mass").cast("double") / col("total_mass"), 6)
+          .as("mass_in_collided_buckets"),
+        col("worst_bucket_tokens"))
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok, count(*)::BIGINT AS cnt,
+               ('0x'||substring(md5(tok),1,15))::BIGINT % 16 AS bucket
+        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        GROUP BY tok),
+      buckets AS (
+        SELECT bucket, count(*)::BIGINT AS n_tokens_in_bucket, sum(cnt)::BIGINT AS mass
+        FROM vocab GROUP BY bucket)
+      SELECT 16::BIGINT AS n_buckets,
+             count(*)::BIGINT AS n_used_buckets,
+             sum(n_tokens_in_bucket)::BIGINT AS n_vocab,
+             sum(CASE WHEN n_tokens_in_bucket > 1 THEN n_tokens_in_bucket ELSE 0 END)::BIGINT
+               AS n_collided_tokens,
+             round(sum(CASE WHEN n_tokens_in_bucket > 1 THEN n_tokens_in_bucket ELSE 0 END)::DOUBLE
+                   / sum(n_tokens_in_bucket), 6) AS token_collision_rate,
+             round(sum(CASE WHEN n_tokens_in_bucket > 1 THEN mass ELSE 0 END)::DOUBLE
+                   / sum(mass), 6) AS mass_in_collided_buckets,
+             max(n_tokens_in_bucket)::BIGINT AS worst_bucket_tokens
+      FROM buckets
     """))
   )
 

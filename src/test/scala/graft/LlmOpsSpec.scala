@@ -853,4 +853,34 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got(64L)._2 == 1.0)
     assert(got(8L)._2 <= got(32L)._2 + 1e-9)
   }
+
+  test("q214: feature-hash audit matches a sequential vocab-bucket replay") {
+    val docs = Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val vocab = docs.flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 16L
+    }
+    val buckets = vocab.toSeq.map { case (t, c) => (bucket(t), c) }
+      .groupBy(_._1).map { case (b, ts) => b -> ((ts.length.toLong, ts.map(_._2).sum)) }
+    val nVocab = vocab.size.toLong
+    val collidedTokens = buckets.values.collect { case (n, _) if n > 1 => n }.sum
+    val collidedMass = buckets.values.collect { case (n, m) if n > 1 => m }.sum
+    val totalMass = vocab.values.sum
+    val r = SparkEntry.queries("q214_feature_hash_audit")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_buckets") == 16L)
+    assert(r.getAs[Long]("n_used_buckets") == buckets.size.toLong)
+    assert(r.getAs[Long]("n_vocab") == nVocab)
+    assert(r.getAs[Long]("n_collided_tokens") == collidedTokens)
+    assert(math.abs(r.getAs[Double]("token_collision_rate")
+      - collidedTokens.toDouble / nVocab) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mass_in_collided_buckets")
+      - collidedMass.toDouble / totalMass) < 1e-5)
+    assert(r.getAs[Long]("worst_bucket_tokens") == buckets.values.map(_._1).max)
+    // 16 buckets vs the 31-token fixture vocab: collisions must be
+    // REAL (audit exercises its subject) but buckets not exhausted
+    assert(collidedTokens > 0 && buckets.size <= 16)
+  }
 }

@@ -836,6 +836,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q214-q215: round-9 batch-6 additions stay inside their plan budgets") {
+    // q214: one tokenize scan → vocab aggregate → ≤2^k bucket
+    // aggregate → 1-row summary. q215: nine count-aggregate legs (3
+    // per table), each a column-pruned scan + semi/anti join on FK
+    // keys; the BNLJ crosses are the 1-row ledger assemblies
+    // (sanctioned) — membership itself never travels as an IN-list.
+    val budget = Map(
+      "q214_feature_hash_audit" -> (3, 1),
+      "q215_forget_audit" -> (2, 20))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q == "q214_feature_hash_audit")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query

@@ -1005,4 +1005,30 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("t_stat")) < 4.0,
       s"pseudo-experiment found an effect: t=${r.getAs[Double]("t_stat")}")
   }
+
+  test("q215: cascade-deletion ledger matches a sequential replay and leaves zero orphans") {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0))
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey").collect().map(_.getLong(0))
+    val subjects = cust.filter(_ % 37 == 0).toSet
+    val tombOrders = orders.filter(o => subjects(o._2)).map(_._1).toSet
+    val expected = Map(
+      "customer" -> ((cust.length.toLong, cust.count(subjects).toLong, 0L)),
+      "orders" -> ((orders.length.toLong, orders.count(o => subjects(o._2)).toLong, 0L)),
+      "lineitem" -> ((li.length.toLong, li.count(tombOrders).toLong, 0L)))
+    val got = SparkEntry.queries("q215_forget_audit")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_tombstoned"),
+          r.getAs[Long]("n_after"), r.getAs[Long]("n_orphans_after")))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((t, (before, tomb, orphans)) <- expected) {
+      val (gb, gt, ga, go) = got(t)
+      assert(gb == before && gt == tomb, s"$t ledger: got ($gb,$gt) want ($before,$tomb)")
+      assert(ga == before - tomb, s"$t after-count must tile")
+      assert(go == orphans, s"$t left $go orphan rows after the cascade")
+    }
+    // the request queue must be non-empty or the audit audits nothing
+    assert(got("customer")._2 > 0 && got("lineitem")._2 > 0)
+  }
 }
