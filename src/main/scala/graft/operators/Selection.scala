@@ -245,6 +245,67 @@ object Selection extends QueryGroup {
                AS epochs
       FROM per_source CROSS JOIN tot
       ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ split balance audit (round 9)
+    // The post-split QA a data curator runs before trusting an 80/10/10
+    // hash split: does every split preserve the corpus' language mix,
+    // or did the hash accidentally skew a stratum? Per split the audit
+    // reports its L1 distance to the corpus-wide language distribution
+    // and the worst single-language deviation — a large number means
+    // val/test metrics will not transfer. The split key is
+    // portableHash(doc_id) (deterministic, oracle-reproducible); one
+    // scan → (split, lang) counts, everything downstream runs on that
+    // ≤3×|langs| grid.
+    ("q216_split_balance_audit", (s, d) => {
+      val split = (portableHash(col("doc_id").cast("string")) % 10)
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          when(split < 8, "train").when(split === 8, "val").otherwise("test").as("split"))
+      val cells = docs.groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // split totals + lang totals + grid all read it
+      val splitTot = cells.groupBy("split").agg(sum("n").as("n_split"))
+      val langTot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+      val grandTot = langTot.agg(sum("n_lang").cast("double").as("n_all"))
+      // FULL split×lang grid, not just the observed cells: a language
+      // entirely MISSING from a split is the worst imbalance (its
+      // deviation is the full corpus share) and must not silently drop
+      // out of the L1 sum
+      splitTot.crossJoin(broadcast(langTot))
+        .join(cells, Seq("split", "lang"), "left")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(grandTot))
+        .select(col("split"), col("n_split"),
+          abs(col("n").cast("double") / col("n_split") - col("n_lang") / col("n_all"))
+            .as("dev"))
+        .groupBy("split")
+        .agg(max("n_split").as("n_docs"),
+             round(sum("dev"), 6).as("l1_distance"),
+             round(max("dev"), 6).as("max_lang_dev"))
+        .orderBy("split")
+    }, Some("""
+      WITH docs AS (
+        SELECT lang,
+               CASE WHEN ('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT % 10 < 8
+                    THEN 'train'
+                    WHEN ('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT % 10 = 8
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents),
+      cells AS (SELECT split, lang, count(*)::BIGINT AS n FROM docs GROUP BY split, lang),
+      split_tot AS (SELECT split, sum(n)::BIGINT AS n_split FROM cells GROUP BY split),
+      lang_tot AS (SELECT lang, sum(n)::BIGINT AS n_lang FROM cells GROUP BY lang),
+      grand AS (SELECT sum(n_lang)::DOUBLE AS n_all FROM lang_tot)
+      SELECT split, max(n_split)::BIGINT AS n_docs,
+             round(sum(abs(COALESCE(n, 0)::DOUBLE / n_split - n_lang / n_all)), 6)
+               AS l1_distance,
+             round(max(abs(COALESCE(n, 0)::DOUBLE / n_split - n_lang / n_all)), 6)
+               AS max_lang_dev
+      FROM split_tot
+      CROSS JOIN lang_tot
+      LEFT JOIN cells USING (split, lang)
+      CROSS JOIN grand
+      GROUP BY split
+      ORDER BY split
     """))
   )
 }

@@ -1505,6 +1505,46 @@ object Similarity extends QueryGroup {
         GROUP BY r.m, r.query_id)
       GROUP BY m
       ORDER BY m_dims
+    """)),
+
+    // ------------------------------------------------------------ label-centroid distance matrix (round 9)
+    // Class-separation geometry: pairwise L2 distances between label
+    // centroids — the embedding-space summary read before trusting a
+    // centroid classifier (q134) or IVF cells (q62), and the drift
+    // check run when an embedder is retrained (centroids that used to
+    // be far collapsing together = the space degraded). Centroids
+    // reuse q62's deterministic quant6-avg construction; the distance
+    // matrix is |labels|²/2 rows — KBs at any corpus size, computed
+    // from the (label, pos) aggregate, never from raw vectors.
+    ("q217_centroid_distances", (s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(quant6(avg(col("x").cast("double"))).as("c"))
+      val cvec = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       t => t.getField("c")).as("cv"))
+        .localCheckpoint() // both sides of the pair join read it
+      val a = cvec.select(col("label").as("label_a"), col("cv").as("va"))
+      val b = cvec.select(col("label").as("label_b"), col("cv").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(sqrt(aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)), 6).as("l2_dist"))
+        .orderBy("label_a", "label_b")
+    }, Some(s"""
+      WITH cent AS (
+        SELECT label, i - 1 AS pos,
+               ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS c
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY label, i),
+      cv AS (
+        SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+             round(sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))), 6) AS l2_dist
+      FROM cv a JOIN cv b ON a.label < b.label
+      ORDER BY label_a, label_b
     """))
   )
 

@@ -883,4 +883,64 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
     // REAL (audit exercises its subject) but buckets not exhausted
     assert(collidedTokens > 0 && buckets.size <= 16)
   }
+
+  test("q216: split balance matches a sequential replay and the hash split is actually balanced") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % 10L
+    }
+    val tagged = docs.map { case (id, l) =>
+      (if (bucket(id) < 8) "train" else if (bucket(id) == 8) "val" else "test", l)
+    }
+    val nAll = tagged.length.toDouble
+    val langShare = tagged.groupBy(_._2).map { case (l, v) => l -> v.length / nAll }
+    val expected = tagged.groupBy(_._1).map { case (sp, v) =>
+      val shares = v.groupBy(_._2).map { case (l, vv) => l -> vv.length.toDouble / v.length }
+      // languages absent from a split still deviate by their corpus share
+      val devs = langShare.map { case (l, overall) =>
+        math.abs(shares.getOrElse(l, 0.0) - overall)
+      }
+      sp -> ((v.length.toLong, devs.sum, devs.max))
+    }
+    val got = SparkEntry.queries("q216_split_balance_audit")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("l1_distance"), r.getAs[Double]("max_lang_dev"))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    for ((sp, (n, l1, mx)) <- expected) {
+      val (gn, gl1, gmx) = got(sp)
+      assert(gn == n, s"$sp size")
+      // the query builds the FULL split×lang grid, so absent languages
+      // contribute their corpus share to L1 exactly as the replay does
+      assert(math.abs(gl1 - l1) < 1e-5, s"$sp l1 $gl1 vs $l1")
+      assert(math.abs(gmx - mx) < 1e-5, s"$sp max dev")
+    }
+    // a hash split over 500 docs: sane sizes and rough balance
+    assert(got("train")._1 > got("val")._1 && got("train")._1 > got("test")._1)
+    assert(got.values.map(_._2).max < 0.5, "hash split wildly unbalanced")
+  }
+
+  test("q217: centroid distances match a sequential recompute and respect metric axioms") {
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getAs[Seq[Float]](1).toArray))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cents = embs.groupBy(_._1).map { case (l, vs) =>
+      l -> (0 until 64).map(i => q6(vs.map(_._2(i).toDouble).sum / vs.length)).toArray
+    }
+    val got = SparkEntry.queries("q217_centroid_distances")(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) -> r.getAs[Double]("l2_dist"))
+      .toMap
+    val labels = cents.keys.toSeq.sorted
+    assert(got.size == labels.size * (labels.size - 1) / 2)
+    for (i <- labels.indices; j <- i + 1 until labels.length) {
+      val (a, b) = (labels(i), labels(j))
+      val d = math.sqrt(cents(a).zip(cents(b)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(got((a, b)) - d) < 1e-4, s"d($a,$b) ${got((a, b))} vs $d")
+      assert(got((a, b)) > 0.0, "distinct random centroids can't coincide")
+    }
+  }
 }

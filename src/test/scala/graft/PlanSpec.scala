@@ -857,6 +857,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q216-q217: round-9 batch-7 additions stay inside their plan budgets") {
+    // q216: one documents scan → checkpointed (split,lang) grid; the
+    // broadcast joins + 1-row grand-total cross (sanctioned) all run
+    // on the grid. q217: one posexplode scan → (label,pos) aggregate →
+    // checkpointed centroid vectors → |labels|²/2 non-equi pair join
+    // (bounded by the label registry — sanctioned BNLJ).
+    val budget = Map(
+      "q216_split_balance_audit" -> (4, 1),
+      "q217_centroid_distances" -> (3, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
