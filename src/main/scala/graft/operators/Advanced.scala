@@ -784,6 +784,58 @@ object Advanced extends QueryGroup {
         AND f.ts >= c.valid_from
         AND (c.valid_to IS NULL OR f.ts < c.valid_to)
       ORDER BY f.event_id
+    """)),
+
+    // ------------------------------------------------------------ Pareto / ABC analysis (round 9)
+    // The 80/20 ledger: parts ranked by net revenue, classified A/B/C
+    // at 70%/90% cumulative revenue — the inventory-policy segmentation
+    // every commerce dataset gets cut by. The cumulative share runs in
+    // ONE global window over the per-part AGGREGATE (|parts| rows, not
+    // lineitems — the window's single partition is bounded by the part
+    // registry, and its sequential left-to-right sum order is identical
+    // in Spark and DuckDB, so the class boundaries are bit-stable).
+    ("q219_pareto_abc", (s, d) => {
+      val rev = Tables.fanOut(Tables.lineitem(s, d))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("cum_share", sum("rev").over(w) / sum("rev").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("abc", when(col("cum_share") <= 0.7, "A")
+          .when(col("cum_share") <= 0.9, "B").otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"),
+             round(sum("rev"), 2).as("revenue"))
+        .crossJoin(broadcast(rev.agg(count(lit(1)).cast("double").as("tot_parts"),
+                                     sum("rev").as("tot_rev"))))
+        .select(col("abc").as("abc_class"), col("n_parts"),
+          round(col("n_parts") / col("tot_parts"), 6).as("share_of_parts"),
+          col("revenue"),
+          round(col("revenue") / col("tot_rev"), 6).as("share_of_revenue"))
+        .orderBy("abc_class")
+    }, Some("""
+      WITH rev AS (
+        SELECT l_partkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_partkey),
+      ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) / sum(rev) OVER () AS cum_share
+        FROM rev),
+      classed AS (
+        SELECT *, CASE WHEN cum_share <= 0.7 THEN 'A'
+                       WHEN cum_share <= 0.9 THEN 'B' ELSE 'C' END AS abc
+        FROM ranked),
+      tot AS (SELECT count(*)::DOUBLE AS tot_parts, sum(rev) AS tot_rev FROM rev)
+      SELECT abc AS abc_class, count(*)::BIGINT AS n_parts,
+             round(count(*) / tot_parts, 6) AS share_of_parts,
+             round(sum(rev), 2) AS revenue,
+             round(sum(rev) / tot_rev, 6) AS share_of_revenue
+      FROM classed CROSS JOIN tot
+      GROUP BY abc, tot_parts, tot_rev
+      ORDER BY abc_class
     """))
   )
 

@@ -925,7 +925,105 @@ object Dedup extends QueryGroup {
                              / sum(CASE WHEN in_exact THEN 1 ELSE 0 END)
                         ELSE 1.0 END, 6) AS recall
       FROM j
-    """))
+    """)),
+
+    // ------------------------------------------------------------ MinHash estimator calibration (round 9)
+    // Is k=16 signature components ENOUGH? The MinHash identity says
+    // E[matching components / k] = true Jaccard; this query measures
+    // the estimator's actual bias and MAE on this corpus, binned by
+    // the (exact, 17-valued) match count — the calibration table a
+    // dedup owner reads before trusting signature-only similarity
+    // (e.g. the streaming gate) without an exact verify pass. Pairs
+    // are the LSH candidates (band-blocked, never all-pairs); both
+    // signatures ride the band relation, true Jaccard comes from the
+    // same shingle sets q34 verifies with.
+    ("q218_minhash_calibration", (s, d) => {
+      val bands = bandsDf(s, d).localCheckpoint() // exploded keys + both signature sides
+      val exploded = bands.select(col("doc_id"),
+          posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
+        .hint("shuffle_hash")
+      val cand = exploded.as("x").join(exploded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sigA = bands.select(col("doc_id").as("doc_a") +:
+        (0 until numHashes).map(k => col(s"mh$k").as(s"ma$k")): _*)
+      val sigB = bands.select(col("doc_id").as("doc_b") +:
+        (0 until numHashes).map(k => col(s"mh$k").as(s"mb$k")): _*)
+      val nMatch = (0 until numHashes)
+        .map(k => (col(s"ma$k") === col(s"mb$k")).cast("int"))
+        .reduce(_ + _)
+      // LSH candidates only cover the top of the similarity range (on
+      // this tiny-vocab fixture they ALL share full signatures); a
+      // systematic PROBE sample — (doc, doc+1) and (doc, doc+17)
+      // pairs, two bounded equi-joins — covers the low end, so the
+      // table calibrates the estimator across its range, not just
+      // where the index already fired
+      val ids = bands.select("doc_id")
+      val probes = Seq(1, 17).map { step =>
+        ids.join(ids.select((col("doc_id") - step).as("doc_id"),
+            col("doc_id").as("doc_b")), "doc_id")
+          .select(col("doc_id").as("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _).withColumn("pair_source", lit("probe"))
+      val pairs = cand.withColumn("pair_source", lit("lsh_candidate"))
+        .unionByName(probes)
+      val needed = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val sh = shingleSets(s, d, needed)
+      val sa = sh.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
+      val sb = sh.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
+      pairs.join(sigA, "doc_a").join(sigB, "doc_b")
+        .select(col("pair_source"), col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", intersectionSize(col("sa"), col("sb")).cast("double"))
+        .select(col("pair_source"), col("n_match"),
+          (col("inter") / (size(col("sa")) + size(col("sb")) - col("inter"))).as("true_j"))
+        .groupBy("pair_source", "n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+             round(avg("true_j"), 6).as("avg_true_jaccard"),
+             round(avg(abs(col("n_match").cast("double") / numHashes - col("true_j"))), 6)
+               .as("mae"))
+        .select(col("pair_source"), col("n_match").cast("long").as("n_matching"),
+          round(col("n_match").cast("double") / numHashes, 6).as("est_jaccard"),
+          col("n_pairs"), col("avg_true_jaccard"), col("mae"))
+        .orderBy("pair_source", "n_matching")
+    }, Some({
+      val matchSum = (0 until numHashes)
+        .map(k => s"(CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH $bandsCte,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+      ids AS (SELECT doc_id FROM bands),
+      pairs AS (
+        SELECT doc_a, doc_b, 'lsh_candidate' AS pair_source FROM cand
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 'probe'
+        FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 'probe'
+        FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 17),
+      est AS (
+        SELECT c.pair_source, c.doc_a, c.doc_b, ($matchSum) AS n_match,
+               len(list_intersect(ma.s, mb.s))::DOUBLE
+                 / (len(ma.s) + len(mb.s) - len(list_intersect(ma.s, mb.s))) AS true_j
+        FROM pairs c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b)
+      SELECT pair_source, n_match::BIGINT AS n_matching,
+             round(n_match / 16.0, 6) AS est_jaccard,
+             count(*)::BIGINT AS n_pairs,
+             round(avg(true_j), 6) AS avg_true_jaccard,
+             round(avg(abs(n_match / 16.0 - true_j)), 6) AS mae
+      FROM est
+      GROUP BY pair_source, n_match
+      ORDER BY pair_source, n_matching
+    """}))
   )
 
 }

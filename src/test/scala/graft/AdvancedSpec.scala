@@ -275,4 +275,37 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
       assert(p25 <= p50 && p50 <= p75, s"$flag monotonicity")
     }
   }
+
+  test("q219: ABC classes match a sequential cumulative-share replay and tile the ledger") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1) * (1.0 - r.getDouble(2))))
+    val rev = li.groupBy(_._1).toSeq.map { case (p, xs) => p -> xs.map(_._2).sum }
+    val totRev = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (p, v) => (-v, p) }
+    var cum = 0.0
+    val classed = sorted.map { case (_, v) =>
+      cum += v
+      (if (cum / totRev <= 0.7) "A" else if (cum / totRev <= 0.9) "B" else "C", v)
+    }
+    val expected = classed.groupBy(_._1).map { case (c, vs) =>
+      c -> ((vs.length.toLong, vs.map(_._2).sum))
+    }
+    val got = SparkEntry.queries("q219_pareto_abc")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        ((r.getAs[Long]("n_parts"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("share_of_parts"), r.getAs[Double]("share_of_revenue")))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((c, (n, v)) <- expected) {
+      val (gn, gv, _, _) = got(c)
+      assert(gn == n, s"class $c: $gn parts vs $n")
+      assert(math.abs(gv - v) < 1.0, s"class $c revenue $gv vs $v") // 2dp rounding + FP sum order
+    }
+    // ledger tiles: parts and revenue shares each sum to 1
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-4)
+    // concentration direction: A's share of parts never exceeds its
+    // share of revenue (it holds the top of the curve by construction)
+    assert(got("A")._3 <= got("A")._4 + 1e-6)
+  }
 }

@@ -943,4 +943,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkFixture {
       assert(got((a, b)) > 0.0, "distinct random centroids can't coincide")
     }
   }
+
+  test("q218: calibration ledger is internally consistent and exposes the fixture's signature collapse") {
+    val rows = SparkEntry.queries("q218_minhash_calibration")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nm = r.getAs[Long]("n_matching")
+      val est = r.getAs[Double]("est_jaccard")
+      val truej = r.getAs[Double]("avg_true_jaccard")
+      val mae = r.getAs[Double]("mae")
+      assert(nm >= 0 && nm <= 16 && math.abs(est - nm / 16.0) < 1e-9)
+      assert(truej >= 0.0 && truej <= 1.0 && mae >= 0.0 && mae <= 1.0)
+      // MAE can never beat the bias |est − avg_true| in a bin
+      assert(mae >= math.abs(est - truej) - 1e-6, s"mae $mae < bias in $r")
+    }
+    val srcs = rows.map(_.getAs[String]("pair_source")).toSet
+    assert(srcs == Set("lsh_candidate", "probe"), s"both pair populations present: $srcs")
+    // the finding this query exists to surface on the tiny-vocab
+    // fixture: full-signature candidates are NOT reliable duplicates
+    // (the verify pass is mandatory), while the probe low end is
+    // well-calibrated
+    val cand16 = rows.find(r => r.getAs[String]("pair_source") == "lsh_candidate" &&
+      r.getAs[Long]("n_matching") == 16L)
+    assert(cand16.nonEmpty && cand16.get.getAs[Double]("mae") > 0.1,
+      "signature collapse regime not visible — fixture changed?")
+    val probeLow = rows.filter(r => r.getAs[String]("pair_source") == "probe")
+    assert(probeLow.nonEmpty && probeLow.map(_.getAs[Double]("mae")).min < 0.1)
+  }
 }

@@ -876,6 +876,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q218-q219: round-9 batch-8 additions stay inside their plan budgets") {
+    // q218: the LSH band machinery (bounded like q34) plus two
+    // shifted-id probe equi-joins — no all-pairs anywhere. q219: one
+    // lineitem scan → per-part aggregate; the single global window
+    // runs over the |parts| relation, and the 1-row totals cross is
+    // the sanctioned BNLJ.
+    val budget = Map(
+      "q218_minhash_calibration" -> (30, 12),
+      "q219_pareto_abc" -> (3, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (q == "q218_minhash_calibration")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
