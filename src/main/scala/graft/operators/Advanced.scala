@@ -791,9 +791,12 @@ object Advanced extends QueryGroup {
     // at 70%/90% cumulative revenue — the inventory-policy segmentation
     // every commerce dataset gets cut by. The cumulative share runs in
     // ONE global window over the per-part AGGREGATE (|parts| rows, not
-    // lineitems — the window's single partition is bounded by the part
-    // registry, and its sequential left-to-right sum order is identical
-    // in Spark and DuckDB, so the class boundaries are bit-stable).
+    // lineitems). Cross-engine stability: per-part revenue is a float
+    // sum whose association order differs between Spark partial
+    // aggregation and DuckDB, so cum_share is quant6-quantized BEFORE
+    // the A/B/C CASE on both sides — a part landing within an ulp of
+    // the 0.7/0.9 boundary classifies identically (fixture-verified,
+    // not bit-stable in the abstract; ADVICE r9).
     ("q219_pareto_abc", (s, d) => {
       val rev = Tables.fanOut(Tables.lineitem(s, d))
         .groupBy("l_partkey")
@@ -801,8 +804,8 @@ object Advanced extends QueryGroup {
       val w = Window.orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       rev
-        .withColumn("cum_share", sum("rev").over(w) / sum("rev").over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cum_share", Quant.quant6(sum("rev").over(w) / sum("rev").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
         .withColumn("abc", when(col("cum_share") <= 0.7, "A")
           .when(col("cum_share") <= 0.9, "B").otherwise("C"))
         .groupBy("abc")
@@ -821,8 +824,8 @@ object Advanced extends QueryGroup {
         FROM lineitem GROUP BY l_partkey),
       ranked AS (
         SELECT l_partkey, rev,
-               sum(rev) OVER (ORDER BY rev DESC, l_partkey
-                              ROWS UNBOUNDED PRECEDING) / sum(rev) OVER () AS cum_share
+               floor((sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) / sum(rev) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS cum_share
         FROM rev),
       classed AS (
         SELECT *, CASE WHEN cum_share <= 0.7 THEN 'A'

@@ -547,15 +547,25 @@ object Profiling extends QueryGroup {
     // The declared candidates are the profiling CONTRACT a downstream
     // pipeline asserts before keying a join or dedup on a column.
     ("q201_fd_discovery", (s, d) => {
+      // Pair distincts run over a NULL-SAFE composite key, because
+      // Spark's multi-column countDistinct DROPS a row when any column
+      // is NULL while DuckDB's count(DISTINCT (a,b)) keeps it — the
+      // encodings below make both engines count (NULL, x) pairs. The
+      // key is injective per engine (cast-to-string of longs /
+      // timestamps / type tags never contains the separator), so each
+      // engine's own distinct count equals the distinct pair count.
+      def nsk(a: Column, b: Column): Column =
+        concat(coalesce(a.cast("string"), lit("\u0001")), lit("\u0002"),
+               coalesce(b.cast("string"), lit("\u0001")))
       val agg = Tables.events(s, d).agg(
         count(lit(1)).as("n"),
         countDistinct(col("event_id")).as("nd_eid"),
         countDistinct(col("user_id")).as("nd_uid"),
         countDistinct(col("event_type")).as("nd_et"),
-        countDistinct(col("user_id"), col("ts")).as("nd_uid_ts"),
-        countDistinct(col("event_id"), col("user_id")).as("nd_eid_uid"),
-        countDistinct(col("event_id"), col("event_type")).as("nd_eid_et"),
-        countDistinct(col("user_id"), col("event_type")).as("nd_uid_et"))
+        countDistinct(nsk(col("user_id"), col("ts"))).as("nd_uid_ts"),
+        countDistinct(nsk(col("event_id"), col("user_id"))).as("nd_eid_uid"),
+        countDistinct(nsk(col("event_id"), col("event_type"))).as("nd_eid_et"),
+        countDistinct(nsk(col("user_id"), col("event_type"))).as("nd_uid_et"))
       agg.select(expr("""stack(8,
           'key', 'event_id',             nd_eid,     n,          nd_eid = n,
           'key', 'user_id',              nd_uid,     n,          nd_uid = n,

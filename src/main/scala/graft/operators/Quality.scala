@@ -1351,8 +1351,20 @@ object Quality extends QueryGroup {
       val nTrain = feats.filter(col("doc_id") % 3 === 0).count()
       val nCal = calib.count()
       val k = math.ceil(0.9 * (nCal + 1)).toLong
-      val kFromTop = (nCal - k + 1).toInt
-      val qhat = calib.orderBy(col("r").desc, col("doc_id")).limit(kFromTop)
+      val kFromTop: Long = nCal - k + 1
+      // Empty calibration split: the oracle's CROSS JOIN against an
+      // empty kth CTE emits ZERO rows; mirror that instead of emitting
+      // a NULL-qhat row (ADVICE r9). The top-k' fetch stays Long until
+      // the range check so a huge calibration count can't silently
+      // truncate through .toInt.
+      if (nCal == 0) {
+        s.range(0).select(
+          lit(0L).as("n_train"), lit(0L).as("n_cal"), lit(0L).as("n_test"),
+          lit(0.0).as("qhat"), lit(0L).as("n_covered"), lit(0.0).as("coverage"))
+      } else {
+      require(kFromTop >= 1 && kFromTop <= Int.MaxValue,
+        s"conformal top-k' fetch out of range: n_cal=$nCal k=$k k'=$kFromTop")
+      val qhat = calib.orderBy(col("r").desc, col("doc_id")).limit(kFromTop.toInt)
         .agg(min("r").as("qhat"))
       resid(feats.filter(col("doc_id") % 3 === 2))
         .crossJoin(broadcast(qhat))
@@ -1362,6 +1374,7 @@ object Quality extends QueryGroup {
         .select(lit(nTrain).as("n_train"), lit(nCal).as("n_cal"), col("n_test"),
           col("qhat"), col("n_covered"),
           round(col("n_covered").cast("double") / col("n_test"), 6).as("coverage"))
+      }
     }, Some(s"""
       WITH feats AS ($ridgeFeatsSql),
       train AS (SELECT * FROM feats WHERE doc_id % 3 = 0),

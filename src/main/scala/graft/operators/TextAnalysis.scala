@@ -961,9 +961,10 @@ object TextAnalysis extends QueryGroup {
     // diagonal dominating says the NB machinery is real, not a
     // fixture artifact (lang genuinely shapes tokens).
     //
-    // Determinism: scores are rounded to 6dp BEFORE the argmax in
-    // both engines, with class name as tie-break, so a last-ulp libm
-    // divergence cannot flip a prediction.
+    // Determinism: scores are floor-quantized at 6dp (Quant.quant6 —
+    // round()'s halfway behavior differs across engines) BEFORE the
+    // argmax in both engines, with class name as tie-break, so a
+    // last-ulp libm divergence cannot flip a prediction.
     ("q198_naive_bayes_lang", (s, d) => {
       // per-doc token counts — tokenized ONCE, reused by model build
       // and scoring (localCheckpoint severs the double-tokenize;
@@ -995,7 +996,7 @@ object TextAnalysis extends QueryGroup {
         .agg(sum(col("cnt") * col("loglik")).as("ll"))
         .join(broadcast(prior), "cls")
         .select(col("doc_id"), col("lang"), col("cls"),
-          round(col("ll") + col("logprior"), 6).as("score"))
+          Quant.quant6(col("ll") + col("logprior")).as("score"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
       scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .groupBy(col("lang").as("actual"), col("cls").as("predicted"))
@@ -1026,7 +1027,7 @@ object TextAnalysis extends QueryGroup {
         FROM dpc CROSS JOIN ndocs),
       scores AS (
         SELECT d.doc_id, d.lang, g.cls,
-               round(sum(d.cnt * g.loglik) + any_value(p.logprior), 6) AS score
+               floor((sum(d.cnt * g.loglik) + any_value(p.logprior)) * 1000000.0 + 0.5) / 1000000.0 AS score
         FROM doc_tok d
         JOIN grid g USING (tok)
         JOIN prior p ON p.cls = g.cls
