@@ -51,11 +51,33 @@ object Recall {
       "query_id", "vec_id")
   }
 
+  /** Exact cosine top-k per query vector over ANY vector relation —
+    * the clustered fixture's brute-force yardstick. `nQueries < 0`
+    * ranks every vector as a query (the kNN-graph baseline).
+    */
+  private def exactCosTopK(vecs: DataFrame, nQueries: Long, k: Int): DataFrame = {
+    val e = vecs.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val qs = if (nQueries < 0) q else q.filter(col("query_id") < nQueries)
+    val dotc = aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (dotc / (col("n") * col("qn"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Brute-force mutual cosine-top-5 pairs — q147's yardstick. Only run
     * at the small verification SFs (all-pairs by construction).
     */
-  private def exactMutualPairs(spark: SparkSession, sfDir: String): Set[(Long, Long)] = {
-    val emb = Tables.embeddings(spark, sfDir)
+  private def exactMutualPairs(spark: SparkSession, sfDir: String): Set[(Long, Long)] =
+    exactMutualPairsOf(Tables.embeddings(spark, sfDir))
+
+  private def exactMutualPairsOf(vectors: DataFrame): Set[(Long, Long)] = {
+    val emb = vectors
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
     val e = emb.select(col("vec_id"), col("v"), nrm.as("n"))
@@ -109,6 +131,51 @@ object Recall {
         mutual.size.toLong, exactMutual.size.toLong))
   }
 
+  /** ANN-ladder recall on the deterministic CLUSTERED fixture
+    * (graft.ClusteredVectors) — the evidence the random judged fixture
+    * structurally can't provide (VERDICT r9 item 1). Drives the SAME
+    * factored operator bodies the judged q43/q62/q124/q147 run
+    * (Similarity.lshTopKOn/ivfTopKOn/knnEdgesOn/mutualKnnOn — no
+    * fork), against brute-force exact baselines computed here.
+    * Entries carry sf="clustered"; RecallSpec pins them to the
+    * committed artifact and enforces the ≥0.9 floors.
+    *
+    * The IVF centroid source is coalesced to ONE partition so the
+    * float centroid means fold in a fixed sequence regardless of the
+    * session's parallelism (Recall runs local[8], specs local[4]) —
+    * the same determinism discipline the judged q62 gets from its
+    * un-fanned single-split scan.
+    */
+  def clusteredMetrics(spark: SparkSession): Seq[Entry] = {
+    import operators.Similarity
+    val sf = "clustered"
+    val vecs = ClusteredVectors.df(spark).localCheckpoint()
+    val cent = vecs.coalesce(1)
+    val nQ = 10L; val k = 10
+
+    val exactTop10 = byQuery(exactCosTopK(vecs, nQ, k), "query_id", "neighbor_id")
+    val exactTop5All = byQuery(exactCosTopK(vecs, -1L, 5), "query_id", "neighbor_id")
+
+    def entry(name: String, rows: DataFrame, exact: Map[Long, Set[Long]],
+              kk: Int, idCol: String = "query_id", nbrCol: String = "neighbor_id") =
+      Entry(sf, name, kk, meanRecall(exact, byQuery(rows, idCol, nbrCol)),
+            rows.count(), exact.values.map(_.size.toLong).sum)
+
+    val mutual = Similarity.mutualKnnOn(vecs, cent).select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactMutual = exactMutualPairsOf(vecs)
+
+    Seq(
+      entry("q43_ann_lsh_topk", Similarity.lshTopKOn(vecs, nQ, k), exactTop10, k),
+      entry("q62_ivf_probe_topk", Similarity.ivfTopKOn(vecs, cent, nQ, k), exactTop10, k),
+      entry("q124_knn_graph", Similarity.knnEdgesOn(vecs, cent), exactTop5All, 5,
+            idCol = "src", nbrCol = "dst"),
+      Entry(sf, "q147_mutual_knn", 5,
+        if (exactMutual.isEmpty) 1.0
+        else (mutual intersect exactMutual).size.toDouble / exactMutual.size,
+        mutual.size.toLong, exactMutual.size.toLong))
+  }
+
   /** Reader-facing context for entries whose absolute recall looks
     * alarming but is the expected regime on this fixture — recorded in
     * the artifact itself so whoever reads the number sees the caveat
@@ -125,14 +192,33 @@ object Recall {
        "recall is far higher because top lists are decisive."),
     "q124_knn_graph" ->
       ("graph edges beyond the probed IVF cells are invisible by design; " +
-       "0.30-0.32 on random fixtures tracks drift, not absolute quality."))
+       "0.30-0.32 on random fixtures tracks drift, not absolute quality."),
+    "clustered" ->
+      ("sf=clustered rows drive the SAME factored operator bodies the judged " +
+       "queries run (Similarity.lshTopKOn/ivfTopKOn/knnEdgesOn/mutualKnnOn) " +
+       "over graft.ClusteredVectors — 20 seeded Gaussian clusters in 64-d, " +
+       "2000 vectors — the clusterable regime the indexes are built for. " +
+       "Floors (RecallSpec): >=0.9 for LSH/IVF top-10, >=0.9 kNN graph, " +
+       ">=0.8 mutual pairs."))
+
+  /** JSON string escape for note text — a double quote, backslash, or
+    * control char in a future note would otherwise silently emit
+    * invalid RECALL.json (ADVICE r9).
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
 
   def toJson(entries: Seq[Entry]): String = {
     val entryLines = entries.map { e =>
-      f"""{"sf":"${e.sf}","query":"${e.query}","k":${e.k},"recall":${e.recall}%.6f,"rows":${e.rows},"baseline_rows":${e.baselineRows}}"""
+      f"""{"sf":"${esc(e.sf)}","query":"${esc(e.query)}","k":${e.k},"recall":${e.recall}%.6f,"rows":${e.rows},"baseline_rows":${e.baselineRows}}"""
     }.mkString("{\"entries\":[\n", ",\n", "\n],\n")
     val noteLines = notes.toSeq.sortBy(_._1).map { case (q, t) =>
-      s""""$q":"$t""""
+      s""""${esc(q)}":"${esc(t)}""""
     }.mkString("\"notes\":{\n", ",\n", "\n}}\n")
     entryLines + noteLines
   }
@@ -158,7 +244,7 @@ object Recall {
     spark.sparkContext.setLogLevel("WARN")
     val sfDirs = if (args.nonEmpty) args.toSeq
                  else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-    val entries = sfDirs.flatMap(metrics(spark, _))
+    val entries = sfDirs.flatMap(metrics(spark, _)) ++ clusteredMetrics(spark)
     val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJson(entries))
     println(toJson(entries))
