@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables.GraftCheckpointOps
 
 /** ANN quality artifact: recall@k + result/baseline sizes for every
   * approximate-similarity judged query, written to `RECALL.json` so
@@ -149,7 +150,7 @@ object Recall {
   def clusteredMetrics(spark: SparkSession): Seq[Entry] = {
     import operators.Similarity
     val sf = "clustered"
-    val vecs = ClusteredVectors.df(spark).localCheckpoint()
+    val vecs = ClusteredVectors.df(spark).graftCheckpoint()
     val cent = vecs.coalesce(1)
     val nQ = 10L; val k = 10
 

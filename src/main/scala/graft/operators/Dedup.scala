@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
+import graft.Tables.GraftCheckpointOps
 
 /** Deduplication operators for a training-data pipeline, smallest to
   * largest hammer:
@@ -170,30 +171,45 @@ object Dedup extends QueryGroup {
       .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
-  /** Min-label propagation over the near-dup graph (k=3 rounds, shared
-    * by q64 and the q67 leakage-safe split): (doc_id, label) where
-    * label = min doc_id of the connected component, for every doc that
-    * appears in a near-dup pair. Lineage is localCheckpoint-truncated
+  /** Min-label propagation over the near-dup graph, shared by q64 and
+    * the q67 leakage-safe split: (doc_id, label) where label = min
+    * doc_id of the connected component, for every doc that appears in
+    * a near-dup pair. Runs on the shared convergence driver
+    * (Iterative.convergeBy, round 10): labels only DECREASE under the
+    * least() update, so the label SUM is a valid fixpoint witness —
+    * unchanged sum ⇔ no label moved ⇔ fixpoint. (At extreme id ranges
+    * the sum could wrap Long; a production hardening is a
+    * (count, sum, xor) triple — the wrap can only mask a change if the
+    * round's total decrease is an exact multiple of 2⁶⁴.) The judged
+    * cap is 3 — the oracle unrolls 3 CTE steps — and an early fixpoint
+    * exit cannot change the result (a fixpoint step is the identity).
+    * IterativeSpec replays with a high cap to prove the fixture
+    * converges within the judged 3. Lineage is checkpoint-truncated
     * per round (see q64's rationale).
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+  private[graft] def labelPropagation(s: SparkSession, d: String,
+                                      cap: Int): Iterative.Converged[DataFrame] = {
+    val pairs = minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // checkpointed: round 1 reads `labels` on BOTH sides (nbrMin build
     // and the least() update) — without it the distinct runs twice
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    val labels0 = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    for (_ <- 1 to 3) {
+      .graftCheckpoint()
+    Iterative.convergeBy(labels0, cap) { labels =>
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
-      labels = labels.join(nbrMin, col("doc_id") === col("src"))
+      labels.join(nbrMin, col("doc_id") === col("src"))
         .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
+    } { labels =>
+      labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     }
-    labels
   }
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelPropagation(s, d, cap = 3).state
 
   /** MinHash-LSH near-dup pairs (shared by q34 and the q64 clustering):
     * band-equality candidates, exact shingle-Jaccard >= 0.8 verify.
@@ -867,7 +883,7 @@ object Dedup extends QueryGroup {
       // sets — without it the tokenize→hash→sort subtree runs 3×
       val grams = shingleSets(s, d, allIds)
         .select(col("doc_id"), sort_array(col("s")).as("g"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val prefix = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
           explode(slice(col("g"), lit(1), expr("size(g) - ((4 * size(g) + 4) DIV 5) + 1"))).as("gram"))
         .hint("shuffle_hash")
@@ -938,7 +954,7 @@ object Dedup extends QueryGroup {
     // signatures ride the band relation, true Jaccard comes from the
     // same shingle sets q34 verifies with.
     ("q218_minhash_calibration", (s, d) => {
-      val bands = bandsDf(s, d).localCheckpoint() // exploded keys + both signature sides
+      val bands = bandsDf(s, d).graftCheckpoint() // exploded keys + both signature sides
       val exploded = bands.select(col("doc_id"),
           posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
         .hint("shuffle_hash")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
 
 /** Graph analytics over relations (round 5). The connected-components
   * half of the graph story lives in Dedup (q64 min-label propagation);
@@ -33,33 +34,113 @@ object Graph extends QueryGroup {
   private val topK = 30
   private val iterations = 2
 
+  /** q108's build, exposed for the shared iterative driver: the initial
+    * uniform fixed-point rank vector and the power-iteration step (one
+    * equi-join message pass + keyed aggregation, lineage truncated per
+    * round). The judged query runs `Iterative.fixedK(r0, 2)(step)` —
+    * the oracle unrolls exactly two steps — and IterativeSpec drives
+    * `Iterative.converge` over the SAME step to an exact integer
+    * fixpoint (fixed-point arithmetic quantizes the orbit, so the
+    * contraction terminates exactly, not just asymptotically).
+    */
+  private[graft] def pagerankParts(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+    val li = Tables.fanOut(Tables.lineitem(s, d))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // co-purchase edges, both directions (symmetric ⇒ every node in
+    // the graph has outdeg ≥ 1 — no dangling-mass correction needed)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .graftCheckpoint()
+    // checkpointed: BOTH withDeg and r0 read outdeg — without the
+    // checkpoint Spark recomputes the full-edge-pass aggregation
+    // twice (two identical stages in the profile)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .graftCheckpoint()
+    val withDeg = edges.join(outdeg, "src")
+    def step(ranks: DataFrame): DataFrame =
+      withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV od").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("m"))
+        .select(col("dst").as("node"),
+                expr("150000 + (850000 * m) DIV 1000000").as("r"))
+        .graftCheckpoint()
+    val r0 = outdeg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (r0, step)
+  }
+
+  /** q167's BFS as a convergence-capped loop over the shared driver:
+    * state = (visited distances, current frontier, hop number). The
+    * judged query runs cap=3 — the oracle's recursive CTE allows
+    * exactly 3 hops — and an early fixpoint exit (frontier drained
+    * before the cap) cannot change the result because an empty
+    * frontier makes the step the identity. The witness is the visited
+    * count: it grows every productive round and freezes exactly when
+    * the frontier empties. IterativeSpec re-runs with a high cap to
+    * prove the fixture's traversal saturates within the judged 3.
+    */
+  private[graft] def bfs(s: SparkSession, d: String,
+                         cap: Int): Iterative.Converged[(DataFrame, DataFrame, Long)] = {
+    val li = Tables.fanOut(Tables.lineitem(s, d))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .graftCheckpoint()
+    // deterministic seed set: the 3 smallest node ids in the graph
+    // (edges are symmetric, so src covers every node)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(3)
+    val dist0 = seeds.withColumn("hops", lit(0L)).graftCheckpoint()
+    Iterative.convergeBy((dist0, dist0.select("node"), 0L), cap) {
+      case (dist, frontier, h) =>
+        val next = edges.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .graftCheckpoint()
+        (dist.unionByName(next.withColumn("hops", lit(h + 1))).graftCheckpoint(),
+         next, h + 1)
+    } { case (dist, _, _) => dist.count() }
+  }
+
+  /** q210's build: the round-0 survivor set and the peel step (one
+    * survivor semi-join pair + degree aggregate, k=3 cut, lineage
+    * truncated per round). Survivors only shrink, so the alive COUNT
+    * is a valid fixpoint witness for `Iterative.convergeBy` — the
+    * production form; the judged query needs the fixed 0..4 curve.
+    */
+  private[graft] def kcoreParts(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+    val k = 3
+    // DISTINCT first: duplicate lineitems of one part in one order
+    // must not count as co-purchase weight (q116's edge contract)
+    val li = Tables.fanOut(Tables.lineitem(s, d))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("u", "v").graftCheckpoint()
+    val sym = e0.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
+      .graftCheckpoint()
+    // survivors after round r; round 0 = every node with an edge
+    val alive0 = sym.select(col("x").as("node")).distinct().graftCheckpoint()
+    def step(alive: DataFrame): DataFrame =
+      sym
+        .join(alive.select(col("node").as("x")), "x")
+        .join(alive.select(col("node").as("y")), "y")
+        .groupBy("x").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("x").as("node")).graftCheckpoint()
+    (alive0, step)
+  }
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     ("q108_pagerank_iter", (s, d) => {
-      val li = Tables.fanOut(Tables.lineitem(s, d))
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // co-purchase edges, both directions (symmetric ⇒ every node in
-      // the graph has outdeg ≥ 1 — no dangling-mass correction needed)
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-        .localCheckpoint()
-      // checkpointed: BOTH withDeg and r0 read outdeg — without the
-      // checkpoint Spark recomputes the full-edge-pass aggregation
-      // twice (two identical stages in the profile)
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-        .localCheckpoint()
-      val withDeg = edges.join(outdeg, "src")
-      def step(ranks: DataFrame): DataFrame =
-        withDeg.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("r DIV od").as("contrib"))
-          .groupBy("dst").agg(sum("contrib").as("m"))
-          .select(col("dst").as("node"),
-                  expr("150000 + (850000 * m) DIV 1000000").as("r"))
-          .localCheckpoint()
-      val r0 = outdeg.select(col("src").as("node"), lit(1000000L).as("r"))
-      val ranks = (1 to iterations).foldLeft(r0)((r, _) => step(r))
+      val (r0, step) = pagerankParts(s, d)
+      val ranks = Iterative.fixedK(r0, iterations)(step)
       ranks.orderBy(col("r").desc, col("node")).limit(topK)
         .select(col("node").as("part_id"), col("r").as("rank_fp"))
     }, Some(s"""
@@ -116,7 +197,7 @@ object Graph extends QueryGroup {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint() // three self-join legs read it — build once
+        .graftCheckpoint() // three self-join legs read it — build once
       val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
       val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
@@ -155,7 +236,7 @@ object Graph extends QueryGroup {
       val li = Tables.fanOut(Tables.lineitem(s, d))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint() // read by pair supports, item supports, and N
+        .graftCheckpoint() // read by pair supports, item supports, and N
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
@@ -216,7 +297,7 @@ object Graph extends QueryGroup {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint() // adjacency, degrees, and the edge filter all read it
+        .graftCheckpoint() // adjacency, degrees, and the edge filter all read it
       val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
       val common = adj.select(col("u"), col("v").as("w"))
@@ -319,32 +400,8 @@ object Graph extends QueryGroup {
     // revisits (a recursive step can only see the previous
     // iteration) and takes min(hops) — equivalent ≤ 3 hops, and the
     // bounded depth keeps the path explosion finite in DuckDB.
-    ("q167_bfs_hops", (s, d) => {
-      val rounds = 3
-      val li = Tables.fanOut(Tables.lineitem(s, d))
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-        .localCheckpoint()
-      // deterministic seed set: the 3 smallest node ids in the graph
-      // (edges are symmetric, so src covers every node)
-      val seeds = edges.select(col("src").as("node")).distinct()
-        .orderBy("node").limit(3)
-      var dist = seeds.withColumn("hops", lit(0L)).localCheckpoint()
-      var frontier = dist.select("node")
-      for (h <- 1 to rounds) {
-        val next = edges.join(frontier, col("src") === col("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti")
-          .localCheckpoint()
-        dist = dist.unionByName(next.withColumn("hops", lit(h.toLong)))
-          .localCheckpoint()
-        frontier = next
-      }
-      dist.orderBy("node")
-    }, Some("""
+    ("q167_bfs_hops", (s, d) => bfs(s, d, cap = 3).state._1.orderBy("node"),
+     Some("""
       WITH RECURSIVE li AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e AS (
@@ -385,7 +442,7 @@ object Graph extends QueryGroup {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("u", "v")
-        .localCheckpoint() // triangle legs + adjacency read it — build once
+        .graftCheckpoint() // triangle legs + adjacency read it — build once
       val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
       val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
         .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
@@ -439,7 +496,7 @@ object Graph extends QueryGroup {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
         .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
         .select("cust", "part").distinct()
-        .localCheckpoint() // read 4× (one per hop); never recompute the join
+        .graftCheckpoint() // read 4× (one per hop); never recompute the join
       val h1 = edges.groupBy("cust").agg(count(lit(1)).as("h1"))
       val a1 = edges.join(h1, "cust").groupBy("part").agg(sum("h1").as("a1"))
       val h2 = edges.join(a1, "part").groupBy("cust").agg(sum("a1").as("h2"))
@@ -478,29 +535,18 @@ object Graph extends QueryGroup {
     // with the identical body. Output is per-round survivor counts
     // plus the final core's size — the curve a graph curator reads.
     ("q210_kcore_peel", (s, d) => {
-      val k = 3
-      // DISTINCT first: duplicate lineitems of one part in one order
-      // must not count as co-purchase weight (q116's edge contract)
-      val li = Tables.fanOut(Tables.lineitem(s, d))
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val e0 = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select("u", "v").localCheckpoint()
-      val sym = e0.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
-        .localCheckpoint()
-      // survivors after round r; round 0 = every node with an edge
-      var alive = sym.select(col("x").as("node")).distinct().localCheckpoint()
-      val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, alive.count()))
-      for (r <- 1 to 4) {
-        val deg = sym
-          .join(alive.select(col("node").as("x")), "x")
-          .join(alive.select(col("node").as("y")), "y")
-          .groupBy("x").agg(count(lit(1)).as("deg"))
-        alive = deg.filter(col("deg") >= k).select(col("x").as("node")).localCheckpoint()
-        counts += ((r, alive.count()))
+      val (alive0, step) = kcoreParts(s, d)
+      // the judged OUTPUT is the per-round curve for rounds 0..4, so
+      // the driver form is fixedK (an early exit would drop a row the
+      // oracle emits); IterativeSpec proves the convergence loop over
+      // the same step lands on the identical survivor set
+      var round = 0
+      val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, alive0.count()))
+      Iterative.fixedK(alive0, 4) { a =>
+        val next = step(a)
+        round += 1
+        counts += ((round, next.count()))
+        next
       }
       import s.implicits._
       counts.toSeq.toDF("round", "n_alive").orderBy("round")

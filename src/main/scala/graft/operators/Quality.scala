@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
 
 /** Data-quality and feature-engineering operators (round 7) — the
   * validation/statistics layer a production lake runs BETWEEN ingest
@@ -1340,7 +1341,7 @@ object Quality extends QueryGroup {
     // same code holds; the conformal literature's approx-quantile
     // variant just widens the guarantee by the sketch error.
     ("q208_conformal_interval", (s, d) => {
-      val feats = ridgeFeatures(s, d).localCheckpoint()
+      val feats = ridgeFeatures(s, d).graftCheckpoint()
       val fit = ridgeFit(feats.filter(col("doc_id") % 3 === 0))
         .select("beta1", "beta2", "beta3", "intercept")
       def resid(f: DataFrame): DataFrame = f.crossJoin(broadcast(fit))
@@ -1430,7 +1431,7 @@ object Quality extends QueryGroup {
         // checkpointed: both the θ sufficient-stats row and the final
         // per-arm pass read the per-user relation — one events scan,
         // not two
-        .localCheckpoint()
+        .graftCheckpoint()
       val stats = perUser.agg(
         count(lit(1)).cast("double").as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
@@ -1567,7 +1568,7 @@ object Quality extends QueryGroup {
       val orders = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
       val tombOrders = orders.join(subjects, col("o_custkey") === col("k"), "left_semi")
-        .select("o_orderkey").localCheckpoint() // read by lineitem hop twice (tomb + orphan)
+        .select("o_orderkey").graftCheckpoint() // read by lineitem hop twice (tomb + orphan)
       def row(name: String, before: DataFrame, tomb: DataFrame, orphansAfter: DataFrame) = {
         val b = before.agg(count(lit(1)).as("n_before"))
         val t = tomb.agg(count(lit(1)).as("n_tombstoned"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions.{dot, l2Norm}
+import graft.Tables.GraftCheckpointOps
 
 /** Retrieval operators (round 5) — the query side of a training-data /
   * RAG pipeline, beyond the reference's surface (`Processor.java`
@@ -273,7 +274,7 @@ object Retrieval extends QueryGroup {
         .select(col("vec_id"), col("embedding"), col("nrm"),
                 (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(nCand)
-        .localCheckpoint()
+        .graftCheckpoint()
       var selectedIds = Vector.empty[Long]
       var steps = Vector.empty[DataFrame]
       var exhausted = false
@@ -291,7 +292,7 @@ object Retrieval extends QueryGroup {
               .withColumn("mmr", lit(lam) * col("rel") - lit(mu) * col("maxsim"))
           }
         val winner = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
-          .select(col("vec_id"), col("rel")).localCheckpoint()
+          .select(col("vec_id"), col("rel")).graftCheckpoint()
         // a fixture with < k candidates must yield a partial ranking,
         // not an IndexOutOfBounds at plan-build time
         winner.collect().headOption match {

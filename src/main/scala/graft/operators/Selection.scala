@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
+import graft.Tables.GraftCheckpointOps
 
 /** Data-selection operators for training-set construction:
   *
@@ -216,7 +217,7 @@ object Selection extends QueryGroup {
         .groupBy("source").agg(sum("nt").as("n_tokens"))
         // checkpointed: totals row + final ledger both read it — one
         // tokenize scan, not two (|sources| rows, trivially cheap)
-        .localCheckpoint()
+        .graftCheckpoint()
       val tot = perSource.agg(sum("n_tokens").cast("double").as("t_tokens"),
         sum(pow(col("n_tokens").cast("double"), alpha)).as("z"))
       perSource.crossJoin(broadcast(tot))
@@ -263,7 +264,7 @@ object Selection extends QueryGroup {
         .select(col("lang"),
           when(split < 8, "train").when(split === 8, "val").otherwise("test").as("split"))
       val cells = docs.groupBy("split", "lang").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // split totals + lang totals + grid all read it
+        .graftCheckpoint() // split totals + lang totals + grid all read it
       val splitTot = cells.groupBy("split").agg(sum("n").as("n_split"))
       val langTot = cells.groupBy("lang").agg(sum("n").as("n_lang"))
       val grandTot = langTot.agg(sum("n_lang").cast("double").as("n_all"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.VectorFunctions._
+import graft.Tables.GraftCheckpointOps
 
 /** Similarity search over the embeddings table.
   *
@@ -210,7 +211,7 @@ object Similarity extends QueryGroup {
   def mutualKnnOn(vectors: DataFrame, centSource: DataFrame,
                   nprobe: Int = 2, kGraph: Int = 5): DataFrame = {
     val edges = knnEdgesOn(vectors, centSource, nprobe, kGraph)
-      .localCheckpoint() // both join legs read it
+      .graftCheckpoint() // both join legs read it
     val fwd = edges.select(col("src").as("u"), col("dst").as("v"),
       col("rk").as("rank_uv"), col("cos"))
     val rev = edges.select(col("dst").as("u"), col("src").as("v"),
@@ -991,7 +992,7 @@ object Similarity extends QueryGroup {
       val cells = centroidPred(s, d)
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val rowm = cells.groupBy("label").agg(sum("n").as("nt"))
       val colm = cells.groupBy("pred_label").agg(sum("n").as("np"))
         .withColumnRenamed("pred_label", "label")
@@ -1151,7 +1152,7 @@ object Similarity extends QueryGroup {
       val cells = centroidPred(s, d)
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val sup = cells.groupBy("label").agg(sum("n").as("support"))
       val prd = cells.groupBy("pred_label").agg(sum("n").as("predicted"))
         .withColumnRenamed("pred_label", "label")
@@ -1517,7 +1518,7 @@ object Similarity extends QueryGroup {
           expr("stack(4, 8, c8, 16, c16, 32, c32, 64, c64) AS (m, cos)"))
       val wk = Window.partitionBy("m", "query_id").orderBy(col("cos").desc, col("neighbor_id"))
       val ranked = scored.withColumn("rk", row_number().over(wk)).filter(col("rk") <= 10)
-        .select("m", "query_id", "neighbor_id").localCheckpoint()
+        .select("m", "query_id", "neighbor_id").graftCheckpoint()
       // LEFT join + 0-fill: a query whose truncated top-10 hits NOTHING
       // from the full-dim truth must average in as recall 0, not drop
       // out of the mean (an inner join silently inflates low-m recall)
@@ -1578,7 +1579,7 @@ object Similarity extends QueryGroup {
       val cvec = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
-        .localCheckpoint() // both sides of the pair join read it
+        .graftCheckpoint() // both sides of the pair join read it
       val a = cvec.select(col("label").as("label_a"), col("cv").as("va"))
       val b = cvec.select(col("label").as("label_b"), col("cv").as("vb"))
       a.join(b, col("label_a") < col("label_b"))

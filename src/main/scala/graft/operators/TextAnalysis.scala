@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
+import graft.Tables.GraftCheckpointOps
 
 /** Text-analysis operators over the documents table: token statistics,
   * quality scoring, n-gram-heuristic language ID, and rolling-hash
@@ -488,7 +489,7 @@ object TextAnalysis extends QueryGroup {
       val tf = Tables.fanOut(Tables.documents(s, d))
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("a"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val tots = tf.groupBy("source").agg(sum("a").as("tot_s"))
       val gtok = tf.groupBy("tok").agg(sum("a").as("g"))
       val gtot = tf.agg(sum("a").as("tot_g"))
@@ -545,7 +546,7 @@ object TextAnalysis extends QueryGroup {
       val buckets = 100
       val toks = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .localCheckpoint() // feeds both the first-seen and volume aggregates
+        .graftCheckpoint() // feeds both the first-seen and volume aggregates
       val mx = toks.agg(max("doc_id").as("m"))
       // floor(double-division) == integer // here: operands < 2^53 so
       // the double quotient is exact enough for floor to agree with
@@ -656,7 +657,7 @@ object TextAnalysis extends QueryGroup {
       val counts = Tables.fanOut(Tables.documents(s, d))
         .select(explode(flatten(transform(array(tokens(col("text"))), grams))).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // one corpus pass feeds uni, big, and both totals
+        .graftCheckpoint() // one corpus pass feeds uni, big, and both totals
       val uni = counts.filter(col("g").startsWith("1|"))
         .select(expr("substr(g, 3)").as("tok"), col("c").as("cu"))
       val big = counts.filter(col("g").startsWith("2|"))
@@ -715,7 +716,7 @@ object TextAnalysis extends QueryGroup {
       val tf = Tables.fanOut(Tables.documents(s, d))
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("a"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val tots = tf.groupBy("source").agg(sum("a").as("tot_s"))
       val gtok = tf.groupBy("tok").agg(sum("a").as("g"))
       val gtot = tf.agg(sum("a").as("tot_g"))
@@ -972,7 +973,7 @@ object TextAnalysis extends QueryGroup {
       val docTok = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val classCnt = docTok.groupBy(col("lang").as("cls"), col("tok"))
         .agg(sum("cnt").as("n_tc"))
       val classTot = classCnt.groupBy("cls").agg(sum("n_tc").as("n_c"))
@@ -1068,7 +1069,7 @@ object TextAnalysis extends QueryGroup {
       // doc_id % 20, so a %5 (or any divisor-of-20) split would
       // starve 16 of 20 sources of eval data; 7 is coprime to 20 →
       // every source holds out ~1/7 of its docs
-      val train = docs.filter(col("doc_id") % 7 =!= 0).localCheckpoint()
+      val train = docs.filter(col("doc_id") % 7 =!= 0).graftCheckpoint()
       val uni = train.select(explode(col("t")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
       val tot = uni.agg(sum("c1").as("tt"), count(lit(1)).as("vsz"))
       val bi = train.select(explode(grams2(col("t"))).as("g"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions.{charNgrams, tokens}
+import graft.Tables.GraftCheckpointOps
 
 /** Training-data assembly operators (round 6) — the steps between a
   * curated corpus and tensors on a trainer, none of which the reference
@@ -71,7 +72,7 @@ object Training extends QueryGroup {
     */
   private def bpeRounds(syms0: DataFrame, rounds: Int): (Vector[DataFrame], DataFrame) = {
     val wSeq = Window.partitionBy("word").orderBy("pos")
-    var syms = syms0.localCheckpoint()
+    var syms = syms0.graftCheckpoint()
     var merges = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
       val adj = syms.withColumn("nxt", lead("sym", 1).over(wSeq))
@@ -79,7 +80,7 @@ object Training extends QueryGroup {
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("cnt").as("n"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint()
+        .graftCheckpoint()
       merges :+= best.select(lit(r).cast("long").as("round"), col("a"), col("b"), col("n"))
       val marked = adj.crossJoin(broadcast(best.select("a", "b")))
         .withColumn("raw", col("nxt").isNotNull &&
@@ -96,7 +97,7 @@ object Training extends QueryGroup {
                 row_number().over(wSeq).as("pos"),
                 when(col("active"), concat(col("sym"), col("nxt")))
                   .otherwise(col("sym")).as("sym"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     (merges, syms)
   }
