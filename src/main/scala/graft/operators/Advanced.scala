@@ -704,14 +704,22 @@ object Advanced extends QueryGroup {
     // the selected prices are raw column values (never arithmetic), so
     // both engines pick bit-identical rows.
     ("q190_weighted_quantiles", (s, d) => {
-      val ord = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val all = Window.partitionBy("l_returnflag")
-      val c = Tables.lineitem(s, d)
+      // per-group cumulative weight via the two-pass prefix sum
+      // (PrefixSum.grouped, round 10): a return flag's lineitems grow
+      // with the data, so the per-flag window would otherwise put a
+      // whole flag on one task. Quantities are integral doubles, so
+      // the two-pass running sums are EXACT regardless of association
+      // order — the judged oracle (single-window form) still
+      // hash-matches. The per-flag total is a keyed aggregate over the
+      // operator's checkpointed base, broadcast back (3 rows).
+      val base = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"),
                 col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .withColumn("cw", sum("l_quantity").over(ord))
-        .withColumn("tw", sum("l_quantity").over(all))
+      val cumed = PrefixSum.grouped(base, Seq("l_returnflag"),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_quantity") -> "cw"))
+      val tw = cumed.groupBy("l_returnflag").agg(sum("l_quantity").as("tw"))
+      val c = cumed.join(broadcast(tw), "l_returnflag")
       c.groupBy("l_returnflag")
         .agg(max("tw").cast("long").as("total_weight"),
              min(when(col("cw") >= col("tw") * 0.25, col("l_extendedprice"))).as("wp25"),
@@ -801,18 +809,24 @@ object Advanced extends QueryGroup {
       val rev = Tables.fanOut(Tables.lineitem(s, d))
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev
-        .withColumn("cum_share", Quant.quant6(sum("rev").over(w) / sum("rev").over(
-          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      // cumulative revenue via the two-pass range-partitioned prefix
+      // sum (PrefixSum, round 10): the part dimension is unbounded, so
+      // a single-partition global window would serialize on one task
+      // at scale. The totals aggregate reads the operator's
+      // checkpointed base — one lineitem scan total.
+      val cum = PrefixSum.cumSum(rev,
+        Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum_rev")
+      val tot = cum.agg(count(lit(1)).cast("double").as("tot_parts"),
+                        sum("rev").as("tot_rev"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("cum_share", Quant.quant6(col("cum_rev") / col("tot_rev")))
         .withColumn("abc", when(col("cum_share") <= 0.7, "A")
           .when(col("cum_share") <= 0.9, "B").otherwise("C"))
         .groupBy("abc")
         .agg(count(lit(1)).as("n_parts"),
-             round(sum("rev"), 2).as("revenue"))
-        .crossJoin(broadcast(rev.agg(count(lit(1)).cast("double").as("tot_parts"),
-                                     sum("rev").as("tot_rev"))))
+             round(sum("rev"), 2).as("revenue"),
+             max("tot_parts").as("tot_parts"),
+             max("tot_rev").as("tot_rev"))
         .select(col("abc").as("abc_class"), col("n_parts"),
           round(col("n_parts") / col("tot_parts"), 6).as("share_of_parts"),
           col("revenue"),

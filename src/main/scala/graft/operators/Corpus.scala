@@ -450,13 +450,17 @@ object Corpus extends QueryGroup {
       val tf = Tables.fanOut(Tables.documents(s, d))
         .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("tf"))
-      // total as a full-frame window over the SAME vocab relation — a
-      // separate agg subtree would re-tokenize the corpus (q85 disease)
-      val wr = Window.orderBy(col("tf").desc, col("term"))
-      tf.withColumn("rank", row_number().over(wr))
-        .withColumn("cum", sum("tf").over(wr.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total", sum("tf").over(
-          wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // rank + cumulative frequency via the two-pass prefix sum
+      // (PrefixSum.cumSums, round 10): the vocab grows with the
+      // corpus (Heaps), so the global-order window would serialize it
+      // on one task at scale. Integer counts ⇒ exact under any
+      // association order; rank rides the same pass as cumsum-of-1.
+      // The grand total reads the operator's CHECKPOINTED base — the
+      // corpus is still tokenized exactly once (q85 discipline).
+      val ranked = PrefixSum.cumSums(tf, Seq(col("tf").desc, col("term")),
+        Seq(col("tf") -> "cum", lit(1L) -> "rank"))
+      val tot = ranked.agg(sum("tf").as("total"))
+      ranked.crossJoin(broadcast(tot))
         .select(col("rank"), col("cum"), col("total"),
           explode(array(thresholds.map(lit): _*)).as("threshold_permille"))
         .filter(col("cum") * 1000 >= col("threshold_permille") * col("total"))

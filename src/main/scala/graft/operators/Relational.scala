@@ -505,6 +505,52 @@ object Relational extends QueryGroup {
       ORDER BY event_type
     """)),
 
+    // ---------------------------------------------------------------- Spark 4 VariantType: parse_json → variant_get shred (round 10)
+    // The semi-structured path the reference's registry-schema'd
+    // records map onto in Spark 4 (SURVEY §1.4: Processor.java:128-130
+    // → VariantType): encode each event as a nested JSON document,
+    // parse it to a VARIANT value (binary semi-structured encoding —
+    // at scale this is the column you'd LAND loosely-schema'd vendor
+    // payloads in, with shredding deferred to read time), then shred
+    // with typed `variant_get` path extraction — nested object paths,
+    // array indexing, and a missing-path probe (NULL, never an error)
+    // — and aggregate by an extracted field. The ORACLE never touches
+    // variant: DuckDB computes the same aggregates straight from the
+    // source columns, so the round-trip through variant encode/decode
+    // is what's being verified (two algorithms, one answer). The JSON
+    // doc rides to_json's shortest-round-trip double printing, which
+    // parse_json reads back to the identical IEEE value.
+    ("q220_variant_shred", (s, d) => {
+      val doc = to_json(struct(col("event_id"), col("event_type"),
+        struct(col("user_id"), col("value")).as("payload"),
+        array(col("value"), col("value") * 2).as("arr")))
+      Tables.events(s, d)
+        .select(parse_json(doc).as("v"))
+        .select(
+          variant_get(col("v"), "$.event_type", "string").as("etype"),
+          variant_get(col("v"), "$.payload.user_id", "bigint").as("uid"),
+          variant_get(col("v"), "$.payload.value", "double").as("val"),
+          variant_get(col("v"), "$.arr[1]", "double").as("val2"),
+          variant_get(col("v"), "$.payload.missing", "string").as("absent"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("uid")).as("n_users"),
+             round(sum("val"), 2).as("sum_value"),
+             round(sum("val2"), 2).as("sum_doubled"),
+             sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("etype")
+    }, Some("""
+      SELECT event_type AS etype,
+             count(*)                        AS n,
+             count(DISTINCT user_id)         AS n_users,
+             round(sum(value), 2)            AS sum_value,
+             round(sum(value * 2), 2)        AS sum_doubled,
+             count(*)                        AS n_missing
+      FROM events
+      GROUP BY event_type
+      ORDER BY etype
+    """)),
+
     // ---------------------------------------------------------------- array (vector) columns: higher-order functions
     ("q26_array_funcs", (s, d) => {
       Tables.embeddings(s, d)

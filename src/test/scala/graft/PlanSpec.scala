@@ -628,11 +628,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // times (two self-join sides + the two vocab-size broadcasts), so
     // 4 FileScans and 7 hash exchanges pre-AQE — at runtime they
     // collapse onto ONE distinct exchange via stage reuse, asserted
-    // below (ReusedExchange on the executed plan). q190 is one sort
-    // exchange serving window + aggregate.
+    // below (ReusedExchange on the executed plan). q190 runs the
+    // two-pass PrefixSum.grouped form (round 10): the per-flag
+    // cumulative no longer plans a whole-flag single-task window;
+    // instead the checkpointed range-partitioned base feeds the
+    // __pid-keyed window, the subtotal ledger, the per-flag totals,
+    // and the final aggregate — 6 hash exchanges nominal, all over
+    // the aggregate-sized relation, zero re-scans (the base is
+    // checkpoint-pinned).
     val budget = Map(
       "q187_agreement_kappa" -> (4, 0), "q188_calibration_bins" -> (4, 2),
-      "q189_source_vocab_overlap" -> (7, 4), "q190_weighted_quantiles" -> (1, 1))
+      "q189_source_vocab_overlap" -> (7, 4), "q190_weighted_quantiles" -> (6, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
@@ -879,12 +885,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   test("q218-q219: round-9 batch-8 additions stay inside their plan budgets") {
     // q218: the LSH band machinery (bounded like q34) plus two
     // shifted-id probe equi-joins — no all-pairs anywhere. q219: one
-    // lineitem scan → per-part aggregate; the single global window
-    // runs over the |parts| relation, and the 1-row totals cross is
-    // the sanctioned BNLJ.
+    // lineitem scan → per-part aggregate, then the two-pass
+    // PrefixSum cumulative (round 10 — no single-partition window
+    // over the unbounded part dimension; the __pid window + ledger +
+    // totals ride the checkpointed base), and the 1-row totals cross
+    // is the sanctioned BNLJ.
     val budget = Map(
       "q218_minhash_calibration" -> (30, 12),
-      "q219_pareto_abc" -> (3, 2))
+      "q219_pareto_abc" -> (4, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
