@@ -412,4 +412,150 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  // ------------------------------------------------------------ collection state: ListState top-k + MapState distinct (round 10)
+
+  /** Sequential fold reference for WindowTopK — the processor's
+    * documented semantics applied one event at a time.
+    */
+  private def topKReference(events: Seq[graft.streaming.WindowTopK.ValuedEvent],
+                            k: Int, windowMs: Long): Seq[(Long, Int, Int)] = {
+    def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
+    val windowUs = windowMs * 1000L
+    var buf = Vector.empty[(Long, Long, Double)] // (event_id, tsUs, value)
+    events.sortBy(e => (us(e.ts), e.event_id)).flatMap { e =>
+      val now = us(e.ts)
+      buf = buf.filter(_._2 > now - windowUs)
+      val admit = buf.size < k || buf.exists(_._3 < e.value)
+      if (!admit) None
+      else {
+        if (buf.size >= k) {
+          val weakest = buf.minBy(t => (t._3, t._2, t._1))
+          buf = buf.filterNot(_ == weakest)
+        }
+        val rank = 1 + buf.count(_._3 > e.value)
+        buf = buf :+ ((e.event_id, now, e.value))
+        Some((e.event_id, rank, buf.size))
+      }
+    }
+  }
+
+  test("ListState top-k admits exactly the live sliding top-k (sequential-replay parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.WindowTopK
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      val b1 = Seq(
+        WindowTopK.ValuedEvent(1L, 0L, at(0), 10.0),
+        WindowTopK.ValuedEvent(1L, 1L, at(5), 5.0),
+        WindowTopK.ValuedEvent(1L, 2L, at(10), 3.0),   // below the live top-2: dropped
+        WindowTopK.ValuedEvent(1L, 3L, at(15), 7.0),   // beats 5.0: evicts it
+        WindowTopK.ValuedEvent(2L, 100L, at(10), 1.0)) // second key independent
+      val b2 = Seq(
+        WindowTopK.ValuedEvent(1L, 4L, at(80), 1.0))   // both entries expired: admitted
+      val in = MemoryStream[WindowTopK.ValuedEvent]
+      val adm = WindowTopK.admitted(
+        in.toDS().withWatermark("ts", "0 seconds"), k = 2, windowMs = 3600L * 1000L)
+      val q = RecordStream.startSink(adm.toDF(), "memory", "topk_sink", tmp("ck-topk"), 100L)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("topk_sink").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+                   r.getAs[Int]("rank_at_admission"), r.getAs[Int]("topk_size")))
+      q.stop()
+      val u1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq
+      val want = topKReference((b1 ++ b2).filter(_.user_id == 1L), 2, 3600L * 1000L)
+        .sortBy(_._1)
+      assert(u1 == want, s"top-k admissions: got $u1 want $want")
+      assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(100L), "second key not independent")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("MapState sliding distinct stamps type breadth with per-event eviction (sequential-replay parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CooldownDedup, SlidingDistinct}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      val in = MemoryStream[CooldownDedup.KeyedEvent]
+      val st = SlidingDistinct.stamped(
+        in.toDS().withWatermark("ts", "0 seconds"), windowMs = 3600L * 1000L)
+      val q = RecordStream.startSink(st.toDF(), "memory", "dist_sink", tmp("ck-dist"), 100L)
+      in.addData(
+        CooldownDedup.KeyedEvent(1L, "view", 0L, at(0)),
+        CooldownDedup.KeyedEvent(1L, "click", 1L, at(10)),
+        CooldownDedup.KeyedEvent(1L, "view", 2L, at(20)))
+      q.processAllAvailable()
+      in.addData(
+        CooldownDedup.KeyedEvent(1L, "purchase", 3L, at(70)),  // click (t=10) evicted
+        CooldownDedup.KeyedEvent(1L, "view", 4L, at(130)))     // everything evicted
+      q.processAllAvailable()
+      val rows = spark.table("dist_sink").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("is_new_type"),
+                   r.getAs[Int]("n_distinct"))).sortBy(_._1).toSeq
+      q.stop()
+      assert(rows == Seq((0L, true, 1), (1L, true, 2), (2L, false, 2),
+                         (3L, true, 2), (4L, true, 1)),
+        s"distinct stamps: $rows")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ListState top-k recovers the buffer across checkpoint restart") {
+    import spark.implicits._
+    import graft.streaming.WindowTopK
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = tmp("tk-src"); val ck = tmp("ck-tk-restart"); val out = tmp("out-tk-restart")
+      def at(h: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)
+      def writeEvents(file: String, rows: Seq[(Long, Int, Double)]): Unit =
+        Files.write(java.nio.file.Paths.get(src, file),
+          rows.map { case (id, h, v) =>
+            s"""{"user_id":7,"event_id":$id,"ts":"${at(h)}","value":$v}"""
+          }.mkString("\n").getBytes)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", "long").add("event_id", "long")
+        .add("ts", "timestamp").add("value", "double")
+      def query(name: String) = {
+        val events = spark.readStream.schema(schema).json(src)
+          .withWatermark("ts", "0 seconds").as[WindowTopK.ValuedEvent]
+        RecordStream.startSink(
+          WindowTopK.admitted(events, k = 1, windowMs = 24L * 3600L * 1000L).toDF(),
+          "parquet", name, ck, 100L, outputPath = Some(out))
+      }
+      writeEvents("b1.json", Seq((0L, 0, 50.0))) // fills the k=1 buffer
+      val q1 = query("tk_r1"); q1.processAllAvailable(); q1.stop()
+      // restart on the same checkpoint: 10.0 loses to the RECOVERED
+      // 50.0 (a fresh query would admit it into an empty buffer);
+      // 60.0 beats it
+      writeEvents("b2.json", Seq((1L, 1, 10.0), (2L, 2, 60.0)))
+      val q2 = query("tk_r2"); q2.processAllAvailable(); q2.stop()
+      val kept = spark.read.parquet(out).collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(kept == Seq(0L, 2L),
+        s"top-k buffer not recovered across restart (1 should lose to recovered 50.0): $kept")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
