@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
 
 /** Remaining SURVEY §2.2 taxonomy rows not covered by the core
   * relational corpus: sketch aggregation (HLL approx-distinct), a
@@ -792,6 +793,56 @@ object Advanced extends QueryGroup {
         AND f.ts >= c.valid_from
         AND (c.valid_to IS NULL OR f.ts < c.valid_to)
       ORDER BY f.event_id
+    """)),
+
+    // ------------------------------------------------------------ Hill tail-index estimator (round 10)
+    // HOW heavy is the spend tail? q155 fits the degree power law by
+    // regression over binned counts; the Hill estimator is the
+    // order-statistics MLE for the tail exponent directly: over the
+    // top-k order totals, H(k) = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α = 1/H —
+    // computed at two k cuts (50, 100) because a stable α across cuts
+    // is the actual heavy-tail evidence (Hill-plot flatness). Scale
+    // shape: the ONLY global structure is top-101 per cut via
+    // TakeOrderedAndProject (per-partition partial top-k — no global
+    // sort); the ln-sum then runs over ≤100 rows, schema-bounded at
+    // any scale. The reference level x₍ₖ₊₁₎ rides a 1-row broadcast.
+    ("q222_hill_tail_index", (s, d) => {
+      val cuts = Seq(50, 100)
+      val perCut = cuts.map { k =>
+        val top = Tables.fanOut(Tables.orders(s, d))
+          .select(col("o_totalprice").as("x"), col("o_orderkey"))
+          .orderBy(col("x").desc, col("o_orderkey")).limit(k + 1)
+          .graftCheckpoint() // top-k relation + reference row both read it
+        val ref = top.orderBy(col("x"), col("o_orderkey")).limit(1)
+          .select(col("x").as("xref"))
+        top.orderBy(col("x").desc, col("o_orderkey")).limit(k)
+          .crossJoin(broadcast(ref))
+          .agg(count(lit(1)).as("k"),
+               round(avg(log(col("x") / col("xref"))), 6).as("hill"),
+               round(lit(1.0) / avg(log(col("x") / col("xref"))), 6).as("alpha"),
+               round(min("x"), 2).as("x_k"),
+               round(max("xref"), 2).as("x_ref"))
+      }
+      perCut.reduce((a, b) => a.unionByName(b)).orderBy("k")
+    }, Some("""
+      WITH ranked AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders),
+      cut(k) AS (VALUES (50), (100)),
+      est AS (
+        SELECT c.k,
+               round(avg(ln(r.x / ref.x)), 6) AS hill,
+               round(1.0 / avg(ln(r.x / ref.x)), 6) AS alpha,
+               round(min(r.x), 2) AS x_k,
+               round(max(ref.x), 2) AS x_ref
+        FROM cut c
+        JOIN ranked r ON r.rn <= c.k
+        JOIN ranked ref ON ref.rn = c.k + 1
+        GROUP BY c.k)
+      SELECT k::BIGINT AS k, hill, alpha, x_k, x_ref
+      FROM est
+      ORDER BY k
     """)),
 
     // ------------------------------------------------------------ Pareto / ABC analysis (round 9)

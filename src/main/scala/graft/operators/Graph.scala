@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.Tables.GraftCheckpointOps
 
@@ -519,6 +520,59 @@ object Graph extends QueryGroup {
       FROM a2 JOIN a1 USING (part)
       ORDER BY a2 DESC, part_id
       LIMIT 15
+    """)),
+
+    // ------------------------------------------------------------ Markov stationary distribution (round 10)
+    // Where does user behavior SETTLE? Power-iterate the event-type
+    // transition chain (q83's lag-pairs, aggregated over all users) to
+    // its stationary distribution — the long-run occupancy a session
+    // simulator or attribution prior needs. Integer fixed-point like
+    // q108: π₀ = 1e6 per type, π'ⱼ = Σᵢ (πᵢ·c_ij) DIV cᵢ — exact
+    // integer arithmetic, bit-identical across engines, k=3 rounds via
+    // the shared Iterative driver (the oracle unrolls 3 CTE steps; the
+    // production form is Iterative.converge on the same step — q108's
+    // IterativeSpec evidence covers this family). The transition
+    // matrix is |types|² — vocabulary-bounded, broadcast-sized at any
+    // corpus scale; the ONE data-sized pass is the lag over events.
+    ("q221_markov_stationary", (s, d) => {
+      val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(wLag))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .graftCheckpoint() // step + row-total + π₀ all read it
+      val rowTot = trans.groupBy("src").agg(sum("c").as("ct"))
+      val withTot = trans.join(rowTot, "src")
+      def step(pi: DataFrame): DataFrame =
+        withTot.join(pi, col("src") === col("etype"))
+          .select(col("dst"), expr("(pi * c) DIV ct").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("m"))
+          .select(col("dst").as("etype"), col("m").as("pi"))
+          .graftCheckpoint()
+      val pi0 = rowTot.select(col("src").as("etype"), lit(1000000L).as("pi"))
+      Iterative.fixedK(pi0, 3)(step)
+        .select(col("etype").as("event_type"), col("pi").as("pi_fp"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH t AS (
+        SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+        FROM events),
+      c AS (
+        SELECT prev_type AS src, event_type AS dst, count(*)::BIGINT AS c
+        FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      ct AS (SELECT src, sum(c)::BIGINT AS ct FROM c GROUP BY src),
+      p0 AS (SELECT src AS etype, 1000000::BIGINT AS pi FROM ct),
+      p1 AS (SELECT c.dst AS etype, sum((p.pi * c.c) // x.ct)::BIGINT AS pi
+             FROM c JOIN ct x USING (src) JOIN p0 p ON p.etype = c.src GROUP BY c.dst),
+      p2 AS (SELECT c.dst AS etype, sum((p.pi * c.c) // x.ct)::BIGINT AS pi
+             FROM c JOIN ct x USING (src) JOIN p1 p ON p.etype = c.src GROUP BY c.dst),
+      p3 AS (SELECT c.dst AS etype, sum((p.pi * c.c) // x.ct)::BIGINT AS pi
+             FROM c JOIN ct x USING (src) JOIN p2 p ON p.etype = c.src GROUP BY c.dst)
+      SELECT etype AS event_type, pi AS pi_fp
+      FROM p3
+      ORDER BY event_type
     """)),
 
     // ------------------------------------------------------------ k-core decomposition (round 9)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
 
 /** Data-quality profiling + event-sequence analytics (round 3):
   *
@@ -599,6 +600,135 @@ object Profiling extends QueryGroup {
         UNION ALL SELECT 'fd', 'user_id->event_type', nd_uid, nd_uid_et, nd_uid_et = nd_uid FROM s
         UNION ALL SELECT 'fd', 'event_type->user_id', nd_et, nd_uid_et, nd_uid_et = nd_et FROM s)
       ORDER BY check_type, subject
+    """)),
+
+    // ------------------------------------------------------------ join-skew diagnostic (round 10)
+    // The pre-flight a q95-style salted join DECIDES from: per join
+    // key, its row count and skew ratio vs the mean key, top-15 —
+    // the report that says WHICH keys need salting and how many
+    // buckets. One scan → keyed count → TakeOrderedAndProject top-15;
+    // the mean rides a 1-row broadcast. At 100 TB this is exactly the
+    // histogram a shuffle-planner samples; computing it exactly costs
+    // one aggregation.
+    ("q224_skew_diagnostic", (s, d) => {
+      val cnt = Tables.fanOut(Tables.lineitem(s, d))
+        .groupBy(col("l_partkey").as("join_key"))
+        .agg(count(lit(1)).as("n_rows"))
+        .graftCheckpoint() // top-15 + mean both read it
+      val tot = cnt.agg(count(lit(1)).cast("double").as("n_keys"),
+                        sum("n_rows").cast("double").as("n_total"))
+      cnt.orderBy(col("n_rows").desc, col("join_key")).limit(15)
+        .crossJoin(broadcast(tot))
+        .select(col("join_key"), col("n_rows"),
+          round(col("n_rows") / (col("n_total") / col("n_keys")), 6).as("skew_ratio"),
+          round(col("n_rows") / col("n_total"), 6).as("share_of_rows"))
+        .orderBy(col("n_rows").desc, col("join_key"))
+    }, Some("""
+      WITH c AS (SELECT l_partkey AS join_key, count(*)::BIGINT AS n_rows
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT count(*)::DOUBLE AS n_keys, sum(n_rows)::DOUBLE AS n_total FROM c)
+      SELECT join_key, n_rows,
+             round(n_rows / (t.n_total / t.n_keys), 6) AS skew_ratio,
+             round(n_rows / t.n_total, 6) AS share_of_rows
+      FROM c, t
+      ORDER BY n_rows DESC, join_key
+      LIMIT 15
+    """)),
+
+    // ------------------------------------------------------------ join-cardinality estimator (round 10)
+    // Predict |A ⋈ B| from per-key histograms — Σ_k cnt_A(k)·cnt_B(k),
+    // the number a cost-based planner needs BEFORE running the join —
+    // and verify it against the actually-executed join count in the
+    // same result (two algorithms, one answer, self-validating).
+    // Integer-exact. The histogram join is keyed (aggregate-sized
+    // relations); at 100 TB the exact histograms are what q88's HLL
+    // sketches approximate — this is the exact-form sibling.
+    ("q225_join_cardinality", (s, d) => {
+      def predictedAndActual(name: String, a: DataFrame, b: DataFrame,
+                             key: String): DataFrame = {
+        val ca = a.groupBy(key).agg(count(lit(1)).as("na"))
+        val cb = b.groupBy(key).agg(count(lit(1)).as("nb"))
+        val pred = ca.join(cb, key)
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("predicted_rows"),
+               count(lit(1)).as("n_matching_keys"))
+        val act = a.join(b, key).agg(count(lit(1)).as("actual_rows"))
+        pred.crossJoin(act).select(lit(name).as("join_name"),
+          col("n_matching_keys"), col("predicted_rows"), col("actual_rows"),
+          (col("predicted_rows") === col("actual_rows")).as("estimate_exact"))
+      }
+      val oc = predictedAndActual("orders_x_customer",
+        Tables.orders(s, d).select(col("o_custkey").as("k")),
+        Tables.customer(s, d).select(col("c_custkey").as("k")), "k")
+      val lo = predictedAndActual("lineitem_x_orders",
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+        Tables.orders(s, d).select(col("o_orderkey").as("k")), "k")
+      oc.unionByName(lo).orderBy("join_name")
+    }, Some("""
+      WITH oc_a AS (SELECT o_custkey AS k, count(*)::BIGINT AS na FROM orders GROUP BY 1),
+      oc_b AS (SELECT c_custkey AS k, count(*)::BIGINT AS nb FROM customer GROUP BY 1),
+      oc AS (
+        SELECT 'orders_x_customer' AS join_name,
+               count(*)::BIGINT AS n_matching_keys,
+               coalesce(sum(na * nb), 0)::BIGINT AS predicted_rows
+        FROM oc_a JOIN oc_b USING (k)),
+      oc_act AS (SELECT count(*)::BIGINT AS actual_rows
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      lo_a AS (SELECT l_orderkey AS k, count(*)::BIGINT AS na FROM lineitem GROUP BY 1),
+      lo_b AS (SELECT o_orderkey AS k, count(*)::BIGINT AS nb FROM orders GROUP BY 1),
+      lo AS (
+        SELECT 'lineitem_x_orders' AS join_name,
+               count(*)::BIGINT AS n_matching_keys,
+               coalesce(sum(na * nb), 0)::BIGINT AS predicted_rows
+        FROM lo_a JOIN lo_b USING (k)),
+      lo_act AS (SELECT count(*)::BIGINT AS actual_rows
+                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT join_name, n_matching_keys, predicted_rows, actual_rows,
+             predicted_rows = actual_rows AS estimate_exact
+      FROM (SELECT oc.*, oc_act.actual_rows FROM oc, oc_act
+            UNION ALL
+            SELECT lo.*, lo_act.actual_rows FROM lo, lo_act)
+      ORDER BY join_name
+    """)),
+
+    // ------------------------------------------------------------ equi-depth histogram (round 10)
+    // q104 is equi-WIDTH (fixed bin edges); the planner/monitoring
+    // histogram is equi-DEPTH — deciles holding equal row counts,
+    // edges wherever the data puts them. Bin assignment is pure
+    // integer arithmetic on the global rank, and the rank comes from
+    // the two-pass PrefixSum (round 10) — no single-partition sort of
+    // the unbounded orders dimension, and bit-exact across engines
+    // (both sides compute floor((rank−1)·B / n), NOT ntile(), whose
+    // remainder placement is engine-defined).
+    ("q226_equidepth_histogram", (s, d) => {
+      val nBins = 10
+      val ranked = PrefixSum.cumSums(
+        Tables.fanOut(Tables.orders(s, d))
+          .select(col("o_totalprice"), col("o_orderkey")),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        Seq(lit(1L) -> "rank"))
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bin", expr(s"((rank - 1) * $nBins) DIV n"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"),
+             round(min("o_totalprice"), 2).as("lo"),
+             round(max("o_totalprice"), 2).as("hi"),
+             round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bin")
+    }, Some("""
+      WITH r AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+               count(*) OVER () AS n
+        FROM orders)
+      SELECT ((rank - 1) * 10 // n)::BIGINT AS bin,
+             count(*)::BIGINT AS n_rows,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM r
+      GROUP BY 1
+      ORDER BY bin
     """))
   )
 }

@@ -1600,7 +1600,127 @@ object Similarity extends QueryGroup {
                i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))), 6) AS l2_dist
       FROM cv a JOIN cv b ON a.label < b.label
       ORDER BY label_a, label_b
-    """))
+    """)),
+
+    // ------------------------------------------------------------ PCA by power iteration (round 10)
+    // Top principal component of the embedding corpus — the direction
+    // the encoder spends most of its variance on, and the q158/q211
+    // family's missing summary: per-dim stats can't see a CORRELATED
+    // drift axis; PC1 can (a dominant PC1 share means the embedding is
+    // effectively low-rank — cosine contrast collapsing). Distributed
+    // shape: ONE n·d² outer-product aggregate builds the centered
+    // covariance (the standard way — vectors are never collected), and
+    // everything after runs on the d×d=64² cell relation: 3 rounds of
+    // matvec power iteration via the shared Iterative driver with the
+    // eigenvector carried as a 1-row ARRAY (matvec = per-row
+    // sequential fold, the dotSql trick — so Spark and DuckDB compute
+    // bit-identical IEEE sequences). Covariance cells are
+    // quant6-quantized once at build (cross-engine row-sum order
+    // differs ~1e-13 relative — far inside a 1e-6 cell), making every
+    // downstream step exactly portable; the oracle unrolls the same 3
+    // normalized matvecs. Output: PC1 loadings + Rayleigh eigenvalue +
+    // its share of total variance (trace).
+    ("q223_pca_power_iteration", (s, d) => {
+      // per-dim mean from the un-fanned scan (q44 determinism), as a
+      // 1-row broadcastable array
+      val muVec = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(quant6(avg(col("x").cast("double"))).as("m"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                       t => t.getField("m")).as("mu"))
+      val nRow = Tables.embeddings(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val cent = Tables.fanOut(Tables.embeddings(s, d))
+        .crossJoin(broadcast(muVec))
+        .select(zip_with(col("embedding"), col("mu"),
+                         (x, m) => x.cast("double") - m).as("cv"))
+      val cells = cent
+        .select(posexplode(col("cv")).as(Seq("p", "vp")), col("cv"))
+        .select(col("p"), col("vp"), posexplode(col("cv")).as(Seq("q", "vq")))
+        .groupBy("p", "q").agg(sum(col("vp") * col("vq")).as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("p"), col("q"), quant6(col("s") / (col("n") - 1)).as("c"))
+        .graftCheckpoint() // matvec rounds + trace all read the d² cells
+      val covRows = cells.groupBy("p")
+        .agg(transform(array_sort(collect_list(struct(col("q"), col("c")))),
+                       t => t.getField("c")).as("crow"))
+        .graftCheckpoint()
+      def fold2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      def matvec(v: DataFrame): DataFrame = covRows.crossJoin(broadcast(v))
+        .select(col("p"), fold2(col("crow"), col("varr")).as("comp"), col("varr"))
+      def normalized(w: DataFrame): DataFrame = w
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("comp")))),
+                       t => t.getField("comp")).as("w"))
+        .select(transform(col("w"), x => quant6(x / sqrt(
+          aggregate(col("w"), lit(0.0), (acc, y) => acc + y * y)))).as("varr"))
+      val v0 = nRow.select(transform(sequence(lit(1), lit(64)),
+        _ => lit(0.125)).as("varr")) // uniform unit vector: 64·(1/8)² = 1
+      val v3 = Iterative.fixedK(v0, 3)(w => normalized(matvec(w)))
+      val lambdaRow = matvec(v3)
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("comp")))),
+                       t => t.getField("comp")).as("w"),
+             first(col("varr")).as("varr"))
+        .select(quant6(fold2(col("w"), col("varr"))).as("lambda"))
+      val trace = cells.filter(col("p") === col("q"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+                       t => t.getField("c")).as("diag"))
+        .select(aggregate(col("diag"), lit(0.0), (acc, x) => acc + x).as("trace"))
+      v3.select(posexplode(col("varr")).as(Seq("pos", "loading")))
+        .withColumn("pos", col("pos").cast("long"))
+        .crossJoin(broadcast(lambdaRow)).crossJoin(broadcast(trace))
+        .select(col("pos"), round(col("loading"), 6).as("loading"),
+                round(col("lambda"), 6).as("lambda"),
+                round(col("lambda") / col("trace"), 6).as("var_share"))
+        .orderBy("pos")
+    }, {
+      val q6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+      val steps = (1 to 3).map { i =>
+        s"""w$i AS (
+          SELECT p, list_sum(list_transform(generate_series(1, 64),
+                   j -> crow[j] * v${i - 1}.v[j])) AS comp
+          FROM covrows, v${i - 1}),
+        v$i AS (
+          SELECT list_transform(list(comp ORDER BY p), x ->
+                   ${q6(s"x / sqrt(list_sum(list_transform(list(comp ORDER BY p), y -> y * y)))")}) AS v
+          FROM w$i)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH mu AS (
+        SELECT i, ${quant6Sql("avg(embedding[i]::DOUBLE)")} AS m
+        FROM embeddings, generate_series(1, 64) g(i)
+        GROUP BY i),
+      mv AS (SELECT list(m ORDER BY i) AS mu FROM mu),
+      n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+      cvs AS (
+        SELECT list_transform(generate_series(1, 64),
+                 i -> embedding[i]::DOUBLE - mv.mu[i]) AS cv
+        FROM embeddings, mv),
+      cells AS (
+        SELECT p.i AS p, q.i AS q,
+               ${q6("sum(cv[p.i] * cv[q.i]) / (max(n.n) - 1)")} AS c
+        FROM cvs, generate_series(1, 64) p(i), generate_series(1, 64) q(i), n
+        GROUP BY p.i, q.i),
+      covrows AS (SELECT p, list(c ORDER BY q) AS crow FROM cells GROUP BY p),
+      v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+      $steps,
+      w4 AS (
+        SELECT p, list_sum(list_transform(generate_series(1, 64),
+                 j -> crow[j] * v3.v[j])) AS comp
+        FROM covrows, v3),
+      lam AS (
+        SELECT ${q6("list_sum(list_transform(generate_series(1, 64), j -> w.wl[j] * v3.v[j]))")} AS lambda
+        FROM (SELECT list(comp ORDER BY p) AS wl FROM w4) w, v3),
+      tr AS (
+        SELECT list_sum(list_transform(list(c ORDER BY p), x -> x)) AS trace
+        FROM cells WHERE p = q)
+      SELECT i - 1 AS pos,
+             round(v3.v[i], 6) AS loading,
+             round(lam.lambda, 6) AS lambda,
+             round(lam.lambda / tr.trace, 6) AS var_share
+      FROM v3, lam, tr, generate_series(1, 64) g(i)
+      ORDER BY pos
+      """)
+    })
   )
 
 }
