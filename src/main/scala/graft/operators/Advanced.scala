@@ -795,6 +795,48 @@ object Advanced extends QueryGroup {
       ORDER BY f.event_id
     """)),
 
+    // ------------------------------------------------------------ exact percentiles at scale (round 10)
+    // q57's exact percentiles call percentile(), which SORTS each
+    // group on one task — fine for bounded groups, a stall when a
+    // group's rows grow with the data. This is the scale form: exact
+    // NEAREST-RANK (type-1) percentiles from the two-pass PrefixSum
+    // global rank — value at rank ⌈q·n⌉ per group, fetched with
+    // conditional MINs over one pass of the ranked relation. Rank
+    // arithmetic is integer-exact and the selected prices are raw
+    // column values, so the result hash-matches bit-for-bit (no
+    // interpolation — that's the definitional difference from q57,
+    // and why the two queries coexist).
+    ("q229_exact_percentiles_at_scale", (s, d) => {
+      val ranked = PrefixSum.grouped(
+        Tables.fanOut(Tables.orders(s, d))
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+        Seq("o_orderstatus"),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        Seq(lit(1L) -> "rk"))
+      val ng = ranked.groupBy("o_orderstatus").agg(max("rk").as("n"))
+      def pick(q: Double) =
+        min(when(col("rk") === ceil(lit(q) * col("n")).cast("long"), col("o_totalprice")))
+      ranked.join(broadcast(ng), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(max("n").as("n_rows"),
+             pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rk,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders)
+      SELECT o_orderstatus, max(n)::BIGINT AS n_rows,
+             min(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+             min(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+             min(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+      FROM r
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)),
+
     // ------------------------------------------------------------ Hill tail-index estimator (round 10)
     // HOW heavy is the spend tail? q155 fits the degree power law by
     // regression over binned counts; the Hill estimator is the

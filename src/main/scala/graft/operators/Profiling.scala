@@ -690,6 +690,63 @@ object Profiling extends QueryGroup {
       ORDER BY join_name
     """)),
 
+    // ------------------------------------------------------------ snapshot diff / reconciliation (round 10)
+    // Table-diff between two snapshot versions — the reconciliation
+    // report every incremental pipeline (CDC apply, backfill, rewrite)
+    // runs to prove what actually changed: FULL OUTER join on the key,
+    // rows classified added / removed / changed / unchanged by
+    // null-safe value comparison. The "new" snapshot is derived
+    // in-query with deterministic slices (removed: key%131=0; changed:
+    // key%37=0 price bump; added: a key-shifted copy of the %97
+    // slice), so both engines diff identical inputs. ONE key-keyed
+    // shuffle pair; counts and key checksums are integer-exact. At
+    // 100 TB both sides are bucketed by key (q96) and the diff is
+    // bucket-local.
+    ("q227_snapshot_diff", (s, d) => {
+      val oldT = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+                col("o_totalprice").as("pr"))
+      val newT = oldT.filter(col("k") % 131 =!= 0)
+        .withColumn("pr", when(col("k") % 37 === 0, col("pr") + lit(5.0)).otherwise(col("pr")))
+        .unionByName(oldT.filter(col("k") % 97 === 0)
+          .select((col("k") + 100000000L).as("k"), col("st"), col("pr")))
+      val joined = oldT.select(col("k"), col("st").as("st_a"), col("pr").as("pr_a"))
+        .join(newT.select(col("k"), col("st").as("st_b"), col("pr").as("pr_b")),
+              Seq("k"), "full_outer")
+      joined.withColumn("change_type",
+          when(col("st_a").isNull, "added")
+            .when(col("st_b").isNull, "removed")
+            .when(col("st_a") === col("st_b") && col("pr_a") === col("pr_b"), "unchanged")
+            .otherwise("changed"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+             min("k").as("min_key"), max("k").as("max_key"),
+             sum("k").as("key_checksum"))
+        .orderBy("change_type")
+    }, Some("""
+      WITH old_t AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr FROM orders),
+      new_t AS (
+        SELECT k, st, CASE WHEN k % 37 = 0 THEN pr + 5.0 ELSE pr END AS pr
+        FROM old_t WHERE k % 131 <> 0
+        UNION ALL
+        SELECT k + 100000000, st, pr FROM old_t WHERE k % 97 = 0),
+      j AS (
+        SELECT coalesce(a.k, b.k) AS k, a.st AS st_a, a.pr AS pr_a,
+               b.st AS st_b, b.pr AS pr_b
+        FROM old_t a FULL OUTER JOIN new_t b ON a.k = b.k)
+      SELECT CASE WHEN st_a IS NULL THEN 'added'
+                  WHEN st_b IS NULL THEN 'removed'
+                  WHEN st_a = st_b AND pr_a = pr_b THEN 'unchanged'
+                  ELSE 'changed' END AS change_type,
+             count(*)::BIGINT AS n_rows,
+             min(k) AS min_key, max(k) AS max_key,
+             sum(k)::BIGINT AS key_checksum
+      FROM j
+      GROUP BY 1
+      ORDER BY change_type
+    """)),
+
     // ------------------------------------------------------------ equi-depth histogram (round 10)
     // q104 is equi-WIDTH (fixed bin edges); the planner/monitoring
     // histogram is equi-DEPTH — deciles holding equal row counts,

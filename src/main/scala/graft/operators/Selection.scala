@@ -92,6 +92,124 @@ object Selection extends QueryGroup {
       ORDER BY w.doc_id
     """)),
 
+    // ------------------------------------------------------------ contrastive negative sampling (round 10)
+    // Deterministic uniform negatives for contrastive training: for
+    // each anchor doc (the %50 slice), k=3 pseudo-random negatives
+    // drawn by portable md5 hashing of (anchor, slot) MOD the corpus
+    // size, mapped to an actual doc through the PrefixSum global-rank
+    // index (doc_ids need not be dense), with +1-wrap rejection of
+    // self-pairs. Everything is integer/hash arithmetic both engines
+    // compute identically, so the sampled pairs hash-match exactly —
+    // the property that makes the train set REPRODUCIBLE, which is
+    // the whole point of hash-based sampling at 100 TB (no RNG state,
+    // no seed coordination across executors; re-runs and backfills
+    // draw the same negatives). The rank index rides the two-pass
+    // prefix sum — no single-partition sort of the corpus — and the
+    // negative fetch is an equi-join on rank.
+    ("q228_negative_sampling", (s, d) => {
+      val k = 3
+      val ranked = PrefixSum.cumSums(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq(col("doc_id")), Seq(lit(1L) -> "rk"))
+        .graftCheckpoint() // anchor slice + negative fetch + count read it
+      val n = ranked.agg(max("rk").as("n"))
+      val anchors = ranked.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("anchor_id"), col("rk").as("anchor_rk"),
+                col("source").as("anchor_source"))
+        .crossJoin(broadcast(n))
+        .select(col("anchor_id"), col("anchor_rk"), col("anchor_source"), col("n"),
+                explode(array((1 to k).map(lit): _*)).as("neg_slot"))
+      val drawn = anchors
+        .withColumn("h", portableHash(concat(col("anchor_id").cast("string"),
+                                             lit(":"), col("neg_slot").cast("string"))))
+        .withColumn("raw_rk", col("h") % col("n") + 1)
+        // self-pair rejection: step to the next rank, wrapping
+        .withColumn("neg_rk",
+          when(col("raw_rk") === col("anchor_rk"), col("raw_rk") % col("n") + 1)
+            .otherwise(col("raw_rk")))
+      drawn.join(ranked.select(col("rk").as("neg_rk"), col("doc_id").as("neg_id"),
+                               col("source").as("neg_source")), "neg_rk")
+        .select(col("anchor_id"), col("neg_slot").cast("long").as("neg_slot"),
+                col("neg_id"),
+                (col("anchor_source") === col("neg_source")).as("same_source"))
+        .orderBy("anchor_id", "neg_slot")
+    }, Some("""
+      WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY doc_id) AS rk
+        FROM documents),
+      n AS (SELECT max(rk) AS n FROM ranked),
+      anchors AS (
+        SELECT r.doc_id AS anchor_id, r.rk AS anchor_rk,
+               r.source AS anchor_source, n.n, s.i AS neg_slot
+        FROM ranked r, n, generate_series(1, 3) s(i)
+        WHERE r.doc_id % 50 = 0),
+      drawn AS (
+        SELECT *,
+               ('0x'||substring(md5(anchor_id::VARCHAR || ':' || neg_slot::VARCHAR),1,15))::BIGINT
+                 % n + 1 AS raw_rk
+        FROM anchors),
+      stepped AS (
+        SELECT anchor_id, neg_slot, anchor_source, n,
+               CASE WHEN raw_rk = anchor_rk THEN raw_rk % n + 1 ELSE raw_rk END AS neg_rk
+        FROM drawn)
+      SELECT s.anchor_id, s.neg_slot::BIGINT AS neg_slot, r.doc_id AS neg_id,
+             s.anchor_source = r.source AS same_source
+      FROM stepped s JOIN ranked r ON r.rk = s.neg_rk
+      ORDER BY anchor_id, neg_slot
+    """)),
+
+    // ------------------------------------------------------------ per-source cap sampling (round 10)
+    // Source balancing by hard cap: keep at most `cap` docs per source,
+    // chosen by deterministic hash order (a stable "random" draw —
+    // identical on every rerun and engine). The within-source rank is
+    // row_number ≤ cap, which Spark plans as WindowGroupLimit:
+    // per-partition PARTIAL top-k before the shuffle, so a giant
+    // source never funnels through one task un-pruned (the q78
+    // group-limit machinery, pointed at curation). Output is the
+    // per-source ledger: totals, kept, share, and an integer checksum
+    // of the kept set so the oracle pins membership, not just counts.
+    ("q230_source_cap_sample", (s, d) => {
+      val cap = 20
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("h", portableHash(col("doc_id").cast("string")))
+        .graftCheckpoint() // totals + kept branches both read it
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      // rank ≤ cap as a FILTER above the window — the shape Catalyst
+      // rewrites to WindowGroupLimit (per-partition partial top-k;
+      // PlanSpec asserts it), unlike a conditional aggregate over full
+      // ranks which would rank every row of a giant source
+      val kept = base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= cap)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_checksum"))
+      base.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(kept, "source")
+        .select(col("source"), col("n_total"), col("n_kept"),
+          round(col("n_kept") / col("n_total").cast("double"), 6).as("share_kept"),
+          col("kept_checksum"))
+        .orderBy("source")
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, source,
+               ('0x'||substring(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM h),
+      kept AS (
+        SELECT source, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS kept_checksum
+        FROM r WHERE rk <= 20 GROUP BY source),
+      tot AS (SELECT source, count(*)::BIGINT AS n_total FROM h GROUP BY source)
+      SELECT t.source, t.n_total, k.n_kept,
+             round(k.n_kept / t.n_total::DOUBLE, 6) AS share_kept,
+             k.kept_checksum
+      FROM tot t JOIN kept k USING (source)
+      ORDER BY source
+    """)),
+
     ("q65_hash_sample", (s, d) => {
       Tables.documents(s, d)
         .withColumn("h", portableHash(col("doc_id").cast("string")))

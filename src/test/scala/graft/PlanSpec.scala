@@ -918,11 +918,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // (1-row totals cross). q225: two histogram joins + two verify
     // joins, all keyed. q226: PrefixSum ranks over the checkpointed
     // range exchange + decile aggregate.
+    // q227: full-outer diff is one key exchange pair over two derived
+    // snapshots of one scan subtree. q228: rank index checkpointed;
+    // anchor explode + rank equi-join. q229: PrefixSum.grouped ranks
+    // (checkpointed base) + per-status totals + final agg. q230: the
+    // kept branch must prune via WindowGroupLimit (asserted below);
+    // totals + kept both read the checkpointed hash base.
     val budget = Map(
       "q220_variant_shred" -> (2, 1), "q221_markov_stationary" -> (6, 1),
       "q222_hill_tail_index" -> (2, 2), "q223_pca_power_iteration" -> (6, 2),
       "q224_skew_diagnostic" -> (2, 1), "q225_join_cardinality" -> (8, 8),
-      "q226_equidepth_histogram" -> (4, 1))
+      "q226_equidepth_histogram" -> (4, 1),
+      "q227_snapshot_diff" -> (3, 3), "q228_negative_sampling" -> (6, 0),
+      "q229_exact_percentiles_at_scale" -> (8, 0), "q230_source_cap_sample" -> (5, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
@@ -936,6 +944,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val scans = "FileScan".r.findAllIn(p).size
       assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
     }
+    // q230's kept branch: the rank≤cap filter must rewrite to
+    // WindowGroupLimit (per-partition partial top-k) so a giant source
+    // never ranks all its rows on one task
+    assert(plan("q230_source_cap_sample").contains("WindowGroupLimit"),
+      "q230's cap filter did not rewrite to WindowGroupLimit")
   }
 
   test("q110: distinct-free aggregate completions plan no Expand") {
