@@ -220,7 +220,17 @@ object Dedup extends QueryGroup {
     * likewise built once thanks to the verify joins' identical
     * shuffle-keyed exchanges.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    candidateJaccards(s, d)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** LSH band candidates with their EXACT shingle Jaccard, unfiltered —
+    * [[minhashPairs]] is this plus the τ=0.8 cut; q231 sweeps several
+    * cuts over ONE candidate generation (thresholds are a slice of the
+    * scored candidates, never a reason to rebuild the index).
+    */
+  private def candidateJaccards(s: SparkSession, d: String): DataFrame = {
     val bands = bandsDf(s, d)
     val exploded = bands.select(col("doc_id"),
         posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
@@ -239,8 +249,6 @@ object Dedup extends QueryGroup {
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", intersectionSize(col("sa"), col("sb")).cast("double"))
       .withColumn("jaccard", col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** DuckDB mirror of [[minhashPairs]]: verified near-dup pairs as the
@@ -361,6 +369,58 @@ object Dedup extends QueryGroup {
     }, Some(s"""
       WITH $pairsCte
       SELECT doc_a, doc_b, jaccard FROM near_pairs ORDER BY doc_a, doc_b
+    """)),
+
+    // ------------------------------------------------------------ dedup threshold sweep (round 10)
+    // HOW aggressive should the near-dup cut be? Score the LSH
+    // candidates ONCE (checkpointed — the expensive half: band join +
+    // shingle verify), then slice the scored pairs at τ ∈ {0.7, 0.8,
+    // 0.9} — per threshold: surviving pairs, docs touched, mean
+    // Jaccard. The parameter-sweep discipline at 100 TB: thresholds
+    // are a FILTER over scored candidates, never a reason to rerun
+    // candidate generation (a naive sweep would triple the dominant
+    // cost). τ=0.8's row is exactly q34's pair set, tying the sweep to
+    // the production cut.
+    ("q231_dedup_threshold_sweep", (s, d) => {
+      val taus = Seq(0.7, 0.8, 0.9)
+      val cj = candidateJaccards(s, d)
+        .select("doc_a", "doc_b", "jaccard")
+        .graftCheckpoint() // one candidate generation serves every τ
+      val tagged = cj
+        .select(explode(array(taus.map(lit): _*)).as("tau"),
+                col("doc_a"), col("doc_b"), col("jaccard"))
+        .filter(col("jaccard") >= col("tau"))
+      val pairsAgg = tagged.groupBy("tau")
+        .agg(count(lit(1)).as("n_pairs"),
+             round(avg("jaccard"), 6).as("mean_jaccard"))
+      val docsAgg = tagged
+        .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy("tau").agg(countDistinct(col("doc")).as("n_docs_in_pairs"))
+      pairsAgg.join(docsAgg, "tau").orderBy("tau")
+    }, Some(s"""
+      WITH $bandsCte,
+      cand AS (
+        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.s sa, b.s sb
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+      cj AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa, sb))::DOUBLE
+                 / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+        FROM cand),
+      taus(tau) AS (VALUES (0.7::DOUBLE), (0.8::DOUBLE), (0.9::DOUBLE)),
+      tagged AS (SELECT t.tau, cj.doc_a, cj.doc_b, cj.jaccard
+                 FROM cj, taus t WHERE cj.jaccard >= t.tau),
+      pa AS (SELECT tau, count(*)::BIGINT AS n_pairs,
+                    round(avg(jaccard), 6) AS mean_jaccard
+             FROM tagged GROUP BY tau),
+      da AS (SELECT tau, count(DISTINCT doc)::BIGINT AS n_docs_in_pairs
+             FROM (SELECT tau, unnest([doc_a, doc_b]) AS doc FROM tagged)
+             GROUP BY tau)
+      SELECT pa.tau, pa.n_pairs, pa.mean_jaccard, da.n_docs_in_pairs
+      FROM pa JOIN da USING (tau)
+      ORDER BY tau
     """)),
 
     ("q64_dedup_clusters", (s, d) => {

@@ -1561,6 +1561,48 @@ object Quality extends QueryGroup {
     // orphans. This is the audit a data-platform team runs after
     // every deletion batch; a nonzero orphan count is a compliance
     // incident, not a statistic.
+    // ------------------------------------------------------------ user behavior entropy (round 10)
+    // Behavioral predictability per user: Shannon entropy of each
+    // user's event-type mix, reported as a population histogram
+    // (0.02-nat buckets) — the bot/scripted-traffic screen (near-zero
+    // entropy = single-action repetition; the diversity sibling of
+    // q89's doc repetition and SlidingDistinct's streaming breadth).
+    // Identity H = ln(N) − (Σ c·ln c)/N over the per-(user, type)
+    // counts; H is quant6-quantized BEFORE bucketing on both engines,
+    // so a last-ulp sum divergence cannot flip a bucket edge. One
+    // events scan → (user, type) counts → per-user reduce (≤|types|
+    // terms) → vocabulary-bounded histogram.
+    ("q232_user_behavior_entropy", (s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val perUser = perType.groupBy("user_id")
+        .agg(sum("c").as("n"), sum(col("c") * log(col("c"))).as("clnc"))
+        .select(col("user_id"),
+          Quant.quant6(log(col("n")) - col("clnc") / col("n")).as("h"))
+      perUser
+        .withColumn("bucket", floor(col("h") / 0.02).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"),
+             round(min("h"), 6).as("min_h"),
+             round(max("h"), 6).as("max_h"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH pt AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      pu AS (
+        SELECT user_id,
+               floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1000000.0 + 0.5) / 1000000.0 AS h
+        FROM pt GROUP BY user_id)
+      SELECT floor(h / 0.02)::BIGINT AS bucket,
+             count(*)::BIGINT AS n_users,
+             round(min(h), 6) AS min_h,
+             round(max(h), 6) AS max_h
+      FROM pu
+      GROUP BY 1
+      ORDER BY bucket
+    """)),
+
     ("q215_forget_audit", (s, d) => {
       val subjects = Tables.customer(s, d).filter(col("c_custkey") % 37 === 0)
         .select(col("c_custkey").as("k"))

@@ -376,6 +376,52 @@ object Selection extends QueryGroup {
     // portableHash(doc_id) (deterministic, oracle-reproducible); one
     // scan → (split, lang) counts, everything downstream runs on that
     // ≤3×|langs| grid.
+    // ------------------------------------------------------------ temporal split audit (round 10)
+    // The TIME-leakage audit that complements q67's content-leakage
+    // split: cut events at the fixture midpoint into train (< T) /
+    // test (>= T; T = the fixture's last day, so the dormant tail is
+    // visible) and classify every user as both / train_only /
+    // test_only — the cold-start exposure report (test_only users are
+    // pure cold-start; "both" users leak behavioral history across
+    // the boundary, which an evaluation must either want or exclude).
+    // One scan, one user-keyed aggregate, integer-exact ledger.
+    ("q233_temporal_split_audit", (s, d) => {
+      val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_train"),
+             sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_test"))
+      val classed = perUser.withColumn("user_class",
+        when(col("n_train") > 0 && col("n_test") > 0, "both")
+          .when(col("n_train") > 0, "train_only").otherwise("test_only"))
+      val tot = perUser.agg(count(lit(1)).cast("double").as("n_all"))
+      classed.groupBy("user_class")
+        .agg(count(lit(1)).as("n_users"),
+             sum("n_train").as("n_train_events"),
+             sum("n_test").as("n_test_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_class"), col("n_users"),
+          round(col("n_users") / col("n_all"), 6).as("share_users"),
+          col("n_train_events"), col("n_test_events"))
+        .orderBy("user_class")
+    }, Some("""
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS n_test
+        FROM events GROUP BY user_id),
+      t AS (SELECT count(*)::DOUBLE AS n_all FROM pu)
+      SELECT CASE WHEN n_train > 0 AND n_test > 0 THEN 'both'
+                  WHEN n_train > 0 THEN 'train_only' ELSE 'test_only' END AS user_class,
+             count(*)::BIGINT AS n_users,
+             round(count(*) / t.n_all, 6) AS share_users,
+             sum(n_train)::BIGINT AS n_train_events,
+             sum(n_test)::BIGINT AS n_test_events
+      FROM pu, t
+      GROUP BY 1, t.n_all
+      ORDER BY user_class
+    """)),
+
     ("q216_split_balance_audit", (s, d) => {
       val split = (portableHash(col("doc_id").cast("string")) % 10)
       val docs = Tables.documents(s, d)

@@ -930,7 +930,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q224_skew_diagnostic" -> (2, 1), "q225_join_cardinality" -> (8, 8),
       "q226_equidepth_histogram" -> (4, 1),
       "q227_snapshot_diff" -> (3, 3), "q228_negative_sampling" -> (6, 0),
-      "q229_exact_percentiles_at_scale" -> (8, 0), "q230_source_cap_sample" -> (5, 0))
+      "q229_exact_percentiles_at_scale" -> (8, 0), "q230_source_cap_sample" -> (5, 0),
+      "q231_dedup_threshold_sweep" -> (8, 0), "q232_user_behavior_entropy" -> (3, 1),
+      "q233_temporal_split_audit" -> (4, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
