@@ -423,6 +423,35 @@ object Dedup extends QueryGroup {
       ORDER BY tau
     """)),
 
+    // ------------------------------------------------------------ dup cluster-size histogram (round 10)
+    // The SHAPE of duplication, not just its volume (q186 counts
+    // removals; this shows whether duplication is pairwise noise or
+    // template blow-ups): distribution of q64 connected-component
+    // sizes — (cluster_size, n_clusters, n_docs) — from the same
+    // checkpoint-truncated propagation labels, two aggregate-sized
+    // group-bys past the pair generation. A heavy tail here is the
+    // signature of boilerplate/template families that per-pair
+    // thresholds can't characterize.
+    ("q234_cluster_size_histogram", (s, d) => {
+      clusterLabels(s, d)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+             sum("cluster_size").as("n_docs"))
+        .orderBy("cluster_size")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      sizes AS (
+        SELECT label, count(*)::BIGINT AS cluster_size
+        FROM l3 GROUP BY label)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+             sum(cluster_size)::BIGINT AS n_docs
+      FROM sizes
+      GROUP BY cluster_size
+      ORDER BY cluster_size
+    """)),
+
     ("q64_dedup_clusters", (s, d) => {
       // Cluster the near-dup graph and pick each document's canonical
       // representative (min doc_id in its connected component) — the

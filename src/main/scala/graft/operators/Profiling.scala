@@ -747,6 +747,122 @@ object Profiling extends QueryGroup {
       ORDER BY change_type
     """)),
 
+    // ------------------------------------------------------------ broadcast advisor (round 10)
+    // Completes the planner-diagnostic trio (q224 skew, q225 join
+    // cardinality): per-table row counts and schema-derived size
+    // estimates — fixed widths for numeric/timestamp columns, actual
+    // string lengths for varchars — with the ≤10 MB broadcast verdict
+    // a join planner (or an engineer setting
+    // autoBroadcastJoinThreshold) reads. One column-pruned aggregate
+    // per table, integer-exact across engines. The Spark side derives
+    // the width expression FROM THE SCHEMA, so it works on any
+    // relation, not just these seven.
+    ("q235_broadcast_advisor", (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType}
+      val tables = Seq("region", "nation", "customer", "supplier",
+                       "part", "orders", "lineitem")
+      val perTable = tables.map { t =>
+        val df = Tables(s, d, t)
+        val rowBytes = df.schema.fields.map { f =>
+          f.dataType match {
+            case StringType  => length(col(f.name)).cast("long")
+            case IntegerType => lit(4L)
+            case _           => lit(8L) // long / double / timestamp
+          }
+        }.reduce(_ + _)
+        df.agg(count(lit(1)).as("n_rows"),
+               coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("est_bytes"),
+            round(col("est_bytes") / 1048576.0, 3).as("est_mb"),
+            (col("est_bytes") <= 10L * 1024 * 1024).as("broadcastable_10mb"))
+      }
+      perTable.reduce((a, b) => a.unionByName(b)).orderBy("table_name")
+    }, Some("""
+      WITH est AS (
+        SELECT 'region' AS table_name, count(*)::BIGINT AS n_rows,
+               coalesce(sum(4 + length(r_name)), 0)::BIGINT AS est_bytes FROM region
+        UNION ALL SELECT 'nation', count(*)::BIGINT, coalesce(sum(8 + length(n_name)), 0)::BIGINT FROM nation
+        UNION ALL SELECT 'customer', count(*)::BIGINT,
+               coalesce(sum(20 + length(c_name) + length(c_mktsegment)), 0)::BIGINT FROM customer
+        UNION ALL SELECT 'supplier', count(*)::BIGINT, coalesce(sum(20 + length(s_name)), 0)::BIGINT FROM supplier
+        UNION ALL SELECT 'part', count(*)::BIGINT,
+               coalesce(sum(20 + length(p_name) + length(p_brand) + length(p_type)), 0)::BIGINT FROM part
+        UNION ALL SELECT 'orders', count(*)::BIGINT,
+               coalesce(sum(32 + length(o_orderstatus) + length(o_orderpriority)), 0)::BIGINT FROM orders
+        UNION ALL SELECT 'lineitem', count(*)::BIGINT,
+               coalesce(sum(68 + length(l_returnflag) + length(l_linestatus)), 0)::BIGINT FROM lineitem)
+      SELECT table_name, n_rows, est_bytes,
+             round(est_bytes / 1048576.0, 3) AS est_mb,
+             est_bytes <= 10485760 AS broadcastable_10mb
+      FROM est
+      ORDER BY table_name
+    """)),
+
+    // ------------------------------------------------------------ cohort LTV curve (round 10)
+    // Revenue lifetime-value by acquisition cohort: customers grouped
+    // by first-order month, cumulative revenue tracked over their
+    // first 6 months — the k-month LTV table growth/finance reads
+    // (q86 is the USER-count retention sibling; this is money).
+    // Revenue is held in integer CENTS end-to-end (per-row
+    // floor(price·100+0.5) — prices are 2dp, so exact), making every
+    // sum and the cumulative association-order-free and bit-portable.
+    // The cumulative window runs over the cohort×6 GRID (months² rows,
+    // calendar-bounded at any data scale); the only data-sized work is
+    // the first-order aggregate and one cohort-stamped revenue
+    // aggregate.
+    ("q236_cohort_ltv", (s, d) => {
+      val horizon = 6
+      val firstM = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+        .graftCheckpoint() // cohort sizes + the revenue stamp both read it
+      val cohortSize = firstM.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      val rev = Tables.orders(s, d).join(firstM, "o_custkey")
+        .withColumn("k", months_between(
+          date_trunc("month", col("o_orderdate")), col("cohort")).cast("long"))
+        .filter(col("k") < horizon)
+        .groupBy("cohort", "k")
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      val grid = cohortSize.crossJoin(
+          Tables.orders(s, d).sparkSession.range(horizon).select(col("id").as("k")))
+        .join(rev, Seq("cohort", "k"), "left")
+        .na.fill(0L, Seq("cents"))
+      val wCum = Window.partitionBy("cohort").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum_cents", sum("cents").over(wCum))
+        .select(col("cohort"), col("k"), col("n_customers"),
+          round(col("cents") / 100.0, 2).as("revenue"),
+          round(col("cum_cents") / 100.0, 2).as("cum_ltv"),
+          round(col("cum_cents") / 100.0 / col("n_customers"), 2).as("ltv_per_customer"))
+        .orderBy("cohort", "k")
+    }, Some("""
+      WITH fm AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey),
+      cs AS (SELECT cohort, count(*)::BIGINT AS n_customers FROM fm GROUP BY cohort),
+      rev AS (
+        SELECT fm.cohort,
+               datediff('month', fm.cohort, date_trunc('month', o.o_orderdate))::BIGINT AS k,
+               sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders o JOIN fm USING (o_custkey)
+        WHERE datediff('month', fm.cohort, date_trunc('month', o.o_orderdate)) < 6
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT cs.cohort, g.k, cs.n_customers, coalesce(rev.cents, 0) AS cents
+        FROM cs CROSS JOIN (SELECT unnest(generate_series(0, 5))::BIGINT AS k) g
+        LEFT JOIN rev ON rev.cohort = cs.cohort AND rev.k = g.k),
+      cum AS (
+        SELECT *, sum(cents) OVER (PARTITION BY cohort ORDER BY k
+                 ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM grid)
+      SELECT cohort, k, n_customers,
+             round(cents / 100.0, 2) AS revenue,
+             round(cum_cents / 100.0, 2) AS cum_ltv,
+             round(cum_cents / 100.0 / n_customers, 2) AS ltv_per_customer
+      FROM cum
+      ORDER BY cohort, k
+    """)),
+
     // ------------------------------------------------------------ equi-depth histogram (round 10)
     // q104 is equi-WIDTH (fixed bin edges); the planner/monitoring
     // histogram is equi-DEPTH — deciles holding equal row counts,

@@ -391,6 +391,7 @@ object Selection extends QueryGroup {
         .groupBy("user_id")
         .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n_train"),
              sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_test"))
+        .graftCheckpoint() // class ledger + the totals row both read it
       val classed = perUser.withColumn("user_class",
         when(col("n_train") > 0 && col("n_test") > 0, "both")
           .when(col("n_train") > 0, "train_only").otherwise("test_only"))

@@ -932,7 +932,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q227_snapshot_diff" -> (3, 3), "q228_negative_sampling" -> (6, 0),
       "q229_exact_percentiles_at_scale" -> (8, 0), "q230_source_cap_sample" -> (5, 0),
       "q231_dedup_threshold_sweep" -> (8, 0), "q232_user_behavior_entropy" -> (3, 1),
-      "q233_temporal_split_audit" -> (4, 2))
+      "q233_temporal_split_audit" -> (4, 0),
+      "q234_cluster_size_histogram" -> (3, 0), "q235_broadcast_advisor" -> (7, 7),
+      "q236_cohort_ltv" -> (6, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
