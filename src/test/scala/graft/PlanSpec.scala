@@ -955,6 +955,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q230's cap filter did not rewrite to WindowGroupLimit")
   }
 
+  test("engine-wide: no unpartitioned window over an unbounded input, in ANY judged query") {
+    // The scale discipline behind PrefixSum/q66 (VERDICT r9 watch
+    // item), enforced globally: a Window with an empty partitionSpec
+    // moves its whole input to ONE task, so it is only admissible over
+    // a relation bounded by construction — an Aggregate (dimension- or
+    // config-bounded: subtotal ledgers, per-round curves, vocab-
+    // bounded group-bys) or a Limit (top-k cuts) beneath it. Sweeping
+    // every registered query keeps the next single-partition global
+    // window from landing unnoticed; a legitimate new exception must
+    // be bounded the same way or argued here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    def boundedBeneath(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate => a
+        case l: GlobalLimit => l
+        case l: LocalLimit => l
+      }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedBeneath(w.child) => w
+      }
+      if (bad.isEmpty) None else Some(s"$name (${bad.size})")
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded inputs in: ${offenders.mkString(", ")}")
+  }
+
   test("q110: distinct-free aggregate completions plan no Expand") {
     // mode/median/string_agg are all computed without countDistinct's
     // row-multiplying Expand rewrite — the design point of the query
