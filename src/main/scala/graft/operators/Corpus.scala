@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
 import graft.functions.TextFunctions._
+import graft.Tables.GraftCheckpointOps
 import graft.functions.SketchFunctions
 
 /** Corpus-preparation operators a large-scale training-data pipeline
@@ -445,6 +446,56 @@ object Corpus extends QueryGroup {
     // POST-AGGREGATION vocab relation (Zipf-small next to the corpus;
     // the q66 two-pass prefix sum is the shape if vocab itself ever
     // needs partitioning).
+    // ------------------------------------------------------------ OOV rate at a fixed vocab budget (round 10)
+    // q99 asks "how big must the vocab be"; this asks the converse a
+    // tokenizer DEPLOYMENT asks: at a FIXED top-1000 vocabulary, what
+    // share of each source's token instances falls outside it? A
+    // source with a high OOV rate is the one that will fragment into
+    // byte-fallback pieces (inflating its effective sequence length —
+    // q185's fertility is the learned-merge sibling). ONE tokenize
+    // pass: the (source, token) counts are checkpointed and feed both
+    // the global tf (top-1000 via TakeOrdered, broadcast back as a
+    // semi-join flag) and the per-source ledger. Integer counts
+    // end-to-end except the final share.
+    ("q237_oov_rate_by_source", (s, d) => {
+      val vocabSize = 1000
+      val srcTok = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .graftCheckpoint() // global tf + per-source ledger both read it
+      val vocab = srcTok.groupBy("term").agg(sum("cnt").as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(vocabSize)
+        .select(col("term"), lit(1L).as("in_vocab"))
+      srcTok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+             sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("n_oov"),
+             countDistinct(when(col("in_vocab").isNull, col("term"))).as("n_oov_types"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens").cast("double"), 6))
+        .orderBy("source")
+    }, Some(s"""
+      WITH st AS (
+        SELECT source, term, count(*)::BIGINT AS cnt
+        FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+        GROUP BY source, term),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, sum(cnt) AS tf FROM st GROUP BY term
+          ORDER BY tf DESC, term LIMIT 1000)),
+      flagged AS (
+        SELECT st.*, v.term IS NOT NULL AS in_vocab
+        FROM st LEFT JOIN vocab v USING (term))
+      SELECT source,
+             sum(cnt)::BIGINT AS n_tokens,
+             sum(CASE WHEN NOT in_vocab THEN cnt ELSE 0 END)::BIGINT AS n_oov,
+             count(DISTINCT CASE WHEN NOT in_vocab THEN term END)::BIGINT AS n_oov_types,
+             round(sum(CASE WHEN NOT in_vocab THEN cnt ELSE 0 END)
+                   / sum(cnt)::DOUBLE, 6) AS oov_rate
+      FROM flagged
+      GROUP BY source
+      ORDER BY source
+    """)),
+
     ("q99_vocab_coverage", (s, d) => {
       val thresholds = Seq(500, 900, 950, 990)
       val tf = Tables.fanOut(Tables.documents(s, d))

@@ -423,6 +423,52 @@ object Dedup extends QueryGroup {
       ORDER BY tau
     """)),
 
+    // ------------------------------------------------------------ dedup token savings (round 10)
+    // What dedup buys in TRAINING BUDGET, not documents: per source,
+    // estimated token mass before dedup vs after keep-canonical
+    // (q112's contract: min-id per near-dup component survives,
+    // untouched docs pass) — the number that prices dedup against GPU
+    // hours (q186 counts docs; tokens are what the loss sees).
+    // Estimated tokens are the q54/q66 integer length proxy, so the
+    // ledger is integer-exact; the labels are the checkpoint-truncated
+    // q64 propagation, joined (doc_id, source, length)-pruned — text
+    // is never re-read for the kept decision.
+    ("q239_dedup_token_savings", (s, d) => {
+      val est = expr("(length(text) + 3) DIV 4")
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), est.as("est_tokens"))
+      val canon = clusterLabels(s, d)
+      docs.join(canon, Seq("doc_id"), "left")
+        .withColumn("kept", col("label").isNull || col("label") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("est_tokens").as("raw_tokens"),
+             sum(when(col("kept"), col("est_tokens")).otherwise(0L)).as("kept_tokens"))
+        .withColumn("saved_tokens", col("raw_tokens") - col("kept_tokens"))
+        .withColumn("saved_share",
+          round(col("saved_tokens") / col("raw_tokens").cast("double"), 6))
+        .orderBy("source")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      docs AS (
+        SELECT doc_id, source, (length(text) + 3) // 4 AS est_tokens
+        FROM documents),
+      flagged AS (
+        SELECT d.source, d.est_tokens,
+               (l.label IS NULL OR l.label = d.doc_id) AS kept
+        FROM docs d LEFT JOIN l3 l USING (doc_id))
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(est_tokens)::BIGINT AS raw_tokens,
+             sum(CASE WHEN kept THEN est_tokens ELSE 0 END)::BIGINT AS kept_tokens,
+             (sum(est_tokens) - sum(CASE WHEN kept THEN est_tokens ELSE 0 END))::BIGINT AS saved_tokens,
+             round((sum(est_tokens) - sum(CASE WHEN kept THEN est_tokens ELSE 0 END))
+                   / sum(est_tokens)::DOUBLE, 6) AS saved_share
+      FROM flagged
+      GROUP BY source
+      ORDER BY source
+    """)),
+
     // ------------------------------------------------------------ dup cluster-size histogram (round 10)
     // The SHAPE of duplication, not just its volume (q186 counts
     // removals; this shows whether duplication is pairwise noise or

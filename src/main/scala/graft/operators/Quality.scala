@@ -1603,6 +1603,64 @@ object Quality extends QueryGroup {
       ORDER BY bucket
     """)),
 
+    // ------------------------------------------------------------ inter-arrival regularity (round 10)
+    // The CADENCE bot screen that pairs with q232's type-diversity
+    // screen: per user, the coefficient of variation of inter-event
+    // gaps — scripted traffic fires on a clock (CV → 0), humans are
+    // bursty (CV ≈ 1+). Gaps are truncated to integer SECONDS, so the
+    // per-user moment sums (n, Σg, Σg²) are exact integers on both
+    // engines; sample variance comes from the single-division identity
+    // (n·Σg² − (Σg)²)/(n(n−1)), CV = √var / mean is quant6-quantized
+    // BEFORE the 0.1-wide histogram bucketing — bucket edges cannot
+    // flip across engines. One user-keyed window pass + two
+    // aggregate-sized group-bys.
+    ("q238_interarrival_regularity", (s, d) => {
+      val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(wLag))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"),
+          ((unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / 1000000L)
+            .cast("long").as("g"))
+      val perUser = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+             sum(col("g") * col("g")).as("sg2"))
+        .filter(col("n") >= 2 && col("sg") > 0)
+        .select(col("user_id"),
+          Quant.quant6(
+            sqrt((col("n") * col("sg2") - col("sg") * col("sg"))
+                   / (col("n") * (col("n") - 1)).cast("double"))
+              / (col("sg") / col("n").cast("double"))).as("cv"))
+      perUser.withColumn("bucket", floor(col("cv") / 0.1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"),
+             round(min("cv"), 6).as("min_cv"),
+             round(max("cv"), 6).as("max_cv"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id))) // 1000000 AS g
+        FROM events),
+      pu AS (
+        SELECT user_id, count(*)::BIGINT AS n, sum(g)::BIGINT AS sg,
+               sum(g * g)::BIGINT AS sg2
+        FROM g WHERE g IS NOT NULL GROUP BY user_id),
+      cvq AS (
+        SELECT user_id,
+               floor((sqrt((n * sg2 - sg * sg) / (n * (n - 1))::DOUBLE)
+                      / (sg / n::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+        FROM pu WHERE n >= 2 AND sg > 0)
+      SELECT floor(cv / 0.1)::BIGINT AS bucket,
+             count(*)::BIGINT AS n_users,
+             round(min(cv), 6) AS min_cv,
+             round(max(cv), 6) AS max_cv
+      FROM cvq
+      GROUP BY 1
+      ORDER BY bucket
+    """)),
+
     ("q215_forget_audit", (s, d) => {
       val subjects = Tables.customer(s, d).filter(col("c_custkey") % 37 === 0)
         .select(col("c_custkey").as("k"))

@@ -934,7 +934,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q231_dedup_threshold_sweep" -> (8, 0), "q232_user_behavior_entropy" -> (3, 1),
       "q233_temporal_split_audit" -> (4, 0),
       "q234_cluster_size_histogram" -> (3, 0), "q235_broadcast_advisor" -> (7, 7),
-      "q236_cohort_ltv" -> (6, 1))
+      "q236_cohort_ltv" -> (6, 1),
+      "q237_oov_rate_by_source" -> (4, 0), "q238_interarrival_regularity" -> (4, 1),
+      "q239_dedup_token_savings" -> (3, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
