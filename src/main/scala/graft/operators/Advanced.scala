@@ -795,6 +795,63 @@ object Advanced extends QueryGroup {
       ORDER BY f.event_id
     """)),
 
+    // ------------------------------------------------------------ grouped OLS from exact sufficient stats (round 10)
+    // Per-brand least squares of quantity on price — the grouped
+    // regression row (q155/q175/q199 fit single series; real feature
+    // screens fit PER GROUP). The determinism trick: price in integer
+    // CENTS and integral quantities make every sufficient statistic
+    // (n, Σx, Σy, Σx², Σxy, Σy²) an EXACT integer — summed as
+    // decimal(38,0) so no association order and no Long overflow at
+    // any scale — and slope/intercept/R² are closed forms whose only
+    // float steps (one cast chain + one division each) both engines
+    // evaluate identically. No regr_* float aggregation anywhere.
+    ("q241_grouped_ols", (s, d) => {
+      val li = Tables.fanOut(Tables.lineitem(s, d))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val agg = li.groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varYN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val slopeCents = covN / varXN
+      agg.select(col("p_brand"), col("n").as("n_rows"),
+          Quant.quant6(slopeCents * 100.0).as("slope_qty_per_dollar"),
+          Quant.quant6((col("sy").cast("double") - slopeCents * col("sx").cast("double"))
+                         / col("n")).as("intercept"),
+          Quant.quant6(covN * covN / (varXN * varYN)).as("r2"))
+        .orderBy("p_brand")
+    }, Some("""
+      WITH base AS (
+        SELECT p.p_brand,
+               floor(l.l_extendedprice * 100 + 0.5)::BIGINT AS x,
+               l.l_quantity::BIGINT AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      agg AS (
+        SELECT p_brand, count(*)::BIGINT AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM base GROUP BY p_brand)
+      SELECT p_brand, n AS n_rows,
+             floor(((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE * 100.0)
+                   * 1000000.0 + 0.5) / 1000000.0 AS slope_qty_per_dollar,
+             floor(((sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) / n)
+                   * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+             floor(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+                    / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS r2
+      FROM agg
+      ORDER BY p_brand
+    """)),
+
     // ------------------------------------------------------------ exact percentiles at scale (round 10)
     // q57's exact percentiles call percentile(), which SORTS each
     // group on one task — fine for bounded groups, a stall when a

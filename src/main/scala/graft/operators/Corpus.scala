@@ -446,6 +446,69 @@ object Corpus extends QueryGroup {
     // POST-AGGREGATION vocab relation (Zipf-small next to the corpus;
     // the q66 two-pass prefix sum is the shape if vocab itself ever
     // needs partitioning).
+    // ------------------------------------------------------------ decontamination n-gram sweep (round 10)
+    // How sensitive is the q85 contamination verdict to the shingle
+    // order? Sweep n ∈ {3, 5, 8} over ONE tokenize pass (the token
+    // arrays are checkpointed; each n derives its distinct shingles
+    // from the materialized relation — the q231 sweep discipline):
+    // per n, docs checked, docs contaminated at the ≥5% matched-gram
+    // threshold, and the total match mass. Short n over-flags
+    // (common phrases), long n under-flags (one changed token breaks
+    // the gram) — this table is how the n=13-style production choice
+    // gets justified on a corpus rather than folklore.
+    ("q240_decontamination_sweep", (s, d) => {
+      val ns = Seq(3, 5, 8)
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .graftCheckpoint() // one tokenize serves every n
+      val grams = ns.map { n =>
+        toks.select(col("doc_id"), lit(n).as("n"),
+          explode(array_distinct(shingles(col("t"), n))).as("g"))
+      }.reduce((a, b) => a.unionByName(b))
+      val bench = grams.filter(col("doc_id") % 100 === 0)
+        .select("n", "g").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(bench), Seq("n", "g"), "left")
+        .groupBy("n", "doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_matched"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_docs_checked"),
+             sum(when(col("n_matched") * 20 >= col("n_grams"), 1L).otherwise(0L))
+               .as("n_contaminated"),
+             sum("n_matched").as("total_matched_grams"))
+        .withColumn("contamination_rate",
+          round(col("n_contaminated") / col("n_docs_checked").cast("double"), 6))
+        .orderBy("n")
+    }, Some {
+      val gramCtes = Seq(3, 5, 8).map { n =>
+        s"""g$n AS (
+          SELECT doc_id, $n AS n,
+                 unnest(list_distinct([array_to_string(t[i : i + ${n - 1}], ' ')
+                                       for i in generate_series(1, len(t) - ${n - 1})])) AS g
+          FROM toks WHERE len(t) >= $n)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      $gramCtes,
+      grams AS (SELECT * FROM g3 UNION ALL SELECT * FROM g5 UNION ALL SELECT * FROM g8),
+      bench AS (SELECT DISTINCT n, g FROM grams WHERE doc_id % 100 = 0),
+      corpus AS (SELECT * FROM grams WHERE doc_id % 100 <> 0),
+      per_doc AS (
+        SELECT c.n, c.doc_id, count(*)::BIGINT AS n_grams,
+               count(b.g)::BIGINT AS n_matched
+        FROM corpus c LEFT JOIN bench b ON b.n = c.n AND b.g = c.g
+        GROUP BY c.n, c.doc_id)
+      SELECT n, count(*)::BIGINT AS n_docs_checked,
+             sum(CASE WHEN n_matched * 20 >= n_grams THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+             sum(n_matched)::BIGINT AS total_matched_grams,
+             round(sum(CASE WHEN n_matched * 20 >= n_grams THEN 1 ELSE 0 END)
+                   / count(*)::DOUBLE, 6) AS contamination_rate
+      FROM per_doc
+      GROUP BY n
+      ORDER BY n
+    """
+    }),
+
     // ------------------------------------------------------------ OOV rate at a fixed vocab budget (round 10)
     // q99 asks "how big must the vocab be"; this asks the converse a
     // tokenizer DEPLOYMENT asks: at a FIXED top-1000 vocabulary, what

@@ -936,7 +936,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q234_cluster_size_histogram" -> (3, 0), "q235_broadcast_advisor" -> (7, 7),
       "q236_cohort_ltv" -> (6, 1),
       "q237_oov_rate_by_source" -> (4, 0), "q238_interarrival_regularity" -> (4, 1),
-      "q239_dedup_token_savings" -> (3, 1))
+      "q239_dedup_token_savings" -> (3, 1),
+      "q240_decontamination_sweep" -> (4, 0), "q241_grouped_ols" -> (2, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
