@@ -89,13 +89,30 @@ object Tables {
     * on materialize-once semantics). The checkpoint dir is set once
     * per SparkContext; ReliableCheckpointSpec smokes both modes.
     */
+  private val warnedCheckpointDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   def checkpointed(df: DataFrame): DataFrame = {
     val dir = df.sparkSession.conf.getOption("spark.graft.checkpointDir")
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
     dir match {
       case Some(p) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(p)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(p)
+          case Some(cur) =>
+            // setCheckpointDir nests a per-context UUID dir under the
+            // requested path, so "already honored" = cur lives under p.
+            // First-setter-wins at the SparkContext; a LATER conflicting
+            // spark.graft.checkpointDir would otherwise be silently
+            // ignored with checkpoints landing in the stale directory
+            // (ADVICE r10) — warn loudly, once per conflicting pair.
+            val norm = (s: String) => s.stripPrefix("file:")
+            if (!norm(cur).startsWith(norm(p)) && warnedCheckpointDirs.add((cur, p)))
+              System.err.println(
+                s"[graft] WARNING: spark.graft.checkpointDir=$p ignored; " +
+                s"SparkContext checkpoint dir already set to $cur (first setter wins)")
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

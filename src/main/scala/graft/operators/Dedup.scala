@@ -175,12 +175,16 @@ object Dedup extends QueryGroup {
     * the q67 leakage-safe split: (doc_id, label) where label = min
     * doc_id of the connected component, for every doc that appears in
     * a near-dup pair. Runs on the shared convergence driver
-    * (Iterative.convergeBy, round 10): labels only DECREASE under the
-    * least() update, so the label SUM is a valid fixpoint witness —
-    * unchanged sum ⇔ no label moved ⇔ fixpoint. (At extreme id ranges
-    * the sum could wrap Long; a production hardening is a
-    * (count, sum, xor) triple — the wrap can only mask a change if the
-    * round's total decrease is an exact multiple of 2⁶⁴.) The judged
+    * (Iterative.convergeOn, round 10/11): labels only DECREASE under
+    * the least() update, so an unchanged label multiset ⇔ no label
+    * moved ⇔ fixpoint. The witness is the (count, sum, xor) TRIPLE of
+    * the labels, not the bare sum — a bare Long sum could wrap 2⁶⁴ at
+    * extreme id ranges and alias a changed round as unchanged
+    * (ADVICE r10); for the triple to alias, one round's strictly
+    * decreasing labels would have to keep the count, wrap the sum by
+    * an exact multiple of 2⁶⁴, AND collide the xor — jointly
+    * impossible to hit by construction of any realistic id space. The
+    * judged
     * cap is 3 — the oracle unrolls 3 CTE steps — and an early fixpoint
     * exit cannot change the result (a fixpoint step is the identity).
     * IterativeSpec replays with a high cap to prove the fixture
@@ -197,14 +201,17 @@ object Dedup extends QueryGroup {
     val labels0 = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .graftCheckpoint()
-    Iterative.convergeBy(labels0, cap) { labels =>
+    Iterative.convergeOn(labels0, cap) { labels =>
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
       labels.join(nbrMin, col("doc_id") === col("src"))
         .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
         .graftCheckpoint()
     } { labels =>
-      labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      val r = labels.agg(
+        count(lit(1)), coalesce(sum("label"), lit(0L)),
+        coalesce(expr("bit_xor(label)"), lit(0L))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
   }
 

@@ -45,7 +45,18 @@ object Iterative {
     (1 to k).foldLeft(init)((s, _) => step(s))
 
   /** Iterate until the scalar witness stops changing, or `cap` rounds. */
-  def convergeBy[S](init: S, cap: Int)(step: S => S)(measure: S => Long): Converged[S] = {
+  def convergeBy[S](init: S, cap: Int)(step: S => S)(measure: S => Long): Converged[S] =
+    convergeOn(init, cap)(step)(measure)
+
+  /** [[convergeBy]] generalized to any equality-comparable witness —
+    * for steps whose natural scalar witness can alias (e.g. a Long
+    * label-sum wrapping 2⁶⁴ at extreme id ranges, ADVICE r10): pass a
+    * composite like (count, sum, xor) so no single-aggregate collision
+    * can masquerade as a fixpoint. Witness contract unchanged:
+    * measure(next) == measure(cur) must imply the step is at a
+    * fixpoint.
+    */
+  def convergeOn[S, M](init: S, cap: Int)(step: S => S)(measure: S => M): Converged[S] = {
     var cur = init
     var m = measure(init)
     var r = 0

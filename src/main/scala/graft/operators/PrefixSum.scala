@@ -90,12 +90,24 @@ object PrefixSum {
            vNames.tail.zipWithIndex.map { case (nm, i) =>
              sum(col(nm)).as(s"__ptot${i + 1}")
            }: _*)
+    // the ledger join-back is null-SAFE on the group columns (<=>):
+    // a plain equi-join would silently drop every row whose group key
+    // is NULL (NULL never equals itself), turning a generic operator
+    // into silent row loss for nullable group keys (ADVICE r10). The
+    // ledger side's keys are renamed so the self-lineage join stays
+    // unambiguous.
     val offsets = vNames.indices.foldLeft(ledger) { case (acc, i) =>
         acc.withColumn(s"__off$i", sum(col(s"__ptot$i")).over(wPid))
       }
-      .select((col("__pid") +: groupCs) ++
+      .select((col("__pid").as("__opid") +:
+               groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__g$i") }) ++
               vNames.indices.map(i => col(s"__off$i")): _*)
-    val joined = local.join(broadcast(offsets), "__pid" +: groupCols)
+    val joinCond = groupCols.indices.foldLeft(col("__pid") === col("__opid")) {
+      case (c, i) => c && (col(groupCols(i)) <=> col(s"__g$i"))
+    }
+    val joined = local.join(broadcast(offsets), joinCond)
+      .drop("__opid")
+      .drop(groupCols.indices.map(i => s"__g$i"): _*)
     values.zipWithIndex.foldLeft(joined) { case (acc, ((_, out), i)) =>
         acc.withColumn(out, when(col(s"__off$i").isNull, col(s"__local$i"))
                               .otherwise(col(s"__local$i") + col(s"__off$i")))

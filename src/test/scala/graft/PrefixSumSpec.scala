@@ -70,6 +70,26 @@ class PrefixSumSpec extends AnyFunSuite with SparkFixture {
     assert(got.sameElements(want), "grouped two-pass diverged from per-group window")
   }
 
+  test("grouped cumsum keeps rows whose group key is NULL (null-safe ledger join)") {
+    // ADVICE r10: the ledger join-back used a plain equi-join on the
+    // group columns, so NULL-keyed rows were silently dropped. The
+    // join is now null-safe (<=>); NULL is just another group.
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 5L),
+      (Option.empty[String], 1L, 7L), (Option.empty[String], 3L, 2L),
+      (Option("b"), 1L, 4L)
+    ).toDF("g", "k", "q")
+    val got = PrefixSum.grouped(df, Seq("g"), Seq(col("k")), Seq(col("q") -> "cw"))
+      .select("g", "k", "cw").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 15L),
+      (Option.empty[String], 1L, 7L), (Option.empty[String], 3L, 9L),
+      (Option("b"), 1L, 4L))
+    assert(got == want, s"null-group rows mishandled: $got")
+  }
+
   test("the per-row windowed pass is keyed by partition id — never a global single partition") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),

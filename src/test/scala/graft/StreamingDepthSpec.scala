@@ -416,26 +416,36 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
   // ------------------------------------------------------------ collection state: ListState top-k + MapState distinct (round 10)
 
   /** Sequential fold reference for WindowTopK — the processor's
-    * documented semantics applied one event at a time.
+    * documented semantics (both modes) applied one event at a time.
+    * Exact mode ranks each event against EVERY live in-window event;
+    * approx mode against the retained admission buffer only
+    * (ADVICE r10 re-documentation).
     */
   private def topKReference(events: Seq[graft.streaming.WindowTopK.ValuedEvent],
-                            k: Int, windowMs: Long): Seq[(Long, Int, Int)] = {
+                            k: Int, windowMs: Long,
+                            exact: Boolean = true): Seq[(Long, Int, Int)] = {
     def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
     val windowUs = windowMs * 1000L
     var buf = Vector.empty[(Long, Long, Double)] // (event_id, tsUs, value)
     events.sortBy(e => (us(e.ts), e.event_id)).flatMap { e =>
       val now = us(e.ts)
       buf = buf.filter(_._2 > now - windowUs)
-      val admit = buf.size < k || buf.exists(_._3 < e.value)
-      if (!admit) None
-      else {
-        if (buf.size >= k) {
-          val weakest = buf.minBy(t => (t._3, t._2, t._1))
-          buf = buf.filterNot(_ == weakest)
-        }
-        val rank = 1 + buf.count(_._3 > e.value)
+      if (exact) {
+        val beaten = buf.count(_._3 > e.value)
         buf = buf :+ ((e.event_id, now, e.value))
-        Some((e.event_id, rank, buf.size))
+        if (beaten < k) Some((e.event_id, 1 + beaten, math.min(k, buf.size))) else None
+      } else {
+        val admit = buf.size < k || buf.exists(_._3 < e.value)
+        if (!admit) None
+        else {
+          if (buf.size >= k) {
+            val weakest = buf.minBy(t => (t._3, t._2, t._1))
+            buf = buf.filterNot(_ == weakest)
+          }
+          val rank = 1 + buf.count(_._3 > e.value)
+          buf = buf :+ ((e.event_id, now, e.value))
+          Some((e.event_id, rank, buf.size))
+        }
       }
     }
   }
@@ -472,6 +482,51 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
         .sortBy(_._1)
       assert(u1 == want, s"top-k admissions: got $u1 want $want")
       assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(100L), "second key not independent")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("WindowTopK exact mode rejects what the admission buffer would over-admit after expiry") {
+    // The ADVICE r10 counter-example: k=2, A=10 and B=9 admitted, C=5
+    // rejected; A expires. D=1 then arrives — the live window is
+    // {B=9, C=5}, so the true top-2 excludes D (exact mode rejects it),
+    // but the O(k) admission buffer forgot C and under-fills to {B},
+    // so approx mode admits D. Both modes must match their sequential
+    // references; the divergence is the documented semantic gap.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.WindowTopK
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      val events = Seq(
+        WindowTopK.ValuedEvent(1L, 0L, at(0), 10.0),  // A
+        WindowTopK.ValuedEvent(1L, 1L, at(30), 9.0),  // B
+        WindowTopK.ValuedEvent(1L, 2L, at(40), 5.0),  // C: rejected in both modes
+        WindowTopK.ValuedEvent(1L, 3L, at(70), 1.0))  // D: live window = {B, C}
+      val window = 3600L * 1000L
+      def run(exact: Boolean, sink: String): Seq[Long] = {
+        val in = MemoryStream[WindowTopK.ValuedEvent]
+        val adm = WindowTopK.admitted(
+          in.toDS().withWatermark("ts", "0 seconds"), k = 2, windowMs = window, exact = exact)
+        val q = RecordStream.startSink(adm.toDF(), "memory", sink, tmp(s"ck-$sink"), 100L)
+        in.addData(events: _*); q.processAllAvailable()
+        val ids = spark.table(sink).collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+        q.stop()
+        ids
+      }
+      val exactIds = run(exact = true, "topk_exact_div")
+      val approxIds = run(exact = false, "topk_approx_div")
+      assert(exactIds == Seq(0L, 1L), s"exact admissions: $exactIds")
+      assert(approxIds == Seq(0L, 1L, 3L), s"approx admissions: $approxIds")
+      assert(exactIds == topKReference(events, 2, window, exact = true).map(_._1).sorted)
+      assert(approxIds == topKReference(events, 2, window, exact = false).map(_._1).sorted)
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
