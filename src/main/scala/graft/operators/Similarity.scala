@@ -1633,12 +1633,22 @@ object Similarity extends QueryGroup {
         .crossJoin(broadcast(muVec))
         .select(zip_with(col("embedding"), col("mu"),
                          (x, m) => x.cast("double") - m).as("cv"))
-      val cells = cent
-        .select(posexplode(col("cv")).as(Seq("p", "vp")), col("cv"))
-        .select(col("p"), col("vp"), posexplode(col("cv")).as(Seq("q", "vq")))
-        .groupBy("p", "q").agg(sum(col("vp") * col("vq")).as("s"))
+      // ONE-pass Σ v·vᵀ via a d²-buffer Aggregator (round 11, VERDICT
+      // r10): the former double-posexplode materialized d² = 4,096
+      // rows per vector before partial agg; now each vector folds
+      // in-place into a 32 KB buffer and only per-partition buffers
+      // cross the exchange. Same arbitrary fold order as the old
+      // groupBy(p,q) sum — the per-cell quant6 absorbs it.
+      import s.implicits._
+      val opFlat = cent.select(col("cv").as("value")).as[Seq[Double]]
+        .select(new graft.functions.OuterProductSumAgg(64).toColumn.name("op"))
+        .toDF("op")
+      val cells = opFlat
         .crossJoin(broadcast(nRow))
-        .select(col("p"), col("q"), quant6(col("s") / (col("n") - 1)).as("c"))
+        .select(posexplode(col("op")).as(Seq("idx", "s")), col("n"))
+        .select((col("idx") / 64).cast("int").as("p"),
+                (col("idx") % 64).cast("int").as("q"),
+                quant6(col("s") / (col("n") - 1)).as("c"))
         .graftCheckpoint() // matvec rounds + trace all read the d² cells
       val covRows = cells.groupBy("p")
         .agg(transform(array_sort(collect_list(struct(col("q"), col("c")))),

@@ -911,10 +911,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // exchange pair). q221: one events scan (lag window) -> bounded
     // |types|^2 chain, 3 integer matvec rounds on checkpointed state.
     // q222: two top-101 TakeOrdered cuts (checkpoint-pinned; the
-    // 1-row reference cross is the sanctioned BNLJ). q223: the n*d^2
-    // covariance aggregate runs at build (checkpoint-pinned d^2
-    // cells); the judged plan is matvec rounds over 64-row arrays —
-    // every cross is 1-row broadcast. q224: keyed count + top-15
+    // 1-row reference cross is the sanctioned BNLJ). q223: the
+    // covariance build is a ONE-pass d^2-buffer Aggregator (round 11 —
+    // no per-vector row fan-out; checkpoint-pinned d^2 cells); the
+    // judged plan is matvec rounds over 64-row arrays — every cross
+    // is 1-row broadcast. q224: keyed count + top-15
     // (1-row totals cross). q225: two histogram joins + two verify
     // joins, all keyed. q226: PrefixSum ranks over the checkpointed
     // range exchange + decile aggregate.
