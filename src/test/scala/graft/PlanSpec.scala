@@ -959,6 +959,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q230's cap filter did not rewrite to WindowGroupLimit")
   }
 
+  test("q242: round-11 addition stays inside its plan budget") {
+    // The converged-CC loop's per-round work is checkpoint-truncated
+    // (inside convergedComponents, not this plan); the JUDGED plan is
+    // the checkpointed label relation + one size aggregate + one keyed
+    // join-back. No corpus scan may survive into it, and no cartesian.
+    val p = plan("q242_converged_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q242 plans a cross:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3, s"q242: expected <= 3 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
+  }
+
   test("engine-wide: no unpartitioned window over an unbounded input, in ANY judged query") {
     // The scale discipline behind PrefixSum/q66 (VERDICT r9 watch
     // item), enforced globally: a Window with an empty partitionSpec
