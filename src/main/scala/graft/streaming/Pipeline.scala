@@ -23,6 +23,18 @@ import org.apache.spark.sql.types.StructType
   *   --sink             console|memory|parquet    (reference printed to stdout)
   *   --out              output path for parquet sink
   *   --max-files        per-trigger file cap
+  *   --processor        none|topk|distinct — stateful processor between
+  *                      parse and sink (round 11, VERDICT r10 item 6:
+  *                      the collection-state processors reachable
+  *                      end-to-end from the O7 CLI). `topk` runs
+  *                      WindowTopK (exact sliding top-k per user);
+  *                      `distinct` runs SlidingDistinct (per-user type
+  *                      breadth). Each fixes its own value schema
+  *                      (documented below); both need the RocksDB
+  *                      state store, which start() configures.
+  *   --k                topk's k (default 3)
+  *   --window-ms        processor sliding window in ms (default 1h)
+  *   --watermark        event-time watermark delay (default "0 seconds")
   *
   * Unlike the reference's recovery factory (which re-opened the stream
   * but never re-attached an output — `Processor.java:47-53`), restarting
@@ -39,10 +51,19 @@ object Pipeline {
                     maxFileAge: String = "1h",
                     sink: String = "console",
                     outPath: Option[String] = None,
-                    maxFilesPerTrigger: Int = 0)
+                    maxFilesPerTrigger: Int = 0,
+                    processor: String = "none",
+                    k: Int = 3,
+                    windowMs: Long = 3600L * 1000L,
+                    watermark: String = "0 seconds")
+
+  /** Value payload DDL each processor expects on the wire. */
+  val topkSchemaDdl = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+  val distinctSchemaDdl = "user_id LONG, event_type STRING, event_id LONG, ts TIMESTAMP"
 
   private val valueFlags = Set("--name", "--source-dir", "--value-schema",
-    "--checkpoint-folder", "--batch-period", "--max-file-age", "--sink", "--out", "--max-files")
+    "--checkpoint-folder", "--batch-period", "--max-file-age", "--sink", "--out", "--max-files",
+    "--processor", "--k", "--window-ms", "--watermark")
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -56,6 +77,10 @@ object Pipeline {
       case "--sink" :: v :: t              => loop(t, c.copy(sink = v))
       case "--out" :: v :: t               => loop(t, c.copy(outPath = Some(v)))
       case "--max-files" :: v :: t         => loop(t, c.copy(maxFilesPerTrigger = v.toInt))
+      case "--processor" :: v :: t         => loop(t, c.copy(processor = v))
+      case "--k" :: v :: t                 => loop(t, c.copy(k = v.toInt))
+      case "--window-ms" :: v :: t         => loop(t, c.copy(windowMs = v.toLong))
+      case "--watermark" :: v :: t         => loop(t, c.copy(watermark = v))
       case Nil                             => c
       case flag :: Nil if valueFlags(flag) => sys.error(s"missing value for $flag")
       case other :: _ => sys.error(s"unknown argument: $other")
@@ -63,6 +88,8 @@ object Pipeline {
     val c = loop(args.toList, Config())
     require(c.sourceDir.nonEmpty, "--source-dir is required")
     require(c.checkpoint.nonEmpty, "--checkpoint-folder is required")
+    require(Set("none", "topk", "distinct")(c.processor),
+      s"--processor must be none|topk|distinct, got ${c.processor}")
     c
   }
 
@@ -82,19 +109,51 @@ object Pipeline {
       maxFilesPerTrigger = c.maxFilesPerTrigger,
       latestFirst = !c.earliest && c.maxFilesPerTrigger <= 0, // mirror jsonDirSource's "no cap" guard
       maxFileAge = if (c.earliest) None else Some(c.maxFileAge))
-    val parsed = RecordStream.parseValues(source, StructType.fromDDL(c.valueSchemaDdl))
-      // per-micro-batch observability: the reference's only "output" was
-      // printing every record (`Processor.java:141-147`); the modern
-      // equivalent is observed metrics surfaced to every
-      // StreamingQueryListener via QueryProgressEvent.progress
-      // .observedMetrics("graft_pipeline") — records per batch and how
-      // many failed value-schema parsing (null name after from_json).
+    val schemaDdl = c.processor match {
+      case "topk"     => topkSchemaDdl
+      case "distinct" => distinctSchemaDdl
+      case _          => c.valueSchemaDdl
+    }
+    val schema = StructType.fromDDL(schemaDdl)
+    // per-micro-batch observability on the DECODED records (before any
+    // processor): the reference's only "output" was printing every
+    // record (`Processor.java:141-147`); the modern equivalent is
+    // observed metrics surfaced to every StreamingQueryListener via
+    // QueryProgressEvent.progress.observedMetrics("graft_pipeline") —
+    // records per batch and how many failed value-schema parsing. The
+    // canary is each schema's FIRST field (name / user_id): null after
+    // from_json means the payload failed to decode.
+    val decoded = RecordStream.parseValues(source, schema)
       .observe("graft_pipeline",
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"),
         org.apache.spark.sql.functions.count_if(
-          org.apache.spark.sql.functions.col("name").isNull).as("unparsed"))
-    RecordStream.startSink(parsed, c.sink, c.name, c.checkpoint, c.batchPeriodMs,
+          org.apache.spark.sql.functions.col(schema.fieldNames.head).isNull).as("unparsed"))
+    val staged = c.processor match {
+      case "topk" =>
+        requireRocksDb(spark)
+        WindowTopK.admitted(
+          decoded.withWatermark("ts", c.watermark)
+            .as[WindowTopK.ValuedEvent](org.apache.spark.sql.Encoders.product),
+          c.k, c.windowMs).toDF()
+      case "distinct" =>
+        requireRocksDb(spark)
+        SlidingDistinct.stamped(
+          decoded.withWatermark("ts", c.watermark)
+            .as[CooldownDedup.KeyedEvent](org.apache.spark.sql.Encoders.product),
+          c.windowMs).toDF()
+      case _ => decoded
+    }
+    RecordStream.startSink(staged, c.sink, c.name, c.checkpoint, c.batchPeriodMs,
       outputPath = c.outPath)
+  }
+
+  /** transformWithState needs the state-v2 RocksDB provider; set it for
+    * the session unless the caller already did.
+    */
+  private def requireRocksDb(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if (!spark.conf.getOption(key).contains(rocks)) spark.conf.set(key, rocks)
   }
 
   def main(args: Array[String]): Unit = {
