@@ -26,6 +26,16 @@ object VectorFunctions {
   /** Σ aᵢ² — dot(a, a). */
   def normSq(a: Column): Column = dot(a, a)
 
+  /** Σ aᵢ·bᵢ over `array<bigint>` — codegen'd tight loop
+    * (LongDotProduct). Exact integer arithmetic: order-free, so no
+    * sequencing contract is needed for oracle parity.
+    */
+  def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.LongDotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** HOF reference implementation of the dot product (kept for spec
     * cross-checks of the codegen'd expression).
     */
@@ -42,12 +52,19 @@ object VectorFunctions {
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Sign-bit of a vector against a fixed hyperplane (random-projection
-    * LSH). The plane rides as an array literal column.
+    * LSH). The plane rides as an array literal column. Projection runs
+    * through the codegen'd FloatDoubleDotProduct (round 11) — the
+    * bit-identical IEEE sequence of the HOF fold it replaced, so every
+    * judged band layout and oracle is unchanged; banding a large corpus
+    * is no longer interpreter-bound.
     */
   def planeBit(v: Column, plane: Seq[Double]): Column = {
     val p = array(plane.map(lit): _*)
-    when(aggregate(zip_with(v, p, (x, y) => x.cast("double") * y),
-                   lit(0.0), (acc, t) => acc + t) >= 0, 1).otherwise(0)
+    val proj = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.FloatDoubleDotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(p)))
+    when(proj >= 0, 1).otherwise(0)
   }
 
   /** Pack `bitsPerBand` plane-bits into an int bucket id per band. */

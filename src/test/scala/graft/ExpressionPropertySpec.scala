@@ -45,6 +45,46 @@ class ExpressionPropertySpec extends AnyFunSuite with SparkFixture {
     assert(diff == 0, s"$diff random set pairs diverged from size(array_intersect)")
   }
 
+  test("FloatDoubleDotProduct is bit-identical to the sequential HOF fold it replaced") {
+    // planeBit's numeric contract (round 11): widening float x double
+    // multiplies accumulated strictly left-to-right — any divergence
+    // would silently move LSH band bits and break the banded oracles.
+    import spark.implicits._
+    val rows = Seq.fill(300)((
+      Seq.fill(64)(rnd.nextGaussian().toFloat),
+      Seq.fill(64)(rnd.nextGaussian()))) :+ ((Seq.empty[Float], Seq.empty[Double]))
+    val diff = rows.toDF("v", "p").select(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expressions.FloatDoubleDotProduct(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+            org.apache.spark.sql.GraftSqlBridge.expression(col("p")))).as("fast"),
+        aggregate(zip_with(col("v"), col("p"), (x, y) => x.cast("double") * y),
+                  lit(0.0), (acc, t) => acc + t).as("hof"))
+      .filter(col("fast") =!= col("hof")) // exact bit equality, no tolerance
+      .count()
+    assert(diff == 0, s"$diff random (float, double) vectors diverged from the HOF fold")
+  }
+
+  test("LongDotProduct equals the HOF integer fold on the int8 domain, including empty") {
+    // Domain contract: inputs are int8-quantized (|x| <= 127), so no
+    // 64-bit overflow is reachable (the codegen loop would wrap
+    // silently where the ANSI HOF throws — the bound is what makes
+    // them equivalent).
+    import spark.implicits._
+    import graft.functions.VectorFunctions.longDot
+    val rows = Seq.fill(300)((
+      Seq.fill(64)((rnd.nextInt(255) - 127).toLong),
+      Seq.fill(64)((rnd.nextInt(255) - 127).toLong))) :+
+      ((Seq.empty[Long], Seq.empty[Long]))
+    val diff = rows.toDF("a", "b").select(
+        longDot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+                  lit(0L), (acc, t) => acc + t).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diff == 0, s"$diff random long vectors diverged from the HOF integer fold")
+  }
+
   test("SimHash64 equals the explode+aggregate bit-majority form on arbitrary token sets") {
     import spark.implicits._
     val docs = Seq.fill(200)(randomText()).zipWithIndex

@@ -41,6 +41,33 @@ class RecallSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("committed 100k timings: pruning rungs beat exact brute force at recall >= 0.9") {
+    // The ladder's VALUE claim (round 11): at 100k clustered vectors
+    // the pruned rungs must be both accurate AND faster than the exact
+    // q41 plan on the identical task. Asserted on the COMMITTED
+    // artifact (graft.Recall writes it; re-running the 100k task per
+    // test would dwarf the suite) — regenerate with `runMain
+    // graft.Recall` whenever the index code changes.
+    val path = java.nio.file.Paths.get("RECALL.json")
+    assert(java.nio.file.Files.exists(path), "RECALL.json missing — run graft.Recall")
+    val timings = Recall.parseTimings(java.nio.file.Files.readString(path))
+      .map(t => t.query -> t).toMap
+    val required = Seq("exact_q41_plan", "q43_ann_lsh_topk",
+      "q62_ivf_probe_topk", "q63_quantized_topk")
+    assert(required.forall(timings.contains),
+      s"timings section incomplete: ${timings.keySet} — run graft.Recall")
+    assert(timings.values.forall(t => t.n >= 100000L),
+      "timings must be measured at >=100k vectors")
+    // pruning rungs: accurate AND faster than brute force
+    Seq("q43_ann_lsh_topk", "q62_ivf_probe_topk").foreach { q =>
+      assert(timings(q).recall >= 0.9, s"$q 100k recall ${timings(q).recall} < 0.9")
+      assert(timings(q).speedup > 1.0, s"$q 100k speedup ${timings(q).speedup} <= 1")
+    }
+    // int8 is a bandwidth rung — accuracy floor only (see notes)
+    assert(timings("q63_quantized_topk").recall >= 0.9,
+      s"int8 100k recall ${timings("q63_quantized_topk").recall} < 0.9")
+  }
+
   test("clustered fixture is deterministic and covers every cluster with queries") {
     val a = ClusteredVectors.df(spark).collect().sortBy(_.getLong(0))
     val b = ClusteredVectors.df(spark).collect().sortBy(_.getLong(0))
