@@ -366,6 +366,67 @@ object Selection extends QueryGroup {
       ORDER BY source
     """)),
 
+    // ------------------------------------------------------------ token-budget waterfill (round 11)
+    // The allocation step BETWEEN q209's mixture targets and q66's
+    // shard export: given a fixed training-token budget (60% of the
+    // corpus here), water-fill it across sources — every source gets
+    // min(available, L) tokens where the common level L is chosen so
+    // the allocations exactly exhaust the budget. Small sources are
+    // taken whole; large sources are capped at the level — the
+    // classic max-min-fair answer to "no source may dominate the mix,
+    // but spare budget must not be wasted". Closed form, not a loop:
+    // sort sources by availability, prefix-sum, and the level lands in
+    // the first segment where filling all remaining sources to that
+    // source's availability would overshoot. Every window here runs
+    // over the SOURCE-dimension aggregate (bounded, Aggregate beneath
+    // — inside the engine-wide window gate); the corpus is scanned
+    // once for token counts. Exact integer prefix arithmetic; the only
+    // floats are the final level division and shares, quant6'd.
+    ("q243_budget_waterfill", (s, d) => {
+      val perSource = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("avail"))
+        .graftCheckpoint() // budget row, level search, and ledger all read it
+      val b = perSource.agg(expr("sum(avail) * 3 DIV 5").as("budget"),
+                            count(lit(1)).as("n"))
+      val w = Window.orderBy(col("avail"), col("source"))
+      val ranked = perSource.crossJoin(broadcast(b))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("prefix", coalesce(
+          sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val level = ranked
+        .filter(col("prefix") + col("avail") * (col("n") - col("i") + 1) >= col("budget"))
+        .orderBy("i").limit(1)
+        .select(((col("budget") - col("prefix")).cast("double")
+                  / (col("n") - col("i") + 1)).as("level"))
+      ranked.crossJoin(broadcast(level))
+        .select(col("source"), col("avail"),
+          Quant.quant6(col("level")).as("fill_level"),
+          Quant.quant6(least(col("avail").cast("double"), col("level"))).as("alloc_tokens"),
+          Quant.quant6(least(col("avail").cast("double"), col("level"))
+            / col("budget")).as("budget_share"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH per_source AS (
+        SELECT source, sum(len($toksSql))::BIGINT AS avail
+        FROM documents GROUP BY source),
+      b AS (SELECT (sum(avail) * 3) // 5 AS budget, count(*) AS n FROM per_source),
+      r AS (SELECT source, avail,
+                   row_number() OVER (ORDER BY avail, source) AS i,
+                   COALESCE(sum(avail) OVER (ORDER BY avail, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+            FROM per_source),
+      lvl AS (SELECT (b.budget - r.prefix)::DOUBLE / (b.n - r.i + 1) AS level
+              FROM r, b WHERE r.prefix + r.avail * (b.n - r.i + 1) >= b.budget
+              ORDER BY r.i LIMIT 1)
+      SELECT r.source, r.avail,
+             floor(lvl.level * 1000000.0 + 0.5) / 1000000.0 AS fill_level,
+             floor(least(r.avail::DOUBLE, lvl.level) * 1000000.0 + 0.5) / 1000000.0 AS alloc_tokens,
+             floor(least(r.avail::DOUBLE, lvl.level) / b.budget * 1000000.0 + 0.5) / 1000000.0 AS budget_share
+      FROM r, lvl, b
+      ORDER BY source
+    """)),
+
     // ------------------------------------------------------------ split balance audit (round 9)
     // The post-split QA a data curator runs before trusting an 80/10/10
     // hash split: does every split preserve the corpus' language mix,

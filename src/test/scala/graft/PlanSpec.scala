@@ -972,6 +972,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
   }
 
+  test("q243: waterfill runs on the checkpointed source ledger — 1-row crosses only") {
+    // One corpus scan feeds the checkpointed per-source token ledger;
+    // budget row, level row, and the final allocation are all
+    // source-dimension relations, so the only crosses are 1-row
+    // broadcasts (sanctioned BNLJ shape) and no corpus scan appears.
+    val p = plan("q243_budget_waterfill")
+    assert(!p.contains("CartesianProduct"), s"q243 plans a cartesian:\n$p")
+    assert(!p.contains("FileScan"), s"q243 re-reads the corpus past the checkpoint:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"q243: expected <= 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("engine-wide: no unpartitioned window over an unbounded input, in ANY judged query") {
     // The scale discipline behind PrefixSum/q66 (VERDICT r9 watch
     // item), enforced globally: a Window with an empty partitionSpec
