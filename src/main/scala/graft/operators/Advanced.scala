@@ -13,6 +13,10 @@ import graft.Tables.GraftCheckpointOps
   */
 object Advanced extends QueryGroup {
 
+  /** DuckDB mirror of TextFunctions.tokens (q246). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ HLL sketch aggregation
@@ -1003,6 +1007,60 @@ object Advanced extends QueryGroup {
       FROM classed CROSS JOIN tot
       GROUP BY abc, tot_parts, tot_rev
       ORDER BY abc_class
+    """)),
+
+    // ------------------------------------------------------------ Spearman rank correlation (round 11)
+    // Monotone association between doc LENGTH and LEXICAL DIVERSITY
+    // (type-token ratio) — the q131 Pearson family can't see a
+    // nonlinear-but-monotone relation; Spearman on ranks can (the
+    // classic "longer docs repeat themselves" curation check, expected
+    // strongly negative). Rank discipline at scale: the doc dimension
+    // is unbounded, so BOTH rank passes are two-pass PrefixSum ranks,
+    // never a global row_number window. Ranks are rank-of-row with a
+    // doc_id tie-break (deterministic, engine-identical — not
+    // average-rank ties; with near-continuous metrics the difference
+    // is negligible and both engines compute the SAME convention).
+    // Σd² is exact integer arithmetic; the only float is the final
+    // rho = 1 − 6Σd²/(n(n²−1)), quant6'd. The TTR division is exact
+    // IEEE on identical integers, so its rank order is portable.
+    ("q246_spearman_rank_corr", (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+                size(array_distinct(col("t"))).cast("long").as("n_types"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+        .graftCheckpoint() // both rank passes read it
+      val r1 = PrefixSum.cumSum(docs, Seq(col("n_tokens"), col("doc_id")),
+          lit(1L), "r_len").select("doc_id", "r_len")
+      val r2 = PrefixSum.cumSum(docs, Seq(col("ttr"), col("doc_id")),
+          lit(1L), "r_ttr").select("doc_id", "r_ttr")
+      r1.join(r2, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum((col("r_len") - col("r_ttr")) * (col("r_len") - col("r_ttr")))
+               .as("sum_d2"))
+        .select(col("n_docs"), col("sum_d2"),
+          Quant.quant6(lit(1.0) - lit(6.0) * col("sum_d2")
+            / (col("n_docs") * (col("n_docs") * col("n_docs") - 1)).cast("double"))
+            .as("spearman_rho"))
+    }, Some(s"""
+      WITH docs AS (
+        SELECT doc_id, len($toksSql)::BIGINT AS n_tokens,
+               len(list_distinct($toksSql))::BIGINT AS n_types
+        FROM documents),
+      m AS (SELECT doc_id, n_tokens, n_types::DOUBLE / n_tokens AS ttr
+            FROM docs WHERE n_tokens > 0),
+      r AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY n_tokens, doc_id) AS r_len,
+                   row_number() OVER (ORDER BY ttr, doc_id) AS r_ttr
+            FROM m)
+      SELECT count(*)::BIGINT AS n_docs,
+             sum((r_len - r_ttr) * (r_len - r_ttr))::BIGINT AS sum_d2,
+             floor((1.0 - 6.0 * sum((r_len - r_ttr) * (r_len - r_ttr))
+                    / (count(*) * (count(*) * count(*) - 1.0))) * 1000000.0 + 0.5)
+               / 1000000.0 AS spearman_rho
+      FROM r
     """))
   )
 

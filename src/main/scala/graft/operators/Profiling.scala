@@ -494,6 +494,168 @@ object Profiling extends QueryGroup {
       ORDER BY channel
     """)),
 
+    // ------------------------------------------------------------ multi-touch attribution comparison (round 11)
+    // q130 answers "who gets the credit under LAST-touch"; the question
+    // marketing actually argues about is how much the answer CHANGES
+    // under first-touch and linear credit — this emits all three models
+    // side by side per channel (credit counts + revenue credit;
+    // purchases with no in-window touch are 'direct' under every
+    // model). Scale shape: the touch set per purchase comes from the
+    // q76-style BUCKETED interval join — both sides keyed by (user,
+    // 24h-bucket), each touch exploded to its 2 candidate buckets — an
+    // equi-join at any scale, never a per-purchase history re-scan;
+    // the per-purchase rollups are purchase-keyed aggregates. Credit
+    // fractions are exact small rationals quantized once at output.
+    ("q244_attribution_models", (s, d) => {
+      val lookbackUs = 24L * 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+                unix_micros(col("ts")).as("us"))
+        .graftCheckpoint() // purchase and touch legs both read it
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("us").as("pus"),
+                col("value").as("rev"))
+        .withColumn("b", expr(s"pus DIV $lookbackUs"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+                col("us").as("tus"), col("event_id").as("tid"))
+        .withColumn("b", explode(array(expr(s"tus DIV $lookbackUs"),
+                                       expr(s"tus DIV $lookbackUs") + 1)))
+      // strictly-preceding contract, q130's (us, event_id) order
+      val joined = purchases.join(touches, Seq("user_id", "b"), "left")
+        .withColumn("hit",
+          col("tus").isNotNull &&
+          (col("tus") < col("pus") || (col("tus") === col("pus") && col("tid") < col("pid"))) &&
+          col("pus") - col("tus") <= lookbackUs)
+      val perTouch = joined.filter(col("hit"))
+        .select(col("pid"), col("rev"), col("channel"), col("tus"), col("tid"))
+      val totals = perTouch.groupBy("pid").agg(
+        count(lit(1)).as("n_touch"),
+        min(struct(col("tus"), col("tid"), col("channel"))).getField("channel").as("first_ch"),
+        max(struct(col("tus"), col("tid"), col("channel"))).getField("channel").as("last_ch"))
+      val linear = perTouch.join(totals.select("pid", "n_touch"), "pid")
+        .groupBy(col("channel")).agg(
+          sum(lit(1.0) / col("n_touch")).as("credit"),
+          sum(col("rev") / col("n_touch")).as("revenue"))
+        .withColumn("model", lit("linear"))
+      def oneTouch(chCol: String, name: String) = totals
+        .join(purchases.select("pid", "rev"), "pid")
+        .groupBy(col(chCol).as("channel"))
+        .agg(count(lit(1)).cast("double").as("credit"), sum("rev").as("revenue"))
+        .withColumn("model", lit(name))
+      import s.implicits._
+      val models = Seq("first", "last", "linear").toDF("model")
+      val direct = purchases.join(
+          perTouch.select("pid").distinct(), Seq("pid"), "left_anti")
+        .agg(count(lit(1)).cast("double").as("credit"), sum("rev").as("revenue"))
+        .select(lit("direct").as("channel"), col("credit"), col("revenue"))
+        .crossJoin(models)
+      linear.unionByName(oneTouch("first_ch", "first"))
+        .unionByName(oneTouch("last_ch", "last"))
+        .select("channel", "model", "credit", "revenue")
+        .unionByName(direct.select("channel", "model", "credit", "revenue"))
+        .select(col("channel"), col("model"),
+                Quant.quant6(col("credit")).as("credit"),
+                Quant.quant6(col("revenue")).as("revenue"))
+        .orderBy("model", "channel")
+    }, Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts::TIMESTAMP) AS us
+        FROM events),
+      p AS (SELECT user_id, event_id AS pid, us AS pus, value AS rev
+            FROM ev WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_type AS channel, us AS tus, event_id AS tid
+            FROM ev WHERE event_type IN ('view', 'click')),
+      per_touch AS (
+        SELECT p.pid, p.rev, t.channel, t.tus, t.tid
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND (t.tus < p.pus OR (t.tus = p.pus AND t.tid < p.pid))
+         AND p.pus - t.tus <= 86400000000),
+      tot AS (SELECT pid, count(*) AS n_touch FROM per_touch GROUP BY pid),
+      fst_pick AS (
+        SELECT pid, channel FROM per_touch
+        QUALIFY row_number() OVER (PARTITION BY pid ORDER BY tus, tid) = 1),
+      lst_pick AS (
+        SELECT pid, channel FROM per_touch
+        QUALIFY row_number() OVER (PARTITION BY pid ORDER BY tus DESC, tid DESC) = 1),
+      lin AS (
+        SELECT pt.channel, 'linear' AS model,
+               sum(1.0 / tot.n_touch) AS credit,
+               sum(pt.rev / tot.n_touch) AS revenue
+        FROM per_touch pt JOIN tot USING (pid) GROUP BY pt.channel),
+      fst AS (
+        SELECT f.channel, 'first' AS model,
+               count(*)::DOUBLE AS credit, sum(p.rev) AS revenue
+        FROM fst_pick f JOIN p USING (pid) GROUP BY f.channel),
+      lst AS (
+        SELECT l.channel, 'last' AS model,
+               count(*)::DOUBLE AS credit, sum(p.rev) AS revenue
+        FROM lst_pick l JOIN p USING (pid) GROUP BY l.channel),
+      dir AS (
+        SELECT 'direct' AS channel, m.model,
+               count(*)::DOUBLE AS credit, sum(p.rev) AS revenue
+        FROM p, (SELECT unnest(['first', 'last', 'linear']) AS model) m
+        WHERE p.pid NOT IN (SELECT pid FROM per_touch)
+        GROUP BY m.model),
+      unioned AS (
+        SELECT * FROM lin UNION ALL SELECT * FROM fst
+        UNION ALL SELECT * FROM lst UNION ALL SELECT * FROM dir)
+      SELECT channel, model,
+             floor(credit * 1000000.0 + 0.5) / 1000000.0 AS credit,
+             floor(revenue * 1000000.0 + 0.5) / 1000000.0 AS revenue
+      FROM unioned
+      ORDER BY model, channel
+    """)),
+
+    // ------------------------------------------------------------ decile mobility matrix (round 11)
+    // Do heavy spenders stay heavy? Users active in BOTH halves of the
+    // event range are ranked into spend deciles per period and the
+    //10×10 transition matrix counted — the loyalty/churn mobility
+    // report (mass on the diagonal = stable tiers; mass below = decay).
+    // Exactness discipline: spend is summed in integer CENTS (q236's
+    // trick — float sums would make near-tie rank ORDER engine-
+    // dependent), deciles come from ((rank−1)·10) DIV n on exact
+    // integer ranks, and the ranks themselves are two-pass PrefixSum
+    // ranks per period — the user dimension is unbounded, so a global
+    // ntile/row_number window would serialize on one task at scale.
+    ("q245_decile_mobility", (s, d) => {
+      val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+      val spend = Tables.events(s, d)
+        .select(col("user_id"), (col("ts") >= cut).as("p2"),
+                floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("user_id", "p2").agg(sum("cents").as("spend"))
+      val both = spend.groupBy("user_id").agg(count(lit(1)).as("np"))
+        .filter(col("np") === 2).select("user_id")
+      val sp = spend.join(both, "user_id").graftCheckpoint() // rank pass + n both read it
+      val n = sp.agg((count(lit(1)) / 2).cast("long").as("n"))
+      val ranked = PrefixSum.grouped(sp, Seq("p2"),
+          Seq(col("spend"), col("user_id")), Seq(lit(1L) -> "rank"))
+        .crossJoin(broadcast(n))
+        .select(col("user_id"), col("p2"),
+                expr("(rank - 1) * 10 DIV n").as("dec"))
+      ranked.filter(!col("p2")).select(col("user_id"), col("dec").as("decile_p1"))
+        .join(ranked.filter(col("p2")).select(col("user_id"), col("dec").as("decile_p2")),
+              "user_id")
+        .groupBy("decile_p1", "decile_p2").agg(count(lit(1)).as("n_users"))
+        .orderBy("decile_p1", "decile_p2")
+    }, Some("""
+      WITH sp AS (
+        SELECT user_id, ts >= TIMESTAMP '2024-01-30 00:00:00' AS p2,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS spend
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT user_id FROM sp GROUP BY user_id HAVING count(*) = 2),
+      s2 AS (SELECT sp.* FROM sp JOIN b USING (user_id)),
+      n AS (SELECT count(*) AS n FROM b),
+      r AS (SELECT user_id, p2,
+                   row_number() OVER (PARTITION BY p2 ORDER BY spend, user_id) AS rk
+            FROM s2),
+      dd AS (SELECT user_id, p2, ((rk - 1) * 10) // n.n AS dec FROM r, n)
+      SELECT a.dec AS decile_p1, b2.dec AS decile_p2, count(*)::BIGINT AS n_users
+      FROM dd a JOIN dd b2 ON a.user_id = b2.user_id AND NOT a.p2 AND b2.p2
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)),
+
     // ------------------------------------------------------------ correlation matrix (round 7)
     // Pairwise Pearson correlation of lineitem's numeric measures in
     // ONE scan and ONE 1-row aggregate: all C(4,2) corr() aggregates

@@ -972,6 +972,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
   }
 
+  test("q244-q246: round-11 analytics additions stay inside their plan budgets") {
+    // q244: the multi-touch set comes from a BUCKETED (user, 24h-bin)
+    // equi-join on the checkpointed event projection — never a
+    // per-purchase history re-scan; purchase-keyed rollups + the 1-row
+    // direct cross (sanctioned BNLJ). q245: two-pass PrefixSum ranks
+    // per period over the checkpointed both-periods spend; decile math
+    // is integer. q246: both rank passes are PrefixSum over the
+    // checkpointed doc metrics; one final 1-row aggregate.
+    val budget = Map(
+      "q244_attribution_models" -> (9, 1),
+      "q245_decile_mobility" -> (9, 1), // spend agg + both-filter + PrefixSum range/ledger + period pivot join, all user/period-keyed
+      "q246_spearman_rank_corr" -> (5, 1))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q243: waterfill runs on the checkpointed source ledger — 1-row crosses only") {
     // One corpus scan feeds the checkpointed per-source token ledger;
     // budget row, level row, and the final allocation are all
