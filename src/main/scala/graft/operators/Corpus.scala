@@ -758,6 +758,61 @@ object Corpus extends QueryGroup {
              count(*)::BIGINT AS n_docs
       FROM staged GROUP BY stage_id
       ORDER BY stage_id
+    """)),
+
+    // ------------------------------------------------------------ quality-cut retention curve (round 11)
+    // The budget question behind every quality filter: if the corpus
+    // is ranked best-first by a quality score and cut at the top q%,
+    // how many TOKENS survive? (Docs and tokens fall at different
+    // rates — high-quality docs skew short, so a 50% doc cut can be a
+    // 30% token cut; this curve is the evidence a filtering threshold
+    // gets chosen on.) Score = type-token ratio (exact IEEE division
+    // of integers — rank order engine-identical). Scale shape: rank
+    // AND cumulative tokens come from ONE two-pass PrefixSum over the
+    // checkpointed doc metrics (the doc dimension is unbounded — no
+    // global row_number/sum window), and the ten cut rows are found
+    // by an equi-join against a 10-row broadcast of cut ranks.
+    ("q247_quality_cut_curve", (s, d) => {
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+                size(array_distinct(col("t"))).cast("long").as("ty"))
+        .filter(col("nt") > 0)
+        .withColumn("ttr", col("ty").cast("double") / col("nt"))
+        .graftCheckpoint() // totals + the rank pass both read it
+      val ranked = PrefixSum.cumSums(docs, Seq(col("ttr").desc, col("doc_id")),
+        Seq(lit(1L) -> "rk", col("nt") -> "cum_tokens"))
+      val tot = docs.agg(count(lit(1)).as("n"), sum("nt").as("tot_tokens"))
+      import s.implicits._
+      val cuts = (10 to 100 by 10).toDF("pct")
+        .crossJoin(broadcast(tot))
+        .withColumn("rk", expr("(n * pct + 99) DIV 100")) // ceil(n·q/100)
+        .select("pct", "rk", "tot_tokens")
+      ranked.join(broadcast(cuts), "rk")
+        .select(col("pct"), col("rk").as("n_docs_kept"),
+          col("cum_tokens").as("tokens_kept"),
+          Quant.quant6(col("cum_tokens").cast("double") / col("tot_tokens"))
+            .as("token_share"))
+        .orderBy("pct")
+    }, Some(s"""
+      WITH docs AS (
+        SELECT doc_id, len($toksSql)::BIGINT AS nt,
+               len(list_distinct($toksSql))::BIGINT AS ty
+        FROM documents),
+      m AS (SELECT doc_id, nt, ty::DOUBLE / nt AS ttr FROM docs WHERE nt > 0),
+      tot AS (SELECT count(*) AS n, sum(nt) AS tot_tokens FROM m),
+      r AS (SELECT doc_id, nt,
+                   row_number() OVER (ORDER BY ttr DESC, doc_id) AS rk,
+                   sum(nt) OVER (ORDER BY ttr DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM m),
+      cuts AS (SELECT unnest(generate_series(10, 100, 10)) AS pct)
+      SELECT c.pct::INT AS pct, r.rk AS n_docs_kept, r.cum_tokens AS tokens_kept,
+             floor(r.cum_tokens::DOUBLE / tot.tot_tokens * 1000000.0 + 0.5) / 1000000.0
+               AS token_share
+      FROM cuts c CROSS JOIN tot
+      JOIN r ON r.rk = (tot.n * c.pct + 99) // 100
+      ORDER BY pct
     """))
   )
 }

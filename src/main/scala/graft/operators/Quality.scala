@@ -1730,6 +1730,102 @@ object Quality extends QueryGroup {
             UNION ALL SELECT * FROM orders_row
             UNION ALL SELECT * FROM li_row)
       ORDER BY table_name
+    """)),
+
+    // ------------------------------------------------------------ sample-ratio-mismatch audit (round 11)
+    // The first thing an experimentation platform checks before
+    // reading ANY metric: did the 50/50 hash assignment actually land
+    // 50/50? A skewed split (SRM) invalidates the experiment no matter
+    // what the metrics say. Users are assigned by the engine's
+    // portable hash (deterministic, oracle-reproducible), observed
+    // bucket counts are tested against the intended split with a
+    // 1-dof chi² (flag at the 0.05 critical value 3.841). Exact
+    // integer counts; the statistic is the only float.
+    ("q248_srm_audit", (s, d) => {
+      import graft.functions.TextFunctions.portableHash
+      val counts = Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("bucket", (portableHash(col("user_id").cast("string")) % 2).cast("int"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+        .graftCheckpoint() // total + chi2 + output all read it
+      val tot = counts.agg(sum("n_users").as("n_total"))
+      // squared by multiplication, not pow(): Math.pow and DuckDB's pow
+      // may differ in the last ulp; x*x is one IEEE multiply on both
+      val dev = col("n_users").cast("double") - col("n_total") / 2.0
+      val chi = counts.crossJoin(broadcast(tot))
+        .select((dev * dev / (col("n_total") / 2.0)).as("part"))
+        .agg(sum("part").as("chi2"))
+      counts.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+        .select(col("bucket"), col("n_users"),
+          Quant.quant6(col("n_total") / 2.0).as("expected"),
+          Quant.quant6(col("chi2")).as("chi2"),
+          (col("chi2") > 3.841).as("srm_detected"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      a AS (SELECT ('0x'||substring(md5(user_id::VARCHAR),1,15))::BIGINT % 2 AS bucket
+            FROM u),
+      c AS (SELECT bucket::INT AS bucket, count(*)::BIGINT AS n_users
+            FROM a GROUP BY 1),
+      t AS (SELECT sum(n_users) AS n_total FROM c),
+      x AS (SELECT sum((n_users - n_total / 2.0) * (n_users - n_total / 2.0)
+                       / (n_total / 2.0)) AS chi2
+            FROM c, t)
+      SELECT c.bucket, c.n_users,
+             floor(t.n_total / 2.0 * 1000000.0 + 0.5) / 1000000.0 AS expected,
+             floor(x.chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+             x.chi2 > 3.841 AS srm_detected
+      FROM c, t, x
+      ORDER BY bucket
+    """)),
+
+    // ------------------------------------------------------------ contingency residual matrix (round 11)
+    // q151 answers "are source and language independent" with one
+    // global chi²; a curator needs the CELL-level answer — WHICH
+    // (source, language) combinations over/under-index. Full dense
+    // grid (distinct sources × distinct langs, zero-filled — absence
+    // is signal), expected counts from the exact integer margins, and
+    // the standardized Pearson residual (obs − exp)/√exp per cell,
+    // flagged at |r| > 2. Bounded-dimension grid throughout: one
+    // corpus scan for the counts, margins are tiny aggregates
+    // broadcast back.
+    ("q249_contingency_residuals", (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .graftCheckpoint() // margins + grid join-back all read it
+      val rows = counts.groupBy("source").agg(sum("n").as("row_n"))
+      val cols = counts.groupBy("lang").agg(sum("n").as("col_n"))
+      val tot = counts.agg(sum("n").as("total"))
+      rows.crossJoin(cols).crossJoin(broadcast(tot))
+        .join(counts, Seq("source", "lang"), "left")
+        .withColumn("n_docs", coalesce(col("n"), lit(0L)))
+        .withColumn("expected",
+          col("row_n").cast("double") * col("col_n") / col("total"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          Quant.quant6(col("expected")).as("expected"),
+          Quant.quant6((col("n_docs") - col("expected")) / sqrt(col("expected")))
+            .as("std_residual"),
+          (abs((col("n_docs") - col("expected")) / sqrt(col("expected"))) > 2.0)
+            .as("flagged"))
+        .orderBy("source", "lang")
+    }, Some("""
+      WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                 FROM documents GROUP BY 1, 2),
+      r AS (SELECT source, sum(n) AS row_n FROM c GROUP BY source),
+      l AS (SELECT lang, sum(n) AS col_n FROM c GROUP BY lang),
+      t AS (SELECT sum(n) AS total FROM c),
+      grid AS (
+        SELECT r.source, l.lang, r.row_n, l.col_n, t.total,
+               COALESCE(c.n, 0)::BIGINT AS n_docs
+        FROM r CROSS JOIN l CROSS JOIN t
+        LEFT JOIN c ON c.source = r.source AND c.lang = l.lang),
+      e AS (SELECT *, row_n::DOUBLE * col_n / total AS expected FROM grid)
+      SELECT source, lang, n_docs,
+             floor(expected * 1000000.0 + 0.5) / 1000000.0 AS expected,
+             floor((n_docs - expected) / sqrt(expected) * 1000000.0 + 0.5) / 1000000.0
+               AS std_residual,
+             abs((n_docs - expected) / sqrt(expected)) > 2.0 AS flagged
+      FROM e
+      ORDER BY source, lang
     """))
   )
 }

@@ -972,7 +972,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
   }
 
-  test("q244-q246: round-11 analytics additions stay inside their plan budgets") {
+  test("q244-q249: round-11 analytics additions stay inside their plan budgets") {
     // q244: the multi-touch set comes from a BUCKETED (user, 24h-bin)
     // equi-join on the checkpointed event projection — never a
     // per-purchase history re-scan; purchase-keyed rollups + the 1-row
@@ -980,10 +980,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // per period over the checkpointed both-periods spend; decile math
     // is integer. q246: both rank passes are PrefixSum over the
     // checkpointed doc metrics; one final 1-row aggregate.
+    // q247: one tokenize scan into the checkpointed metrics; PrefixSum
+    // rank pass + 10-row broadcast cut join. q248: distinct-user agg,
+    // tiny ledger crosses. q249: one (source, lang) count; margins and
+    // dense grid are bounded-dimension joins.
     val budget = Map(
       "q244_attribution_models" -> (9, 1),
       "q245_decile_mobility" -> (9, 1), // spend agg + both-filter + PrefixSum range/ledger + period pivot join, all user/period-keyed
-      "q246_spearman_rank_corr" -> (5, 1))
+      "q246_spearman_rank_corr" -> (5, 1),
+      "q247_quality_cut_curve" -> (4, 1),
+      "q248_srm_audit" -> (3, 1),
+      "q249_contingency_residuals" -> (4, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
