@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-import graft.expressions.{FloatDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
+import graft.expressions.{FloatDotProduct, FloatDoubleDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, LongDotProduct, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
   * so `spark.sql("SELECT float_dot(a, b) ...")` works alongside the
@@ -15,6 +15,10 @@ object GraftFunctions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_dot" -> (exprs => FloatDotProduct(exprs(0), exprs(1))),
+    "float_double_dot" -> (exprs =>
+      FloatDoubleDotProduct({ checkArity("float_double_dot", exprs, 2 to 2); exprs(0) }, exprs(1))),
+    "long_dot" -> (exprs =>
+      LongDotProduct({ checkArity("long_dot", exprs, 2 to 2); exprs(0) }, exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs(0), MinHashScheme.numHashes)),
     // token_hashes(text[, mod]) — mod defaults to 0 (raw 60-bit hashes).
     // The mod arg accepts any FOLDABLE integral expression (so -1,

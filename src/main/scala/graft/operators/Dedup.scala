@@ -779,6 +779,62 @@ object Dedup extends QueryGroup {
       FROM ranked WHERE rn = 1 ORDER BY cluster_id
     """)),
 
+    // ------------------------------------------------------------ dedup survivor-quality audit (round 11)
+    // Does keep-longest dedup BIAS the corpus? Per source, compare the
+    // docs dedup keeps (cluster canonicals + singletons) against the
+    // docs it drops: counts, token mass, and mean lexical diversity
+    // (type-token ratio). A kept-vs-dropped quality gap is the evidence
+    // for (or against) the q112 keep-longest rule — longer docs often
+    // REPEAT more (lower TTR), so "keep longest" can systematically
+    // keep the less diverse member. Reuses the shared q64 cluster
+    // labels and the q112 canonical argmax (min-struct, map-side
+    // combinable); one tokenize scan for the quality metric.
+    ("q250_dedup_quality_audit", (s, d) => {
+      val canon = clusterLabels(s, d)
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("n_chars"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                size(col("t")).cast("long").as("nt"),
+                size(array_distinct(col("t"))).cast("long").as("ty"))
+      val assigned = docs.join(canon, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .graftCheckpoint() // keep-argmax + audit rollup both read it
+      val keepIds = assigned.groupBy("cluster_id")
+        .agg(min(struct((-col("n_chars")).as("neg_chars"), col("doc_id").as("id")))
+          .getField("id").as("keep_id"))
+      assigned.join(keepIds, "cluster_id")
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .withColumn("ttr", when(col("nt") > 0, col("ty").cast("double") / col("nt")))
+        .groupBy("source", "kept")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+             Quant.quant6(avg("ttr")).as("mean_ttr"))
+        .orderBy("source", "kept")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      toks AS (
+        SELECT doc_id, source, n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents),
+      m AS (SELECT doc_id, source, n_chars, len(t)::BIGINT AS nt,
+                   len(list_distinct(t))::BIGINT AS ty
+            FROM toks),
+      assigned AS (
+        SELECT m.*, coalesce(l.label, m.doc_id) AS cluster_id
+        FROM m LEFT JOIN l3 l ON l.doc_id = m.doc_id),
+      keep AS (
+        SELECT cluster_id, doc_id AS keep_id FROM assigned
+        QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) = 1)
+      SELECT a.source, a.doc_id = k.keep_id AS kept,
+             count(*)::BIGINT AS n_docs, sum(a.nt)::BIGINT AS n_tokens,
+             floor(avg(CASE WHEN a.nt > 0 THEN a.ty::DOUBLE / a.nt END)
+                   * 1000000.0 + 0.5) / 1000000.0 AS mean_ttr
+      FROM assigned a JOIN keep k USING (cluster_id)
+      GROUP BY 1, 2
+      ORDER BY source, kept
+    """)),
+
     // ------------------------------------------------------------ containment join (round 6)
     // DIRECTIONAL set-containment pairs: C(A→B) = |A∩B| / |A| ≥ 0.8
     // over the q61 word-trigram sets — the asymmetric complement to

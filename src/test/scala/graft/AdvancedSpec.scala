@@ -89,10 +89,14 @@ class AdvancedSpec extends AnyFunSuite with SparkFixture {
                 float_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
                 token_hashes('Hello, world', 2147483648L) AS th,
                 simhash64(token_hashes('hello world hello')) AS sh,
-                intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS isz""")
+                intersection_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS isz,
+                float_double_dot(array(1.0f, 2.0f), array(3.0d, 4.0d)) AS fdd,
+                long_dot(array(2L, 3L), array(5L, 7L)) AS ld""")
       .head()
     assert(row.getAs[scala.collection.Seq[Long]]("sig").length == 16)
     assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("fdd") == 11.0)
+    assert(row.getAs[Long]("ld") == 31L)
     assert(row.getAs[scala.collection.Seq[Long]]("th").length == 2)
     assert(row.getAs[Long]("sh") != 0L)
     assert(row.getAs[Int]("isz") == 2)
