@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
 import graft.streaming.Sessionize
 
 /** Sessionization in batch form — two implementations of the same
@@ -127,10 +128,98 @@ object Sessions extends QueryGroup {
         .groupBy(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
         .agg(count(col("err_id")).as("n_overlapping_errors"))
         .orderBy("event_id")
+    }),
+    // ---------------------------------------------------- session-scoped funnel (round 11)
+    // q84's funnel counts steps inside a FIXED time window; product
+    // analytics usually wants them inside a SESSION (30-min gap, the
+    // q29/q30 boundary): view → later click → later purchase, ordered
+    // within one session, each step strictly after the previous by
+    // (ts, event_id). Sessions come from the gaps-and-islands pass
+    // (per-user window — keyed, never global); each step is a
+    // session-keyed argmin + join-back, so the chain is three keyed
+    // aggregates at any scale. Output is the funnel ledger with
+    // step-through rates.
+    "q251_session_funnel" -> ((s, d) => {
+      val gapUs = gapMs * 1000L
+      val wU = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("new_s", when(lag(col("us"), 1).over(wU).isNull ||
+          col("us") - lag(col("us"), 1).over(wU) >= gapUs, 1).otherwise(0))
+        .withColumn("sid", sum("new_s").over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .graftCheckpoint() // all three step passes + the session count read it
+      val key = Seq("user_id", "sid")
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy(key.map(col): _*)
+        .agg(min(struct(col("us"), col("event_id"))).as("t1"))
+      val c2 = ev.filter(col("event_type") === "click")
+        .join(v1, key)
+        .filter(struct(col("us"), col("event_id")) > col("t1"))
+        .groupBy(key.map(col): _*)
+        .agg(min(struct(col("us"), col("event_id"))).as("t2"))
+      val p3 = ev.filter(col("event_type") === "purchase")
+        .join(c2, key)
+        .filter(struct(col("us"), col("event_id")) > col("t2"))
+        .groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("np"))
+      val nS = ev.select(key.map(col): _*).distinct().agg(count(lit(1)).as("n_sessions"))
+      val nV = v1.agg(count(lit(1)).as("n_view"))
+      val nC = c2.agg(count(lit(1)).as("n_view_click"))
+      val nP = p3.agg(count(lit(1)).as("n_full_funnel"))
+      nS.crossJoin(nV).crossJoin(nC).crossJoin(nP)
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"), col("n_full_funnel"),
+          Quant.quant6(col("n_view") / col("n_sessions").cast("double")).as("view_rate"),
+          Quant.quant6(col("n_view_click")
+            / greatest(col("n_view"), lit(1L)).cast("double")).as("click_through"),
+          Quant.quant6(col("n_full_funnel")
+            / greatest(col("n_view_click"), lit(1L)).cast("double")).as("purchase_through"))
     })
   )
 
   override val oracleSql: Map[String, String] = Map(
+    "q251_session_funnel" -> s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        FROM events),
+      st AS (
+        SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                          >= ${gapMs * 1000L}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+      i AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM st),
+      v1 AS (
+        SELECT user_id, sid, us, event_id FROM i WHERE event_type = 'view'
+        QUALIFY row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) = 1),
+      c2 AS (
+        SELECT i.user_id, i.sid, i.us, i.event_id
+        FROM i JOIN v1 ON i.user_id = v1.user_id AND i.sid = v1.sid
+        WHERE i.event_type = 'click'
+          AND (i.us > v1.us OR (i.us = v1.us AND i.event_id > v1.event_id))
+        QUALIFY row_number() OVER (PARTITION BY i.user_id, i.sid ORDER BY i.us, i.event_id) = 1),
+      p3 AS (
+        SELECT DISTINCT i.user_id, i.sid
+        FROM i JOIN c2 ON i.user_id = c2.user_id AND i.sid = c2.sid
+        WHERE i.event_type = 'purchase'
+          AND (i.us > c2.us OR (i.us = c2.us AND i.event_id > c2.event_id))),
+      a AS (SELECT
+              (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM i)) AS n_sessions,
+              (SELECT count(*) FROM v1) AS n_view,
+              (SELECT count(*) FROM c2) AS n_view_click,
+              (SELECT count(*) FROM p3) AS n_full_funnel)
+      SELECT n_sessions::BIGINT AS n_sessions, n_view::BIGINT AS n_view,
+             n_view_click::BIGINT AS n_view_click, n_full_funnel::BIGINT AS n_full_funnel,
+             floor(n_view / n_sessions::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS view_rate,
+             floor(n_view_click / greatest(n_view, 1)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+               AS click_through,
+             floor(n_full_funnel / greatest(n_view_click, 1)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+               AS purchase_through
+      FROM a
+    """.trim,
     "q29_session_window" -> oracle,
     "q30_sessionize_stateful" -> oracle,
     "q60_asof_join" -> """

@@ -972,7 +972,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
   }
 
-  test("q244-q250: round-11 analytics additions stay inside their plan budgets") {
+  test("q244-q251: round-11 analytics additions stay inside their plan budgets") {
     // q244: the multi-touch set comes from a BUCKETED (user, 24h-bin)
     // equi-join on the checkpointed event projection — never a
     // per-purchase history re-scan; purchase-keyed rollups + the 1-row
@@ -993,7 +993,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q249_contingency_residuals" -> (4, 1),
       // q250: cluster labels are checkpoint-truncated (q64's loop);
       // one tokenize scan + cluster-keyed argmax/join-back
-      "q250_dedup_quality_audit" -> (6, 1))
+      "q250_dedup_quality_audit" -> (6, 1),
+      // q251: gaps-and-islands session pass checkpointed; three
+      // session-keyed step aggregates + 1-row ledger crosses
+      "q251_session_funnel" -> (8, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
