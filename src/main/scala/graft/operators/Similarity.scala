@@ -1781,7 +1781,102 @@ object Similarity extends QueryGroup {
       FROM v3, lam, tr, generate_series(1, 64) g(i)
       ORDER BY pos
       """)
-    })
+    }),
+
+    // ------------------------------------------------------------ quantization agreement (round 11)
+    // The deployment question behind q63: if the serving tier answers
+    // with int8-DOT top-10 instead of float-COSINE top-10, how much of
+    // each answer set changes? Per query, |top10_cos ∩ top10_int8|/10
+    // — combining the metric swap (dot vs cosine) and the quantization
+    // error into the one number an index migration is judged on.
+    // Reuses the factored exactTopKOn/int8TopKOn bodies verbatim; the
+    // intersection is a keyed equi-join of two 10-row-per-query lists.
+    ("q252_quantization_agreement", (s, d) => {
+      val ex = exactTopKOn(Tables.fanOut(Tables.embeddings(s, d)), numQueries, topK)
+        .select("query_id", "neighbor_id")
+        .graftCheckpoint() // intersection + the query-id spine both read it
+      val q8 = int8TopKOn(Tables.fanOut(Tables.embeddings(s, d)), numQueries, topK)
+        .select("query_id", "neighbor_id")
+      val common = ex.join(q8, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+      ex.select("query_id").distinct()
+        .join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          quant6(coalesce(col("n_common"), lit(0L)) / lit(topK.toDouble)).as("overlap_frac"))
+        .orderBy("query_id")
+    }, Some(s"""
+      WITH $normedCte,
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   $dotSql / (q.nrm * c.nrm) DESC, c.vec_id) rk
+          FROM e q JOIN e c ON q.vec_id < $numQueries AND c.vec_id <> q.vec_id)
+        WHERE rk <= $topK),
+      q8 AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) mx,
+               list_transform(embedding::DOUBLE[], x ->
+                 CASE WHEN list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) = 0
+                      THEN 0
+                      ELSE floor(x * 127 / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) + 0.5)::BIGINT
+                 END) q8
+        FROM embeddings),
+      quant AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i -> q.q8[i] * c.q8[i]))::DOUBLE
+                     * (q.mx / 127.0) * (c.mx / 127.0) DESC, c.vec_id) rk
+          FROM q8 q JOIN q8 c ON q.vec_id < $numQueries AND c.vec_id <> q.vec_id)
+        WHERE rk <= $topK)
+      SELECT e2.query_id, count(qt.neighbor_id)::BIGINT AS n_common,
+             floor(count(qt.neighbor_id) / ${topK}.0 * 1000000.0 + 0.5) / 1000000.0
+               AS overlap_frac
+      FROM exact e2 LEFT JOIN quant qt
+        ON qt.query_id = e2.query_id AND qt.neighbor_id = e2.neighbor_id
+      GROUP BY e2.query_id
+      ORDER BY e2.query_id
+    """)),
+
+    // ------------------------------------------------------------ embedding coverage audit (round 11)
+    // The cross-table integrity check a multimodal corpus needs before
+    // any similarity tier is trusted: per source, how many docs HAVE an
+    // embedding row (doc_id ↔ vec_id), and does embedding NORM track
+    // doc length (a strong correlation usually means un-normalized
+    // vectors leaking length into cosine)? One keyed left join; norms
+    // via the codegen'd sequential-fold l2Norm (bit-identical to the
+    // oracle's list_sum), correlation quant6'd.
+    ("q253_embedding_coverage_audit", (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+                size(tokens(col("text"))).cast("long").as("nt"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), l2Norm(col("embedding")).as("nrm"))
+      docs.join(emb, docs("doc_id") === emb("vec_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             count(col("nrm")).as("n_with_embedding"),
+             quant6(corr(col("nt").cast("double"), col("nrm"))).as("len_norm_corr"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt
+        FROM documents),
+      e2 AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings)
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+             count(e2.nrm)::BIGINT AS n_with_embedding,
+             floor(corr(nt::DOUBLE, e2.nrm) * 1000000.0 + 0.5) / 1000000.0 AS len_norm_corr
+      FROM d LEFT JOIN e2 ON e2.vec_id = d.doc_id
+      GROUP BY d.source
+      ORDER BY source
+    """))
   )
 
 }

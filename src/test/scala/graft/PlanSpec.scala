@@ -972,7 +972,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("FileScan"), s"q242 re-reads the corpus past the checkpoint:\n$p")
   }
 
-  test("q244-q251: round-11 analytics additions stay inside their plan budgets") {
+  test("q244-q253: round-11 analytics additions stay inside their plan budgets") {
     // q244: the multi-touch set comes from a BUCKETED (user, 24h-bin)
     // equi-join on the checkpointed event projection — never a
     // per-purchase history re-scan; purchase-keyed rollups + the 1-row
@@ -996,7 +996,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q250_dedup_quality_audit" -> (6, 1),
       // q251: gaps-and-islands session pass checkpointed; three
       // session-keyed step aggregates + 1-row ledger crosses
-      "q251_session_funnel" -> (8, 1))
+      "q251_session_funnel" -> (8, 1),
+      // q252: exact + int8 index plans side by side (int8 corpus is
+      // checkpoint-truncated) + id-pair intersection. q253: one keyed
+      // left join + per-source aggregate over two scans.
+      "q252_quantization_agreement" -> (8, 2),
+      "q253_embedding_coverage_audit" -> (3, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
