@@ -548,6 +548,7 @@ object Profiling extends QueryGroup {
       val direct = purchases.join(
           perTouch.select("pid").distinct(), Seq("pid"), "left_anti")
         .agg(count(lit(1)).cast("double").as("credit"), sum("rev").as("revenue"))
+        .filter(col("credit") > 0) // no direct purchases ⇒ no rows (oracle's GROUP BY shape)
         .select(lit("direct").as("channel"), col("credit"), col("revenue"))
         .crossJoin(models)
       linear.unionByName(oneTouch("first_ch", "first"))
