@@ -123,6 +123,44 @@ class Round11Spec extends AnyFunSuite with SparkFixture {
     assert(row.getDouble(2) == rho, s"rho: ${row.getDouble(2)} vs replay $rho")
   }
 
+  test("q247: quality-cut curve matches a sorted sequential cumulative replay") {
+    val m = docsTokens().map { case (id, _, t) => (id, t.length.toLong, t.distinct.length.toLong) }
+      .filter(_._2 > 0)
+    val n = m.length.toLong
+    val totTokens = m.map(_._2).sum
+    val ordered = m.sortBy { case (id, nt, ty) => (-ty.toDouble / nt, id) }
+    val cum = ordered.scanLeft(0L)(_ + _._2).tail // cumulative tokens at each rank
+    val want = (10 to 100 by 10).map { pct =>
+      val rk = (n * pct + 99) / 100
+      pct -> ((rk, cum(rk.toInt - 1), q6(cum(rk.toInt - 1).toDouble / totTokens)))
+    }.toMap
+    val got = run("q247_quality_cut_curve").collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"cut-curve replay: got $got want $want")
+  }
+
+  test("q249: contingency residuals match a closed-form margins replay, grid dense") {
+    val counts = Tables.documents(spark, sfDir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val sources = counts.keys.map(_._1).toSeq.distinct
+    val langs = counts.keys.map(_._2).toSeq.distinct
+    val rowN = sources.map(s0 => s0 -> counts.collect { case ((s, _), c) if s == s0 => c }.sum).toMap
+    val colN = langs.map(l0 => l0 -> counts.collect { case ((_, l), c) if l == l0 => c }.sum).toMap
+    val total = counts.values.sum
+    val want = (for { s0 <- sources; l0 <- langs } yield {
+      val o = counts.getOrElse((s0, l0), 0L)
+      val e = rowN(s0).toDouble * colN(l0) / total
+      val resid = (o - e) / math.sqrt(e)
+      (s0, l0) -> ((o, q6(e), q6(resid), math.abs(resid) > 2.0))
+    }).toMap
+    val got = run("q249_contingency_residuals").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.size == sources.size * langs.size, "grid not dense")
+    assert(got == want, s"residuals replay diverged")
+  }
+
   test("q251: session funnel matches a per-user sequential sessionize + chain replay") {
     val gapUs = 30L * 60L * 1000000L
     val ev = Tables.events(spark, sfDir)
