@@ -12,6 +12,11 @@ the queries' own rounding). Dev tooling only — not part of the library.
 import sys, json, glob, os
 import duckdb
 
+# (query, column) pairs where a pandas-dtype divergence is sanctioned
+# because the driver's typed hash is known to accept it. Keep empty
+# unless proven against a green CORRECTNESS row.
+DTYPE_ALLOWLIST = set()
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -43,8 +48,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(g)} != {len(e_)}"); n_fail += 1; continue
         dt_mismatch = [(c, str(g[c].dtype), str(e_[c].dtype))
                        for c in g.columns if str(g[c].dtype) != str(e_[c].dtype)]
+        # The driver's correctness gate hashes TYPED values, so a dtype
+        # divergence fails it even when the values compare equal (q247,
+        # round 11: DuckDB windowed sum(BIGINT) -> HUGEINT -> float64 vs
+        # Spark int64). Treat it as a hard FAIL here too; allowlist any
+        # case the driver is known to accept (none currently).
+        dt_mismatch = [m for m in dt_mismatch
+                       if (name, m[0]) not in DTYPE_ALLOWLIST]
         if dt_mismatch:
-            print(f"WARN {name}: dtype mismatch {dt_mismatch}")
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1; continue
         g = g.sort_values(by=list(g.columns)).reset_index(drop=True)
         e_ = e_.sort_values(by=list(e_.columns)).reset_index(drop=True)
         try:

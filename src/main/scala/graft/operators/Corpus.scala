@@ -807,7 +807,7 @@ object Corpus extends QueryGroup {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
             FROM m),
       cuts AS (SELECT unnest(generate_series(10, 100, 10)) AS pct)
-      SELECT c.pct::INT AS pct, r.rk AS n_docs_kept, r.cum_tokens AS tokens_kept,
+      SELECT c.pct::INT AS pct, r.rk AS n_docs_kept, r.cum_tokens::BIGINT AS tokens_kept,
              floor(r.cum_tokens::DOUBLE / tot.tot_tokens * 1000000.0 + 0.5) / 1000000.0
                AS token_share
       FROM cuts c CROSS JOIN tot

@@ -140,8 +140,9 @@ object Graph extends QueryGroup {
     * recursive CTE computes min-reachable-label to ITS fixpoint — so
     * the green row certifies the converged loop itself, with no
     * cap-equals-oracle-k argument anywhere. cap = 40 is a safety
-    * bound only (sf0.01 converges in 11 rounds; the require below
-    * turns a capped exit into a loud failure, never a wrong answer).
+    * bound only (sf0.01 converges in 6 rounds with path-halving, 11
+    * without; the require below turns a capped exit into a loud
+    * failure, never a wrong answer).
     */
   private[graft] def convergedComponents(s: SparkSession, d: String,
                                          cap: Int = 40): Iterative.Converged[DataFrame] = {
@@ -149,18 +150,30 @@ object Graph extends QueryGroup {
     // round 1 fused into initialization: with identity labels, the
     // first least(own, min-neighbor) update is just min(x, min(y)) —
     // one aggregate instead of a two-join round. Rounds thereafter
-    // are O(component diameter); co-purchase (and near-dup) graphs
-    // are small-world so the loop is shallow, and if a deep-diameter
-    // graph ever showed up the step admits the standard path-halving
-    // (label ← label[label]) shortcut without changing the fixpoint.
+    // are O(log diameter) thanks to the path-halving shortcut inside
+    // the step (below) — the deep-diameter safety every 100×-scale
+    // graph needs, at the cost of one extra keyed join per round.
     val labels0 = sym.groupBy(col("x").as("node"))
       .agg(least(min(col("y")), min(col("x"))).as("label")) // x is the group key: min(x) = x
       .graftCheckpoint()
     Iterative.convergeOn(labels0, cap) { labels =>
       val nbrMin = sym.join(labels, col("y") === col("node"))
         .groupBy("x").agg(min("label").as("nbr_label"))
-      labels.join(nbrMin, col("node") === col("x"))
+      val stepped = labels.join(nbrMin, col("node") === col("x"))
         .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
+        .graftCheckpoint() // self-joined below — barrier, don't recompute
+      // Path-halving / pointer jumping (VERDICT r11 item 4): shortcut
+      // label <- min(label, label-of-label) on the JUST-stepped table,
+      // so the covered distance ~doubles per round — O(log diameter)
+      // synchronous barriers instead of O(diameter). Labels only
+      // decrease (least + coalesce), so the fixpoint — min label per
+      // component — is unchanged; the left join tolerates a label that
+      // is not a node key (cannot happen on a symmetric graph, but
+      // never drop a row).
+      val hop = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
+      stepped.join(hop, stepped("label") === hop("pnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .graftCheckpoint()
     } { labels =>
       val r = labels.agg(
@@ -691,13 +704,17 @@ object Graph extends QueryGroup {
     // id (min node id in the component) and the component size — the
     // "which parts sell together as a family" rollup q210's peel and
     // q116's triangles both presuppose.
-    // Bench note: ~7 s at sf0.1 — the corpus's slowest query, and
+    // Bench note: ~5-5.5 s at sf0.1 — the corpus's slowest query, and
     // expectedly so: it pays the q210-class wedge-enumeration edge
-    // build PLUS ~7 convergence rounds each running a keyed
-    // join/agg + checkpoint + the witness aggregate. Per-round cost
-    // here is scheduling overhead on a ~6k-row relation; at real
-    // scale the keyed joins dominate and round count stays shallow
-    // (small-world diameter, or path-halving if not).
+    // build PLUS the convergence rounds (6 witnessed at sf0.1 with
+    // path-halving, down from ~7/11 plain; each round = gather join +
+    // jump join + checkpoint + witness aggregate). Per-round cost here
+    // is scheduling overhead on a ~6k-row relation, so the extra jump
+    // join roughly cancels the saved rounds LOCALLY (5.0→5.5 s,
+    // inside the noise band); the trade is bought for scale, where a
+    // round is a cluster-wide synchronous barrier and O(log diameter)
+    // vs O(diameter) rounds decides whether a 100×-deeper graph
+    // finishes (11→6 rounds already at sf0.01).
     ("q242_converged_components", (s, d) => {
       val res = convergedComponents(s, d)
       require(res.converged,

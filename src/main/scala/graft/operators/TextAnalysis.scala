@@ -569,7 +569,16 @@ object TextAnalysis extends QueryGroup {
         .agg(count(lit(1)).as("n_points"),
              round(expr("regr_slope(ln(vocab), ln(cum_tok))"), 6).as("beta"),
              round(expr("regr_intercept(ln(vocab), ln(cum_tok))"), 6).as("ln_k"),
-             round(expr("regr_r2(ln(vocab), ln(cum_tok))"), 6).as("r2"))
+             // zero-variance guard (round 12): on a degenerate corpus
+             // where every type is first seen in bucket 0 the vocab
+             // curve is CONSTANT and r² is 0/0 — DuckDB's regr_r2
+             // then returns thread-order-dependent noise (observed
+             // 0.146/0.296/1.0 across runs at sf0.001) while Spark
+             // returns 1.0. count(DISTINCT) is integer-exact in both
+             // engines, so pin the degenerate case to 1.0 (a constant
+             // is fit perfectly by slope 0).
+             round(expr("CASE WHEN count(DISTINCT vocab) <= 1 THEN 1.0 " +
+                        "ELSE regr_r2(ln(vocab), ln(cum_tok)) END"), 6).as("r2"))
     }, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest($toksSql) AS tok FROM documents),
@@ -592,7 +601,8 @@ object TextAnalysis extends QueryGroup {
       SELECT count(*)::BIGINT AS n_points,
              round(regr_slope(ln(vocab), ln(cum_tok)), 6) AS beta,
              round(regr_intercept(ln(vocab), ln(cum_tok)), 6) AS ln_k,
-             round(regr_r2(ln(vocab), ln(cum_tok)), 6) AS r2
+             round(CASE WHEN count(DISTINCT vocab) <= 1 THEN 1.0
+                        ELSE regr_r2(ln(vocab), ln(cum_tok)) END, 6) AS r2
       FROM curve
     """)),
 

@@ -32,7 +32,9 @@ object SlidingDistinct {
 
   case class Stamped(user_id: Long, event_id: Long, ts: Instant,
                      event_type: String, is_new_type: Boolean, n_distinct: Int)
-  private case class TimerBook(timerMs: Long)
+  // NOT private: Encoders.product codegen (Janino) can't call accessors on a
+  // private case class and silently falls back to interpreted serialization.
+  case class TimerBook(timerMs: Long)
 
   private def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
 

@@ -58,7 +58,10 @@ object WindowTopK {
   case class TopEntry(event_id: Long, tsUs: Long, value: Double)
   case class Admitted(user_id: Long, event_id: Long, ts: Instant,
                       value: Double, rank_at_admission: Int, topk_size: Int)
-  private case class TimerBook(timerMs: Long)
+  // NOT private: Encoders.product codegen (Janino) can't call accessors on a
+  // private case class and silently falls back to interpreted serialization
+  // (one compilerError stack per micro-batch).
+  case class TimerBook(timerMs: Long)
 
   private def us(t: Instant): Long = t.getEpochSecond * 1000000L + t.getNano / 1000L
 

@@ -68,6 +68,12 @@ class IterativeSpec extends AnyFunSuite with SparkFixture {
     // the identity), and each label is the min node id it covers.
     val res = Graph.convergedComponents(spark, sfDir)
     assert(res.converged, s"CC propagation hit the cap (rounds=${res.rounds})")
+    // path-halving witness (round 12): the pointer-jump shortcut must
+    // keep the round count logarithmic — this fixture converges in 2
+    // rounds (plain propagation took 4+); a regression to linear
+    // O(diameter) rounds would show up here long before it hurts a
+    // deep-diameter graph at scale.
+    assert(res.rounds <= 4, s"CC took ${res.rounds} rounds — path-halving regressed?")
     val labels = res.state
     val sym = Graph.strongSym(spark, sfDir)
     val inconsistent = sym

@@ -66,6 +66,17 @@ class RecallSpec extends AnyFunSuite with SparkFixture {
     // int8 is a bandwidth rung — accuracy floor only (see notes)
     assert(timings("q63_quantized_topk").recall >= 0.9,
       s"int8 100k recall ${timings("q63_quantized_topk").recall} < 0.9")
+    // int8 wall-time is EXPECTED below 1.0 in a local in-memory run:
+    // its win is scan BYTES (the quantized corpus is 4x smaller at
+    // rest), which a RAM-resident 100k-vector task can't feel. Pin the
+    // committed value to a band so a silent collapse (e.g. the plan
+    // regressing to re-quantizing per query — measured 10x before the
+    // graftCheckpoint barrier) or an unexplained flip both surface
+    // here instead of reading as noise (VERDICT r11 item 5).
+    val s8 = timings("q63_quantized_topk").speedup
+    assert(s8 > 0.4 && s8 < 1.6,
+      s"int8 100k speedup $s8 outside pinned band (0.4, 1.6) — " +
+        "re-audit the q63 plan and update RECALL.json notes if intentional")
   }
 
   test("clustered fixture is deterministic and covers every cluster with queries") {
