@@ -1065,6 +1065,104 @@ object Profiling extends QueryGroup {
       FROM r
       GROUP BY 1
       ORDER BY bin
+    """)),
+
+    // ------------------------------------------------------------ k-anonymity audit (round 12)
+    // Data-governance profile before a dataset leaves the pipeline:
+    // group rows into equivalence classes on their quasi-identifiers
+    // (nation + account-balance band — the columns a re-identifier
+    // would join on), then report the class-size (k) distribution and
+    // the worst-case l-diversity (min distinct sensitive values per
+    // class, sensitive = market segment) per size bucket. Rows in
+    // k=1 classes are unique on their QIs — directly re-identifiable;
+    // min_l = 1 means an entire class shares one sensitive value, so
+    // membership alone leaks it. Scale shape: ONE shuffle on the QI
+    // tuple; the class relation is bounded by the QI domain (|nations|
+    // × |balance bands| ≈ 275), so the bucket rollup and the 1-row
+    // total broadcast never touch data-sized input.
+    ("q254_k_anonymity_audit", (s, d) => {
+      val classes = Tables.fanOut(Tables.customer(s, d))
+        .groupBy(col("c_nationkey"), floor(col("c_acctbal") / 1000.0).as("bal_band"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("c_mktsegment")).as("l"))
+      val bucketed = classes
+        .withColumn("k_bucket",
+          when(col("k") === 1, "1").when(col("k") < 5, "2-4")
+            .when(col("k") < 10, "5-9").otherwise("10+"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"), min("l").as("min_l"))
+      val tot = bucketed.agg(sum("n_rows").as("tot"))
+      bucketed.crossJoin(broadcast(tot))
+        .select(col("k_bucket"), col("n_classes"), col("n_rows"), col("min_l"),
+          Quant.quant6(col("n_rows").cast("double") / col("tot")).as("row_share"))
+        .orderBy("k_bucket")
+    }, Some(s"""
+      WITH cls AS (
+        SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+               count(*)::BIGINT AS k, count(DISTINCT c_mktsegment)::BIGINT AS l
+        FROM customer GROUP BY 1, 2),
+      b AS (
+        SELECT CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+                    WHEN k < 10 THEN '5-9' ELSE '10+' END AS k_bucket,
+               count(*)::BIGINT AS n_classes, sum(k)::BIGINT AS n_rows,
+               min(l)::BIGINT AS min_l
+        FROM cls GROUP BY 1),
+      tot AS (SELECT sum(n_rows)::BIGINT AS tot FROM b)
+      SELECT k_bucket, n_classes, n_rows, min_l,
+             ${Quant.quant6Sql("n_rows::DOUBLE / tot")} AS row_share
+      FROM b, tot ORDER BY k_bucket
+    """)),
+
+    // ------------------------------------------------------------ Theil–Sen robust trend (round 12)
+    // Per-event-type daily-volume trend fit two ways: ordinary least
+    // squares (regr_slope — one outlier day can drag it anywhere) and
+    // the Theil–Sen estimator (median of all pairwise slopes — 29%
+    // breakdown point), the robust-statistics cross-check a drift
+    // monitor wants before alerting on a "trend". Determinism: the
+    // daily counts are integers, so every pairwise slope is the same
+    // exact double on both engines, and median interpolates the two
+    // middle values identically; regr_slope's internal sums stay in
+    // exact-integer double range. Scale shape: one shuffle aggregates
+    // events to the (type × day) relation, which is CALENDAR-bounded,
+    // not data-bounded — the O(days²) pairwise join never grows with
+    // row count, only with elapsed time (~7k pairs per type per
+    // decade; cap the window before the join if a century of days
+    // ever accumulates).
+    ("q257_theil_sen_trend", (s, d) => {
+      val daily = Tables.fanOut(Tables.events(s, d))
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .graftCheckpoint() // self-joined + re-aggregated below
+      val b = daily.select(col("event_type").as("et2"), col("day").as("d2"), col("cnt").as("c2"))
+      val sen = daily.join(b, col("event_type") === col("et2") && col("day") < col("d2"))
+        .select(col("event_type"),
+          ((col("c2") - col("cnt")).cast("double") / (col("d2") - col("day"))).as("slope"))
+        .groupBy("event_type")
+        .agg(Quant.quant6(expr("median(slope)")).as("sen_slope"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             Quant.quant6(expr("regr_slope(cnt, day)")).as("ols_slope"))
+        .join(sen, "event_type")
+        .select("event_type", "n_days", "sen_slope", "ols_slope")
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT event_type, datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+      sen AS (
+        SELECT a.event_type,
+               ${Quant.quant6Sql("median((b.cnt - a.cnt)::DOUBLE / (b.day - a.day))")} AS sen_slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1),
+      ols AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               ${Quant.quant6Sql("regr_slope(cnt, day)")} AS ols_slope
+        FROM daily GROUP BY 1)
+      SELECT o.event_type, o.n_days, s.sen_slope, o.ols_slope
+      FROM ols o JOIN sen s USING (event_type)
+      ORDER BY event_type
     """))
   )
 }

@@ -533,6 +533,43 @@ object Selection extends QueryGroup {
       CROSS JOIN grand
       GROUP BY split
       ORDER BY split
+    """)),
+
+    // ------------------------------------------------------------ effective sample size (round 12)
+    // Kish's ESS = (Σw)²/Σw² per source — the "how many EQUAL-weight
+    // documents is this weighted pile worth" number behind every
+    // mixture-reweighting decision (a source whose ess_ratio ≪ 1 is
+    // dominated by a few huge documents; upweighting it buys far less
+    // signal than its row count suggests). Weights here are document
+    // lengths (n_chars) — the weighting a token-budget sampler
+    // implicitly applies. Determinism: Σw and Σw² are exact integer
+    // sums (order-free); the two divisions happen once per source on
+    // those exact values, then quant6. One partial-aggregated shuffle
+    // on source; output bounded by the source registry.
+    ("q258_effective_sample_size", (s, d) => {
+      Tables.fanOut(Tables.documents(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_w"),
+             sum(col("n_chars") * col("n_chars")).as("sum_w2"))
+        .select(col("source"), col("n_docs"), col("sum_w"),
+          graft.operators.Quant.quant6(
+            (col("sum_w").cast("double") * col("sum_w")) / col("sum_w2")).as("ess"),
+          graft.operators.Quant.quant6(
+            (col("sum_w").cast("double") * col("sum_w")) /
+              (col("sum_w2") * col("n_docs"))).as("ess_ratio"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_w,
+               sum(n_chars * n_chars)::BIGINT AS sum_w2
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, sum_w,
+             ${graft.operators.Quant.quant6Sql("(sum_w::DOUBLE * sum_w) / sum_w2")} AS ess,
+             ${graft.operators.Quant.quant6Sql("(sum_w::DOUBLE * sum_w) / (sum_w2 * n_docs)")} AS ess_ratio
+      FROM agg
+      ORDER BY source
     """))
   )
 }

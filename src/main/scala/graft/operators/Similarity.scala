@@ -1876,7 +1876,132 @@ object Similarity extends QueryGroup {
       FROM d LEFT JOIN e2 ON e2.vec_id = d.doc_id
       GROUP BY d.source
       ORDER BY source
-    """))
+    """)),
+
+    // ------------------------------------------------------------ embedding anisotropy audit (round 12)
+    // Representation-collapse check (Ethayarajh 2019: contextual
+    // embeddings are anisotropic — they occupy a narrow cone, and a
+    // high mean pairwise cosine degrades every similarity tier above).
+    // The naive estimator is all-pairs; the identity
+    //   Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σ v̂ᵢ‖² − n
+    // collapses it to ONE pass: per-dimension sums of the normalized
+    // vectors (posexplode → 64-row aggregate with map-side partials),
+    // then driver-free scalar math on the 64-row relation. Also
+    // reports the dominant mean dimension and its energy share —
+    // a single "rogue dimension" (Timkey & van Schijndel 2021)
+    // carrying most of ‖Σv̂‖² is the usual anisotropy culprit. No
+    // pairs anywhere: O(n·d) scan, 64-row downstream, scale-flat.
+    ("q255_embedding_anisotropy", (s, d) => {
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val dims = e
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("nrm"))
+        .groupBy("dim")
+        .agg(sum(col("x").cast("double") / col("nrm")).as("sd"))
+        .graftCheckpoint() // feeds the energy total AND the top-dim pick
+      val energy = dims.agg(sum(col("sd") * col("sd")).as("s2"))
+      val top = dims.orderBy(abs(col("sd")).desc, col("dim")).limit(1)
+        .select(col("dim").cast("long").as("top_dim"), (col("sd") * col("sd")).as("top_e"))
+      val stats = e.agg(count(lit(1)).as("n_vectors"), sum("nrm").as("sn"))
+      stats.crossJoin(broadcast(energy)).crossJoin(broadcast(top))
+        .select(col("n_vectors"),
+          quant6(col("sn") / col("n_vectors")).as("mean_norm"),
+          quant6((col("s2") - col("n_vectors")) /
+                 (col("n_vectors") * (col("n_vectors") - lit(1L)))).as("mean_pairwise_cos"),
+          col("top_dim"),
+          quant6(col("top_e") / col("s2")).as("top_dim_share"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) nrm
+        FROM embeddings),
+      dims AS (
+        SELECT i - 1 AS dim, sum(v[i] / nrm) AS sd
+        FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+      energy AS (SELECT sum(sd * sd) AS s2 FROM dims),
+      top AS (SELECT dim::BIGINT AS top_dim, sd * sd AS top_e
+              FROM dims ORDER BY abs(sd) DESC, dim LIMIT 1),
+      stats AS (SELECT count(*)::BIGINT AS n_vectors, sum(nrm) AS sn FROM e)
+      SELECT n_vectors,
+             ${quant6Sql("sn / n_vectors")} AS mean_norm,
+             ${quant6Sql("(s2 - n_vectors) / (n_vectors * (n_vectors - 1))")} AS mean_pairwise_cos,
+             top_dim,
+             ${quant6Sql("top_e / s2")} AS top_dim_share
+      FROM stats, energy, top
+    """)),
+
+    // ------------------------------------------------------------ greedy k-center coreset (round 12)
+    // Diversity-first data selection (farthest-point traversal — the
+    // classic 2-approximation to the k-center objective, and the
+    // geometric heart of coreset pickers for training-data curation):
+    // seed with vec_id 0, then k−1 times add the point FARTHEST from
+    // every chosen center. The emitted radius at each step is the
+    // covering radius the selection has achieved so far — the whole
+    // curve is the "how much diversity does the next center buy"
+    // diagnostic. Scale shape (the textbook incremental form): state
+    // is ONE double per point (min squared distance to the chosen
+    // set), each round updates it against ONLY the newest center
+    // (broadcast 1 row) — O(n·d) per round, k rounds, no pairwise
+    // join anywhere; only the winner's id crosses the driver per
+    // round (the q137 selection-state boundary). Distances are
+    // nsqₐ + nsq_b − 2·a·b with every Σ a sequential fold, so both
+    // engines walk one IEEE sequence and the argmax can't flip.
+    ("q256_kcenter_coreset", (s, d) => {
+      val k = 8
+      val e = Tables.fanOut(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+        .graftCheckpoint() // scanned once per round against evolving state
+      var centerId = 0L
+      var state: DataFrame = null // (vec_id, md): min distSq to chosen set
+      var rows = Vector[(Long, Long, Double)]((1L, 0L, 0.0))
+      for (step <- 2 to k) {
+        val c = e.filter(col("vec_id") === centerId)
+          .select(col("embedding").as("cv"), col("nsq").as("cnsq"))
+        val nd = e.crossJoin(broadcast(c))
+          .select(col("vec_id"),
+            (col("nsq") + col("cnsq") - lit(2.0) * dot(col("embedding"), col("cv"))).as("nmd"))
+        val next =
+          if (state == null) nd.select(col("vec_id"), col("nmd").as("md"))
+          else state.join(nd, "vec_id")
+            .select(col("vec_id"), least(col("md"), col("nmd")).as("md"))
+        state = next.graftCheckpoint()
+        val w = state.orderBy(col("md").desc, col("vec_id")).limit(1).collect()(0)
+        centerId = w.getAs[Long]("vec_id")
+        rows :+= ((step.toLong, centerId, w.getAs[Double]("md")))
+      }
+      import s.implicits._
+      rows.toDF("step", "center_id", "radius_sq_raw")
+        .select(col("step"), col("center_id"),
+                quant6(col("radius_sq_raw")).as("radius_sq"))
+        .orderBy("step")
+    }, Some {
+      val distSql =
+        "e.nsq + c.nsq - 2 * list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.v[i]))"
+      val steps = (2 to 8).map { i =>
+        s"""w$i AS (SELECT vec_id, md FROM m${i - 1} ORDER BY md DESC, vec_id LIMIT 1),
+        m$i AS (
+          SELECT e.vec_id, least(m${i - 1}.md, $distSql) AS md
+          FROM e
+          JOIN m${i - 1} ON m${i - 1}.vec_id = e.vec_id
+          JOIN e c ON c.vec_id = (SELECT vec_id FROM w$i))"""
+      }.mkString(",\n      ")
+      val outs = (2 to 8).map(i =>
+        s"SELECT ${i}::BIGINT AS step, vec_id AS center_id, " +
+        s"floor(md * 1000000.0 + 0.5) / 1000000.0 AS radius_sq FROM w$i")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] v,
+               list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) nsq
+        FROM embeddings),
+      m1 AS (
+        SELECT e.vec_id, $distSql AS md
+        FROM e JOIN e c ON c.vec_id = 0),
+      $steps
+      SELECT 1::BIGINT AS step, 0::BIGINT AS center_id, 0.0 AS radius_sq
+      UNION ALL $outs
+      ORDER BY step
+    """})
   )
 
 }

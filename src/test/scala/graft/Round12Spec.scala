@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequential-replay references for the round-12 additions
+  * (Round10/11Spec's discipline): recompute each query's answer with a
+  * plain driver-side fold over collected rows — no Spark operators —
+  * so a bug shared by the distributed plan AND its similarly-shaped
+  * oracle SQL is still caught. Integer outputs compare exactly;
+  * metrics that aggregate floats in arbitrary order compare at 1e-6.
+  */
+class Round12Spec extends AnyFunSuite with SparkFixture {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def close(a: Double, b: Double, tol: Double = 1e-6): Boolean =
+    math.abs(a - b) <= tol
+
+  test("q254: k-anonymity buckets match a hand-rolled equivalence-class fold") {
+    val rows = Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => ((r.getInt(0), math.floor(r.getDouble(1) / 1000.0)), r.getString(2)))
+    val classes = rows.groupBy(_._1).toSeq.map { case (_, es) =>
+      (es.length.toLong, es.map(_._2).distinct.length.toLong)
+    }
+    def bucket(k: Long) =
+      if (k == 1) "1" else if (k < 5) "2-4" else if (k < 10) "5-9" else "10+"
+    val want = classes.groupBy(c => bucket(c._1)).map { case (b, cs) =>
+      b -> (cs.length.toLong, cs.map(_._1).sum, cs.map(_._2).min)
+    }
+    val total = classes.map(_._1).sum.toDouble
+    val got = run("q254_k_anonymity_audit").collect()
+    assert(got.length == want.size, s"bucket count: ${got.length} vs ${want.size}")
+    got.foreach { r =>
+      val b = r.getAs[String]("k_bucket")
+      val (nc, nr, ml) = want(b)
+      assert(r.getAs[Long]("n_classes") == nc, s"$b n_classes")
+      assert(r.getAs[Long]("n_rows") == nr, s"$b n_rows")
+      assert(r.getAs[Long]("min_l") == ml, s"$b min_l")
+      assert(close(r.getAs[Double]("row_share"), q6(nr / total)), s"$b row_share")
+    }
+  }
+
+  test("q255: anisotropy via the centroid-norm identity equals the naive all-pairs mean") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val normed = vecs.map { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(_ / n)
+    }
+    val n = normed.length
+    // naive all-pairs mean cosine — the thing the identity must equal
+    var acc = 0.0
+    for (i <- normed.indices; j <- normed.indices if i != j)
+      acc += normed(i).zip(normed(j)).map { case (a, b) => a * b }.sum
+    val naive = acc / (n.toLong * (n - 1))
+    val got = run("q255_embedding_anisotropy").collect()(0)
+    assert(got.getAs[Long]("n_vectors") == n.toLong)
+    assert(close(got.getAs[Double]("mean_pairwise_cos"), naive, 1e-5),
+      s"identity diverged from all-pairs: ${got.getAs[Double]("mean_pairwise_cos")} vs $naive")
+    // top_dim really is the argmax of |per-dim mean|
+    val sd = (0 until 64).map(d => normed.map(_(d)).sum)
+    val top = sd.indices.maxBy(d => (math.abs(sd(d)), -d))
+    assert(got.getAs[Long]("top_dim") == top.toLong, s"top_dim ${got.getAs[Long]("top_dim")} vs $top")
+    val s2 = sd.map(x => x * x).sum
+    assert(close(got.getAs[Double]("top_dim_share"), sd(top) * sd(top) / s2, 1e-5))
+  }
+
+  test("q256: greedy k-center selection matches a sequential farthest-point traversal") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def nsq(v: Array[Double]) = v.foldLeft(0.0)((a, x) => a + x * x)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], b: Array[Double]) = nsq(a) + nsq(b) - 2 * dot(a, b)
+    var md = vecs.map { case (id, v) => id -> d2(v, vecs(0L)) }
+    var want = Vector((1L, 0L, 0.0))
+    for (step <- 2 to 8) {
+      val (wid, wmd) = md.toSeq.maxBy { case (id, m) => (m, -id) }
+      want :+= ((step.toLong, wid, q6(wmd)))
+      md = md.map { case (id, m) => id -> math.min(m, d2(vecs(id), vecs(wid))) }
+    }
+    val got = run("q256_kcenter_coreset").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("center_id"), r.getAs[Double]("radius_sq")))
+    assert(got.map(t => (t._1, t._2)).toSeq == want.map(t => (t._1, t._2)),
+      s"center sequence: ${got.toSeq} vs $want")
+    got.zip(want).foreach { case (g, w) =>
+      assert(close(g._3, w._3), s"radius at step ${g._1}: ${g._3} vs ${w._3}")
+    }
+    // selection-quality sanity: covering radius is non-increasing
+    val radii = got.sortBy(_._1).map(_._3).drop(1).toSeq // step 1's 0.0 is a placeholder
+    radii.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"covering radius increased: $radii")
+    }
+  }
+
+  test("q257: Theil–Sen slope is the median of all pairwise slopes (and shrugs at an outlier)") {
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "datediff(cast(ts as date), date'2024-01-01') as day")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val daily = evs.groupBy(identity).map { case ((t, d), xs) => (t, d, xs.length.toLong) }
+      .groupBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2.0
+    }
+    val got = run("q257_theil_sen_trend").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("sen_slope")))).toMap
+    daily.foreach { case (t, ds) =>
+      val pts = ds.map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+      val slopes = for {
+        (d1, c1) <- pts; (d2, c2) <- pts if d1 < d2
+      } yield (c2 - c1).toDouble / (d2 - d1)
+      val (nd, sen) = got(t)
+      assert(nd == pts.length.toLong, s"$t n_days")
+      assert(close(sen, q6(median(slopes))), s"$t sen_slope $sen vs ${median(slopes)}")
+    }
+    // robustness property: corrupting one day's count moves OLS but
+    // leaves the sen slope within the pairwise-median's tolerance
+    val t0 = daily.keys.min
+    val pts = daily(t0).map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+    val corrupted = pts.updated(0, (pts(0)._1, pts(0)._2 + 100000L))
+    def sen(ps: Seq[(Int, Long)]) = median(for {
+      (d1, c1) <- ps; (d2, c2) <- ps if d1 < d2
+    } yield (c2 - c1).toDouble / (d2 - d1))
+    val shift = math.abs(sen(corrupted) - sen(pts))
+    assert(shift < 100.0, s"Theil–Sen swung $shift under a single outlier — not robust?")
+  }
+
+  test("q258: Kish ESS matches the exact integer-sum formula per source") {
+    val rows = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val w = ds.map(_._2)
+      val sw = w.sum; val sw2 = w.map(x => x * x).sum
+      src -> ((ds.length.toLong, sw, q6(sw.toDouble * sw / sw2),
+               q6(sw.toDouble * sw / (sw2 * ds.length))))
+    }
+    val got = run("q258_effective_sample_size").collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, sw, ess, ratio) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("sum_w") == sw)
+      assert(close(r.getAs[Double]("ess"), ess))
+      assert(close(r.getAs[Double]("ess_ratio"), ratio))
+      // ESS can never exceed the row count
+      assert(r.getAs[Double]("ess") <= n + 1e-9)
+    }
+  }
+}

@@ -613,4 +613,57 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("Attribution inner join emits lag_sec for in-horizon clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.Attribution.attributed(
+      imps.toDF().toDF("imp_id", "user_id", "imp_ts"),
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      horizonSec = 600L, delaySec = 300L)
+    val q = RecordStream.startSink(out, "memory", "attr_inner_sink", tmp("ck-attr-i"), 100L)
+    imps.addData((10L, 1L, ts(0)), (11L, 2L, ts(0)))
+    clicks.addData((20L, 1L, ts(5)))   // 5 min after imp 10 → match, lag 300 s
+    clicks.addData((21L, 2L, ts(30)))  // 30 min after imp 11 → outside horizon
+    q.processAllAvailable()
+    val rows = spark.table("attr_inner_sink").collect()
+      .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id"), r.getAs[Long]("lag_sec")))
+    q.stop()
+    assert(rows.toSeq == Seq((10L, 20L, 300L)), s"got ${rows.toSeq}")
+  }
+
+  test("Attribution left-outer certifies unconverted impressions with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.Attribution.attributedLeftOuter(
+      imps.toDF().toDF("imp_id", "user_id", "imp_ts"),
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      horizonSec = 600L, delaySec = 300L)
+    val q = RecordStream.startSink(out, "memory", "attr_outer_sink", tmp("ck-attr-o"), 100L)
+    imps.addData((10L, 1L, ts(0)), (11L, 2L, ts(0)))
+    clicks.addData((20L, 1L, ts(5)))   // user 1 converts; user 2 never does
+    q.processAllAvailable()
+    // the null row must NOT appear yet — the horizon is still open
+    val early = spark.table("attr_outer_sink").collect()
+    assert(!early.exists(_.isNullAt(early.head.fieldIndex("click_id"))),
+      s"null row emitted before the watermark closed the horizon: ${early.toSeq}")
+    // advance BOTH watermarks far past imp_ts + horizon + delay
+    imps.addData((12L, 3L, ts(120)))
+    clicks.addData((22L, 3L, ts(200)))  // outside imp 12's horizon: also unmatched
+    q.processAllAvailable()
+    imps.addData((13L, 4L, ts(400)))    // one more batch so evicted state is flushed
+    clicks.addData((23L, 4L, ts(400)))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer_sink").collect()
+      .map(r => (r.getAs[Long]("imp_id"),
+                 if (r.isNullAt(r.fieldIndex("click_id"))) -1L else r.getAs[Long]("click_id")))
+    q.stop()
+    assert(rows.contains((10L, 20L)), s"matched pair lost: ${rows.toSeq}")
+    assert(rows.contains((11L, -1L)),
+      s"unconverted impression 11 never certified with a null click: ${rows.toSeq}")
+  }
 }
