@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-import graft.expressions.{FloatDotProduct, FloatDoubleDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, LongDotProduct, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
+import graft.expressions.{AudioMetaExpr, FloatDotProduct, FloatDoubleDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, LongDotProduct, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
   * so `spark.sql("SELECT float_dot(a, b) ...")` works alongside the
@@ -33,6 +33,7 @@ object GraftFunctions {
     "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))),
     "jaro_winkler" -> (exprs => JaroWinkler({ checkArity("jaro_winkler", exprs, 2 to 2); exprs(0) }, exprs(1))),
     "image_meta" -> (exprs => ImageMetaExpr({ checkArity("image_meta", exprs, 1 to 1); exprs(0) })),
+    "audio_meta" -> (exprs => AudioMetaExpr({ checkArity("audio_meta", exprs, 1 to 1); exprs(0) })),
     // SQL surface over Spark's internal bloom expressions (the names
     // Catalyst itself uses, which FunctionRegistry does not expose;
     // the analyzer wraps a bare AggregateFunction from a builder).

@@ -744,6 +744,101 @@ object Graph extends QueryGroup {
       SELECT c.node, c.component, s.component_size
       FROM comp c JOIN sizes s USING (component)
       ORDER BY node
+    """)),
+
+    // ------------------------------------------------------------ degree assortativity (round 12)
+    // Newman's assortativity coefficient: the Pearson correlation of
+    // endpoint degrees over the (symmetric) edge list — do high-degree
+    // parts co-purchase with other hubs (r > 0, resilient core) or
+    // with leaves (r < 0, hub-and-spoke, typical of co-occurrence
+    // graphs)? The number that says whether q210's k-core peel will
+    // find a dense nucleus or shred the graph. Scale shape: degrees
+    // are one keyed aggregate over the checkpointed edge list; the
+    // correlation runs over edges with two degree join-backs — every
+    // step keyed, nothing quadratic, output one row.
+    ("q260_degree_assortativity", (s, d) => {
+      val sym = strongSym(s, d)
+      val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+        .graftCheckpoint() // joined back on both endpoints
+      val dx = deg.select(col("node").as("x"), col("deg").as("dx"))
+      val dy = deg.select(col("node").as("y"), col("deg").as("dy"))
+      val edgeStats = sym.join(dx, "x").join(dy, "y")
+        .agg(expr("count(1) DIV 2").as("n_edges"),
+             Quant.quant6(corr(col("dx").cast("double"), col("dy").cast("double")))
+               .as("assortativity"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(edgeStats))
+        .select("n_nodes", "n_edges", "assortativity")
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+      deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM sym GROUP BY x),
+      es AS (
+        SELECT (count(*) // 2)::BIGINT AS n_edges,
+               floor(corr(a.deg::DOUBLE, b.deg::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                 AS assortativity
+        FROM sym e JOIN deg a ON a.node = e.x JOIN deg b ON b.node = e.y)
+      SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes, n_edges, assortativity
+      FROM es
+    """)),
+
+    // ------------------------------------------------------------ rich-club coefficient (round 12)
+    // φ(k) = 2·E₍>k₎ / (N₍>k₎·(N₍>k₎−1)): edge density among nodes of
+    // degree > k, for a small threshold ladder — does the hub set form
+    // its own densely-wired club (φ → 1) or merely fan out? The
+    // structural sibling of q155's power-law fit and q260's
+    // assortativity. All counts are exact integers (the symmetric
+    // edge list double-counts, so the directed qualifying count IS
+    // 2·E); the threshold grid is a 4-row broadcast, so both passes
+    // are single keyed aggregates over (edges × 4) — no pairwise
+    // work, no data-sized broadcast.
+    ("q261_rich_club", (s, d) => {
+      import s.implicits._
+      val sym = strongSym(s, d)
+      val deg = sym.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+        .graftCheckpoint() // feeds the node census AND both edge join-backs
+      val ks = Seq(2L, 4L, 8L, 16L).toDF("k")
+      val nRich = deg.crossJoin(broadcast(ks)).groupBy("k")
+        .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_rich"))
+      val dx = deg.select(col("node").as("x"), col("deg").as("dx"))
+      val dy = deg.select(col("node").as("y"), col("deg").as("dy"))
+      val eRich = sym.join(dx, "x").join(dy, "y")
+        .crossJoin(broadcast(ks)).groupBy("k")
+        .agg((sum(when(col("dx") > col("k") && col("dy") > col("k"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("e_rich"))
+      nRich.join(eRich, "k")
+        .select(col("k"), col("n_rich"), col("e_rich"),
+          when(col("n_rich") >= 2,
+            Quant.quant6(col("e_rich") * 2.0 / (col("n_rich") * (col("n_rich") - lit(1L)))))
+            .otherwise(0.0).as("phi"))
+        .orderBy("k")
+    }, Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+      deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM sym GROUP BY x),
+      ks AS (SELECT unnest([2, 4, 8, 16])::BIGINT AS k),
+      nr AS (
+        SELECT k, sum(CASE WHEN deg > k THEN 1 ELSE 0 END)::BIGINT AS n_rich
+        FROM deg CROSS JOIN ks GROUP BY k),
+      er AS (
+        SELECT k,
+               (sum(CASE WHEN a.deg > k AND b.deg > k THEN 1 ELSE 0 END) // 2)::BIGINT AS e_rich
+        FROM sym e JOIN deg a ON a.node = e.x JOIN deg b ON b.node = e.y
+        CROSS JOIN ks GROUP BY k)
+      SELECT k, n_rich, e_rich,
+             CASE WHEN n_rich >= 2
+                  THEN floor(e_rich * 2.0 / (n_rich * (n_rich - 1)) * 1000000.0 + 0.5) / 1000000.0
+                  ELSE 0.0 END AS phi
+      FROM nr JOIN er USING (k)
+      ORDER BY k
     """))
   )
 }

@@ -204,7 +204,59 @@ object MultimodalOps extends QueryGroup {
       FROM documents
       ORDER BY doc_id
     """
-    })
+    }),
+
+    // ------------------------------------------------------------ audio header decode (round 12)
+    // The audio leg of the q122 pattern: header-complete PCM WAV
+    // streams are derived deterministically from document length
+    // (sample rate / channels / bit depth / frame count all functions
+    // of strlen), encoded with real RIFF chunk structure
+    // (multimodal.AudioHeaders), then parsed BACK by the codegen'd
+    // `audio_meta` expression — so the oracle, which cannot construct
+    // the bytes, recomputes the metadata from the same derivation and
+    // a hash match proves encode→parse is the identity on every row.
+    // duration_ms uses integer division on both engines. Scale shape:
+    // one scan, the parse is a projection inside the scan stage, and
+    // only ~50 header bytes of each (potentially huge) payload are
+    // ever touched — the same first-pass economics as q122.
+    ("q259_audio_header_decode", (s, d) => {
+      import s.implicits._
+      import graft.multimodal.AudioHeaders
+      val fixtures = Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("len"))
+        .as[(Long, Int)]
+        .map { case (id, len) =>
+          val rate = Array(8000, 16000, 44100)(len % 3)
+          val payload = AudioHeaders.encodeWav(
+            rate, 1 + len % 2, if ((len / 3) % 2 == 0) 16 else 8,
+            1000L + (len.toLong * 31) % 50000)
+          (id, payload)
+        }.toDF("doc_id", "payload")
+      val meta = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expressions.AudioMetaExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("payload"))))
+      fixtures.select(col("doc_id"), meta.as("m"))
+        .select(col("doc_id"),
+                col("m.sample_rate").cast("long").as("sample_rate"),
+                col("m.channels").cast("long").as("channels"),
+                col("m.bits_per_sample").cast("long").as("bits_per_sample"),
+                col("m.n_samples").as("n_samples"))
+        .withColumn("duration_ms", expr("n_samples * 1000 DIV sample_rate"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               [8000, 16000, 44100][(strlen(text) % 3) + 1] AS sample_rate,
+               1 + strlen(text) % 2 AS channels,
+               CASE WHEN (strlen(text) // 3) % 2 = 0 THEN 16 ELSE 8 END AS bits_per_sample,
+               1000 + (strlen(text) * 31) % 50000 AS n_samples
+        FROM documents)
+      SELECT doc_id, sample_rate::BIGINT AS sample_rate, channels::BIGINT AS channels,
+             bits_per_sample::BIGINT AS bits_per_sample, n_samples::BIGINT AS n_samples,
+             (n_samples * 1000 // sample_rate)::BIGINT AS duration_ms
+      FROM p
+      ORDER BY doc_id
+    """))
   )
 
 }

@@ -147,4 +147,71 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .select(sha2(col("b"), 256).as("d")).distinct().count()
     assert(two == 2L, "payload digest must be sensitive to non-header bytes")
   }
+
+  test("WAV round-trip: fmt/data fields survive encode → decode for every parameter corner") {
+    import graft.multimodal.AudioHeaders
+    for {
+      rate <- Seq(8000, 16000, 44100)
+      ch <- Seq(1, 2)
+      bits <- Seq(8, 16)
+      n <- Seq(1L, 999L, 48001L)
+    } {
+      val m = AudioHeaders.decodeWav(AudioHeaders.encodeWav(rate, ch, bits, n))
+      assert(m.contains(AudioHeaders.AudioMeta("wav", rate, ch, bits, n)),
+        s"round-trip lost ($rate,$ch,$bits,$n): $m")
+    }
+  }
+
+  test("WAV decode walks past unknown chunks (word-aligned) and rejects malformed input") {
+    import graft.multimodal.AudioHeaders
+    val base = AudioHeaders.encodeWav(16000, 2, 16, 1234L)
+    // splice a JUNK chunk with an ODD size between WAVE and fmt  —
+    // the RIFF pad byte must be honored or fmt  lands off by one
+    val junkBody = Array[Byte](7, 7, 7)
+    val spliced = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 12)
+      out.write("JUNK".getBytes("US-ASCII"))
+      out.write(Array[Byte](3, 0, 0, 0)) // little-endian size 3 (odd)
+      out.write(junkBody); out.write(0)  // pad to word boundary
+      out.write(base, 12, base.length - 12)
+      val b = out.toByteArray
+      // RIFF size field is now stale — decoder must not rely on it
+      b
+    }
+    assert(AudioHeaders.decodeWav(spliced)
+      .contains(AudioHeaders.AudioMeta("wav", 16000, 2, 16, 1234L)),
+      "JUNK chunk broke the walk")
+    // malformed inputs: wrong magic, truncation, non-PCM format tag
+    assert(AudioHeaders.decodeWav("not audio at all - plain text".getBytes).isEmpty)
+    assert(AudioHeaders.decodeWav(base.take(20)).isEmpty)
+    val nonPcm = base.clone(); nonPcm(20) = 3 // wFormatTag = IEEE float
+    assert(AudioHeaders.decodeWav(nonPcm).isEmpty, "non-PCM must be rejected")
+    assert(AudioHeaders.decodeWav(Array.emptyByteArray).isEmpty)
+  }
+
+  test("audio_meta expression: SQL surface, codegen'd plan, NULL for non-audio") {
+    import graft.multimodal.AudioHeaders
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      Tuple1(AudioHeaders.encodeWav(44100, 2, 16, 44100L)), // 1 s stereo
+      Tuple1("RIFFxxxx but not wave".getBytes),
+      Tuple1(Array.emptyByteArray))
+    rows.toDF("payload").createOrReplaceTempView("audio_probe")
+    val got = spark.sql(
+      """SELECT audio_meta(payload).sample_rate AS r, audio_meta(payload).n_samples AS n
+         FROM audio_probe WHERE audio_meta(payload) IS NOT NULL""").collect()
+    assert(got.length == 1 && got(0).getInt(0) == 44100 && got(0).getLong(1) == 44100L,
+      s"audio_meta SQL surface wrong: ${got.toSeq}")
+    // the parse must stay inside a whole-stage-codegen span (real
+    // doGenCode) — repartition pins a distributed plan so the local
+    // Seq can't constant-fold to a LocalTableScan (image_meta test's
+    // trick)
+    val q = rows.toDF("payload").repartition(2)
+      .select(expr("audio_meta(payload).sample_rate").as("r")).filter(col("r") > 0)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).nonEmpty, s"no codegen span:\n$plan")
+  }
 }

@@ -134,6 +134,37 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     assert(shift < 100.0, s"Theil–Sen swung $shift under a single outlier — not robust?")
   }
 
+  test("q260/q261: assortativity and rich-club match hand-rolled folds over the edge list") {
+    val sym = graft.operators.Graph.strongSym(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    // Pearson over directed endpoint degrees
+    val pairs = sym.map { case (x, y) => (deg(x).toDouble, deg(y).toDouble) }
+    val n = pairs.length
+    val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+    val cov = pairs.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val r = cov / (sx * sy)
+    val a = run("q260_degree_assortativity").collect()(0)
+    assert(a.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(a.getAs[Long]("n_edges") == n / 2)
+    assert(close(a.getAs[Double]("assortativity"), r, 1e-5),
+      s"assortativity ${a.getAs[Double]("assortativity")} vs $r")
+    val rc = run("q261_rich_club").collect()
+      .map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("n_rich"), x.getAs[Long]("e_rich"), x.getAs[Double]("phi")))).toMap
+    Seq(2L, 4L, 8L, 16L).foreach { k =>
+      val rich = deg.filter(_._2 > k).keySet
+      val e = sym.count { case (x, y) => rich(x) && rich(y) } / 2
+      val (nr, er, phi) = rc(k)
+      assert(nr == rich.size.toLong, s"k=$k n_rich")
+      assert(er == e.toLong, s"k=$k e_rich")
+      val want = if (rich.size >= 2) q6(e.toDouble * 2 / (rich.size.toLong * (rich.size - 1))) else 0.0
+      assert(close(phi, want), s"k=$k phi $phi vs $want")
+    }
+  }
+
   test("q258: Kish ESS matches the exact integer-sum formula per source") {
     val rows = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))
