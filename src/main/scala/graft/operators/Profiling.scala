@@ -1090,6 +1090,9 @@ object Profiling extends QueryGroup {
             .when(col("k") < 10, "5-9").otherwise("10+"))
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"), min("l").as("min_l"))
+        .graftCheckpoint() // ≤4 rows, read twice (total + final) — without
+                           // the barrier DeduplicateRelations re-runs the
+                           // whole customer aggregation per reference
       val tot = bucketed.agg(sum("n_rows").as("tot"))
       bucketed.crossJoin(broadcast(tot))
         .select(col("k_bucket"), col("n_classes"), col("n_rows"), col("min_l"),

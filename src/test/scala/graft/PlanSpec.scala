@@ -1012,6 +1012,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q254-q261: round-12 additions stay inside their plan budgets") {
+    // q254: one QI groupBy + bucket rollup; the bucket relation is
+    // referenced twice (total + final) so the customer subtree may
+    // legitimately appear twice. q255: the per-dim sums are
+    // checkpoint-truncated; the judged plan is the one stats scan +
+    // tiny crosses. q256: the k-center loop is all driver-sequenced
+    // checkpoints — the judged plan is a local 8-row relation.
+    // q257: the daily relation is checkpointed; pairwise join + two
+    // aggregates + final join, all keyed. q258: one source groupBy.
+    // q259: one documents scan, parse is a projection. q260/q261:
+    // edge list + degrees checkpointed; keyed join-backs and 4-row
+    // broadcast grids only.
+    val budget = Map(
+      "q254_k_anonymity_audit" -> (4, 2),
+      "q255_embedding_anisotropy" -> (3, 2),
+      "q256_kcenter_coreset" -> (1, 0),
+      "q257_theil_sen_trend" -> (6, 0),
+      "q258_effective_sample_size" -> (2, 1),
+      "q259_audio_header_decode" -> (1, 1),
+      "q260_degree_assortativity" -> (4, 0),
+      "q261_rich_club" -> (6, 0)) // 2 k-rollups + degree/edge keyed joins (one ReusedExchange) + final k join
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
   test("q243: waterfill runs on the checkpointed source ledger — 1-row crosses only") {
     // One corpus scan feeds the checkpointed per-source token ledger;
     // budget row, level row, and the final allocation are all
