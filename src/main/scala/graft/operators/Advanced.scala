@@ -158,6 +158,57 @@ object Advanced extends QueryGroup {
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """)),
 
+    // ------------------------------------------------------------ ordered CDC apply (round 12)
+    // q100's missing half: applying an ORDERED multi-op changelog with
+    // DELETE tombstones (Debezium/binlog replay), not a single
+    // last-write-wins batch. Each lineitem row is an op on its order —
+    // upsert, or a tombstone when returned ('R') — sequenced by
+    // (ship date, line number); the final state is whatever the LAST
+    // op per key says, deletes erasing the key. Output is the live /
+    // deleted census by final-op month with live value in exact
+    // integer cents. Scale shape: ONE key-partitioned window picks
+    // each key's final op (bucket-local under q96 layout — no shuffle
+    // at all on a bucketed snapshot), then a month-bounded rollup;
+    // the changelog is never self-joined and never replayed per op.
+    ("q263_cdc_apply", (s, d) => {
+      val log = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("key"),
+                col("l_shipdate").as("ts"), col("l_linenumber").as("seq"),
+                when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+                col("l_extendedprice").as("value"))
+      // (ts, seq) is not a total order on this synthetic changelog (a
+      // handful of orders carry duplicate line numbers), so the pick
+      // tie-breaks on (op, value) too — rows still tied after that are
+      // identical in every consumed column, so the answer is unique
+      val wk = Window.partitionBy("key")
+        .orderBy(col("ts").desc, col("seq").desc, col("op"), col("value").desc)
+      log.withColumn("rn", row_number().over(wk)).filter(col("rn") === 1)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_live"),
+             sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+             sum(when(col("op") === "U", floor(col("value") * 100 + 0.5).cast("long"))
+               .otherwise(0L)).as("live_value_cents"))
+        .orderBy("month")
+    }, Some("""
+      WITH log AS (
+        SELECT l_orderkey AS key, l_shipdate AS ts, l_linenumber AS seq,
+               CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+               l_extendedprice AS value
+        FROM lineitem),
+      last AS (
+        SELECT * FROM log
+        QUALIFY row_number() OVER (PARTITION BY key
+                                   ORDER BY ts DESC, seq DESC, op, value DESC) = 1)
+      SELECT strftime(ts, '%Y-%m') AS month,
+             sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_live,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+             sum(CASE WHEN op = 'U' THEN floor(value * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+               AS live_value_cents
+      FROM last
+      GROUP BY 1
+      ORDER BY month
+    """)),
+
     // ------------------------------------------------------------ custom typed Aggregator (UDAF)
     ("q49_geomean_udaf", (s, d) => {
       val geomean = udaf(graft.functions.GeoMeanAgg)

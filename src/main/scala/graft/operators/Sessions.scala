@@ -174,6 +174,27 @@ object Sessions extends QueryGroup {
             / greatest(col("n_view"), lit(1L)).cast("double")).as("click_through"),
           Quant.quant6(col("n_full_funnel")
             / greatest(col("n_view_click"), lit(1L)).cast("double")).as("purchase_through"))
+    }),
+
+    // ------------------------------------------------------------ attribution join, batch twin (round 12)
+    // The SAME `streaming.Attribution.attributed` body the stream-stream
+    // join runs (watermarks are a no-op on batch inputs), judged
+    // against a DuckDB range-join oracle — the batch↔streaming parity
+    // discipline Sessionize/CooldownDedup established, applied to the
+    // two-stream operator: a click attributes to every same-user view
+    // within the 1 h horizon. lag_sec is a difference of floored epoch
+    // seconds on both engines. Scale: an equi-key (user) hash join
+    // with a time-range residual — per-user event lists are bounded by
+    // activity, never corpus-sized.
+    "q262_attribution_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val imps = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      graft.streaming.Attribution.attributed(imps, clicks, horizonSec = 3600L, delaySec = 300L)
+        .select(col("user_id"), col("imp_id"), col("click_id"), col("lag_sec"))
+        .orderBy("user_id", "imp_id", "click_id")
     })
   )
 
@@ -247,5 +268,19 @@ object Sessions extends QueryGroup {
         ON p.ts >= w.ts AND p.ts < w.ts + INTERVAL $windowMinutes MINUTE
       GROUP BY p.event_id, p.user_id, p.ts
       ORDER BY p.event_id
+    """.trim,
+
+    "q262_attribution_join" -> s"""
+      WITH i AS (SELECT event_id AS imp_id, user_id, ts::TIMESTAMP AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT i.user_id, i.imp_id, c.click_id,
+             datediff('second', i.imp_ts, c.click_ts)::BIGINT AS lag_sec
+      FROM i JOIN c
+        ON i.user_id = c.user_id
+        AND c.click_ts >= i.imp_ts
+        AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
+      ORDER BY i.user_id, i.imp_id, c.click_id
     """.trim)
 }

@@ -1032,7 +1032,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q258_effective_sample_size" -> (2, 1),
       "q259_audio_header_decode" -> (1, 1),
       "q260_degree_assortativity" -> (4, 0),
-      "q261_rich_club" -> (6, 0)) // 2 k-rollups + degree/edge keyed joins (one ReusedExchange) + final k join
+      "q261_rich_club" -> (6, 0), // 2 k-rollups + degree/edge keyed joins (one ReusedExchange) + final k join
+      // q262: user-keyed equi join with a time-range residual over two
+      // filtered event scans. q263: one key window + month rollup.
+      "q262_attribution_join" -> (2, 2),
+      "q263_cdc_apply" -> (2, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -165,6 +165,52 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q262: batch attribution equals a plain nested scan over view/click events") {
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = evs.filter(_._3 == "view"); val clicks = evs.filter(_._3 == "click")
+    val want = (for {
+      v <- views; c <- clicks
+      if c._2 == v._2 && c._4 >= v._4 && c._4 <= v._4 + 3600L * 1000000L
+    } yield (v._2, v._1, c._1, c._4 / 1000000L - v._4 / 1000000L)).toSet
+    val got = run("q262_attribution_join").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("imp_id"),
+                 r.getAs[Long]("click_id"), r.getAs[Long]("lag_sec"))).toSet
+    assert(got == want, s"attribution mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("q263: CDC apply equals a sequential per-key changelog replay (tombstones erase)") {
+    val log = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_orderkey", "unix_micros(cast(l_shipdate as timestamp)) as us",
+                  "l_linenumber", "l_returnflag", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3), r.getDouble(4)))
+    // the query's pick is rank 1 of ORDER BY (ts DESC, seq DESC,
+    // op ASC, value DESC) over the DERIVED op ('D' when returned,
+    // else 'U') — i.e. max ts, max seq, MIN op, max value; the
+    // negated codepoint encodes MIN op inside maxBy
+    def opOf(flag: String): String = if (flag == "R") "D" else "U"
+    val finalOps = log.groupBy(_._1).map { case (_, ops) =>
+      ops.maxBy(o => (o._2, o._3, -opOf(o._4).codePointAt(0), o._5))
+    }
+    def month(us: Long): String = {
+      val d = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+      f"${d.getYear}%04d-${d.getMonthValue}%02d"
+    }
+    val want = finalOps.toSeq.groupBy(o => month(o._2)).map { case (m, os) =>
+      m -> ((os.count(_._4 != "R").toLong, os.count(_._4 == "R").toLong,
+             os.filter(_._4 != "R").map(o => math.floor(o._5 * 100 + 0.5).toLong).sum))
+    }
+    val got = run("q263_cdc_apply").collect()
+      .map(r => r.getAs[String]("month") ->
+        ((r.getAs[Long]("n_live"), r.getAs[Long]("n_deleted"),
+          r.getAs[Long]("live_value_cents")))).toMap
+    assert(got == want,
+      s"CDC final state diverged: ${got.toSeq.sortBy(_._1).take(3)}... vs ${want.toSeq.sortBy(_._1).take(3)}...")
+  }
+
   test("q258: Kish ESS matches the exact integer-sum formula per source") {
     val rows = Tables.documents(spark, sfDir).select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))
