@@ -195,6 +195,37 @@ object Sessions extends QueryGroup {
       graft.streaming.Attribution.attributed(imps, clicks, horizonSec = 3600L, delaySec = 300L)
         .select(col("user_id"), col("imp_id"), col("click_id"), col("lag_sec"))
         .orderBy("user_id", "imp_id", "click_id")
+    }),
+
+    // ------------------------------------------------------------ native physical as-of join (round 12)
+    // q60's semantics through the engine's OWN physical operator:
+    // graft.plans.AsOfJoinExec (custom LogicalPlan + SparkStrategy +
+    // SparkPlan via SparkSessionExtensions — the C15 whole-operator
+    // rung). The exec co-partitions both sides on the user key, sorts
+    // (key, ts), and streams a single-pass merge with O(1) state —
+    // no union materialization, no window carry buffer, no per-pair
+    // candidate blow-up (Spark's own RewriteAsOfJoin would materialize
+    // every in-horizon pair under a min_by). Oracle: DuckDB's native
+    // ASOF LEFT JOIN — a fully independent implementation. PlanSpec
+    // asserts the AsOfJoin node plans (no Window/Union in the plan).
+    "q264_native_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_id"))
+        .select(col("v_user"), col("view_ts"), col("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("click_ts"))
+      graft.plans.AsOf.leftAsOf(clicks, views,
+          leftKeyCol = "c_user", rightKeyCol = "v_user",
+          leftTsCol = "click_ts", rightTsCol = "view_ts")
+        .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+                col("view_id"), col("view_ts"))
+        .withColumn("lag_us",
+          when(col("view_ts").isNotNull,
+               unix_micros(col("click_ts")) - unix_micros(col("view_ts"))))
+        .orderBy("click_id")
     })
   )
 
@@ -282,5 +313,21 @@ object Sessions extends QueryGroup {
         AND c.click_ts >= i.imp_ts
         AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
       ORDER BY i.user_id, i.imp_id, c.click_id
+    """.trim,
+
+    "q264_native_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, ts::TIMESTAMP AS view_ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+             CASE WHEN v.view_ts IS NOT NULL
+                  THEN epoch_us(c.click_ts) - epoch_us(v.view_ts) END AS lag_us
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+      ORDER BY click_id
     """.trim)
 }

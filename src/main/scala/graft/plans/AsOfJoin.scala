@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Whole-operator as-of join: for every left row, the single right row
+  * with the greatest `rightTs <= leftTs` within the same key — the
+  * point-in-time lookup every feature store / tick-data / attribution
+  * pipeline needs.
+  *
+  * This is the engine's custom-LogicalPlan + SparkStrategy + SparkPlan
+  * rung (SURVEY §2.2 C15): Spark has no physical as-of operator — its
+  * own logical `AsOfJoin` (pandas `merge_asof`) is REWRITTEN by the
+  * optimizer into an inner join on the key with a `min_by` aggregate
+  * over every in-horizon pair (`RewriteAsOfJoin`), i.e. each left row
+  * materializes ALL its candidate right rows before aggregation; the
+  * relational alternative (q60's union+window) funnels BOTH relations
+  * through one union, a per-key sort, and a window carry. [[AsOfJoinExec]]
+  * instead declares `ClusteredDistribution` on the key and a
+  * `(key, ts)` required ordering for each child — EnsureRequirements
+  * co-partitions and sorts exactly as it would for a sort-merge join —
+  * and then streams both sorted partitions through a single-pass merge
+  * with O(1) state (the last in-horizon right row per key). No pair
+  * blow-up, no union materialization, no window buffer; output
+  * preserves the left side's partitioning AND `(key, ts)` ordering, so
+  * a downstream per-key window or as-of join over the result adds
+  * neither exchange nor sort. At 100 TB both shuffles are the same
+  * volume a sort-merge join would pay; the win is the per-row
+  * constant and the reusable output layout.
+  *
+  * Contract (checked by [[AsOf.leftAsOf]]): key columns are
+  * `bigint`, ts columns `bigint` or `timestamp` (both Long-backed
+  * internally); a NULL key or ts on the left yields an unmatched row,
+  * on the right the row is skipped — the semantics DuckDB's
+  * `ASOF LEFT JOIN` gives NULLs that never satisfy `>=`.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected by
+  * [[graft.GraftExtensions]] (`injectPlannerStrategy`) and, for
+  * sessions not built with the extension, lazily via
+  * `experimental.extraStrategies` in [[AsOf.leftAsOf]].
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the key, sort (key, ts) — the same requirements a
+  // sort-merge join would declare, so EnsureRequirements/AQE place the
+  // exchanges, reuse compatible ones, and handle skewed inputs
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rkOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
+      s"as-of key/ts attributes not found in child output: $leftKey/$leftTs/$rightKey/$rightTs")
+    val outAttrs = output
+    val rightArity = right.output.length
+    val rowsMetric = longMetric("numOutputRows")
+    val matchedMetric = longMetric("numMatched")
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val nullRight: InternalRow = new GenericInternalRow(rightArity)
+        // one-row lookahead over the right side; `matched` holds a COPY
+        // of the newest right row whose ts <= the current left ts for
+        // the key in hand (sort iterators reuse their UnsafeRow)
+        var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        var matched: InternalRow = null
+        var matchedKey = 0L
+        lIter.map { l =>
+          rowsMetric += 1
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) proj(joined(l, nullRight))
+          else {
+            val lk = l.getLong(lkOrd)
+            val lt = l.getLong(ltOrd)
+            var advance = true
+            while (advance && rRow != null) {
+              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rtOrd)) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else {
+                val rk = rRow.getLong(rkOrd)
+                if (rk < lk || (rk == lk && rRow.getLong(rtOrd) <= lt)) {
+                  if (rk == lk) { matched = rRow.copy(); matchedKey = rk }
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else advance = false
+              }
+            }
+            if (matched != null && matchedKey == lk) {
+              matchedMetric += 1
+              proj(joined(l, matched))
+            } else proj(joined(l, nullRight))
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User API for the native as-of join. */
+object AsOf {
+
+  /** `left AS-OF LEFT JOIN right` on `key`, matching the newest
+    * `right` row with `right.tsR <= left.tsL`. Column names must be
+    * disjoint between the two sides apart from nothing — i.e. rename
+    * before calling (the output carries both sides' columns verbatim).
+    */
+  def leftAsOf(left: DataFrame, right: DataFrame,
+               leftKeyCol: String, rightKeyCol: String,
+               leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.ensureStrategy(spark, AsOfJoinStrategy)
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"as-of join sides share column names $dup — rename before joining")
+    // fresh-alias projections give every referenced attribute a unique
+    // exprId, so self-joins (both sides carved from one scan) survive
+    // the analyzer's relation dedup without ambiguity
+    val l2 = left.select(left.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val lPlan = GraftSqlBridge.analyzed(l2)
+    val rPlan = GraftSqlBridge.analyzed(r2)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column `$name`"))
+    val lk = attr(lPlan, leftKeyCol, "left"); val rk = attr(rPlan, rightKeyCol, "right")
+    val lt = attr(lPlan, leftTsCol, "left"); val rt = attr(rPlan, rightTsCol, "right")
+    def checkType(a: Attribute, what: String): Unit = a.dataType match {
+      case LongType | TimestampType => ()
+      case other => throw new IllegalArgumentException(
+        s"as-of $what `${a.name}` must be bigint or timestamp, got $other")
+    }
+    checkType(lk, "key"); checkType(rk, "key"); checkType(lt, "ts"); checkType(rt, "ts")
+    GraftSqlBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+  }
+}

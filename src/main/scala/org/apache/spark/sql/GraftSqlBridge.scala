@@ -20,4 +20,22 @@ object GraftSqlBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Analyzed logical plan of a DataFrame (the input custom logical
+    * nodes are built from).
+    */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap a (possibly custom) logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to an existing session (for
+    * sessions not built with GraftExtensions).
+    */
+  def ensureStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }

@@ -1036,7 +1036,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // q262: user-keyed equi join with a time-range residual over two
       // filtered event scans. q263: one key window + month rollup.
       "q262_attribution_join" -> (2, 2),
-      "q263_cdc_apply" -> (2, 1))
+      "q263_cdc_apply" -> (2, 1),
+      // q264: native AsOfJoinExec — one key exchange per side plus the
+      // view-dedup aggregate's; the merge itself adds no exchange.
+      "q264_native_asof_join" -> (3, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
