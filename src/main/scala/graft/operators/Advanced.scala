@@ -17,6 +17,39 @@ object Advanced extends QueryGroup {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** Dense per-type daily count series (q265/q266): a calendar gap day
+    * is a ZERO-count observation, not a missing row — lag alignment
+    * (ACF) and cumulative deviation (CUSUM) are both wrong on a sparse
+    * series. The spine is calendar-bounded (span days × |event types|),
+    * so every downstream window/join is over a bounded relation no
+    * matter the corpus size; checkpointed because ACF reads it from
+    * two sides of a self-join.
+    */
+  private def dailyFilled(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(s, d))
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type").agg(min("day").as("d0"), max("day").as("d1"))
+    span.select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+              coalesce(col("cnt"), lit(0L)).as("x"))
+      .graftCheckpoint()
+  }
+
+  /** DuckDB mirror of [[dailyFilled]]. */
+  private val dailyFilledSql = """
+      daily AS (
+        SELECT event_type, datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      filled AS (
+        SELECT f.event_type, f.day, coalesce(d.cnt, 0)::BIGINT AS x
+        FROM (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span) f
+        LEFT JOIN daily d USING (event_type, day))"""
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ HLL sketch aggregation
@@ -1112,6 +1145,124 @@ object Advanced extends QueryGroup {
                     / (count(*) * (count(*) * count(*) - 1.0))) * 1000000.0 + 0.5)
                / 1000000.0 AS spearman_rho
       FROM r
+    """)),
+
+    // ------------------------------------------------------------ autocorrelation function (round 12)
+    // Serial-correlation structure of each event type's daily volume:
+    // ACF at lags 1..7 — the number that says whether yesterday
+    // predicts today (retention/caching decisions), and whether a
+    // weekly cycle survives q144's seasonality profile as actual
+    // day-over-day correlation. Exactness discipline: with μ = S/n,
+    // r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² is computed from the
+    // n²-scaled ALL-INTEGER identity
+    //   num_k·n² = n²·Σx_t·x_{t+k} − n·S·(H_k+T_k) + (n−k)·S²
+    //   den·n²   = n²·Σx² − n·S²
+    // (H_k/T_k = head/tail sums of the lag-k overlap) so the only
+    // float is one final division, quant6'd. Scale shape: the lag
+    // pairs come from ONE keyed equi-join of the calendar-bounded
+    // spine against itself shifted by an exploded 7-row lag grid —
+    // never a window carry, never per-pair recompute of totals.
+    ("q265_autocorrelation", (s, d) => {
+      val filled = dailyFilled(s, d)
+      val tot = filled.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+             sum(col("x") * col("x")).as("sxx"))
+      val shifted = filled
+        .withColumn("k", explode(expr("sequence(1L, 7L)")))
+        .withColumn("day2", col("day") + col("k"))
+      val pairs = shifted.join(
+          filled.select(col("event_type"), col("day").as("day2"), col("x").as("y")),
+          Seq("event_type", "day2"))
+        .groupBy("event_type", "k")
+        .agg(sum(col("x") * col("y")).as("sxy"),
+             sum("x").as("sh"), sum("y").as("st"))
+      pairs.join(tot, "event_type")
+        .select(col("event_type"), col("k").as("lag"), col("n").as("n_days"),
+          Quant.quant6(
+            (col("n") * col("n") * col("sxy")
+              - col("n") * col("sx") * (col("sh") + col("st"))
+              + (col("n") - col("k")) * col("sx") * col("sx")).cast("double")
+            / (col("n") * col("n") * col("sxx")
+              - col("n") * col("sx") * col("sx")).cast("double")).as("acf"))
+        .orderBy("event_type", "lag")
+    }, Some(s"""
+      WITH $dailyFilledSql,
+      tot AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx
+        FROM filled GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type, k.k, sum(a.x * b.x)::BIGINT AS sxy,
+               sum(a.x)::BIGINT AS sh, sum(b.x)::BIGINT AS st
+        FROM filled a
+        JOIN (SELECT unnest(generate_series(1, 7))::BIGINT AS k) k ON true
+        JOIN filled b ON b.event_type = a.event_type AND b.day = a.day + k.k
+        GROUP BY 1, 2)
+      SELECT p.event_type, p.k AS lag, t.n AS n_days,
+             ${Quant.quant6Sql(
+               """(t.n * t.n * p.sxy - t.n * t.sx * (p.sh + p.st)
+                   + (t.n - p.k) * t.sx * t.sx)::DOUBLE
+                  / (t.n * t.n * t.sxx - t.n * t.sx * t.sx)::DOUBLE""")} AS acf
+      FROM pairs p JOIN tot t USING (event_type)
+      ORDER BY event_type, lag
+    """)),
+
+    // ------------------------------------------------------------ CUSUM changepoint (round 12)
+    // WHERE did each event type's level shift? q147's spike z-scores
+    // flag single hot days and q231's Mann–Kendall says "there is a
+    // monotone trend"; CUSUM localizes the single most likely mean
+    // SHIFT point: the day t maximizing |Σ_{i≤t}(x_i − μ)|. All-integer
+    // discipline: n·Σ_{i≤t}(x_i−μ) = n·P_t − t·S for prefix sum P_t,
+    // so the argmax runs on exact integers (ties → earliest day) and
+    // the only floats are the two segment means, quant6'd. Scale
+    // shape: one prefix window PARTITIONED by event type over the
+    // calendar-bounded spine (never the raw corpus), one argmax pick,
+    // 5 rows out.
+    ("q266_cusum_changepoint", (s, d) => {
+      val filled = dailyFilled(s, d)
+      val tot = filled.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val dev = filled
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("px", sum("x").over(w))
+        .join(tot, "event_type")
+        .withColumn("scaled_dev", col("n") * col("px") - col("t") * col("s"))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(abs(col("scaled_dev")).desc, col("day"))
+      dev.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").cast("long").as("cp_day"),
+          col("t").as("cp_index"), abs(col("scaled_dev")).as("max_scaled_dev"),
+          Quant.quant6(col("px").cast("double") / col("t")).as("mean_before"),
+          when(col("n") > col("t"),
+            Quant.quant6((col("s") - col("px")).cast("double")
+              / (col("n") - col("t")))).as("mean_after"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH $dailyFilledSql,
+      tot AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+              FROM filled GROUP BY 1),
+      pref AS (
+        SELECT f.event_type, f.day,
+               row_number() OVER w::BIGINT AS t,
+               sum(f.x) OVER w::BIGINT AS px,
+               t2.n, t2.s
+        FROM filled f JOIN tot t2 USING (event_type)
+        WINDOW w AS (PARTITION BY f.event_type ORDER BY f.day
+                     ROWS UNBOUNDED PRECEDING)),
+      dev AS (SELECT *, (n * px - t * s)::BIGINT AS scaled_dev FROM pref),
+      top AS (
+        SELECT * FROM dev
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(scaled_dev) DESC, day) = 1)
+      SELECT event_type, n AS n_days, day AS cp_day, t AS cp_index,
+             abs(scaled_dev)::BIGINT AS max_scaled_dev,
+             ${Quant.quant6Sql("px::DOUBLE / t")} AS mean_before,
+             CASE WHEN n > t
+                  THEN ${Quant.quant6Sql("(s - px)::DOUBLE / (n - t)")} END AS mean_after
+      FROM top
+      ORDER BY event_type
     """))
   )
 

@@ -1039,7 +1039,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q263_cdc_apply" -> (2, 1),
       // q264: native AsOfJoinExec — one key exchange per side plus the
       // view-dedup aggregate's; the merge itself adds no exchange.
-      "q264_native_asof_join" -> (3, 2))
+      "q264_native_asof_join" -> (3, 2),
+      // q265/q266: the daily spine is checkpointed (0 scans); lag join
+      // + per-type aggregates/windows are all keyed on (type[, lag]).
+      "q265_autocorrelation" -> (4, 0),
+      "q266_cusum_changepoint" -> (3, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

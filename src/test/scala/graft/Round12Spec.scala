@@ -18,6 +18,67 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
   private def close(a: Double, b: Double, tol: Double = 1e-6): Boolean =
     math.abs(a - b) <= tol
 
+  // shared by the q265/q266 replays: per-type dense daily series
+  private def denseSeries(): Map[String, Array[Long]] = {
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "datediff(cast(ts as date), date'2024-01-01') as day")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    evs.groupBy(_._1).map { case (et, rows) =>
+      val counts = rows.groupBy(_._2).map { case (d, rs) => d -> rs.length.toLong }
+      val xs = (counts.keys.min to counts.keys.max)
+        .map(d => counts.getOrElse(d, 0L)).toArray
+      et -> xs
+    }
+  }
+
+  test("q265: ACF matches a driver-side exact-integer replay on the dense spine") {
+    val want = denseSeries().flatMap { case (et, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      (1 to 7).map { k =>
+        val head = xs.dropRight(k); val tail = xs.drop(k)
+        val sxy = head.zip(tail).map { case (a, b) => a * b }.sum
+        val num = n * n * sxy - n * sx * (head.sum + tail.sum) + (n - k) * sx * sx
+        val den = n * n * sxx - n * sx * sx
+        (et, k.toLong) -> q6(num.toDouble / den.toDouble)
+      }
+    }
+    val got = run("q265_autocorrelation").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag"))
+        -> r.getAs[Double]("acf")).toMap
+    assert(got.keySet == want.keySet, s"key sets differ: ${got.keySet} vs ${want.keySet}")
+    got.foreach { case (key, v) =>
+      assert(close(v, want(key)), s"$key: $v vs ${want(key)}")
+    }
+  }
+
+  test("q266: CUSUM changepoint matches a sequential prefix replay (ties -> earliest)") {
+    val want = denseSeries().map { case (et, xs) =>
+      val n = xs.length.toLong
+      val s = xs.sum
+      var p = 0L
+      val devs = xs.zipWithIndex.map { case (x, i) =>
+        p += x; (i + 1L, n * p - (i + 1L) * s, p)
+      }
+      val (t, dev, px) = devs.maxBy(d => (math.abs(d._2), -d._1))
+      val meanBefore = q6(px.toDouble / t)
+      val meanAfter = if (n > t) Some(q6((s - px).toDouble / (n - t))) else None
+      et -> ((n, t, math.abs(dev), meanBefore, meanAfter))
+    }
+    val got = run("q266_cusum_changepoint").collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (n, t, dev, mb, ma) = want(et)
+      assert(r.getAs[Long]("n_days") == n, s"$et n_days")
+      assert(r.getAs[Long]("cp_index") == t, s"$et cp_index: ${r.getAs[Long]("cp_index")} vs $t")
+      assert(r.getAs[Long]("max_scaled_dev") == dev, s"$et max_scaled_dev")
+      assert(close(r.getAs[Double]("mean_before"), mb), s"$et mean_before")
+      assert(Option(r.getAs[java.lang.Double]("mean_after")).map(_.doubleValue) == ma
+             || close(r.getAs[Double]("mean_after"), ma.get), s"$et mean_after")
+    }
+  }
+
   test("q254: k-anonymity buckets match a hand-rolled equivalence-class fold") {
     val rows = Tables.customer(spark, sfDir)
       .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
