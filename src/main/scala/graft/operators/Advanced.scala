@@ -242,6 +242,66 @@ object Advanced extends QueryGroup {
       ORDER BY month
     """)),
 
+    // ------------------------------------------------------------ SCD Type-2 history build (round 12)
+    // q263 keeps only each key's FINAL state; the warehouse twin is the
+    // slowly-changing-dimension TYPE-2 build — every attribute change
+    // opens a new effective-dated version, closed by the next change.
+    // The changelog is lineitem replayed per order: tracked attribute =
+    // returnflag||linestatus, ordered by (ship date, line number). Two
+    // window passes over ONE key partitioning (change-detect via lag,
+    // then close each kept version with lead) — Catalyst plans a single
+    // key shuffle with both sorts collapsed, and under q96's bucketed
+    // layout the build is shuffle-free entirely. Consecutive duplicate
+    // attributes do NOT open versions (the SCD2 contract). Output is
+    // the monthly version census: versions opened, still-current count,
+    // and total closed-version lifetime in exact integer days — all
+    // order-invariant under (ts,seq,attr) ties because equal-ts
+    // versions contribute the same span multiset however they are
+    // permuted.
+    ("q267_scd2_history", (s, d) => {
+      val log = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("key"),
+                col("l_shipdate").cast("date").as("ts"), col("l_linenumber").as("seq"),
+                concat(col("l_returnflag"), col("l_linestatus")).as("attr"))
+      val ord = Window.partitionBy("key").orderBy(col("ts"), col("seq"), col("attr"))
+      val changed = log
+        .withColumn("prev_attr", lag("attr", 1).over(ord))
+        .filter(col("prev_attr").isNull || col("prev_attr") =!= col("attr"))
+      changed
+        .withColumn("ts_to", lead("ts", 1).over(
+          Window.partitionBy("key").orderBy(col("ts"), col("seq"), col("attr"))))
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_versions"),
+             sum(when(col("ts_to").isNull, 1L).otherwise(0L)).as("n_current"),
+             sum(when(col("ts_to").isNotNull,
+               datediff(col("ts_to"), col("ts")).cast("long")).otherwise(0L))
+               .as("closed_span_days"))
+        .orderBy("month")
+    }, Some("""
+      WITH log AS (
+        SELECT l_orderkey AS key, l_shipdate::DATE AS ts, l_linenumber AS seq,
+               l_returnflag || l_linestatus AS attr
+        FROM lineitem),
+      changed AS (
+        SELECT * FROM (
+          SELECT key, ts, seq, attr,
+                 lag(attr) OVER (PARTITION BY key ORDER BY ts, seq, attr) AS prev_attr
+          FROM log)
+        WHERE prev_attr IS NULL OR prev_attr <> attr),
+      vers AS (
+        SELECT key, ts,
+               lead(ts) OVER (PARTITION BY key ORDER BY ts, seq, attr) AS ts_to
+        FROM changed)
+      SELECT strftime(ts, '%Y-%m') AS month,
+             count(*)::BIGINT AS n_versions,
+             sum(CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_current,
+             sum(CASE WHEN ts_to IS NOT NULL THEN datediff('day', ts, ts_to) ELSE 0 END)::BIGINT
+               AS closed_span_days
+      FROM vers
+      GROUP BY 1
+      ORDER BY month
+    """)),
+
     // ------------------------------------------------------------ custom typed Aggregator (UDAF)
     ("q49_geomean_udaf", (s, d) => {
       val geomean = udaf(graft.functions.GeoMeanAgg)
@@ -340,6 +400,40 @@ object Advanced extends QueryGroup {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
+    """)),
+
+    // ------------------------------------------------------------ unpivot / melt (round 12)
+    // q55's inverse — the wide→long reshape every feature-store export
+    // and schema-migration backfill needs. Spark-first form is
+    // Dataset.unpivot, which Catalyst plans as a single Expand over
+    // one scan (each input row emitted once per measure, no shuffle
+    // until the final bounded rollup) — NOT four unioned self-scans.
+    // Measures land in one double-typed value column; the summary is
+    // per (returnflag, measure) in exact integer ten-thousandths so
+    // the four different measure scales all survive a typed hash.
+    ("q268_unpivot_measures", (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("val") * 10000 + 0.5).cast("long")).as("sum_e4"))
+        .orderBy("l_returnflag", "measure")
+    }, Some("""
+      WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, count(*)::BIGINT AS n,
+             sum(floor(val * 10000 + 0.5)::BIGINT)::BIGINT AS sum_e4
+      FROM long
+      GROUP BY 1, 2
+      ORDER BY l_returnflag, measure
     """)),
 
     // ------------------------------------------------------------ filtered / conditional aggregates
@@ -1263,6 +1357,117 @@ object Advanced extends QueryGroup {
                   THEN ${Quant.quant6Sql("(s - px)::DOUBLE / (n - t)")} END AS mean_after
       FROM top
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ rolling regression slope (round 12)
+    // WHEN was each event type growing or shrinking fastest? q241 fits
+    // one global OLS line per group and q257's Theil–Sen gives the
+    // robust global trend; operations wants the LOCAL trend — the
+    // 14-day trailing OLS slope of daily volume, and its extremes.
+    // Exactness discipline: within a full 14-day frame the days are
+    // consecutive, so the slope denominator is the CONSTANT
+    // n²(n²−1)/12 = 3185 and the numerator n·Σ(d·x) − Σd·Σx is exact
+    // integer — the argmax/argmin run on integers (ties → earliest
+    // day) and the only float is the final ÷3185, quant6'd. Scale
+    // shape: one type-partitioned window over the checkpointed
+    // calendar-bounded spine (never the raw corpus), then a 5-row
+    // struct-max aggregate — no self-join, no second window pass.
+    ("q271_rolling_slope", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+      dailyFilled(s, d)
+        .withColumn("dl", col("day").cast("long"))
+        .withColumn("nf", count(lit(1)).over(w))
+        .withColumn("num", lit(14L) * sum(col("dl") * col("x")).over(w)
+          - sum(col("dl")).over(w) * sum(col("x")).over(w))
+        .filter(col("nf") === 14)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+             max(struct(col("num"), (-col("dl")).as("nd"))).as("pk"),
+             min(struct(col("num"), col("dl").as("dd"))).as("tr"))
+        .select(col("event_type"), col("n_windows"),
+          (-col("pk.nd")).as("peak_day"),
+          Quant.quant6(col("pk.num").cast("double") / 3185.0).as("peak_slope"),
+          col("tr.dd").as("trough_day"),
+          Quant.quant6(col("tr.num").cast("double") / 3185.0).as("trough_slope"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH $dailyFilledSql,
+      win AS (
+        SELECT event_type, day,
+               count(*) OVER w AS nf,
+               (14 * sum(day * x) OVER w - sum(day) OVER w * sum(x) OVER w)::BIGINT AS num
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      fullw AS (SELECT * FROM win WHERE nf = 14),
+      ranked AS (
+        SELECT event_type, day, num,
+               row_number() OVER (PARTITION BY event_type ORDER BY num DESC, day) AS rp,
+               row_number() OVER (PARTITION BY event_type ORDER BY num ASC, day) AS rt
+        FROM fullw),
+      cnt AS (SELECT event_type, count(*)::BIGINT AS n_windows FROM fullw GROUP BY 1)
+      SELECT c.event_type, c.n_windows,
+             p.day AS peak_day,
+             ${Quant.quant6Sql("p.num::DOUBLE / 3185.0")} AS peak_slope,
+             t.day AS trough_day,
+             ${Quant.quant6Sql("t.num::DOUBLE / 3185.0")} AS trough_slope
+      FROM cnt c
+      JOIN (SELECT * FROM ranked WHERE rp = 1) p USING (event_type)
+      JOIN (SELECT * FROM ranked WHERE rt = 1) t USING (event_type)
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ hierarchical prefix rollup (round 12)
+    // Taxonomy rollup along a path-like attribute — the URL-hierarchy /
+    // category-tree aggregation (every prefix level of `p_name`'s
+    // word path gets its own revenue + part census; in this corpus the
+    // path is adjective/noun, an 8 → 64 two-level tree). ROLLUP can't
+    // do this (it groups by column sets, not string-path prefixes).
+    // Scale shape: the corpus is reduced FIRST — lineitem → exact
+    // cents per partkey (one key shuffle, co-keyed with the part
+    // join), then collapsed to the ≤64-row distinct-path relation —
+    // and only that bounded relation is exploded into prefixes. The
+    // explode's cost is O(|distinct paths| · depth) regardless of
+    // corpus size; exploding before aggregating would depth×-scan the
+    // fact table.
+    ("q269_prefix_rollup", (s, d) => {
+      val rev = Tables.fanOut(Tables.lineitem(s, d))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long")).as("cents"))
+      val byPath = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+        .join(rev, col("p_partkey") === col("l_partkey"), "left")
+        .groupBy("p_name")
+        .agg(count(lit(1)).as("n_parts"), coalesce(sum("cents"), lit(0L)).as("cents"))
+      byPath
+        .withColumn("depth", explode(sequence(lit(1L), lit(2L))))
+        .withColumn("prefix",
+          array_join(slice(split(col("p_name"), " "), lit(1), col("depth").cast("int")), " "))
+        .groupBy("depth", "prefix")
+        .agg(count(lit(1)).as("n_paths"),
+             sum("n_parts").as("n_parts"),
+             sum("cents").as("revenue_cents"))
+        .orderBy("depth", "prefix")
+    }, Some("""
+      WITH linerev AS (
+        SELECT l_partkey,
+               sum(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM lineitem GROUP BY 1),
+      bypath AS (
+        SELECT p.p_name, count(*)::BIGINT AS n_parts,
+               coalesce(sum(r.cents), 0)::BIGINT AS cents
+        FROM part p LEFT JOIN linerev r ON r.l_partkey = p.p_partkey
+        GROUP BY 1),
+      lvls AS (
+        SELECT g.d AS depth,
+               array_to_string(list_slice(string_split(p_name, ' '), 1, g.d), ' ') AS prefix,
+               n_parts, cents
+        FROM bypath, (SELECT unnest(generate_series(1, 2))::BIGINT AS d) g)
+      SELECT depth, prefix, count(*)::BIGINT AS n_paths,
+             sum(n_parts)::BIGINT AS n_parts, sum(cents)::BIGINT AS revenue_cents
+      FROM lvls
+      GROUP BY 1, 2
+      ORDER BY depth, prefix
     """))
   )
 

@@ -1826,6 +1826,141 @@ object Quality extends QueryGroup {
              abs((n_docs - expected) / sqrt(expected)) > 2.0 AS flagged
       FROM e
       ORDER BY source, lang
+    """)),
+
+    // ------------------------------------------------------------ sequential pattern support (round 12)
+    // "A then later B" mining over raw event streams — q83 counts only
+    // ADJACENT transitions and q84 walks one fixed funnel; this is the
+    // general gapped form (a user supports A→B iff SOME A event
+    // strictly precedes SOME B event), the first rung of sequence
+    // mining (PrefixSpan's length-2 support + confidence). The whole
+    // computation runs on the (user, type) envelope: exists(a<b) ⟺
+    // min_ts(A) < max_ts(B), so the corpus collapses to ≤|types| rows
+    // per user in ONE keyed aggregate, and the per-user type-pair
+    // expansion is a self-join on user_id of that bounded envelope —
+    // both sides share the partitioning (Spark reuses the exchange),
+    // and the fanout is |types|² per user, independent of how many
+    // events a heavy user has. Antecedent totals for confidence come
+    // from the same envelope, broadcast back (|types| rows).
+    ("q270_sequential_support", (s, d) => {
+      val ut = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+             max(unix_micros(col("ts"))).as("t1"))
+        .graftCheckpoint() // read three times: both join sides + antecedent totals
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"), col("t0"))
+      val b = ut.select(col("user_id"), col("event_type").as("type_b"), col("t1"))
+      val na = ut.groupBy(col("event_type").as("type_a")).agg(count(lit(1)).as("n_a"))
+      a.join(b, Seq("user_id"))
+        .filter(col("type_a") =!= col("type_b") && col("t0") < col("t1"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_users"))
+        .join(broadcast(na), Seq("type_a"))
+        .select(col("type_a"), col("type_b"), col("n_users"), col("n_a"),
+          Quant.quant6(col("n_users").cast("double") / col("n_a")).as("confidence"))
+        .orderBy("type_a", "type_b")
+    }, Some(s"""
+      WITH ut AS (
+        SELECT user_id, event_type,
+               min(epoch_us(ts))::BIGINT AS t0, max(epoch_us(ts))::BIGINT AS t1
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type AND a.t0 < b.t1
+        GROUP BY 1, 2),
+      na AS (SELECT event_type AS type_a, count(*)::BIGINT AS n_a FROM ut GROUP BY 1)
+      SELECT type_a, type_b, n_users, n_a,
+             ${Quant.quant6Sql("n_users::DOUBLE / n_a")} AS confidence
+      FROM pairs JOIN na USING (type_a)
+      ORDER BY type_a, type_b
+    """)),
+
+    // ------------------------------------------------------------ Fellegi–Sunter linkage weights (round 12)
+    // Probabilistic record linkage — q159 scores ONE string with
+    // Jaro–Winkler; Fellegi–Sunter scores the whole multi-field
+    // agreement PATTERN with log-likelihood weights, the standard
+    // model (Fellegi & Sunter 1969) behind every dedupe/linkage
+    // system. u-probabilities (chance agreement among non-matches)
+    // are ESTIMATED FROM THE DATA as Σ f_v² over each field's value
+    // distribution — the classic frequency-based estimator — and the
+    // m-probability is the documented 0.95 prior. Weight per pattern =
+    // log2 Π_f (agree ? m/u_f : (1−m)/(1−u_f)), computed once per
+    // PATTERN (≤2⁴ rows), never per pair. Scale shape: candidate
+    // pairs come from the q159 noun block (pair generation bounded
+    // per block, AQE splits hot blocks); the four u's are 1-row
+    // aggregates cross-joined (broadcast) onto the 16-row pattern
+    // census — the corpus is never rescanned per field.
+    ("q272_linkage_weights", (s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), element_at(split(col("p_name"), " "), 2).as("noun"),
+                col("p_brand"), col("p_type").as("p_tclass"),
+                element_at(split(col("p_name"), " "), 1).as("p_tmat"), col("p_size"))
+        .graftCheckpoint() // read six times: pair sides + four u-estimates
+      def uOf(c: String, as: String): DataFrame =
+        p.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg((sum(col("cnt") * col("cnt")).cast("double")
+            / (sum("cnt") * sum("cnt")).cast("double")).as(as))
+      val u = uOf("p_brand", "ub").crossJoin(uOf("p_tclass", "um"))
+        .crossJoin(uOf("p_tmat", "uc")).crossJoin(uOf("p_size", "us"))
+      val a = p.select(col("p_partkey").as("ka"), col("noun"), col("p_brand").as("ba"),
+        col("p_tclass").as("ma"), col("p_tmat").as("ca"), col("p_size").as("sa"))
+      val b = p.select(col("p_partkey").as("kb"), col("noun").as("noun_b"),
+        col("p_brand").as("bb"), col("p_tclass").as("mb"), col("p_tmat").as("cb"),
+        col("p_size").as("sb"))
+      def lr(eq: Column, uu: Column): Column =
+        when(eq === 1, lit(0.95) / uu).otherwise(lit(0.05) / (lit(1.0) - uu))
+      a.join(b, col("noun") === col("noun_b") && col("ka") < col("kb"))
+        .select(when(col("ba") === col("bb"), 1L).otherwise(0L).as("brand_eq"),
+                when(col("ma") === col("mb"), 1L).otherwise(0L).as("type_eq"),
+                when(col("ca") === col("cb"), 1L).otherwise(0L).as("adj_eq"),
+                when(col("sa") === col("sb"), 1L).otherwise(0L).as("size_eq"))
+        .groupBy("brand_eq", "type_eq", "adj_eq", "size_eq")
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(u))
+        .select(col("brand_eq"), col("type_eq"), col("adj_eq"), col("size_eq"),
+          col("n_pairs"),
+          Quant.quant6(log2(
+            lr(col("brand_eq"), col("ub")) * lr(col("type_eq"), col("um"))
+              * lr(col("adj_eq"), col("uc")) * lr(col("size_eq"), col("us"))))
+            .as("fs_weight"))
+        .orderBy("brand_eq", "type_eq", "adj_eq", "size_eq")
+    }, Some(s"""
+      WITH p AS (
+        SELECT p_partkey, split_part(p_name, ' ', 2) AS noun,
+               p_brand, p_type AS p_tclass,
+               split_part(p_name, ' ', 1) AS p_tmat, p_size
+        FROM part),
+      u AS (
+        SELECT
+          (SELECT sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c))
+           FROM (SELECT count(*)::BIGINT AS c FROM p GROUP BY p_brand)) AS ub,
+          (SELECT sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c))
+           FROM (SELECT count(*)::BIGINT AS c FROM p GROUP BY p_tclass)) AS um,
+          (SELECT sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c))
+           FROM (SELECT count(*)::BIGINT AS c FROM p GROUP BY p_tmat)) AS uc,
+          (SELECT sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c))
+           FROM (SELECT count(*)::BIGINT AS c FROM p GROUP BY p_size)) AS us),
+      pairs AS (
+        SELECT CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS brand_eq,
+               CASE WHEN a.p_tclass = b.p_tclass THEN 1 ELSE 0 END AS type_eq,
+               CASE WHEN a.p_tmat = b.p_tmat THEN 1 ELSE 0 END AS adj_eq,
+               CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS size_eq
+        FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey),
+      agg AS (
+        SELECT brand_eq::BIGINT AS brand_eq, type_eq::BIGINT AS type_eq,
+               adj_eq::BIGINT AS adj_eq, size_eq::BIGINT AS size_eq,
+               count(*)::BIGINT AS n_pairs
+        FROM pairs GROUP BY 1, 2, 3, 4)
+      SELECT brand_eq, type_eq, adj_eq, size_eq, n_pairs,
+             ${Quant.quant6Sql(
+               """log2((CASE WHEN brand_eq = 1 THEN 0.95 / ub ELSE 0.05 / (1.0 - ub) END)
+                     * (CASE WHEN type_eq = 1 THEN 0.95 / um ELSE 0.05 / (1.0 - um) END)
+                     * (CASE WHEN adj_eq = 1 THEN 0.95 / uc ELSE 0.05 / (1.0 - uc) END)
+                     * (CASE WHEN size_eq = 1 THEN 0.95 / us ELSE 0.05 / (1.0 - us) END))""")}
+               AS fs_weight
+      FROM agg, u
+      ORDER BY brand_eq, type_eq, adj_eq, size_eq
     """))
   )
 }

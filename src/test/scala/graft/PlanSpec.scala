@@ -1054,6 +1054,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q267-q272: round-12 batch-2 additions stay inside their plan budgets") {
+    // q267: both SCD2 window passes (lag change-detect, lead close)
+    // collapse onto ONE key exchange + month rollup over one scan.
+    // q268: Dataset.unpivot plans a single Expand over one scan —
+    // never four unioned self-scans. q269: corpus reduced before the
+    // prefix explode (partkey agg + part join + path/prefix rollups).
+    // q270: the (user,type) envelope is checkpointed (0 scans); the
+    // self-join reuses its partitioning, antecedent totals broadcast.
+    // q271: one type-partitioned window over the checkpointed spine +
+    // 5-row struct-extrema aggregate. q272: checkpointed projection
+    // feeds the noun-blocked pair join and four 1-row u-estimates
+    // (sanctioned 1-row BNLJ crosses; no corpus rescan).
+    val budget = Map(
+      "q267_scd2_history" -> (2, 1),
+      "q268_unpivot_measures" -> (1, 1),
+      "q269_prefix_rollup" -> (3, 2),
+      "q270_sequential_support" -> (2, 0),
+      "q271_rolling_slope" -> (1, 0),
+      "q272_linkage_weights" -> (5, 0))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+  }
+
+  test("q268: unpivot is a single-scan Expand, not a union of self-scans") {
+    val plan = SparkEntry.queries("q268_unpivot_measures")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.nonEmpty, s"q268 lost the Expand-based unpivot shape:\n$plan")
+    assert(plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, s"q268 degenerated into a union of self-scans:\n$plan")
+  }
+
   test("q243: waterfill runs on the checkpointed source ledger — 1-row crosses only") {
     // One corpus scan feeds the checkpointed per-source token ledger;
     // budget row, level row, and the final allocation are all
