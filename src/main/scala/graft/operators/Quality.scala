@@ -1961,6 +1961,164 @@ object Quality extends QueryGroup {
                AS fs_weight
       FROM agg, u
       ORDER BY brand_eq, type_eq, adj_eq, size_eq
+    """)),
+
+    // ------------------------------------------------------------ isotonic calibration / PAV (round 12)
+    // q188 reports raw per-bin calibration; production calibrators
+    // FIT the monotone curve — isotonic regression. Pool-Adjacent-
+    // Violators is inherently sequential, but its SOLUTION has the
+    // closed minimax form  iso_i = max_{j≤i} min_{k≥i} mean(y[j..k])
+    // (Robertson–Wright–Dykstra), which IS expressible as bounded
+    // joins: the corpus collapses to ≤11 discount-level bins in ONE
+    // aggregate, and the (j,k,i) grid over those bins is O(B³) on an
+    // 11-row checkpointed relation — never touches the corpus again.
+    // Segment means are exact-integer ratios (prefix sums of n and
+    // Σy), so the max/min run over bit-identical doubles in both
+    // engines; quant6 only at output. On this corpus the return rate
+    // is nearly flat across discounts — exactly the case where PAV's
+    // pooling collapses noise into a few monotone levels, which the
+    // oracle verifies level-for-level.
+    ("q273_isotonic_calibration", (s, d) => {
+      val wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      // prefix window BEFORE the checkpoint so the bounding Aggregate
+      // stays visible beneath the unpartitioned window (engine-wide
+      // PlanSpec gate); the checkpoint then serves every grid reader.
+      val pre = Tables.fanOut(Tables.lineitem(s, d))
+        .select(floor(col("l_discount") * 100 + 0.5).cast("long").as("bin"),
+                when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .withColumn("cn", sum("n").over(wc))
+        .withColumn("cs", sum("sy").over(wc))
+        .graftCheckpoint() // ≤11 rows; read by both grid sides + final output
+      val bins = pre.select(col("bin"), col("n"), col("sy"))
+      val jSide = pre.select(col("bin").as("jb"), col("n").as("jn"), col("sy").as("js"),
+        col("cn").as("jcn"), col("cs").as("jcs"))
+      val kSide = pre.select(col("bin").as("kb"), col("cn").as("kcn"), col("cs").as("kcs"))
+      val seg = jSide.crossJoin(kSide).filter(col("jb") <= col("kb"))
+        .select(col("jb"), col("kb"),
+          ((col("kcs") - col("jcs") + col("js")).cast("double")
+            / (col("kcn") - col("jcn") + col("jn")).cast("double")).as("m"))
+      val iso = seg
+        .join(broadcast(bins.select(col("bin").as("ib"))),
+          col("jb") <= col("ib") && col("kb") >= col("ib"))
+        .groupBy("ib", "jb").agg(min("m").as("mn"))
+        .groupBy("ib").agg(max("mn").as("iso"))
+      bins.join(iso, col("bin") === col("ib"))
+        .select(col("bin"), col("n"),
+          Quant.quant6(col("sy").cast("double") / col("n")).as("raw_rate"),
+          Quant.quant6(col("iso")).as("iso_rate"))
+        .orderBy("bin")
+    }, Some(s"""
+      WITH bins AS (
+        SELECT floor(l_discount * 100 + 0.5)::BIGINT AS bin,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS sy
+        FROM lineitem GROUP BY 1),
+      pre AS (
+        SELECT bin, n, sy,
+               sum(n) OVER w::BIGINT AS cn, sum(sy) OVER w::BIGINT AS cs
+        FROM bins
+        WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+      seg AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               (k.cs - j.cs + j.sy)::DOUBLE / (k.cn - j.cn + j.n)::DOUBLE AS m
+        FROM pre j JOIN pre k ON j.bin <= k.bin),
+      iso AS (
+        SELECT ib, max(mn) AS iso FROM (
+          SELECT i.bin AS ib, s.jb, min(s.m) AS mn
+          FROM seg s JOIN bins i ON s.jb <= i.bin AND s.kb >= i.bin
+          GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT b.bin, b.n,
+             ${Quant.quant6Sql("b.sy::DOUBLE / b.n")} AS raw_rate,
+             ${Quant.quant6Sql("o.iso")} AS iso_rate
+      FROM bins b JOIN iso o ON o.ib = b.bin
+      ORDER BY b.bin
+    """)),
+
+    // ------------------------------------------------------------ K-fold target encoding (round 12)
+    // The leakage-safe categorical encoder every tabular/feature
+    // pipeline ships: replace a category with the mean of the target
+    // computed on the OTHER folds — a row must never see its own
+    // label. Out-of-fold mean for (category c, fold f) =
+    // (Σc − Σcf)/(Nc − Ncf), so the corpus needs ONE keyed join
+    // (orders→customer on custkey) and ONE (category,fold) aggregate;
+    // the per-category totals come from a window over that ≤25-row
+    // aggregate, not a second scan. Sums are exact integer cents;
+    // the only float is the final ratio, quant6'd. Complements q67
+    // (row-level leakage-safe splits) at the feature level.
+    ("q274_target_encoding", (s, d) => {
+      val j = Tables.orders(s, d)
+        .select(col("o_custkey"), (col("o_orderkey") % 5).as("fold"),
+                floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+              col("o_custkey") === col("c_custkey"))
+      val cf = j.groupBy(col("c_mktsegment").as("category"), col("fold"))
+        .agg(count(lit(1)).as("n_fold"), sum("cents").as("cents_fold"))
+      val wc = Window.partitionBy("category")
+      cf.withColumn("n_tot", sum("n_fold").over(wc))
+        .withColumn("cents_tot", sum("cents_fold").over(wc))
+        .select(col("category"), col("fold"), col("n_fold"),
+          Quant.quant6((col("cents_tot") - col("cents_fold")).cast("double")
+            / ((col("n_tot") - col("n_fold")) * lit(100.0))).as("oof_mean_price"))
+        .orderBy("category", "fold")
+    }, Some(s"""
+      WITH j AS (
+        SELECT c.c_mktsegment AS category, o.o_orderkey % 5 AS fold,
+               floor(o.o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cf AS (
+        SELECT category, fold, count(*)::BIGINT AS n_fold, sum(cents)::BIGINT AS cents_fold
+        FROM j GROUP BY 1, 2),
+      t AS (
+        SELECT *, sum(n_fold) OVER w::BIGINT AS n_tot,
+               sum(cents_fold) OVER w::BIGINT AS cents_tot
+        FROM cf WINDOW w AS (PARTITION BY category))
+      SELECT category, fold, n_fold,
+             ${Quant.quant6Sql(
+               "(cents_tot - cents_fold)::DOUBLE / ((n_tot - n_fold) * 100.0)")}
+               AS oof_mean_price
+      FROM t
+      ORDER BY category, fold
+    """)),
+
+    // ------------------------------------------------------------ transition dwell times (round 12)
+    // q83 counts type→type transitions; operations needs HOW LONG each
+    // transition takes — the dwell-time distribution per (from, to)
+    // edge of the behavior graph (median and tail, in whole minutes).
+    // One user-keyed window (lead) computes every consecutive dwell in
+    // a single pass — the corpus is never self-joined — then a
+    // |types|²-bounded rollup takes exact integer-minute percentiles.
+    ("q275_transition_dwell", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.fanOut(Tables.events(s, d))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .withColumn("dwell_min", expr("(next_us - unix_micros(ts)) DIV 60000000"))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"),
+             round(expr("percentile(dwell_min, 0.5)"), 4).as("p50_min"),
+             round(expr("percentile(dwell_min, 0.9)"), 4).as("p90_min"),
+             max("dwell_min").as("max_min"))
+        .orderBy("from_type", "to_type")
+    }, Some("""
+      WITH hop AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 60000000 AS dwell_min
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT from_type, to_type, count(*)::BIGINT AS n,
+             round(quantile_cont(dwell_min, 0.5), 4) AS p50_min,
+             round(quantile_cont(dwell_min, 0.9), 4) AS p90_min,
+             max(dwell_min)::BIGINT AS max_min
+      FROM hop
+      WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY from_type, to_type
     """))
   )
 }

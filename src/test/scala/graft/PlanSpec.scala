@@ -1072,7 +1072,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q269_prefix_rollup" -> (3, 2),
       "q270_sequential_support" -> (2, 0),
       "q271_rolling_slope" -> (1, 0),
-      "q272_linkage_weights" -> (5, 0))
+      "q272_linkage_weights" -> (5, 0),
+      // q273: the PAV minimax grid runs entirely on the checkpointed
+      // ≤11-row bin relation (0 scans); its crosses are bounded
+      // broadcasts. q274: orders→customer keyed join + (cat,fold)
+      // agg; category totals via window on the 25-row agg. q275: one
+      // user-keyed lead window + |types|² rollup over one scan.
+      "q273_isotonic_calibration" -> (2, 0), // the two grid rollups on the ≤B³-row relation
+      "q274_target_encoding" -> (3, 2),
+      "q275_transition_dwell" -> (2, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
