@@ -2119,6 +2119,173 @@ object Quality extends QueryGroup {
       WHERE to_type IS NOT NULL
       GROUP BY 1, 2
       ORDER BY from_type, to_type
+    """)),
+
+    // ------------------------------------------------------------ IPW treatment effect (round 12)
+    // Completes the causal family (q207 CUPED, q213 DiD) with the
+    // observational-data workhorse: inverse-propensity weighting.
+    // Treatment = urgent/high order priority; confounder cells =
+    // (segment, nation). Because propensity is estimated AT CELL GRAIN
+    // (p̂ = nT/n), the per-row IPW sums collapse algebraically onto the
+    // cell aggregates — Σ_{i∈T} y_i/p̂ = Σ_cells syT·n/nT — so the
+    // corpus is touched ONCE (keyed join + cell aggregate, all exact
+    // integer cents) and every float op runs on the ≤|seg|×|nation|
+    // bounded relation. Cells without positivity overlap (nT ∈ {0,n})
+    // are trimmed, as any production IPW must. Hajek normalization:
+    // Σ_T 1/p̂ = Σ_cells n, so the denominator is just the kept-row
+    // count. naive_diff is reported next to ate_ipw so the reader sees
+    // the confounding the reweighting removed.
+    ("q276_ipw_effect", (s, d) => {
+      val cells = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), 1L)
+            .otherwise(0L).as("t"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .join(Tables.customer(s, d)
+                .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum("t").as("nt"),
+             sum(when(col("t") === 1, col("cents")).otherwise(0L)).as("syt"),
+             sum(when(col("t") === 0, col("cents")).otherwise(0L)).as("syc"))
+        .filter(col("nt") > 0 && col("nt") < col("n"))
+      cells.groupBy("segment")
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_rows"),
+             sum("nt").as("snt"), sum(col("n") - col("nt")).as("snc"),
+             sum("syt").as("ssyt"), sum("syc").as("ssyc"),
+             sum(col("syt").cast("double") * col("n") / col("nt")).as("wt"),
+             sum(col("syc").cast("double") * col("n") / (col("n") - col("nt"))).as("wc"))
+        .select(col("segment"), col("n_cells"), col("n_rows"),
+          Quant.quant6((col("ssyt").cast("double") / col("snt")
+            - col("ssyc").cast("double") / col("snc")) / 100.0).as("naive_diff"),
+          Quant.quant6((col("wt") - col("wc"))
+            / (col("n_rows").cast("double") * 100.0)).as("ate_ipw"))
+        .orderBy("segment")
+    }, Some(s"""
+      WITH cells AS (
+        SELECT c.c_mktsegment AS segment, c.c_nationkey,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN substr(o.o_orderpriority, 1, 1) IN ('1','2')
+                        THEN 1 ELSE 0 END)::BIGINT AS nt,
+               sum(CASE WHEN substr(o.o_orderpriority, 1, 1) IN ('1','2')
+                        THEN floor(o.o_totalprice * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS syt,
+               sum(CASE WHEN substr(o.o_orderpriority, 1, 1) IN ('1','2')
+                        THEN 0
+                        ELSE floor(o.o_totalprice * 100 + 0.5)::BIGINT END)::BIGINT AS syc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        HAVING nt > 0 AND nt < n),
+      seg AS (
+        SELECT segment, count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_rows,
+               sum(nt)::BIGINT AS snt, sum(n - nt)::BIGINT AS snc,
+               sum(syt)::BIGINT AS ssyt, sum(syc)::BIGINT AS ssyc,
+               sum(syt::DOUBLE * n / nt) AS wt,
+               sum(syc::DOUBLE * n / (n - nt)) AS wc
+        FROM cells GROUP BY 1)
+      SELECT segment, n_cells, n_rows,
+             ${Quant.quant6Sql("(ssyt::DOUBLE / snt - ssyc::DOUBLE / snc) / 100.0")}
+               AS naive_diff,
+             ${Quant.quant6Sql("(wt - wc) / (n_rows::DOUBLE * 100.0)")} AS ate_ipw
+      FROM seg
+      ORDER BY segment
+    """)),
+
+    // ------------------------------------------------------------ adaptive-gap sessionization (round 12)
+    // q29/q30 sessionize with one global gap; real user bases mix
+    // tick-speed bots with once-a-day humans, so production pipelines
+    // set the gap PER USER — here max(5 min, 2× the user's own median
+    // interarrival). ALL per-user steps (lag, median-as-window-
+    // aggregate, boundary cumsum) run on ONE user hash partitioning
+    // over ONE scan — no threshold join at all, so there is no
+    // user-dimension relation to broadcast (the q240 trap) and the
+    // user dimension can grow without bound.
+    ("q277_adaptive_sessions", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val wu = Window.partitionBy("user_id")
+      Tables.fanOut(Tables.events(s, d))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .withColumn("med_gap", expr("percentile(gap, 0.5)").over(wu))
+        // explicit null branch (single-event users have no gaps):
+        // greatest() skips nulls in Spark but not in DuckDB.
+        .withColumn("thr_us",
+          when(col("med_gap").isNull, lit(300000000.0))
+            .otherwise(greatest(lit(300000000.0), col("med_gap") * 2.0)))
+        .withColumn("brk",
+          when(col("gap").isNull || col("gap").cast("double") > col("thr_us"), 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("brk").over(w))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("sess_events"), max("thr_us").as("thr_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("sess_events").as("n_events"),
+             max("sess_events").as("max_session_events"),
+             Quant.quant6(max("thr_us") / 60000000.0).as("thr_min"))
+        .orderBy("user_id")
+    }, Some(s"""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      th AS (
+        SELECT user_id, us, event_id, gap,
+               quantile_cont(gap, 0.5) OVER (PARTITION BY user_id) AS med_gap
+        FROM ev),
+      br AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN med_gap IS NULL THEN 300000000.0
+                    ELSE greatest(300000000.0, 2.0 * med_gap) END AS thr_us,
+               CASE WHEN gap IS NULL OR gap::DOUBLE > (
+                      CASE WHEN med_gap IS NULL THEN 300000000.0
+                           ELSE greatest(300000000.0, 2.0 * med_gap) END)
+                    THEN 1 ELSE 0 END AS brk
+        FROM th),
+      se AS (
+        SELECT user_id, thr_us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM br),
+      per AS (
+        SELECT user_id, sess, count(*)::BIGINT AS sess_events,
+               max(thr_us) AS thr_us
+        FROM se GROUP BY 1, 2)
+      SELECT user_id, count(*)::BIGINT AS n_sessions,
+             sum(sess_events)::BIGINT AS n_events,
+             max(sess_events)::BIGINT AS max_session_events,
+             ${Quant.quant6Sql("max(thr_us) / 60000000.0")} AS thr_min
+      FROM per GROUP BY 1
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ bounded edit-distance pairs (round 12)
+    // q159's blocked record linkage with the other classic distance:
+    // Levenshtein, using Spark's THRESHOLD variant — banded O(k·n) DP
+    // with early exit instead of the full O(n·m) matrix, the form that
+    // matters when the blocked candidate set is still millions of
+    // pairs. Same noun-block equi-join keeps candidates bounded
+    // (never all-pairs); the -1 sentinel from the banded form becomes
+    // the ≤k filter.
+    ("q278_bounded_edit_pairs", (s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      val a = names.select(col("p_name").as("name_a"), col("noun"))
+      val b = names.select(col("p_name").as("name_b"), col("noun").as("noun_b"))
+      a.join(b, col("noun") === col("noun_b") && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b"), 4).as("dist"))
+        .filter(col("dist") >= 0)
+        .orderBy(col("dist"), col("name_a"), col("name_b"))
+    }, Some("""
+      WITH n AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name)::INT AS dist
+      FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY dist, name_a, name_b
     """))
   )
 }

@@ -1080,7 +1080,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // user-keyed lead window + |types|² rollup over one scan.
       "q273_isotonic_calibration" -> (2, 0), // the two grid rollups on the ≤B³-row relation
       "q274_target_encoding" -> (3, 2),
-      "q275_transition_dwell" -> (2, 1))
+      "q275_transition_dwell" -> (2, 1),
+      // q276: keyed orders→customer join collapses to the cell
+      // aggregate; every float op on the ≤125-cell relation. q277:
+      // lag, median-as-window-agg, and cumsum all run on ONE user
+      // hash partitioning over ONE scan — no threshold join, nothing
+      // user-dimension-sized to broadcast. q278: noun-blocked pair
+      // join on the distinct-names relation.
+      "q276_ipw_effect" -> (4, 2),
+      "q277_adaptive_sessions" -> (1, 1),
+      "q278_bounded_edit_pairs" -> (3, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
