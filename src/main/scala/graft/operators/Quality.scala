@@ -2286,6 +2286,254 @@ object Quality extends QueryGroup {
       FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
       WHERE levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY dist, name_a, name_b
+    """)),
+
+    // ------------------------------------------------------------ decision-stump split scoring (round 12)
+    // The tree-learner primitive: information gain of every candidate
+    // (feature, threshold) split against a binary label, from ONE
+    // corpus pass. Features are unpivoted with a single stack() Expand
+    // (never three self-scans), counts per (feature, value) are exact
+    // integers, and the threshold curve comes from a prefix window
+    // over the ≤|values|-bounded aggregate — so every ln() runs on a
+    // ~70-row relation. The full IG curve is emitted rather than an
+    // argmax: near-flat curves (label ≈ independent of feature, as
+    // here) make argmax ulp-fragile across engines, while the curve
+    // itself is stable under quant6.
+    ("q279_best_split", (s, d) => {
+      val fv = Tables.fanOut(Tables.lineitem(s, d))
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+          expr("""stack(3,
+            'quantity',     CAST(l_quantity AS BIGINT),
+            'discount_pct', CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+            'tax_pct',      CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS (feature, v)"""))
+        .groupBy("feature", "v")
+        .agg(count(lit(1)).as("n"), sum("y").as("np"))
+      val wf = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy("feature")
+      // H(p) with 0·ln 0 = 0, on exact integer ratios
+      def ent(p: Column): Column =
+        -(when(p > 0, p * log(p)).otherwise(0.0)
+          + when(p < 1, (lit(1.0) - p) * log(lit(1.0) - p)).otherwise(0.0))
+      fv.withColumn("cn", sum("n").over(wf)).withColumn("cp", sum("np").over(wf))
+        .withColumn("tn", sum("n").over(wt)).withColumn("tp", sum("np").over(wt))
+        .filter(col("cn") < col("tn")) // top value splits nothing off
+        .select(col("feature"), col("v").as("threshold"),
+          col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+          Quant.quant6(
+            ent(col("tp").cast("double") / col("tn"))
+              - col("cn").cast("double") / col("tn")
+                * ent(col("cp").cast("double") / col("cn"))
+              - (col("tn") - col("cn")).cast("double") / col("tn")
+                * ent((col("tp") - col("cp")).cast("double") / (col("tn") - col("cn"))))
+            .as("info_gain"))
+        .orderBy("feature", "threshold")
+    }, Some(s"""
+      WITH fv AS (
+        SELECT feature, v, count(*)::BIGINT AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS np
+        FROM (
+          SELECT l_returnflag, f.feature, f.v
+          FROM lineitem,
+               LATERAL (VALUES ('quantity',     l_quantity::BIGINT),
+                               ('discount_pct', floor(l_discount * 100 + 0.5)::BIGINT),
+                               ('tax_pct',      floor(l_tax * 100 + 0.5)::BIGINT))
+                 AS f(feature, v))
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT feature, v, n, np,
+               sum(n) OVER wf::BIGINT AS cn, sum(np) OVER wf::BIGINT AS cp,
+               sum(n) OVER wt::BIGINT AS tn, sum(np) OVER wt::BIGINT AS tp
+        FROM fv
+        WINDOW wf AS (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING),
+               wt AS (PARTITION BY feature)),
+      ig AS (
+        SELECT feature, v AS threshold, cn AS n_left, tn - cn AS n_right,
+               -(CASE WHEN tp > 0 THEN tp::DOUBLE/tn * ln(tp::DOUBLE/tn) ELSE 0 END
+                 + CASE WHEN tp < tn THEN (1.0 - tp::DOUBLE/tn) * ln(1.0 - tp::DOUBLE/tn) ELSE 0 END)
+               - cn::DOUBLE/tn *
+                 (-(CASE WHEN cp > 0 THEN cp::DOUBLE/cn * ln(cp::DOUBLE/cn) ELSE 0 END
+                    + CASE WHEN cp < cn THEN (1.0 - cp::DOUBLE/cn) * ln(1.0 - cp::DOUBLE/cn) ELSE 0 END))
+               - (tn - cn)::DOUBLE/tn *
+                 (-(CASE WHEN tp - cp > 0 THEN (tp-cp)::DOUBLE/(tn-cn) * ln((tp-cp)::DOUBLE/(tn-cn)) ELSE 0 END
+                    + CASE WHEN tp - cp < tn - cn THEN (1.0 - (tp-cp)::DOUBLE/(tn-cn)) * ln(1.0 - (tp-cp)::DOUBLE/(tn-cn)) ELSE 0 END))
+                 AS gain
+        FROM cum WHERE cn < tn)
+      SELECT feature, threshold, n_left, n_right,
+             ${Quant.quant6Sql("gain")} AS info_gain
+      FROM ig
+      ORDER BY feature, threshold
+    """)),
+
+    // ------------------------------------------------------------ interval-union coverage audit (round 12)
+    // Interval algebra the relational way: error events become
+    // incident windows [ts, ts + max(1, ⌊value⌋) min); per user the
+    // audit reports how much wall-clock the union covers vs the summed
+    // lengths (the difference IS the overlap — double-counted alert
+    // time). Islands are detected with the running-max-end trick (a
+    // start beyond every previous end opens a new island) — one
+    // user-keyed window pass, no self-join, exact integer µs
+    // throughout. Complements q172 (instantaneous peak concurrency)
+    // with the integral view.
+    ("q280_interval_coverage", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val iv = Tables.fanOut(Tables.events(s, d))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          (greatest(lit(1L), floor(col("value")).cast("long")) * 60000000L).as("dur_us"))
+        .withColumn("end_us", col("us") + col("dur_us"))
+        .withColumn("prev_max_end",
+          max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("prev_max_end").isNull || col("us") > col("prev_max_end"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("brk").over(w))
+      iv.groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("n_inc"), sum("dur_us").as("len_us"),
+             min("us").as("start_us"), max("end_us").as("iend_us"))
+        .groupBy("user_id")
+        .agg(sum("n_inc").as("n_incidents"), count(lit(1)).as("n_islands"),
+             sum(col("iend_us") - col("start_us")).as("cov_us"),
+             sum("len_us").as("tot_us"),
+             max(col("iend_us") - col("start_us")).as("max_us"))
+        // DIV, not `/`: Column./ on longs is double division
+        .select(col("user_id"), col("n_incidents"), col("n_islands"),
+          expr("cov_us DIV 60000000").as("covered_min"),
+          expr("(tot_us - cov_us) DIV 60000000").as("overlap_min"),
+          expr("max_us DIV 60000000").as("max_island_min"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               greatest(1, floor(value)::BIGINT) * 60000000 AS dur_us,
+               epoch_us(ts) + greatest(1, floor(value)::BIGINT) * 60000000 AS end_us
+        FROM events WHERE event_type = 'error'),
+      mk AS (
+        SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        FROM iv),
+      il AS (
+        SELECT *, sum(CASE WHEN prev_max_end IS NULL OR us > prev_max_end
+                           THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM mk),
+      isl AS (
+        SELECT user_id, island, count(*)::BIGINT AS n_inc,
+               sum(dur_us)::BIGINT AS len_us,
+               min(us) AS start_us, max(end_us) AS iend_us
+        FROM il GROUP BY 1, 2)
+      SELECT user_id, sum(n_inc)::BIGINT AS n_incidents,
+             count(*)::BIGINT AS n_islands,
+             (sum(iend_us - start_us) // 60000000)::BIGINT AS covered_min,
+             ((sum(len_us) - sum(iend_us - start_us)) // 60000000)::BIGINT AS overlap_min,
+             (max(iend_us - start_us) // 60000000)::BIGINT AS max_island_min
+      FROM isl GROUP BY 1
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ time-weighted average (round 12)
+    // TWAP — the finance/ops aggregate a plain avg() gets wrong when
+    // samples are irregular: each observation holds until the next, so
+    // its weight is its dwell. One user-keyed lead window computes the
+    // dwell weights (exact integer µs), then one aggregate forms
+    // Σ v·w / Σ w next to the unweighted mean so the irregularity bias
+    // is visible. Users need ≥2 events to have any dwell.
+    ("q281_twap", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.fanOut(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("w_us", lead("us", 1).over(w) - col("us"))
+        .filter(col("w_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spans"),
+             Quant.quant6(sum(col("value") * col("w_us")) / sum("w_us")).as("twap"),
+             Quant.quant6(avg("value")).as("plain_mean"))
+        .orderBy("user_id")
+    }, Some(s"""
+      WITH sp AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS w_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      SELECT user_id, count(*)::BIGINT AS n_spans,
+             ${Quant.quant6Sql("sum(value * w_us) / sum(w_us)")} AS twap,
+             ${Quant.quant6Sql("avg(value)")} AS plain_mean
+      FROM sp WHERE w_us IS NOT NULL
+      GROUP BY 1
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ Simpson's-paradox audit (round 12)
+    // The confounding detector: the discount→quantity slope pooled
+    // over everything vs within each nation stratum. Slopes are exact
+    // integer-sum ratios (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²), so their
+    // SIGNS — and therefore the reversal count, the audit's headline —
+    // are bit-deterministic across engines; only the quant6'd
+    // magnitudes are floats. Corpus path: lineitem⋈orders keyed
+    // shuffle, customer dim join, one stratum aggregate; every
+    // division happens on the ≤|nation| relation, pooled sums roll up
+    // from the stratum sums (no second scan).
+    ("q282_simpson_audit", (s, d) => {
+      val strata = Tables.fanOut(Tables.lineitem(s, d))
+        .select(col("l_orderkey"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")))
+      strata
+        .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+             sum("sxy").as("sxy"), sum("sxx").as("sxx"),
+             count(lit(1)).as("n_strata"),
+             Quant.quant6(min("slope")).as("min_stratum_slope"),
+             Quant.quant6(max("slope")).as("max_stratum_slope"),
+             sum(when(col("slope") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .select(col("n_strata"), col("n_negative"),
+          Quant.quant6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("pooled_slope"),
+          col("min_stratum_slope"), col("max_stratum_slope"),
+          (col("n_negative") > 0 &&
+            (col("n") * col("sxy") - col("sx") * col("sy")) > 0
+            || (col("n_strata") - col("n_negative")) > 0 &&
+               (col("n") * col("sxy") - col("sx") * col("sy")) < 0)
+            .as("sign_reversal_present"))
+    }, Some(s"""
+      WITH strata AS (
+        SELECT c.c_nationkey, count(*)::BIGINT AS n,
+               sum(floor(l.l_discount * 100 + 0.5)::BIGINT)::BIGINT AS sx,
+               sum(l.l_quantity::BIGINT)::BIGINT AS sy,
+               sum(floor(l.l_discount * 100 + 0.5)::BIGINT * l.l_quantity::BIGINT)::BIGINT AS sxy,
+               sum(floor(l.l_discount * 100 + 0.5)::BIGINT
+                   * floor(l.l_discount * 100 + 0.5)::BIGINT)::BIGINT AS sxx
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+      sl AS (
+        SELECT *, (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) AS slope
+        FROM strata)
+      SELECT count(*)::BIGINT AS n_strata,
+             sum(CASE WHEN slope < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+             ${Quant.quant6Sql(
+               "(sum(n) * sum(sxy) - sum(sx) * sum(sy))::DOUBLE / (sum(n) * sum(sxx) - sum(sx) * sum(sx))")}
+               AS pooled_slope,
+             ${Quant.quant6Sql("min(slope)")} AS min_stratum_slope,
+             ${Quant.quant6Sql("max(slope)")} AS max_stratum_slope,
+             (sum(CASE WHEN slope < 0 THEN 1 ELSE 0 END) > 0
+                AND (sum(n) * sum(sxy) - sum(sx) * sum(sy)) > 0)
+             OR (sum(CASE WHEN slope >= 0 THEN 1 ELSE 0 END) > 0
+                AND (sum(n) * sum(sxy) - sum(sx) * sum(sy)) < 0)
+               AS sign_reversal_present
+      FROM sl
     """))
   )
 }

@@ -1089,7 +1089,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // join on the distinct-names relation.
       "q276_ipw_effect" -> (4, 2),
       "q277_adaptive_sessions" -> (1, 1),
-      "q278_bounded_edit_pairs" -> (3, 2))
+      "q278_bounded_edit_pairs" -> (3, 2),
+      // q279: single stack() Expand scan → (feature,v) agg; both IG
+      // windows run on the ≤|values| aggregate. q280/q281: one
+      // user-keyed window pass; the island/user rollups reuse the user
+      // partitioning. q282: keyed lineitem⋈orders + customer dim join
+      // (no forced broadcast — AQE picks, and at scale it shuffles);
+      // all slope math on the ≤|nation| relation.
+      "q279_best_split" -> (3, 1),
+      "q280_interval_coverage" -> (2, 1),
+      "q281_twap" -> (1, 1),
+      "q282_simpson_audit" -> (5, 3))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
