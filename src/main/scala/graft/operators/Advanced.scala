@@ -1468,6 +1468,122 @@ object Advanced extends QueryGroup {
       FROM lvls
       GROUP BY 1, 2
       ORDER BY depth, prefix
+    """)),
+
+    // ------------------------------------------------------------ seasonal-naive MASE backtest (round 12)
+    // The forecast-eval family's entry point: hold out each event
+    // type's final week, forecast it with the seasonal-naive rule
+    // (x̂_t = x_{t−7}) and score with MASE — holdout MAE scaled by the
+    // IN-SAMPLE naive-1 MAE, the scale-free metric that makes error
+    // comparable across types with different volumes (MASE < 1 ⇒
+    // beats last-value persistence). Everything runs on the
+    // calendar-bounded checkpointed spine: two lag columns from one
+    // type-partitioned window, integer absolute-error sums, and ONE
+    // float division per output row (sae_h·n_in / (h·sae_in)),
+    // quant6'd.
+    ("q283_mase_backtest", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wt = Window.partitionBy("event_type")
+      val sc = dailyFilled(s, d)
+        .withColumn("lag1", lag("x", 1).over(w))
+        .withColumn("lag7", lag("x", 7).over(w))
+        .withColumn("cut", max("day").over(wt) - 7)
+      sc.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("day") > col("cut") && col("lag7").isNotNull, lit(1L))
+            .otherwise(0L)).as("h"),
+          sum(when(col("day") > col("cut") && col("lag7").isNotNull,
+            abs(col("x") - col("lag7"))).otherwise(0L)).as("sae_h"),
+          sum(when(col("day") <= col("cut") && col("lag1").isNotNull, lit(1L))
+            .otherwise(0L)).as("n_in"),
+          sum(when(col("day") <= col("cut") && col("lag1").isNotNull,
+            abs(col("x") - col("lag1"))).otherwise(0L)).as("sae_in"))
+        .select(col("event_type"), col("n_days"), col("h"),
+          Quant.quant6(col("sae_h").cast("double") / col("h")).as("mae_seasonal"),
+          Quant.quant6(col("sae_in").cast("double") / col("n_in")).as("mae_naive_in"),
+          Quant.quant6((col("sae_h") * col("n_in")).cast("double")
+            / (col("h") * col("sae_in"))).as("mase"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH $dailyFilledSql,
+      sc AS (
+        SELECT event_type, day, x,
+               lag(x, 1) OVER w AS lag1, lag(x, 7) OVER w AS lag7,
+               max(day) OVER (PARTITION BY event_type) - 7 AS cut
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      agg AS (
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(CASE WHEN day > cut AND lag7 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS h,
+               sum(CASE WHEN day > cut AND lag7 IS NOT NULL THEN abs(x - lag7) ELSE 0 END)::BIGINT AS sae_h,
+               sum(CASE WHEN day <= cut AND lag1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_in,
+               sum(CASE WHEN day <= cut AND lag1 IS NOT NULL THEN abs(x - lag1) ELSE 0 END)::BIGINT AS sae_in
+        FROM sc GROUP BY 1)
+      SELECT event_type, n_days, h,
+             ${Quant.quant6Sql("sae_h::DOUBLE / h")} AS mae_seasonal,
+             ${Quant.quant6Sql("sae_in::DOUBLE / n_in")} AS mae_naive_in,
+             ${Quant.quant6Sql("(sae_h * n_in)::DOUBLE / (h * sae_in)")} AS mase
+      FROM agg
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ pinball-loss quantile eval (round 12)
+    // q283 scores a point forecast; capacity planning wants QUANTILE
+    // forecasts ("provision for the p90 day") — scored with the
+    // pinball loss, the proper scoring rule for quantiles: under-
+    // prediction of the p90 costs 0.9 per unit, over-prediction 0.1.
+    // Train = all but the final week per type, forecast = the train
+    // window's exact interpolated p50/p90 (a constant per type — the
+    // climatological quantile baseline), scored on the holdout week.
+    // Spine-bounded: the quantile runs per type on ≤|days| rows, the
+    // holdout join is keyed on the 5-row type dimension.
+    ("q284_pinball_eval", (s, d) => {
+      val wt = Window.partitionBy("event_type")
+      val sc = dailyFilled(s, d)
+        .withColumn("cut", max("day").over(wt) - 7)
+      val fc = sc.filter(col("day") <= col("cut")).groupBy("event_type")
+        .agg(expr("percentile(x, 0.5)").as("f50"),
+             expr("percentile(x, 0.9)").as("f90"))
+      def pinball(q: Double, f: Column): Column =
+        sum(when(col("x").cast("double") >= f, lit(q) * (col("x") - f))
+          .otherwise(lit(1 - q) * (f - col("x"))))
+      sc.filter(col("day") > col("cut"))
+        .join(fc, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("h"),
+             max("f50").as("f50"), max("f90").as("f90"),
+             pinball(0.5, col("f50")).as("p50loss"),
+             pinball(0.9, col("f90")).as("p90loss"))
+        .select(col("event_type"), col("h"),
+          Quant.quant6(col("f50")).as("forecast_p50"),
+          Quant.quant6(col("f90")).as("forecast_p90"),
+          Quant.quant6(col("p50loss") / col("h")).as("pinball_p50"),
+          Quant.quant6(col("p90loss") / col("h")).as("pinball_p90"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH $dailyFilledSql,
+      sc AS (
+        SELECT event_type, day, x,
+               max(day) OVER (PARTITION BY event_type) - 7 AS cut
+        FROM filled),
+      fc AS (
+        SELECT event_type, quantile_cont(x, 0.5) AS f50, quantile_cont(x, 0.9) AS f90
+        FROM sc WHERE day <= cut GROUP BY 1),
+      ho AS (
+        SELECT s.event_type, s.x, f.f50, f.f90
+        FROM sc s JOIN fc f USING (event_type)
+        WHERE s.day > s.cut)
+      SELECT event_type, count(*)::BIGINT AS h,
+             ${Quant.quant6Sql("max(f50)")} AS forecast_p50,
+             ${Quant.quant6Sql("max(f90)")} AS forecast_p90,
+             ${Quant.quant6Sql(
+               """sum(CASE WHEN x::DOUBLE >= f50 THEN 0.5 * (x - f50)
+                           ELSE 0.5 * (f50 - x) END) / count(*)""")} AS pinball_p50,
+             ${Quant.quant6Sql(
+               """sum(CASE WHEN x::DOUBLE >= f90 THEN 0.9 * (x - f90)
+                           ELSE 0.1 * (f90 - x) END) / count(*)""")} AS pinball_p90
+      FROM ho GROUP BY 1
+      ORDER BY event_type
     """))
   )
 

@@ -1237,7 +1237,73 @@ object Dedup extends QueryGroup {
       FROM est
       GROUP BY pair_source, n_match
       ORDER BY pair_source, n_matching
-    """}))
+    """})),
+
+    // ------------------------------------------------------------ near-dup graph modularity (round 12)
+    // Structural quality of the q64 clustering: Newman modularity
+    // Q = Σ_c (e_c/m − (d_c/2m)²) of the near-dup graph under the
+    // propagated labels. Since the labels converge to connected
+    // components, every edge is intra-community and the within-edge
+    // join doubles as a convergence cross-check (e_c sums to m);
+    // the (d_c/2m)² term is what separates "one giant hairball"
+    // from "many tight cliques" — the shape that tells you whether
+    // an aggressive canonical-doc cut is safe. Pairs are generated
+    // ONCE (checkpointed) and feed edges, degrees, and the label
+    // join; all modularity math is exact integers until the two
+    // final ratios on the ≤|components| relation; m rides along as
+    // a 1-row broadcast (sanctioned cross shape).
+    ("q285_graph_modularity", (s, d) => {
+      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint()
+      val labels = clusterLabels(s, d)
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val mdf = pairs.agg(count(lit(1)).as("m"))
+      val within = pairs
+        .join(labels.select(col("doc_id").as("doc_a"), col("label").as("ca")), "doc_a")
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("cb")), "doc_b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("n_edges_within"))
+      labels.join(deg, "doc_id")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+        .join(within, Seq("community"), "left")
+        .withColumn("n_edges_within", coalesce(col("n_edges_within"), lit(0L)))
+        .crossJoin(broadcast(mdf))
+        .select(col("community"), col("n_nodes"), col("n_edges_within"),
+          col("degree_sum"),
+          Quant.quant6(col("n_edges_within").cast("double") / col("m")
+            - (col("degree_sum").cast("double") / (col("m") * 2))
+              * (col("degree_sum").cast("double") / (col("m") * 2)))
+            .as("q_contribution"))
+        .orderBy("community")
+    }, Some(s"""
+      WITH $pairsCte,
+      $propagationCtes,
+      deg AS (SELECT src AS doc_id, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+      mm AS (SELECT count(*)::BIGINT AS m FROM near_pairs),
+      com AS (
+        SELECT l.label AS community, count(*)::BIGINT AS n_nodes,
+               sum(g.deg)::BIGINT AS degree_sum
+        FROM l3 l JOIN deg g ON g.doc_id = l.doc_id
+        GROUP BY 1),
+      wi AS (
+        SELECT la.label AS community, count(*)::BIGINT AS n_edges_within
+        FROM near_pairs p
+        JOIN l3 la ON la.doc_id = p.doc_a
+        JOIN l3 lb ON lb.doc_id = p.doc_b AND lb.label = la.label
+        GROUP BY 1)
+      SELECT c.community, c.n_nodes,
+             coalesce(w.n_edges_within, 0)::BIGINT AS n_edges_within,
+             c.degree_sum,
+             ${Quant.quant6Sql(
+               """coalesce(w.n_edges_within, 0)::DOUBLE / mm.m
+                  - (c.degree_sum::DOUBLE / (2 * mm.m))
+                    * (c.degree_sum::DOUBLE / (2 * mm.m))""")} AS q_contribution
+      FROM com c LEFT JOIN wi w ON w.community = c.community
+      CROSS JOIN mm
+      ORDER BY c.community
+    """))
   )
 
 }

@@ -1099,7 +1099,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q279_best_split" -> (3, 1),
       "q280_interval_coverage" -> (2, 1),
       "q281_twap" -> (1, 1),
-      "q282_simpson_audit" -> (5, 3))
+      "q282_simpson_audit" -> (5, 3),
+      // q283/q284: everything on the checkpointed calendar spine
+      // (0 corpus scans); type-partitioned windows + 5-row rollups.
+      // q285: checkpointed pair generation feeds edges/degrees/labels;
+      // modularity math on the ≤|components| relation (its scan is the
+      // labels' checkpoint reads, not the corpus).
+      "q283_mase_backtest" -> (2, 0),
+      "q284_pinball_eval" -> (3, 0),
+      "q285_graph_modularity" -> (8, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
