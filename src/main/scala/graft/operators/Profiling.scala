@@ -1166,6 +1166,182 @@ object Profiling extends QueryGroup {
       SELECT o.event_type, o.n_days, s.sen_slope, o.ols_slope
       FROM ols o JOIN sen s USING (event_type)
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ tail composition (round 12)
+    // p99 pages the on-call; this says WHO lives up there — the
+    // composition of the global top-1% of event values by type (share
+    // of the tail) next to each type's own tail rate. The exact p99
+    // threshold is a 1-row relation broadcast over the per-type
+    // aggregate (sanctioned 1-row cross); the corpus is scanned once
+    // for the threshold and once for the classification — at 100 TB
+    // both are full-scan-shaped with nothing driver-side.
+    ("q286_tail_composition", (s, d) => {
+      val thr = Tables.fanOut(Tables.events(s, d))
+        .agg(expr("percentile(value, 0.99)").as("p99"))
+      val byType = Tables.fanOut(Tables.events(s, d))
+        .crossJoin(broadcast(thr))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(when(col("value") >= col("p99"), 1L).otherwise(0L)).as("n_tail"),
+             max("p99").as("p99"))
+      val wTot = Window.partitionBy(lit(1))
+      byType
+        .withColumn("tail_total", sum("n_tail").over(wTot))
+        .select(col("event_type"), col("n_events"), col("n_tail"),
+          Quant.quant6(col("p99")).as("p99_threshold"),
+          Quant.quant6(col("n_tail").cast("double") / col("tail_total"))
+            .as("share_of_tail"),
+          Quant.quant6(col("n_tail").cast("double") / col("n_events"))
+            .as("type_tail_rate"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH thr AS (SELECT quantile_cont(value, 0.99) AS p99 FROM events),
+      bt AS (
+        SELECT e.event_type, count(*)::BIGINT AS n_events,
+               sum(CASE WHEN e.value >= t.p99 THEN 1 ELSE 0 END)::BIGINT AS n_tail,
+               max(t.p99) AS p99
+        FROM events e CROSS JOIN thr t
+        GROUP BY 1),
+      tt AS (SELECT sum(n_tail)::BIGINT AS tail_total FROM bt)
+      SELECT b.event_type, b.n_events, b.n_tail,
+             ${Quant.quant6Sql("b.p99")} AS p99_threshold,
+             ${Quant.quant6Sql("b.n_tail::DOUBLE / t.tail_total")} AS share_of_tail,
+             ${Quant.quant6Sql("b.n_tail::DOUBLE / b.n_events")} AS type_tail_rate
+      FROM bt b CROSS JOIN tt t
+      ORDER BY b.event_type
+    """)),
+
+    // ------------------------------------------------------------ retention half-life fit (round 12)
+    // q86 tabulates the cohort retention matrix; growth teams quote
+    // ONE number from it — the half-life of an exponential decay
+    // fitted to the pooled curve. Grain matters on this corpus: every
+    // user is active every WEEK (weekly retention ≡ 1.0, degenerate),
+    // so the fit runs on DAILY purchase activity, ages 1..7.
+    // Censoring-correct pooling: age k's rate only counts cohorts old
+    // enough to observe k, or young cohorts drag the tail to zero.
+    // The fit is log-linear OLS — ln(rate_k) ~ k on the ≤7-row age
+    // relation; every corpus-side number is an exact integer count,
+    // ln/division happen once per age row, and a slope of exactly 0
+    // yields a NULL half-life on both engines (ANSI guard).
+    ("q287_retention_halflife", (s, d) => {
+      val active = Tables.fanOut(Tables.events(s, d))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("dd"))
+        .distinct()
+      val firsts = active.groupBy("user_id").agg(min("dd").as("cohort"))
+      val maxD = active.agg(max("dd").as("maxd"))
+      val aged = active.join(firsts, "user_id")
+        .withColumn("k", expr("datediff(dd, cohort)").cast("long"))
+        .filter(col("k").between(1, 7))
+        .groupBy("cohort", "k").agg(count(lit(1)).as("n_k"))
+      val base = firsts.crossJoin(broadcast(maxD))
+        .withColumn("obs_k", expr("datediff(maxd, cohort)").cast("long"))
+        .groupBy("cohort").agg(count(lit(1)).as("n_0"), max("obs_k").as("obs_k"))
+      val rates = aged.join(base, "cohort")
+        .filter(col("k") <= col("obs_k")) // censoring: cohort must be old enough
+        .groupBy("k")
+        .agg(sum("n_k").as("retained"), sum("n_0").as("eligible"))
+        .withColumn("lr", log(col("retained").cast("double") / col("eligible")))
+      val slope = (col("n_pts") * col("sky") - col("sk") * col("sy")) /
+        (col("n_pts") * col("skk") - col("sk") * col("sk")).cast("double")
+      rates
+        .agg(count(lit(1)).as("n_pts"), sum("k").as("sk"), sum("lr").as("sy"),
+             sum(col("k") * col("lr")).as("sky"),
+             sum(col("k") * col("k")).as("skk"))
+        .select(col("n_pts"),
+          Quant.quant6(slope).as("decay_slope"),
+          Quant.quant6(when(slope =!= 0.0, lit(-math.log(2.0)) / slope))
+            .as("half_life_days"))
+    }, Some(s"""
+      WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP) AS dd
+        FROM events WHERE event_type = 'purchase'),
+      firsts AS (SELECT user_id, min(dd) AS cohort FROM active GROUP BY 1),
+      maxd AS (SELECT max(dd) AS maxd FROM active),
+      aged AS (
+        SELECT f.cohort, datediff('day', f.cohort, a.dd) AS k,
+               count(*)::BIGINT AS n_k
+        FROM active a JOIN firsts f USING (user_id)
+        WHERE datediff('day', f.cohort, a.dd) BETWEEN 1 AND 7
+        GROUP BY 1, 2),
+      base AS (
+        SELECT f.cohort, count(*)::BIGINT AS n_0,
+               max(datediff('day', f.cohort, m.maxd)) AS obs_k
+        FROM firsts f CROSS JOIN maxd m
+        GROUP BY 1),
+      rates AS (
+        SELECT a.k, sum(a.n_k)::BIGINT AS retained, sum(b.n_0)::BIGINT AS eligible,
+               ln(sum(a.n_k)::DOUBLE / sum(b.n_0)) AS lr
+        FROM aged a JOIN base b USING (cohort)
+        WHERE a.k <= b.obs_k
+        GROUP BY 1),
+      fit AS (
+        SELECT count(*)::BIGINT AS n_pts, sum(k)::BIGINT AS sk, sum(lr) AS sy,
+               sum(k * lr) AS sky, sum(k * k)::BIGINT AS skk
+        FROM rates),
+      sl AS (
+        SELECT n_pts,
+               (n_pts * sky - sk * sy) / (n_pts * skk - sk * sk)::DOUBLE AS slope
+        FROM fit)
+      SELECT n_pts,
+             ${Quant.quant6Sql("slope")} AS decay_slope,
+             ${Quant.quant6Sql("CASE WHEN slope <> 0.0 THEN -ln(2.0) / slope END")}
+               AS half_life_days
+      FROM sl
+    """)),
+
+    // ------------------------------------------------------------ capture-recapture estimate (round 12)
+    // Chao1 (q178) estimates richness from ONE sample's abundance;
+    // the two-sample design — Lincoln–Petersen with Chapman's
+    // bias-corrected form N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — is what you
+    // use when the corpus arrives as distinct crawls/streams and you
+    // want total population (users, entities, docs) without unioning
+    // raw data: count each sample's marks and the overlap. One
+    // per-user aggregate builds the presence flags (first half vs
+    // second half of the observed span); the estimate is exact
+    // integer arithmetic on a 1-row relation, reported next to the
+    // true distinct count as the honest error check.
+    ("q288_capture_recapture", (s, d) => {
+      val sp = Tables.fanOut(Tables.events(s, d))
+        .agg(expr("min(unix_micros(ts))").as("lo"), expr("max(unix_micros(ts))").as("hi"))
+        .select(col("lo"), ((col("lo") + col("hi")) / lit(2L)).cast("long").as("mid"))
+      Tables.fanOut(Tables.events(s, d))
+        .crossJoin(broadcast(sp))
+        .groupBy("user_id")
+        .agg(max(when(unix_micros(col("ts")) < col("mid"), 1L).otherwise(0L)).as("in_a"),
+             max(when(unix_micros(col("ts")) >= col("mid"), 1L).otherwise(0L)).as("in_b"))
+        .agg(sum("in_a").as("n1"), sum("in_b").as("n2"),
+             sum(col("in_a") * col("in_b")).as("m"),
+             count(lit(1)).as("true_distinct"))
+        .select(col("n1"), col("n2"), col("m"), col("true_distinct"),
+          Quant.quant6(((col("n1") + 1) * (col("n2") + 1)).cast("double")
+            / (col("m") + 1) - 1.0).as("chapman_estimate"),
+          Quant.quant6((((col("n1") + 1) * (col("n2") + 1)).cast("double")
+            / (col("m") + 1) - 1.0 - col("true_distinct"))
+            / col("true_distinct")).as("rel_error"))
+    }, Some(s"""
+      WITH sp AS (
+        SELECT min(epoch_us(ts)) AS lo,
+               ((min(epoch_us(ts)) + max(epoch_us(ts))) // 2)::BIGINT AS mid
+        FROM events),
+      fl AS (
+        SELECT e.user_id,
+               max(CASE WHEN epoch_us(e.ts) < s.mid THEN 1 ELSE 0 END)::BIGINT AS in_a,
+               max(CASE WHEN epoch_us(e.ts) >= s.mid THEN 1 ELSE 0 END)::BIGINT AS in_b
+        FROM events e CROSS JOIN sp s
+        GROUP BY 1),
+      ag AS (
+        SELECT sum(in_a)::BIGINT AS n1, sum(in_b)::BIGINT AS n2,
+               sum(in_a * in_b)::BIGINT AS m, count(*)::BIGINT AS true_distinct
+        FROM fl)
+      SELECT n1, n2, m, true_distinct,
+             ${Quant.quant6Sql("(n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1.0")}
+               AS chapman_estimate,
+             ${Quant.quant6Sql(
+               "((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1.0 - true_distinct) / true_distinct")}
+               AS rel_error
+      FROM ag
     """))
   )
 }

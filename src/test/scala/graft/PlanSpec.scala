@@ -1107,7 +1107,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // labels' checkpoint reads, not the corpus).
       "q283_mase_backtest" -> (2, 0),
       "q284_pinball_eval" -> (3, 0),
-      "q285_graph_modularity" -> (8, 1))
+      "q285_graph_modularity" -> (8, 1),
+      // q286: two full scans (p99 threshold as a 1-row broadcast +
+      // classification agg); the tail-total window sits on the 5-row
+      // aggregate. q287: distinct purchase-days → cohort/censored-age
+      // rollups; the only cross is the 1-row max-date broadcast; the
+      // OLS runs on the ≤7-row age relation. q288: one per-user
+      // flag aggregate + 1-row span broadcast.
+      "q286_tail_composition" -> (2, 2),
+      // (6 exchanges, but all past the distinct are on the user/
+      // cohort/age dimensions — corpus touched once per side)
+      "q287_retention_halflife" -> (6, 2),
+      "q288_capture_recapture" -> (2, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
