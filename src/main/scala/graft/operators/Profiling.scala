@@ -1229,6 +1229,7 @@ object Profiling extends QueryGroup {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), date_trunc("day", col("ts")).as("dd"))
         .distinct()
+        .graftCheckpoint() // firsts, maxd, and the age join all read it
       val firsts = active.groupBy("user_id").agg(min("dd").as("cohort"))
       val maxD = active.agg(max("dd").as("maxd"))
       val aged = active.join(firsts, "user_id")
