@@ -2534,6 +2534,85 @@ object Quality extends QueryGroup {
                 AND (sum(n) * sum(sxy) - sum(sx) * sum(sy)) < 0)
                AS sign_reversal_present
       FROM sl
+    """)),
+
+    // ------------------------------------------------------------ Qini uplift curve (round 12)
+    // The targeting question behind every campaign: if we can only
+    // treat the top-k% by model score, how much INCREMENTAL response
+    // do we capture? Units are users, treatment is the q213 hash
+    // split, outcome is any post-cut purchase, and the ranking score
+    // is pre-cut click count (the "model"). Qini(k) = Rt(k) −
+    // Rc(k)·Nt(k)/Nc(k) over cumulative deciles — exact integer
+    // counts; the only floats are the per-decile uplift and qini
+    // ratios. Scale shape: the global score ranking uses the two-pass
+    // PrefixSum (never a single-partition row_number over users);
+    // decile assignment is integer arithmetic against a 1-row total;
+    // cumulative windows run on the 10-row decile relation.
+    ("q289_qini_uplift", (s, d) => {
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val perUser = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click" && col("ts") < cut, 1L)
+               .otherwise(0L)).as("score"),
+             max(when(col("event_type") === "purchase" && col("ts") >= cut, 1L)
+               .otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2).cast("long"))
+        .graftCheckpoint() // rank pass + total both read it
+      val n = perUser.agg(count(lit(1)).as("n"))
+      val ranked = PrefixSum.cumSum(perUser,
+        Seq(col("score").desc, col("user_id")), lit(1L), "rk")
+      val dec = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rk - 1) * 10) DIV n") + 1)
+        .groupBy("decile")
+        .agg(sum("t").as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+             sum(col("t") * col("y")).as("r_t"),
+             sum((lit(1L) - col("t")) * col("y")).as("r_c"))
+      val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cnt", sum("n_t").over(wc)).withColumn("cnc", sum("n_c").over(wc))
+        .withColumn("crt", sum("r_t").over(wc)).withColumn("crc", sum("r_c").over(wc))
+        .select(col("decile"), col("n_t"), col("n_c"), col("r_t"), col("r_c"),
+          // nullif-guard: a decile prefix with no treated (or control)
+          // users yet has no defined uplift — NULL on both engines,
+          // never a div-by-zero (tiny-SF top deciles can be one-sided)
+          Quant.quant6(col("crt").cast("double") / nullif(col("cnt"), lit(0L))
+            - col("crc").cast("double") / nullif(col("cnc"), lit(0L))).as("uplift_at_k"),
+          Quant.quant6(col("crt")
+            - col("crc").cast("double") * col("cnt")
+              / nullif(col("cnc"), lit(0L))).as("qini"))
+        .orderBy("decile")
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click'
+                         AND ts < TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS y,
+               (user_id % 2)::BIGINT AS t
+        FROM events GROUP BY 1),
+      rk AS (
+        SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rk,
+               count(*) OVER () AS n
+        FROM pu),
+      dec AS (
+        SELECT ((rk - 1) * 10) // n + 1 AS decile,
+               sum(t)::BIGINT AS n_t, sum(1 - t)::BIGINT AS n_c,
+               sum(t * y)::BIGINT AS r_t, sum((1 - t) * y)::BIGINT AS r_c
+        FROM rk GROUP BY 1),
+      cm AS (
+        SELECT *, sum(n_t) OVER w::BIGINT AS cnt, sum(n_c) OVER w::BIGINT AS cnc,
+               sum(r_t) OVER w::BIGINT AS crt, sum(r_c) OVER w::BIGINT AS crc
+        FROM dec
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+      SELECT decile, n_t, n_c, r_t, r_c,
+             ${Quant.quant6Sql(
+               "crt::DOUBLE / nullif(cnt, 0) - crc::DOUBLE / nullif(cnc, 0)")}
+               AS uplift_at_k,
+             ${Quant.quant6Sql("crt - crc::DOUBLE * cnt / nullif(cnc, 0)")} AS qini
+      FROM cm
+      ORDER BY decile
     """))
   )
 }

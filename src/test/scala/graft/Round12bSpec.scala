@@ -255,4 +255,51 @@ class Round12bSpec extends AnyFunSuite with SparkFixture {
     assert(close(r.getAs[Double]("chapman_estimate"), q6(chapman)))
     assert(close(r.getAs[Double]("rel_error"), q6((chapman - trueD) / trueD)))
   }
+
+  test("q289: decile Qini curve matches a row-level driver replay") {
+    // Replay at the textbook grain: rank every user individually,
+    // walk them in rank order accumulating treated/control counts and
+    // responders, and read off the curve at each decile boundary —
+    // no decile-level aggregation shortcut.
+    val cutUs = java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli * 1000L
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = evs.groupBy(_._1).toSeq.map { case (u, rs) =>
+      val score = rs.count(r => r._2 == "click" && r._3 < cutUs).toLong
+      val y = if (rs.exists(r => r._2 == "purchase" && r._3 >= cutUs)) 1L else 0L
+      (u, score, y, u % 2) // treatment = user_id parity, as q213's split
+    }.sortBy(t => (-t._2, t._1))
+    val n = users.length
+    var cnt = 0L; var cnc = 0L; var crt = 0L; var crc = 0L
+    val curve = collection.mutable.Map.empty[Long, (Option[Double], Option[Double])]
+    for ((((_, _, y, t), i)) <- users.zipWithIndex) {
+      if (t == 1L) { cnt += 1; crt += y } else { cnc += 1; crc += y }
+      val decile = i.toLong * 10 / n + 1
+      // last row of each decile = the cumulative state at its boundary;
+      // one-sided prefixes (no treated or no control yet) have no
+      // defined uplift — the query NULLs them via nullif
+      val uplift = if (cnt == 0 || cnc == 0) None
+        else Some(q6(crt.toDouble / cnt - crc.toDouble / cnc))
+      val qini = if (cnc == 0) None
+        else Some(q6(crt - crc.toDouble * cnt / cnc))
+      curve(decile) = (uplift, qini)
+    }
+    val got = run("q289_qini_uplift").collect()
+    assert(got.length == 10 && got.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    got.foreach { r =>
+      val (uplift, qini) = curve(r.getAs[Long]("decile"))
+      val gotU = Option(r.getAs[java.lang.Double]("uplift_at_k")).map(_.doubleValue)
+      val gotQ = Option(r.getAs[java.lang.Double]("qini")).map(_.doubleValue)
+      assert(gotU.isDefined == uplift.isDefined
+          && gotU.zip(uplift).forall { case (a, b) => close(a, b) },
+        s"decile ${r.getAs[Long]("decile")} uplift $gotU != $uplift")
+      assert(gotQ.isDefined == qini.isDefined
+          && gotQ.zip(qini).forall { case (a, b) => close(a, b) },
+        s"decile ${r.getAs[Long]("decile")} qini $gotQ != $qini")
+    }
+    // monotone sanity on the counts: each decile adds users
+    val nt = got.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c"))
+    assert(nt.sum == n.toLong, s"decile sizes ${nt.toSeq} do not partition $n users")
+  }
 }
