@@ -28,7 +28,8 @@ object SparkEntry {
     operators.Retrieval,
     operators.Graph,
     operators.Training,
-    operators.Quality)
+    operators.Quality,
+    operators.Evaluation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

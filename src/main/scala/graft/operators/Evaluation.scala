@@ -1,0 +1,522 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryGroup, Tables}
+import graft.Tables.GraftCheckpointOps
+import graft.functions.TextFunctions.{portableHash, tokens}
+
+/** Statistical-evaluation and data-valuation operators (round 12) —
+  * the measurement layer that sits on top of the splits, mixtures and
+  * experiment assignments the earlier rounds built:
+  *
+  *  - q290 Mann-Whitney U: the nonparametric A/B test (rank-based, no
+  *    normality assumption) with exact tie correction. The ranking
+  *    NEVER ranks rows one-by-one: ranks are recovered from the
+  *    per-distinct-value counts (average rank of a tied run is a
+  *    closed form of the cumulative count), so the data-sized work is
+  *    one value-keyed aggregate plus the two-pass PrefixSum over the
+  *    distinct-value relation.
+  *  - q291 Brier decomposition (Murphy): reliability / resolution /
+  *    uncertainty of a probabilistic forecast, plus the raw Brier
+  *    score and the binning residual. One scan → user aggregate →
+  *    ≤10-bin relation; every component is sufficient-statistics
+  *    algebra on the bins.
+  *  - q292 EWMA control chart: exponentially-weighted moving average
+  *    over the daily series with 3σ alarm flags. The recurrence is
+  *    evaluated in closed form (triangular weighted sum) on the
+  *    calendar-bounded daily relation — the corpus contributes one
+  *    day-keyed aggregate pass; |days|² work is bounded by the
+  *    calendar, not the data (10 years ⇒ 6.7M weight pairs).
+  *  - q293 DSIR importance weights (Xie et al. 2023, data selection
+  *    via importance resampling): score every document by
+  *    Σ_b c_b·ln(p_b/q_b) over hashed unigram buckets, where p is the
+  *    target-domain bucket distribution and q the raw-corpus one.
+  *    One tokenize pass → checkpointed (doc, bucket) counts; both
+  *    distributions and the 64-row weight table derive from it, so
+  *    the corpus is tokenized exactly once and the per-doc score join
+  *    broadcasts 64 rows.
+  *  - q294 IPF raking: iterative proportional fitting of per-(source,
+  *    lang) sampling weights to uniform marginals — the standard
+  *    survey-statistics / data-mixture balancing move. The corpus
+  *    contributes ONE contingency aggregate; the 6 fitting rounds run
+  *    on the schema-bounded |sources|×|langs| cell relation.
+  *  - q295 James-Stein / empirical-Bayes shrinkage of per-source mean
+  *    document length: method-of-moments τ², per-group shrinkage
+  *    factor b_g = (σ²/n_g)/(τ²+σ²/n_g) — the estimator every
+  *    per-segment metric dashboard should use instead of raw means.
+  *    Sufficient statistics (n, Σy, Σy²) per source in one pass; the
+  *    fit runs on the ≤|sources|-row relation.
+  */
+object Evaluation extends QueryGroup {
+
+  /** DuckDB mirror of `TextFunctions.tokens`. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** DuckDB mirror of `portableHash(c) % m` (first 15 md5 hex digits). */
+  private def hashSql(expr: String, m: Int): String =
+    s"('0x'||substring(md5($expr),1,15))::BIGINT % $m"
+
+  override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
+
+    // ------------------------------------------------------------ Mann-Whitney U test (round 12)
+    // Two-sided rank-sum comparison of purchase values between the
+    // user_id-parity treatment split (q213/q289's assignment). Exact
+    // tie handling: a run of k equal values all get the average rank
+    // (cum − k + (k+1)/2), and the variance carries the Σ(t³−t)
+    // correction. Every rank is a half-integer and every partial sum
+    // stays below 2^53, so R1/U1/U2 are EXACT doubles on both engines
+    // regardless of aggregation order; only z is rounded. Scale shape:
+    // one value-keyed aggregate over purchases (map-side combinable),
+    // PrefixSum's two-pass range exchange over the distinct-value
+    // relation, then a single 1-row reduce — no per-row ranking
+    // window anywhere.
+    ("q290_mann_whitney", (s, d) => {
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("value").as("v"), (col("user_id") % 2).cast("long").as("t"))
+      val byV = pur.groupBy("v").agg(
+        sum("t").as("n1v"),
+        sum(lit(1L) - col("t")).as("n0v"),
+        count(lit(1)).as("nv"))
+      val cum = PrefixSum.cumSum(byV, Seq(col("v")), col("nv"), "cumn")
+        .withColumn("avgrk",
+          (col("cumn") - col("nv")).cast("double")
+            + (col("nv") + lit(1L)).cast("double") / 2.0)
+      val a = cum.agg(
+        sum("n1v").as("n1"), sum("n0v").as("n0"),
+        sum(col("n1v").cast("double") * col("avgrk")).as("r1"),
+        sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tie"))
+        .withColumn("nn", col("n1") + col("n0"))
+        .withColumn("u1",
+          col("r1") - col("n1").cast("double") * (col("n1") + lit(1L)).cast("double") / 2.0)
+      a.select(
+        col("n1"), col("n0"), col("r1"), col("u1"),
+        (col("n1").cast("double") * col("n0").cast("double") - col("u1")).as("u2"),
+        Quant.quant6(
+          (col("u1") - col("n1").cast("double") * col("n0").cast("double") / 2.0)
+            / nullif(sqrt(
+                col("n1").cast("double") * col("n0").cast("double") / 12.0
+                  * ((col("nn") + lit(1L)).cast("double")
+                     - col("tie").cast("double")
+                       / (col("nn").cast("double") * (col("nn").cast("double") - 1.0)))),
+              lit(0.0))).as("z"))
+    }, Some(s"""
+      WITH p AS (
+        SELECT value AS v, (user_id % 2)::BIGINT AS t
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT v, sum(t)::BIGINT AS n1v, sum(1 - t)::BIGINT AS n0v,
+               count(*)::BIGINT AS nv
+        FROM p GROUP BY v),
+      c AS (
+        SELECT *, sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cumn
+        FROM b),
+      r AS (
+        SELECT n1v, n0v, nv,
+               (cumn - nv)::DOUBLE + (nv + 1)::DOUBLE / 2.0 AS avgrk
+        FROM c),
+      a AS (
+        SELECT sum(n1v)::BIGINT AS n1, sum(n0v)::BIGINT AS n0,
+               sum(n1v::DOUBLE * avgrk) AS r1,
+               sum(nv * nv * nv - nv)::BIGINT AS tie
+        FROM r),
+      u AS (
+        SELECT *, (n1 + n0)::BIGINT AS nn,
+               r1 - n1::DOUBLE * (n1 + 1)::DOUBLE / 2.0 AS u1
+        FROM a)
+      SELECT n1, n0, r1, u1,
+             n1::DOUBLE * n0::DOUBLE - u1 AS u2,
+             ${Quant.quant6Sql(
+               """(u1 - n1::DOUBLE * n0::DOUBLE / 2.0)
+                  / nullif(sqrt(n1::DOUBLE * n0::DOUBLE / 12.0
+                    * ((nn + 1)::DOUBLE
+                       - tie::DOUBLE / (nn::DOUBLE * (nn::DOUBLE - 1.0)))), 0.0)""")} AS z
+      FROM u
+    """)),
+
+    // ------------------------------------------------------------ Brier / Murphy decomposition (round 12)
+    // Forecast QA for a per-user purchase prediction: p = shrunk
+    // pre-cut click intensity c/(c+5), outcome y = any post-cut
+    // purchase (q289's cut). Murphy decomposition over 10 forecast
+    // bins: reliability Σn_k(p̄_k−ō_k)²/N (calibration error),
+    // resolution Σn_k(ō_k−ō)²/N (discrimination), uncertainty ō(1−ō),
+    // plus the raw Brier score and the binning residual gap =
+    // brier − (rel − res + unc), nonzero exactly when forecasts vary
+    // WITHIN a bin — the honest version of the identity. One events
+    // scan → user aggregate → ≤10-row bin relation → 1 row.
+    ("q291_brier_decomposition", (s, d) => {
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val perUser = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click" && col("ts") < cut, 1L)
+            .otherwise(0L)).as("c"),
+          max(when(col("event_type") === "purchase" && col("ts") >= cut, 1L)
+            .otherwise(0L)).as("y"))
+        .select(
+          (col("c").cast("double") / (col("c") + lit(5L)).cast("double")).as("p"),
+          col("y").cast("double").as("y"))
+        .withColumn("bin", least(lit(9L), floor(col("p") * 10.0).cast("long")))
+      val bins = perUser.groupBy("bin").agg(
+        count(lit(1)).as("n"), sum("p").as("sp"), sum("y").as("sy"),
+        sum(col("p") * col("p")).as("sp2"), sum(col("p") * col("y")).as("spy"))
+        .graftCheckpoint() // totals + the joined decomposition both read it
+      val tot = bins.agg(
+        sum("n").as("nn"), sum("sy").as("tsy"),
+        sum("sp2").as("tsp2"), sum("spy").as("tspy"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("obar", col("tsy") / col("nn").cast("double"))
+        .groupBy()
+        .agg(
+          first("nn").as("n_users"),
+          count(lit(1)).as("n_bins"),
+          Quant.quant6(
+            (first("tsp2") - lit(2.0) * first("tspy") + first("tsy"))
+              / first("nn").cast("double")).as("brier"),
+          Quant.quant6(
+            sum(col("n").cast("double")
+              * (col("sp") / col("n").cast("double") - col("sy") / col("n").cast("double"))
+              * (col("sp") / col("n").cast("double") - col("sy") / col("n").cast("double")))
+              / first("nn").cast("double")).as("reliability"),
+          Quant.quant6(
+            sum(col("n").cast("double")
+              * (col("sy") / col("n").cast("double") - col("obar"))
+              * (col("sy") / col("n").cast("double") - col("obar")))
+              / first("nn").cast("double")).as("resolution"),
+          Quant.quant6(first("obar") * (lit(1.0) - first("obar"))).as("uncertainty"),
+          Quant.quant6(
+            (first("tsp2") - lit(2.0) * first("tspy") + first("tsy")) / first("nn").cast("double")
+              - (sum(col("n").cast("double")
+                   * (col("sp") / col("n").cast("double") - col("sy") / col("n").cast("double"))
+                   * (col("sp") / col("n").cast("double") - col("sy") / col("n").cast("double")))
+                   / first("nn").cast("double")
+                 - sum(col("n").cast("double")
+                     * (col("sy") / col("n").cast("double") - col("obar"))
+                     * (col("sy") / col("n").cast("double") - col("obar")))
+                     / first("nn").cast("double")
+                 + first("obar") * (lit(1.0) - first("obar")))).as("binning_gap"))
+    }, Some(s"""
+      WITH pu AS (
+        SELECT sum(CASE WHEN event_type = 'click'
+                         AND ts < TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS c,
+               max(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id),
+      py AS (
+        SELECT c::DOUBLE / (c + 5)::DOUBLE AS p, y::DOUBLE AS y,
+               least(9, floor(c::DOUBLE / (c + 5)::DOUBLE * 10.0)::BIGINT) AS bin
+        FROM pu),
+      bins AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(p) AS sp, sum(y) AS sy,
+               sum(p * p) AS sp2, sum(p * y) AS spy
+        FROM py GROUP BY bin),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, sum(sy) AS tsy,
+               sum(sp2) AS tsp2, sum(spy) AS tspy
+        FROM bins),
+      j AS (
+        SELECT b.*, t.nn, t.tsy, t.tsp2, t.tspy,
+               t.tsy / t.nn::DOUBLE AS obar
+        FROM bins b CROSS JOIN tot t)
+      SELECT any_value(nn) AS n_users,
+             count(*)::BIGINT AS n_bins,
+             ${Quant.quant6Sql(
+               "(any_value(tsp2) - 2.0 * any_value(tspy) + any_value(tsy)) / any_value(nn)::DOUBLE")}
+               AS brier,
+             ${Quant.quant6Sql(
+               """sum(n::DOUBLE * (sp / n::DOUBLE - sy / n::DOUBLE)
+                                * (sp / n::DOUBLE - sy / n::DOUBLE))
+                  / any_value(nn)::DOUBLE""")} AS reliability,
+             ${Quant.quant6Sql(
+               """sum(n::DOUBLE * (sy / n::DOUBLE - obar) * (sy / n::DOUBLE - obar))
+                  / any_value(nn)::DOUBLE""")} AS resolution,
+             ${Quant.quant6Sql(
+               "any_value(obar) * (1.0 - any_value(obar))")} AS uncertainty,
+             ${Quant.quant6Sql(
+               """(any_value(tsp2) - 2.0 * any_value(tspy) + any_value(tsy)) / any_value(nn)::DOUBLE
+                  - (sum(n::DOUBLE * (sp / n::DOUBLE - sy / n::DOUBLE)
+                                   * (sp / n::DOUBLE - sy / n::DOUBLE))
+                       / any_value(nn)::DOUBLE
+                     - sum(n::DOUBLE * (sy / n::DOUBLE - obar) * (sy / n::DOUBLE - obar))
+                       / any_value(nn)::DOUBLE
+                     + any_value(obar) * (1.0 - any_value(obar)))""")} AS binning_gap
+      FROM j
+    """)),
+
+    // ------------------------------------------------------------ EWMA control chart (round 12)
+    // s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0, α = 0.3, over the daily
+    // MEAN event value. The recurrence is evaluated as its closed-form
+    // triangular sum s_t = (1−α)^t·x_0 + Σ_{i=1..t} α(1−α)^{t−i}·x_i —
+    // each term independent, so no sequential pass exists anywhere:
+    // the corpus does one day-keyed aggregate, and the non-equi
+    // self-join runs on the calendar-bounded daily relation (≤31 rows
+    // here; 10 years ⇒ 3650, still trivially broadcastable). Alarm =
+    // |x_t − s_{t−1}| > 3σ of the one-step residuals, compared on the
+    // 6-decimal-quantized values so the boolean is deterministic
+    // across engines. Daily means (not sums) keep magnitudes O(100),
+    // far from quant6's half-ulp boundary.
+    ("q292_ewma_control", (s, d) => {
+      val alpha = 0.3
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), (sum("value") / count(lit(1))).as("x"))
+        .withColumn("t", row_number().over(Window.orderBy("day")).cast("long") - 1L)
+        .graftCheckpoint()
+      val w = daily.select(col("t").as("ti"), col("x").as("xi"))
+      val sCol = daily.alias("a")
+        .join(w.alias("b"), col("b.ti") <= col("a.t"))
+        .groupBy(col("a.day").as("day"), col("a.n").as("n"),
+                 col("a.x").as("x"), col("a.t").as("t"))
+        .agg(sum(
+          when(col("b.ti") === 0L, pow(lit(1.0 - alpha), col("a.t").cast("double")))
+            .otherwise(lit(alpha)
+              * pow(lit(1.0 - alpha), (col("a.t") - col("b.ti")).cast("double")))
+          * col("b.xi")).as("ewma"))
+      val withPrev = sCol
+        .withColumn("prev_s", lag("ewma", 1).over(Window.orderBy("t")))
+        .withColumn("resid", col("x") - col("prev_s"))
+      val sig = withPrev.filter(col("resid").isNotNull)
+        .agg(stddev_samp("resid").as("sigma"))
+      withPrev.crossJoin(broadcast(sig))
+        .select(col("day"), col("n"),
+          Quant.quant6(col("x")).as("x"),
+          Quant.quant6(col("ewma")).as("ewma"),
+          Quant.quant6(col("resid")).as("resid"),
+          when(col("resid").isNotNull,
+            abs(Quant.quant6(col("resid"))) > lit(3.0) * Quant.quant6(col("sigma")))
+            .as("is_alarm"))
+        .orderBy("day")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS n,
+               sum(value) / count(*) AS x
+        FROM events GROUP BY 1),
+      idx AS (
+        SELECT *, (row_number() OVER (ORDER BY day))::BIGINT - 1 AS t FROM daily),
+      sm AS (
+        SELECT a.day, a.n, a.x, a.t,
+               sum(CASE WHEN b.t = 0 THEN pow(0.7, a.t::DOUBLE)
+                        ELSE 0.3 * pow(0.7, (a.t - b.t)::DOUBLE) END * b.x) AS ewma
+        FROM idx a JOIN idx b ON b.t <= a.t
+        GROUP BY a.day, a.n, a.x, a.t),
+      pr AS (
+        SELECT *, x - lag(ewma) OVER (ORDER BY t) AS resid FROM sm),
+      sg AS (
+        SELECT stddev_samp(resid) AS sigma FROM pr WHERE resid IS NOT NULL)
+      SELECT day, n,
+             ${Quant.quant6Sql("x")} AS x,
+             ${Quant.quant6Sql("ewma")} AS ewma,
+             ${Quant.quant6Sql("resid")} AS resid,
+             CASE WHEN resid IS NOT NULL
+                  THEN abs(${Quant.quant6Sql("resid")})
+                       > 3.0 * ${Quant.quant6Sql("sg.sigma")}
+             END AS is_alarm
+      FROM pr CROSS JOIN sg
+      ORDER BY day
+    """)),
+
+    // ------------------------------------------------------------ DSIR importance weights (round 12)
+    // Data Selection via Importance Resampling (Xie et al. 2023):
+    // score raw documents by how target-like their hashed-unigram
+    // distribution is, weight(doc) = Σ_b c_b(doc)·ln(p̂_b/q̂_b) with p̂
+    // estimated on the target domain (lang='en' docs stand in) and q̂
+    // on the full corpus, both +0.5-smoothed over 64 buckets. The
+    // judged output keeps EVERY doc ordered by doc_id (no top-k rank
+    // boundary for cross-engine float noise to flip); production
+    // resamples ∝ exp(weight). One tokenize pass feeds the
+    // checkpointed (doc, bucket) counts; both distributions aggregate
+    // from it and the 64-row log-ratio table broadcasts back.
+    ("q293_dsir_weights", (s, d) => {
+      val m = 64
+      val docBucket = Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), (portableHash(col("tok")) % m).as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        .graftCheckpoint()
+      val raw = docBucket.groupBy("b").agg(sum("c").as("cr"))
+      val tgt = docBucket.filter(col("lang") === "en")
+        .groupBy("b").agg(sum("c").as("ct"))
+      val dist = raw.join(tgt, Seq("b"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      val tots = dist.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+      val wtab = dist.crossJoin(broadcast(tots))
+        .select(col("b"),
+          log(((col("ct").cast("double") + 0.5) / (col("tt").cast("double") + lit(m / 2.0)))
+            / ((col("cr").cast("double") + 0.5) / (col("tr").cast("double") + lit(m / 2.0))))
+            .as("w"))
+      docBucket.join(broadcast(wtab), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").as("n_tokens"),
+             Quant.quant6(sum(col("c").cast("double") * col("w"))).as("weight"))
+        .withColumn("is_target", col("lang") === "en")
+        .select("doc_id", "lang", "is_target", "n_tokens", "weight")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH db AS (
+        SELECT doc_id, lang, ${hashSql("tok", 64)} AS b, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2, 3),
+      raw AS (SELECT b, sum(c)::BIGINT AS cr FROM db GROUP BY b),
+      tgt AS (SELECT b, sum(c)::BIGINT AS ct FROM db WHERE lang = 'en' GROUP BY b),
+      dist AS (
+        SELECT raw.b, raw.cr, coalesce(tgt.ct, 0)::BIGINT AS ct
+        FROM raw LEFT JOIN tgt USING (b)),
+      tots AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM dist),
+      wtab AS (
+        SELECT b, ln(((ct::DOUBLE + 0.5) / (tt::DOUBLE + 32.0))
+                     / ((cr::DOUBLE + 0.5) / (tr::DOUBLE + 32.0))) AS w
+        FROM dist CROSS JOIN tots)
+      SELECT db.doc_id, db.lang, db.lang = 'en' AS is_target,
+             sum(db.c)::BIGINT AS n_tokens,
+             ${Quant.quant6Sql("sum(db.c::DOUBLE * wtab.w)")} AS weight
+      FROM db JOIN wtab USING (b)
+      GROUP BY db.doc_id, db.lang
+      ORDER BY db.doc_id
+    """)),
+
+    // ------------------------------------------------------------ IPF raking weights (round 12)
+    // Iterative proportional fitting of the (source, lang) contingency
+    // table to uniform marginals (N/|sources| per source, N/|langs|
+    // per lang) — 6 full row+column rounds, the classic raking
+    // schedule (converges geometrically; 6 rounds ≈ machine-level on
+    // tables this conditioned). The corpus contributes one aggregate;
+    // the loop multiplies a |sources|×|langs| cell relation, each
+    // round a pair of partitioned-window normalizations, checkpointed
+    // per round so the final plan stays flat. The oracle unrolls the
+    // identical 12 steps as chained CTEs.
+    ("q294_ipf_raking", (s, d) => {
+      val rounds = 6
+      val obs = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .graftCheckpoint()
+      val tot = obs.agg(
+        sum("n").cast("double").as("nn"),
+        countDistinct("source").cast("double").as("ns"),
+        countDistinct("lang").cast("double").as("nl"))
+      var cells = obs.crossJoin(broadcast(tot))
+        .withColumn("m", col("n").cast("double"))
+      val wS = Window.partitionBy("source")
+      val wL = Window.partitionBy("lang")
+      for (_ <- 1 to rounds) {
+        cells = cells
+          .withColumn("m", col("m") * ((col("nn") / col("ns")) / sum("m").over(wS)))
+          .withColumn("m", col("m") * ((col("nn") / col("nl")) / sum("m").over(wL)))
+          .graftCheckpoint()
+      }
+      cells.select(col("source"), col("lang"), col("n"),
+          Quant.quant6(col("m")).as("m_fitted"),
+          Quant.quant6(col("m") / col("n").cast("double")).as("weight"))
+        .orderBy("source", "lang")
+    }, Some {
+      val steps = (1 to 6).map { i =>
+        s"""r$i AS (
+        SELECT source, lang, n, nn, ns, nl,
+               m * ((nn / ns) / sum(m) OVER (PARTITION BY source)) AS m
+        FROM ${if (i == 1) "m0" else s"c${i - 1}"}),
+      c$i AS (
+        SELECT source, lang, n, nn, ns, nl,
+               m * ((nn / nl) / sum(m) OVER (PARTITION BY lang)) AS m
+        FROM r$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH obs AS (
+        SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+      tot AS (
+        SELECT sum(n)::DOUBLE AS nn, count(DISTINCT source)::DOUBLE AS ns,
+               count(DISTINCT lang)::DOUBLE AS nl
+        FROM obs),
+      m0 AS (
+        SELECT source, lang, n, nn, ns, nl, n::DOUBLE AS m
+        FROM obs CROSS JOIN tot),
+      $steps
+      SELECT source, lang, n,
+             ${Quant.quant6Sql("m")} AS m_fitted,
+             ${Quant.quant6Sql("m / n::DOUBLE")} AS weight
+      FROM c6
+      ORDER BY source, lang
+    """}),
+
+    // ------------------------------------------------------------ James-Stein shrinkage (round 12)
+    // Empirical-Bayes shrinkage of per-source mean token counts toward
+    // the cross-source mean: method-of-moments between-group variance
+    // τ² = max(0, Var_g(ȳ_g) − mean_g(σ̂²/n_g)) with pooled
+    // within-source σ̂², per-group factor b_g = (σ̂²/n_g)/(τ²+σ̂²/n_g),
+    // shrunk_g = ḡ + (1−b_g)(ȳ_g − ḡ). Token counts are integers, so
+    // the sufficient statistics (n, Σy, Σy²) are EXACT BIGINTs on both
+    // engines and every derived double is identical arithmetic. One
+    // tokenize pass; everything else runs on the ≤|sources| relation.
+    ("q295_james_stein", (s, d) => {
+      val g = Tables.fanOut(Tables.documents(s, d))
+        .filter(size(tokens(col("text"))) > 0)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("css",
+          col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double"))
+        .graftCheckpoint() // t1, t2 and the final select all read it
+      val t1 = g.agg(
+        count(lit(1)).cast("double").as("gg"),
+        sum("n").cast("double").as("nn"),
+        avg("mean").as("gbar"),
+        sum("css").as("tcss"))
+        .withColumn("sw2", col("tcss") / (col("nn") - col("gg")))
+      val t2 = g.crossJoin(broadcast(t1)).agg(
+        (sum((col("mean") - col("gbar")) * (col("mean") - col("gbar")))
+          / (first("gg") - 1.0)).as("vbar"),
+        avg(col("sw2") / col("n").cast("double")).as("msw"))
+        .withColumn("tau2", greatest(lit(0.0), col("vbar") - col("msw")))
+      g.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .withColumn("b",
+          (col("sw2") / col("n").cast("double"))
+            / nullif(col("tau2") + col("sw2") / col("n").cast("double"), lit(0.0)))
+        .select(col("source"), col("n"),
+          Quant.quant6(col("mean")).as("raw_mean"),
+          Quant.quant6(col("b")).as("shrink_b"),
+          Quant.quant6(col("gbar") + (lit(1.0) - col("b")) * (col("mean") - col("gbar")))
+            .as("shrunk_mean"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH y AS (
+        SELECT source, len($toksSql)::BIGINT AS y
+        FROM documents WHERE len($toksSql) > 0),
+      g AS (
+        SELECT source, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+               sum(y * y)::BIGINT AS syy,
+               sum(y)::DOUBLE / count(*)::DOUBLE AS mean,
+               sum(y * y)::DOUBLE
+                 - sum(y)::DOUBLE * sum(y)::DOUBLE / count(*)::DOUBLE AS css
+        FROM y GROUP BY source),
+      t1 AS (
+        SELECT count(*)::DOUBLE AS gg, sum(n)::DOUBLE AS nn,
+               avg(mean) AS gbar, sum(css) AS tcss,
+               sum(css) / (sum(n)::DOUBLE - count(*)::DOUBLE) AS sw2
+        FROM g),
+      t2 AS (
+        SELECT sum((g.mean - t1.gbar) * (g.mean - t1.gbar)) / (any_value(t1.gg) - 1.0) AS vbar,
+               avg(t1.sw2 / g.n::DOUBLE) AS msw,
+               greatest(0.0, sum((g.mean - t1.gbar) * (g.mean - t1.gbar))
+                               / (any_value(t1.gg) - 1.0)
+                             - avg(t1.sw2 / g.n::DOUBLE)) AS tau2
+        FROM g CROSS JOIN t1)
+      SELECT g.source, g.n,
+             ${Quant.quant6Sql("g.mean")} AS raw_mean,
+             ${Quant.quant6Sql(
+               "(t1.sw2 / g.n::DOUBLE) / nullif(t2.tau2 + t1.sw2 / g.n::DOUBLE, 0.0)")}
+               AS shrink_b,
+             ${Quant.quant6Sql(
+               """t1.gbar + (1.0 - (t1.sw2 / g.n::DOUBLE)
+                               / nullif(t2.tau2 + t1.sw2 / g.n::DOUBLE, 0.0))
+                          * (g.mean - t1.gbar)""")} AS shrunk_mean
+      FROM g CROSS JOIN t1 CROSS JOIN t2
+      ORDER BY g.source
+    """))
+  )
+}

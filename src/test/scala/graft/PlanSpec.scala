@@ -1118,7 +1118,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // (6 exchanges, but all past the distinct are on the user/
       // cohort/age dimensions — corpus touched once per side)
       "q287_retention_halflife" -> (6, 2),
-      "q288_capture_recapture" -> (2, 2))
+      "q288_capture_recapture" -> (2, 2),
+      // q289: per-user score/outcome relation is checkpointed (0
+      // scans); global rank via two-pass PrefixSum (never one
+      // partition over users); the only unpartitioned window runs on
+      // the 10-row decile relation; total is a 1-row broadcast.
+      "q289_qini_uplift" -> (3, 0),
+      // q290: ranks recovered per DISTINCT value (one value-keyed
+      // aggregate + PrefixSum range pass) — never a row-level ranking
+      // window. q291: checkpointed ≤10-row bin relation feeds totals
+      // and decomposition (0 scans past the user aggregate's one).
+      // q292: checkpointed calendar-bounded daily relation; the
+      // triangular join is a ≤|days|² broadcast nest. q293: one
+      // tokenize pass into the checkpointed (doc,bucket) counts; both
+      // distributions re-aggregate it and the 64-row log-ratio table
+      // broadcasts back. q294: the 6 IPF rounds run checkpoint-to-
+      // checkpoint on the |sources|×|langs| cells — the final plan is
+      // flat. q295: checkpointed per-source sufficient statistics;
+      // the fit is 1-row crosses over the ≤|sources| relation.
+      "q290_mann_whitney" -> (4, 1),
+      "q291_brier_decomposition" -> (3, 1),
+      "q292_ewma_control" -> (3, 0),
+      "q293_dsir_weights" -> (6, 0),
+      "q294_ipf_raking" -> (1, 0),
+      "q295_james_stein" -> (2, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
