@@ -517,6 +517,318 @@ object Evaluation extends QueryGroup {
                           * (g.mean - t1.gbar)""")} AS shrunk_mean
       FROM g CROSS JOIN t1 CROSS JOIN t2
       ORDER BY g.source
+    """)),
+
+    // ------------------------------------------------------------ ratio-metric jackknife (round 12)
+    // The experimentation-platform staple: a ratio metric (revenue per
+    // click) has NO iid per-user observations, so its standard error
+    // comes from bucket-level resampling. 20 user-hash buckets; the
+    // leave-one-bucket-out ratios are closed forms of the bucket sums
+    // ((X−x_b)/(Y−y_b) — no recomputation per replicate), giving the
+    // jackknife SE next to the delta-method/linearization SE
+    // (B/((B−1)·Y²)·Σ(x_b−R·y_b)²) from the SAME 20-row relation. One
+    // events scan; everything after the bucket aggregate is
+    // bucket-count-bounded.
+    ("q296_ratio_jackknife", (s, d) => {
+      val b = 20
+      val buckets = Tables.events(s, d)
+        .groupBy((col("user_id") % b).as("bucket"))
+        .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("x"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+        .graftCheckpoint() // totals + both SE passes read it
+      val tot = buckets.agg(
+        count(lit(1)).cast("double").as("bb"),
+        sum("x").as("xx"), sum("y").cast("double").as("yy"))
+      val loo = buckets.crossJoin(broadcast(tot))
+        .withColumn("r_loo", (col("xx") - col("x")) / (col("yy") - col("y").cast("double")))
+      val rbar = loo.agg(avg("r_loo").as("rbar"))
+      loo.crossJoin(broadcast(rbar))
+        .agg(
+          first("bb").cast("long").as("n_buckets"),
+          Quant.quant6(first("xx")).as("x_total"),
+          first("yy").cast("long").as("y_total"),
+          Quant.quant6(first("xx") / first("yy")).as("ratio"),
+          Quant.quant6(sqrt(
+            (first("bb") - 1.0) / first("bb")
+              * sum((col("r_loo") - col("rbar")) * (col("r_loo") - col("rbar")))))
+            .as("se_jackknife"),
+          Quant.quant6(sqrt(
+            first("bb") / ((first("bb") - 1.0) * first("yy") * first("yy"))
+              * sum((col("x") - col("xx") / col("yy") * col("y").cast("double"))
+                  * (col("x") - col("xx") / col("yy") * col("y").cast("double")))))
+            .as("se_delta"))
+    }, Some(s"""
+      WITH buckets AS (
+        SELECT (user_id % 20)::BIGINT AS bucket,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS x,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1),
+      tot AS (
+        SELECT count(*)::DOUBLE AS bb, sum(x) AS xx, sum(y)::DOUBLE AS yy FROM buckets),
+      loo AS (
+        SELECT b.*, t.bb, t.xx, t.yy,
+               (t.xx - b.x) / (t.yy - b.y::DOUBLE) AS r_loo
+        FROM buckets b CROSS JOIN tot t),
+      rb AS (SELECT avg(r_loo) AS rbar FROM loo)
+      SELECT any_value(bb)::BIGINT AS n_buckets,
+             ${Quant.quant6Sql("any_value(xx)")} AS x_total,
+             any_value(yy)::BIGINT AS y_total,
+             ${Quant.quant6Sql("any_value(xx) / any_value(yy)")} AS ratio,
+             ${Quant.quant6Sql(
+               """sqrt((any_value(bb) - 1.0) / any_value(bb)
+                       * sum((r_loo - rb.rbar) * (r_loo - rb.rbar)))""")} AS se_jackknife,
+             ${Quant.quant6Sql(
+               """sqrt(any_value(bb) / ((any_value(bb) - 1.0) * any_value(yy) * any_value(yy))
+                       * sum((x - xx / yy * y::DOUBLE)
+                           * (x - xx / yy * y::DOUBLE)))""")} AS se_delta
+      FROM loo CROSS JOIN rb
+    """)),
+
+    // ------------------------------------------------------------ Good-Turing smoothing (round 12)
+    // Frequency-of-frequencies over the corpus vocabulary and the
+    // simple Good-Turing re-estimate r* = (r+1)·N_{r+1}/N_r — the
+    // classic unseen-mass estimator behind Katz backoff (p_unseen =
+    // N_1/N). NULL r* where the next count class is empty (the simple
+    // estimator is undefined there; SGT's smoothing of N_r is a model
+    // choice, not computed here). One tokenize pass → vocab aggregate;
+    // the frequency-of-frequency relation and its r+1 self-join are
+    // bounded by the number of DISTINCT counts (≲ √(2·vocab)), tiny at
+    // any corpus size.
+    ("q297_good_turing", (s, d) => {
+      val vocab = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("r"))
+      val fof = vocab.groupBy("r").agg(count(lit(1)).as("n_r"))
+        .graftCheckpoint() // totals + the r+1 self-join read it
+      val tot = fof.agg(
+        sum(col("r") * col("n_r")).as("n_tokens"),
+        sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("n1"))
+      val nxt = fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r_next"))
+      fof.join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          Quant.quant6((col("r") + 1L).cast("double") * col("n_r_next").cast("double")
+            / col("n_r").cast("double")).as("r_star"),
+          Quant.quant6(col("r").cast("double") * col("n_r").cast("double")
+            / col("n_tokens").cast("double")).as("p_mass"),
+          Quant.quant6(col("n1").cast("double") / col("n_tokens").cast("double"))
+            .as("p_unseen"))
+        .orderBy("r")
+    }, Some(s"""
+      WITH vocab AS (
+        SELECT tok, count(*)::BIGINT AS r
+        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        GROUP BY tok),
+      fof AS (SELECT r, count(*)::BIGINT AS n_r FROM vocab GROUP BY r),
+      tot AS (
+        SELECT sum(r * n_r)::BIGINT AS n_tokens,
+               sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1
+        FROM fof)
+      SELECT f.r, f.n_r,
+             ${Quant.quant6Sql(
+               "(f.r + 1)::DOUBLE * nx.n_r::DOUBLE / f.n_r::DOUBLE")} AS r_star,
+             ${Quant.quant6Sql(
+               "f.r::DOUBLE * f.n_r::DOUBLE / t.n_tokens::DOUBLE")} AS p_mass,
+             ${Quant.quant6Sql("t.n1::DOUBLE / t.n_tokens::DOUBLE")} AS p_unseen
+      FROM fof f
+      LEFT JOIN fof nx ON nx.r = f.r + 1
+      CROSS JOIN tot t
+      ORDER BY f.r
+    """)),
+
+    // ------------------------------------------------------------ Mantel-Haenszel pooled odds ratio (round 12)
+    // Stratified 2×2 analysis: does a positive account balance
+    // associate with having a fulfilled order, controlling for nation?
+    // Per-nation a/b/c/d cells, stratum odds ratios (NULL where a
+    // margin is empty), and the Mantel-Haenszel pooled estimate
+    // Σ(a·d/n)/Σ(b·c/n) — attached to every row from the 1-row
+    // broadcast next to the CRUDE (collapsed) OR, so the confounding
+    // gap is visible in one relation. Customer outcomes come from a
+    // custkey-keyed semi-aggregate of orders (never a nation-sized
+    // broadcast); all ratio math runs on the ≤|nation| relation.
+    ("q298_mantel_haenszel", (s, d) => {
+      val out = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+        .withColumn("outc", lit(1L))
+      val cust = Tables.customer(s, d)
+        .join(out, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("nk"),
+          (col("c_acctbal") > 0.0).cast("long").as("e"),
+          coalesce(col("outc"), lit(0L)).as("o"))
+      val cells = cust.groupBy("nk").agg(
+        sum(col("e") * col("o")).as("a"),
+        sum(col("e") * (lit(1L) - col("o"))).as("b"),
+        sum((lit(1L) - col("e")) * col("o")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).as("dd"))
+        .graftCheckpoint() // pooled sums + per-stratum output read it
+      val mh = cells.agg(
+        (sum(col("a").cast("double") * col("dd").cast("double")
+          / (col("a") + col("b") + col("c") + col("dd")).cast("double"))
+          / sum(col("b").cast("double") * col("c").cast("double")
+            / (col("a") + col("b") + col("c") + col("dd")).cast("double"))).as("or_mh"),
+        ((sum("a").cast("double") * sum("dd").cast("double"))
+          / (sum("b").cast("double") * sum("c").cast("double"))).as("or_crude"))
+      cells.join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+        .crossJoin(broadcast(mh))
+        .select(col("n_name").as("nation"), col("a"), col("b"), col("c"),
+          col("dd").as("d"),
+          Quant.quant6(col("a").cast("double") * col("dd").cast("double")
+            / nullif(col("b").cast("double") * col("c").cast("double"), lit(0.0)))
+            .as("or_stratum"),
+          Quant.quant6(col("or_mh")).as("or_mh"),
+          Quant.quant6(col("or_crude")).as("or_crude"))
+        .orderBy("nation")
+    }, Some(s"""
+      WITH outc AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      cust AS (
+        SELECT c.c_nationkey AS nk,
+               (c.c_acctbal > 0.0)::BIGINT AS e,
+               CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END::BIGINT AS o
+        FROM customer c LEFT JOIN outc o ON c.c_custkey = o.o_custkey),
+      cells AS (
+        SELECT nk, sum(e * o)::BIGINT AS a, sum(e * (1 - o))::BIGINT AS b,
+               sum((1 - e) * o)::BIGINT AS c,
+               sum((1 - e) * (1 - o))::BIGINT AS dd
+        FROM cust GROUP BY nk),
+      mh AS (
+        SELECT sum(a::DOUBLE * dd::DOUBLE / (a + b + c + dd)::DOUBLE)
+                 / sum(b::DOUBLE * c::DOUBLE / (a + b + c + dd)::DOUBLE) AS or_mh,
+               (sum(a)::DOUBLE * sum(dd)::DOUBLE)
+                 / (sum(b)::DOUBLE * sum(c)::DOUBLE) AS or_crude
+        FROM cells)
+      SELECT n.n_name AS nation, cl.a, cl.b, cl.c, cl.dd AS d,
+             ${Quant.quant6Sql(
+               "cl.a::DOUBLE * cl.dd::DOUBLE / nullif(cl.b::DOUBLE * cl.c::DOUBLE, 0.0)")}
+               AS or_stratum,
+             ${Quant.quant6Sql("mh.or_mh")} AS or_mh,
+             ${Quant.quant6Sql("mh.or_crude")} AS or_crude
+      FROM cells cl
+      JOIN nation n ON cl.nk = n.n_nationkey
+      CROSS JOIN mh
+      ORDER BY nation
+    """)),
+
+    // ------------------------------------------------------------ power analysis / MDE grid (round 12)
+    // Pre-experiment sizing: given the observed post-cut purchase
+    // conversion rate as baseline, the per-arm sample size needed to
+    // detect each relative lift on the grid at α=0.05 (two-sided),
+    // power=0.8 — n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/(p₂−p₁)².
+    // The z constants are shared IEEE literals (computing Φ⁻¹
+    // independently per engine would skew in the last ulps). Baseline
+    // = the event-level purchase share (~0.2, so every lifted p₂ stays
+    // a probability; a near-1 baseline would push p₂ past 1 and the
+    // variance negative). One events scan for the 1-row baseline; the
+    // grid is a 5-row literal broadcast.
+    ("q299_power_mde", (s, d) => {
+      val zA = 1.959963984540054 // Φ⁻¹(0.975)
+      val zB = 0.8416212335729143 // Φ⁻¹(0.80)
+      val base = Tables.events(s, d)
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("double")
+                / count(lit(1)).cast("double")).as("p1"),
+             count(lit(1)).as("n_events"))
+      val grid = Seq(0.02, 0.05, 0.10, 0.15, 0.20)
+      base.crossJoin(broadcast(
+          base.sparkSession.range(1).select(
+            explode(lit(grid.toArray)).as("lift"))))
+        .withColumn("p2", col("p1") * (lit(1.0) + col("lift")))
+        .select(col("lift"), col("n_events"),
+          Quant.quant6(col("p1")).as("p1"),
+          Quant.quant6(col("p2")).as("p2"),
+          ceil(
+            (lit(zA) * sqrt(lit(2.0) * ((col("p1") + col("p2")) / 2.0)
+               * (lit(1.0) - (col("p1") + col("p2")) / 2.0))
+             + lit(zB) * sqrt(col("p1") * (lit(1.0) - col("p1"))
+               + col("p2") * (lit(1.0) - col("p2"))))
+            * (lit(zA) * sqrt(lit(2.0) * ((col("p1") + col("p2")) / 2.0)
+               * (lit(1.0) - (col("p1") + col("p2")) / 2.0))
+             + lit(zB) * sqrt(col("p1") * (lit(1.0) - col("p1"))
+               + col("p2") * (lit(1.0) - col("p2"))))
+            / ((col("p2") - col("p1")) * (col("p2") - col("p1"))))
+            .cast("long").as("n_per_arm"))
+        .orderBy("lift")
+    }, Some(s"""
+      WITH base AS (
+        SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE AS p1,
+               count(*)::BIGINT AS n_events
+        FROM events),
+      grid AS (SELECT unnest([0.02, 0.05, 0.10, 0.15, 0.20]) AS lift),
+      g AS (
+        SELECT lift, n_events, p1, p1 * (1.0 + lift) AS p2
+        FROM base CROSS JOIN grid)
+      SELECT lift, n_events,
+             ${Quant.quant6Sql("p1")} AS p1,
+             ${Quant.quant6Sql("p2")} AS p2,
+             ceil(
+               (1.959963984540054 * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+                + 0.8416212335729143 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * (1.959963984540054 * sqrt(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+                + 0.8416212335729143 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / ((p2 - p1) * (p2 - p1)))::BIGINT AS n_per_arm
+      FROM g
+      ORDER BY lift
+    """)),
+
+    // ------------------------------------------------------------ Cochran-Armitage trend test (round 12)
+    // Ordered-dose trend in proportions: does fulfillment rate trend
+    // across the 1-URGENT..5-LOW priority scale? Z = Σw_k(r_k−n_k·p̄) /
+    // √(p̄q̄·(Σw_k²n_k − (Σw_k n_k)²/N)) with the priority's leading
+    // digit as the dose score — integer sufficient statistics
+    // (n_k, r_k per dose) from ONE orders scan, every float op on the
+    // 5-row dose relation. The per-dose rates ship alongside so the
+    // direction of the trend is readable, with Z attached from the
+    // 1-row broadcast.
+    ("q300_cochran_armitage", (s, d) => {
+      val dose = Tables.orders(s, d)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+        .groupBy("w").agg(count(lit(1)).as("n_k"), sum("f").as("r_k"))
+        .graftCheckpoint() // totals + per-dose output read it
+      val t = dose.agg(
+        sum("n_k").as("nn"), sum("r_k").as("rr"),
+        sum(col("w") * col("n_k")).as("swn"),
+        sum(col("w") * col("w") * col("n_k")).as("swwn"),
+        sum(col("w") * col("r_k")).as("swr"))
+        .withColumn("pbar", col("rr").cast("double") / col("nn").cast("double"))
+        .withColumn("z",
+          (col("swr").cast("double") - col("pbar") * col("swn").cast("double"))
+            / nullif(sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+                * (col("swwn").cast("double")
+                   - col("swn").cast("double") * col("swn").cast("double")
+                     / col("nn").cast("double"))), lit(0.0)))
+      dose.crossJoin(broadcast(t.select("pbar", "z")))
+        .select(col("w").as("dose"), col("n_k"), col("r_k"),
+          Quant.quant6(col("r_k").cast("double") / col("n_k").cast("double")).as("rate"),
+          Quant.quant6(col("pbar")).as("pooled_rate"),
+          Quant.quant6(col("z")).as("z_trend"))
+        .orderBy("dose")
+    }, Some(s"""
+      WITH dose AS (
+        SELECT substring(o_orderpriority, 1, 1)::BIGINT AS w,
+               count(*)::BIGINT AS n_k,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS r_k
+        FROM orders GROUP BY 1),
+      t AS (
+        SELECT sum(n_k)::BIGINT AS nn, sum(r_k)::BIGINT AS rr,
+               sum(w * n_k)::BIGINT AS swn,
+               sum(w * w * n_k)::BIGINT AS swwn,
+               sum(w * r_k)::BIGINT AS swr
+        FROM dose),
+      tz AS (
+        SELECT rr::DOUBLE / nn::DOUBLE AS pbar,
+               (swr::DOUBLE - (rr::DOUBLE / nn::DOUBLE) * swn::DOUBLE)
+                 / nullif(sqrt((rr::DOUBLE / nn::DOUBLE)
+                     * (1.0 - rr::DOUBLE / nn::DOUBLE)
+                     * (swwn::DOUBLE - swn::DOUBLE * swn::DOUBLE / nn::DOUBLE)), 0.0) AS z
+        FROM t)
+      SELECT d.w AS dose, d.n_k, d.r_k,
+             ${Quant.quant6Sql("d.r_k::DOUBLE / d.n_k::DOUBLE")} AS rate,
+             ${Quant.quant6Sql("tz.pbar")} AS pooled_rate,
+             ${Quant.quant6Sql("tz.z")} AS z_trend
+      FROM dose d CROSS JOIN tz
+      ORDER BY dose
     """))
   )
 }

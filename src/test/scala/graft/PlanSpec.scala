@@ -1141,7 +1141,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q292_ewma_control" -> (3, 0),
       "q293_dsir_weights" -> (6, 0),
       "q294_ipf_raking" -> (1, 0),
-      "q295_james_stein" -> (2, 0))
+      "q295_james_stein" -> (2, 0),
+      // q296/q297/q300: checkpointed bucket/frequency/dose relations
+      // (0 scans); every SE/smoothing/trend op is a 1-row cross or a
+      // tiny self-join. q298: custkey-keyed outcome join + nation
+      // cells; pooled OR from the 1-row broadcast. q299: one events
+      // scan to a 1-row baseline × 5-row literal grid.
+      "q296_ratio_jackknife" -> (2, 0),
+      "q297_good_turing" -> (2, 0),
+      "q298_mantel_haenszel" -> (4, 2),
+      "q299_power_mde" -> (1, 1),
+      "q300_cochran_armitage" -> (1, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -237,4 +237,146 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
         math.abs(shrunk - gbar) <= math.abs(mean - gbar) + 1e-9)
     }
   }
+
+  test("q296: closed-form leave-one-out ratios equal literal bucket deletion") {
+    val ev = eventsRaw()
+    val buckets = ev.groupBy(_._1 % 20).toSeq.map { case (b, rs) =>
+      (b,
+        rs.filter(_._2 == "purchase").map(_._4).sum,
+        rs.count(_._2 == "click").toLong)
+    }
+    val bb = buckets.length
+    val xx = buckets.map(_._2).sum
+    val yy = buckets.map(_._3).sum.toDouble
+    // textbook: recompute the ratio with each bucket's rows REMOVED
+    val rLoo = buckets.map { case (b, _, _) =>
+      val kept = ev.filter(_._1 % 20 != b)
+      kept.filter(_._2 == "purchase").map(_._4).sum /
+        kept.count(_._2 == "click").toDouble
+    }
+    val rbar = rLoo.sum / bb
+    val seJk = math.sqrt((bb - 1.0) / bb * rLoo.map(r0 => (r0 - rbar) * (r0 - rbar)).sum)
+    val seDelta = math.sqrt(bb / ((bb - 1.0) * yy * yy) *
+      buckets.map { case (_, x, y) => (x - xx / yy * y) * (x - xx / yy * y) }.sum)
+    val row = run("q296_ratio_jackknife").collect().head
+    assert(row.getAs[Long]("n_buckets") == bb.toLong)
+    assert(close(row.getAs[Double]("x_total"), q6(xx), 2e-6))
+    assert(row.getAs[Long]("y_total") == yy.toLong)
+    assert(close(row.getAs[Double]("ratio"), q6(xx / yy), 2e-6))
+    assert(close(row.getAs[Double]("se_jackknife"), q6(seJk), 2e-6))
+    assert(close(row.getAs[Double]("se_delta"), q6(seDelta), 2e-6))
+  }
+
+  test("q297: Good-Turing table matches a token-count fold; masses add up") {
+    val counts = Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).map(_._2.length.toLong)
+    val fof = counts.groupBy(identity).map { case (r0, rs) => r0 -> rs.size.toLong }
+    val nTokens = counts.sum
+    val got = run("q297_good_turing").collect()
+    assert(got.length == fof.size)
+    got.foreach { r =>
+      val r0 = r.getAs[Long]("r")
+      assert(r.getAs[Long]("n_r") == fof(r0))
+      fof.get(r0 + 1) match {
+        case Some(nNext) =>
+          assert(close(r.getAs[Double]("r_star"),
+            q6((r0 + 1).toDouble * nNext / fof(r0))))
+        case None => assert(r.isNullAt(r.fieldIndex("r_star")))
+      }
+      assert(close(r.getAs[Double]("p_mass"), q6(r0.toDouble * fof(r0) / nTokens)))
+      assert(close(r.getAs[Double]("p_unseen"),
+        q6(fof.getOrElse(1L, 0L).toDouble / nTokens)))
+    }
+    // the p_mass column partitions the corpus: Σ r·N_r = N
+    assert(got.map(r => r.getAs[Long]("r") * r.getAs[Long]("n_r")).sum == nTokens)
+  }
+
+  test("q298: Mantel-Haenszel pooled OR matches a per-stratum fold") {
+    val fulfilled = Tables.orders(spark, sfDir)
+      .filter("o_orderstatus = 'F'").select("o_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(1), r.getDouble(2) > 0.0, fulfilled(r.getLong(0))))
+    val cells = cust.groupBy(_._1).map { case (nk, rs) =>
+      nk -> (rs.count(c => c._2 && c._3).toLong, rs.count(c => c._2 && !c._3).toLong,
+             rs.count(c => !c._2 && c._3).toLong, rs.count(c => !c._2 && !c._3).toLong)
+    }
+    val orMh = cells.values.map { case (a, b, c, d0) =>
+      a.toDouble * d0 / (a + b + c + d0)
+    }.sum / cells.values.map { case (a, b, c, d0) =>
+      b.toDouble * c / (a + b + c + d0)
+    }.sum
+    val (ta, tb, tc, td) = cells.values.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d0), (a2, b2, c2, d2)) => (a + a2, b + b2, c + c2, d0 + d2)
+    }
+    val nations = Tables.nation(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val got = run("q298_mantel_haenszel").collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val nk = nations.collectFirst {
+        case (k, v) if v == r.getAs[String]("nation") => k
+      }.get
+      val (a, b, c, d0) = cells(nk)
+      assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+        r.getAs[Long]("d")) == ((a, b, c, d0)))
+      if (b * c == 0) assert(r.isNullAt(r.fieldIndex("or_stratum")))
+      else assert(close(r.getAs[Double]("or_stratum"), q6(a.toDouble * d0 / (b.toDouble * c))))
+      assert(close(r.getAs[Double]("or_mh"), q6(orMh), 2e-6))
+      assert(close(r.getAs[Double]("or_crude"),
+        q6(ta.toDouble * td / (tb.toDouble * tc)), 2e-6))
+    }
+  }
+
+  test("q299: sample sizes match the two-proportion formula and shrink with the lift") {
+    val ev = eventsRaw()
+    val p1 = ev.count(_._2 == "purchase").toDouble / ev.length
+    val (zA, zB) = (1.959963984540054, 0.8416212335729143)
+    val got = run("q299_power_mde").collect()
+    assert(got.map(_.getAs[Double]("lift")).toSeq == Seq(0.02, 0.05, 0.10, 0.15, 0.20))
+    got.foreach { r =>
+      val lift = r.getAs[Double]("lift")
+      val p2 = p1 * (1.0 + lift)
+      val pb = (p1 + p2) / 2.0
+      val root = zA * math.sqrt(2.0 * pb * (1.0 - pb)) +
+        zB * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      val n = math.ceil(root * root / ((p2 - p1) * (p2 - p1))).toLong
+      assert(r.getAs[Long]("n_events") == ev.length.toLong)
+      assert(close(r.getAs[Double]("p1"), q6(p1)))
+      assert(close(r.getAs[Double]("p2"), q6(p2)))
+      assert(r.getAs[Long]("n_per_arm") == n,
+        s"lift $lift: n ${r.getAs[Long]("n_per_arm")} != $n")
+    }
+    // the whole point of an MDE grid: smaller effects need more samples
+    val ns = got.map(_.getAs[Long]("n_per_arm")).toSeq
+    assert(ns == ns.sorted.reverse && ns.distinct == ns, s"not strictly decreasing: $ns")
+  }
+
+  test("q300: Cochran-Armitage Z matches the direct dose fold") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0).substring(0, 1).toLong, r.getString(1) == "F"))
+    val dose = orders.groupBy(_._1).map { case (w, rs) =>
+      (w, rs.length.toLong, rs.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val nn = dose.map(_._2).sum
+    val rr = dose.map(_._3).sum
+    val pbar = rr.toDouble / nn
+    val swn = dose.map(d0 => d0._1 * d0._2).sum
+    val swwn = dose.map(d0 => d0._1 * d0._1 * d0._2).sum
+    val swr = dose.map(d0 => d0._1 * d0._3).sum
+    val z = (swr.toDouble - pbar * swn.toDouble) /
+      math.sqrt(pbar * (1.0 - pbar) * (swwn.toDouble - swn.toDouble * swn.toDouble / nn))
+    val got = run("q300_cochran_armitage").collect()
+    assert(got.length == dose.length)
+    got.zip(dose).foreach { case (r, (w, nK, rK)) =>
+      assert(r.getAs[Long]("dose") == w)
+      assert(r.getAs[Long]("n_k") == nK && r.getAs[Long]("r_k") == rK)
+      assert(close(r.getAs[Double]("rate"), q6(rK.toDouble / nK)))
+      assert(close(r.getAs[Double]("pooled_rate"), q6(pbar)))
+      assert(close(r.getAs[Double]("z_trend"), q6(z), 2e-6))
+    }
+  }
 }
