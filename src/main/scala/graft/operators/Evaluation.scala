@@ -829,6 +829,271 @@ object Evaluation extends QueryGroup {
              ${Quant.quant6Sql("tz.z")} AS z_trend
       FROM dose d CROSS JOIN tz
       ORDER BY dose
+    """)),
+
+    // ------------------------------------------------------------ covariate balance / SMD audit (round 12)
+    // The first table in any experiment readout: standardized mean
+    // differences of pre-treatment covariates between the hash-split
+    // arms — |SMD| ≳ 0.1 flags a broken randomization (q248's SRM
+    // audit checks the COUNTS; this checks the covariate
+    // DISTRIBUTIONS). Five per-user covariates unpivot via one stack
+    // over the user aggregate; means/variances come from explicit
+    // sufficient-statistic algebra (not var_samp) so both engines run
+    // the identical float op sequence on exact per-arm sums. One
+    // events scan; everything past the user aggregate is 10 rows.
+    ("q301_covariate_balance", (s, d) => {
+      val perUser = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n_events"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("double")
+            .as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("double")
+            .as("n_purchases"),
+          (sum("value") / count(lit(1))).as("avg_value"),
+          countDistinct(to_date(col("ts"))).cast("double").as("active_days"))
+        .withColumn("t", (col("user_id") % 2).cast("long"))
+      val long = perUser.select(col("t"), expr(
+        """stack(5, 'n_events', n_events, 'n_clicks', n_clicks,
+                 'n_purchases', n_purchases, 'avg_value', avg_value,
+                 'active_days', active_days) AS (covariate, v)"""))
+      val byArm = long.groupBy("covariate", "t")
+        .agg(count(lit(1)).cast("double").as("n"), sum("v").as("sv"),
+             sum(col("v") * col("v")).as("svv"))
+        .withColumn("m", col("sv") / col("n"))
+        .withColumn("va",
+          (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1.0))
+      // pivot the two arms side-by-side with conditional firsts — one
+      // more tiny aggregate instead of a filter/self-join pair that
+      // would recompute the whole user aggregate per arm
+      byArm.groupBy("covariate")
+        .agg(
+          max(when(col("t") === 1L, col("n"))).as("n_t"),
+          max(when(col("t") === 0L, col("n"))).as("n_c"),
+          max(when(col("t") === 1L, col("m"))).as("mean_t"),
+          max(when(col("t") === 0L, col("m"))).as("mean_c"),
+          max(when(col("t") === 1L, col("va"))).as("var_t"),
+          max(when(col("t") === 0L, col("va"))).as("var_c"))
+        .select(col("covariate"),
+          col("n_t").cast("long").as("n_t"), col("n_c").cast("long").as("n_c"),
+          Quant.quant6(col("mean_t")).as("mean_t"),
+          Quant.quant6(col("mean_c")).as("mean_c"),
+          Quant.quant6((col("mean_t") - col("mean_c"))
+            / nullif(sqrt((col("var_t") + col("var_c")) / 2.0), lit(0.0))).as("smd"))
+        .orderBy("covariate")
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id, (user_id % 2)::BIGINT AS t,
+               count(*)::DOUBLE AS n_events,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS n_clicks,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+                 AS n_purchases,
+               sum(value) / count(*) AS avg_value,
+               count(DISTINCT ts::TIMESTAMP::DATE)::DOUBLE AS active_days
+        FROM events GROUP BY user_id),
+      long AS (
+        SELECT t, covariate, v FROM pu
+        UNPIVOT (v FOR covariate IN (n_events, n_clicks, n_purchases,
+                                     avg_value, active_days))),
+      arm AS (
+        SELECT covariate, t, count(*)::DOUBLE AS n, sum(v) AS sv, sum(v * v) AS svv,
+               sum(v) / count(*)::DOUBLE AS m,
+               (sum(v * v) - sum(v) * sum(v) / count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS va
+        FROM long GROUP BY 1, 2)
+      SELECT a.covariate,
+             a.n::BIGINT AS n_t, b.n::BIGINT AS n_c,
+             ${Quant.quant6Sql("a.m")} AS mean_t,
+             ${Quant.quant6Sql("b.m")} AS mean_c,
+             ${Quant.quant6Sql(
+               "(a.m - b.m) / nullif(sqrt((a.va + b.va) / 2.0), 0.0)")} AS smd
+      FROM arm a JOIN arm b ON a.covariate = b.covariate AND a.t = 1 AND b.t = 0
+      ORDER BY a.covariate
+    """)),
+
+    // ------------------------------------------------------------ Kendall tau-b (round 12)
+    // Rank correlation between daily revenue and daily click volume
+    // with the tie-corrected tau-b denominator — the robust cousin of
+    // q246's Spearman (pairwise concordance instead of rank
+    // differences, and exact tie handling). The all-pairs step is
+    // CALENDAR-bounded: the corpus contributes one day-keyed
+    // aggregate; the triangular join runs on the checkpointed ≤|days|
+    // relation (10 years ⇒ 6.7M sign comparisons, still one task).
+    ("q302_kendall_tau", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+               .as("x"),
+             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+        .graftCheckpoint() // pair join (both sides) + tie totals read it
+      val pairs = daily.alias("a")
+        .join(daily.alias("b"), col("a.day") < col("b.day"))
+        .agg(
+          sum(when((col("a.x") < col("b.x") && col("a.y") < col("b.y"))
+            || (col("a.x") > col("b.x") && col("a.y") > col("b.y")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("a.x") < col("b.x") && col("a.y") > col("b.y"))
+            || (col("a.x") > col("b.x") && col("a.y") < col("b.y")), 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("a.x") === col("b.x"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("a.y") === col("b.y"), 1L).otherwise(0L)).as("ty"))
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      pairs.crossJoin(broadcast(n))
+        .withColumn("n0", col("n_days") * (col("n_days") - 1L) / 2L)
+        .select(col("n_days"), col("concordant"), col("discordant"),
+          Quant.quant6(
+            (col("concordant") - col("discordant")).cast("double")
+              / nullif(sqrt((col("n0") - col("tx")).cast("double")
+                  * (col("n0") - col("ty")).cast("double")), lit(0.0))).as("tau_b"))
+    }, Some(s"""
+      WITH daily AS (
+        SELECT ts::TIMESTAMP::DATE AS day,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS x,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1),
+      pairs AS (
+        SELECT sum(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                        THEN 1 ELSE 0 END)::BIGINT AS concordant,
+               sum(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                        THEN 1 ELSE 0 END)::BIGINT AS discordant,
+               sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)::BIGINT AS tx,
+               sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS ty
+        FROM daily a JOIN daily b ON a.day < b.day),
+      nd AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+      j AS (
+        SELECT p.*, nd.n_days, nd.n_days * (nd.n_days - 1) // 2 AS n0
+        FROM pairs p CROSS JOIN nd)
+      SELECT n_days, concordant, discordant,
+             ${Quant.quant6Sql(
+               """(concordant - discordant)::DOUBLE
+                  / nullif(sqrt((n0 - tx)::DOUBLE * (n0 - ty)::DOUBLE), 0.0)""")} AS tau_b
+      FROM j
+    """)),
+
+    // ------------------------------------------------------------ Theil index decomposition (round 12)
+    // Inequality of document lengths with the between/within-source
+    // split Gini can't give: T = T_between + T_within, additively
+    // decomposable, so "how much of the length inequality is the
+    // source mix vs within-source spread" is one relation. Everything
+    // reduces to three sufficient statistics per source (n, Σy,
+    // Σy·ln y — y is the exact integer n_chars), ONE scan; the
+    // decomposition algebra runs on the ≤|sources| relation with the
+    // global totals as a 1-row broadcast.
+    ("q303_theil_decomposition", (s, d) => {
+      val g = Tables.documents(s, d)
+        .filter(col("n_chars") > 0L)
+        .select(col("source"), col("n_chars").cast("double").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+             sum(col("y") * log(col("y"))).as("syl"))
+        .graftCheckpoint() // totals + the per-source output read it
+      val tot = g.agg(
+        sum("n").as("nn"), sum("sy").as("tsy"), sum("syl").as("tsyl"))
+        .withColumn("mu", col("tsy") / col("nn").cast("double"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("mu_g", col("sy") / col("n").cast("double"))
+        .withColumn("share", col("sy") / col("tsy"))
+        .withColumn("t_g",
+          col("syl") / (col("n").cast("double") * col("mu_g")) - log(col("mu_g")))
+        .select(col("source"), col("n"),
+          Quant.quant6(col("mu_g")).as("mean_chars"),
+          Quant.quant6(col("share")).as("char_share"),
+          Quant.quant6(col("t_g")).as("theil_within_source"),
+          Quant.quant6(col("share") * log(col("mu_g") / col("mu")))
+            .as("between_term"),
+          Quant.quant6(col("tsyl") / (col("nn").cast("double") * col("mu"))
+            - log(col("mu"))).as("theil_total"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH g AS (
+        SELECT source, count(*)::BIGINT AS n, sum(n_chars::DOUBLE) AS sy,
+               sum(n_chars::DOUBLE * ln(n_chars::DOUBLE)) AS syl
+        FROM documents WHERE n_chars > 0 GROUP BY source),
+      tot AS (
+        SELECT sum(n)::BIGINT AS nn, sum(sy) AS tsy, sum(syl) AS tsyl,
+               sum(sy) / sum(n)::DOUBLE AS mu
+        FROM g),
+      j AS (
+        SELECT g.*, t.nn, t.tsy, t.tsyl, t.mu,
+               g.sy / g.n::DOUBLE AS mu_g, g.sy / t.tsy AS share
+        FROM g CROSS JOIN tot t)
+      SELECT source, n,
+             ${Quant.quant6Sql("mu_g")} AS mean_chars,
+             ${Quant.quant6Sql("share")} AS char_share,
+             ${Quant.quant6Sql("syl / (n::DOUBLE * mu_g) - ln(mu_g)")}
+               AS theil_within_source,
+             ${Quant.quant6Sql("share * ln(mu_g / mu)")} AS between_term,
+             ${Quant.quant6Sql("tsyl / (nn::DOUBLE * mu) - ln(mu)")} AS theil_total
+      FROM j
+      ORDER BY source
+    """)),
+
+    // ------------------------------------------------------------ Nelson-Aalen cumulative hazard (round 12)
+    // q197's estimator sibling on the same censored-lifetime relation:
+    // cumulative hazard H(t) = Σ_{s≤t} d_s/n_s and the
+    // Fleming-Harrington survival exp(−H) — the form whose variance
+    // and small-risk-set behavior differ from Kaplan-Meier exactly
+    // where retention curves get decided. Risk sets via the same
+    // cumulative-window algebra (deterministic order ⇒ identical
+    // float sequence on both engines); one scan → per-user aggregate →
+    // ≤|distinct lifetimes| relation.
+    ("q304_nelson_aalen", (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("first_day"),
+             to_date(max(col("ts"))).as("last_day"))
+      val end = perUser.agg(max(col("last_day")).as("corpus_end"))
+      val byLife = perUser.crossJoin(broadcast(end))
+        .select(datediff(col("last_day"), col("first_day")).cast("long")
+            .as("lifetime_days"),
+          (datediff(col("corpus_end"), col("last_day")) < 7).as("censored"))
+        .groupBy("lifetime_days")
+        .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_events"),
+             sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      val wPrev = Window.orderBy("lifetime_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("lifetime_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(1))
+      byLife
+        .withColumn("n_risk",
+          sum(col("n_events") + col("n_censored")).over(wAll) -
+            coalesce(sum(col("n_events") + col("n_censored")).over(wPrev), lit(0L)))
+        .withColumn("h", col("n_events").cast("double") / col("n_risk").cast("double"))
+        .select(col("lifetime_days"), col("n_risk"), col("n_events"), col("n_censored"),
+          Quant.quant6(sum(col("h")).over(wCum)).as("cum_hazard"),
+          Quant.quant6(exp(-sum(col("h")).over(wCum))).as("fh_survival"))
+        .orderBy("lifetime_days")
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id, min(ts::TIMESTAMP)::DATE AS first_day,
+               max(ts::TIMESTAMP)::DATE AS last_day
+        FROM events GROUP BY user_id),
+      mx AS (SELECT max(last_day) AS corpus_end FROM pu),
+      bylife AS (
+        SELECT date_diff('day', first_day, last_day)::BIGINT AS lifetime_days,
+               sum(CASE WHEN date_diff('day', last_day, corpus_end) < 7
+                        THEN 0 ELSE 1 END)::BIGINT AS n_events,
+               sum(CASE WHEN date_diff('day', last_day, corpus_end) < 7
+                        THEN 1 ELSE 0 END)::BIGINT AS n_censored
+        FROM pu, mx GROUP BY 1),
+      r AS (
+        SELECT *,
+               (sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY lifetime_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+                 AS n_risk
+        FROM bylife),
+      h AS (
+        SELECT *, n_events::DOUBLE / n_risk::DOUBLE AS hz FROM r)
+      SELECT lifetime_days, n_risk, n_events, n_censored,
+             ${Quant.quant6Sql(
+               """sum(hz) OVER (ORDER BY lifetime_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS cum_hazard,
+             ${Quant.quant6Sql(
+               """exp(-sum(hz) OVER (ORDER BY lifetime_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""")} AS fh_survival
+      FROM h
+      ORDER BY lifetime_days
     """))
   )
 }

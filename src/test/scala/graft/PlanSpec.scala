@@ -1151,7 +1151,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q297_good_turing" -> (2, 0),
       "q298_mantel_haenszel" -> (4, 2),
       "q299_power_mde" -> (1, 1),
-      "q300_cochran_armitage" -> (1, 0))
+      "q300_cochran_armitage" -> (1, 0),
+      // q301: one user aggregate feeds the 5-covariate stack; the
+      // per-arm SMD join runs on 10 rows. q302: checkpointed daily
+      // relation, calendar-bounded pair nest (0 scans). q303:
+      // checkpointed per-source sufficient stats, 1-row broadcast
+      // totals. q304: q197's shapes — user aggregate, then windows on
+      // the ≤|lifetimes| relation.
+      "q301_covariate_balance" -> (4, 1), // +1: countDistinct(active day)'s expand pass
+      "q302_kendall_tau" -> (1, 0),
+      "q303_theil_decomposition" -> (1, 0),
+      "q304_nelson_aalen" -> (3, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -379,4 +379,123 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       assert(close(r.getAs[Double]("z_trend"), q6(z), 2e-6))
     }
   }
+
+  test("q301: SMD table matches a per-user covariate fold") {
+    val ev = eventsRaw()
+    val byUser = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      val covs = Map(
+        "n_events" -> rs.length.toDouble,
+        "n_clicks" -> rs.count(_._2 == "click").toDouble,
+        "n_purchases" -> rs.count(_._2 == "purchase").toDouble,
+        "avg_value" -> rs.map(_._4).sum / rs.length,
+        "active_days" -> rs.map(_._3 / 86400000000L).distinct.length.toDouble)
+      (u % 2, covs)
+    }
+    def stats(vs: Seq[Double]): (Double, Double, Long) = {
+      val n = vs.length
+      val sv = vs.sum; val svv = vs.map(v => v * v).sum
+      (sv / n, (svv - sv * sv / n) / (n - 1.0), n.toLong)
+    }
+    val got = run("q301_covariate_balance").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val cov = r.getAs[String]("covariate")
+      val (mt, vt, nt) = stats(byUser.filter(_._1 == 1L).map(_._2(cov)))
+      val (mc, vc, nc) = stats(byUser.filter(_._1 == 0L).map(_._2(cov)))
+      assert(r.getAs[Long]("n_t") == nt && r.getAs[Long]("n_c") == nc)
+      assert(close(r.getAs[Double]("mean_t"), q6(mt), 2e-6))
+      assert(close(r.getAs[Double]("mean_c"), q6(mc), 2e-6))
+      assert(close(r.getAs[Double]("smd"),
+        q6((mt - mc) / math.sqrt((vt + vc) / 2.0)), 2e-6), s"covariate $cov")
+    }
+  }
+
+  test("q302: tau-b matches an explicit pair walk over the daily series") {
+    val daily = eventsRaw()
+      .groupBy(_._3 / 86400000000L).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.filter(_._2 == "purchase").map(_._4).sum,
+         rs.count(_._2 == "click").toLong)
+      }
+    var (cc, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val (xa, ya) = daily(i); val (xb, yb) = daily(j)
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) cc += 1
+      else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) dd += 1
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+    }
+    val n = daily.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tau = (cc - dd).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    val row = run("q302_kendall_tau").collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("concordant") == cc && row.getAs[Long]("discordant") == dd)
+    assert(close(row.getAs[Double]("tau_b"), q6(tau), 2e-6))
+  }
+
+  test("q303: Theil decomposition matches a direct fold and is additive") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble)).filter(_._2 > 0)
+    val nn = docs.length
+    val mu = docs.map(_._2).sum / nn
+    val tTotal = docs.map(d0 => d0._2 / mu * math.log(d0._2 / mu)).sum / nn
+    val groups = docs.groupBy(_._1)
+    val got = run("q303_theil_decomposition").collect()
+    assert(got.length == groups.size)
+    var within = 0.0; var between = 0.0
+    got.foreach { r =>
+      val g = groups(r.getAs[String]("source")).map(_._2)
+      val muG = g.sum / g.length
+      val tG = g.map(y => y / muG * math.log(y / muG)).sum / g.length
+      val share = g.sum / docs.map(_._2).sum
+      assert(r.getAs[Long]("n") == g.length.toLong)
+      assert(close(r.getAs[Double]("mean_chars"), q6(muG), 2e-6))
+      assert(close(r.getAs[Double]("char_share"), q6(share), 2e-6))
+      assert(close(r.getAs[Double]("theil_within_source"), q6(tG), 2e-6))
+      assert(close(r.getAs[Double]("between_term"),
+        q6(share * math.log(muG / mu)), 2e-6))
+      assert(close(r.getAs[Double]("theil_total"), q6(tTotal), 2e-6))
+      within += share * tG
+      between += share * math.log(muG / mu)
+    }
+    // the whole point of Theil over Gini: the decomposition is ADDITIVE
+    assert(close(within + between, tTotal, 1e-9),
+      s"decomposition $within + $between != $tTotal")
+  }
+
+  test("q304: Nelson-Aalen hazard matches a risk-set walk; FH >= KM survival") {
+    val ev = eventsRaw()
+    val byUser = ev.groupBy(_._1).values.map { rs =>
+      (rs.map(_._3 / 86400000000L).min, rs.map(_._3 / 86400000000L).max)
+    }.toSeq
+    val corpusEnd = byUser.map(_._2).max
+    val lifetimes = byUser.map { case (f, l) =>
+      (l - f, corpusEnd - l < 7) // (lifetime_days, censored)
+    }
+    val byLife = lifetimes.groupBy(_._1).toSeq.sortBy(_._1).map { case (lt, rs) =>
+      (lt, rs.count(!_._2).toLong, rs.count(_._2).toLong)
+    }
+    var atRisk = lifetimes.length.toLong
+    var h = 0.0
+    val got = run("q304_nelson_aalen").collect()
+    assert(got.length == byLife.length)
+    got.zip(byLife).foreach { case (r, (lt, d0, c0)) =>
+      assert(r.getAs[Long]("lifetime_days") == lt)
+      assert(r.getAs[Long]("n_risk") == atRisk)
+      assert(r.getAs[Long]("n_events") == d0 && r.getAs[Long]("n_censored") == c0)
+      h += d0.toDouble / atRisk
+      assert(close(r.getAs[Double]("cum_hazard"), q6(h), 2e-6))
+      assert(close(r.getAs[Double]("fh_survival"), q6(math.exp(-h)), 2e-6))
+      atRisk -= d0 + c0
+    }
+    // Fleming-Harrington dominates Kaplan-Meier pointwise (exp(-x) >= 1-x)
+    val km = run("q197_kaplan_meier").collect()
+      .map(r => r.getAs[Long]("lifetime_days") -> r.getAs[Double]("survival")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Double]("fh_survival") >=
+        km(r.getAs[Long]("lifetime_days")) - 1e-9)
+    }
+  }
 }
