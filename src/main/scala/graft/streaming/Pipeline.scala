@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.StructType
   *   --sink             console|memory|parquet    (reference printed to stdout)
   *   --out              output path for parquet sink
   *   --max-files        per-trigger file cap
-  *   --processor        none|topk|distinct — stateful processor between
+  *   --processor        none|topk|distinct|ewma — stateful processor between
   *                      parse and sink (round 11, VERDICT r10 item 6:
   *                      the collection-state processors reachable
   *                      end-to-end from the O7 CLI). `topk` runs
@@ -60,6 +60,7 @@ object Pipeline {
   /** Value payload DDL each processor expects on the wire. */
   val topkSchemaDdl = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
   val distinctSchemaDdl = "user_id LONG, event_type STRING, event_id LONG, ts TIMESTAMP"
+  val ewmaSchemaDdl = "event_type STRING, event_id LONG, ts TIMESTAMP, value DOUBLE"
 
   private val valueFlags = Set("--name", "--source-dir", "--value-schema",
     "--checkpoint-folder", "--batch-period", "--max-file-age", "--sink", "--out", "--max-files",
@@ -88,8 +89,8 @@ object Pipeline {
     val c = loop(args.toList, Config())
     require(c.sourceDir.nonEmpty, "--source-dir is required")
     require(c.checkpoint.nonEmpty, "--checkpoint-folder is required")
-    require(Set("none", "topk", "distinct")(c.processor),
-      s"--processor must be none|topk|distinct, got ${c.processor}")
+    require(Set("none", "topk", "distinct", "ewma")(c.processor),
+      s"--processor must be none|topk|distinct|ewma, got ${c.processor}")
     c
   }
 
@@ -112,6 +113,7 @@ object Pipeline {
     val schemaDdl = c.processor match {
       case "topk"     => topkSchemaDdl
       case "distinct" => distinctSchemaDdl
+      case "ewma"     => ewmaSchemaDdl
       case _          => c.valueSchemaDdl
     }
     val schema = StructType.fromDDL(schemaDdl)
@@ -141,6 +143,12 @@ object Pipeline {
           decoded.withWatermark("ts", c.watermark)
             .as[CooldownDedup.KeyedEvent](org.apache.spark.sql.Encoders.product),
           c.windowMs).toDF()
+      case "ewma" =>
+        requireRocksDb(spark)
+        EwmaMonitor.scored(
+          decoded.withWatermark("ts", c.watermark)
+            .as[EwmaMonitor.MetricEvent](org.apache.spark.sql.Encoders.product),
+          idleMs = c.windowMs).toDF()
       case _ => decoded
     }
     RecordStream.startSink(staged, c.sink, c.name, c.checkpoint, c.batchPeriodMs,

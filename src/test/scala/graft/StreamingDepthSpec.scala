@@ -572,6 +572,106 @@ class StreamingDepthSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("EWMA monitor matches the sequential fold and the batch twin (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EwmaMonitor
+    import graft.streaming.EwmaMonitor.MetricEvent
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      // stable level, then a spike at id 7 (post-warmup ⇒ must alarm)
+      // and an equal-size spike at id 2 (pre-warmup ⇒ must NOT alarm)
+      val events = Seq(
+        MetricEvent("m", 0L, at(0), 100.0), MetricEvent("m", 1L, at(1), 101.0),
+        MetricEvent("m", 2L, at(2), 200.0), MetricEvent("m", 3L, at(3), 99.0),
+        MetricEvent("m", 4L, at(4), 100.0), MetricEvent("m", 5L, at(5), 102.0),
+        MetricEvent("m", 6L, at(6), 98.0), MetricEvent("m", 7L, at(7), 250.0),
+        MetricEvent("m", 8L, at(8), 100.0))
+      val in = MemoryStream[MetricEvent]
+      val st = EwmaMonitor.scored(in.toDS().withWatermark("ts", "0 seconds"))
+      val q = RecordStream.startSink(st.toDF(), "memory", "ewma_sink", tmp("ck-ewma"), 100L)
+      in.addData(events.take(4): _*)   // split mid-warmup: state must carry
+      q.processAllAvailable()
+      in.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_sink").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("ewma"),
+                   r.getAs[Double]("resid"), r.getAs[Boolean]("is_alarm"),
+                   r.getAs[Long]("n_seen"))).sortBy(_._1).toSeq
+      q.stop()
+      // sequential reference: the pure fold, one event at a time
+      var g: Option[EwmaMonitor.Gauge] = None
+      val want = events.map { e =>
+        val (s0, g2) = EwmaMonitor.step(g, e, 0.3, 0.9, 9.0, 5L)
+        g = Some(g2)
+        (s0.event_id, s0.ewma, s0.resid, s0.is_alarm, s0.n_seen)
+      }
+      assert(got == want, s"stream fold diverged:\n got $got\nwant $want")
+      assert(!got(2)._4, "pre-warmup spike must not alarm")
+      assert(got(7)._4, "post-warmup spike must alarm")
+      // batch twin runs the identical fold
+      val batch = EwmaMonitor.scoredBatch(spark.createDataset(events)).collect()
+        .map(s0 => (s0.event_id, s0.ewma, s0.resid, s0.is_alarm, s0.n_seen))
+        .sortBy(_._1).toSeq
+      assert(batch == want, s"batch twin diverged:\n got $batch\nwant $want")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("EWMA monitor recovers level/variance/count across checkpoint restart") {
+    import graft.streaming.EwmaMonitor
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = tmp("ew-src"); val ck = tmp("ck-ew-restart"); val out = tmp("out-ew-restart")
+      def at(min: Int) = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)
+      def writeEvents(file: String, rows: Seq[(Long, Int, Double)]): Unit =
+        Files.write(java.nio.file.Paths.get(src, file),
+          rows.map { case (id, m, v) =>
+            s"""{"event_type":"m","event_id":$id,"ts":"${at(m)}","value":$v}"""
+          }.mkString("\n").getBytes)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_type", "string").add("event_id", "long")
+        .add("ts", "timestamp").add("value", "double")
+      def query(name: String) = {
+        import spark.implicits._
+        val events = spark.readStream.schema(schema).json(src)
+          .withWatermark("ts", "0 seconds").as[EwmaMonitor.MetricEvent]
+        RecordStream.startSink(EwmaMonitor.scored(events).toDF(),
+          "parquet", name, ck, 100L, outputPath = Some(out))
+      }
+      // six stable points: past warmup, variance ~0, level ~100
+      writeEvents("b1.json", (0 to 5).map(i => (i.toLong, i, 100.0)))
+      val q1 = query("ew_r1"); q1.processAllAvailable(); q1.stop()
+      // restart on the same checkpoint: the spike must be judged
+      // against the RECOVERED gauge (n=6 ≥ warmup ⇒ alarm, n_seen=7);
+      // a fresh query would re-initialize on it (no alarm, n_seen=1)
+      writeEvents("b2.json", Seq((6L, 6, 200.0)))
+      val q2 = query("ew_r2"); q2.processAllAvailable(); q2.stop()
+      val row = spark.read.parquet(out).collect()
+        .filter(_.getAs[Long]("event_id") == 6L).head
+      assert(row.getAs[Long]("n_seen") == 7L,
+        s"gauge count not recovered: ${row.getAs[Long]("n_seen")}")
+      assert(row.getAs[Boolean]("is_alarm"),
+        "post-restart spike must alarm against the recovered variance")
+      assert(math.abs(row.getAs[Double]("resid") - 100.0) < 1e-9,
+        s"resid must be against the recovered level: ${row.getAs[Double]("resid")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ListState top-k recovers the buffer across checkpoint restart") {
     import spark.implicits._
     import graft.streaming.WindowTopK

@@ -193,6 +193,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Pipeline --processor ewma drives EwmaMonitor from the CLI") {
+    import graft.streaming.{EwmaMonitor, Pipeline}
+    val src = tmp("ewcli-src"); val ck = tmp("ewcli-ck")
+    def line(id: Long, min: Int, v: Double): String =
+      s"""{"key":"m","value":"{\\"event_type\\":\\"m\\",\\"event_id\\":$id,\\"ts\\":\\"2024-01-01T00:${"%02d".format(min)}:00Z\\",\\"value\\":$v}","topic":"t","partition":0,"offset":$id,"timestamp":"2024-01-01T00:00:00Z"}"""
+    val values = Seq(100.0, 101.0, 99.0, 100.0, 102.0, 98.0, 250.0)
+    Files.write(java.nio.file.Paths.get(src, "a.json"),
+      values.zipWithIndex.map { case (v, i) => line(i.toLong, i, v) }
+        .mkString("\n").getBytes)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val q = Pipeline.start(spark, Pipeline.parse(Seq(
+        "--name", "ewma_cli", "--source-dir", src, "--checkpoint-folder", ck,
+        "--batch-period", "100", "--earliest", "--sink", "memory",
+        "--processor", "ewma")))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_cli").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("ewma"),
+                   r.getAs[Boolean]("is_alarm"), r.getAs[Long]("n_seen")))
+        .sortBy(_._1).toSeq
+      q.stop()
+      var g: Option[EwmaMonitor.Gauge] = None
+      val want = values.zipWithIndex.map { case (v, i) =>
+        val e = EwmaMonitor.MetricEvent("m", i.toLong,
+          java.time.Instant.parse(f"2024-01-01T00:$i%02d:00Z"), v)
+        val (s0, g2) = EwmaMonitor.step(g, e, 0.3, 0.9, 9.0, 5L)
+        g = Some(g2)
+        (s0.event_id, s0.ewma, s0.is_alarm, s0.n_seen)
+      }
+      assert(rows == want, s"CLI ewma stamps:\n got $rows\nwant $want")
+      assert(rows.last._3, "the post-warmup spike must alarm through the CLI path")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("latestFirst serves the newest backlog file first (--earliest/latest toggle analog)") {
     val srcDir = tmp("lf-src")
     def write(n: String, key: String, mtimeOffsetMs: Long): Unit = {
