@@ -1094,6 +1094,169 @@ object Evaluation extends QueryGroup {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""")} AS fh_survival
       FROM h
       ORDER BY lifetime_days
+    """)),
+
+    // ------------------------------------------------------------ log-rank test (round 12)
+    // Does time-to-first-purchase DIFFER between the hash-split arms?
+    // The standard two-sample censored comparison: the "event" is a
+    // user's first purchase (measured in days from their first
+    // activity), users who never purchase are right-censored at the
+    // corpus end — q197/q304 use activity lifetimes, but on this
+    // corpus every user is active to the horizon, so conversion is the
+    // survival question with real variation. At each distinct event
+    // time, observed-vs-expected arm-1 events under the
+    // hypergeometric null (E₁ = d·n₁/n, V = d·(n₁/n)(n₂/n)
+    // ·(n−d)/(n−1)), χ² = (ΣO−E)²/ΣV. Risk sets per arm via the
+    // cumulative-window algebra; one events scan → per-user aggregate
+    // → per-(time, arm) cells → ≤|distinct times| relation. Integer
+    // sufficient statistics end-to-end; χ² is the only rounded float.
+    ("q305_logrank_test", (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("first_day"),
+             to_date(min(when(col("event_type") === "purchase", col("ts"))))
+               .as("conv_day"))
+      val end = Tables.events(s, d).agg(to_date(max(col("ts"))).as("corpus_end"))
+      val byCell = perUser.crossJoin(broadcast(end))
+        .select((col("user_id") % 2).cast("long").as("arm"),
+          coalesce(datediff(col("conv_day"), col("first_day")),
+            datediff(col("corpus_end"), col("first_day"))).cast("long").as("lt"),
+          col("conv_day").isNull.as("censored"))
+        .groupBy("lt")
+        .agg(
+          sum(when(col("arm") === 1L && !col("censored"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("arm") === 0L && !col("censored"), 1L).otherwise(0L)).as("d0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("x1"),
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("x0"))
+      val wPrev = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(lit(1))
+      val risk = byCell
+        .withColumn("n1", sum("x1").over(wAll) - coalesce(sum("x1").over(wPrev), lit(0L)))
+        .withColumn("n0", sum("x0").over(wAll) - coalesce(sum("x0").over(wPrev), lit(0L)))
+        .withColumn("dd", col("d1") + col("d0"))
+        .withColumn("nn", col("n1") + col("n0"))
+        .filter(col("dd") > 0L && col("nn") > 1L)
+      risk.agg(
+          sum("d1").as("observed_1"),
+          sum(col("dd").cast("double") * col("n1").cast("double")
+            / col("nn").cast("double")).as("e1"),
+          sum(col("dd").cast("double")
+            * (col("n1").cast("double") / col("nn").cast("double"))
+            * (col("n0").cast("double") / col("nn").cast("double"))
+            * (col("nn") - col("dd")).cast("double")
+            / (col("nn") - lit(1L)).cast("double")).as("v"))
+        .select(col("observed_1"),
+          Quant.quant6(col("e1")).as("expected_1"),
+          Quant.quant6(col("v")).as("variance"),
+          Quant.quant6(
+            (col("observed_1").cast("double") - col("e1"))
+              * (col("observed_1").cast("double") - col("e1"))
+              / nullif(col("v"), lit(0.0))).as("chi2"))
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id, min(ts::TIMESTAMP)::DATE AS first_day,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN ts::TIMESTAMP END)::DATE AS conv_day
+        FROM events GROUP BY user_id),
+      mx AS (SELECT max(ts::TIMESTAMP)::DATE AS corpus_end FROM events),
+      cells AS (
+        SELECT coalesce(date_diff('day', first_day, conv_day),
+                        date_diff('day', first_day, corpus_end))::BIGINT AS lt,
+               sum(CASE WHEN user_id % 2 = 1 AND conv_day IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS d1,
+               sum(CASE WHEN user_id % 2 = 0 AND conv_day IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS d0,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS x1,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS x0
+        FROM pu, mx GROUP BY 1),
+      risk AS (
+        SELECT *,
+               (sum(x1) OVER () - coalesce(sum(x1) OVER (ORDER BY lt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n1,
+               (sum(x0) OVER () - coalesce(sum(x0) OVER (ORDER BY lt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n0,
+               (d1 + d0)::BIGINT AS dd
+        FROM cells),
+      f AS (
+        SELECT *, (n1 + n0)::BIGINT AS nn FROM risk
+        WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+      a AS (
+        SELECT sum(d1)::BIGINT AS observed_1,
+               sum(dd::DOUBLE * n1::DOUBLE / nn::DOUBLE) AS e1,
+               sum(dd::DOUBLE * (n1::DOUBLE / nn::DOUBLE) * (n0::DOUBLE / nn::DOUBLE)
+                   * (nn - dd)::DOUBLE / (nn - 1)::DOUBLE) AS v
+        FROM f)
+      SELECT observed_1,
+             ${Quant.quant6Sql("e1")} AS expected_1,
+             ${Quant.quant6Sql("v")} AS variance,
+             ${Quant.quant6Sql(
+               """(observed_1::DOUBLE - e1) * (observed_1::DOUBLE - e1)
+                  / nullif(v, 0.0)""")} AS chi2
+      FROM a
+    """)),
+
+    // ------------------------------------------------------------ Burrows' Delta (round 12)
+    // Stylometric distance between sources: z-score each source's
+    // relative frequency of the corpus's top-30 tokens against the
+    // cross-source distribution, Delta(a,b) = mean_t |z_at − z_bt| —
+    // the classic authorship-attribution measure, here profiling which
+    // sources write alike (a near-dup/contamination lead that survives
+    // paraphrase). One tokenize pass → (source, token) counts; the
+    // marker list is a 30-row deterministic top-k broadcast (count
+    // desc, token asc), the z-table is |sources|×30 dense (missing
+    // cells are REAL zero frequencies, materialized via the
+    // sources×markers grid), and the pair join runs on the
+    // ≤|sources|² relation.
+    ("q306_burrows_delta", (s, d) => {
+      val st = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .graftCheckpoint() // markers, source totals, and the grid read it
+      val markers = st.groupBy("tok").agg(sum("c").as("tc"))
+        .orderBy(col("tc").desc, col("tok")).limit(30)
+      val totals = st.groupBy("source").agg(sum("c").as("tot"))
+      val grid = totals.crossJoin(broadcast(markers.select("tok")))
+        .join(st, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("tot").cast("double"))
+            .as("f"))
+      val ztab = grid
+        .withColumn("mu", avg("f").over(Window.partitionBy("tok")))
+        .withColumn("sd", stddev_samp("f").over(Window.partitionBy("tok")))
+        .select(col("source"), col("tok"),
+          ((col("f") - col("mu")) / nullif(col("sd"), lit(0.0))).as("z"))
+      ztab.alias("a")
+        .join(ztab.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(Quant.quant6(avg(abs(col("a.z") - col("b.z")))).as("delta"),
+             count(lit(1)).as("n_markers"))
+        .orderBy("source_a", "source_b")
+    }, Some(s"""
+      WITH st AS (
+        SELECT source, tok, count(*)::BIGINT AS c
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2),
+      markers AS (
+        SELECT tok FROM (SELECT tok, sum(c) AS tc FROM st GROUP BY tok)
+        ORDER BY tc DESC, tok LIMIT 30),
+      totals AS (SELECT source, sum(c)::BIGINT AS tot FROM st GROUP BY source),
+      grid AS (
+        SELECT t.source, m.tok,
+               coalesce(s2.c, 0)::DOUBLE / t.tot::DOUBLE AS f
+        FROM totals t CROSS JOIN markers m
+        LEFT JOIN st s2 ON s2.source = t.source AND s2.tok = m.tok),
+      ztab AS (
+        SELECT source, tok,
+               (f - avg(f) OVER (PARTITION BY tok))
+                 / nullif(stddev_samp(f) OVER (PARTITION BY tok), 0.0) AS z
+        FROM grid)
+      SELECT a.source AS source_a, b.source AS source_b,
+             ${Quant.quant6Sql("avg(abs(a.z - b.z))")} AS delta,
+             count(*)::BIGINT AS n_markers
+      FROM ztab a JOIN ztab b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY 1, 2
     """))
   )
 }

@@ -1161,7 +1161,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q301_covariate_balance" -> (4, 1), // +1: countDistinct(active day)'s expand pass
       "q302_kendall_tau" -> (1, 0),
       "q303_theil_decomposition" -> (1, 0),
-      "q304_nelson_aalen" -> (3, 2))
+      "q304_nelson_aalen" -> (3, 2),
+      // q305: user aggregate + 1-row corpus-end broadcast (2 scans);
+      // time cells + windows on the ≤|times| relation. q306: the
+      // checkpointed (source,token) counts feed markers/totals/grid
+      // (0 scans); grid join, z windows, and the pair join all run on
+      // source- and marker-bounded relations.
+      "q305_logrank_test" -> (3, 2),
+      "q306_burrows_delta" -> (9, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -498,4 +498,73 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
         km(r.getAs[Long]("lifetime_days")) - 1e-9)
     }
   }
+
+  test("q305: log-rank O/E/V match an explicit per-time hypergeometric walk") {
+    // textbook walk at both SFs (sf0.001 for the small fixture, sf0.01
+    // to guarantee real censoring mix on the synthetic generator)
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val ev = Tables.events(spark, dir)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) as us").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val corpusEnd = ev.map(_._3 / 86400000000L).max
+      val lifes = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+        val first = rs.map(_._3 / 86400000000L).min
+        val conv = rs.filter(_._2 == "purchase").map(_._3 / 86400000000L)
+          .sorted.headOption
+        (u % 2, conv.getOrElse(corpusEnd) - first, conv.isEmpty) // (arm, lt, censored)
+      }
+      var (n1, n0) = (lifes.count(_._1 == 1L).toLong, lifes.count(_._1 == 0L).toLong)
+      var (obs, e1, v) = (0L, 0.0, 0.0)
+      lifes.map(_._2).distinct.sorted.foreach { t =>
+        val at = lifes.filter(_._2 == t)
+        val d1 = at.count(x => x._1 == 1L && !x._3).toLong
+        val dd = d1 + at.count(x => x._1 == 0L && !x._3).toLong
+        val nn = n1 + n0
+        if (dd > 0 && nn > 1) {
+          obs += d1
+          e1 += dd.toDouble * n1 / nn
+          v += dd.toDouble * (n1.toDouble / nn) * (n0.toDouble / nn) *
+            (nn - dd).toDouble / (nn - 1).toDouble
+        }
+        n1 -= at.count(_._1 == 1L); n0 -= at.count(_._1 == 0L)
+      }
+      assert(lifes.exists(!_._3), s"$dir: no conversions — test data degenerate")
+      val row = SparkEntry.queries("q305_logrank_test")(spark, dir).collect().head
+      assert(row.getAs[Long]("observed_1") == obs, s"$dir observed")
+      assert(close(row.getAs[Double]("expected_1"), q6(e1), 2e-6), s"$dir expected")
+      assert(close(row.getAs[Double]("variance"), q6(v), 2e-6), s"$dir variance")
+      assert(close(row.getAs[Double]("chi2"),
+        q6((obs - e1) * (obs - e1) / v), 2e-6), s"$dir chi2")
+    }
+  }
+
+  test("q306: Burrows' Delta matches a driver-side z-table; symmetric-complete pairs") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val st = docs.flatMap { case (s0, ts) => ts.map(t => (s0, t)) }
+      .groupBy(identity).map { case ((s0, t), rs) => (s0, t, rs.length.toLong) }.toSeq
+    val markers = st.groupBy(_._2).map { case (t, rs) => (t, rs.map(_._3).sum) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(30).map(_._1)
+    val totals = st.groupBy(_._1).map { case (s0, rs) => s0 -> rs.map(_._3).sum }
+    val sources = totals.keys.toSeq.sorted
+    val cnt = st.map(x => (x._1, x._2) -> x._3).toMap
+    val f = (for (s0 <- sources; t <- markers)
+      yield (s0, t) -> cnt.getOrElse((s0, t), 0L).toDouble / totals(s0)).toMap
+    val z = markers.flatMap { t =>
+      val vs = sources.map(s0 => f((s0, t)))
+      val mu = vs.sum / vs.length
+      val sd = math.sqrt(vs.map(x => (x - mu) * (x - mu)).sum / (vs.length - 1))
+      sources.map(s0 => (s0, t) -> (f((s0, t)) - mu) / sd)
+    }.toMap
+    val got = run("q306_burrows_delta").collect()
+    assert(got.length == sources.length * (sources.length - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      assert(r.getAs[Long]("n_markers") == markers.length.toLong)
+      val want = markers.map(t => math.abs(z((a, t)) - z((b, t)))).sum / markers.length
+      assert(close(r.getAs[Double]("delta"), q6(want), 2e-6), s"pair ($a,$b)")
+    }
+  }
 }
