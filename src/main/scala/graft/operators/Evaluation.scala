@@ -1257,6 +1257,239 @@ object Evaluation extends QueryGroup {
       FROM ztab a JOIN ztab b ON a.tok = b.tok AND a.source < b.source
       GROUP BY 1, 2
       ORDER BY 1, 2
+    """)),
+
+    // ------------------------------------------------------------ AIPW doubly-robust ATE (round 12)
+    // The estimator that closes the causal family (q213 DiD, q276 IPW,
+    // q282 stratification): augmented IPW of the post-cut purchase
+    // outcome under the hash split, with a DELIBERATELY different
+    // model per nuisance — exact per-click-count cells for the
+    // propensity, a linear-in-clicks OLS per arm for the outcome — so
+    // the augmentation terms are nonzero and the double-robustness is
+    // visible next to the naive/OM/IPW columns. The key scale fact:
+    // because the covariate is the integer click count, EVERY term
+    // collapses onto the ≤|distinct counts| cell relation (Σ over
+    // users of c·y within a cell is c·Σy) — one events scan, one user
+    // aggregate, one cell aggregate, then 1-row algebra.
+    ("q307_aipw_ate", (s, d) => {
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val perUser = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click" && col("ts") < cut, 1L)
+               .otherwise(0L)).as("c"),
+             max(when(col("event_type") === "purchase" && col("ts") >= cut, 1L)
+               .otherwise(0L)).as("y"))
+        .withColumn("t", (col("user_id") % 2).cast("long"))
+      val cells = perUser.groupBy("c").agg(
+        sum(col("t")).as("n1"), sum(lit(1L) - col("t")).as("n0"),
+        sum(col("t") * col("y")).as("sy1"),
+        sum((lit(1L) - col("t")) * col("y")).as("sy0"))
+        .graftCheckpoint() // OLS totals + the per-cell assembly read it
+      val fit = cells.agg(
+        sum(col("n1") + col("n0")).as("nn"),
+        sum("n1").as("t_n"), sum(col("c") * col("n1")).as("t_sc"),
+        sum(col("c") * col("c") * col("n1")).as("t_scc"),
+        sum("sy1").as("t_sy"), sum(col("c") * col("sy1")).as("t_scy"),
+        sum("n0").as("c_n"), sum(col("c") * col("n0")).as("c_sc"),
+        sum(col("c") * col("c") * col("n0")).as("c_scc"),
+        sum("sy0").as("c_sy"), sum(col("c") * col("sy0")).as("c_scy"))
+        .withColumn("b1",
+          (col("t_n").cast("double") * col("t_scy").cast("double")
+            - col("t_sc").cast("double") * col("t_sy").cast("double"))
+            / nullif(col("t_n").cast("double") * col("t_scc").cast("double")
+                - col("t_sc").cast("double") * col("t_sc").cast("double"), lit(0.0)))
+        .withColumn("a1",
+          (col("t_sy").cast("double") - col("b1") * col("t_sc").cast("double"))
+            / col("t_n").cast("double"))
+        .withColumn("b0",
+          (col("c_n").cast("double") * col("c_scy").cast("double")
+            - col("c_sc").cast("double") * col("c_sy").cast("double"))
+            / nullif(col("c_n").cast("double") * col("c_scc").cast("double")
+                - col("c_sc").cast("double") * col("c_sc").cast("double"), lit(0.0)))
+        .withColumn("a0",
+          (col("c_sy").cast("double") - col("b0") * col("c_sc").cast("double"))
+            / col("c_n").cast("double"))
+      cells.crossJoin(broadcast(fit))
+        .withColumn("n", col("n1") + col("n0"))
+        .withColumn("e", col("n1").cast("double") / col("n").cast("double"))
+        .withColumn("m1", col("a1") + col("b1") * col("c").cast("double"))
+        .withColumn("m0", col("a0") + col("b0") * col("c").cast("double"))
+        .agg(
+          first("nn").as("n_users"),
+          Quant.quant6(
+            sum(col("sy1")).cast("double") / first("t_n").cast("double")
+              - sum(col("sy0")).cast("double") / first("c_n").cast("double"))
+            .as("naive_diff"),
+          Quant.quant6(
+            sum(col("n").cast("double") * (col("m1") - col("m0")))
+              / first("nn").cast("double")).as("om_ate"),
+          Quant.quant6(
+            (sum(when(col("n1") > 0L,
+                col("sy1").cast("double") / col("e")).otherwise(0.0))
+              - sum(when(col("n0") > 0L,
+                  col("sy0").cast("double") / (lit(1.0) - col("e"))).otherwise(0.0)))
+              / first("nn").cast("double")).as("ipw_ate"),
+          Quant.quant6(
+            (sum(col("n").cast("double") * (col("m1") - col("m0")))
+              + sum(when(col("n1") > 0L,
+                  (col("sy1").cast("double") - col("n1").cast("double") * col("m1"))
+                    / col("e")).otherwise(0.0))
+              - sum(when(col("n0") > 0L,
+                  (col("sy0").cast("double") - col("n0").cast("double") * col("m0"))
+                    / (lit(1.0) - col("e"))).otherwise(0.0)))
+              / first("nn").cast("double")).as("aipw_ate"))
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id, (user_id % 2)::BIGINT AS t,
+               sum(CASE WHEN event_type = 'click'
+                         AND ts < TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS c,
+               max(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT c, sum(t)::BIGINT AS n1, sum(1 - t)::BIGINT AS n0,
+               sum(t * y)::BIGINT AS sy1, sum((1 - t) * y)::BIGINT AS sy0
+        FROM pu GROUP BY c),
+      fit AS (
+        SELECT sum(n1 + n0)::BIGINT AS nn,
+               sum(n1)::BIGINT AS t_n, sum(c * n1)::BIGINT AS t_sc,
+               sum(c * c * n1)::BIGINT AS t_scc,
+               sum(sy1)::BIGINT AS t_sy, sum(c * sy1)::BIGINT AS t_scy,
+               sum(n0)::BIGINT AS c_n, sum(c * n0)::BIGINT AS c_sc,
+               sum(c * c * n0)::BIGINT AS c_scc,
+               sum(sy0)::BIGINT AS c_sy, sum(c * sy0)::BIGINT AS c_scy
+        FROM cells),
+      co AS (
+        SELECT *,
+               (t_n::DOUBLE * t_scy::DOUBLE - t_sc::DOUBLE * t_sy::DOUBLE)
+                 / nullif(t_n::DOUBLE * t_scc::DOUBLE - t_sc::DOUBLE * t_sc::DOUBLE, 0.0)
+                 AS b1,
+               (c_n::DOUBLE * c_scy::DOUBLE - c_sc::DOUBLE * c_sy::DOUBLE)
+                 / nullif(c_n::DOUBLE * c_scc::DOUBLE - c_sc::DOUBLE * c_sc::DOUBLE, 0.0)
+                 AS b0
+        FROM fit),
+      co2 AS (
+        SELECT *,
+               (t_sy::DOUBLE - b1 * t_sc::DOUBLE) / t_n::DOUBLE AS a1,
+               (c_sy::DOUBLE - b0 * c_sc::DOUBLE) / c_n::DOUBLE AS a0
+        FROM co),
+      j AS (
+        SELECT cl.*, f.*,
+               (cl.n1 + cl.n0)::BIGINT AS n,
+               cl.n1::DOUBLE / (cl.n1 + cl.n0)::DOUBLE AS e,
+               f.a1 + f.b1 * cl.c::DOUBLE AS m1,
+               f.a0 + f.b0 * cl.c::DOUBLE AS m0
+        FROM cells cl CROSS JOIN co2 f)
+      SELECT any_value(nn) AS n_users,
+             ${Quant.quant6Sql(
+               """sum(sy1)::DOUBLE / any_value(t_n)::DOUBLE
+                  - sum(sy0)::DOUBLE / any_value(c_n)::DOUBLE""")} AS naive_diff,
+             ${Quant.quant6Sql(
+               "sum(n::DOUBLE * (m1 - m0)) / any_value(nn)::DOUBLE")} AS om_ate,
+             ${Quant.quant6Sql(
+               """(sum(CASE WHEN n1 > 0 THEN sy1::DOUBLE / e ELSE 0.0 END)
+                   - sum(CASE WHEN n0 > 0 THEN sy0::DOUBLE / (1.0 - e) ELSE 0.0 END))
+                  / any_value(nn)::DOUBLE""")} AS ipw_ate,
+             ${Quant.quant6Sql(
+               """(sum(n::DOUBLE * (m1 - m0))
+                   + sum(CASE WHEN n1 > 0
+                              THEN (sy1::DOUBLE - n1::DOUBLE * m1) / e ELSE 0.0 END)
+                   - sum(CASE WHEN n0 > 0
+                              THEN (sy0::DOUBLE - n0::DOUBLE * m0) / (1.0 - e)
+                              ELSE 0.0 END))
+                  / any_value(nn)::DOUBLE""")} AS aipw_ate
+      FROM j
+    """)),
+
+    // ------------------------------------------------------------ mSPRT always-valid monitoring (round 12)
+    // The peeking-proof experiment monitor: a mixture sequential
+    // probability ratio test over the DAILY cumulative two-proportion
+    // path (arm = user-parity at event level, outcome = event is a
+    // purchase). Λ_t = √(se²/(se²+τ²))·exp(θ̂²τ²/(2se²(se²+τ²))) with
+    // the standard normal-mixture τ=0.1, and the always-valid p-value
+    // is 1/max_{s≤t}Λ_s — the quantity you may legally read EVERY day.
+    // One events scan → (day, arm) aggregate; cumulative counts,
+    // Λ, and the running max all run as ordered windows on the
+    // calendar-bounded daily relation.
+    ("q308_msprt_monitor", (s, d) => {
+      val tau2 = 0.01
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("dn1"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("dn0"),
+          sum(when(col("user_id") % 2 === 1 && col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ds1"),
+          sum(when(col("user_id") % 2 === 0 && col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("ds0"))
+      val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily
+        .withColumn("n1", sum("dn1").over(wCum)).withColumn("n0", sum("dn0").over(wCum))
+        .withColumn("s1", sum("ds1").over(wCum)).withColumn("s0", sum("ds0").over(wCum))
+        .withColumn("p1", col("s1").cast("double") / nullif(col("n1"), lit(0L)).cast("double"))
+        .withColumn("p0", col("s0").cast("double") / nullif(col("n0"), lit(0L)).cast("double"))
+        .withColumn("pp",
+          (col("s1") + col("s0")).cast("double") / (col("n1") + col("n0")).cast("double"))
+        .withColumn("se2",
+          col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / nullif(col("n1"), lit(0L)).cast("double")
+               + lit(1.0) / nullif(col("n0"), lit(0L)).cast("double")))
+        .withColumn("lam",
+          sqrt(col("se2") / (col("se2") + lit(tau2)))
+            * exp((col("p1") - col("p0")) * (col("p1") - col("p0")) * lit(tau2)
+                / (lit(2.0) * col("se2") * (col("se2") + lit(tau2)))))
+      cum
+        .withColumn("max_lam", max("lam").over(wCum))
+        .select(col("day"), col("n1"), col("n0"), col("s1"), col("s0"),
+          Quant.quant6(col("p1")).as("p1"), Quant.quant6(col("p0")).as("p0"),
+          Quant.quant6(col("lam")).as("lambda"),
+          Quant.quant6(least(lit(1.0), lit(1.0) / col("max_lam")))
+            .as("p_always_valid"))
+        .orderBy("day")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT ts::TIMESTAMP::DATE AS day,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS dn1,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS dn0,
+               sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS ds1,
+               sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS ds0
+        FROM events GROUP BY 1),
+      cum AS (
+        SELECT day,
+               sum(dn1) OVER w::BIGINT AS n1, sum(dn0) OVER w::BIGINT AS n0,
+               sum(ds1) OVER w::BIGINT AS s1, sum(ds0) OVER w::BIGINT AS s0
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      stat AS (
+        SELECT *,
+               s1::DOUBLE / nullif(n1, 0)::DOUBLE AS p1,
+               s0::DOUBLE / nullif(n0, 0)::DOUBLE AS p0,
+               (s1 + s0)::DOUBLE / (n1 + n0)::DOUBLE AS pp
+        FROM cum),
+      se AS (
+        SELECT *,
+               pp * (1.0 - pp) * (1.0 / nullif(n1, 0)::DOUBLE
+                                  + 1.0 / nullif(n0, 0)::DOUBLE) AS se2
+        FROM stat),
+      lm AS (
+        SELECT *,
+               sqrt(se2 / (se2 + 0.01))
+                 * exp((p1 - p0) * (p1 - p0) * 0.01
+                     / (2.0 * se2 * (se2 + 0.01))) AS lam
+        FROM se)
+      SELECT day, n1, n0, s1, s0,
+             ${Quant.quant6Sql("p1")} AS p1,
+             ${Quant.quant6Sql("p0")} AS p0,
+             ${Quant.quant6Sql("lam")} AS lambda,
+             ${Quant.quant6Sql(
+               """least(1.0, 1.0 / max(lam) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING))""")} AS p_always_valid
+      FROM lm
+      ORDER BY day
     """))
   )
 }

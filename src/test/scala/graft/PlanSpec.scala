@@ -1168,7 +1168,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // (0 scans); grid join, z windows, and the pair join all run on
       // source- and marker-bounded relations.
       "q305_logrank_test" -> (3, 2),
-      "q306_burrows_delta" -> (9, 0))
+      "q306_burrows_delta" -> (9, 0),
+      // q307: the checkpointed click-count cell relation carries every
+      // term (OLS totals 1-row, assembly a bounded cross); q308: one
+      // (day,arm) aggregate, then calendar-bounded ordered windows.
+      "q307_aipw_ate" -> (2, 0),
+      "q308_msprt_monitor" -> (2, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -567,4 +567,79 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       assert(close(r.getAs[Double]("delta"), q6(want), 2e-6), s"pair ($a,$b)")
     }
   }
+
+  test("q307: cell-collapsed AIPW equals the textbook row-level estimator") {
+    val users = eventsRaw().groupBy(_._1).toSeq.map { case (u, rs) =>
+      val c = rs.count(e => e._2 == "click" && e._3 < cutUs).toLong
+      val y = if (rs.exists(e => e._2 == "purchase" && e._3 >= cutUs)) 1.0 else 0.0
+      (u % 2, c, y)
+    }
+    val n = users.length
+    def ols(arm: Long): (Double, Double) = {
+      val a = users.filter(_._1 == arm)
+      val (sn, sc, scc, sy, scy) = (a.length.toDouble, a.map(_._2.toDouble).sum,
+        a.map(u => u._2.toDouble * u._2).sum, a.map(_._3).sum,
+        a.map(u => u._2 * u._3).sum)
+      val b = (sn * scy - sc * sy) / (sn * scc - sc * sc)
+      ((sy - b * sc) / sn, b)
+    }
+    val (a1, b1) = ols(1L); val (a0, b0) = ols(0L)
+    val e = users.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.count(_._1 == 1L).toDouble / rs.length
+    }
+    def m1(c: Long) = a1 + b1 * c
+    def m0(c: Long) = a0 + b0 * c
+    val naive = users.filter(_._1 == 1L).map(_._3).sum / users.count(_._1 == 1L) -
+      users.filter(_._1 == 0L).map(_._3).sum / users.count(_._1 == 0L)
+    val om = users.map(u => m1(u._2) - m0(u._2)).sum / n
+    val ipw = (users.filter(_._1 == 1L).map(u => u._3 / e(u._2)).sum -
+      users.filter(_._1 == 0L).map(u => u._3 / (1.0 - e(u._2))).sum) / n
+    val aipw = om +
+      users.filter(_._1 == 1L).map(u => (u._3 - m1(u._2)) / e(u._2)).sum / n -
+      users.filter(_._1 == 0L).map(u => (u._3 - m0(u._2)) / (1.0 - e(u._2))).sum / n
+    val row = run("q307_aipw_ate").collect().head
+    assert(row.getAs[Long]("n_users") == n.toLong)
+    assert(close(row.getAs[Double]("naive_diff"), q6(naive), 2e-6))
+    assert(close(row.getAs[Double]("om_ate"), q6(om), 2e-6))
+    assert(close(row.getAs[Double]("ipw_ate"), q6(ipw), 2e-6))
+    assert(close(row.getAs[Double]("aipw_ate"), q6(aipw), 2e-6))
+  }
+
+  test("q308: mSPRT path matches a cumulative day fold; p_always_valid never rises") {
+    val tau2 = 0.01
+    val days = eventsRaw()
+      .groupBy(_._3 / 86400000000L).toSeq.sortBy(_._1)
+      .map { case (day, rs) =>
+        (day,
+          rs.count(_._1 % 2 == 1).toLong, rs.count(_._1 % 2 == 0).toLong,
+          rs.count(e => e._1 % 2 == 1 && e._2 == "purchase").toLong,
+          rs.count(e => e._1 % 2 == 0 && e._2 == "purchase").toLong)
+      }
+    var (n1, n0, s1, s0) = (0L, 0L, 0L, 0L)
+    var maxLam = Double.MinValue
+    val got = run("q308_msprt_monitor").collect()
+    assert(got.length == days.length)
+    got.zip(days).foreach { case (r, (_, dn1, dn0, ds1, ds0)) =>
+      n1 += dn1; n0 += dn0; s1 += ds1; s0 += ds0
+      assert((r.getAs[Long]("n1"), r.getAs[Long]("n0"),
+        r.getAs[Long]("s1"), r.getAs[Long]("s0")) == ((n1, n0, s1, s0)))
+      val p1 = s1.toDouble / n1; val p0 = s0.toDouble / n0
+      val pp = (s1 + s0).toDouble / (n1 + n0)
+      val se2 = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0)
+      val lam = math.sqrt(se2 / (se2 + tau2)) *
+        math.exp((p1 - p0) * (p1 - p0) * tau2 / (2.0 * se2 * (se2 + tau2)))
+      maxLam = math.max(maxLam, lam)
+      assert(close(r.getAs[Double]("p1"), q6(p1)))
+      assert(close(r.getAs[Double]("p0"), q6(p0)))
+      assert(close(r.getAs[Double]("lambda"), q6(lam), 2e-6))
+      assert(close(r.getAs[Double]("p_always_valid"),
+        q6(math.min(1.0, 1.0 / maxLam)), 2e-6))
+    }
+    // the defining always-valid property: the p-value path is monotone
+    val path = got.map(_.getAs[Double]("p_always_valid")).toSeq
+    path.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12, s"p path rose: $a -> $b")
+      case _ => ()
+    }
+  }
 }
