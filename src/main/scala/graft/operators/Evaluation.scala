@@ -1490,6 +1490,156 @@ object Evaluation extends QueryGroup {
                     ROWS UNBOUNDED PRECEDING))""")} AS p_always_valid
       FROM lm
       ORDER BY day
+    """)),
+
+    // ------------------------------------------------------------ Hurst exponent via R/S (round 12)
+    // Long-range dependence of the daily revenue series: rescaled-range
+    // analysis over non-overlapping blocks of w ∈ {5,10,15} days
+    // (trailing partial blocks dropped), H = the log-log OLS slope of
+    // E[R/S] on w — H≈0.5 is a random walk, H>0.5 persistent trend,
+    // H<0.5 mean reversion; the diagnostic that decides whether naive
+    // √t error bars on the metric are lies. The corpus contributes ONE
+    // day-keyed aggregate; the block expansion is |days|×3 rows, the
+    // within-block cumulative-deviation windows are (w,block)-
+    // partitioned, and the final fit is closed-form OLS on 3 points.
+    ("q309_hurst_rs", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("x"))
+        .withColumn("idx", row_number().over(Window.orderBy("day")).cast("long") - 1L)
+        .graftCheckpoint() // the 3-window grid expansion reads it per w
+      val nDays = daily.agg(count(lit(1)).as("nd"))
+      val grid = daily.crossJoin(broadcast(
+          daily.sparkSession.range(1).select(
+            explode(lit(Array(5L, 10L, 15L))).as("w"))))
+        .crossJoin(broadcast(nDays))
+        .withColumn("blk", expr("idx DIV w")) // integral division, not Column./
+        .filter(col("blk") < expr("nd DIV w")) // drop the trailing partial block
+      val wBlk = Window.partitionBy("w", "blk")
+      val wCum = Window.partitionBy("w", "blk").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val blocks = grid
+        .withColumn("mu", avg("x").over(wBlk))
+        .withColumn("z", sum(col("x") - col("mu")).over(wCum))
+        .groupBy("w", "blk")
+        .agg((max("z") - min("z")).as("r"), stddev_pop("x").as("sdev"))
+        .filter(col("sdev") > 0.0)
+      val perW = blocks.groupBy("w")
+        .agg(count(lit(1)).as("n_blocks"), avg(col("r") / col("sdev")).as("avg_rs"))
+      val fit = perW.agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(log(col("w").cast("double"))).as("sx"),
+        sum(log(col("w").cast("double")) * log(col("w").cast("double"))).as("sxx"),
+        sum(log("avg_rs")).as("sy"),
+        sum(log(col("w").cast("double")) * log("avg_rs")).as("sxy"))
+        .select(((col("k") * col("sxy") - col("sx") * col("sy"))
+          / nullif(col("k") * col("sxx") - col("sx") * col("sx"), lit(0.0))).as("hurst"))
+      perW.crossJoin(broadcast(fit))
+        .select(col("w"), col("n_blocks"),
+          Quant.quant6(col("avg_rs")).as("avg_rs"),
+          Quant.quant6(col("hurst")).as("hurst"))
+        .orderBy("w")
+    }, Some(s"""
+      WITH daily AS (
+        SELECT ts::TIMESTAMP::DATE AS day,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS x
+        FROM events GROUP BY 1),
+      idx AS (
+        SELECT x, (row_number() OVER (ORDER BY day))::BIGINT - 1 AS idx FROM daily),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM idx),
+      grid AS (
+        SELECT i.x, i.idx, w.w, i.idx // w.w AS blk
+        FROM idx i CROSS JOIN (SELECT unnest([5, 10, 15]::BIGINT[]) AS w) w
+        CROSS JOIN nd
+        WHERE i.idx // w.w < nd.nd // w.w),
+      dev AS (
+        SELECT *, avg(x) OVER (PARTITION BY w, blk) AS mu FROM grid),
+      cum AS (
+        SELECT *, sum(x - mu) OVER (PARTITION BY w, blk ORDER BY idx
+                    ROWS UNBOUNDED PRECEDING) AS z
+        FROM dev),
+      blocks AS (
+        SELECT w, blk, max(z) - min(z) AS r, stddev_pop(x) AS sdev
+        FROM cum GROUP BY 1, 2),
+      perw AS (
+        SELECT w, count(*)::BIGINT AS n_blocks, avg(r / sdev) AS avg_rs
+        FROM blocks WHERE sdev > 0.0 GROUP BY w),
+      fit AS (
+        SELECT (count(*)::DOUBLE * sum(ln(w::DOUBLE) * ln(avg_rs))
+                 - sum(ln(w::DOUBLE)) * sum(ln(avg_rs)))
+               / nullif(count(*)::DOUBLE * sum(ln(w::DOUBLE) * ln(w::DOUBLE))
+                 - sum(ln(w::DOUBLE)) * sum(ln(w::DOUBLE)), 0.0) AS hurst
+        FROM perw)
+      SELECT w, n_blocks,
+             ${Quant.quant6Sql("avg_rs")} AS avg_rs,
+             ${Quant.quant6Sql("hurst")} AS hurst
+      FROM perw CROSS JOIN fit
+      ORDER BY w
+    """)),
+
+    // ------------------------------------------------------------ Pettitt changepoint (round 12)
+    // Rank-based single changepoint in the daily revenue series —
+    // q266's CUSUM finds mean shifts under normality; Pettitt's U_t =
+    // Σ_{i≤t}Σ_{j>t} sgn(x_i−x_j) is the distribution-free version
+    // (a Mann-Whitney sweep over every split). The O(n²) identity
+    // U_t = cumsum(V_t), V_t = Σ_j sgn(x_t−x_j) turns the sweep into
+    // ONE self-join on the calendar-bounded daily relation + an
+    // ordered cumulative window. K = max|U_t| over interior splits,
+    // argmax ties → earliest day; p ≈ 2exp(−6K²/(n³+n²)).
+    ("q310_pettitt_changepoint", (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("x"))
+        .graftCheckpoint() // self-join both sides + the count read it
+      val v = daily.alias("a")
+        .join(daily.alias("b"), col("a.day") =!= col("b.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(sum(signum(col("a.x") - col("b.x")).cast("long")).as("v"))
+      val nDays = daily.agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val u = v.crossJoin(broadcast(nDays))
+        .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("u", sum("v").over(wCum))
+        .filter(col("t") < col("n")) // interior splits only (U_n = 0)
+      val k = u.agg(max(abs(col("u"))).as("k_stat"), first("n").as("n"))
+      val arg = u.crossJoin(broadcast(k.select(col("k_stat").as("kk"))))
+        .filter(abs(col("u")) === col("kk"))
+        .agg(min("day").as("change_day"))
+      k.crossJoin(broadcast(arg))
+        .select(col("n").as("n_days"), col("k_stat"), col("change_day"),
+          Quant.quant6(lit(2.0) * exp(lit(-6.0)
+            * col("k_stat").cast("double") * col("k_stat").cast("double")
+            / (col("n").cast("double") * col("n").cast("double") * col("n").cast("double")
+               + col("n").cast("double") * col("n").cast("double")))).as("p_approx"))
+    }, Some(s"""
+      WITH daily AS (
+        SELECT ts::TIMESTAMP::DATE AS day,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS x
+        FROM events GROUP BY 1),
+      v AS (
+        SELECT a.day, sum(sign(a.x - b.x))::BIGINT AS v
+        FROM daily a JOIN daily b ON a.day <> b.day
+        GROUP BY a.day),
+      nd AS (SELECT count(*)::BIGINT AS n FROM daily),
+      u AS (
+        SELECT day, v, n,
+               (row_number() OVER (ORDER BY day))::BIGINT AS t,
+               sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS u
+        FROM v CROSS JOIN nd),
+      interior AS (SELECT * FROM u WHERE t < n),
+      k AS (SELECT max(abs(u))::BIGINT AS k_stat, any_value(n)::BIGINT AS n
+            FROM interior),
+      arg AS (
+        SELECT min(i.day) AS change_day
+        FROM interior i CROSS JOIN k WHERE abs(i.u) = k.k_stat)
+      SELECT k.n AS n_days, k.k_stat, arg.change_day,
+             ${Quant.quant6Sql(
+               """2.0 * exp(-6.0 * k.k_stat::DOUBLE * k.k_stat::DOUBLE
+                  / (k.n::DOUBLE * k.n::DOUBLE * k.n::DOUBLE
+                     + k.n::DOUBLE * k.n::DOUBLE))""")} AS p_approx
+      FROM k CROSS JOIN arg
     """))
   )
 }

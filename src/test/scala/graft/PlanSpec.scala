@@ -1173,7 +1173,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // term (OLS totals 1-row, assembly a bounded cross); q308: one
       // (day,arm) aggregate, then calendar-bounded ordered windows.
       "q307_aipw_ate" -> (2, 0),
-      "q308_msprt_monitor" -> (2, 1))
+      "q308_msprt_monitor" -> (2, 1),
+      // q309: checkpointed daily spine; the w-grid expansion and the
+      // (w,block) windows run on |days|×3 rows. q310: checkpointed
+      // spine, V via the bounded self-join, U as one ordered window.
+      "q309_hurst_rs" -> (4, 0),
+      "q310_pettitt_changepoint" -> (3, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

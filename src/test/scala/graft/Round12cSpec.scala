@@ -642,4 +642,53 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       case _ => ()
     }
   }
+
+  private def dailyRevenue(): Seq[Double] =
+    eventsRaw().groupBy(_._3 / 86400000000L).toSeq.sortBy(_._1)
+      .map(_._2.filter(_._2 == "purchase").map(_._4).sum)
+
+  test("q309: R/S blocks and the Hurst slope match a direct block walk") {
+    val xs = dailyRevenue()
+    val perW = Seq(5L, 10L, 15L).flatMap { w =>
+      val rs = xs.grouped(w.toInt).filter(_.length == w.toInt).flatMap { blk =>
+        val mu = blk.sum / blk.length
+        val z = blk.scanLeft(0.0)((acc, x) => acc + (x - mu)).drop(1)
+        val r = z.max - z.min
+        val sd = math.sqrt(blk.map(x => (x - mu) * (x - mu)).sum / blk.length)
+        if (sd > 0.0) Some(r / sd) else None
+      }.toSeq
+      if (rs.nonEmpty) Some((w, rs.length.toLong, rs.sum / rs.length)) else None
+    }
+    val lx = perW.map(p => math.log(p._1.toDouble))
+    val ly = perW.map(p => math.log(p._3))
+    val k = perW.length
+    val hurst = (k * lx.zip(ly).map { case (a, b) => a * b }.sum - lx.sum * ly.sum) /
+      (k * lx.map(a => a * a).sum - lx.sum * lx.sum)
+    val got = run("q309_hurst_rs").collect()
+    assert(got.length == perW.length)
+    got.zip(perW).foreach { case (r, (w, nb, avgRs)) =>
+      assert(r.getAs[Long]("w") == w && r.getAs[Long]("n_blocks") == nb)
+      assert(close(r.getAs[Double]("avg_rs"), q6(avgRs), 2e-6), s"w=$w")
+      assert(close(r.getAs[Double]("hurst"), q6(hurst), 2e-6))
+    }
+  }
+
+  test("q310: Pettitt K/t*/p match the literal double-sum over all splits") {
+    val xs = dailyRevenue()
+    val n = xs.length
+    // textbook U_t: the full double sum per split, no cumsum shortcut
+    val us = (1 until n).map { t =>
+      (for (i <- 0 until t; j <- t until n) yield math.signum(xs(i) - xs(j)).toLong).sum
+    }
+    val k = us.map(math.abs).max
+    val tStar = us.indexWhere(u => math.abs(u) == k) + 1 // 1-based, earliest
+    val p = 2.0 * math.exp(-6.0 * k * k / (n.toDouble * n * n + n.toDouble * n))
+    val days = eventsRaw().map(_._3 / 86400000000L).distinct.sorted
+    val row = run("q310_pettitt_changepoint").collect().head
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("k_stat") == k, s"K ${row.getAs[Long]("k_stat")} != $k")
+    assert(row.getAs[java.sql.Date]("change_day").toLocalDate.toEpochDay
+      == days(tStar - 1), "argmax split day")
+    assert(close(row.getAs[Double]("p_approx"), q6(p), 2e-6))
+  }
 }
