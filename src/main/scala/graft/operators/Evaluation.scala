@@ -1640,6 +1640,80 @@ object Evaluation extends QueryGroup {
                   / (k.n::DOUBLE * k.n::DOUBLE * k.n::DOUBLE
                      + k.n::DOUBLE * k.n::DOUBLE))""")} AS p_approx
       FROM k CROSS JOIN arg
+    """)),
+
+    // ------------------------------------------------------------ 1-D Wasserstein distance (round 12)
+    // Earth-mover's distance between the pre-cut and post-cut purchase
+    // value distributions — the drift measure that, unlike KS (q157)
+    // or PSI (q126), reports HOW FAR the mass moved in value units,
+    // not just that it moved. Computed on a 100-equal-width-bin
+    // discretization of the union range: W1 ≈ Σ_bins |F_pre − F_post|
+    // ·width. Discretizing FIRST is the scale form (the exact
+    // distinct-value formula needs a global ordered neighbor pass over
+    // a data-sized relation — cf. q126's fixed-bin reasoning); the
+    // bin CDFs live on a ≤100-row relation after one scan + a 1-row
+    // min/max broadcast. W1's bins are CUMULATIVE, so unlike PSI the
+    // estimate converges to the true W1 as bins grow.
+    ("q311_wasserstein_shift", (s, d) => {
+      val nBins = 100
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val vals = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("value").as("v"), (col("ts") < cut).as("pre"))
+        .graftCheckpoint() // min/max pass + bin pass read it
+      val rng = vals.agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = vals.crossJoin(broadcast(rng))
+        .withColumn("bin",
+          least(lit(nBins - 1L), floor((col("v") - col("lo")) / nullif(col("hi") - col("lo"), lit(0.0)) * nBins).cast("long")))
+        .groupBy("bin")
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("np"),
+             sum(when(col("pre"), 0L).otherwise(1L)).as("nq"))
+      val tot = binned.agg(sum("np").as("tp"), sum("nq").as("tq"),
+        count(lit(1)).as("used_bins"))
+      val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      binned.crossJoin(broadcast(tot)).crossJoin(broadcast(rng))
+        .withColumn("fp", sum("np").over(wCum).cast("double") / col("tp").cast("double"))
+        .withColumn("fq", sum("nq").over(wCum).cast("double") / col("tq").cast("double"))
+        // an EMPTY bin between occupied ones still carries CDF mass:
+        // weight each occupied bin's |F diff| by the gap to the next
+        // occupied bin (the CDFs are constant across the gap; the last
+        // bin's diff is 0, so its null gap contributes nothing)
+        .withColumn("gap",
+          (lead("bin", 1).over(Window.orderBy("bin")) - col("bin")).cast("double"))
+        .agg(
+          first("tp").as("n_pre"), first("tq").as("n_post"),
+          first("used_bins").as("n_bins_used"),
+          Quant.quant6(sum(abs(col("fp") - col("fq")) * col("gap"))
+            * (first("hi") - first("lo")) / nBins.toDouble).as("w1"),
+          Quant.quant6(first("hi") - first("lo")).as("value_range"))
+    }, Some(s"""
+      WITH vals AS (
+        SELECT value AS v, ts < TIMESTAMP '2024-01-24 00:00:00' AS pre
+        FROM events WHERE event_type = 'purchase'),
+      rng AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+      binned AS (
+        SELECT least(99, floor((v - lo) / nullif(hi - lo, 0.0) * 100)::BIGINT) AS bin,
+               sum(CASE WHEN pre THEN 1 ELSE 0 END)::BIGINT AS np,
+               sum(CASE WHEN pre THEN 0 ELSE 1 END)::BIGINT AS nq
+        FROM vals CROSS JOIN rng GROUP BY 1),
+      tot AS (
+        SELECT sum(np)::BIGINT AS tp, sum(nq)::BIGINT AS tq,
+               count(*)::BIGINT AS used_bins
+        FROM binned),
+      cdf AS (
+        SELECT b.*, t.tp, t.tq, t.used_bins, r.lo, r.hi,
+               sum(np) OVER w::DOUBLE / t.tp::DOUBLE AS fp,
+               sum(nq) OVER w::DOUBLE / t.tq::DOUBLE AS fq,
+               (lead(bin) OVER (ORDER BY bin) - bin)::DOUBLE AS gap
+        FROM binned b CROSS JOIN tot t CROSS JOIN rng r
+        WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING))
+      SELECT any_value(tp) AS n_pre, any_value(tq) AS n_post,
+             any_value(used_bins) AS n_bins_used,
+             ${Quant.quant6Sql(
+               """sum(abs(fp - fq) * gap)
+                  * (any_value(hi) - any_value(lo)) / 100.0""")} AS w1,
+             ${Quant.quant6Sql("any_value(hi) - any_value(lo)")} AS value_range
+      FROM cdf
     """))
   )
 }

@@ -1178,7 +1178,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // (w,block) windows run on |days|×3 rows. q310: checkpointed
       // spine, V via the bounded self-join, U as one ordered window.
       "q309_hurst_rs" -> (4, 0),
-      "q310_pettitt_changepoint" -> (3, 0))
+      "q310_pettitt_changepoint" -> (3, 0),
+      // q311: checkpointed value projection (0 scans); 1-row range
+      // broadcast, ≤100-bin aggregate, CDF/gap windows on that bound.
+      "q311_wasserstein_shift" -> (2, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -691,4 +691,43 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       == days(tStar - 1), "argmax split day")
     assert(close(row.getAs[Double]("p_approx"), q6(p), 2e-6))
   }
+
+  test("q311: binned W1 matches a driver CDF walk and brackets the exact W1") {
+    val pur = eventsRaw().filter(_._2 == "purchase")
+      .map(e => (e._4, e._3 < cutUs))
+    val lo = pur.map(_._1).min; val hi = pur.map(_._1).max
+    val bins = pur.groupBy { case (v, _) =>
+      math.min(99L, math.floor((v - lo) / (hi - lo) * 100).toLong)
+    }.toSeq.sortBy(_._1).map { case (b, rs) =>
+      (b, rs.count(_._2).toLong, rs.count(!_._2).toLong)
+    }
+    val tp = bins.map(_._2).sum.toDouble; val tq = bins.map(_._3).sum.toDouble
+    var (cp, cq, w1) = (0.0, 0.0, 0.0)
+    bins.zipWithIndex.foreach { case ((b, np, nq), i) =>
+      cp += np / tp; cq += nq / tq
+      if (i + 1 < bins.length)
+        w1 += math.abs(cp - cq) * (bins(i + 1)._1 - b) * (hi - lo) / 100.0
+    }
+    val row = run("q311_wasserstein_shift").collect().head
+    assert(row.getAs[Long]("n_pre") == tp.toLong && row.getAs[Long]("n_post") == tq.toLong)
+    assert(row.getAs[Long]("n_bins_used") == bins.length.toLong)
+    assert(close(row.getAs[Double]("value_range"), q6(hi - lo), 2e-6))
+    assert(close(row.getAs[Double]("w1"), q6(w1), 2e-6))
+    // sanity: the binned estimate brackets the exact empirical W1
+    // within one bin width (CDF diff ≤ 1 per gap cell)
+    def cdfDist(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val all = (xs ++ ys).distinct.sorted
+      var (a, b, acc) = (0.0, 0.0, 0.0)
+      all.zipWithIndex.foreach { case (v, i) =>
+        a += xs.count(_ == v) / xs.length.toDouble
+        b += ys.count(_ == v) / ys.length.toDouble
+        if (i + 1 < all.length) acc += math.abs(a - b) * (all(i + 1) - v)
+      }
+      acc
+    }
+    val exact = cdfDist(pur.filter(_._2).map(_._1).toSeq,
+      pur.filter(!_._2).map(_._1).toSeq)
+    assert(math.abs(row.getAs[Double]("w1") - exact) <= (hi - lo) / 100.0 * 2,
+      s"binned W1 ${row.getAs[Double]("w1")} too far from exact $exact")
+  }
 }
