@@ -1714,6 +1714,155 @@ object Evaluation extends QueryGroup {
                   * (any_value(hi) - any_value(lo)) / 100.0""")} AS w1,
              ${Quant.quant6Sql("any_value(hi) - any_value(lo)")} AS value_range
       FROM cdf
+    """)),
+
+    // ------------------------------------------------------------ freshness / completeness audit (round 12)
+    // The table every ingestion on-call reads first: per event type,
+    // how stale is the stream (lag of its newest event vs the corpus
+    // frontier) and did the FINAL day's volume arrive complete (z-score
+    // of the last day's count against that type's prior-day history)?
+    // One (type, day) aggregate over one scan; the frontier is a 1-row
+    // broadcast; all stats are conditional aggregates on the
+    // |types|×|days| relation. The suspect flag compares 6-decimal-
+    // quantized values so the boolean is engine-portable.
+    ("q312_freshness_audit", (s, d) => {
+      val byDay = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), max(unix_micros(col("ts"))).as("last_us"))
+        .graftCheckpoint() // frontier + per-type stats read it
+      val frontier = byDay.agg(max("last_us").as("f_us"), max("day").as("f_day"))
+      byDay.crossJoin(broadcast(frontier))
+        .groupBy("event_type")
+        .agg(
+          sum("cnt").as("n_events"),
+          timestamp_micros(max("last_us")).as("last_ts"),
+          Quant.quant6((first("f_us") - max("last_us")).cast("double") / 3600e6)
+            .as("lag_hours"),
+          sum(when(col("day") === col("f_day"), col("cnt")).otherwise(0L))
+            .as("last_day_count"),
+          count(when(col("day") < col("f_day"), 1L)).as("n_prior_days"),
+          avg(when(col("day") < col("f_day"), col("cnt"))).as("mu"),
+          stddev_samp(when(col("day") < col("f_day"), col("cnt"))).as("sd"))
+        .select(col("event_type"), col("n_events"), col("last_ts"),
+          col("lag_hours"), col("last_day_count"), col("n_prior_days"),
+          Quant.quant6(col("mu")).as("prior_day_mean"),
+          Quant.quant6(col("sd")).as("prior_day_std"),
+          Quant.quant6((col("last_day_count").cast("double") - col("mu"))
+            / nullif(col("sd"), lit(0.0))).as("volume_z"),
+          (abs(Quant.quant6((col("last_day_count").cast("double") - col("mu"))
+            / nullif(col("sd"), lit(0.0)))) > 3.0).as("is_suspect"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH byday AS (
+        SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS cnt,
+               max(epoch_us(ts::TIMESTAMP))::BIGINT AS last_us
+        FROM events GROUP BY 1, 2),
+      fr AS (SELECT max(last_us) AS f_us, max(day) AS f_day FROM byday),
+      agg AS (
+        SELECT event_type,
+               sum(cnt)::BIGINT AS n_events,
+               make_timestamp(max(last_us)) AS last_ts,
+               (any_value(f.f_us) - max(last_us))::DOUBLE / 3600e6 AS lag_hours,
+               sum(CASE WHEN day = f.f_day THEN cnt ELSE 0 END)::BIGINT
+                 AS last_day_count,
+               count(CASE WHEN day < f.f_day THEN 1 END)::BIGINT AS n_prior_days,
+               avg(CASE WHEN day < f.f_day THEN cnt END) AS mu,
+               stddev_samp(CASE WHEN day < f.f_day THEN cnt END) AS sd
+        FROM byday CROSS JOIN fr f
+        GROUP BY event_type)
+      SELECT event_type, n_events, last_ts,
+             ${Quant.quant6Sql("lag_hours")} AS lag_hours,
+             last_day_count, n_prior_days,
+             ${Quant.quant6Sql("mu")} AS prior_day_mean,
+             ${Quant.quant6Sql("sd")} AS prior_day_std,
+             ${Quant.quant6Sql(
+               "(last_day_count::DOUBLE - mu) / nullif(sd, 0.0)")} AS volume_z,
+             abs(${Quant.quant6Sql(
+               "(last_day_count::DOUBLE - mu) / nullif(sd, 0.0)")}) > 3.0 AS is_suspect
+      FROM agg
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ geometric GOF of session lengths (round 12)
+    // Does "events per session" follow the memoryless geometric law
+    // the capacity model assumes? Sessions are q29's 30-minute gap
+    // sessions (lag + cumulative-flag inside one user-keyed window
+    // pass); lengths aggregate to the ≤|max length| distinct-length
+    // relation, where the MLE p̂ = 1/mean̄ and the KS distance between
+    // the empirical CDF and Geometric(p̂) are closed forms. A heavy
+    // tail (KS large, observed P(L>k) ≫ geometric) means long power
+    // sessions the mean-based model will undersize.
+    ("q313_session_geometric_gof", (s, d) => {
+      val gapUs = 30L * 60L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag("us", 1).over(w) > gapUs || lag("us", 1).over(w).isNull,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("len"))
+      val byLen = sessions.groupBy("len").agg(count(lit(1)).as("n"))
+        .graftCheckpoint() // totals + the CDF pass read it
+      val tot = byLen.agg(
+        sum("n").as("ns"),
+        (sum(col("len") * col("n")).cast("double") / sum("n").cast("double"))
+          .as("mean_len"))
+      val wCum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = byLen.crossJoin(broadcast(tot))
+        .withColumn("p_hat", lit(1.0) / col("mean_len"))
+        .withColumn("f_emp", sum("n").over(wCum).cast("double") / col("ns").cast("double"))
+        .withColumn("f_geo",
+          lit(1.0) - pow(lit(1.0) - col("p_hat"), col("len").cast("double")))
+        .withColumn("dev", abs(col("f_emp") - col("f_geo")))
+      val ks = cdf.agg(max("dev").as("ks"))
+      cdf.crossJoin(broadcast(ks))
+        .select(col("len"), col("n"),
+          Quant.quant6(col("f_emp")).as("f_empirical"),
+          Quant.quant6(col("f_geo")).as("f_geometric"),
+          Quant.quant6(col("p_hat")).as("p_hat"),
+          Quant.quant6(col("ks")).as("ks_distance"))
+        .orderBy("len")
+    }, Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+               lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        FROM events),
+      flagged AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev),
+      sess AS (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged),
+      lens AS (
+        SELECT count(*)::BIGINT AS len FROM sess GROUP BY user_id, sess_id),
+      bylen AS (SELECT len, count(*)::BIGINT AS n FROM lens GROUP BY len),
+      tot AS (
+        SELECT sum(n)::BIGINT AS ns,
+               sum(len * n)::DOUBLE / sum(n)::DOUBLE AS mean_len
+        FROM bylen),
+      cdf AS (
+        SELECT b.len, b.n, t.ns, 1.0 / t.mean_len AS p_hat,
+               sum(b.n) OVER (ORDER BY b.len ROWS UNBOUNDED PRECEDING)::DOUBLE
+                 / t.ns::DOUBLE AS f_emp,
+               1.0 - pow(1.0 - 1.0 / t.mean_len, b.len::DOUBLE) AS f_geo
+        FROM bylen b CROSS JOIN tot t),
+      ks AS (SELECT max(abs(f_emp - f_geo)) AS ks FROM cdf)
+      SELECT len, n,
+             ${Quant.quant6Sql("f_emp")} AS f_empirical,
+             ${Quant.quant6Sql("f_geo")} AS f_geometric,
+             ${Quant.quant6Sql("p_hat")} AS p_hat,
+             ${Quant.quant6Sql("ks.ks")} AS ks_distance
+      FROM cdf CROSS JOIN ks
+      ORDER BY len
     """))
   )
 }

@@ -1181,7 +1181,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q310_pettitt_changepoint" -> (3, 0),
       // q311: checkpointed value projection (0 scans); 1-row range
       // broadcast, ≤100-bin aggregate, CDF/gap windows on that bound.
-      "q311_wasserstein_shift" -> (2, 0))
+      "q311_wasserstein_shift" -> (2, 0),
+      // q312: checkpointed (type,day) aggregate; frontier 1-row
+      // broadcast; one type-keyed rollup. q313: one user-keyed window
+      // pass into the checkpointed length histogram; CDF windows on
+      // the ≤|max length| relation.
+      "q312_freshness_audit" -> (2, 0),
+      "q313_session_geometric_gof" -> (2, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -730,4 +730,74 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(row.getAs[Double]("w1") - exact) <= (hi - lo) / 100.0 * 2,
       s"binned W1 ${row.getAs[Double]("w1")} too far from exact $exact")
   }
+
+  test("q312: freshness/completeness audit matches a per-type day fold") {
+    val ev = eventsRaw()
+    val fUs = ev.map(_._3).max
+    val fDay = fUs / 86400000000L
+    val got = run("q312_freshness_audit").collect()
+    val types = ev.map(_._2).distinct.sorted.toSeq
+    assert(got.map(_.getAs[String]("event_type")).toSeq == types)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rs = ev.filter(_._2 == t)
+      val byDay = rs.groupBy(_._3 / 86400000000L).map { case (d0, xs) => d0 -> xs.length }
+      val lastUs = rs.map(_._3).max
+      assert(r.getAs[Long]("n_events") == rs.length.toLong)
+      assert(close(r.getAs[Double]("lag_hours"), q6((fUs - lastUs).toDouble / 3600e6)))
+      assert(r.getAs[Long]("last_day_count") == byDay.getOrElse(fDay, 0).toLong)
+      val prior = byDay.filter(_._1 < fDay).values.map(_.toDouble).toSeq
+      assert(r.getAs[Long]("n_prior_days") == prior.length.toLong)
+      val mu = prior.sum / prior.length
+      val sd = math.sqrt(prior.map(x => (x - mu) * (x - mu)).sum / (prior.length - 1))
+      assert(close(r.getAs[Double]("prior_day_mean"), q6(mu), 2e-6))
+      assert(close(r.getAs[Double]("prior_day_std"), q6(sd), 2e-6))
+      val z = (byDay.getOrElse(fDay, 0).toDouble - mu) / sd
+      assert(close(r.getAs[Double]("volume_z"), q6(z), 2e-6))
+      assert(r.getAs[Boolean]("is_suspect") == (math.abs(q6(z)) > 3.0))
+    }
+  }
+
+  test("q313: session lengths + geometric fit match a sequential sessionizer") {
+    val ev = eventsRaw().map(e => (e._1, e._3, e._2)).sortBy(e => (e._1, e._2))
+    val gapUs = 30L * 60L * 1000000L
+    val lens = collection.mutable.ArrayBuffer.empty[Long]
+    ev.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      var cur = 0L
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._2 - prev > gapUs) {
+          if (cur > 0) lens += cur
+          cur = 0L
+        }
+        cur += 1; prev = e._2
+      }
+      if (cur > 0) lens += cur
+    }
+    val byLen = lens.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val ns = lens.length.toDouble
+    val meanLen = lens.sum / ns
+    val pHat = 1.0 / meanLen
+    var cum = 0.0
+    var ks = 0.0
+    val sortedLens = byLen.keys.toSeq.sorted
+    val cdfMap = sortedLens.map { l =>
+      cum += byLen(l) / ns
+      val geo = 1.0 - math.pow(1.0 - pHat, l.toDouble)
+      ks = math.max(ks, math.abs(cum - geo))
+      l -> (cum, geo)
+    }.toMap
+    val got = run("q313_session_geometric_gof").collect()
+    assert(got.length == byLen.size)
+    got.foreach { r =>
+      val l = r.getAs[Long]("len")
+      assert(r.getAs[Long]("n") == byLen(l))
+      val (fe, fg) = cdfMap(l)
+      assert(close(r.getAs[Double]("f_empirical"), q6(fe), 2e-6))
+      assert(close(r.getAs[Double]("f_geometric"), q6(fg), 2e-6))
+      assert(close(r.getAs[Double]("p_hat"), q6(pHat), 2e-6))
+      assert(close(r.getAs[Double]("ks_distance"), q6(ks), 2e-6))
+    }
+  }
 }
