@@ -1863,6 +1863,238 @@ object Evaluation extends QueryGroup {
              ${Quant.quant6Sql("ks.ks")} AS ks_distance
       FROM cdf CROSS JOIN ks
       ORDER BY len
+    """)),
+
+    // ------------------------------------------------------------ Wilson funnel CIs (round 12)
+    // q84/q251 report funnel rates; this attaches the uncertainty a
+    // decision needs: the Wilson score interval (the binomial CI that
+    // stays sane at small n and extreme p̂, unlike the Wald interval)
+    // for each step's conversion from the step before. Presence-based
+    // steps (did view / +click / +purchase); one scan → per-user
+    // flags → 1-row counts → a 3-row stack. z is the shared IEEE
+    // literal.
+    ("q314_wilson_funnel", (s, d) => {
+      val z = 1.959963984540054
+      val flags = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+             max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+             max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val counts = flags.agg(
+        count(lit(1)).as("n0"), sum("v").as("n1"),
+        sum(col("v") * col("c")).as("n2"),
+        sum(col("v") * col("c") * col("p")).as("n3"))
+      val steps = counts.select(expr(
+        """stack(3, '1_view', n1, n0, '2_click', n2, n1, '3_purchase', n3, n2)
+           AS (step, converted, eligible)"""))
+      val ph = col("converted").cast("double") / col("eligible").cast("double")
+      val zn = lit(z * z) / col("eligible").cast("double")
+      val denom = lit(1.0) + zn
+      val center = (ph + zn / 2.0) / denom
+      val half = (lit(z) * sqrt(ph * (lit(1.0) - ph) / col("eligible").cast("double")
+        + zn / (lit(4.0) * col("eligible").cast("double")))) / denom
+      steps.select(col("step"), col("converted"), col("eligible"),
+          Quant.quant6(ph).as("rate"),
+          Quant.quant6(center - half).as("wilson_lo"),
+          Quant.quant6(center + half).as("wilson_hi"))
+        .orderBy("step")
+    }, Some(s"""
+      WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS v,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS p
+        FROM events GROUP BY user_id),
+      counts AS (
+        SELECT count(*)::BIGINT AS n0, sum(v)::BIGINT AS n1,
+               sum(v * c)::BIGINT AS n2, sum(v * c * p)::BIGINT AS n3
+        FROM flags),
+      steps AS (
+        SELECT '1_view' AS step, n1 AS converted, n0 AS eligible FROM counts
+        UNION ALL
+        SELECT '2_click', n2, n1 FROM counts
+        UNION ALL
+        SELECT '3_purchase', n3, n2 FROM counts),
+      wl AS (
+        SELECT step, converted, eligible,
+               converted::DOUBLE / eligible::DOUBLE AS ph,
+               ${1.959963984540054 * 1.959963984540054} / eligible::DOUBLE AS zn
+        FROM steps)
+      SELECT step, converted, eligible,
+             ${Quant.quant6Sql("ph")} AS rate,
+             ${Quant.quant6Sql(
+               """(ph + zn / 2.0) / (1.0 + zn)
+                  - (1.959963984540054 * sqrt(ph * (1.0 - ph) / eligible::DOUBLE
+                     + zn / (4.0 * eligible::DOUBLE))) / (1.0 + zn)""")} AS wilson_lo,
+             ${Quant.quant6Sql(
+               """(ph + zn / 2.0) / (1.0 + zn)
+                  + (1.959963984540054 * sqrt(ph * (1.0 - ph) / eligible::DOUBLE
+                     + zn / (4.0 * eligible::DOUBLE))) / (1.0 + zn)""")} AS wilson_hi
+      FROM wl
+      ORDER BY step
+    """)),
+
+    // ------------------------------------------------------------ negative-binomial overdispersion (round 12)
+    // Are per-user daily event counts Poisson (dispersion ≈ 1) or
+    // clumped? The method-of-moments NB fit per event type: dispersion
+    // D = s²/m̄, and when overdispersed, r̂ = m̄²/(s²−m̄), p̂ = m̄/s² —
+    // the capacity-planning correction q313's memoryless model needs
+    // when bursts are real. Explicit sufficient-statistic variance
+    // (exact BIGINT sums) so both engines run identical float ops; one
+    // (user, day, type) aggregate over one scan, everything after on
+    // the |types| relation.
+    ("q315_nb_overdispersion", (s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      cells.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"), sum("x").as("sx"),
+             sum(col("x") * col("x")).as("sxx"))
+        .withColumn("m", col("sx").cast("double") / col("n_cells").cast("double"))
+        .withColumn("s2",
+          (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n_cells").cast("double"))
+            / (col("n_cells").cast("double") - 1.0))
+        .select(col("event_type"), col("n_cells"),
+          Quant.quant6(col("m")).as("mean_per_day"),
+          Quant.quant6(col("s2")).as("var_per_day"),
+          Quant.quant6(col("s2") / col("m")).as("dispersion"),
+          Quant.quant6(when(col("s2") > col("m"),
+            col("m") * col("m") / (col("s2") - col("m")))).as("nb_r"),
+          Quant.quant6(when(col("s2") > col("m"), col("m") / col("s2"))).as("nb_p"))
+        .orderBy("event_type")
+    }, Some(s"""
+      WITH cells AS (
+        SELECT event_type, user_id, ts::TIMESTAMP::DATE AS day,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2, 3),
+      g AS (
+        SELECT event_type, count(*)::BIGINT AS n_cells, sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx
+        FROM cells GROUP BY event_type),
+      st AS (
+        SELECT *, sx::DOUBLE / n_cells::DOUBLE AS m,
+               (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_cells::DOUBLE)
+                 / (n_cells::DOUBLE - 1.0) AS s2
+        FROM g)
+      SELECT event_type, n_cells,
+             ${Quant.quant6Sql("m")} AS mean_per_day,
+             ${Quant.quant6Sql("s2")} AS var_per_day,
+             ${Quant.quant6Sql("s2 / m")} AS dispersion,
+             ${Quant.quant6Sql("CASE WHEN s2 > m THEN m * m / (s2 - m) END")} AS nb_r,
+             ${Quant.quant6Sql("CASE WHEN s2 > m THEN m / s2 END")} AS nb_p
+      FROM st
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ quantile treatment effects (round 12)
+    // WHERE in the outcome distribution does the treatment act? The
+    // per-decile difference of exact interpolated quantiles of
+    // purchase value between the hash-split arms — an ATE (q276/q307)
+    // says "average +x"; the QTE curve shows whether that's a uniform
+    // shift or a tail effect. Both arms' 9 deciles come from ONE
+    // aggregate (array-percentile, conditional per arm); the decile
+    // table is a 9-row posexplode. Exact percentile is judged (oracle
+    // can reproduce it bit-for-bit); the 100 TB form swaps in
+    // approx_percentile sketches (cf. q59).
+    ("q316_quantile_effects", (s, d) => {
+      val ps = (1 to 9).map(k => (k / 10.0).toString).mkString(", ")
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("value").as("v"), (col("user_id") % 2).cast("long").as("t"))
+      val a = pur.agg(
+        expr(s"percentile(CASE WHEN t = 1 THEN v END, array($ps))").as("qt"),
+        expr(s"percentile(CASE WHEN t = 0 THEN v END, array($ps))").as("qc"),
+        sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n_ctrl"))
+      a.select(col("n_treat"), col("n_ctrl"), col("qc"),
+          posexplode(col("qt")).as(Seq("pos", "q_treat")))
+        .select((col("pos") + 1L).cast("long").as("decile"),
+          col("n_treat"), col("n_ctrl"),
+          Quant.quant6(col("q_treat")).as("q_treat"),
+          Quant.quant6(element_at(col("qc"), (col("pos") + 1).cast("int")))
+            .as("q_ctrl"),
+          Quant.quant6(col("q_treat")
+            - element_at(col("qc"), (col("pos") + 1).cast("int"))).as("qte"))
+        .orderBy("decile")
+    }, Some {
+      val rows = (1 to 9).map { k =>
+        val p = k / 10.0
+        s"""SELECT $k::BIGINT AS decile,
+               sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+               sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+               ${Quant.quant6Sql(s"quantile_cont(v, $p) FILTER (t = 1)")} AS q_treat,
+               ${Quant.quant6Sql(s"quantile_cont(v, $p) FILTER (t = 0)")} AS q_ctrl,
+               ${Quant.quant6Sql(
+                 s"quantile_cont(v, $p) FILTER (t = 1) - quantile_cont(v, $p) FILTER (t = 0)")}
+                 AS qte
+           FROM pur"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH pur AS (
+        SELECT value AS v, (user_id % 2)::BIGINT AS t
+        FROM events WHERE event_type = 'purchase')
+      $rows
+      ORDER BY decile
+    """}),
+
+    // ------------------------------------------------------------ char-bigram entropy profile (round 12)
+    // Character-level information density per document — the gibberish
+    // /template detector token-level entropy (q169) misses: keyboard
+    // mash scores HIGH char-bigram entropy, boilerplate scores LOW,
+    // and both tails are what a crawl-quality cut removes. Per doc
+    // H = ln n − (Σ c·ln c)/n over its bigram counts (one identity,
+    // no per-bigram probability column); per source the profile
+    // (mean/σ/min/max). One explode pass — the corpus-sized work —
+    // then a (doc, bigram) aggregate and two bounded rollups.
+    ("q317_char_bigram_entropy", (s, d) => {
+      import graft.functions.TextFunctions.charNgrams
+      val perDoc = Tables.fanOut(Tables.documents(s, d))
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(charNgrams(lower(col("text")), 2)).as("bg"))
+        .groupBy("doc_id", "source", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "source")
+        .agg(sum("c").as("n"),
+             sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+        .withColumn("h", log(col("n").cast("double")) - col("sclc") / col("n").cast("double"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("h").as("sh"), sum(col("h") * col("h")).as("shh"),
+             min("h").as("mn"), max("h").as("mx"))
+        .select(col("source"), col("n_docs"),
+          Quant.quant6(col("sh") / col("n_docs").cast("double")).as("mean_entropy"),
+          Quant.quant6(sqrt((col("shh") - col("sh") * col("sh") / col("n_docs").cast("double"))
+            / (col("n_docs").cast("double") - 1.0))).as("std_entropy"),
+          Quant.quant6(col("mn")).as("min_entropy"),
+          Quant.quant6(col("mx")).as("max_entropy"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH bg AS (
+        SELECT doc_id, source,
+               unnest([substring(lower(text), i, 2)
+                       for i in generate_series(1, length(text) - 1)]) AS bg
+        FROM documents WHERE length(text) >= 2),
+      cnt AS (
+        SELECT doc_id, source, bg, count(*)::BIGINT AS c
+        FROM bg GROUP BY 1, 2, 3),
+      perdoc AS (
+        SELECT doc_id, source, sum(c)::BIGINT AS n,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc
+        FROM cnt GROUP BY 1, 2),
+      h AS (
+        SELECT source, ln(n::DOUBLE) - sclc / n::DOUBLE AS h FROM perdoc)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             ${Quant.quant6Sql("sum(h) / count(*)::DOUBLE")} AS mean_entropy,
+             ${Quant.quant6Sql(
+               """sqrt((sum(h * h) - sum(h) * sum(h) / count(*)::DOUBLE)
+                  / (count(*)::DOUBLE - 1.0))""")} AS std_entropy,
+             ${Quant.quant6Sql("min(h)")} AS min_entropy,
+             ${Quant.quant6Sql("max(h)")} AS max_entropy
+      FROM h
+      GROUP BY source
+      ORDER BY source
     """))
   )
 }

@@ -1187,7 +1187,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // pass into the checkpointed length histogram; CDF windows on
       // the ≤|max length| relation.
       "q312_freshness_audit" -> (2, 0),
-      "q313_session_geometric_gof" -> (2, 0))
+      "q313_session_geometric_gof" -> (2, 0),
+      // q314: user-flag aggregate → 1-row counts → 3-row stack. q315:
+      // (type,user,day) cells → |types| rollup. q316: ONE conditional
+      // array-percentile aggregate → 9-row posexplode. q317: bigram
+      // explode pass → (doc,bigram) → per-doc → |sources| rollups.
+      "q314_wilson_funnel" -> (2, 1),
+      "q315_nb_overdispersion" -> (2, 1),
+      "q316_quantile_effects" -> (2, 1),
+      "q317_char_bigram_entropy" -> (3, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -800,4 +800,112 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       assert(close(r.getAs[Double]("ks_distance"), q6(ks), 2e-6))
     }
   }
+
+  test("q314: Wilson intervals match the closed form and contain the rate") {
+    val ev = eventsRaw()
+    val flags = ev.groupBy(_._1).values.map { rs =>
+      (rs.exists(_._2 == "view"), rs.exists(_._2 == "click"),
+       rs.exists(_._2 == "purchase"))
+    }.toSeq
+    val n0 = flags.length.toLong
+    val n1 = flags.count(_._1).toLong
+    val n2 = flags.count(f => f._1 && f._2).toLong
+    val n3 = flags.count(f => f._1 && f._2 && f._3).toLong
+    val z = 1.959963984540054
+    def wilson(conv: Long, elig: Long): (Double, Double, Double) = {
+      val ph = conv.toDouble / elig
+      val zn = z * z / elig
+      val center = (ph + zn / 2.0) / (1.0 + zn)
+      val half = z * math.sqrt(ph * (1.0 - ph) / elig + zn / (4.0 * elig)) / (1.0 + zn)
+      (ph, center - half, center + half)
+    }
+    val want = Seq(("1_view", n1, n0), ("2_click", n2, n1), ("3_purchase", n3, n2))
+    val got = run("q314_wilson_funnel").collect()
+    assert(got.length == 3)
+    got.zip(want).foreach { case (r, (step, conv, elig)) =>
+      assert(r.getAs[String]("step") == step)
+      assert(r.getAs[Long]("converted") == conv && r.getAs[Long]("eligible") == elig)
+      val (ph, lo, hi) = wilson(conv, elig)
+      assert(close(r.getAs[Double]("rate"), q6(ph)))
+      assert(close(r.getAs[Double]("wilson_lo"), q6(lo), 2e-6))
+      assert(close(r.getAs[Double]("wilson_hi"), q6(hi), 2e-6))
+      // the interval must contain the point estimate
+      assert(r.getAs[Double]("wilson_lo") <= r.getAs[Double]("rate") + 1e-9)
+      assert(r.getAs[Double]("wilson_hi") >= r.getAs[Double]("rate") - 1e-9)
+    }
+  }
+
+  test("q315: NB moments match a (user, day, type) cell fold") {
+    val cells = eventsRaw()
+      .groupBy(e => (e._2, e._1, e._3 / 86400000000L)).toSeq
+      .map { case ((t, _, _), rs) => (t, rs.length.toLong) }
+    val got = run("q315_nb_overdispersion").collect()
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = cells.filter(_._1 == t).map(_._2)
+      val n = xs.length
+      val m = xs.sum.toDouble / n
+      val s2 = (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / n) / (n - 1.0)
+      assert(r.getAs[Long]("n_cells") == n.toLong)
+      assert(close(r.getAs[Double]("mean_per_day"), q6(m), 2e-6))
+      assert(close(r.getAs[Double]("var_per_day"), q6(s2), 2e-6))
+      assert(close(r.getAs[Double]("dispersion"), q6(s2 / m), 2e-6))
+      if (s2 > m) {
+        assert(close(r.getAs[Double]("nb_r"), q6(m * m / (s2 - m)), 2e-6))
+        assert(close(r.getAs[Double]("nb_p"), q6(m / s2), 2e-6))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("nb_r")) && r.isNullAt(r.fieldIndex("nb_p")))
+      }
+    }
+  }
+
+  test("q316: per-decile QTE matches interpolated quantiles on each arm") {
+    val pur = eventsRaw().filter(_._2 == "purchase").map(e => (e._4, e._1 % 2))
+    def quant(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      s(lo) + (h - lo) * (s(hi) - s(lo))
+    }
+    val xt = pur.filter(_._2 == 1L).map(_._1).toSeq
+    val xc = pur.filter(_._2 == 0L).map(_._1).toSeq
+    val got = run("q316_quantile_effects").collect()
+    assert(got.map(_.getAs[Long]("decile")).toSeq == (1L to 9L))
+    got.foreach { r =>
+      val p = r.getAs[Long]("decile") / 10.0
+      assert(r.getAs[Long]("n_treat") == xt.length.toLong)
+      assert(r.getAs[Long]("n_ctrl") == xc.length.toLong)
+      assert(close(r.getAs[Double]("q_treat"), q6(quant(xt, p)), 2e-6))
+      assert(close(r.getAs[Double]("q_ctrl"), q6(quant(xc, p)), 2e-6))
+      assert(close(r.getAs[Double]("qte"), q6(quant(xt, p) - quant(xc, p)), 2e-6))
+    }
+  }
+
+  test("q317: per-source entropy profile matches a char-bigram fold") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase))
+      .filter(_._2.length >= 2)
+    val hBySource = docs.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map { case (_, txt) =>
+        val counts = (0 until txt.length - 1).map(i => txt.substring(i, i + 2))
+          .groupBy(identity).map(_._2.size.toLong)
+        val n = counts.sum.toDouble
+        math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      }
+    }
+    val got = run("q317_char_bigram_entropy").collect()
+    assert(got.length == hBySource.size)
+    got.foreach { r =>
+      val hs = hBySource(r.getAs[String]("source"))
+      val n = hs.size
+      val mean = hs.sum / n
+      val sd = math.sqrt((hs.map(h => h * h).sum - hs.sum * hs.sum / n) / (n - 1.0))
+      assert(r.getAs[Long]("n_docs") == n.toLong)
+      assert(close(r.getAs[Double]("mean_entropy"), q6(mean), 2e-6))
+      assert(close(r.getAs[Double]("std_entropy"), q6(sd), 2e-6))
+      assert(close(r.getAs[Double]("min_entropy"), q6(hs.min), 2e-6))
+      assert(close(r.getAs[Double]("max_entropy"), q6(hs.max), 2e-6))
+    }
+  }
 }
