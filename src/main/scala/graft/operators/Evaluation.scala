@@ -2095,6 +2095,142 @@ object Evaluation extends QueryGroup {
       FROM h
       GROUP BY source
       ORDER BY source
-    """))
+    """)),
+
+    // ------------------------------------------------------------ rank-biased overlap (round 12)
+    // Pairwise similarity of the sources' top-30 token RANKINGS — the
+    // search-eval metric for comparing ranked lists, top-weighted by
+    // p=0.9 so agreement at rank 1 counts far more than at rank 30
+    // (q306's Delta weighs all markers equally; RBO asks "do they
+    // front-load the same vocabulary?"). Truncated lower bound:
+    // RBO_min = (1−p)·Σ_{d≤30} p^{d−1}·|A_d ∩ B_d|/d, computed per
+    // common token via its first-contributing depth m = max(rank_a,
+    // rank_b) against a 30-row depth grid — everything past the
+    // tokenize pass is (|sources|² × 30²)-bounded.
+    ("q318_rank_biased_overlap", (s, d) => {
+      val p = 0.9
+      val depth = 30
+      val st = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val ranked = st
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("tok"))).cast("long"))
+        .filter(col("rk") <= depth)
+        .select("source", "tok", "rk")
+        .graftCheckpoint() // both sides of the pair join read it
+      val common = ranked.alias("a")
+        .join(ranked.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          greatest(col("a.rk"), col("b.rk")).as("m"))
+      val grid = ranked.sparkSession.range(1, depth + 1)
+        .select(col("id").as("dd"),
+          (pow(lit(p), col("id").cast("double") - 1.0) / col("id").cast("double"))
+            .as("wt"))
+      common.join(broadcast(grid), col("dd") >= col("m"))
+        .groupBy("source_a", "source_b")
+        .agg(count(when(col("dd") === col("m"), 1L)).as("n_common"),
+             Quant.quant6(lit(1.0 - p) * sum("wt")).as("rbo"))
+        .orderBy("source_a", "source_b")
+    }, Some(s"""
+      WITH st AS (
+        SELECT source, tok, count(*)::BIGINT AS c
+        FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, tok, rk FROM (
+          SELECT source, tok,
+                 (row_number() OVER (PARTITION BY source
+                    ORDER BY c DESC, tok))::BIGINT AS rk
+          FROM st)
+        WHERE rk <= 30),
+      common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               greatest(a.rk, b.rk) AS m
+        FROM ranked a JOIN ranked b
+          ON a.tok = b.tok AND a.source < b.source),
+      grid AS (
+        SELECT dd, pow(0.9, dd::DOUBLE - 1.0) / dd::DOUBLE AS wt
+        FROM (SELECT unnest(generate_series(1, 30))::BIGINT AS dd))
+      SELECT source_a, source_b,
+             count(CASE WHEN dd = m THEN 1 END)::BIGINT AS n_common,
+             ${Quant.quant6Sql("0.1 * sum(wt)")} AS rbo
+      FROM common JOIN grid ON dd >= m
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)),
+
+    // ------------------------------------------------------------ lognormal length fit (round 12)
+    // Is the document-length distribution lognormal (the standard
+    // crawl assumption behind length-based quality cuts)? Fit μ̂, σ̂ on
+    // ln(n_chars) in one pass, then a Q-Q decile comparison: the
+    // empirical exact decile vs the model decile exp(μ̂ + σ̂·z_k) with
+    // the nine Φ⁻¹(k/10) values as shared IEEE literals — no erf on
+    // either engine. GOF = max absolute relative gap across deciles,
+    // attached from the 1-row broadcast. The decile table is a 9-row
+    // posexplode of ONE array-percentile aggregate.
+    ("q319_lognormal_lengths", (s, d) => {
+      val zs = Seq(-1.2815515655446004, -0.8416212335729143, -0.5244005127080407,
+        -0.2533471031357997, 0.0, 0.2533471031357997, 0.5244005127080407,
+        0.8416212335729143, 1.2815515655446004)
+      val ps = (1 to 9).map(k => (k / 10.0).toString).mkString(", ")
+      val y = Tables.documents(s, d)
+        .filter(col("n_chars") > 0L)
+        .select(col("n_chars").cast("double").as("y"))
+      val fit = y.agg(
+        count(lit(1)).as("n"),
+        avg(log("y")).as("mu"),
+        stddev_samp(log("y")).as("sigma"),
+        expr(s"percentile(y, array($ps))").as("qs"))
+      val dec = fit.select(col("n"), col("mu"), col("sigma"),
+          posexplode(col("qs")).as(Seq("pos", "q_emp")))
+        .withColumn("z", element_at(lit(zs.toArray), (col("pos") + 1).cast("int")))
+        .withColumn("q_model", exp(col("mu") + col("sigma") * col("z")))
+        .withColumn("rel_gap", (col("q_emp") - col("q_model")) / col("q_model"))
+        .graftCheckpoint() // GOF aggregate + final select both read the 9 rows
+      val gof = dec.agg(max(abs(col("rel_gap"))).as("gof"))
+      dec.crossJoin(broadcast(gof))
+        .select((col("pos") + 1L).cast("long").as("decile"), col("n").as("n_docs"),
+          Quant.quant6(col("mu")).as("mu_log"),
+          Quant.quant6(col("sigma")).as("sigma_log"),
+          Quant.quant6(col("q_emp")).as("q_empirical"),
+          Quant.quant6(col("q_model")).as("q_lognormal"),
+          Quant.quant6(col("rel_gap")).as("rel_gap"),
+          Quant.quant6(col("gof")).as("max_abs_rel_gap"))
+        .orderBy("decile")
+    }, Some {
+      val zs = Seq(-1.2815515655446004, -0.8416212335729143, -0.5244005127080407,
+        -0.2533471031357997, 0.0, 0.2533471031357997, 0.5244005127080407,
+        0.8416212335729143, 1.2815515655446004)
+      val rows = (1 to 9).map { k =>
+        s"""SELECT $k::BIGINT AS decile, n, mu, sigma,
+               quantile_cont(y, ${k / 10.0}) AS q_emp,
+               exp(mu + sigma * ${zs(k - 1)}) AS q_model
+           FROM y CROSS JOIN fit
+           GROUP BY n, mu, sigma"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH y AS (
+        SELECT n_chars::DOUBLE AS y FROM documents WHERE n_chars > 0),
+      fit AS (
+        SELECT count(*)::BIGINT AS n, avg(ln(y)) AS mu,
+               stddev_samp(ln(y)) AS sigma
+        FROM y),
+      dec AS (
+        $rows),
+      gap AS (
+        SELECT *, (q_emp - q_model) / q_model AS rel_gap FROM dec),
+      gof AS (SELECT max(abs(rel_gap)) AS gof FROM gap)
+      SELECT decile, n AS n_docs,
+             ${Quant.quant6Sql("mu")} AS mu_log,
+             ${Quant.quant6Sql("sigma")} AS sigma_log,
+             ${Quant.quant6Sql("q_emp")} AS q_empirical,
+             ${Quant.quant6Sql("q_model")} AS q_lognormal,
+             ${Quant.quant6Sql("rel_gap")} AS rel_gap,
+             ${Quant.quant6Sql("gof.gof")} AS max_abs_rel_gap
+      FROM gap CROSS JOIN gof
+      ORDER BY decile
+    """})
   )
 }

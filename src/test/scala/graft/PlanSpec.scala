@@ -1195,7 +1195,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q314_wilson_funnel" -> (2, 1),
       "q315_nb_overdispersion" -> (2, 1),
       "q316_quantile_effects" -> (2, 1),
-      "q317_char_bigram_entropy" -> (3, 1))
+      "q317_char_bigram_entropy" -> (3, 1),
+      // q318: checkpointed per-source top-30 ranking (0 scans); pair
+      // join + 30-row depth grid broadcast, all source²-bounded.
+      // q319: ONE percentile+moments aggregate → 9-row posexplode.
+      "q318_rank_biased_overlap" -> (3, 0),
+      "q319_lognormal_lengths" -> (1, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -908,4 +908,72 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       assert(close(r.getAs[Double]("max_entropy"), q6(hs.max), 2e-6))
     }
   }
+
+  test("q318: RBO matches a literal depth-by-depth overlap walk") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val lists = docs.groupBy(_._1).map { case (s0, rs) =>
+      val counts = rs.flatMap(_._2).groupBy(identity)
+        .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      s0 -> counts.sortBy { case (t, c) => (-c, t) }.take(30).map(_._1)
+    }
+    val sources = lists.keys.toSeq.sorted
+    val got = run("q318_rank_biased_overlap").collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("rbo"))).toMap
+    var checked = 0
+    for (i <- sources.indices; j <- (i + 1) until sources.length) {
+      val (a, b) = (sources(i), sources(j))
+      val (la, lb) = (lists(a), lists(b))
+      // textbook: overlap at every depth, no per-token shortcut
+      val rbo = 0.1 * (1 to 30).map { d0 =>
+        math.pow(0.9, d0 - 1) * la.take(d0).toSet.intersect(lb.take(d0).toSet).size / d0.toDouble
+      }.sum
+      val common = la.toSet.intersect(lb.toSet).size.toLong
+      if (common > 0) {
+        val (gotN, gotRbo) = got((a, b))
+        assert(gotN == common, s"($a,$b) common")
+        assert(close(gotRbo, q6(rbo), 2e-6), s"($a,$b) rbo $gotRbo != ${q6(rbo)}")
+        checked += 1
+      } else assert(!got.contains((a, b)), s"($a,$b) zero-overlap pair must be absent")
+    }
+    assert(checked > 0, "no overlapping source pairs in fixture")
+  }
+
+  test("q319: lognormal Q-Q table matches a driver fit; gof is the max gap") {
+    val ys = Tables.documents(spark, sfDir)
+      .select("n_chars").collect().map(_.getLong(0).toDouble).filter(_ > 0)
+    val n = ys.length
+    val mu = ys.map(math.log).sum / n
+    val sd = math.sqrt(ys.map(y => math.pow(math.log(y) - mu, 2)).sum / (n - 1))
+    val zs = Seq(-1.2815515655446004, -0.8416212335729143, -0.5244005127080407,
+      -0.2533471031357997, 0.0, 0.2533471031357997, 0.5244005127080407,
+      0.8416212335729143, 1.2815515655446004)
+    def quant(p: Double): Double = {
+      val s = ys.sorted
+      val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt; val hi = math.ceil(h).toInt
+      s(lo) + (h - lo) * (s(hi) - s(lo))
+    }
+    val gaps = (1 to 9).map { k =>
+      val qe = quant(k / 10.0)
+      val qm = math.exp(mu + sd * zs(k - 1))
+      (k.toLong, qe, qm, (qe - qm) / qm)
+    }
+    val gof = gaps.map(g => math.abs(g._4)).max
+    val got = run("q319_lognormal_lengths").collect()
+    assert(got.length == 9)
+    got.zip(gaps).foreach { case (r, (k, qe, qm, gap)) =>
+      assert(r.getAs[Long]("decile") == k)
+      assert(r.getAs[Long]("n_docs") == n.toLong)
+      assert(close(r.getAs[Double]("mu_log"), q6(mu), 2e-6))
+      assert(close(r.getAs[Double]("sigma_log"), q6(sd), 2e-6))
+      assert(close(r.getAs[Double]("q_empirical"), q6(qe), 2e-6))
+      assert(close(r.getAs[Double]("q_lognormal"), q6(qm), 2e-5),
+        s"decile $k model quantile")
+      assert(close(r.getAs[Double]("rel_gap"), q6(gap), 2e-5))
+      assert(close(r.getAs[Double]("max_abs_rel_gap"), q6(gof), 2e-5))
+    }
+  }
 }
