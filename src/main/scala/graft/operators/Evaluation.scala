@@ -2231,6 +2231,122 @@ object Evaluation extends QueryGroup {
              ${Quant.quant6Sql("gof.gof")} AS max_abs_rel_gap
       FROM gap CROSS JOIN gof
       ORDER BY decile
-    """})
+    """}),
+
+    // ------------------------------------------------------------ learning curve (round 12)
+    // The scaling-law question asked of every data investment: how
+    // does model quality grow with training data? q198's multinomial
+    // NB language classifier fit at four nested training sizes
+    // (doc_id%10 buckets < k, k ∈ {2,4,6,8}) and evaluated on the
+    // FIXED holdout (buckets 8–9). The corpus is tokenized ONCE into
+    // the checkpointed (doc, bucket, token) counts; each model is a
+    // conditional re-aggregate (the k-grid joins a 4-row broadcast,
+    // so all four vocab-bounded count tables build in one shuffle),
+    // and scoring joins holdout tokens against the 4×V×C grid on the
+    // token key. Holdout tokens OOV for a given k are skipped
+    // (identical skip set across classes ⇒ argmax unaffected by the
+    // choice); scores quantize BEFORE the class-name-tiebroken argmax
+    // (q198's determinism contract).
+    ("q320_learning_curve", (s, d) => {
+      val ks = Array(2L, 4L, 6L, 8L)
+      val docTok = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), (col("doc_id") % 10).as("b"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "b", "lang", "tok").agg(count(lit(1)).as("cnt"))
+        .graftCheckpoint() // the four models + the holdout all read it
+      val kGrid = broadcast(docTok.sparkSession.range(1)
+        .select(explode(lit(ks)).as("k")))
+      val tr = docTok.crossJoin(kGrid).filter(col("b") < col("k"))
+      val classCnt = tr.groupBy(col("k"), col("lang").as("cls"), col("tok"))
+        .agg(sum("cnt").as("n_tc"))
+        .graftCheckpoint() // totals, vocab, and the grid all read it
+      val classTot = classCnt.groupBy("k", "cls").agg(sum("n_tc").as("n_c"))
+      // train-k vocabulary ≡ tokens with any class count — derive from
+      // the checkpointed counts, not a second pass over tr
+      val vocabK = classCnt.select("k", "tok").distinct()
+      val vSize = vocabK.groupBy("k").agg(count(lit(1)).as("v"))
+      val dpc = tr.select("k", "doc_id", "lang").distinct()
+        .groupBy(col("k"), col("lang").as("cls")).agg(count(lit(1)).as("n_docs_c"))
+      val nd = dpc.groupBy("k").agg(sum("n_docs_c").as("n_train"))
+      val grid = vocabK.join(broadcast(classTot), "k")
+        .join(classCnt, Seq("k", "cls", "tok"), "left")
+        .na.fill(0L, Seq("n_tc"))
+        .join(broadcast(vSize), "k")
+        .select(col("k"), col("cls"), col("tok"),
+          log((col("n_tc") + 1L).cast("double") / (col("n_c") + col("v")).cast("double"))
+            .as("loglik"))
+      val prior = dpc.join(broadcast(nd), "k")
+        .select(col("k"), col("cls"),
+          log(col("n_docs_c").cast("double") / col("n_train").cast("double"))
+            .as("logprior"))
+      val scores = docTok.filter(col("b") >= 8L)
+        .join(grid, Seq("tok"))
+        .groupBy("k", "doc_id", "lang", "cls")
+        .agg(sum(col("cnt").cast("double") * col("loglik")).as("ll"))
+        .join(broadcast(prior), Seq("k", "cls"))
+        .select(col("k"), col("doc_id"), col("lang"), col("cls"),
+          Quant.quant6(col("ll") + col("logprior")).as("score"))
+      val w = Window.partitionBy("k", "doc_id").orderBy(col("score").desc, col("cls"))
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_eval_docs"),
+             sum(when(col("lang") === col("cls"), 1L).otherwise(0L)).as("n_correct"))
+        .join(broadcast(nd), "k")
+        .select(col("k").as("train_buckets"), col("n_train").as("n_train_docs"),
+          col("n_eval_docs"), col("n_correct"),
+          Quant.quant6(col("n_correct").cast("double")
+            / col("n_eval_docs").cast("double")).as("accuracy"))
+        .orderBy("train_buckets")
+    }, Some(s"""
+      WITH doc_tok AS (
+        SELECT doc_id, doc_id % 10 AS b, lang, tok, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1, 2, 3, 4),
+      kg AS (SELECT unnest([2, 4, 6, 8])::BIGINT AS k),
+      tr AS (
+        SELECT kg.k, dt.* FROM doc_tok dt CROSS JOIN kg WHERE dt.b < kg.k),
+      class_cnt AS (
+        SELECT k, lang AS cls, tok, sum(cnt)::BIGINT AS n_tc
+        FROM tr GROUP BY 1, 2, 3),
+      class_tot AS (SELECT k, cls, sum(n_tc)::BIGINT AS n_c FROM class_cnt GROUP BY 1, 2),
+      vocab AS (SELECT DISTINCT k, tok FROM tr),
+      vsize AS (SELECT k, count(*)::BIGINT AS v FROM vocab GROUP BY k),
+      dpc AS (
+        SELECT k, lang AS cls, count(DISTINCT doc_id)::BIGINT AS n_docs_c
+        FROM tr GROUP BY 1, 2),
+      nd AS (SELECT k, sum(n_docs_c)::BIGINT AS n_train FROM dpc GROUP BY k),
+      grid AS (
+        SELECT vo.k, vo.tok, t.cls,
+               ln((COALESCE(c.n_tc, 0) + 1)::DOUBLE / (t.n_c + s.v)::DOUBLE) AS loglik
+        FROM vocab vo
+        JOIN class_tot t ON t.k = vo.k
+        JOIN vsize s ON s.k = vo.k
+        LEFT JOIN class_cnt c ON c.k = vo.k AND c.tok = vo.tok AND c.cls = t.cls),
+      prior AS (
+        SELECT d2.k, d2.cls, ln(d2.n_docs_c::DOUBLE / n2.n_train::DOUBLE) AS logprior
+        FROM dpc d2 JOIN nd n2 ON n2.k = d2.k),
+      scores AS (
+        SELECT g.k, dt.doc_id, dt.lang, g.cls,
+               floor((sum(dt.cnt::DOUBLE * g.loglik) + any_value(p.logprior))
+                     * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM doc_tok dt
+        JOIN grid g ON g.tok = dt.tok
+        JOIN prior p ON p.k = g.k AND p.cls = g.cls
+        WHERE dt.b >= 8
+        GROUP BY g.k, dt.doc_id, dt.lang, g.cls),
+      pred AS (
+        SELECT k, doc_id, lang,
+               first(cls ORDER BY score DESC, cls) AS predicted
+        FROM scores GROUP BY k, doc_id, lang)
+      SELECT p.k AS train_buckets, n2.n_train AS n_train_docs,
+             count(*)::BIGINT AS n_eval_docs,
+             sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+             ${Quant.quant6Sql(
+               """sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*)::DOUBLE""")} AS accuracy
+      FROM pred p JOIN nd n2 ON n2.k = p.k
+      GROUP BY p.k, n2.n_train
+      ORDER BY train_buckets
+    """))
   )
 }

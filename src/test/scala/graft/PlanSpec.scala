@@ -1200,7 +1200,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // join + 30-row depth grid broadcast, all source²-bounded.
       // q319: ONE percentile+moments aggregate → 9-row posexplode.
       "q318_rank_biased_overlap" -> (3, 0),
-      "q319_lognormal_lengths" -> (1, 0))
+      "q319_lognormal_lengths" -> (1, 0),
+      // q320: checkpointed (doc,bucket,token) counts feed all four
+      // models (4-row k-grid broadcast); the count tables, V×C grids
+      // and holdout scoring are vocab-keyed shuffles — more exchanges
+      // than a single-model fit, every one on a vocab-bounded relation.
+      "q320_learning_curve" -> (15, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

@@ -976,4 +976,54 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
       assert(close(r.getAs[Double]("max_abs_rel_gap"), q6(gof), 2e-5))
     }
   }
+
+  test("q320: learning-curve accuracies match a driver-side NB per training size") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+      .filter(_._3.nonEmpty)
+    val holdout = docs.filter(_._1 % 10 >= 8)
+    val got = run("q320_learning_curve").collect()
+    assert(got.map(_.getAs[Long]("train_buckets")).toSeq == Seq(2L, 4L, 6L, 8L))
+    got.foreach { r =>
+      val k = r.getAs[Long]("train_buckets")
+      val train = docs.filter(_._1 % 10 < k)
+      assert(r.getAs[Long]("n_train_docs") == train.length.toLong)
+      val classCnt = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      val classTot = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val classDocs = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      train.foreach { case (_, lang, ts) =>
+        classDocs(lang) += 1
+        ts.foreach { t => classCnt((lang, t)) += 1; classTot(lang) += 1 }
+      }
+      val vocab = train.flatMap(_._3).toSet
+      val v = vocab.size.toLong
+      val classes = classDocs.keys.toSeq.sorted
+      val nTrain = train.length.toDouble
+      var (nEval, nCorrect) = (0L, 0L)
+      holdout.foreach { case (_, lang, ts) =>
+        val known = ts.filter(vocab) // OOV-for-this-k tokens skipped
+        if (known.nonEmpty) {
+          nEval += 1
+          val scored = classes.map { c =>
+            val ll = known.groupBy(identity).map { case (t, xs) =>
+              xs.length * math.log((classCnt((c, t)) + 1.0) / (classTot(c) + v))
+            }.sum
+            c -> q6(ll + math.log(classDocs(c) / nTrain))
+          }
+          val pred = scored.minBy { case (c, s0) => (-s0, c) }._1
+          if (pred == lang) nCorrect += 1
+        }
+      }
+      assert(r.getAs[Long]("n_eval_docs") == nEval, s"k=$k eval count")
+      assert(r.getAs[Long]("n_correct") == nCorrect, s"k=$k correct count")
+      assert(close(r.getAs[Double]("accuracy"), q6(nCorrect.toDouble / nEval)))
+    }
+    // learning curves aren't guaranteed monotone, but the largest train
+    // set should never do WORSE than the smallest on this fixture
+    val accs = got.map(_.getAs[Double]("accuracy"))
+    assert(accs.last >= accs.head - 1e-9,
+      s"8-bucket model worse than 2-bucket: ${accs.toSeq}")
+  }
 }
