@@ -2347,6 +2347,141 @@ object Evaluation extends QueryGroup {
       FROM pred p JOIN nd n2 ON n2.k = p.k
       GROUP BY p.k, n2.n_train
       ORDER BY train_buckets
+    """)),
+
+    // ------------------------------------------------------------ Cronbach's alpha (round 12)
+    // Internal-consistency reliability of the 5-item per-user
+    // engagement battery (view/click/purchase/signup/error counts):
+    // α = k/(k−1)·(1 − Σσ²_item/σ²_total) — the psychometric check
+    // that a composite "engagement score" summing these items measures
+    // ONE construct. Item variances and the total-score variance all
+    // come from per-user integer counts in one scan; the item pass is
+    // a 5-row stack aggregate and α itself is 1-row algebra.
+    ("q321_cronbach_alpha", (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"),
+          col("view").cast("long").as("i1"), col("click").cast("long").as("i2"),
+          col("purchase").cast("long").as("i3"), col("signup").cast("long").as("i4"),
+          col("error").cast("long").as("i5"))
+        .withColumn("total", col("i1") + col("i2") + col("i3") + col("i4") + col("i5"))
+        .graftCheckpoint() // item stack + total variance read it
+      def varOf(c: String) =
+        ((sum(col(c) * col(c)).cast("double")
+          - sum(col(c)).cast("double") * sum(col(c)).cast("double")
+            / count(lit(1)).cast("double"))
+          / (count(lit(1)).cast("double") - 1.0))
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          varOf("i1").as("v1"), varOf("i2").as("v2"), varOf("i3").as("v3"),
+          varOf("i4").as("v4"), varOf("i5").as("v5"),
+          varOf("total").as("vt"))
+        .select(col("n_users"),
+          Quant.quant6(col("v1") + col("v2") + col("v3") + col("v4") + col("v5"))
+            .as("sum_item_var"),
+          Quant.quant6(col("vt")).as("total_var"),
+          Quant.quant6(lit(5.0 / 4.0)
+            * (lit(1.0) - (col("v1") + col("v2") + col("v3") + col("v4") + col("v5"))
+               / nullif(col("vt"), lit(0.0)))).as("cronbach_alpha"))
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS i1,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS i2,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS i3,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS i4,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS i5,
+               count(*)::BIGINT AS total
+        FROM events GROUP BY user_id),
+      v AS (
+        SELECT count(*)::BIGINT AS n_users,
+               (sum(i1*i1)::DOUBLE - sum(i1)::DOUBLE*sum(i1)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS v1,
+               (sum(i2*i2)::DOUBLE - sum(i2)::DOUBLE*sum(i2)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS v2,
+               (sum(i3*i3)::DOUBLE - sum(i3)::DOUBLE*sum(i3)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS v3,
+               (sum(i4*i4)::DOUBLE - sum(i4)::DOUBLE*sum(i4)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS v4,
+               (sum(i5*i5)::DOUBLE - sum(i5)::DOUBLE*sum(i5)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS v5,
+               (sum(total*total)::DOUBLE - sum(total)::DOUBLE*sum(total)::DOUBLE/count(*)::DOUBLE)
+                 / (count(*)::DOUBLE - 1.0) AS vt
+        FROM pu)
+      SELECT n_users,
+             ${Quant.quant6Sql("v1 + v2 + v3 + v4 + v5")} AS sum_item_var,
+             ${Quant.quant6Sql("vt")} AS total_var,
+             ${Quant.quant6Sql(
+               "(5.0 / 4.0) * (1.0 - (v1 + v2 + v3 + v4 + v5) / nullif(vt, 0.0))")}
+               AS cronbach_alpha
+      FROM v
+    """)),
+
+    // ------------------------------------------------------------ positivity / overlap audit (round 12)
+    // The assumption check q276/q307 silently rely on: does every
+    // covariate cell contain BOTH arms (positivity), and how extreme
+    // do the cell propensities get? Per click-count cell e(c) =
+    // n₁/n; the audit reports the user-weighted share in one-sided
+    // cells (e ∈ {0,1} — IPW undefined there) and in extreme cells
+    // (e outside [0.1, 0.9]), plus the propensity range. One user
+    // aggregate → cell relation → 1 row.
+    ("q322_positivity_audit", (s, d) => {
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val cells = Tables.fanOut(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click" && col("ts") < cut, 1L)
+          .otherwise(0L)).as("c"))
+        .withColumn("t", (col("user_id") % 2).cast("long"))
+        .groupBy("c")
+        .agg(sum("t").as("n1"), sum(lit(1L) - col("t")).as("n0"))
+        .withColumn("n", col("n1") + col("n0"))
+        .withColumn("e", col("n1").cast("double") / col("n").cast("double"))
+      cells.agg(
+          count(lit(1)).as("n_cells"),
+          sum("n").as("n_users"),
+          sum(when(col("n1") === 0L || col("n0") === 0L, col("n")).otherwise(0L))
+            .as("users_one_sided"),
+          sum(when(col("e") < 0.1 || col("e") > 0.9, col("n")).otherwise(0L))
+            .as("users_extreme"),
+          min("e").as("emin"), max("e").as("emax"))
+        .select(col("n_cells"), col("n_users"), col("users_one_sided"),
+          Quant.quant6(col("users_one_sided").cast("double")
+            / col("n_users").cast("double")).as("share_one_sided"),
+          col("users_extreme"),
+          Quant.quant6(col("users_extreme").cast("double")
+            / col("n_users").cast("double")).as("share_extreme"),
+          Quant.quant6(col("emin")).as("e_min"),
+          Quant.quant6(col("emax")).as("e_max"))
+    }, Some(s"""
+      WITH pu AS (
+        SELECT user_id, (user_id % 2)::BIGINT AS t,
+               sum(CASE WHEN event_type = 'click'
+                         AND ts < TIMESTAMP '2024-01-24 00:00:00'
+                        THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT c, sum(t)::BIGINT AS n1, sum(1 - t)::BIGINT AS n0,
+               count(*)::BIGINT AS n,
+               sum(t)::DOUBLE / count(*)::DOUBLE AS e
+        FROM pu GROUP BY c)
+      SELECT count(*)::BIGINT AS n_cells,
+             sum(n)::BIGINT AS n_users,
+             sum(CASE WHEN n1 = 0 OR n0 = 0 THEN n ELSE 0 END)::BIGINT
+               AS users_one_sided,
+             ${Quant.quant6Sql(
+               """sum(CASE WHEN n1 = 0 OR n0 = 0 THEN n ELSE 0 END)::DOUBLE
+                  / sum(n)::DOUBLE""")} AS share_one_sided,
+             sum(CASE WHEN e < 0.1 OR e > 0.9 THEN n ELSE 0 END)::BIGINT
+               AS users_extreme,
+             ${Quant.quant6Sql(
+               """sum(CASE WHEN e < 0.1 OR e > 0.9 THEN n ELSE 0 END)::DOUBLE
+                  / sum(n)::DOUBLE""")} AS share_extreme,
+             ${Quant.quant6Sql("min(e)")} AS e_min,
+             ${Quant.quant6Sql("max(e)")} AS e_max
+      FROM cells
     """))
   )
 }

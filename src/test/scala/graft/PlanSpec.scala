@@ -1205,7 +1205,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // models (4-row k-grid broadcast); the count tables, V×C grids
       // and holdout scoring are vocab-keyed shuffles — more exchanges
       // than a single-model fit, every one on a vocab-bounded relation.
-      "q320_learning_curve" -> (15, 0))
+      "q320_learning_curve" -> (15, 0),
+      // q321: checkpointed per-user item matrix → 1-row variance
+      // algebra. q322: user aggregate → click-count cells → 1 row.
+      "q321_cronbach_alpha" -> (1, 0),
+      "q322_positivity_audit" -> (3, 1))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

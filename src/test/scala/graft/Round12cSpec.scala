@@ -1026,4 +1026,48 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(accs.last >= accs.head - 1e-9,
       s"8-bucket model worse than 2-bucket: ${accs.toSeq}")
   }
+
+  test("q321: Cronbach's alpha matches item/total variances from a user fold") {
+    val items = Seq("view", "click", "purchase", "signup", "error")
+    val users = eventsRaw().groupBy(_._1).values.map { rs =>
+      items.map(i => rs.count(_._2 == i).toLong)
+    }.toSeq
+    val n = users.length
+    def varOf(xs: Seq[Long]): Double = {
+      val s = xs.sum.toDouble; val ss = xs.map(x => x.toDouble * x).sum
+      (ss - s * s / n) / (n - 1.0)
+    }
+    val itemVars = items.indices.map(i => varOf(users.map(_(i))))
+    val vt = varOf(users.map(_.sum))
+    val alpha = 5.0 / 4.0 * (1.0 - itemVars.sum / vt)
+    val row = run("q321_cronbach_alpha").collect().head
+    assert(row.getAs[Long]("n_users") == n.toLong)
+    assert(close(row.getAs[Double]("sum_item_var"), q6(itemVars.sum), 2e-6))
+    assert(close(row.getAs[Double]("total_var"), q6(vt), 2e-6))
+    assert(close(row.getAs[Double]("cronbach_alpha"), q6(alpha), 2e-6))
+  }
+
+  test("q322: positivity audit matches a per-cell fold of the q307 propensities") {
+    val users = eventsRaw().groupBy(_._1).toSeq.map { case (u, rs) =>
+      (u % 2, rs.count(e => e._2 == "click" && e._3 < cutUs).toLong)
+    }
+    val cells = users.groupBy(_._2).map { case (_, rs) =>
+      val n1 = rs.count(_._1 == 1L).toLong
+      val n0 = rs.count(_._1 == 0L).toLong
+      (n1, n0, n1 + n0, n1.toDouble / (n1 + n0))
+    }.toSeq
+    val nUsers = cells.map(_._3).sum
+    val oneSided = cells.filter(c => c._1 == 0 || c._2 == 0).map(_._3).sum
+    val extreme = cells.filter(c => c._4 < 0.1 || c._4 > 0.9).map(_._3).sum
+    val row = run("q322_positivity_audit").collect().head
+    assert(row.getAs[Long]("n_cells") == cells.length.toLong)
+    assert(row.getAs[Long]("n_users") == nUsers)
+    assert(row.getAs[Long]("users_one_sided") == oneSided)
+    assert(close(row.getAs[Double]("share_one_sided"),
+      q6(oneSided.toDouble / nUsers)))
+    assert(row.getAs[Long]("users_extreme") == extreme)
+    assert(close(row.getAs[Double]("share_extreme"), q6(extreme.toDouble / nUsers)))
+    assert(close(row.getAs[Double]("e_min"), q6(cells.map(_._4).min)))
+    assert(close(row.getAs[Double]("e_max"), q6(cells.map(_._4).max)))
+  }
 }
