@@ -2482,6 +2482,109 @@ object Evaluation extends QueryGroup {
              ${Quant.quant6Sql("min(e)")} AS e_min,
              ${Quant.quant6Sql("max(e)")} AS e_max
       FROM cells
+    """)),
+
+    // ------------------------------------------------------------ Benjamini-Hochberg FDR (round 12)
+    // Multiple-testing control for the metric-sweep workflow: a Welch
+    // z-test of account balance between the custkey-parity arms in
+    // EVERY nation (m=25 simultaneous hypotheses), then the BH
+    // step-up — flag the largest k with p_(k) ≤ k/m·α (α=0.1) and
+    // everything ranked below it. Φ is the Bowling logistic
+    // approximation 1/(1+e^(−1.702x)) (identical closed form on both
+    // engines — no erf anywhere); z comes from exact per-arm
+    // sufficient statistics. One customer scan → |nations|×2 cells;
+    // the rank/threshold windows run on the 25-row relation.
+    ("q323_bh_fdr", (s, d) => {
+      val alpha = 0.1
+      val cells = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"),
+          (col("c_custkey") % 2).cast("long").as("t"), col("c_acctbal").as("x"))
+        .groupBy("nk")
+        .agg(
+          sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("t") === 1L, col("x")).otherwise(0.0)).as("s1"),
+          sum(when(col("t") === 0L, col("x")).otherwise(0.0)).as("s0"),
+          sum(when(col("t") === 1L, col("x") * col("x")).otherwise(0.0)).as("ss1"),
+          sum(when(col("t") === 0L, col("x") * col("x")).otherwise(0.0)).as("ss0"))
+        // a nation needs >= 2 customers in EACH arm for a Welch variance;
+        // filtering (not NULLing) keeps the p-sort free of cross-engine
+        // NULL-ordering differences and makes m the testable count
+        .filter(col("n1") >= 2L && col("n0") >= 2L)
+        .withColumn("m1", col("s1") / col("n1").cast("double"))
+        .withColumn("m0", col("s0") / col("n0").cast("double"))
+        .withColumn("v1",
+          (col("ss1") - col("s1") * col("s1") / col("n1").cast("double"))
+            / (col("n1").cast("double") - 1.0))
+        .withColumn("v0",
+          (col("ss0") - col("s0") * col("s0") / col("n0").cast("double"))
+            / (col("n0").cast("double") - 1.0))
+        .withColumn("z",
+          (col("m1") - col("m0"))
+            / nullif(sqrt(col("v1") / col("n1").cast("double")
+                + col("v0") / col("n0").cast("double")), lit(0.0)))
+        .withColumn("p", lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(col("z")))))
+        .graftCheckpoint() // rank + threshold + output read the 25 rows
+      val m = cells.agg(count(lit(1)).as("m"))
+      val ranked = cells.crossJoin(broadcast(m))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("p"), col("nk"))).cast("long"))
+        .withColumn("bh_cut",
+          col("rank").cast("double") / col("m").cast("double") * alpha)
+      val kMax = ranked.filter(col("p") <= col("bh_cut"))
+        .agg(coalesce(max("rank"), lit(0L)).as("k_max"))
+      ranked.crossJoin(broadcast(kMax))
+        .join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n1"), col("n0"),
+          Quant.quant6(col("z")).as("z"),
+          Quant.quant6(col("p")).as("p_approx"),
+          col("rank"),
+          Quant.quant6(col("bh_cut")).as("bh_cutoff"),
+          (col("rank") <= col("k_max")).as("is_rejected"))
+        .orderBy("rank")
+    }, Some(s"""
+      WITH cells AS (
+        SELECT c_nationkey AS nk,
+               sum(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+               sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0.0 END) AS s1,
+               sum(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal ELSE 0.0 END) AS s0,
+               sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal * c_acctbal
+                        ELSE 0.0 END) AS ss1,
+               sum(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * c_acctbal
+                        ELSE 0.0 END) AS ss0
+        FROM customer GROUP BY 1),
+      st AS (
+        SELECT *, s1 / n1::DOUBLE AS m1, s0 / n0::DOUBLE AS m0,
+               (ss1 - s1 * s1 / n1::DOUBLE) / (n1::DOUBLE - 1.0) AS v1,
+               (ss0 - s0 * s0 / n0::DOUBLE) / (n0::DOUBLE - 1.0) AS v0
+        FROM cells
+        WHERE n1 >= 2 AND n0 >= 2),
+      zp AS (
+        SELECT *,
+               (m1 - m0) / nullif(sqrt(v1 / n1::DOUBLE + v0 / n0::DOUBLE), 0.0) AS z
+        FROM st),
+      pp AS (
+        SELECT *, 2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM zp),
+      mm AS (SELECT count(*)::BIGINT AS m FROM pp),
+      ranked AS (
+        SELECT pp.*, mm.m,
+               (row_number() OVER (ORDER BY p, nk))::BIGINT AS rank
+        FROM pp CROSS JOIN mm),
+      bh AS (
+        SELECT *, rank::DOUBLE / m::DOUBLE * 0.1 AS bh_cut FROM ranked),
+      km AS (
+        SELECT coalesce(max(rank), 0)::BIGINT AS k_max FROM bh WHERE p <= bh_cut)
+      SELECT n.n_name AS nation, b.n1, b.n0,
+             ${Quant.quant6Sql("b.z")} AS z,
+             ${Quant.quant6Sql("b.p")} AS p_approx,
+             b.rank,
+             ${Quant.quant6Sql("b.bh_cut")} AS bh_cutoff,
+             b.rank <= km.k_max AS is_rejected
+      FROM bh b
+      CROSS JOIN km
+      JOIN nation n ON b.nk = n.n_nationkey
+      ORDER BY b.rank
     """))
   )
 }

@@ -1209,7 +1209,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // q321: checkpointed per-user item matrix → 1-row variance
       // algebra. q322: user aggregate → click-count cells → 1 row.
       "q321_cronbach_alpha" -> (1, 0),
-      "q322_positivity_audit" -> (3, 1))
+      "q322_positivity_audit" -> (3, 1),
+      // q323: checkpointed |nations|-row test relation; rank window,
+      // step-up threshold, and the nation-name join all 25-row work.
+      "q323_bh_fdr" -> (2, 1)) // the 1 scan is the 25-row nation dim
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

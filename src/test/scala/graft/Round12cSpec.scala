@@ -1070,4 +1070,48 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(close(row.getAs[Double]("e_min"), q6(cells.map(_._4).min)))
     assert(close(row.getAs[Double]("e_max"), q6(cells.map(_._4).max)))
   }
+
+  test("q323: BH step-up matches a textbook walk over sorted p-values") {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0) % 2, r.getInt(1), r.getDouble(2)))
+    val byNation = cust.groupBy(_._2).toSeq
+      .filter { case (_, rs) => // testable: >= 2 customers in EACH arm
+        rs.count(_._1 == 1L) >= 2 && rs.count(_._1 == 0L) >= 2
+      }
+      .map { case (nk, rs) =>
+        def stats(arm: Long) = {
+          val xs = rs.filter(_._1 == arm).map(_._3)
+          val n = xs.length
+          val m = xs.sum / n
+          (n.toLong, m, (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / (n - 1.0))
+        }
+        val (n1, m1, v1) = stats(1L); val (n0, m0, v0) = stats(0L)
+        val z = (m1 - m0) / math.sqrt(v1 / n1 + v0 / n0)
+        (nk, n1, n0, z, 2.0 / (1.0 + math.exp(1.702 * math.abs(z))))
+      }
+    val m = byNation.length
+    val sorted = byNation.sortBy(r => (r._5, r._1))
+    // textbook step-up: scan from the LARGEST rank down for the first
+    // p_(k) <= k/m*alpha; everything at or below that rank rejects
+    val kMax = (m to 1 by -1).find(k => sorted(k - 1)._5 <= k.toDouble / m * 0.1)
+      .getOrElse(0)
+    val nations = Tables.nation(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val got = run("q323_bh_fdr").collect()
+    assert(got.length == m)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (nk, n1, n0, z, p) = sorted(i)
+      assert(r.getAs[String]("nation") == nations(nk), s"rank ${i + 1} order")
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n0") == n0)
+      assert(close(r.getAs[Double]("z"), q6(z), 2e-6))
+      assert(close(r.getAs[Double]("p_approx"), q6(p), 2e-6))
+      assert(r.getAs[Long]("rank") == i + 1L)
+      assert(r.getAs[Boolean]("is_rejected") == (i + 1 <= kMax),
+        s"rank ${i + 1}: rejection flag (kMax=$kMax)")
+    }
+    // BH coherence: rejections are a prefix of the p-sorted order
+    val flags = got.map(_.getAs[Boolean]("is_rejected"))
+    assert(!flags.dropWhile(identity).contains(true), "rejections not a prefix")
+  }
 }
