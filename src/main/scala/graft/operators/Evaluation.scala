@@ -2519,6 +2519,11 @@ object Evaluation extends QueryGroup {
         .withColumn("v0",
           (col("ss0") - col("s0") * col("s0") / col("n0").cast("double"))
             / (col("n0").cast("double") - 1.0))
+        // both arms zero-variance ⇒ nullif makes z (hence p) NULL, and
+        // Spark's rank window sorts NULLs FIRST while DuckDB sorts them
+        // LAST — ranks/bh_cut/is_rejected would silently diverge (ADVICE
+        // r12). An untestable cell is excluded like the n<2 ones above.
+        .filter(col("v1") + col("v0") > 0.0)
         .withColumn("z",
           (col("m1") - col("m0"))
             / nullif(sqrt(col("v1") / col("n1").cast("double")
@@ -2563,7 +2568,8 @@ object Evaluation extends QueryGroup {
       zp AS (
         SELECT *,
                (m1 - m0) / nullif(sqrt(v1 / n1::DOUBLE + v0 / n0::DOUBLE), 0.0) AS z
-        FROM st),
+        FROM st
+        WHERE v1 + v0 > 0),
       pp AS (
         SELECT *, 2.0 / (1.0 + exp(1.702 * abs(z))) AS p FROM zp),
       mm AS (SELECT count(*)::BIGINT AS m FROM pp),

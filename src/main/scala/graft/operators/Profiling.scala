@@ -1239,10 +1239,22 @@ object Profiling extends QueryGroup {
       val base = firsts.crossJoin(broadcast(maxD))
         .withColumn("obs_k", expr("datediff(maxd, cohort)").cast("long"))
         .groupBy("cohort").agg(count(lit(1)).as("n_0"), max("obs_k").as("obs_k"))
-      val rates = aged.join(base, "cohort")
-        .filter(col("k") <= col("obs_k")) // censoring: cohort must be old enough
+      // the (cohort, k) grid comes from `base` (every k the cohort is old
+      // enough to observe), NOT from `aged`: an inner aged⋈base join drops
+      // a cohort from age k's DENOMINATOR whenever it retained zero users
+      // at that k, biasing every rate — and the fitted half-life — upward
+      // (ADVICE r12). LEFT JOIN + coalesce(n_k, 0) counts those cohorts'
+      // eligibility with zero retention. grid is ≤7 rows per cohort.
+      val grid = base.filter(col("obs_k") >= 1L)
+        .withColumn("k", explode(sequence(lit(1L), least(lit(7L), col("obs_k")))))
+      val rates = grid.join(aged, Seq("cohort", "k"), "left")
         .groupBy("k")
-        .agg(sum("n_k").as("retained"), sum("n_0").as("eligible"))
+        .agg(sum(coalesce(col("n_k"), lit(0L))).as("retained"),
+             sum("n_0").as("eligible"))
+        // a k with zero retained pool-wide has no finite ln(rate); drop it
+        // from the fit identically on both engines (DuckDB ln(0) errors,
+        // Spark log(0) nulls — neither belongs in the OLS sums)
+        .filter(col("retained") > 0L)
         .withColumn("lr", log(col("retained").cast("double") / col("eligible")))
       val slope = (col("n_pts") * col("sky") - col("sk") * col("sy")) /
         (col("n_pts") * col("skk") - col("sk") * col("sk")).cast("double")
@@ -1271,12 +1283,19 @@ object Profiling extends QueryGroup {
                max(datediff('day', f.cohort, m.maxd)) AS obs_k
         FROM firsts f CROSS JOIN maxd m
         GROUP BY 1),
+      grid AS (
+        SELECT b.cohort, gs.k, b.n_0
+        FROM base b
+        JOIN (SELECT unnest(generate_series(1, 7))::BIGINT AS k) gs
+          ON gs.k <= b.obs_k
+        WHERE b.obs_k >= 1),
       rates AS (
-        SELECT a.k, sum(a.n_k)::BIGINT AS retained, sum(b.n_0)::BIGINT AS eligible,
-               ln(sum(a.n_k)::DOUBLE / sum(b.n_0)) AS lr
-        FROM aged a JOIN base b USING (cohort)
-        WHERE a.k <= b.obs_k
-        GROUP BY 1),
+        SELECT g.k, sum(coalesce(a.n_k, 0))::BIGINT AS retained,
+               sum(g.n_0)::BIGINT AS eligible,
+               ln(sum(coalesce(a.n_k, 0))::DOUBLE / sum(g.n_0)) AS lr
+        FROM grid g LEFT JOIN aged a ON a.cohort = g.cohort AND a.k = g.k
+        GROUP BY 1
+        HAVING sum(coalesce(a.n_k, 0)) > 0),
       fit AS (
         SELECT count(*)::BIGINT AS n_pts, sum(k)::BIGINT AS sk, sum(lr) AS sy,
                sum(k * lr) AS sky, sum(k * k)::BIGINT AS skk

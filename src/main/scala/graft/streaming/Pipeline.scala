@@ -33,7 +33,12 @@ import org.apache.spark.sql.types.StructType
   *                      (documented below); both need the RocksDB
   *                      state store, which start() configures.
   *   --k                topk's k (default 3)
-  *   --window-ms        processor sliding window in ms (default 1h)
+  *   --window-ms        topk/distinct sliding window in ms (default 1h)
+  *   --idle-ms          ewma's state-idle TTL in ms — how long a silent
+  *                      metric key keeps its gauge (n_seen, mean,
+  *                      variance) before eviction resets it (default
+  *                      24h, matching EwmaMonitor.scored; ADVICE r12 —
+  *                      this used to silently reuse --window-ms's 1h)
   *   --watermark        event-time watermark delay (default "0 seconds")
   *
   * Unlike the reference's recovery factory (which re-opened the stream
@@ -55,6 +60,7 @@ object Pipeline {
                     processor: String = "none",
                     k: Int = 3,
                     windowMs: Long = 3600L * 1000L,
+                    idleMs: Long = 24L * 3600L * 1000L,
                     watermark: String = "0 seconds")
 
   /** Value payload DDL each processor expects on the wire. */
@@ -64,7 +70,7 @@ object Pipeline {
 
   private val valueFlags = Set("--name", "--source-dir", "--value-schema",
     "--checkpoint-folder", "--batch-period", "--max-file-age", "--sink", "--out", "--max-files",
-    "--processor", "--k", "--window-ms", "--watermark")
+    "--processor", "--k", "--window-ms", "--idle-ms", "--watermark")
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -81,6 +87,7 @@ object Pipeline {
       case "--processor" :: v :: t         => loop(t, c.copy(processor = v))
       case "--k" :: v :: t                 => loop(t, c.copy(k = v.toInt))
       case "--window-ms" :: v :: t         => loop(t, c.copy(windowMs = v.toLong))
+      case "--idle-ms" :: v :: t           => loop(t, c.copy(idleMs = v.toLong))
       case "--watermark" :: v :: t         => loop(t, c.copy(watermark = v))
       case Nil                             => c
       case flag :: Nil if valueFlags(flag) => sys.error(s"missing value for $flag")
@@ -148,7 +155,7 @@ object Pipeline {
         EwmaMonitor.scored(
           decoded.withWatermark("ts", c.watermark)
             .as[EwmaMonitor.MetricEvent](org.apache.spark.sql.Encoders.product),
-          idleMs = c.windowMs).toDF()
+          idleMs = c.idleMs).toDF()
       case _ => decoded
     }
     RecordStream.startSink(staged, c.sink, c.name, c.checkpoint, c.batchPeriodMs,

@@ -139,6 +139,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       "--processor", "topk", "--k", "1", "--window-ms", (24L * 3600 * 1000).toString)
     val c = Pipeline.parse(argv)
     assert(c.processor == "topk" && c.k == 1 && c.windowMs == 24L * 3600 * 1000)
+    // ewma's idle TTL is its OWN flag with EwmaMonitor's 24h default —
+    // --window-ms must not silently shorten gauge retention (ADVICE r12)
+    assert(c.idleMs == 24L * 3600 * 1000)
+    assert(Pipeline.parse(argv ++ Seq("--idle-ms", "60000")).idleMs == 60000L)
     intercept[IllegalArgumentException](Pipeline.parse(
       Seq("--source-dir", src, "--checkpoint-folder", ck, "--processor", "bogus")))
     def write(n: String, id: Long, hour: Int, v: Double): Unit =
