@@ -226,6 +226,40 @@ object Sessions extends QueryGroup {
           when(col("view_ts").isNotNull,
                unix_micros(col("click_ts")) - unix_micros(col("view_ts"))))
         .orderBy("click_id")
+    }),
+
+    // ------------------------------------------------------------ broadcast-right as-of join (round 13)
+    // q264's exact semantics (same DuckDB ASOF LEFT JOIN oracle)
+    // through the engine's SECOND as-of physical strategy:
+    // graft.plans.BroadcastAsOfJoinExec. The dominant 100 TB shape is
+    // a fact side as-of-joining a dimension that fits in memory
+    // (feature snapshots, SCD2 stamps); the merge exec (q264) is
+    // correct there but shuffles AND sorts the fact side. This plan
+    // requires NOTHING of the left child — the click scan flows
+    // straight into the probe with zero exchange and zero sort
+    // (PlanSpec/AsOfSpec assert it) — while the view dimension is
+    // collected, sorted once on the driver into an AsOfIndex
+    // (HashedRelationBroadcastMode pattern) and broadcast; each task
+    // probes at O(log |dim|) per row. At 1000 executors this removes
+    // the fact-side exchange — the single biggest cost of q264's plan.
+    "q324_broadcast_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_id"))
+        .select(col("v_user"), col("view_ts"), col("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("click_ts"))
+      graft.plans.AsOf.leftAsOfBroadcast(clicks, views,
+          leftKeyCol = "c_user", rightKeyCol = "v_user",
+          leftTsCol = "click_ts", rightTsCol = "view_ts")
+        .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+                col("view_id"), col("view_ts"))
+        .withColumn("lag_us",
+          when(col("view_ts").isNotNull,
+               unix_micros(col("click_ts")) - unix_micros(col("view_ts"))))
+        .orderBy("click_id")
     })
   )
 
@@ -316,6 +350,25 @@ object Sessions extends QueryGroup {
     """.trim,
 
     "q264_native_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, ts::TIMESTAMP AS view_ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+             CASE WHEN v.view_ts IS NOT NULL
+                  THEN epoch_us(c.click_ts) - epoch_us(v.view_ts) END AS lag_us
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+      ORDER BY click_id
+    """.trim,
+
+    // identical semantics to q264 — only the physical strategy differs,
+    // which is exactly what sharing the independent DuckDB ASOF oracle
+    // proves: both plans compute the same relation.
+    "q324_broadcast_asof_join" -> """
       WITH v AS (
         SELECT user_id, ts::TIMESTAMP AS view_ts, max(event_id) AS view_id
         FROM events WHERE event_type = 'view' GROUP BY 1, 2

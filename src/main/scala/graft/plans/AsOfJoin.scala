@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, BroadcastMode, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.functions.col
@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTs: Attribute, rightTs: Attribute) extends BinaryNode {
+    leftTs: Attribute, rightTs: Attribute,
+    broadcastRight: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -53,15 +54,17 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]. Injected by
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]] (co-partitioned merge) or
+  * [[BroadcastAsOfJoinExec]] (dimension-broadcast probe). Injected by
   * [[graft.GraftExtensions]] (`injectPlannerStrategy`) and, for
   * sessions not built with the extension, lazily via
   * `experimental.extraStrategies` in [[AsOf.leftAsOf]].
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, bcast) =>
+      if (bcast) BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -145,6 +148,121 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** BroadcastMode that sorts the right side by (key, ts) ONCE on the
+  * driver — the sorted `Array[InternalRow]` IS the index (one of the
+  * two payload types `BroadcastExchangeExec` accepts; a custom class
+  * trips its size-accounting whitelist). Rows with a NULL key or ts
+  * can never satisfy the `<=` horizon and are dropped at build. Rows
+  * are copied: the collect iterator reuses one UnsafeRow buffer.
+  * Probes binary-search the array reading (key, ts) through the same
+  * ordinals — no per-task rebuild, no per-key sub-structure.
+  */
+case class AsOfIndexMode(keyOrd: Int, tsOrd: Int) extends BroadcastMode {
+  override def transform(rows: Array[InternalRow]): Array[InternalRow] =
+    transform(rows.iterator, Some(rows.length.toLong))
+  override def transform(rows: Iterator[InternalRow],
+                         sizeHint: Option[Long]): Array[InternalRow] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    sizeHint.foreach(n => buf.sizeHint(math.min(n, Int.MaxValue.toLong).toInt))
+    rows.foreach { r =>
+      if (!r.isNullAt(keyOrd) && !r.isNullAt(tsOrd)) buf += r.copy()
+    }
+    buf.sortInPlace()(Ordering.by(r => (r.getLong(keyOrd), r.getLong(tsOrd))))
+    buf.toArray
+  }
+  // ordinals are positional (no exprIds to normalize) — identity
+  // canonical form lets EnsureRequirements reuse an identical exchange
+  override def canonicalized: BroadcastMode = this
+
+  /** Newest row in the (key, ts)-sorted `index` with key == k and
+    * ts <= t, or null.
+    */
+  def lookup(index: Array[InternalRow], k: Long, t: Long): InternalRow = {
+    var lo = 0
+    var hi = index.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mk = index(mid).getLong(keyOrd)
+      if (mk < k || (mk == k && index(mid).getLong(tsOrd) <= t)) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans >= 0 && index(ans).getLong(keyOrd) == k) index(ans) else null
+  }
+}
+
+/** Broadcast-right as-of join: the dominant production shape — a huge
+  * fact side (clicks, ticks, feature requests) point-in-time joining a
+  * dimension that fits in memory (SCD2 stamps, feature snapshots).
+  * [[AsOfJoinExec]] is correct there but pays a full shuffle + sort of
+  * the 100 TB fact side; this operator requires NOTHING of the left
+  * child (`UnspecifiedDistribution`, no ordering) and
+  * `BroadcastDistribution(AsOfIndexMode)` of the right, so the fact
+  * side flows straight from the scan — zero exchange, zero sort — and
+  * each task probes the driver-built sorted index at O(log |dim|) per
+  * row. Output preserves the left side's partitioning AND ordering
+  * verbatim. The caller asserts the right side fits in executor
+  * memory, exactly like a `broadcast()` join hint.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  private def rightOrd(a: Attribute): Int = {
+    val i = right.output.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"as-of attribute $a not found in right child output")
+    i
+  }
+  private def indexMode: AsOfIndexMode =
+    AsOfIndexMode(rightOrd(rightKey), rightOrd(rightTs))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(indexMode) :: Nil
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0,
+      s"as-of key/ts attributes not found in left child output: $leftKey/$leftTs")
+    val outAttrs = output
+    val rightArity = right.output.length
+    val rowsMetric = longMetric("numOutputRows")
+    val matchedMetric = longMetric("numMatched")
+    val mode = indexMode
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val index = bcast.value
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight: InternalRow = new GenericInternalRow(rightArity)
+      lIter.map { l =>
+        rowsMetric += 1
+        if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) proj(joined(l, nullRight))
+        else {
+          val m = mode.lookup(index, l.getLong(lkOrd), l.getLong(ltOrd))
+          if (m != null) { matchedMetric += 1; proj(joined(l, m)) }
+          else proj(joined(l, nullRight))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** User API for the native as-of join. */
 object AsOf {
 
@@ -155,7 +273,26 @@ object AsOf {
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKeyCol: String, rightKeyCol: String,
-               leftTsCol: String, rightTsCol: String): DataFrame = {
+               leftTsCol: String, rightTsCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
+      broadcastRight = false)
+
+  /** [[leftAsOf]] forcing the broadcast-right physical plan: the right
+    * side is collected, sorted into an [[AsOfIndex]] on the driver and
+    * broadcast; the left side needs no exchange and no sort. Use when
+    * the right side fits in executor memory (the `broadcast()` hint
+    * contract); identical semantics to [[leftAsOf]].
+    */
+  def leftAsOfBroadcast(left: DataFrame, right: DataFrame,
+                        leftKeyCol: String, rightKeyCol: String,
+                        leftTsCol: String, rightTsCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
+      broadcastRight = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    leftKeyCol: String, rightKeyCol: String,
+                    leftTsCol: String, rightTsCol: String,
+                    broadcastRight: Boolean): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
@@ -178,6 +315,7 @@ object AsOf {
         s"as-of $what `${a.name}` must be bigint or timestamp, got $other")
     }
     checkType(lk, "key"); checkType(rk, "key"); checkType(lt, "ts"); checkType(rt, "ts")
-    GraftSqlBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+    GraftSqlBridge.ofRows(spark,
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, broadcastRight))
   }
 }

@@ -38,10 +38,13 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
                  if (l._2 == null) -1L else l._2.longValue, l._3, None))
 
   private def runAsOf(left: Seq[(java.lang.Long, java.lang.Long, String)],
-                      right: Seq[(java.lang.Long, java.lang.Long, String)]): Set[(Long, Long, String, Option[String])] = {
+                      right: Seq[(java.lang.Long, java.lang.Long, String)],
+                      broadcast: Boolean = false): Set[(Long, Long, String, Option[String])] = {
     val l = mk(left, "k", "lts", "ltag")
     val r = mk(right, "rk", "rts", "rtag")
-    AsOf.leftAsOf(l, r, "k", "rk", "lts", "rts").collect().map { row =>
+    val join = if (broadcast) AsOf.leftAsOfBroadcast(l, r, "k", "rk", "lts", "rts")
+               else AsOf.leftAsOf(l, r, "k", "rk", "lts", "rts")
+    join.collect().map { row =>
       (if (row.isNullAt(0)) -1L else row.getLong(0),
        if (row.isNullAt(1)) -1L else row.getLong(1),
        row.getString(2),
@@ -67,12 +70,15 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
     // pre-dedup) — drop the (2,14)/(2,15) ambiguity by keeping distinct ts
     val rightClean = right.filterNot(r => r._3 == "r_a")
     assert(runAsOf(left, rightClean) == brute(left, rightClean))
+    assert(runAsOf(left, rightClean, broadcast = true) == brute(left, rightClean),
+      "broadcast path diverged from brute force")
   }
 
   test("as-of with empty right side leaves every left row unmatched") {
     val left = Seq[(java.lang.Long, java.lang.Long, String)]((1L, 1L, "a"), (2L, 2L, "b"))
-    assert(runAsOf(left, Seq.empty) ==
-      Set((1L, 1L, "a", None), (2L, 2L, "b", None)))
+    for (b <- Seq(false, true))
+      assert(runAsOf(left, Seq.empty, broadcast = b) ==
+        Set((1L, 1L, "a", None), (2L, 2L, "b", None)), s"broadcast=$b")
   }
 
   test("as-of survives many keys across partition boundaries") {
@@ -83,14 +89,43 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
       yield (java.lang.Long.valueOf(k), java.lang.Long.valueOf(t), s"l$k-$t")
     val right = for (k <- 0L until 500L; t <- Seq(0L, 10L, 20L))
       yield (java.lang.Long.valueOf(k), java.lang.Long.valueOf(t), s"r$k-$t")
-    val got = runAsOf(left.toSeq, right.toSeq)
     val expect = left.map { case (k, t, tag) =>
       val m = t.longValue match {
         case 5L => "0"; case 10L => "10"; case 15L => "10"; case 25L => "20"
       }
       (k.longValue, t.longValue, tag, Some(s"r$k-$m"))
     }.toSet
-    assert(got == expect)
+    assert(runAsOf(left.toSeq, right.toSeq) == expect)
+    assert(runAsOf(left.toSeq, right.toSeq, broadcast = true) == expect,
+      "broadcast path diverged on the multi-partition fixture")
+  }
+
+  test("broadcast as-of: fact side gets zero exchange and zero sort (q324)") {
+    // AQE wraps stages in QueryStageExec nodes that hide the tree from
+    // collect(); the static EnsureRequirements pass places the same
+    // exchanges, so pin the shape with AQE off (the brute-force tests
+    // above exercise the operator under AQE).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val p = SparkEntry.queries("q324_broadcast_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan
+    val execs = p.collect {
+      case b: graft.plans.BroadcastAsOfJoinExec => b }
+    assert(execs.nonEmpty, s"BroadcastAsOfJoin missing from plan:\n$p")
+    val factSide = execs.head.left
+    val factShuffles = factSide.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(factShuffles.isEmpty,
+      s"fact side must flow straight from the scan — found ${factShuffles.map(_.nodeName)}:\n$p")
+    val dimBroadcast = execs.head.right.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e }
+    assert(dimBroadcast.nonEmpty, s"dimension side must broadcast the AsOfIndex:\n$p")
+    assert(dimBroadcast.head.mode.isInstanceOf[graft.plans.AsOfIndexMode],
+      s"broadcast must carry the driver-built sorted index, got ${dimBroadcast.head.mode}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q264 plans the native AsOfJoin node — no Window, no Union, no pair join") {

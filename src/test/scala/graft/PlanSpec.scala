@@ -1212,7 +1212,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q322_positivity_audit" -> (3, 1),
       // q323: checkpointed |nations|-row test relation; rank window,
       // step-up threshold, and the nation-name join all 25-row work.
-      "q323_bh_fdr" -> (2, 1)) // the 1 scan is the 25-row nation dim
+      "q323_bh_fdr" -> (2, 1), // the 1 scan is the 25-row nation dim
+      // q324 (round 13): the ONLY hash exchange is the view-dedup
+      // aggregate on the dimension side — the fact side reaches
+      // BroadcastAsOfJoinExec with zero exchange and zero sort
+      // (AsOfSpec pins the subtree shape; here we pin the total).
+      "q324_broadcast_asof_join" -> (1, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
