@@ -29,7 +29,8 @@ object SparkEntry {
     operators.Graph,
     operators.Training,
     operators.Quality,
-    operators.Evaluation)
+    operators.Evaluation,
+    sources.SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

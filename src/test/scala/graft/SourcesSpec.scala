@@ -147,4 +147,150 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val expected = Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1995).count()
     assert(back.count() == expected)
   }
+
+  // ------------------------------------------------------------ DSv2 frame source (round 13)
+
+  private val frameSchema =
+    """{"type":"record","name":"rec","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":["null","string"]},
+      |{"name":"score","type":"double"},
+      |{"name":"payload","type":"bytes"}
+      |]}""".stripMargin
+
+  private def writeFrames(dir: String, rows: Seq[(Long, Option[String], Double, Array[Byte])],
+                          schemaId: Int = 7, file: String = "segment-0.bin",
+                          extraJunk: Seq[Array[Byte]] = Nil): Unit = {
+    import graft.sources.AvroFrames
+    val schema = new org.apache.avro.Schema.Parser().parse(frameSchema)
+    val frames = rows.map { case (id, name, score, payload) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", id); r.put("name", name.orNull); r.put("score", score)
+      r.put("payload", java.nio.ByteBuffer.wrap(payload))
+      AvroFrames.frameRecord(schemaId, r)
+    } ++ extraJunk
+    AvroFrames.writeSegment(new java.io.File(dir, file), frames.iterator)
+  }
+
+  test("DSv2 frame source: framed-Avro round trip with nullable union and bytes") {
+    val dir = tmp("frames-rt")
+    val rows = Seq(
+      (1L, Some("ann"), 1.5, Array[Byte](1, 2)),
+      (2L, None, -3.0, Array[Byte]()),
+      (3L, Some("bob"), 0.0, Array[Byte](9)))
+    writeFrames(dir, rows)
+    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score", "payload"))
+    assert(df.schema("name").nullable && !df.schema("id").nullable)
+    val got = df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getDouble(2), r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1).toSeq
+    assert(got == rows.map(r => (r._1, r._2, r._3, r._4.toSeq)))
+  }
+
+  test("DSv2 frame source: filter and projection are pushed into the scan") {
+    val dir = tmp("frames-push")
+    writeFrames(dir, (1L to 50L).map(i =>
+      (i, Some(s"u$i"), i.toDouble, Array[Byte](i.toByte))))
+    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+      .filter(col("score") >= 40.0 && col("name").isNotNull)
+      .select("id")
+    // the scan node's description must carry BOTH the pruned schema
+    // and the accepted filters — proof they reached the source
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AvroFrameScan"), s"DSv2 scan missing:\n$plan")
+    assert(plan.contains("PushedFilters=[") && plan.contains("GreaterThanOrEqual(score,40.0)"),
+      s"score filter not pushed:\n$plan")
+    assert(plan.contains("IsNotNull(name)"), s"null filter not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (40L to 50L))
+  }
+
+  test("DSv2 frame source: pushed filters drop frames BEFORE row materialization") {
+    // drive the partition reader directly and count what crosses the
+    // scan boundary — with the filter pushed, only matching frames
+    // become rows
+    import graft.sources.{AvroFrameReader, AvroFrames}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val dir = tmp("frames-boundary")
+    writeFrames(dir, (1L to 100L).map(i =>
+      (i, Some(s"u$i"), i.toDouble, Array[Byte]())))
+    val file = new java.io.File(dir, "segment-0.bin").getAbsolutePath
+    def countRows(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val r = new AvroFrameReader(file, frameSchema, 7, Array("id"), filters)
+      var n = 0L
+      while (r.next()) n += 1
+      r.close(); n
+    }
+    assert(countRows(Array.empty) == 100L)
+    assert(countRows(Array(GreaterThanOrEqual("score", 90.0))) == 11L)
+  }
+
+  test("DSv2 frame source: unsupported filters stay post-scan and results remain exact") {
+    val dir = tmp("frames-unsup")
+    writeFrames(dir, Seq((1L, Some("alpha"), 1.0, Array[Byte]()),
+      (2L, Some("beta"), 2.0, Array[Byte]()), (3L, None, 3.0, Array[Byte]())))
+    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+      .filter(col("name").endsWith("a") && col("score") <= 2.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(score,2.0)"), s"comparison should push:\n$plan")
+    assert(!plan.contains("PushedFilters=[StringEndsWith") &&
+           plan.contains("Filter"), s"EndsWith must stay post-scan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("DSv2 frame source: malformed frames are counted and skipped, not fatal") {
+    import graft.sources.AvroFrameReader
+    import graft.streaming.AvroRecords
+    val dir = tmp("frames-bad")
+    val schema = new org.apache.avro.Schema.Parser().parse(frameSchema)
+    def good(id: Long): Array[Byte] = {
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", id); r.put("name", null); r.put("score", 0.0)
+      r.put("payload", java.nio.ByteBuffer.wrap(Array[Byte]()))
+      graft.sources.AvroFrames.frameRecord(7, r)
+    }
+    val junk = Seq(
+      Array[Byte](1, 0, 0, 0, 7),                        // wrong magic
+      AvroRecords.frame(99, Array[Byte](2)),             // unknown schema id
+      AvroRecords.frame(7, Array[Byte](0x7f.toByte)))    // truncated body
+    writeFrames(dir, Nil, extraJunk = Seq(good(1L)) ++ junk ++ Seq(good(2L)))
+    val file = new java.io.File(dir, "segment-0.bin").getAbsolutePath
+    val r = new AvroFrameReader(file, frameSchema, 7, Array("id"), Array.empty)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (r.next()) ids += r.get().getLong(0)
+    r.close()
+    assert(ids.toSeq == Seq(1L, 2L), s"good frames must survive junk: $ids")
+    assert(r.malformed == 3L, s"malformed count: ${r.malformed}")
+  }
+
+  test("DSv2 frame source: one input partition per segment file (split parallelism)") {
+    val dir = tmp("frames-splits")
+    for (seg <- 0 until 5)
+      writeFrames(dir, Seq((seg.toLong, Some(s"s$seg"), 0.0, Array[Byte]())),
+        file = f"segment-$seg%d.bin")
+    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+    assert(df.rdd.getNumPartitions == 5, "expected one split per segment")
+    assert(df.count() == 5L)
+  }
+
+  test("q325 reads the events fixture through the connector with pushdown") {
+    val df = SparkEntry.queries("q325_avro_frame_source")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AvroFrameScan"), s"q325 must scan through the connector:\n$plan")
+    assert(plan.contains("EqualTo(event_type,click)") &&
+           plan.contains("GreaterThanOrEqual(value,100.0)"),
+      s"q325 filters must push into the source:\n$plan")
+    assert(plan.contains("ReadSchema=[user_id,value,ts_us]") ||
+           plan.contains("ReadSchema=[ts_us,user_id,value]") ||
+           plan.contains("ReadSchema=[user_id,ts_us,value]"),
+      s"q325 projection must prune event_id/event_type at the source:\n$plan")
+    assert(df.count() > 0)
+  }
 }
