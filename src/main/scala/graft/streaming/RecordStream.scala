@@ -67,6 +67,44 @@ object RecordStream {
     r.json(dir)
   }
 
+  /** The Kafka source's EXACT output schema (SURVEY §1.4; what
+    * `spark.readStream.format("kafka")` emits the day its connector
+    * jar lands in this environment) — the conformance contract the
+    * file transport is held to by KafkaContractSpec. Field names,
+    * types, and order are all part of the contract.
+    */
+  val kafkaEnvelope: StructType = new StructType()
+    .add("key", BinaryType)
+    .add("value", BinaryType)
+    .add("topic", StringType)
+    .add("partition", IntegerType)
+    .add("offset", LongType)
+    .add("timestamp", TimestampType)
+    .add("timestampType", IntegerType)
+
+  /** Adapt a Kafka-schema stream (`[[kafkaEnvelope]]`: binary key/value
+    * + timestampType) to the engine envelope for a JSON-transport
+    * topic: key/value cast utf8→string, timestampType dropped. With
+    * this, swapping the file transport for the real broker is ONE
+    * line — `fromKafkaShape(spark.readStream.format("kafka")…load())`
+    * in place of `jsonDirSource(...)` — and everything downstream
+    * (parseValues, processors, sinks, checkpoints) is already tested.
+    */
+  def fromKafkaShape(records: DataFrame): DataFrame =
+    records.select(col("key").cast(StringType).as("key"),
+      col("value").cast(StringType).as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** [[fromKafkaShape]] for a Confluent-framed Avro topic: the binary
+    * value decodes through [[AvroRecords.avroJson]] (magic byte +
+    * schema id + Avro body → spec-compliant JSON) against the
+    * caller-supplied registry, then rides the same JSON envelope.
+    */
+  def fromKafkaShapeAvro(records: DataFrame, registry: Map[Int, String]): DataFrame =
+    records.select(col("key").cast(StringType).as("key"),
+      AvroRecords.avroJson(col("value"), registry).as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
   /** O2 equivalent: deserialize the value payload against an explicit
     * schema (the registry fetch of `Processor.java:128-130` becomes a
     * caller-supplied StructType) and flatten it next to the key.
