@@ -104,8 +104,12 @@ object Bench {
     println(json)
     // stdout interleaves with Spark logging under some runners and the
     // round-3 artifact lost its head to truncation — persist the full
-    // line as a file too
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // line as a file too. Dev-loop runs (SPARK_GRAFT_ONLY set) default
+    // to a SEPARATE file: a filtered run writing bench_out.json has
+    // twice replaced the committed full-surface artifact by accident
+    // (r11's stream-only overwrite; r13's as-of/DSv2 spot-checks).
+    val defaultOut = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     // The driver's round artifact keeps only the LAST ~2000 chars of
     // stdout; with 163 queries the full line above is ~6 KB, so every

@@ -123,6 +123,27 @@ object Tables {
     def graftCheckpoint(): DataFrame = checkpointed(df)
   }
 
+  /** [[checkpointed]] that also computes `metrics` (aggregate
+    * expressions) as OBSERVED side outputs of the checkpoint's own
+    * materialization job — `Dataset.observe` + `Observation`, consumed
+    * by the iterative family so each round is ONE job (step +
+    * convergence witness fused) instead of a step job plus a separate
+    * witness aggregate over the checkpointed result (VERDICT r12 item
+    * 4). At sf0.1 that saves a scheduling round-trip per iteration; on
+    * a 1000-executor cluster it removes one cluster-wide barrier per
+    * round. Returns the checkpointed frame (lineage truncated; the
+    * CollectMetrics node is consumed by the checkpoint and not
+    * replayed downstream) and the metric values by alias.
+    */
+  def checkpointedObserved(df: DataFrame,
+                           metrics: Seq[org.apache.spark.sql.Column]): (DataFrame, Map[String, Any]) = {
+    require(metrics.nonEmpty, "checkpointedObserved needs at least one metric")
+    val obs = org.apache.spark.sql.Observation()
+    val cp = checkpointed(df.observe(obs, metrics.head, metrics.tail: _*))
+    (cp, obs.get) // get blocks only for the async listener post — the
+                  // checkpoint action itself already completed
+  }
+
   /** Fan a scan out to the session's shuffle parallelism before
     * CPU-heavy per-row work (tokenize+hash, per-pair dot products) —
     * but ONLY when the scan itself yields fewer partitions. A small or

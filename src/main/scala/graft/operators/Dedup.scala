@@ -196,22 +196,27 @@ object Dedup extends QueryGroup {
     val pairs = minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // checkpointed: round 1 reads `labels` on BOTH sides (nbrMin build
-    // and the least() update) — without it the distinct runs twice
+    // checkpointed (via cpWitnessed below): round 1 reads `labels` on
+    // BOTH sides (nbrMin build and the least() update) — without it
+    // the distinct runs twice
     val labels0 = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .graftCheckpoint()
-    Iterative.convergeOn(labels0, cap) { labels =>
+    // witness observed inside each round's checkpoint job — one
+    // barrier per round (round 13; see convergedComponents)
+    val witnessCols = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum("label"), lit(0L)).as("s"),
+      coalesce(expr("bit_xor(label)"), lit(0L)).as("x"))
+    def cpWitnessed(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val (cp, m) = Tables.checkpointedObserved(df, witnessCols)
+      (cp, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long],
+        m("x").asInstanceOf[Long]))
+    }
+    Iterative.convergeWitnessed(cpWitnessed(labels0), cap) { labels =>
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min("label").as("nbr_label"))
-      labels.join(nbrMin, col("doc_id") === col("src"))
-        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label"))
-        .graftCheckpoint()
-    } { labels =>
-      val r = labels.agg(
-        count(lit(1)), coalesce(sum("label"), lit(0L)),
-        coalesce(expr("bit_xor(label)"), lit(0L))).head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      cpWitnessed(labels.join(nbrMin, col("doc_id") === col("src"))
+        .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label")))
     }
   }
 

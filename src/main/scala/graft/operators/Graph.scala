@@ -94,16 +94,22 @@ object Graph extends QueryGroup {
     // (edges are symmetric, so src covers every node)
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(3)
-    val dist0 = seeds.withColumn("hops", lit(0L)).graftCheckpoint()
-    Iterative.convergeBy((dist0, dist0.select("node"), 0L), cap) {
+    // visited-set count observed inside each round's dist checkpoint —
+    // one barrier per round, no separate count job (round 13)
+    val visited = Seq(count(lit(1)).as("n"))
+    val (dist0, m0) = Tables.checkpointedObserved(
+      seeds.withColumn("hops", lit(0L)), visited)
+    Iterative.convergeWitnessed(
+        ((dist0, dist0.select("node"), 0L), m0("n").asInstanceOf[Long]), cap) {
       case (dist, frontier, h) =>
         val next = edges.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .graftCheckpoint()
-        (dist.unionByName(next.withColumn("hops", lit(h + 1))).graftCheckpoint(),
-         next, h + 1)
-    } { case (dist, _, _) => dist.count() }
+        val (dist2, m) = Tables.checkpointedObserved(
+          dist.unionByName(next.withColumn("hops", lit(h + 1))), visited)
+        ((dist2, next, h + 1), m("n").asInstanceOf[Long])
+    }
   }
 
   /** q210's build: the round-0 survivor set and the peel step (one
@@ -153,10 +159,21 @@ object Graph extends QueryGroup {
     // are O(log diameter) thanks to the path-halving shortcut inside
     // the step (below) — the deep-diameter safety every 100×-scale
     // graph needs, at the cost of one extra keyed join per round.
-    val labels0 = sym.groupBy(col("x").as("node"))
-      .agg(least(min(col("y")), min(col("x"))).as("label")) // x is the group key: min(x) = x
-      .graftCheckpoint()
-    Iterative.convergeOn(labels0, cap) { labels =>
+    // the wrap-proof composite witness (count, sum, xor) is computed as
+    // an OBSERVED side output of each round's final checkpoint job —
+    // one barrier per round, no separate witness aggregate (round 13)
+    val witnessCols = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum("label"), lit(0L)).as("s"),
+      coalesce(expr("bit_xor(label)"), lit(0L)).as("x"))
+    def cpWitnessed(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val (cp, m) = Tables.checkpointedObserved(df, witnessCols)
+      (cp, (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long],
+        m("x").asInstanceOf[Long]))
+    }
+    val labels0 = cpWitnessed(sym.groupBy(col("x").as("node"))
+      .agg(least(min(col("y")), min(col("x"))).as("label"))) // x is the group key: min(x) = x
+    Iterative.convergeWitnessed(labels0, cap) { labels =>
       val nbrMin = sym.join(labels, col("y") === col("node"))
         .groupBy("x").agg(min("label").as("nbr_label"))
       val stepped = labels.join(nbrMin, col("node") === col("x"))
@@ -171,30 +188,32 @@ object Graph extends QueryGroup {
       // is not a node key (cannot happen on a symmetric graph, but
       // never drop a row).
       val hop = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
-      stepped.join(hop, stepped("label") === hop("pnode"), "left")
+      cpWitnessed(stepped.join(hop, stepped("label") === hop("pnode"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .graftCheckpoint()
-    } { labels =>
-      val r = labels.agg(
-        count(lit(1)), coalesce(sum("label"), lit(0L)),
-        coalesce(expr("bit_xor(label)"), lit(0L))).head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label")))
     }
   }
 
-  private[graft] def kcoreParts(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+  private[graft] def kcoreParts(s: SparkSession, d: String): (DataFrame, Long, DataFrame => (DataFrame, Long)) = {
     val k = 3
     val sym = strongSym(s, d)
-    // survivors after round r; round 0 = every node with an edge
-    val alive0 = sym.select(col("x").as("node")).distinct().graftCheckpoint()
-    def step(alive: DataFrame): DataFrame =
-      sym
-        .join(alive.select(col("node").as("x")), "x")
-        .join(alive.select(col("node").as("y")), "y")
-        .groupBy("x").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("x").as("node")).graftCheckpoint()
-    (alive0, step)
+    val aliveCount = Seq(count(lit(1)).as("n"))
+    // survivors after round r; round 0 = every node with an edge. The
+    // survivor count rides each round's checkpoint as an observed
+    // metric — it IS both q210's judged output and the convergence
+    // witness, at zero extra jobs (round 13)
+    val (alive0, m0) = Tables.checkpointedObserved(
+      sym.select(col("x").as("node")).distinct(), aliveCount)
+    def step(alive: DataFrame): (DataFrame, Long) = {
+      val (next, m) = Tables.checkpointedObserved(
+        sym
+          .join(alive.select(col("node").as("x")), "x")
+          .join(alive.select(col("node").as("y")), "y")
+          .groupBy("x").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("x").as("node")), aliveCount)
+      (next, m("n").asInstanceOf[Long])
+    }
+    (alive0, m0("n").asInstanceOf[Long], step)
   }
 
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
@@ -649,17 +668,19 @@ object Graph extends QueryGroup {
     // with the identical body. Output is per-round survivor counts
     // plus the final core's size — the curve a graph curator reads.
     ("q210_kcore_peel", (s, d) => {
-      val (alive0, step) = kcoreParts(s, d)
+      val (alive0, n0, step) = kcoreParts(s, d)
       // the judged OUTPUT is the per-round curve for rounds 0..4, so
       // the driver form is fixedK (an early exit would drop a row the
       // oracle emits); IterativeSpec proves the convergence loop over
-      // the same step lands on the identical survivor set
+      // the same step lands on the identical survivor set. The counts
+      // arrive as observed metrics of each round's own checkpoint —
+      // zero extra jobs.
       var round = 0
-      val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, alive0.count()))
+      val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)]((0, n0))
       Iterative.fixedK(alive0, 4) { a =>
-        val next = step(a)
+        val (next, n) = step(a)
         round += 1
-        counts += ((round, next.count()))
+        counts += ((round, n))
         next
       }
       import s.implicits._

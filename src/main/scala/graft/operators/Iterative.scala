@@ -25,6 +25,10 @@ package graft.operators
   *    monotone scalar witness (q108's rank vector) — exact but costs a
   *    prev↔next comparison per round; used by IterativeSpec to prove
   *    each fixed-k judged output IS the fixpoint on the fixture.
+  *  - [[convergeWitnessed]]: the fused production form (round 13) —
+  *    the witness rides the step's own checkpoint job as observed
+  *    metrics ([[graft.Tables.checkpointedObserved]]), one cluster
+  *    barrier per round. q64/q167/q210/q242 all run it.
   *
   * Witness contract for [[convergeBy]]: measure(next) == measure(cur)
   * must imply step is at a fixpoint. Monotone measures over
@@ -64,6 +68,28 @@ object Iterative {
       val next = step(cur)
       r += 1
       val mn = measure(next)
+      cur = next
+      if (mn == m) return Converged(cur, r, converged = true)
+      m = mn
+    }
+    Converged(cur, r, converged = false)
+  }
+
+  /** One-job-per-round convergence (round 13, VERDICT r12 item 4):
+    * the step returns (state, witness) with the witness computed as an
+    * observed side output of the state's own materialization
+    * ([[graft.Tables.checkpointedObserved]]) — no separate witness job,
+    * so each round costs exactly one cluster-wide barrier. Witness
+    * contract identical to [[convergeOn]]: equal witnesses across a
+    * step must imply the step is at a fixpoint.
+    */
+  def convergeWitnessed[S, M](init: (S, M), cap: Int)(step: S => (S, M)): Converged[S] = {
+    var cur = init._1
+    var m = init._2
+    var r = 0
+    while (r < cap) {
+      val (next, mn) = step(cur)
+      r += 1
       cur = next
       if (mn == m) return Converged(cur, r, converged = true)
       m = mn

@@ -53,11 +53,18 @@ class IterativeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q210 k-core: convergence loop lands on the fixed-4 survivor set") {
-    val (alive0, step) = Graph.kcoreParts(spark, sfDir)
-    val fixed = Iterative.fixedK(alive0, 4)(step)
-    val free = Iterative.convergeBy(alive0, 50)(step)(_.count())
+    val (alive0, n0, step) = Graph.kcoreParts(spark, sfDir)
+    val fixed = Iterative.fixedK(alive0, 4)(a => step(a)._1)
+    // production form: the observed survivor count doubles as the
+    // fixpoint witness — one job per round (round 13)
+    val free = Iterative.convergeWitnessed((alive0, n0), 50)(step)
     assert(free.converged, s"peel did not stabilize in 50 rounds (ran ${free.rounds})")
     assert(rows(free.state) == rows(fixed), "converged core != fixed-4 core")
+    // and the observed counts must equal the materialized counts —
+    // the fused witness is not an estimate
+    assert(n0 == alive0.count(), "observed n0 != count")
+    val (next, n1) = step(alive0)
+    assert(n1 == next.count(), "observed step count != count")
   }
 
   test("q242 converged components: witnessed fixpoint is edge-consistent (true CC labeling)") {

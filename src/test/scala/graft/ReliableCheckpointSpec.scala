@@ -40,8 +40,8 @@ class ReliableCheckpointSpec extends AnyFunSuite with SparkFixture {
       assert(afterOne >= 1, "no rdd-* checkpoint written to the reliable dir")
       // a real iterative body (q210's peel step) under reliable mode:
       // each round's graftCheckpoint materializes to the dir
-      val (alive0, step) = Graph.kcoreParts(spark, sfDir)
-      val one = Iterative.fixedK(alive0, 1)(step)
+      val (alive0, _, step) = Graph.kcoreParts(spark, sfDir)
+      val one = Iterative.fixedK(alive0, 1)(a => step(a)._1)
       assert(one.count() > 0)
       assert(rddFiles().length > afterOne, "iterative rounds did not add reliable checkpoints")
     } finally {
