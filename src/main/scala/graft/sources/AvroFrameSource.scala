@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fails every comparison);
   *  - malformed frames (bad magic, unexpected id, truncated body) are
   *    counted and skipped, the same null-on-malformed convention as
-  *    the streaming decode path, surfaced via the scan description.
+  *    the streaming decode path, surfaced via the scan description;
+  *  - MICRO_BATCH_READ: the same directory reads as a STREAMING source
+  *    (`spark.readStream.format(...)`) with real offset management —
+  *    see [[AvroFrameMicroBatchStream]]. Batch and stream share the
+  *    scan builder, so pruning/pushdown apply identically.
   */
 class AvroFrameDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -70,7 +75,7 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"avro_frames(${options.get("path")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFrameScanBuilder(schema, options)
 }
@@ -97,11 +102,13 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
       options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt)
         .getOrElse(AvroFrames.DefaultSchemaId),
-      required, pushed)
+      required, pushed,
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0))
 }
 
 class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
-                    required: StructType, pushed: Array[Filter])
+                    required: StructType, pushed: Array[Filter],
+                    maxSegmentsPerTrigger: Int = 0)
     extends Scan with Batch {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
@@ -115,20 +122,104 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     s"AvroFrameScan path=$path, ReadSchema=${required.fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
-    files.map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroFrames.listSegments(path)
+      .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroFrameReaderFactory(avroSchemaJson, schemaId,
       required.fieldNames, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroFrameMicroBatchStream(path, avroSchemaJson, schemaId,
+      required.fieldNames, pushed, maxSegmentsPerTrigger)
 }
 
 case class AvroFramePartition(file: String) extends InputPartition
+
+/** Offset = how many segment files (in lexicographic name order) have
+  * been fully consumed — the topic-offset analog for an append-only
+  * segment log. Serialized into Structured Streaming's checkpoint
+  * offset log as a bare integer.
+  */
+case class SegmentOffset(segments: Int) extends Offset {
+  override def json(): String = segments.toString
+}
+
+/** MicroBatchStream over a framed-Avro segment log — O1's transport as
+  * a REAL pluggable streaming source with its own offset management,
+  * the closest offline analog to `KafkaUtils.createDirectStream`
+  * (reference `Processor.java:136-138`):
+  *
+  *  - contract: segments are immutable once written and their names
+  *    lexicographically increase in append order (standard log-segment
+  *    naming, e.g. `segment-%09d`); a micro-batch is a contiguous
+  *    name-ordered slice `[start, end)` of the segment list;
+  *  - offsets persist in the query's checkpoint offset log
+  *    ([[SegmentOffset]]) — restart resumes after the last committed
+  *    batch, exactly-once end-to-end with an idempotent sink
+  *    (SourcesSpec restart test);
+  *  - admission control: `maxSegmentsPerTrigger` bounds each batch via
+  *    [[SupportsAdmissionControl]] (the `maxOffsetsPerTrigger` /
+  *    `maxFilesPerTrigger` analog), so a 1000-executor backfill drains
+  *    a deep backlog in bounded slices instead of one giant batch;
+  *  - column pruning and filter pushdown apply per batch — the scan
+  *    builder runs BEFORE `toMicroBatchStream`, so streaming reads
+  *    decode only required fields and drop non-matching frames before
+  *    row materialization, same as batch.
+  */
+class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
+                                schemaId: Int, requiredCols: Array[String],
+                                pushed: Array[Filter], maxSegmentsPerTrigger: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def segments(): Array[java.io.File] = AvroFrames.listSegments(path)
+
+  // Trigger.AvailableNow: snapshot the log length once at start, drain
+  // up to it in admission-bounded batches, then stop — without this
+  // interface MicroBatchExecution downgrades to Trigger.Once semantics
+  // and ignores the read limit
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(segments().length)
+
+  override def initialOffset(): Offset = SegmentOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    SegmentOffset(json.trim.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSegmentsPerTrigger > 0) ReadLimit.maxFiles(maxSegmentsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = availableNowCap.getOrElse(segments().length)
+    val from = start.asInstanceOf[SegmentOffset].segments
+    limit match {
+      case f: ReadMaxFiles => SegmentOffset(math.min(total, from + f.maxFiles()))
+      case _               => SegmentOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = SegmentOffset(segments().length)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SegmentOffset].segments
+    val e = end.asInstanceOf[SegmentOffset].segments
+    segments().slice(s, e)
+      .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroFrameReaderFactory(avroSchemaJson, schemaId, requiredCols, pushed)
+
+  override def commit(end: Offset): Unit = () // offset log is the source of truth
+  override def stop(): Unit = ()
+}
 
 class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
                              requiredCols: Array[String], pushed: Array[Filter])
@@ -221,6 +312,14 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
 object AvroFrames {
 
   val DefaultSchemaId = 1
+
+  /** Segment files of a log directory in lexicographic (= append)
+    * order; metadata files (`_SUCCESS`, dotfiles) excluded.
+    */
+  def listSegments(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
 
   def writerSchema(options: CaseInsensitiveStringMap): Schema = {
     val json = options.get("avroSchema")

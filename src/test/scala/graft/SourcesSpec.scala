@@ -280,6 +280,87 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 5L)
   }
 
+  test("DSv2 frame source streams: offsets advance, restart resumes exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("frames-stream"); val ck = tmp("frames-stream-ck")
+    def seg(n: Int, ids: Seq[Long]): Unit =
+      writeFrames(dir, ids.map(i => (i, Some(s"u$i"), i.toDouble, Array[Byte]())),
+        file = f"segment-$n%05d.bin")
+    seg(0, Seq(1L, 2L)); seg(1, Seq(3L))
+    // parquet sink: the memory sink rejects checkpoint RECOVERY, and
+    // exactly-once across restart is the point of this test
+    val out = tmp("frames-stream-out")
+    def start() =
+      spark.readStream.format("graft.sources.AvroFrameDataSource")
+        .option("path", dir).option("avroSchema", frameSchema)
+        .option("schemaId", "7").load()
+        .select("id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(100L)).start()
+    def ids(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L))
+      // append-only growth: only the NEW segment is read
+      seg(2, Seq(4L, 5L))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L, 4L, 5L), "new segment must append exactly once")
+    } finally q.stop()
+    // restart against the same checkpoint: committed offsets are the
+    // source of truth — nothing replays, new data still flows
+    val q2 = start()
+    try {
+      seg(3, Seq(6L))
+      q2.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+        "restart must process only the uncommitted segment, exactly once")
+    } finally q2.stop()
+  }
+
+  test("DSv2 frame source streams: maxSegmentsPerTrigger bounds each micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("frames-admission"); val ck = tmp("frames-admission-ck")
+    for (n <- 0 until 4)
+      writeFrames(dir, Seq((n.toLong, Some(s"s$n"), 0.0, Array[Byte]())),
+        file = f"segment-$n%05d.bin")
+    val q = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").option("maxSegmentsPerTrigger", "1").load()
+      .select("id")
+      .writeStream.format("memory").queryName("frames_adm")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("frames_adm").count() == 4L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4 && batches.forall(_.numInputRows == 1L),
+        s"admission control must yield 1-segment batches: " +
+          batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("DSv2 frame source streams: pushdown applies per micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("frames-spush"); val ck = tmp("frames-spush-ck")
+    writeFrames(dir, (1L to 20L).map(i => (i, Some(s"u$i"), i.toDouble, Array[Byte]())))
+    val q = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+      .filter(col("score") > 15.0).select("id")
+      .writeStream.format("memory").queryName("frames_spush")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("frames_spush").collect().map(_.getLong(0)).sorted.toSeq
+        == (16L to 20L))
+    } finally q.stop()
+  }
+
   test("q325 reads the events fixture through the connector with pushdown") {
     val df = SparkEntry.queries("q325_avro_frame_source")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
