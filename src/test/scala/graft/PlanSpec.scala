@@ -1217,7 +1217,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // aggregate on the dimension side — the fact side reaches
       // BroadcastAsOfJoinExec with zero exchange and zero sort
       // (AsOfSpec pins the subtree shape; here we pin the total).
-      "q324_broadcast_asof_join" -> (1, 2))
+      "q324_broadcast_asof_join" -> (1, 2),
+      // q325 (round 13): reads through the DSv2 BatchScan (0 FileScans
+      // in the judged plan — the parquet scan happens once in fixture
+      // setup); one exchange for the user rollup.
+      "q325_avro_frame_source" -> (1, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
