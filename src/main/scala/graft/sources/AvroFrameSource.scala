@@ -9,10 +9,11 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,13 +72,16 @@ class AvroFrameDataSource extends TableProvider {
 }
 
 class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"avro_frames(${options.get("path")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFrameScanBuilder(schema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroFrameWriteBuilder(info)
 }
 
 class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
@@ -117,13 +121,22 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   override def toBatch: Batch = this
 
   // surfaced in .explain() — the PlanSpec/SourcesSpec hook proving the
-  // projection and filters actually reached the source
-  override def description(): String =
+  // projection, filters, AND stat-pruning actually reached the source
+  override def description(): String = {
+    val all = AvroFrames.listSegments(path)
+    val kept = AvroFrameStats.prune(all, pushed)
     s"AvroFrameScan path=$path, ReadSchema=${required.fieldNames.mkString("[", ",", "]")}, " +
-      s"PushedFilters=${pushed.mkString("[", ", ", "]")}"
+      s"PushedFilters=${pushed.mkString("[", ", ", "]")}, " +
+      s"Segments=${kept.length}/${all.length} after stat-pruning"
+  }
 
+  // stat-pruning: sidecar min/max/null-counts written by the DSv2
+  // write path prove whole segments irrelevant to the pushed filters —
+  // they are never opened (the parquet row-group-stats / Iceberg
+  // manifest pattern; strictly conservative, sidecar-less segments
+  // always survive)
   override def planInputPartitions(): Array[InputPartition] =
-    AvroFrames.listSegments(path)
+    AvroFrameStats.prune(AvroFrames.listSegments(path), pushed)
       .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -210,7 +223,11 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SegmentOffset].segments
     val e = end.asInstanceOf[SegmentOffset].segments
-    segments().slice(s, e)
+    // offsets delimit the slice positionally FIRST (so the committed
+    // range is stable), then stat-pruning drops provably-irrelevant
+    // segments inside it — safe: a pruned segment is still covered by
+    // the committed offset range, its frames just cannot match
+    AvroFrameStats.prune(segments().slice(s, e), pushed)
       .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
   }
 
@@ -318,7 +335,8 @@ object AvroFrames {
     */
   def listSegments(path: String): Array[java.io.File] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".stats"))
       .sortBy(_.getName)
 
   def writerSchema(options: CaseInsensitiveStringMap): Schema = {

@@ -1,0 +1,301 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+
+/** DSv2 WRITE path for the framed-Avro segment log (round 13) — the
+  * sink half of the connector, with the commit protocol that makes a
+  * distributed write exactly-once:
+  *
+  *  - each task writes to a HIDDEN temp file (`.inprogress-…`, which
+  *    [[AvroFrames.listSegments]] never lists), so a failed or
+  *    speculatively-duplicated task leaves no visible data;
+  *  - the task's `commit()` returns the temp name + gathered segment
+  *    STATISTICS (row count, per-field min/max/null-count) as the
+  *    [[WriterCommitMessage]];
+  *  - the driver's job-level `commit(messages)` renames every temp to
+  *    its visible `segment-…` name and writes the `….stats` sidecar —
+  *    nothing becomes readable unless the WHOLE job succeeded;
+  *    `abort()` deletes the temps. `mode("overwrite")` truncates
+  *    (deletes existing segments) inside the same driver commit.
+  *
+  * The sidecars are the manifest-statistics pattern (parquet row-group
+  * stats / Iceberg manifests): the read side uses them to PRUNE whole
+  * segments whose min/max prove a pushed filter can never match —
+  * at 100 TB that's the difference between scanning a shard and
+  * skipping it. Segments without a sidecar (foreign writers) are
+  * simply never pruned; pruning is strictly conservative.
+  */
+object AvroFrameWrite {
+
+  /** Per-field stats gathered at write: nulls + min/max for orderable
+    * primitives (binary fields carry nulls only).
+    */
+  final class FieldStats {
+    var nulls: Long = 0L
+    var min: Any = null // Long | Double | String | Boolean
+    var max: Any = null
+    def observe(v: Any): Unit =
+      if (v == null) nulls += 1
+      else {
+        val c = v match {
+          case i: java.lang.Integer => i.longValue: java.lang.Long
+          case f: java.lang.Float   => f.doubleValue: java.lang.Double
+          case o                    => o
+        }
+        if (min == null || AvroFrameStats.compare(c, min) < 0) min = c
+        if (max == null || AvroFrameStats.compare(c, max) > 0) max = c
+      }
+  }
+
+  /** JSON for a segment's stats sidecar. */
+  def statsJson(frames: Long, fields: Seq[(String, FieldStats)]): String = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    gen.writeNumberField("frames", frames)
+    gen.writeObjectFieldStart("fields")
+    fields.foreach { case (name, st) =>
+      gen.writeObjectFieldStart(name)
+      gen.writeNumberField("nulls", st.nulls)
+      def writeVal(k: String, v: Any): Unit = v match {
+        case null                  => ()
+        case l: java.lang.Long     => gen.writeNumberField(k, l.longValue)
+        case d: java.lang.Double   => gen.writeNumberField(k, d.doubleValue)
+        case b: java.lang.Boolean  => gen.writeBooleanField(k, b.booleanValue)
+        case s                     => gen.writeStringField(k, s.toString)
+      }
+      writeVal("min", st.min); writeVal("max", st.max)
+      gen.writeEndObject()
+    }
+    gen.writeEndObject(); gen.writeEndObject(); gen.close()
+    sw.toString
+  }
+}
+
+class AvroFrameWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val opts = info.options()
+      val schemaJson = opts.get("avroSchema")
+      require(schemaJson != null, "option `avroSchema` is required to write")
+      val expected = AvroFrames.sparkSchema(new Schema.Parser().parse(schemaJson))
+      val got = info.schema()
+      require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
+              expected.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"write schema must match the Avro writer schema field-for-field:\n" +
+          s"  got      $got\n  expected $expected")
+      new AvroFrameBatchWrite(opts.get("path"), schemaJson,
+        Option(opts.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
+        info.queryId(), doTruncate)
+    }
+  }
+}
+
+case class AvroFrameCommitMessage(tmpName: String, finalName: String,
+                                  statsJson: String) extends WriterCommitMessage
+
+class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
+                          queryId: String, truncate: Boolean) extends BatchWrite {
+  require(path != null, "option `path` is required")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
+        .foreach(_.delete())
+    messages.collect { case m: AvroFrameCommitMessage => m }.foreach { m =>
+      // sidecar lands first; readers tolerate a missing sidecar but a
+      // visible segment must never precede job commit
+      java.nio.file.Files.writeString(
+        new File(dir, m.finalName + ".stats").toPath, m.statsJson)
+      val ok = new File(dir, m.tmpName).renameTo(new File(dir, m.finalName))
+      require(ok, s"commit rename failed for ${m.tmpName} -> ${m.finalName}")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: AvroFrameCommitMessage => m }
+      .foreach(m => new File(new File(path), m.tmpName).delete())
+}
+
+class AvroFrameWriterFactory(path: String, avroSchemaJson: String,
+                             schemaId: Int, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroFrameDataWriter(path, avroSchemaJson, schemaId, queryId, partitionId, taskId)
+}
+
+/** Task-side writer: length-prefixed framed-Avro records into a hidden
+  * temp file, stats gathered inline. Empty partitions emit no file.
+  */
+class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
+                          queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val sparkSchema = AvroFrames.sparkSchema(writerSchema)
+  private val fieldTypes: Array[DataType] = sparkSchema.fields.map(_.dataType)
+  private val fieldNames: Array[String] = sparkSchema.fieldNames
+  private val stats: Array[AvroFrameWrite.FieldStats] =
+    fieldNames.map(_ => new AvroFrameWrite.FieldStats)
+  // temp is dot-prefixed: invisible to listSegments until job commit;
+  // taskId in the name keeps speculative attempts from colliding
+  private val tmpName = f".inprogress-$queryId-p$partitionId%05d-t$taskId"
+  private val finalName = f"segment-$queryId-p$partitionId%05d.bin"
+  private var out: java.io.DataOutputStream = null
+  private var frames = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null)
+      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(new File(path, tmpName)), 1 << 16))
+    val rec = new GenericData.Record(writerSchema)
+    var i = 0
+    while (i < fieldTypes.length) {
+      val v = if (row.isNullAt(i)) null else fieldTypes(i) match {
+        case StringType  => row.getUTF8String(i).toString
+        case IntegerType => Int.box(row.getInt(i))
+        case LongType    => Long.box(row.getLong(i))
+        case FloatType   => Float.box(row.getFloat(i))
+        case DoubleType  => Double.box(row.getDouble(i))
+        case BooleanType => Boolean.box(row.getBoolean(i))
+        case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+        case other => throw new IllegalStateException(s"unwritable type $other")
+      }
+      stats(i).observe(if (v.isInstanceOf[java.nio.ByteBuffer]) null else v)
+      rec.put(i, v)
+      i += 1
+    }
+    frames += 1
+    val frame = AvroFrames.frameRecord(schemaId, rec)
+    out.writeInt(frame.length)
+    out.write(frame)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    if (frames == 0L) AvroFrameCommitMessage("", "", "") // empty: nothing to publish
+    else AvroFrameCommitMessage(tmpName, finalName,
+      AvroFrameWrite.statsJson(frames, fieldNames.zip(stats).toSeq))
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    new File(path, tmpName).delete()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Sidecar parsing + conservative segment pruning against pushed
+  * filters — the read-side consumer of the write path's statistics.
+  */
+object AvroFrameStats {
+
+  /** (frames, fieldName -> (nulls, min, max)); min/max typed Long /
+    * Double / String / Boolean as written. None if the sidecar is
+    * absent or unreadable (⇒ never prune).
+    */
+  def read(segment: File): Option[(Long, Map[String, (Long, Any, Any)])] = {
+    val f = new File(segment.getParentFile, segment.getName + ".stats")
+    if (!f.isFile) return None
+    try {
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(java.nio.file.Files.readString(f.toPath))
+      var frames = 0L
+      val fields = scala.collection.mutable.Map.empty[String, (Long, Any, Any)]
+      import com.fasterxml.jackson.core.JsonToken._
+      p.nextToken() // {
+      while (p.nextToken() != END_OBJECT) {
+        p.currentName() match {
+          case "frames" => p.nextToken(); frames = p.getLongValue
+          case "fields" =>
+            p.nextToken() // {
+            while (p.nextToken() != END_OBJECT) {
+              val name = p.currentName()
+              var nulls = 0L; var min: Any = null; var max: Any = null
+              p.nextToken() // {
+              while (p.nextToken() != END_OBJECT) {
+                val k = p.currentName()
+                val t = p.nextToken()
+                val v: Any = t match {
+                  case VALUE_NUMBER_INT   => Long.box(p.getLongValue)
+                  case VALUE_NUMBER_FLOAT => Double.box(p.getDoubleValue)
+                  case VALUE_TRUE         => Boolean.box(true)
+                  case VALUE_FALSE        => Boolean.box(false)
+                  case _                  => p.getText
+                }
+                k match {
+                  case "nulls" => nulls = v.asInstanceOf[java.lang.Long].longValue
+                  case "min"   => min = v
+                  case "max"   => max = v
+                }
+              }
+              fields(name) = (nulls, min, max)
+            }
+          case _ => p.nextToken()
+        }
+      }
+      Some((frames, fields.toMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Exact comparison on the stats domain: longs compared as longs
+    * (never through double — a lossy compare could WRONGLY prune near
+    * 2^53), mixed numeric as double, strings/booleans natively.
+    */
+  def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
+    case (x: java.lang.Long, y: java.lang.Integer)    => java.lang.Long.compare(x, y.longValue)
+    case (x: java.lang.Integer, y: java.lang.Long)    => java.lang.Long.compare(x.longValue, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+  }
+
+  /** Can any frame in a segment with these stats satisfy the filter?
+    * Conservative: unknown field / missing bound ⇒ true.
+    */
+  def mayMatch(frames: Long, fields: Map[String, (Long, Any, Any)], f: Filter): Boolean = {
+    def bounds(c: String): Option[(Long, Any, Any)] = fields.get(c)
+    f match {
+      case EqualTo(c, v) => bounds(c).forall { case (_, mn, mx) =>
+        mn == null || mx == null || (compare(v, mn) >= 0 && compare(v, mx) <= 0) }
+      case GreaterThan(c, v) => bounds(c).forall { case (_, _, mx) =>
+        mx == null || compare(mx, v) > 0 }
+      case GreaterThanOrEqual(c, v) => bounds(c).forall { case (_, _, mx) =>
+        mx == null || compare(mx, v) >= 0 }
+      case LessThan(c, v) => bounds(c).forall { case (_, mn, _) =>
+        mn == null || compare(mn, v) < 0 }
+      case LessThanOrEqual(c, v) => bounds(c).forall { case (_, mn, _) =>
+        mn == null || compare(mn, v) <= 0 }
+      case IsNotNull(c) => bounds(c).forall { case (nulls, _, _) => nulls < frames }
+      case IsNull(c)    => bounds(c).forall { case (nulls, _, _) => nulls > 0 }
+      case _ => true
+    }
+  }
+
+  /** Segments surviving stat-pruning under ALL pushed filters. */
+  def prune(segments: Array[File], pushed: Array[Filter]): Array[File] =
+    if (pushed.isEmpty) segments
+    else segments.filter { seg =>
+      read(seg) match {
+        case None => true // no sidecar: never prune
+        case Some((frames, fields)) =>
+          pushed.forall(mayMatch(frames, fields, _))
+      }
+    }
+}

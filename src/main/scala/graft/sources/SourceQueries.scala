@@ -33,15 +33,17 @@ object SourceQueries extends QueryGroup {
 
   /** Materialize the events table as framed-Avro segments under a
     * per-sfDir fixture directory; idempotent via a marker carrying the
-    * row count (re-encodes if absent or stale). Encoding runs on
-    * executors with `foreachPartition` — each task writes one segment,
-    * the exact shape a log-dump job on a cluster would produce (there
-    * a task writes to DFS; locally java.io.tmpdir stands in).
+    * row count (re-encodes if absent or stale). The encode goes
+    * through the connector's OWN DSv2 write path (task temp files →
+    * stats sidecars → job-commit renames), range-partitioned on
+    * `ts_us` so every segment covers a disjoint time slice — the
+    * layout a log compactor produces, and what makes the sidecar
+    * min/max stats prunable for time-bounded reads (q326).
     */
   def ensureFixture(s: SparkSession, d: String): String = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft-avro-frames-" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft-avro-frames-v2-" + d.replaceAll("[^A-Za-z0-9]", "_"))
     val ev = Tables.events(s, d)
     val n = ev.count()
     val marker = new java.io.File(dir, "_SUCCESS")
@@ -49,27 +51,14 @@ object SourceQueries extends QueryGroup {
         scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
           .toOption.contains(n)) return dir.getAbsolutePath
     if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
-    val schemaJson = EventsAvroSchema
-    val schemaId = EventsSchemaId
-    val path = dir.getAbsolutePath
     ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-        // partition-id names keep segments unique without driver state
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val frames = rows.map { r =>
-          val rec = new org.apache.avro.generic.GenericData.Record(schema)
-          rec.put("event_id", r.getLong(0))
-          rec.put("ts_us", r.getLong(1))
-          rec.put("user_id", r.getLong(2))
-          rec.put("event_type", r.getString(3))
-          rec.put("value", r.getDouble(4))
-          AvroFrames.frameRecord(schemaId, rec)
-        }
-        AvroFrames.writeSegment(
-          new java.io.File(path, f"segment-$pid%05d.bin"), frames)
-      }
+      .repartitionByRange(8, col("ts_us"))
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir.getAbsolutePath)
+      .option("avroSchema", EventsAvroSchema)
+      .option("schemaId", EventsSchemaId.toString)
+      .mode("overwrite").save()
     java.nio.file.Files.writeString(marker.toPath, n.toString)
     dir.getAbsolutePath
   }
@@ -97,16 +86,45 @@ object SourceQueries extends QueryGroup {
         .filter(col("event_type") === "click" && col("value") >= 100.0)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_clicks"),
-             sum("value").as("sum_value"),
+             graft.operators.Quant.quant6(sum("value")).as("sum_value"),
              max("ts_us").as("last_ts_us"))
         .orderBy("user_id")
     }, Some("""
-      SELECT user_id, count(*)::BIGINT AS n_clicks, sum(value) AS sum_value,
+      SELECT user_id, count(*)::BIGINT AS n_clicks,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
              max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
       FROM events
       WHERE event_type = 'click' AND value >= 100.0
       GROUP BY user_id
       ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ stat-pruned time-slice read (round 13)
+    // The manifest-statistics rung end-to-end: the fixture's segments
+    // are ts-range-partitioned with min/max sidecars from the DSv2
+    // WRITE path, so this last-3-days rollup PRUNES ~7 of 8 segments
+    // before opening a file (SourcesSpec asserts the Segments=k/n scan
+    // description; the pushed ts_us filter then drops residual frames
+    // pre-materialization). At 100 TB this is retention-window math
+    // touching only the tail shards — the parquet row-group-stats /
+    // Iceberg-manifest pattern on the engine's own format.
+    ("q326_stat_pruned_timeslice", (s, d) => {
+      val cutoffUs = 1706400000000000L // 2024-01-28T00:00:00Z in epoch micros
+      frames(s, d)
+        .filter(col("ts_us") >= cutoffUs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct("user_id").as("n_users"),
+             graft.operators.Quant.quant6(sum("value")).as("sum_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      WHERE epoch_us(ts::TIMESTAMP) >= 1706400000000000
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
 }

@@ -1221,7 +1221,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // q325 (round 13): reads through the DSv2 BatchScan (0 FileScans
       // in the judged plan — the parquet scan happens once in fixture
       // setup); one exchange for the user rollup.
-      "q325_avro_frame_source" -> (1, 0))
+      "q325_avro_frame_source" -> (1, 0),
+      // q326 (round 13): BatchScan with stat-pruned segments; the
+      // count-distinct rollup costs the usual two keyed exchanges.
+      "q326_stat_pruned_timeslice" -> (2, 0))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")

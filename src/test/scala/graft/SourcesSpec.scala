@@ -361,6 +361,110 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("DSv2 frame sink: distributed write commits segments + stats sidecars, round-trips") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("frames-write")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = (1L to 40L).map(i =>
+      Row(i, if (i % 10 == 0) null else s"u$i", i.toDouble, Array[Byte](i.toByte)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), schema)
+    df.write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("append").save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".bin")) == 4, s"one segment per partition: ${files.toSeq}")
+    assert(files.count(_.endsWith(".stats")) == 4, s"one sidecar per segment: ${files.toSeq}")
+    assert(!files.exists(_.startsWith(".inprogress")), "temps must be renamed at commit")
+    val back = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+    assert(back.count() == 40L)
+    assert(back.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getDouble(2), r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1).toSeq ==
+      rows.map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2), r.getAs[Array[Byte]](3).toSeq)))
+    // stats sidecars carry exact bounds: global min/max across sidecars
+    import graft.sources.AvroFrameStats
+    val segs = graft.sources.AvroFrames.listSegments(dir)
+    val all = segs.flatMap(AvroFrameStats.read(_))
+    assert(all.map(_._1).sum == 40L, "sidecar frame counts must sum to rows")
+    val idBounds = all.map(_._2("id"))
+    assert(idBounds.map(_._2.asInstanceOf[Long]).min == 1L &&
+           idBounds.map(_._3.asInstanceOf[Long]).max == 40L)
+    assert(all.map(_._2("name")._1).sum == 4L, "null counts must sum (4 null names)")
+
+    // overwrite truncates: a second write replaces, never appends
+    df.limit(5).repartition(1).write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("overwrite").save()
+    assert(spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load().count() == 5L)
+  }
+
+  test("DSv2 frame sink: task abort leaves no visible data; empty partitions emit no file") {
+    import graft.sources.{AvroFrameDataWriter, AvroFrameCommitMessage}
+    val dir = tmp("frames-abort")
+    val w = new AvroFrameDataWriter(dir, frameSchema, 7, "qabc", 0, 11L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      1L, org.apache.spark.unsafe.types.UTF8String.fromString("x"), 2.0,
+      Array[Byte](1))
+    w.write(row)
+    w.abort()
+    assert(new java.io.File(dir).listFiles().isEmpty,
+      "aborted task must delete its temp file")
+    // empty partition: commit yields a no-op message, no file
+    val w2 = new AvroFrameDataWriter(dir, frameSchema, 7, "qabc", 1, 12L)
+    val m = w2.commit().asInstanceOf[AvroFrameCommitMessage]
+    assert(m.tmpName.isEmpty && new java.io.File(dir).listFiles().isEmpty)
+  }
+
+  test("DSv2 frame source: sidecar stats prune whole segments under pushed filters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("frames-prune")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    // range-partitioned write: each segment covers a disjoint id range,
+    // so its sidecar min/max make it prunable — the time/key-sorted
+    // layout a log compactor produces at scale
+    val rows = (1L to 100L).map(i => Row(i, s"u$i", i.toDouble, Array[Byte]()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .repartitionByRange(4, col("id"))
+    df.write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("append").save()
+    assert(graft.sources.AvroFrames.listSegments(dir).length == 4)
+    val read = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+    val filtered = read.filter(col("id") > 90L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("Segments=1/4 after stat-pruning"),
+      s"3 of 4 segments must prune under id > 90:\n$plan")
+    assert(filtered.count() == 10L, "pruning must not change results")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == (91L to 100L))
+    // conservative: a sidecar-less segment always survives
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
+      .take(1).foreach(_.delete())
+    val plan2 = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load().filter(col("id") > 90L)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("Segments=2/4") || plan2.contains("Segments=1/4"),
+      s"sidecar-less segment must never be pruned away incorrectly:\n$plan2")
+  }
+
   test("q325 reads the events fixture through the connector with pushdown") {
     val df = SparkEntry.queries("q325_avro_frame_source")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
@@ -372,6 +476,20 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
            plan.contains("ReadSchema=[ts_us,user_id,value]") ||
            plan.contains("ReadSchema=[user_id,ts_us,value]"),
       s"q325 projection must prune event_id/event_type at the source:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q326 prunes time-sliced segments from the write path's stats sidecars") {
+    val df = SparkEntry.queries("q326_stat_pruned_timeslice")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts_us,1706400000000000)"),
+      s"q326 time filter must push into the source:\n$plan")
+    val seg = "Segments=(\\d+)/(\\d+) after stat-pruning".r
+      .findFirstMatchIn(plan)
+    assert(seg.isDefined, s"scan must report stat-pruning:\n$plan")
+    val (kept, total) = (seg.get.group(1).toInt, seg.get.group(2).toInt)
+    assert(total == 8 && kept <= 2,
+      s"a 3-day tail over 8 ts-ranged segments must prune most ($kept/$total):\n$plan")
     assert(df.count() > 0)
   }
 }
