@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -113,9 +113,35 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
 class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     required: StructType, pushed: Array[Filter],
                     maxSegmentsPerTrigger: Int = 0)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
+
+  /** Planner integration: size/row estimates from the SURVIVING (post
+    * stat-pruning) segments — file bytes are exact; row counts come
+    * from the stats sidecars where present. Catalyst's
+    * V2ScanRelation.computeStats consumes this, so a small (or
+    * well-pruned) frame table under the broadcast threshold gets a
+    * BroadcastHashJoin automatically instead of shuffling the big
+    * side — at 100 TB the same mechanism that makes dimension joins
+    * against parquet cheap applies to the engine's own format.
+    */
+  override def estimateStatistics(): Statistics = {
+    val kept = AvroFrameStats.prune(AvroFrames.listSegments(path), pushed)
+    val bytes = kept.map(_.length()).sum
+    val rows = kept.map(f => AvroFrameStats.read(f).map(_._1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        // only claim a row count when EVERY surviving segment has a
+        // sidecar — a partial sum would understate and could flip a
+        // join the wrong way
+        if (rows.nonEmpty && rows.forall(_.isDefined))
+          java.util.OptionalLong.of(rows.flatten.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -479,6 +479,48 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("DSv2 frame source: scan reports post-pruning statistics; small tables auto-broadcast") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("frames-stats")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = (1L to 50L).map(i => Row(i, s"u$i", i.toDouble, Array[Byte]()))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .repartitionByRange(5, col("id"))
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("append").save()
+    def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.AvroFrameScan =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.AvroFrameScan]
+      }.head
+    val read = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+    // full scan: exact row count from sidecars, exact file bytes
+    val full = scanOf(read.select("id")).estimateStatistics()
+    assert(full.numRows().getAsLong == 50L, s"numRows: ${full.numRows()}")
+    assert(full.sizeInBytes().getAsLong ==
+      graft.sources.AvroFrames.listSegments(dir).map(_.length()).sum)
+    // filtered scan: stats reflect the PRUNED segment set
+    val pruned = scanOf(read.filter(col("id") > 45L).select("id")).estimateStatistics()
+    assert(pruned.numRows().getAsLong == 10L,
+      s"post-pruning rows (one 10-row segment): ${pruned.numRows()}")
+    // and the planner consumes it: a frame table this small broadcasts
+    // against a bigger side with no broadcast() hint anywhere
+    val big = Tables.lineitem(spark, sfDir)
+      .select(col("l_linenumber").cast("long").as("id"), col("l_quantity"))
+    val joined = big.join(read.select("id", "score"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reported stats must let AQE/Catalyst broadcast the frame side:\n$plan")
+  }
+
   test("q326 prunes time-sliced segments from the write path's stats sidecars") {
     val df = SparkEntry.queries("q326_stat_pruned_timeslice")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
