@@ -10,11 +10,13 @@ import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,13 +87,18 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[FrameAgg]] = None
+  private var limit: Int = 0 // 0 = no pushed limit
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // once an aggregation is pushed the scan's output IS the aggregate
+    // schema; a later prune call must not clobber it
+    if (aggs.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(AvroFrames.supported(fullSchema, _))
@@ -101,21 +108,102 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Complete pushdown — the scan returns the FINAL aggregate row,
+    * computed purely from stats sidecars with zero segment files
+    * opened — is claimed only when it is provably exact: no pushed row
+    * filters (a filter could exclude the min/max row) and every segment
+    * has a sidecar. Sidecar-presence is re-checked per segment at read
+    * time with a decode fallback, so a foreign segment appearing
+    * between planning and execution cannot produce a wrong answer.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushed.isEmpty && allSidecars &&
+      AvroFrameAggs.translate(fullSchema, aggregation).isDefined
+
+  /** Accept MIN/MAX/COUNT/COUNT(*) (non-distinct, no GROUP BY) on
+    * non-binary top-level fields. With pushed filters this degrades to
+    * per-segment decode-and-aggregate — still a scale win: one row per
+    * segment crosses the scan instead of every matching frame.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    AvroFrameAggs.translate(fullSchema, aggregation) match {
+      case some @ Some(_) => aggs = some; true
+      case None           => false
+    }
+
+  /** LIMIT n: readers stop after n emitted rows, and — when no row
+    * filters are pushed — segment planning stops once the kept prefix's
+    * sidecar row counts already prove ≥ n rows, so a LIMIT 100 on a
+    * million-segment log plans a handful of splits. Partial by
+    * contract: Spark re-applies the global limit.
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (aggs.isDefined || l <= 0) false
+    else { limit = l; true }
+
+  private lazy val allSidecars: Boolean =
+    AvroFrames.listSegments(options.get("path"))
+      .forall(f => new java.io.File(f.getParentFile, f.getName + ".stats").isFile)
+
   override def build(): Scan =
     new AvroFrameScan(options.get("path"),
       options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt)
         .getOrElse(AvroFrames.DefaultSchemaId),
       required, pushed,
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0))
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
+      aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit)
 }
 
 class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     required: StructType, pushed: Array[Filter],
-                    maxSegmentsPerTrigger: Int = 0)
-    extends Scan with Batch with SupportsReportStatistics {
+                    maxSegmentsPerTrigger: Int = 0,
+                    aggs: Option[Seq[FrameAgg]] = None,
+                    aggComplete: Boolean = false,
+                    limit: Int = 0)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
+
+  /** Runtime (DPP-style) filters, v1-converted. COARSE-grained by the
+    * [[SupportsRuntimeV2Filtering]] contract: used only to prune whole
+    * segments via sidecar stats — rows that survive but don't match are
+    * re-filtered by the consuming join, so conservative pruning is the
+    * only sound move, and it is free (no file opens).
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    // never under a pushed aggregate: segment pruning is row-dropping
+    // there (the aggregate IS the output — no downstream join re-filters)
+    if (aggs.isDefined) Array.empty
+    else required.fieldNames.map(Expressions.column)
+
+  override def filter(predicates: Array[VPredicate]): Unit =
+    runtime = runtime ++ predicates.flatMap(AvroFrames.v2ToV1)
+
+  private def pruneFilters: Array[Filter] = pushed ++ runtime
+
+  /** Surviving segments after stat-pruning, then — under a pushed
+    * LIMIT with no row filters — truncated once the kept prefix's
+    * sidecar counts prove ≥ limit rows (sidecar-less segments count as
+    * unknown: they stay, but contribute nothing to the proof).
+    */
+  private def plannedSegments(): Array[java.io.File] = {
+    val kept = AvroFrameStats.prune(AvroFrames.listSegments(path), pruneFilters)
+    if (limit <= 0 || pushed.nonEmpty) kept
+    else {
+      var proven = 0L
+      val out = Array.newBuilder[java.io.File]
+      var i = 0
+      while (i < kept.length && proven < limit) {
+        out += kept(i)
+        proven += AvroFrameStats.read(kept(i)).map(_._1).getOrElse(0L)
+        i += 1
+      }
+      out.result()
+    }
+  }
 
   /** Planner integration: size/row estimates from the SURVIVING (post
     * stat-pruning) segments — file bytes are exact; row counts come
@@ -127,6 +215,18 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     * against parquet cheap applies to the engine's own format.
     */
   override def estimateStatistics(): Statistics = {
+    if (aggs.isDefined) {
+      // aggregate pushdown: output is one row (complete) or one row
+      // per surviving segment (partial) — report that, not raw bytes
+      val n = if (aggComplete) 1L
+        else math.max(1L, AvroFrameStats.prune(AvroFrames.listSegments(path), pushed).length.toLong)
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n * 64L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n)
+      }
+    }
     val kept = AvroFrameStats.prune(AvroFrames.listSegments(path), pushed)
     val bytes = kept.map(_.length()).sum
     val rows = kept.map(f => AvroFrameStats.read(f).map(_._1))
@@ -143,16 +243,25 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     }
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggs match {
+    case Some(s) => AvroFrameAggs.outputSchema(s)
+    case None    => required
+  }
+
   override def toBatch: Batch = this
 
   // surfaced in .explain() — the PlanSpec/SourcesSpec hook proving the
-  // projection, filters, AND stat-pruning actually reached the source
+  // projection, filters, aggregates, limit, AND stat-pruning actually
+  // reached the source
   override def description(): String = {
     val all = AvroFrames.listSegments(path)
-    val kept = AvroFrameStats.prune(all, pushed)
-    s"AvroFrameScan path=$path, ReadSchema=${required.fieldNames.mkString("[", ",", "]")}, " +
+    val kept = plannedSegments()
+    s"AvroFrameScan path=$path, ReadSchema=${readSchema().fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}, " +
+      aggs.map(s => s"PushedAggregates=${s.mkString("[", ", ", "]")} " +
+        s"(${if (aggComplete) "complete, sidecar-only" else "partial, per-segment"}), ").getOrElse("") +
+      (if (limit > 0) s"PushedLimit=$limit, " else "") +
+      (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString("[", ", ", "]")}, " else "") +
       s"Segments=${kept.length}/${all.length} after stat-pruning"
   }
 
@@ -161,13 +270,27 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   // they are never opened (the parquet row-group-stats / Iceberg
   // manifest pattern; strictly conservative, sidecar-less segments
   // always survive)
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroFrameStats.prune(AvroFrames.listSegments(path), pushed)
-      .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+  override def planInputPartitions(): Array[InputPartition] = aggs match {
+    case Some(_) if aggComplete =>
+      // one split carrying the full surviving segment list: the reader
+      // combines sidecars executor-side and emits THE final row —
+      // sidecar reads are O(bytes of metadata), no segment is opened
+      Array(AvroFrameAggPartition(plannedSegments().map(_.getAbsolutePath).toSeq))
+    case Some(_) =>
+      // partial: one split per segment, each emitting exactly one
+      // partial row (Spark's final aggregate merges). A split is
+      // planned even when everything pruned away: the rewritten
+      // count = SUM(partial counts) must see a 0, not an empty input.
+      val segs = plannedSegments()
+      if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
+      else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath)): InputPartition)
+    case None =>
+      plannedSegments().map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroFrameReaderFactory(avroSchemaJson, schemaId,
-      required.fieldNames, pushed)
+      required.fieldNames, pushed, aggs, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AvroFrameMicroBatchStream(path, avroSchemaJson, schemaId,
@@ -175,6 +298,67 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 }
 
 case class AvroFramePartition(file: String) extends InputPartition
+
+/** Split for a pushed-aggregation read: the segment files whose
+  * contributions this split combines into one emitted row. Complete
+  * mode ships the whole surviving list in one split; partial mode one
+  * segment per split (empty list = the zero row).
+  */
+case class AvroFrameAggPartition(files: Seq[String]) extends InputPartition
+
+/** A pushed aggregate the frame source can answer. Min/Max carry the
+  * Spark-facing column type so sidecar values (normalized to
+  * Long/Double/String/Boolean at write) convert back exactly.
+  */
+sealed trait FrameAgg extends Serializable
+case object FrameCountStar extends FrameAgg { override def toString = "COUNT(*)" }
+case class FrameCountCol(col: String) extends FrameAgg { override def toString = s"COUNT($col)" }
+case class FrameMin(col: String, t: DataType) extends FrameAgg { override def toString = s"MIN($col)" }
+case class FrameMax(col: String, t: DataType) extends FrameAgg { override def toString = s"MAX($col)" }
+
+/** Translation + schema plumbing for [[SupportsPushDownAggregates]]. */
+object AvroFrameAggs {
+
+  /** The aggregation, iff EVERY function is answerable: MIN/MAX/COUNT
+    * (non-distinct) on non-binary top-level fields, COUNT(*), and no
+    * GROUP BY. One untranslatable function declines the whole push —
+    * Spark must not split an aggregate between engine and source.
+    * Binary fields are excluded even for COUNT: the write path records
+    * payload bytes as null in the sidecar (no orderable stats), so
+    * their null counts don't mean SQL NULL.
+    */
+  def translate(schema: StructType, a: Aggregation): Option[Seq[FrameAgg]] = {
+    def col(e: VExpression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          schema.fieldNames.contains(nr.fieldNames()(0)) &&
+          schema(nr.fieldNames()(0)).dataType != BinaryType =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    if (a.groupByExpressions.nonEmpty) return None
+    val out: Array[Option[FrameAgg]] = a.aggregateExpressions.map {
+      case _: CountStar            => Some(FrameCountStar)
+      case c: Count if !c.isDistinct => col(c.column).map(FrameCountCol)
+      case m: Min => col(m.column).map(c => FrameMin(c, schema(c).dataType))
+      case m: Max => col(m.column).map(c => FrameMax(c, schema(c).dataType))
+      case _      => None
+    }
+    if (out.nonEmpty && out.forall(_.isDefined)) Some(out.flatten.toSeq) else None
+  }
+
+  /** Scan output schema under a pushed aggregation — positional
+    * contract with Spark's rewrite (no group-bys, so just the agg
+    * outputs in order; counts LongType non-null, min/max column-typed
+    * nullable).
+    */
+  def outputSchema(aggs: Seq[FrameAgg]): StructType =
+    StructType(aggs.zipWithIndex.map {
+      case (FrameCountStar, i)    => StructField(s"count_star_$i", LongType, nullable = false)
+      case (FrameCountCol(c), i)  => StructField(s"count_${c}_$i", LongType, nullable = false)
+      case (FrameMin(c, t), i)    => StructField(s"min_${c}_$i", t, nullable = true)
+      case (FrameMax(c, t), i)    => StructField(s"max_${c}_$i", t, nullable = true)
+    })
+}
 
 /** Offset = how many segment files (in lexicographic name order) have
   * been fully consumed — the topic-offset analog for an append-only
@@ -265,59 +449,42 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
 }
 
 class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
-                             requiredCols: Array[String], pushed: Array[Filter])
+                             requiredCols: Array[String], pushed: Array[Filter],
+                             aggs: Option[Seq[FrameAgg]] = None, limit: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroFrameReader(partition.asInstanceOf[AvroFramePartition].file,
-      avroSchemaJson, schemaId, requiredCols, pushed)
+    partition match {
+      case AvroFrameAggPartition(files) =>
+        new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed)
+      case AvroFramePartition(file) =>
+        new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed, limit)
+    }
 }
 
-/** Per-split reader: streams length-prefixed frames, decodes each body
-  * with one reused GenericDatumReader/decoder, applies the pushed
-  * filters on the decoded record, and materializes ONLY the required
-  * columns. Exposed as a plain class so SourcesSpec can drive it
-  * directly and count what crosses the scan boundary.
+/** Sequential decoder over one segment file: streams length-prefixed
+  * frames, decodes each body with one reused GenericDatumReader /
+  * decoder, counts-and-skips malformed frames. Shared by the row
+  * reader and the pushed-aggregation reader.
   */
-class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
-                      requiredCols: Array[String], pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
-
-  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
+class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
   private val datumReader = new GenericDatumReader[GenericRecord](writerSchema)
   private val in = new java.io.DataInputStream(
     new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
-  private val fieldPos: Map[String, Int] =
-    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
-  private val requiredPos: Array[Int] = requiredCols.map(fieldPos(_))
-  private val requiredTypes: Array[DataType] = {
-    val spark = AvroFrames.sparkSchema(writerSchema)
-    requiredCols.map(c => spark(c).dataType)
-  }
-  private val preds: Array[GenericRecord => Boolean] =
-    pushed.map(AvroFrames.compile(fieldPos, _))
-
   private var record: GenericRecord = null
-  private var current: InternalRow = null
   private var decoder: org.apache.avro.io.BinaryDecoder = null
-  var malformed: Long = 0L // visible to SourcesSpec
+  var malformed: Long = 0L
 
-  override def next(): Boolean = {
+  /** Next well-formed record, or null at end-of-segment. The returned
+    * record is REUSED by the next call — consume before advancing.
+    */
+  def nextRecord(): GenericRecord = {
     while (true) {
       val frame = readFrame()
-      if (frame == null) return false
+      if (frame == null) return null
       val rec = decodeFrame(frame)
-      if (rec != null && preds.forall(_(rec))) {
-        val row = new GenericInternalRow(requiredPos.length)
-        var i = 0
-        while (i < requiredPos.length) {
-          row.update(i, AvroFrames.convert(rec.get(requiredPos(i)), requiredTypes(i)))
-          i += 1
-        }
-        current = row
-        return true
-      }
+      if (rec != null) return rec
     }
-    false
+    null
   }
 
   private def readFrame(): Array[Byte] = {
@@ -344,8 +511,200 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
       } catch { case scala.util.control.NonFatal(_) => malformed += 1; null }
     }
 
+  def close(): Unit = in.close()
+}
+
+/** Per-split reader: applies the pushed filters on each decoded record
+  * and materializes ONLY the required columns; with a pushed LIMIT it
+  * stops decoding after `limit` emitted rows (sound: Spark re-applies
+  * the global limit, and any n rows satisfy an unordered LIMIT n).
+  * Exposed as a plain class so SourcesSpec can drive it directly and
+  * count what crosses the scan boundary.
+  */
+class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
+                      requiredCols: Array[String], pushed: Array[Filter],
+                      limit: Int = 0)
+    extends PartitionReader[InternalRow] {
+
+  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val dec = new FrameDecoder(file, writerSchema, schemaId)
+  private val fieldPos: Map[String, Int] =
+    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+  private val requiredPos: Array[Int] = requiredCols.map(fieldPos(_))
+  private val requiredTypes: Array[DataType] = {
+    val spark = AvroFrames.sparkSchema(writerSchema)
+    requiredCols.map(c => spark(c).dataType)
+  }
+  private val preds: Array[GenericRecord => Boolean] =
+    pushed.map(AvroFrames.compile(fieldPos, _))
+
+  private var current: InternalRow = null
+  private var emitted: Long = 0L
+  def malformed: Long = dec.malformed // visible to SourcesSpec
+
+  override def next(): Boolean = {
+    if (limit > 0 && emitted >= limit) return false
+    while (true) {
+      val rec = dec.nextRecord()
+      if (rec == null) return false
+      if (preds.forall(_(rec))) {
+        val row = new GenericInternalRow(requiredPos.length)
+        var i = 0
+        while (i < requiredPos.length) {
+          row.update(i, AvroFrames.convert(rec.get(requiredPos(i)), requiredTypes(i)))
+          i += 1
+        }
+        current = row
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = dec.close()
+}
+
+/** Reader for a pushed-aggregation split: emits EXACTLY ONE row — the
+  * aggregate over its segment list. Per segment, the contribution
+  * comes from the stats sidecar when that is provably exact (no pushed
+  * row filters, sidecar readable); otherwise the segment is decoded
+  * with the filters applied — so a complete-pushdown plan normally
+  * opens ZERO segment files, and a foreign sidecar-less segment
+  * degrades that one segment to a decode, never to a wrong answer.
+  */
+class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
+                         schemaId: Int, aggs: Seq[FrameAgg],
+                         pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val fieldPos: Map[String, Int] =
+    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+  private var done = false
+  var decodedSegments: Long = 0L // visible to SourcesSpec
+
+  // running state per agg: counts as Long, min/max in the stats value
+  // domain (Long / Double / String / Boolean, ints and floats widened —
+  // the same normalization the write path applies)
+  private val counts = new Array[Long](aggs.length)
+  private val extremes = new Array[Any](aggs.length)
+
+  /** Can this sidecar answer EVERY pushed agg exactly? Our write path
+    * always records nulls+min+max per field; a foreign sidecar missing
+    * a field entry — or missing min/max while non-null rows exist —
+    * cannot (min=null must MEAN all-null, not unrecorded).
+    */
+  private def sidecarAnswers(frames: Long, fields: Map[String, (Long, Any, Any)]): Boolean =
+    aggs.forall {
+      case FrameCountStar   => true
+      case FrameCountCol(c) => fields.contains(c)
+      case FrameMin(c, _)   => fields.get(c).exists { case (nulls, mn, _) => mn != null || nulls == frames }
+      case FrameMax(c, _)   => fields.get(c).exists { case (nulls, _, mx) => mx != null || nulls == frames }
+    }
+
+  private def observeSidecar(frames: Long, fields: Map[String, (Long, Any, Any)]): Unit = {
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case FrameCountStar    => counts(i) += frames
+        case FrameCountCol(c)  => counts(i) += frames - fields(c)._1
+        case FrameMin(c, _)    => Option(fields(c)._2).foreach(merge(i, _, -1))
+        case FrameMax(c, _)    => Option(fields(c)._3).foreach(merge(i, _, 1))
+      }
+      i += 1
+    }
+  }
+
+  private def merge(i: Int, v: Any, sign: Int): Unit =
+    if (extremes(i) == null || AvroFrameStats.compare(v, extremes(i)) * sign > 0)
+      extremes(i) = v
+
+  private def normalize(v: Any): Any = v match {
+    case x: java.lang.Integer => Long.box(x.longValue)
+    case x: java.lang.Float   => Double.box(x.doubleValue)
+    case s: CharSequence      => s.toString
+    case other                => other
+  }
+
+  private def decodeSegment(file: String): Unit = {
+    decodedSegments += 1
+    val preds = pushed.map(AvroFrames.compile(fieldPos, _))
+    val aggPos: Array[Int] = aggs.map {
+      case FrameCountCol(c) => fieldPos(c)
+      case FrameMin(c, _)   => fieldPos(c)
+      case FrameMax(c, _)   => fieldPos(c)
+      case FrameCountStar   => -1
+    }.toArray
+    val dec = new FrameDecoder(file, writerSchema, schemaId)
+    try {
+      var rec = dec.nextRecord()
+      while (rec != null) {
+        if (preds.forall(_(rec))) {
+          var i = 0
+          while (i < aggs.length) {
+            aggs(i) match {
+              case FrameCountStar   => counts(i) += 1
+              case FrameCountCol(_) => if (rec.get(aggPos(i)) != null) counts(i) += 1
+              case FrameMin(_, _) =>
+                val v = rec.get(aggPos(i)); if (v != null) merge(i, normalize(v), -1)
+              case FrameMax(_, _) =>
+                val v = rec.get(aggPos(i)); if (v != null) merge(i, normalize(v), 1)
+            }
+            i += 1
+          }
+        }
+        rec = dec.nextRecord()
+      }
+    } finally dec.close()
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    files.foreach { f =>
+      val sidecarOk = pushed.isEmpty &&
+        AvroFrameStats.read(new java.io.File(f)).exists { case (frames, fields) =>
+          sidecarAnswers(frames, fields) && { observeSidecar(frames, fields); true }
+        }
+      if (!sidecarOk) decodeSegment(f)
+    }
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(aggs.length)
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case FrameCountStar | FrameCountCol(_) => row.update(i, counts(i))
+        case FrameMin(_, t) => row.update(i, toCatalyst(extremes(i), t))
+        case FrameMax(_, t) => row.update(i, toCatalyst(extremes(i), t))
+      }
+      i += 1
+    }
+    row
+  }
+
+  /** Stats-domain value → Catalyst internal value at the column's
+    * Spark type (narrowing the write path's Int→Long / Float→Double
+    * widening back — exact, the widened value originated at the
+    * narrower width).
+    */
+  private def toCatalyst(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _)                          => null
+    case (x: java.lang.Long, IntegerType)   => Int.box(x.intValue)
+    case (x: java.lang.Long, LongType)      => x
+    case (x: java.lang.Double, FloatType)   => Float.box(x.floatValue)
+    case (x: java.lang.Double, DoubleType)  => x
+    case (s: String, StringType)            => UTF8String.fromString(s)
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (x, tt) => throw new IllegalStateException(
+      s"agg value ${x.getClass} does not fit column type $tt")
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Shared helpers: Avro→Spark schema mapping, value conversion, the
@@ -473,6 +832,43 @@ object AvroFrames {
       java.lang.Double.compare(a.doubleValue(), b.doubleValue())
     case (a, b) => throw new IllegalStateException(
       s"uncomparable filter operands: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Best-effort V2 Predicate → V1 Filter for runtime (DPP-style)
+    * filtering: IN and binary comparisons with a single-name column
+    * reference on the left and literals on the right. Anything else →
+    * None (the scan just doesn't prune on it — sound, runtime filters
+    * are an optimization). String literals arrive as UTF8String
+    * (catalyst internal form) and convert to String to match the
+    * sidecar stats domain.
+    */
+  def v2ToV1(p: VPredicate): Option[Filter] = {
+    def col(e: VExpression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: VExpression): Option[Any] = e match {
+      case l: VLiteral[_] => Some(l.value match {
+        case u: UTF8String => u.toString
+        case v             => v
+      })
+      case _ => None
+    }
+    val cs = p.children()
+    p.name() match {
+      case "IN" if cs.length >= 2 =>
+        val vs = cs.tail.map(lit)
+        for (c <- col(cs.head); if vs.forall(_.isDefined)) yield In(c, vs.map(_.get))
+      case n @ ("=" | ">" | ">=" | "<" | "<=") if cs.length == 2 =>
+        for (c <- col(cs(0)); v <- lit(cs(1))) yield n match {
+          case "="  => EqualTo(c, v)
+          case ">"  => GreaterThan(c, v)
+          case ">=" => GreaterThanOrEqual(c, v)
+          case "<"  => LessThan(c, v)
+          case "<=" => LessThanOrEqual(c, v)
+        }
+      case _ => None
+    }
   }
 
   /** Write one segment file of length-prefixed Confluent-framed Avro

@@ -6,7 +6,7 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.GenericData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 
 /** DSv2 WRITE path for the framed-Avro segment log (round 13) — the
@@ -284,6 +284,11 @@ object AvroFrameStats {
         mn == null || compare(mn, v) <= 0 }
       case IsNotNull(c) => bounds(c).forall { case (nulls, _, _) => nulls < frames }
       case IsNull(c)    => bounds(c).forall { case (nulls, _, _) => nulls > 0 }
+      // IN arrives via runtime (DPP-style) filtering: the segment
+      // survives iff ANY set member can fall inside its [min,max]
+      case In(c, vs) => bounds(c).forall { case (_, mn, mx) =>
+        mn == null || mx == null ||
+          vs.exists(v => v != null && compare(v, mn) >= 0 && compare(v, mx) <= 0) }
       case _ => true
     }
   }

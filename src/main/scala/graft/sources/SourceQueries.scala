@@ -125,6 +125,72 @@ object SourceQueries extends QueryGroup {
       WHERE epoch_us(ts::TIMESTAMP) >= 1706400000000000
       GROUP BY event_type
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ aggregate pushdown, sidecar-only (round 13)
+    // COMPLETE aggregate pushdown: MIN/MAX/COUNT with no row filters
+    // over a fully-sidecar'd log is answered ENTIRELY from the write
+    // path's stats sidecars — zero segment files opened (SourcesSpec
+    // proves it by corrupting every segment body and still getting the
+    // right answer). At 100 TB this is the "SELECT max(ts) FROM log"
+    // freshness probe costing O(metadata), the Iceberg-manifest /
+    // parquet-footer aggregate trick on the engine's own format.
+    ("q327_agg_pushdown_stats", (s, d) => {
+      frames(s, d).agg(
+        count(lit(1)).as("n_frames"),
+        count(col("value")).as("n_value"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"),
+        graft.operators.Quant.quant6(min(col("value"))).as("min_value"),
+        graft.operators.Quant.quant6(max(col("value"))).as("max_value"))
+    }, Some("""
+      SELECT count(*)::BIGINT AS n_frames, count(value)::BIGINT AS n_value,
+             min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS max_ts_us,
+             min(event_type) AS min_type, max(event_type) AS max_type,
+             floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS min_value,
+             floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS max_value
+      FROM events
+    """)),
+
+    // ------------------------------------------------------------ aggregate pushdown under filters (round 13)
+    // PARTIAL aggregate pushdown: with a pushed row filter the sidecar
+    // extremes are no longer exact, so each segment decodes with the
+    // filter applied and emits ONE partial row; Spark's final aggregate
+    // merges (count→sum, min→min). At scale the win is the shuffle:
+    // one row per segment crosses the scan instead of every matching
+    // frame — the aggregate never materializes the fact rows.
+    ("q328_filtered_agg_pushdown", (s, d) => {
+      frames(s, d)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_purchases"),
+             min(col("ts_us")).as("first_ts_us"),
+             max(col("ts_us")).as("last_ts_us"),
+             min(col("user_id")).as("min_user"),
+             max(col("user_id")).as("max_user"))
+    }, Some("""
+      SELECT count(*)::BIGINT AS n_purchases,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us,
+             min(user_id) AS min_user, max(user_id) AS max_user
+      FROM events
+      WHERE event_type = 'purchase'
+    """)),
+
+    // ------------------------------------------------------------ limit pushdown (round 13)
+    // LIMIT n reaches the scan builder: segment planning stops once the
+    // kept prefix's sidecar counts prove ≥ n rows (a LIMIT over a
+    // million-segment log plans a handful of splits) and each reader
+    // stops decoding at n emitted rows. COUNT over the limited sample
+    // is the deterministic judged form: min(n, |events|) in both
+    // engines regardless of WHICH rows the limit keeps.
+    ("q329_limit_pushdown_sample", (s, d) => {
+      frames(s, d).limit(4000).agg(count(lit(1)).as("n_sampled"))
+    }, Some("""
+      SELECT count(*)::BIGINT AS n_sampled
+      FROM (SELECT * FROM events LIMIT 4000) t
     """))
   )
 }

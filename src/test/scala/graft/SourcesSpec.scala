@@ -521,6 +521,189 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       s"reported stats must let AQE/Catalyst broadcast the frame side:\n$plan")
   }
 
+  // ------------------------------------------------------------ aggregate / limit / runtime pushdown (round 13)
+
+  /** Write a 4-segment log with sidecars through the DSv2 sink:
+    * id 1..100 range-partitioned, name null on multiples of 10.
+    */
+  private def writeStatsFixture(dir: String, n: Long = 100L, parts: Int = 4): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = (1L to n).map(i =>
+      Row(i, if (i % 10 == 0) null else s"u$i", i.toDouble, Array[Byte]()))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .repartitionByRange(parts, col("id"))
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("append").save()
+  }
+
+  private def readFixture(dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+
+  test("DSv2 agg pushdown: complete MIN/MAX/COUNT answered from sidecars, zero files opened") {
+    val dir = tmp("frames-agg-complete")
+    writeStatsFixture(dir)
+    // corrupt EVERY segment body, keep the sidecars: if the reader
+    // opened any segment the query would fail or return garbage —
+    // a right answer can only have come from metadata
+    graft.sources.AvroFrames.listSegments(dir).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](0, 0, 0, 99))
+    }
+    val agg = readFixture(dir).agg(
+      count(lit(1)).as("n"), count(col("name")).as("n_name"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+      min(col("score")).as("min_s"), max(col("score")).as("max_s"),
+      min(col("name")).as("min_n"), max(col("name")).as("max_n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[") && plan.contains("complete, sidecar-only"),
+      s"aggregates must push completely:\n$plan")
+    val r = agg.collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 100L && r(0).getLong(1) == 90L, s"counts: ${r(0)}")
+    assert(r(0).getLong(2) == 1L && r(0).getLong(3) == 100L, s"id bounds: ${r(0)}")
+    assert(r(0).getDouble(4) == 1.0 && r(0).getDouble(5) == 100.0, s"score bounds: ${r(0)}")
+    assert(r(0).getString(6) == "u1" && r(0).getString(7) == "u99", s"name bounds: ${r(0)}")
+  }
+
+  test("DSv2 agg pushdown: pushed filter degrades to per-segment partial decode, stays exact") {
+    val dir = tmp("frames-agg-partial")
+    writeStatsFixture(dir)
+    val agg = readFixture(dir)
+      .filter(col("score") >= 50.0)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[") && plan.contains("partial, per-segment"),
+      s"filtered aggregate must push partially:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(score,50.0)"), s"filter must still push:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 51L && r.getLong(1) == 50L && r.getLong(2) == 100L, s"got $r")
+  }
+
+  test("DSv2 agg pushdown: filtered aggregate over a fully-pruned log returns the zero row") {
+    val dir = tmp("frames-agg-empty")
+    writeStatsFixture(dir)
+    // id > 1000 stat-prunes all 4 segments; the rewritten
+    // count = SUM(partials) must still see a 0 row, not empty input
+    val agg = readFixture(dir).filter(col("id") > 1000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1), s"zero row expected, got $r")
+  }
+
+  test("DSv2 agg pushdown: sidecar-less segments decode; distinct/group-by decline cleanly") {
+    val dir = tmp("frames-agg-mixed")
+    writeStatsFixture(dir)
+    // drop one sidecar: complete pushdown must NOT be claimed; the
+    // partial path decodes that one segment and the answer is exact
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
+      .take(1).foreach(_.delete())
+    val agg = readFixture(dir).agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial, per-segment"),
+      s"mixed sidecars must not claim complete pushdown:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L, s"got $r")
+    // distinct and group-by fall back to a plain scan, values exact
+    val fallback = readFixture(dir).agg(countDistinct(col("name")).as("d"))
+    assert(!fallback.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "distinct must decline pushdown")
+    assert(fallback.collect()(0).getLong(0) == 90L)
+    val grouped = readFixture(dir).groupBy(col("name").isNull.as("k"))
+      .agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "group-by must decline pushdown")
+    assert(grouped.collect().map(r => (r.getBoolean(0), r.getLong(1))).toMap
+      == Map(true -> 10L, false -> 90L))
+  }
+
+  test("DSv2 agg reader: sidecar answers without opening the segment; decode counts match") {
+    import graft.sources.{AvroFrameAggReader, FrameCountStar, FrameMin, FrameMax, FrameCountCol}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    import org.apache.spark.sql.types.LongType
+    val dir = tmp("frames-agg-reader")
+    writeStatsFixture(dir, n = 50L, parts = 1)
+    val seg = graft.sources.AvroFrames.listSegments(dir).head.getAbsolutePath
+    // no filters + sidecar: zero decodes
+    val r1 = new AvroFrameAggReader(Seq(seg), frameSchema, 7,
+      Seq(FrameCountStar, FrameCountCol("name"), FrameMin("id", LongType), FrameMax("id", LongType)),
+      Array.empty)
+    assert(r1.next())
+    val row1 = r1.get()
+    assert(r1.decodedSegments == 0L, "sidecar must answer without opening the segment")
+    assert(row1.getLong(0) == 50L && row1.getLong(1) == 45L &&
+           row1.getLong(2) == 1L && row1.getLong(3) == 50L)
+    assert(!r1.next(), "agg reader emits exactly one row")
+    // with a filter: the segment decodes, values reflect the filter
+    val r2 = new AvroFrameAggReader(Seq(seg), frameSchema, 7,
+      Seq(FrameCountStar, FrameMin("id", LongType)),
+      Array(GreaterThanOrEqual("score", 40.0)))
+    assert(r2.next())
+    assert(r2.decodedSegments == 1L)
+    assert(r2.get().getLong(0) == 11L && r2.get().getLong(1) == 40L)
+  }
+
+  test("DSv2 limit pushdown: segment planning truncates on sidecar counts; readers early-stop") {
+    val dir = tmp("frames-limit")
+    writeStatsFixture(dir, n = 100L, parts = 4) // 4 segments à 25 rows
+    val lim = readFixture(dir).limit(30)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit=30"), s"limit must reach the source:\n$plan")
+    assert(plan.contains("Segments=2/4"),
+      s"sidecar counts (25+25 ≥ 30) must truncate planning to 2 segments:\n$plan")
+    assert(lim.collect().length == 30)
+    // reader-level early stop, directly observable
+    import graft.sources.AvroFrameReader
+    val seg = graft.sources.AvroFrames.listSegments(dir).head.getAbsolutePath
+    val r = new AvroFrameReader(seg, frameSchema, 7, Array("id"), Array.empty, limit = 7)
+    var n = 0
+    while (r.next()) n += 1
+    r.close()
+    assert(n == 7, s"reader must stop at the pushed limit, emitted $n")
+    // with a pushed row filter, truncation is off (counts unprovable)
+    // but the per-reader stop still bounds work
+    val planF = readFixture(dir).filter(col("score") >= 2.0).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(planF.contains("PushedLimit=5") && planF.contains("Segments=4/4"), planF)
+  }
+
+  test("DSv2 runtime filtering: IN-set predicates prune segments via sidecars at execution time") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = tmp("frames-runtime")
+    writeStatsFixture(dir, n = 100L, parts = 4)
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+      "path", dir, "avroSchema", frameSchema, "schemaId", "7"))
+    val schema = graft.sources.AvroFrames.sparkSchema(
+      new org.apache.avro.Schema.Parser().parse(frameSchema))
+    val scan = new graft.sources.AvroFrameScanBuilder(schema, opts)
+      .build().asInstanceOf[graft.sources.AvroFrameScan]
+    assert(scan.filterAttributes().map(_.describe()).contains("id"))
+    assert(scan.planInputPartitions().length == 4)
+    // DPP-style runtime IN-set on id: values 3 and 7 both live in the
+    // first range segment — 3 of 4 segments prune without opening
+    scan.filter(Array(new VPredicate("IN",
+      Array(Expressions.column("id"), Expressions.literal(3L), Expressions.literal(7L)))))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime IN-set must prune to the one covering segment")
+    assert(scan.description().contains("RuntimeFilters=[In(id"))
+    // coarse contract: kept segments still return ALL their rows
+    // (the consuming join re-filters) — prune only, never row-filter
+    val factory = scan.createReaderFactory()
+    val reader = factory.createReader(scan.planInputPartitions().head)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 25, s"runtime filters must not drop rows inside kept segments, got $n")
+  }
+
   test("q326 prunes time-sliced segments from the write path's stats sidecars") {
     val df = SparkEntry.queries("q326_stat_pruned_timeslice")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
