@@ -9,7 +9,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
@@ -74,7 +74,7 @@ class AvroFrameDataSource extends TableProvider {
 }
 
 class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
   override def name(): String = s"avro_frames(${options.get("path")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -84,6 +84,27 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     new AvroFrameScanBuilder(schema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFrameWriteBuilder(info)
+
+  /** Record provenance — the `topic`/`partition`/`offset` analog of the
+    * Kafka source's envelope (SURVEY §1.4), hidden unless selected:
+    * `_segment` is the segment file name, `_frame_offset` the 0-based
+    * frame ordinal within it (malformed frames occupy positions, like
+    * unconsumable log entries occupy offsets — a reprocessing tool can
+    * name them exactly).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = AvroFrames.SegmentMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "segment file name this frame was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = AvroFrames.OffsetMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "0-based frame ordinal within the segment"
+    })
 }
 
 class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
@@ -473,6 +494,11 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
   private var record: GenericRecord = null
   private var decoder: org.apache.avro.io.BinaryDecoder = null
   var malformed: Long = 0L
+  /** 0-based ordinal of the LAST frame returned by readFrame — the
+    * record's offset within its segment (malformed frames occupy
+    * positions, like unconsumable entries occupy Kafka offsets).
+    */
+  var position: Long = -1L
 
   /** Next well-formed record, or null at end-of-segment. The returned
     * record is REUSED by the next call — consume before advancing.
@@ -494,6 +520,7 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
     if (len < 0) { malformed += 1; return null } // corrupt length: stop
     val buf = new Array[Byte](len)
     in.readFully(buf)
+    position += 1
     buf
   }
 
@@ -530,11 +557,24 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   private val dec = new FrameDecoder(file, writerSchema, schemaId)
   private val fieldPos: Map[String, Int] =
     writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
-  private val requiredPos: Array[Int] = requiredCols.map(fieldPos(_))
+  // metadata columns materialize from the reader's own state, not the
+  // decoded record — encoded as negative positions
+  private val MetaSeg = -1
+  private val MetaOff = -2
+  private val requiredPos: Array[Int] = requiredCols.map {
+    case AvroFrames.SegmentMetaCol => MetaSeg
+    case AvroFrames.OffsetMetaCol  => MetaOff
+    case c                         => fieldPos(c)
+  }
   private val requiredTypes: Array[DataType] = {
     val spark = AvroFrames.sparkSchema(writerSchema)
-    requiredCols.map(c => spark(c).dataType)
+    requiredCols.map {
+      case AvroFrames.SegmentMetaCol => StringType
+      case AvroFrames.OffsetMetaCol  => LongType
+      case c                         => spark(c).dataType
+    }
   }
+  private val segmentName = UTF8String.fromString(new java.io.File(file).getName)
   private val preds: Array[GenericRecord => Boolean] =
     pushed.map(AvroFrames.compile(fieldPos, _))
 
@@ -551,7 +591,11 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
         val row = new GenericInternalRow(requiredPos.length)
         var i = 0
         while (i < requiredPos.length) {
-          row.update(i, AvroFrames.convert(rec.get(requiredPos(i)), requiredTypes(i)))
+          val p = requiredPos(i)
+          row.update(i,
+            if (p == MetaSeg) segmentName
+            else if (p == MetaOff) dec.position
+            else AvroFrames.convert(rec.get(p), requiredTypes(i)))
           i += 1
         }
         current = row
@@ -714,6 +758,12 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
 object AvroFrames {
 
   val DefaultSchemaId = 1
+
+  /** Metadata column names (hidden unless selected — the Kafka
+    * envelope's partition/offset analog).
+    */
+  val SegmentMetaCol = "_segment"
+  val OffsetMetaCol = "_frame_offset"
 
   /** Segment files of a log directory in lexicographic (= append)
     * order; metadata files (`_SUCCESS`, dotfiles) excluded.

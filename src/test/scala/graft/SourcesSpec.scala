@@ -704,6 +704,50 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(n == 25, s"runtime filters must not drop rows inside kept segments, got $n")
   }
 
+  test("DSv2 metadata columns: _segment/_frame_offset surface record provenance, hidden by default") {
+    val dir = tmp("frames-meta")
+    writeStatsFixture(dir, n = 40L, parts = 2)
+    val df = readFixture(dir)
+    // hidden unless selected: the data schema stays clean
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score", "payload"))
+    val withMeta = df.select(col("id"), col("_segment"), col("_frame_offset"))
+    val rows = withMeta.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 40)
+    // every claimed (segment, offset) must be TRUE provenance: decode
+    // that segment directly and check the id at that frame ordinal
+    val bySegment = rows.groupBy(_._2)
+    assert(bySegment.size == 2, s"two segments expected: ${bySegment.keys}")
+    bySegment.foreach { case (seg, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"offsets within $seg must be dense 0-based ordinals")
+      val r = new graft.sources.AvroFrameReader(
+        new java.io.File(dir, seg).getAbsolutePath, frameSchema, 7,
+        Array("id", "_frame_offset"), Array.empty)
+      val direct = scala.collection.mutable.Map.empty[Long, Long]
+      while (r.next()) direct(r.get().getLong(1)) = r.get().getLong(0)
+      r.close()
+      rs.foreach { case (id, _, off) =>
+        assert(direct(off) == id, s"offset $off in $seg should hold id ${direct(off)}, claimed $id")
+      }
+    }
+    // offsets skip nothing: with junk frames in the log, malformed
+    // frames still occupy positions (reprocessing can name them)
+    val dir2 = tmp("frames-meta-junk")
+    val schema = new org.apache.avro.Schema.Parser().parse(frameSchema)
+    def good(id: Long): Array[Byte] = {
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", id); r.put("name", null); r.put("score", 0.0)
+      r.put("payload", java.nio.ByteBuffer.wrap(Array[Byte]()))
+      graft.sources.AvroFrames.frameRecord(7, r)
+    }
+    graft.sources.AvroFrames.writeSegment(new java.io.File(dir2, "segment-0.bin"),
+      Seq(good(1L), graft.streaming.AvroRecords.frame(99, Array[Byte](2)), good(3L)).iterator)
+    val got = readFixture(dir2).select(col("id"), col("_frame_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (3L, 2L)),
+      s"malformed frame must occupy offset 1, got $got")
+  }
+
   test("q326 prunes time-sliced segments from the write path's stats sidecars") {
     val df = SparkEntry.queries("q326_stat_pruned_timeslice")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
