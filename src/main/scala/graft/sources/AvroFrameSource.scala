@@ -83,7 +83,9 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFrameScanBuilder(schema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroFrameWriteBuilder(info)
+    // catalog writes (INSERT INTO) carry no per-write options — the
+    // table's own options supply path/avroSchema/schemaId
+    new AvroFrameWriteBuilder(info, options)
 
   /** Record provenance — the `topic`/`partition`/`offset` analog of the
     * Kafka source's envelope (SURVEY §1.4), hidden unless selected:
@@ -813,6 +815,35 @@ object AvroFrames {
     case Schema.Type.BYTES   => BinaryType
     case other => throw new IllegalArgumentException(
       s"unsupported Avro field type for the frame source: $other")
+  }
+
+  /** Spark schema → Avro writer-schema JSON (the inverse of
+    * [[sparkSchema]]): nullable fields become `[null, T]` unions with
+    * a null default. Used by the catalog's CREATE TABLE to derive the
+    * wire schema from SQL columns. Round-trips exactly:
+    * `sparkSchema(parse(avroSchemaFor(s, n))) == s` up to nullability.
+    */
+  def avroSchemaFor(schema: StructType, recordName: String): String = {
+    val nameRe = "[A-Za-z_][A-Za-z0-9_]*"
+    require(recordName.matches(nameRe), s"invalid Avro record name: $recordName")
+    val fields = schema.fields.map { f =>
+      require(f.name.matches(nameRe), s"invalid Avro field name: ${f.name}")
+      val prim = f.dataType match {
+        case StringType  => "\"string\""
+        case IntegerType => "\"int\""
+        case LongType    => "\"long\""
+        case FloatType   => "\"float\""
+        case DoubleType  => "\"double\""
+        case BooleanType => "\"boolean\""
+        case BinaryType  => "\"bytes\""
+        case other => throw new IllegalArgumentException(
+          s"column ${f.name}: type $other has no frame-source Avro mapping")
+      }
+      val tpe = if (f.nullable) s"""["null",$prim]""" else prim
+      val dflt = if (f.nullable) ""","default":null""" else ""
+      s"""{"name":"${f.name}","type":$tpe$dflt}"""
+    }
+    s"""{"type":"record","name":"$recordName","fields":[${fields.mkString(",")}]}"""
   }
 
   /** Decoded Avro value → Catalyst internal value. */

@@ -79,13 +79,21 @@ object AvroFrameWrite {
   }
 }
 
-class AvroFrameWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+class AvroFrameWriteBuilder(info: LogicalWriteInfo,
+                            tableOpts: org.apache.spark.sql.util.CaseInsensitiveStringMap =
+                              org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  // per-write options win; catalog writes (INSERT INTO) carry none, so
+  // the owning table's options supply path/avroSchema/schemaId
+  private def opt(k: String): String =
+    Option(info.options().get(k)).getOrElse(tableOpts.get(k))
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val opts = info.options()
-      val schemaJson = opts.get("avroSchema")
+      val schemaJson = opt("avroSchema")
       require(schemaJson != null, "option `avroSchema` is required to write")
       val expected = AvroFrames.sparkSchema(new Schema.Parser().parse(schemaJson))
       val got = info.schema()
@@ -93,8 +101,8 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Su
               expected.fields.map(f => (f.name, f.dataType)).toSeq,
         s"write schema must match the Avro writer schema field-for-field:\n" +
           s"  got      $got\n  expected $expected")
-      new AvroFrameBatchWrite(opts.get("path"), schemaJson,
-        Option(opts.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
+      new AvroFrameBatchWrite(opt("path"), schemaJson,
+        Option(opt("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
         info.queryId(), doTruncate)
     }
   }

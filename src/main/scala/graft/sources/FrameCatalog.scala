@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin over a directory tree of framed-Avro segment logs —
+  * the metastore rung of the engine's own connector (SURVEY §2.2
+  * C1/C15; the reference wires its source by hand in code,
+  * `Processor.java:118-138` — this is what makes the same transport a
+  * first-class SQL citizen):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.frames", "graft.sources.FrameCatalog")
+  * spark.conf.set("spark.sql.catalog.frames.base", "/data/frame-logs")
+  * spark.sql("CREATE NAMESPACE frames.corpus")
+  * spark.sql("CREATE TABLE frames.corpus.events (event_id BIGINT, ...)")
+  * spark.sql("INSERT INTO frames.corpus.events SELECT ...")
+  * spark.sql("SELECT ... FROM frames.corpus.events")   // full pushdown
+  * }}}
+  *
+  * Layout: `<base>/<namespace>/<table>/` holds the segment files, the
+  * stats sidecars, and a `_table.json` descriptor (the Avro writer
+  * schema — derived from the CREATE TABLE columns — plus the expected
+  * embedded schema id). Everything the scan/write paths offer
+  * (projection/filter/aggregate/limit pushdown, stat-pruning, metadata
+  * columns, exactly-once commit) applies identically through SQL,
+  * because loadTable returns the SAME [[AvroFrameTable]] the
+  * path-based API builds.
+  *
+  * Filesystem-as-metastore is deliberate: table existence is the
+  * descriptor file's existence, so concurrent readers need no extra
+  * coordination service — the pattern of path-based lakehouse
+  * catalogs. At 100 TB the catalog holds directory pointers, never
+  * data; no operation here scales with row count.
+  */
+class FrameCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var base: File = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val b = options.get("base")
+    require(b != null,
+      s"catalog '$name' requires option spark.sql.catalog.$name.base (root directory)")
+    base = new File(b)
+    base.mkdirs()
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private val TableDescriptor = "_table.json"
+
+  private def nsDir(ns: Array[String]): File = {
+    require(ns.length == 1,
+      s"frame catalog namespaces are single-level, got ${ns.mkString(".")}")
+    new File(base, ns(0))
+  }
+
+  private def tableDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace), ident.name)
+
+  private def isTable(dir: File): Boolean = new File(dir, TableDescriptor).isFile
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(f => Array(f.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // no nesting
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && nsDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    nsDir(namespace).mkdirs()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("frame catalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    val tables = Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    if (tables.nonEmpty && !cascade) throw new NonEmptyNamespaceException(namespace)
+    deleteRecursively(dir)
+    true
+  }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Option(nsDir(namespace).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && isTable(d))
+      .map(d => Identifier.of(namespace, d.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val (avroSchema, schemaId) = readDescriptor(new File(dir, TableDescriptor))
+    val opts = new CaseInsensitiveStringMap(Map(
+      "path" -> dir.getAbsolutePath,
+      "avroSchema" -> avroSchema,
+      "schemaId" -> schemaId.toString).asJava)
+    new AvroFrameTable(
+      AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(avroSchema)), opts)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    require(info.partitions().isEmpty,
+      "frame tables are unpartitioned segment logs (PARTITIONED BY unsupported)")
+    if (!namespaceExists(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    dir.mkdirs()
+    val avroSchema = AvroFrames.avroSchemaFor(info.schema(), ident.name)
+    val schemaId = Option(info.properties().get("schemaId")).map(_.toInt)
+      .getOrElse(AvroFrames.DefaultSchemaId)
+    writeDescriptor(new File(dir, TableDescriptor), avroSchema, schemaId)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "frame table schemas are immutable (the Avro writer schema is the wire contract); " +
+        "create a new table and backfill")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    val ok = tableDir(oldIdent).renameTo(tableDir(newIdent))
+    require(ok, s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ------------------------------------------------------------ descriptor io
+
+  private def writeDescriptor(f: File, avroSchema: String, schemaId: Int): Unit = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    gen.writeStringField("avroSchema", avroSchema)
+    gen.writeNumberField("schemaId", schemaId)
+    gen.writeEndObject(); gen.close()
+    java.nio.file.Files.writeString(f.toPath, sw.toString)
+  }
+
+  private def readDescriptor(f: File): (String, Int) = {
+    val p = new com.fasterxml.jackson.core.JsonFactory()
+      .createParser(java.nio.file.Files.readString(f.toPath))
+    var schema: String = null
+    var id = AvroFrames.DefaultSchemaId
+    import com.fasterxml.jackson.core.JsonToken._
+    p.nextToken()
+    while (p.nextToken() != END_OBJECT) {
+      p.currentName() match {
+        case "avroSchema" => p.nextToken(); schema = p.getText
+        case "schemaId"   => p.nextToken(); id = p.getIntValue
+        case _            => p.nextToken()
+      }
+    }
+    require(schema != null, s"corrupt table descriptor ${f.getAbsolutePath}")
+    (schema, id)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}

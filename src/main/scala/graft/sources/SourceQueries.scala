@@ -191,6 +191,70 @@ object SourceQueries extends QueryGroup {
     }, Some("""
       SELECT count(*)::BIGINT AS n_sampled
       FROM (SELECT * FROM events LIMIT 4000) t
+    """)),
+
+    // ------------------------------------------------------------ catalog SQL (round 13)
+    // The connector as a first-class SQL citizen: the events log lives
+    // in a FrameCatalog metastore (CREATE NAMESPACE / CREATE TABLE /
+    // INSERT INTO build it, once per scale factor) and the judged query
+    // is plain multi-part-name SQL — no format() or path anywhere. The
+    // scan underneath is the SAME AvroFrameScan with full pushdown
+    // (FrameCatalogSpec asserts it), so catalog reads inherit every
+    // scale property; integer-only outputs keep the oracle float-free.
+    ("q330_catalog_sql", (s, d) => {
+      val cat = ensureCatalogFixture(s, d)
+      s.sql(s"""
+        SELECT user_id, count(*) AS n_purchases, max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING count(*) >= 2
+        ORDER BY user_id
+      """)
+    }, Some("""
+      SELECT user_id, count(*)::BIGINT AS n_purchases,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+      HAVING count(*) >= 2
+      ORDER BY user_id
     """))
   )
+
+  /** Stand up the per-sfDir frame catalog and load the events table
+    * through SQL DDL/DML (idempotent via a row-count marker). The
+    * catalog name is sf-scoped because Spark caches catalog instances
+    * by name for the session's lifetime.
+    */
+  def ensureCatalogFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = s"frames_$key"
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base.getAbsolutePath)
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events")
+      s.sql(s"""CREATE TABLE $cat.corpus.events (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_catalog_events_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events SELECT * FROM $view")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
 }
