@@ -79,7 +79,8 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFrameScanBuilder(schema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

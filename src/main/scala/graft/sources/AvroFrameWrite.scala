@@ -91,19 +91,33 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
   private def opt(k: String): String =
     Option(info.options().get(k)).getOrElse(tableOpts.get(k))
 
+  private def checkedSchema(): String = {
+    val schemaJson = opt("avroSchema")
+    require(schemaJson != null, "option `avroSchema` is required to write")
+    val expected = AvroFrames.sparkSchema(new Schema.Parser().parse(schemaJson))
+    val got = info.schema()
+    require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
+            expected.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"write schema must match the Avro writer schema field-for-field:\n" +
+        s"  got      $got\n  expected $expected")
+    schemaJson
+  }
+
+  private def schemaId: Int =
+    Option(opt("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId)
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val schemaJson = opt("avroSchema")
-      require(schemaJson != null, "option `avroSchema` is required to write")
-      val expected = AvroFrames.sparkSchema(new Schema.Parser().parse(schemaJson))
-      val got = info.schema()
-      require(got.fields.map(f => (f.name, f.dataType)).toSeq ==
-              expected.fields.map(f => (f.name, f.dataType)).toSeq,
-        s"write schema must match the Avro writer schema field-for-field:\n" +
-          s"  got      $got\n  expected $expected")
-      new AvroFrameBatchWrite(opt("path"), schemaJson,
-        Option(opt("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
+    override def toBatch: BatchWrite =
+      new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
         info.queryId(), doTruncate)
+
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // the log is append-only: complete/update output modes would need
+      // per-epoch truncation, which breaks the tailing reader's offsets
+      require(!doTruncate, "frame-log streaming writes are append-only " +
+        "(use outputMode(\"append\"))")
+      new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
+        info.queryId())
     }
   }
 }
@@ -124,7 +138,10 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
         .foreach(_.delete())
-    messages.collect { case m: AvroFrameCommitMessage => m }.foreach { m =>
+    // empty partitions commit a no-op message (tmpName empty): nothing
+    // to publish — filtering them here, not just at the writer, keeps
+    // a sparse dataframe write from minting phantom files
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
       // sidecar lands first; readers tolerate a missing sidecar but a
       // visible segment must never precede job commit
       java.nio.file.Files.writeString(
@@ -135,8 +152,64 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: AvroFrameCommitMessage => m }
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
       .foreach(m => new File(new File(path), m.tmpName).delete())
+}
+
+/** Streaming write into the segment log — the sink half of the Kafka
+  * analog, so a Structured Streaming query can APPEND to the same log
+  * another query tails ([[AvroFrameMicroBatchStream]]). Exactly-once
+  * across restarts without a transaction service: segment names embed
+  * the stable streaming query id and the epoch
+  * (`segment-<queryId>-e<epoch>-p<part>`), so a replayed epoch (sink
+  * re-commit after a crash between sink commit and offset-log commit)
+  * finds its segment names already present and drops the replacement
+  * temps — idempotent re-commit, the same dedup-by-(queryId, batchId)
+  * contract Spark's own sinks implement. Zero-padded epoch numbers
+  * keep names lexicographically increasing in append order, which is
+  * exactly the reader's segment-ordering contract (one writer query
+  * per log, like one producer per partition for ordering).
+  */
+class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: Int,
+                              queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  require(path != null, "option `path` is required")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new AvroFrameStreamingWriterFactory(path, avroSchemaJson, schemaId, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
+      val target = new File(dir, m.finalName)
+      if (target.isFile) {
+        // replayed epoch: the first commit's segment stands — dropping
+        // the re-run's temp is what makes the sink exactly-once
+        new File(dir, m.tmpName).delete()
+      } else {
+        java.nio.file.Files.writeString(
+          new File(dir, m.finalName + ".stats").toPath, m.statsJson)
+        val ok = new File(dir, m.tmpName).renameTo(target)
+        require(ok, s"epoch $epochId commit rename failed for ${m.tmpName} -> ${m.finalName}")
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
+      .foreach(m => new File(new File(path), m.tmpName).delete())
+}
+
+class AvroFrameStreamingWriterFactory(path: String, avroSchemaJson: String,
+                                      schemaId: Int, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    // epoch baked into the name tag: the final name is stable per
+    // (queryId, epoch, partition), which is what replay dedup keys on
+    new AvroFrameDataWriter(path, avroSchemaJson, schemaId,
+      f"$queryId-e$epochId%09d", partitionId, taskId)
 }
 
 class AvroFrameWriterFactory(path: String, avroSchemaJson: String,

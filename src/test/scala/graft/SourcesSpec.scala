@@ -704,6 +704,105 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(n == 25, s"runtime filters must not drop rows inside kept segments, got $n")
   }
 
+  test("DSv2 streaming sink: writeStream appends epoch-named segments with sidecars, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("frames-swrite"); val ck = tmp("frames-swrite-ck")
+    val in = MemoryStream[Long]
+    val q = in.toDF().selectExpr("value AS id", "CAST(NULL AS STRING) AS name",
+        "CAST(value AS DOUBLE) AS score", "CAST('' AS BINARY) AS payload")
+      .writeStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(1L, 2L, 3L); q.processAllAvailable()
+      in.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    val segs = graft.sources.AvroFrames.listSegments(dir)
+    assert(segs.nonEmpty, "streaming write must publish segments")
+    assert(segs.forall(_.getName.matches("segment-.*-e\\d{9}-p\\d{5}\\.bin")),
+      s"epoch-named segments expected: ${segs.map(_.getName).toSeq}")
+    assert(segs.forall(s => new java.io.File(dir, s.getName + ".stats").isFile),
+      "every streaming segment must carry a stats sidecar")
+    val back = readFixture(dir)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    // and the sidecars immediately serve aggregate pushdown
+    val agg = back.agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("complete, sidecar-only"))
+    assert(agg.collect()(0).getLong(1) == 5L)
+  }
+
+  test("DSv2 streaming sink: replayed epoch re-commit is idempotent (exactly-once across crash)") {
+    import graft.sources.{AvroFrameCommitMessage, AvroFrameStreamingWrite, AvroFrameStreamingWriterFactory}
+    val dir = tmp("frames-replay")
+    val w = new AvroFrameStreamingWrite(dir, frameSchema, 7, "qstream")
+    val factory = new AvroFrameStreamingWriterFactory(dir, frameSchema, 7, "qstream")
+    def runEpoch(epoch: Long, ids: Seq[Long], task: Long): AvroFrameCommitMessage = {
+      val writer = factory.createWriter(0, task, epoch)
+      ids.foreach { i =>
+        writer.write(org.apache.spark.sql.catalyst.InternalRow(
+          i, null, i.toDouble, Array[Byte]()))
+      }
+      writer.commit().asInstanceOf[AvroFrameCommitMessage]
+    }
+    w.commit(5L, Array(runEpoch(5L, Seq(1L, 2L), task = 1L)))
+    assert(readFixture(dir).count() == 2L)
+    // crash-replay: the engine re-runs epoch 5 (same final names, new
+    // task attempt); the first commit must stand and the replay's temp
+    // must vanish
+    w.commit(5L, Array(runEpoch(5L, Seq(9L, 9L, 9L), task = 2L)))
+    val got = readFixture(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"replayed epoch must not duplicate or replace: $got")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".inprogress")),
+      "replay temps must be cleaned up")
+    // a NEW epoch appends normally
+    w.commit(6L, Array(runEpoch(6L, Seq(7L), task = 3L)))
+    assert(readFixture(dir).count() == 3L)
+  }
+
+  test("DSv2 relay: stream OUT of one frame log INTO another (both ends are the connector)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("frames-relay-src"); val dst = tmp("frames-relay-dst")
+    val ck = tmp("frames-relay-ck")
+    writeFrames(src, (1L to 20L).map(i => (i, Some(s"u$i"), i.toDouble, Array[Byte]())),
+      file = "segment-00000.bin")
+    val q = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", src).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load()
+      .filter(col("score") > 10.0)
+      .writeStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dst).option("avroSchema", frameSchema)
+      .option("schemaId", "7").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(readFixture(dst).collect().map(_.getLong(0)).sorted.toSeq == (11L to 20L),
+      "the relay must carry exactly the filtered frames")
+  }
+
+  test("DSv2 batch write: empty partitions commit cleanly, no phantom files") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp("frames-empty-part")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    // 2 rows across 5 partitions: at least 3 partitions are empty
+    val rows = Seq(Row(1L, "a", 1.0, Array[Byte]()), Row(2L, "b", 2.0, Array[Byte]()))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").mode("append").save()
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".bin")) == 2, s"only non-empty partitions publish: ${names.toSeq}")
+    assert(!names.contains(".stats") && !names.exists(_.isEmpty), s"no phantom files: ${names.toSeq}")
+    assert(readFixture(dir).count() == 2L)
+  }
+
   test("DSv2 metadata columns: _segment/_frame_offset surface record provenance, hidden by default") {
     val dir = tmp("frames-meta")
     writeStatsFixture(dir, n = 40L, parts = 2)
