@@ -5,9 +5,13 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalog plugin over a directory tree of framed-Avro segment logs —
   * the metastore rung of the engine's own connector (SURVEY §2.2
@@ -39,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalogs. At 100 TB the catalog holds directory pointers, never
   * data; no operation here scales with row count.
   */
-class FrameCatalog extends TableCatalog with SupportsNamespaces {
+class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var base: File = _
@@ -164,6 +168,23 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces {
     require(ok, s"rename failed: $oldIdent -> $newIdent")
   }
 
+  // ------------------------------------------------------------ functions
+
+  /** V2 catalog functions — the DSv2 UDF surface (SURVEY §2.2 C13/C14's
+    * catalog rung). Library functions, available in every namespace
+    * like built-ins; `bind` validates arity/types at analysis and the
+    * MAGIC_METHOD `invoke` gives Spark a statically-typed entry point
+    * it compiles to a direct call inside whole-stage codegen — no row
+    * boxing, unlike a classic Scala UDF.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      FrameFunctions.all.keys.toArray.sorted.map(Identifier.of(namespace, _))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    FrameFunctions.all.getOrElse(ident.name, throw new NoSuchFunctionException(ident))
+
   // ------------------------------------------------------------ descriptor io
 
   private def writeDescriptor(f: File, avroSchema: String, schemaId: Int): Unit = {
@@ -197,5 +218,55 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces {
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
+  }
+}
+
+/** The catalog's function library. Each function is an
+  * [[UnboundFunction]] whose `bind` validates the call site's schema,
+  * returning a [[ScalarFunction]] with a MAGIC_METHOD `invoke` —
+  * Spark's analyzer resolves that method reflectively and plans a
+  * direct (codegen-compatible) call on UTF8String/primitive values.
+  */
+object FrameFunctions {
+
+  val all: Map[String, UnboundFunction] = Map(
+    "jaro_winkler" -> JaroWinklerUnbound)
+
+  /** Jaro–Winkler similarity as a V2 catalog function — the SAME
+    * static kernel as the Catalyst expression
+    * ([[graft.expressions.JaroWinkler.similarity]]), so DuckDB's
+    * built-in `jaro_winkler_similarity` remains the value-for-value
+    * oracle (q159 proved the parity; q331 proves it through the V2
+    * dispatch path).
+    */
+  object JaroWinklerUnbound extends UnboundFunction {
+    override def name(): String = "jaro_winkler"
+    override def description(): String =
+      "jaro_winkler(string, string) -> double: Jaro-Winkler name similarity in [0,1]"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+          inputType.fields.forall(_.dataType == StringType),
+        s"jaro_winkler expects (STRING, STRING), got $inputType")
+      JaroWinklerBound
+    }
+  }
+
+  object JaroWinklerBound extends ScalarFunction[java.lang.Double] {
+    override def inputTypes(): Array[DataType] = Array(StringType, StringType)
+    override def resultType(): DataType = DoubleType
+    override def name(): String = "jaro_winkler"
+    override def canonicalName(): String = "graft.jaro_winkler"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = true // null in -> null out
+
+    /** MAGIC_METHOD entry point: statically resolvable, codegen-direct. */
+    def invoke(a: UTF8String, b: UTF8String): java.lang.Double =
+      if (a == null || b == null) null
+      else Double.box(graft.expressions.JaroWinkler.similarity(a, b))
+
+    /** Interpreted fallback (also the contract Spark checks at bind). */
+    override def produceResult(input: InternalRow): java.lang.Double =
+      invoke(if (input.isNullAt(0)) null else input.getUTF8String(0),
+             if (input.isNullAt(1)) null else input.getUTF8String(1))
   }
 }

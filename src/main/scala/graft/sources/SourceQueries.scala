@@ -219,21 +219,64 @@ object SourceQueries extends QueryGroup {
       GROUP BY user_id
       HAVING count(*) >= 2
       ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ catalog V2 function (round 13)
+    // The DSv2 UDF surface end-to-end: jaro_winkler dispatched through
+    // the catalog's FunctionCatalog — analyzer binds the UnboundFunction
+    // against the call-site schema, then plans the MAGIC_METHOD
+    // `invoke` as a direct statically-typed call (codegen-compatible,
+    // no row boxing). Same kernel as the Catalyst expression, so
+    // DuckDB's jaro_winkler_similarity stays the value-for-value
+    // oracle (q159's parity, re-proven through V2 dispatch). Pairs are
+    // (brand, size)-blocked — the equi-key discipline every pair
+    // generator in this engine follows; never all-pairs.
+    ("q331_catalog_function_linkage", (s, d) => {
+      val cat = ensureCatalogRegistered(s, d)
+      Tables.part(s, d).createOrReplaceTempView("graft_q331_part")
+      s.sql(s"""
+        SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+               round($cat.corpus.jaro_winkler(a.p_name, b.p_name), 4) AS jw
+        FROM graft_q331_part a
+        JOIN graft_q331_part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE round($cat.corpus.jaro_winkler(a.p_name, b.p_name), 4) >= 0.9
+        ORDER BY pk_a, pk_b
+      """)
+    }, Some("""
+      SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+      FROM part a
+      JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+      ORDER BY pk_a, pk_b
     """))
   )
 
-  /** Stand up the per-sfDir frame catalog and load the events table
-    * through SQL DDL/DML (idempotent via a row-count marker). The
-    * catalog name is sf-scoped because Spark caches catalog instances
-    * by name for the session's lifetime.
+  /** Register the per-sfDir frame catalog (idempotent; sf-scoped name
+    * because Spark caches catalog instances by name for the session's
+    * lifetime) and return its name.
     */
-  def ensureCatalogFixture(s: SparkSession, d: String): String = {
+  def ensureCatalogRegistered(s: SparkSession, d: String): String = {
     val key = d.replaceAll("[^A-Za-z0-9]", "_")
     val cat = s"frames_$key"
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.base", base.getAbsolutePath)
+    cat
+  }
+
+  /** Stand up the per-sfDir frame catalog and load the events table
+    * through SQL DDL/DML (idempotent via a row-count marker). */
+  def ensureCatalogFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
     val ev = Tables.events(s, d)
     val n = ev.count()
     val marker = new java.io.File(base, "_READY")

@@ -107,6 +107,34 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"CREATE TABLE $cat.ns2.bad (id BIGINT NOT NULL, m MAP<STRING,STRING>)"))
   }
 
+  test("V2 catalog function: jaro_winkler binds, codegen-dispatches, and matches the expression") {
+    val cat = freshCatalog("fn")
+    spark.sql(s"CREATE NAMESPACE $cat.lib")
+    // resolution + SHOW FUNCTIONS surface
+    assert(spark.sql(s"SHOW FUNCTIONS IN $cat.lib").collect()
+      .map(_.getString(0)).exists(_.endsWith("jaro_winkler")))
+    // value parity with the Catalyst expression on tricky cases
+    val cases = Seq(
+      ("martha", "marhta"), ("dwayne", "duane"), ("", "abc"),
+      ("same", "same"), ("a", "b"))
+    cases.foreach { case (a, b) =>
+      val viaFn = spark.sql(s"SELECT $cat.lib.jaro_winkler('$a', '$b') AS v")
+        .collect()(0).getDouble(0)
+      val viaExpr = graft.sources.FrameFunctions.JaroWinklerBound.invoke(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(viaFn == viaExpr, s"($a,$b): fn=$viaFn expr=$viaExpr")
+    }
+    // null in -> null out (DuckDB semantics)
+    assert(spark.sql(s"SELECT $cat.lib.jaro_winkler(CAST(NULL AS STRING), 'x') AS v")
+      .collect()(0).isNullAt(0))
+    // arity/type misuse fails at ANALYSIS, not at runtime
+    intercept[Exception](spark.sql(s"SELECT $cat.lib.jaro_winkler('a') AS v").collect())
+    intercept[Exception](spark.sql(s"SELECT $cat.lib.jaro_winkler(1, 2) AS v").collect())
+    // unknown function name
+    intercept[Exception](spark.sql(s"SELECT $cat.lib.no_such_fn('a') AS v").collect())
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
