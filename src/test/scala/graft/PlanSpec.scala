@@ -1235,6 +1235,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q327-q331: round-13 connector/catalog additions stay inside their plan budgets") {
+    // (hash-exchange budget, FileScan budget). q327-q329 read through
+    // the DSv2 BatchScan (0 FileScans); their only exchanges are
+    // single-partition finals, never hash. q330 is the catalog SQL
+    // rollup (1 keyed exchange). q331's two FileScans are the part
+    // self-join sides; the block join is equi-keyed.
+    val budget = Map(
+      "q327_agg_pushdown_stats" -> (0, 0),
+      "q328_filtered_agg_pushdown" -> (0, 0),
+      "q329_limit_pushdown_sample" -> (0, 0),
+      "q330_catalog_sql" -> (1, 0),
+      "q331_catalog_function_linkage" -> (2, 2))
+    for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans <= maxScan, s"$q: expected <= $maxScan corpus scans, got $scans:\n$p")
+    }
+    // the pushdowns visibly reached the source in the JUDGED plans,
+    // not just the spec fixtures
+    assert(plan("q327_agg_pushdown_stats").contains("complete, sidecar-only"),
+      "q327 must answer from sidecars alone")
+    assert(plan("q328_filtered_agg_pushdown").contains("partial, per-segment"),
+      "q328 must aggregate per segment under the pushed filter")
+    assert(plan("q329_limit_pushdown_sample").contains("PushedLimit=4000"),
+      "q329's limit must reach the source")
+  }
+
   test("q268: unpivot is a single-scan Expand, not a union of self-scans") {
     val plan = SparkEntry.queries("q268_unpivot_measures")(spark, sfDir)
       .queryExecution.optimizedPlan
