@@ -176,7 +176,24 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
         .getOrElse(AvroFrames.DefaultSchemaId),
       required, pushed,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
-      aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit)
+      aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit,
+      FrameAsOf(Option(options.get("asOfSegments")).map(_.toInt),
+        Option(options.get("asOfTimestampMs")).map(_.toLong)))
+}
+
+/** Time-travel cut over the segment list (batch reads only): first-n
+  * segments (`VERSION AS OF` — the log's version IS its segment
+  * count) or publish-mtime ≤ t (`TIMESTAMP AS OF`). Applied BEFORE
+  * stat-pruning/statistics, so every downstream feature (pushdown,
+  * sidecar aggregates, limit truncation) sees only the historical
+  * slice.
+  */
+case class FrameAsOf(segments: Option[Int], tsMs: Option[Long]) {
+  def cut(all: Array[java.io.File]): Array[java.io.File] = {
+    val bySeg = segments.fold(all)(n => all.take(n))
+    tsMs.fold(bySeg)(t => bySeg.filter(_.lastModified() <= t))
+  }
+  def isCurrent: Boolean = segments.isEmpty && tsMs.isEmpty
 }
 
 class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
@@ -184,10 +201,15 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     maxSegmentsPerTrigger: Int = 0,
                     aggs: Option[Seq[FrameAgg]] = None,
                     aggComplete: Boolean = false,
-                    limit: Int = 0)
+                    limit: Int = 0,
+                    asOf: FrameAsOf = FrameAsOf(None, None))
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
+
+  /** The batch scan's segment universe: the time-travel slice. */
+  private def segmentsAsOf(): Array[java.io.File] =
+    asOf.cut(AvroFrames.listSegments(path))
 
   /** Runtime (DPP-style) filters, v1-converted. COARSE-grained by the
     * [[SupportsRuntimeV2Filtering]] contract: used only to prune whole
@@ -214,7 +236,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     * unknown: they stay, but contribute nothing to the proof).
     */
   private def plannedSegments(): Array[java.io.File] = {
-    val kept = AvroFrameStats.prune(AvroFrames.listSegments(path), pruneFilters)
+    val kept = AvroFrameStats.prune(segmentsAsOf(), pruneFilters)
     if (limit <= 0 || pushed.nonEmpty) kept
     else {
       var proven = 0L
@@ -243,7 +265,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       // aggregate pushdown: output is one row (complete) or one row
       // per surviving segment (partial) — report that, not raw bytes
       val n = if (aggComplete) 1L
-        else math.max(1L, AvroFrameStats.prune(AvroFrames.listSegments(path), pushed).length.toLong)
+        else math.max(1L, AvroFrameStats.prune(segmentsAsOf(), pushed).length.toLong)
       return new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(n * 64L)
@@ -251,7 +273,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
           java.util.OptionalLong.of(n)
       }
     }
-    val kept = AvroFrameStats.prune(AvroFrames.listSegments(path), pushed)
+    val kept = AvroFrameStats.prune(segmentsAsOf(), pushed)
     val bytes = kept.map(_.length()).sum
     val rows = kept.map(f => AvroFrameStats.read(f).map(_._1))
     new Statistics {
@@ -278,7 +300,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   // projection, filters, aggregates, limit, AND stat-pruning actually
   // reached the source
   override def description(): String = {
-    val all = AvroFrames.listSegments(path)
+    val all = segmentsAsOf()
     val kept = plannedSegments()
     s"AvroFrameScan path=$path, ReadSchema=${readSchema().fieldNames.mkString("[", ",", "]")}, " +
       s"PushedFilters=${pushed.mkString("[", ", ", "]")}, " +

@@ -121,14 +121,37 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.length == 1 && isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadTableAsOf(ident, Map.empty)
+
+  /** Time travel — free on an append-only log. `VERSION AS OF n` is
+    * the log's natural version number: the segment count after the
+    * n-th append (reads the first n segments in name = append order).
+    * `TIMESTAMP AS OF t` reads segments whose publish mtime ≤ t (the
+    * job-commit rename stamps it). Nothing is copied or snapshotted —
+    * immutable segments ARE the history, the Iceberg/Delta snapshot
+    * idea with the segment list as the manifest.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val n = scala.util.Try(version.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"frame-log versions are segment counts; got '$version'"))
+    val have = AvroFrames.listSegments(tableDir(ident).getAbsolutePath).length
+    require(n >= 0 && n <= have,
+      s"version $n does not exist: ${ident.name} has $have segments")
+    loadTableAsOf(ident, Map("asOfSegments" -> n.toString))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadTableAsOf(ident, Map("asOfTimestampMs" -> (timestampMicros / 1000L).toString))
+
+  private def loadTableAsOf(ident: Identifier, asOf: Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val (avroSchema, schemaId) = readDescriptor(new File(dir, TableDescriptor))
-    val opts = new CaseInsensitiveStringMap(Map(
+    val opts = new CaseInsensitiveStringMap((Map(
       "path" -> dir.getAbsolutePath,
       "avroSchema" -> avroSchema,
-      "schemaId" -> schemaId.toString).asJava)
+      "schemaId" -> schemaId.toString) ++ asOf).asJava)
     new AvroFrameTable(
       AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(avroSchema)), opts)
   }

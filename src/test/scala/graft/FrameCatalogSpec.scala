@@ -135,6 +135,42 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"SELECT $cat.lib.no_such_fn('a') AS v").collect())
   }
 
+  test("time travel: VERSION AS OF reads the first-n-segments slice; TIMESTAMP AS OF by publish time") {
+    val cat = freshCatalog("tt")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.log (id BIGINT NOT NULL)")
+    // two appends = two log versions (1 segment each: coalesced input)
+    spark.range(1, 6).coalesce(1).createOrReplaceTempView("tt_first")
+    spark.sql(s"INSERT INTO $cat.ns.log SELECT id FROM tt_first")
+    val v1Segments = new java.io.File(
+      spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/log")
+      .listFiles().count(_.getName.endsWith(".bin"))
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100) // mtime granularity guard
+    spark.range(100, 103).coalesce(1).createOrReplaceTempView("tt_second")
+    spark.sql(s"INSERT INTO $cat.ns.log SELECT id FROM tt_second")
+
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(s"SELECT id FROM $cat.ns.log") == Seq(1L, 2L, 3L, 4L, 5L, 100L, 101L, 102L))
+    assert(ids(s"SELECT id FROM $cat.ns.log VERSION AS OF $v1Segments") == (1L to 5L),
+      "VERSION AS OF must read exactly the first append's segments")
+    assert(ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 0") == Seq.empty,
+      "version 0 is the empty log")
+    intercept[Exception](spark.sql(s"SELECT id FROM $cat.ns.log VERSION AS OF 99").collect())
+    // timestamp between the appends sees only the first
+    val tsLit = new java.sql.Timestamp(betweenMs).toString
+    assert(ids(s"SELECT id FROM $cat.ns.log TIMESTAMP AS OF '$tsLit'") == (1L to 5L),
+      "TIMESTAMP AS OF must cut on publish mtime")
+    // history composes with sidecar-only aggregate pushdown: the old
+    // slice's max comes from the old sidecars alone
+    val agg = spark.sql(
+      s"SELECT max(id) AS mx, count(*) AS n FROM $cat.ns.log VERSION AS OF $v1Segments")
+    assert(agg.queryExecution.executedPlan.toString.contains("complete, sidecar-only"))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
