@@ -260,6 +260,43 @@ object Sessions extends QueryGroup {
           when(col("view_ts").isNotNull,
                unix_micros(col("click_ts")) - unix_micros(col("view_ts"))))
         .orderBy("click_id")
+    }),
+
+    // ------------------------------------------------------------ native physical interval join (round 13)
+    // q262's EXACT relation (same independent DuckDB range-join
+    // oracle — the q264/q324 shared-oracle proof pattern) through the
+    // engine's THIRD custom physical operator: graft.plans.
+    // IntervalJoinExec. Spark plans the composed form as an equi join
+    // on user with the time range as a post-join residual — every
+    // (click, view) pair of a user materializes before the residual
+    // drops it, O(clicks_u × views_u) per user. The native exec
+    // declares sort-merge-join distribution/ordering and sweeps: view
+    // windows enter an active min-heap (by window end) when their
+    // start passes the click ts, leave when they expire, and each
+    // click emits exactly its matches — O(evictions + output) per
+    // click, state = max concurrent windows, not the relation. At
+    // 100 TB the shuffles are identical to the SMJ the composed form
+    // pays; the pair blow-up inside heavy users is what disappears.
+    "q332_native_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                unix_micros(col("ts")).as("click_us"))
+      val wins = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id").as("i_user"),
+                unix_micros(col("ts")).as("win_start_us"),
+                (unix_micros(col("ts")) + lit(3600L * 1000000L)).as("win_end_us"))
+      graft.plans.IntervalJoin.innerInterval(clicks, wins,
+          leftKeyCol = "c_user", rightKeyCol = "i_user",
+          leftTsCol = "click_us", rightStartCol = "win_start_us",
+          rightEndCol = "win_end_us")
+        .select(col("c_user").as("user_id"), col("imp_id"), col("click_id"),
+                // datediff('second') = difference of FLOORED epoch
+                // seconds (not a floored difference) — q262's parity
+                (floor(col("click_us") / lit(1000000L)) -
+                 floor(col("win_start_us") / lit(1000000L)))
+                  .cast("long").as("lag_sec"))
+        .orderBy("user_id", "imp_id", "click_id")
     })
   )
 
@@ -382,5 +419,22 @@ object Sessions extends QueryGroup {
                   THEN epoch_us(c.click_ts) - epoch_us(v.view_ts) END AS lag_us
       FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
       ORDER BY click_id
+    """.trim,
+
+    // q262's relation verbatim — only the physical operator differs
+    // (native interval sweep vs equi join + range residual), which is
+    // exactly what sharing the independent range-join oracle proves.
+    "q332_native_interval_join" -> s"""
+      WITH i AS (SELECT event_id AS imp_id, user_id, ts::TIMESTAMP AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT i.user_id, i.imp_id, c.click_id,
+             datediff('second', i.imp_ts, c.click_ts)::BIGINT AS lag_sec
+      FROM i JOIN c
+        ON i.user_id = c.user_id
+        AND c.click_ts >= i.imp_ts
+        AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
+      ORDER BY i.user_id, i.imp_id, c.click_id
     """.trim)
 }

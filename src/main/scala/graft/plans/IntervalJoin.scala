@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Whole-operator point-in-interval join: every (left point, right
+  * interval) pair with the same key where `start <= ts <= end` — the
+  * event-to-window join behind attribution, maintenance-window
+  * filtering, and session enrichment.
+  *
+  * The second rung of the engine's custom-physical-operator line
+  * (SURVEY §2.2 C15, next to [[AsOfJoinExec]]): Spark's built-ins
+  * plan `l.key = r.key AND l.ts BETWEEN r.start AND r.end` as a
+  * sort-merge/hash join on the key with the range as a POST-JOIN
+  * residual — every (point, interval) pair of a key materializes
+  * before the residual drops it, O(|points_k| · |intervals_k|) per
+  * key. [[IntervalJoinExec]] declares the same ClusteredDistribution
+  * a sort-merge join would (EnsureRequirements/AQE place, reuse, and
+  * skew-split the exchanges) plus (key, ts) / (key, start) ordering,
+  * and then streams both sorted partitions through an interval sweep:
+  * intervals enter an active min-heap (keyed by end) when their start
+  * passes, leave when their end expires, and each point emits exactly
+  * its matches — O(evictions + output) per point, active-set state
+  * only (the max concurrent overlap, not the relation).
+  *
+  * Inner-join semantics; a NULL key/ts/bound never matches (exactly
+  * what SQL's `BETWEEN` residual gives). Output preserves the left
+  * side's partitioning and (key, ts) ordering.
+  */
+case class IntervalJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinNode(l, r, lk, rk, lt, rs, re) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class IntervalJoinExec(
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightStart, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numAdmitted" -> SQLMetrics.createMetric(sparkContext, "intervals admitted to the sweep"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    def ord(side: SparkPlan, a: Attribute): Int = {
+      val i = side.output.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"interval-join attribute $a not found in child output")
+      i
+    }
+    val lkOrd = ord(left, leftKey); val ltOrd = ord(left, leftTs)
+    val rkOrd = ord(right, rightKey)
+    val rsOrd = ord(right, rightStart); val reOrd = ord(right, rightEnd)
+    val outAttrs = output
+    val rowsMetric = longMetric("numOutputRows")
+    val admittedMetric = longMetric("numAdmitted")
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        // active intervals of the CURRENT key, min-heap by end: evicting
+        // every end < ts leaves exactly the matching set (start already
+        // passed at insertion, ts nondecreasing within a key)
+        val active = scala.collection.mutable.PriorityQueue.empty[(Long, InternalRow)](
+          Ordering.by[(Long, InternalRow), Long](_._1).reverse)
+        var activeKey = Long.MinValue
+        var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+
+        lIter.flatMap { l =>
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) Iterator.empty
+          else {
+            val lk = l.getLong(lkOrd)
+            val lt = l.getLong(ltOrd)
+            if (lk != activeKey) { active.clear(); activeKey = lk }
+            // admit right intervals for keys < lk (drained unseen — no
+            // left partner exists) and this key's starts <= lt
+            var advance = true
+            while (advance && rRow != null) {
+              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rsOrd) || rRow.isNullAt(reOrd)) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else {
+                val rk = rRow.getLong(rkOrd)
+                if (rk < lk) {
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else if (rk == lk && rRow.getLong(rsOrd) <= lt) {
+                  admittedMetric += 1
+                  active.enqueue((rRow.getLong(reOrd), rRow.copy()))
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else advance = false
+              }
+            }
+            // expire ended intervals; everything left matches
+            while (active.nonEmpty && active.head._1 < lt) active.dequeue()
+            if (active.isEmpty) Iterator.empty
+            else active.iterator.map { case (_, r) =>
+              rowsMetric += 1
+              proj(joined(l, r))
+            }
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User API for the native interval join. */
+object IntervalJoin {
+
+  /** Inner point-in-interval join: every pair with
+    * `left.key = right.key AND right.start <= left.ts <= right.end`.
+    * Column names must be disjoint between the sides (rename first);
+    * key/ts/bound columns must be bigint or timestamp.
+    */
+  def innerInterval(left: DataFrame, right: DataFrame,
+                    leftKeyCol: String, rightKeyCol: String,
+                    leftTsCol: String, rightStartCol: String,
+                    rightEndCol: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.ensureStrategy(spark, IntervalJoinStrategy)
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"interval-join sides share column names $dup — rename before joining")
+    val l2 = left.select(left.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val lPlan = GraftSqlBridge.analyzed(l2)
+    val rPlan = GraftSqlBridge.analyzed(r2)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side side has no column `$name`"))
+    val lk = attr(lPlan, leftKeyCol, "left"); val rk = attr(rPlan, rightKeyCol, "right")
+    val lt = attr(lPlan, leftTsCol, "left")
+    val rs = attr(rPlan, rightStartCol, "right"); val re = attr(rPlan, rightEndCol, "right")
+    Seq(lk -> "key", rk -> "key", lt -> "ts", rs -> "bound", re -> "bound").foreach {
+      case (a, what) => a.dataType match {
+        case LongType | TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"interval-join $what `${a.name}` must be bigint or timestamp, got $other")
+      }
+    }
+    GraftSqlBridge.ofRows(spark, IntervalJoinNode(lPlan, rPlan, lk, rk, lt, rs, re))
+  }
+}

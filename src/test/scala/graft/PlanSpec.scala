@@ -1246,7 +1246,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q328_filtered_agg_pushdown" -> (0, 0),
       "q329_limit_pushdown_sample" -> (0, 0),
       "q330_catalog_sql" -> (1, 0),
-      "q331_catalog_function_linkage" -> (2, 2))
+      "q331_catalog_function_linkage" -> (2, 2),
+      // q332: the native interval sweep's two SMJ-style exchanges over
+      // the two event-scan sides — no relational join node remains
+      "q332_native_interval_join" -> (2, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
@@ -1264,6 +1267,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q328 must aggregate per segment under the pushed filter")
     assert(plan("q329_limit_pushdown_sample").contains("PushedLimit=4000"),
       "q329's limit must reach the source")
+    val p332 = plan("q332_native_interval_join")
+    assert(p332.contains("IntervalJoin") && !p332.contains("SortMergeJoin") &&
+           !p332.contains("BroadcastHashJoin"),
+      s"q332 must run the native interval sweep, not a relational join:\n$p332")
   }
 
   test("q268: unpivot is a single-scan Expand, not a union of self-scans") {
