@@ -129,8 +129,17 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
                           queryId: String, truncate: Boolean) extends BatchWrite {
   require(path != null, "option `path` is required")
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, queryId)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // visible names must increase lexicographically in APPEND order —
+    // the tailing reader's and the version cut's contract. A bare
+    // query UUID sorts arbitrarily between jobs, so batch publishes
+    // under a zero-padded job timestamp (one stamp per job, driver
+    // side: segments of one insert stay adjacent, later inserts sort
+    // after). Streaming keeps deterministic epoch names instead —
+    // replay dedup needs them stable across re-runs.
+    val stamp = f"${System.currentTimeMillis()}%013d-${queryId.take(8)}"
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
