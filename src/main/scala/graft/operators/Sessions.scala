@@ -297,6 +297,43 @@ object Sessions extends QueryGroup {
                  floor(col("win_start_us") / lit(1000000L)))
                   .cast("long").as("lag_sec"))
         .orderBy("user_id", "imp_id", "click_id")
+    }),
+
+    // ------------------------------------------------------------ left interval join, coverage audit (round 13)
+    // The native operator's LEFT OUTER mode: clicks covered by NO view
+    // window survive with a null right side — "which events fall in no
+    // window", the coverage-audit shape behind SLA/attribution-gap
+    // reporting. Per-user covered/uncovered click counts keep the
+    // output integer-only (no NULL-ordering divergence between
+    // engines). Oracle: DuckDB LEFT range join — an unmatched click is
+    // exactly one null-extended row in both.
+    "q333_left_interval_coverage" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                unix_micros(col("ts")).as("click_us"))
+      val wins = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id").as("i_user"),
+                unix_micros(col("ts")).as("win_start_us"),
+                (unix_micros(col("ts")) + lit(3600L * 1000000L)).as("win_end_us"))
+      graft.plans.IntervalJoin.leftInterval(clicks, wins,
+          leftKeyCol = "c_user", rightKeyCol = "i_user",
+          leftTsCol = "click_us", rightStartCol = "win_start_us",
+          rightEndCol = "win_end_us")
+        // both rollups group on (subsets extending) c_user, which the
+        // sweep's output is already partitioned by — ZERO further
+        // exchanges (PlanSpec pins it), unlike a countDistinct pair
+        // which would plan an Expand + distinct shuffle
+        .groupBy(col("c_user"), col("click_id"))
+        .agg(max(when(col("imp_id").isNotNull, 1).otherwise(0)).as("covered"),
+             count(lit(1)).as("n_rows"))
+        .groupBy(col("c_user"))
+        .agg(sum(col("covered")).as("n_covered"),
+             (count(lit(1)) - sum(col("covered"))).as("n_uncovered"),
+             sum(col("n_rows")).as("n_pairs"))
+        .select(col("c_user").as("user_id"), col("n_covered"),
+                col("n_uncovered"), col("n_pairs"))
+        .orderBy("user_id")
     })
   )
 
@@ -436,5 +473,22 @@ object Sessions extends QueryGroup {
         AND c.click_ts >= i.imp_ts
         AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
       ORDER BY i.user_id, i.imp_id, c.click_id
+    """.trim,
+
+    "q333_left_interval_coverage" -> s"""
+      WITH i AS (SELECT event_id AS imp_id, user_id, ts::TIMESTAMP AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT c.user_id,
+             count(DISTINCT CASE WHEN i.imp_id IS NOT NULL THEN c.click_id END)::BIGINT AS n_covered,
+             count(DISTINCT CASE WHEN i.imp_id IS NULL THEN c.click_id END)::BIGINT AS n_uncovered,
+             count(*)::BIGINT AS n_pairs
+      FROM c LEFT JOIN i
+        ON c.user_id = i.user_id
+        AND c.click_ts >= i.imp_ts
+        AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
+      GROUP BY c.user_id
+      ORDER BY c.user_id
     """.trim)
 }

@@ -38,8 +38,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class IntervalJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
     copy(left = newLeft, right = newRight)
@@ -47,8 +50,8 @@ case class IntervalJoinNode(
 
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lk, rk, lt, rs, re) =>
-      IntervalJoinExec(lk, rk, lt, rs, re, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinNode(l, r, lk, rk, lt, rs, re, outer) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, planLater(l), planLater(r), outer) :: Nil
     case _ => Nil
   }
 }
@@ -56,9 +59,12 @@ object IntervalJoinStrategy extends SparkStrategy {
 case class IntervalJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute,
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    leftOuter: Boolean = false) extends SparkPlan with BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -86,10 +92,14 @@ case class IntervalJoinExec(
     val rowsMetric = longMetric("numOutputRows")
     val admittedMetric = longMetric("numAdmitted")
 
+    val rightArity = right.output.length
+    val isOuter = leftOuter
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val proj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
+        val nullRight: InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightArity)
         // active intervals of the CURRENT key, min-heap by end: evicting
         // every end < ts leaves exactly the matching set (start already
         // passed at insertion, ts nondecreasing within a key)
@@ -99,8 +109,12 @@ case class IntervalJoinExec(
         var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
 
         lIter.flatMap { l =>
-          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) Iterator.empty
-          else {
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+            // a NULL key/ts can never satisfy the range — inner drops
+            // the point, left-outer keeps it unmatched (SQL LEFT JOIN)
+            if (isOuter) { rowsMetric += 1; Iterator.single(proj(joined(l, nullRight))) }
+            else Iterator.empty
+          } else {
             val lk = l.getLong(lkOrd)
             val lt = l.getLong(ltOrd)
             if (lk != activeKey) { active.clear(); activeKey = lk }
@@ -123,8 +137,10 @@ case class IntervalJoinExec(
             }
             // expire ended intervals; everything left matches
             while (active.nonEmpty && active.head._1 < lt) active.dequeue()
-            if (active.isEmpty) Iterator.empty
-            else active.iterator.map { case (_, r) =>
+            if (active.isEmpty) {
+              if (isOuter) { rowsMetric += 1; Iterator.single(proj(joined(l, nullRight))) }
+              else Iterator.empty
+            } else active.iterator.map { case (_, r) =>
               rowsMetric += 1
               proj(joined(l, r))
             }
@@ -149,7 +165,25 @@ object IntervalJoin {
   def innerInterval(left: DataFrame, right: DataFrame,
                     leftKeyCol: String, rightKeyCol: String,
                     leftTsCol: String, rightStartCol: String,
-                    rightEndCol: String): DataFrame = {
+                    rightEndCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTsCol,
+      rightStartCol, rightEndCol, leftOuter = false)
+
+  /** [[innerInterval]] with LEFT OUTER semantics: points covered by no
+    * interval (or with a NULL key/ts) survive with a null right side —
+    * the coverage-audit shape ("which events fall in NO window").
+    */
+  def leftInterval(left: DataFrame, right: DataFrame,
+                   leftKeyCol: String, rightKeyCol: String,
+                   leftTsCol: String, rightStartCol: String,
+                   rightEndCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTsCol,
+      rightStartCol, rightEndCol, leftOuter = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    leftKeyCol: String, rightKeyCol: String,
+                    leftTsCol: String, rightStartCol: String,
+                    rightEndCol: String, leftOuter: Boolean): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.ensureStrategy(spark, IntervalJoinStrategy)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
@@ -171,6 +205,7 @@ object IntervalJoin {
           s"interval-join $what `${a.name}` must be bigint or timestamp, got $other")
       }
     }
-    GraftSqlBridge.ofRows(spark, IntervalJoinNode(lPlan, rPlan, lk, rk, lt, rs, re))
+    GraftSqlBridge.ofRows(spark,
+      IntervalJoinNode(lPlan, rPlan, lk, rk, lt, rs, re, leftOuter))
   }
 }

@@ -103,6 +103,37 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  private def nativeLeft(p: DataFrame, i: DataFrame): Set[(Long, Option[Long])] =
+    graft.plans.IntervalJoin.leftInterval(p, i,
+        "p_key", "i_key", "p_ts", "i_start", "i_end")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+  private def composedLeft(p: DataFrame, i: DataFrame): Set[(Long, Option[Long])] =
+    p.join(i, col("p_key") === col("i_key") &&
+        col("p_ts") >= col("i_start") && col("p_ts") <= col("i_end"), "left")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+
+  test("left-outer mode: uncovered and NULL-key points survive null-extended, parity with SQL LEFT JOIN") {
+    val rnd = new scala.util.Random(29)
+    val p = points((1L to 300L).map { id =>
+      val key: java.lang.Long = if (id % 37 == 0) null else Long.box(rnd.nextInt(6).toLong)
+      (id, key, Long.box(rnd.nextInt(500).toLong))
+    })
+    val i = intervals((1L to 80L).map { id =>
+      val s = rnd.nextInt(500).toLong
+      (id, Long.box(rnd.nextInt(6).toLong), Long.box(s), Long.box(s + rnd.nextInt(60).toLong))
+    })
+    val got = nativeLeft(p, i)
+    val want = composedLeft(p, i)
+    assert(got == want, s"left-outer diverges: missing=${want -- got}, extra=${got -- want}")
+    assert(got.exists(_._2.isEmpty) && got.exists(_._2.nonEmpty),
+      "fixture must exercise both matched and unmatched points")
+    // every point appears: matched k times or null-extended exactly once
+    assert(got.map(_._1) == p.collect().map(_.getLong(0)).toSet)
+  }
+
   test("q332 equals q262's composed relation row-for-row") {
     val a = SparkEntry.queries("q332_native_interval_join")(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -1249,7 +1249,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q331_catalog_function_linkage" -> (2, 2),
       // q332: the native interval sweep's two SMJ-style exchanges over
       // the two event-scan sides — no relational join node remains
-      "q332_native_interval_join" -> (2, 2))
+      "q332_native_interval_join" -> (2, 2),
+      // q333: ONLY the sweep's two exchanges — both rollups group on
+      // c_user(+click), which the sweep's output partitioning already
+      // clusters, so neither aggregate adds an exchange
+      "q333_left_interval_coverage" -> (2, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
