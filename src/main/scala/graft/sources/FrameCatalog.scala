@@ -253,7 +253,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 object FrameFunctions {
 
   val all: Map[String, UnboundFunction] = Map(
-    "jaro_winkler" -> JaroWinklerUnbound)
+    "jaro_winkler" -> JaroWinklerUnbound,
+    "hamming64" -> Hamming64Unbound)
 
   /** Jaro–Winkler similarity as a V2 catalog function — the SAME
     * static kernel as the Catalyst expression
@@ -291,5 +292,41 @@ object FrameFunctions {
     override def produceResult(input: InternalRow): java.lang.Double =
       invoke(if (input.isNullAt(0)) null else input.getUTF8String(0),
              if (input.isNullAt(1)) null else input.getUTF8String(1))
+  }
+
+  /** Hamming distance between two 64-bit signatures (popcount of xor)
+    * — the simhash/fingerprint comparator, as a V2 function with
+    * PRIMITIVE-typed magic dispatch: `invoke(long, long): int` compiles
+    * to an unboxed direct call (the other magic-method shape next to
+    * jaro_winkler's object-typed one). Null-intolerant like the SQL
+    * expression `bit_count(a ^ b)`: any NULL input yields NULL.
+    */
+  object Hamming64Unbound extends UnboundFunction {
+    override def name(): String = "hamming64"
+    override def description(): String =
+      "hamming64(bigint, bigint) -> int: popcount of xor — Hamming distance of 64-bit signatures"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+          inputType.fields.forall(_.dataType == org.apache.spark.sql.types.LongType),
+        s"hamming64 expects (BIGINT, BIGINT), got $inputType")
+      Hamming64Bound
+    }
+  }
+
+  object Hamming64Bound extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+    override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
+    override def name(): String = "hamming64"
+    override def canonicalName(): String = "graft.hamming64"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = true // null in -> null out
+
+    /** MAGIC_METHOD entry point: primitive-typed, unboxed dispatch. */
+    def invoke(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else Int.box(invoke(input.getLong(0), input.getLong(1)))
   }
 }

@@ -253,6 +253,48 @@ object SourceQueries extends QueryGroup {
        AND a.p_partkey < b.p_partkey
       WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
       ORDER BY pk_a, pk_b
+    """)),
+
+    // ------------------------------------------------------------ catalog V2 function, primitive dispatch (round 13)
+    // hamming64 through the catalog — the PRIMITIVE-typed magic-method
+    // shape (invoke(long,long): int, unboxed direct call) next to
+    // q331's object-typed one. Per-source fingerprint drift: every
+    // doc's 60-bit portable hash XOR-popcounted against the source's
+    // anchor (min-doc_id) hash; the hash is the md5-prefix long BOTH
+    // engines compute bit-identically (house sketch-hash pattern), so
+    // the oracle is exact. Source-keyed join + aggregates — scales.
+    ("q334_hamming_source_drift", (s, d) => {
+      val cat = ensureCatalogRegistered(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.portableHash(col("text")).as("h"))
+        .createOrReplaceTempView("graft_q334_hashes")
+      s.sql(s"""
+        WITH a AS (
+          SELECT source, min_by(h, doc_id) AS anchor_h
+          FROM graft_q334_hashes GROUP BY source
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum($cat.lib.hamming64(d.h, a.anchor_h)) AS BIGINT) AS sum_dist,
+               CAST(max($cat.lib.hamming64(d.h, a.anchor_h)) AS BIGINT) AS max_dist
+        FROM graft_q334_hashes d JOIN a ON d.source = a.source
+        GROUP BY d.source
+        ORDER BY d.source
+      """)
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id, source,
+               ('0x'||substring(md5(text),1,15))::BIGINT AS h
+        FROM documents
+      ),
+      a AS (SELECT source, min_by(h, doc_id) AS anchor_h FROM h GROUP BY source)
+      SELECT h.source, count(*)::BIGINT AS n_docs,
+             sum(bit_count(xor(h.h, a.anchor_h)))::BIGINT AS sum_dist,
+             max(bit_count(xor(h.h, a.anchor_h)))::BIGINT AS max_dist
+      FROM h JOIN a ON h.source = a.source
+      GROUP BY h.source
+      ORDER BY h.source
     """))
   )
 

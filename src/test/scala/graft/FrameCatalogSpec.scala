@@ -135,6 +135,29 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"SELECT $cat.lib.no_such_fn('a') AS v").collect())
   }
 
+  test("V2 catalog function: hamming64 primitive dispatch, null-intolerance, bounds") {
+    val cat = freshCatalog("fn2")
+    spark.sql(s"CREATE NAMESPACE $cat.lib")
+    def ham(a: Long, b: Long): Int =
+      spark.sql(s"SELECT $cat.lib.hamming64(${a}L, ${b}L) AS v").collect()(0).getInt(0)
+    assert(ham(0L, 0L) == 0)
+    assert(ham(0L, -1L) == 64)
+    assert(ham(0x5555555555555555L, 0L) == 32)
+    assert(ham(13L, 13L) == 0)
+    assert(ham(1L, 2L) == 2)
+    // matches the direct kernel on random pairs
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val (a, b) = (rnd.nextLong(), rnd.nextLong())
+      assert(ham(a, b) == java.lang.Long.bitCount(a ^ b))
+    }
+    // null in -> null out; analysis-time type rejection
+    assert(spark.sql(s"SELECT $cat.lib.hamming64(CAST(NULL AS BIGINT), 1L) AS v")
+      .collect()(0).isNullAt(0))
+    intercept[Exception](spark.sql(s"SELECT $cat.lib.hamming64('a', 'b') AS v").collect())
+    intercept[Exception](spark.sql(s"SELECT $cat.lib.hamming64(1L) AS v").collect())
+  }
+
   test("time travel: VERSION AS OF reads the first-n-segments slice; TIMESTAMP AS OF by publish time") {
     val cat = freshCatalog("tt")
     spark.sql(s"CREATE NAMESPACE $cat.ns")

@@ -1253,7 +1253,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       // q333: ONLY the sweep's two exchanges — both rollups group on
       // c_user(+click), which the sweep's output partitioning already
       // clusters, so neither aggregate adds an exchange
-      "q333_left_interval_coverage" -> (2, 2))
+      "q333_left_interval_coverage" -> (2, 2),
+      // q334: source-keyed anchor join + rollup over the doc hashes
+      "q334_hamming_source_drift" -> (3, 2))
     for ((q, (maxEx, maxScan)) <- budget.toSeq.sortBy(_._1)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
