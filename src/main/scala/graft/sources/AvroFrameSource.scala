@@ -231,13 +231,17 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   private def pruneFilters: Array[Filter] = pushed ++ runtime
 
   /** Surviving segments after stat-pruning, then — under a pushed
-    * LIMIT with no row filters — truncated once the kept prefix's
-    * sidecar counts prove ≥ limit rows (sidecar-less segments count as
-    * unknown: they stay, but contribute nothing to the proof).
+    * LIMIT with no row filters AND no runtime filters — truncated once
+    * the kept prefix's sidecar counts prove ≥ limit rows (sidecar-less
+    * segments count as unknown: they stay, but contribute nothing to
+    * the proof). Runtime (DPP) filters disable truncation outright:
+    * they prune whole segments, but a pushed LIMIT semantically applies
+    * BEFORE the consuming join — truncating the pruned list could
+    * return fewer than min(limit, total) rows.
     */
   private def plannedSegments(): Array[java.io.File] = {
     val kept = AvroFrameStats.prune(segmentsAsOf(), pruneFilters)
-    if (limit <= 0 || pushed.nonEmpty) kept
+    if (limit <= 0 || pruneFilters.nonEmpty) kept
     else {
       var proven = 0L
       val out = Array.newBuilder[java.io.File]
@@ -798,6 +802,23 @@ object AvroFrames {
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith(".") && !f.getName.endsWith(".stats"))
       .sortBy(_.getName)
+
+  private val BatchStampRe = "^segment-(\\d{13})-".r
+
+  /** Next batch-publish stamp for a log: monotone over the stamps
+    * already in the log (max existing + 1) and never behind the wall
+    * clock — so segment names keep increasing in append order even if
+    * the driver clock steps backwards between jobs (the lexicographic
+    * contract the tailing reader's offsets and `VERSION AS OF` prefix
+    * semantics depend on). Streaming epoch names (UUID-first) don't
+    * match the stamp pattern and are simply not consulted.
+    */
+  def nextBatchStampMs(path: String): Long = {
+    val maxExisting = listSegments(path).iterator
+      .flatMap(f => BatchStampRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .foldLeft(0L)(math.max)
+    math.max(System.currentTimeMillis(), maxExisting + 1)
+  }
 
   def writerSchema(options: CaseInsensitiveStringMap): Schema = {
     val json = options.get("avroSchema")

@@ -135,9 +135,13 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // query UUID sorts arbitrarily between jobs, so batch publishes
     // under a zero-padded job timestamp (one stamp per job, driver
     // side: segments of one insert stay adjacent, later inserts sort
-    // after). Streaming keeps deterministic epoch names instead —
-    // replay dedup needs them stable across re-runs.
-    val stamp = f"${System.currentTimeMillis()}%013d-${queryId.take(8)}"
+    // after). The stamp is derived MONOTONICALLY from the log itself —
+    // max(existing stamp + 1, wall clock) — so a clock regression
+    // between jobs (NTP step, different driver host) cannot make a
+    // later insert sort before an earlier one. Streaming keeps
+    // deterministic epoch names instead — replay dedup needs them
+    // stable across re-runs.
+    val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
     new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp)
   }
 
@@ -147,6 +151,12 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
         .foreach(_.delete())
+    // one publish instant for the whole job: TIMESTAMP AS OF cuts on
+    // segment mtime, and POSIX rename PRESERVES the temp file's mtime
+    // (task write time) — without restamping, a timestamp falling
+    // between two tasks' write times would tear one committed job in
+    // half. Set explicitly after the rename so mtime IS the commit.
+    val publish = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
     // empty partitions commit a no-op message (tmpName empty): nothing
     // to publish — filtering them here, not just at the writer, keeps
     // a sparse dataframe write from minting phantom files
@@ -155,8 +165,10 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       // visible segment must never precede job commit
       java.nio.file.Files.writeString(
         new File(dir, m.finalName + ".stats").toPath, m.statsJson)
-      val ok = new File(dir, m.tmpName).renameTo(new File(dir, m.finalName))
+      val target = new File(dir, m.finalName)
+      val ok = new File(dir, m.tmpName).renameTo(target)
       require(ok, s"commit rename failed for ${m.tmpName} -> ${m.finalName}")
+      java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
     }
   }
 
@@ -190,17 +202,22 @@ class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: In
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
+    // publish instant for the epoch (TIMESTAMP AS OF contract — rename
+    // preserves the temp's task-write mtime, so restamp explicitly)
+    val publish = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
     messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
       val target = new File(dir, m.finalName)
       if (target.isFile) {
         // replayed epoch: the first commit's segment stands — dropping
-        // the re-run's temp is what makes the sink exactly-once
+        // the re-run's temp is what makes the sink exactly-once (and
+        // the first commit's publish mtime stands with it)
         new File(dir, m.tmpName).delete()
       } else {
         java.nio.file.Files.writeString(
           new File(dir, m.finalName + ".stats").toPath, m.statsJson)
         val ok = new File(dir, m.tmpName).renameTo(target)
         require(ok, s"epoch $epochId commit rename failed for ${m.tmpName} -> ${m.finalName}")
+        java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
       }
     }
   }

@@ -62,14 +62,32 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private val TableDescriptor = "_table.json"
 
+  /** Every namespace/table identifier segment must be a plain name
+    * BEFORE it is used as a path component: drop/rename/namespace ops
+    * delete recursively, so a backquoted `..` (or a segment containing
+    * a separator) must never reach the filesystem — `DROP NAMESPACE
+    * cat.`..` CASCADE` would otherwise delete everything above the
+    * catalog base. Leading `_`/`.` are reserved for catalog metadata
+    * files (`_table.json`, temp files), so they are rejected too.
+    */
+  private def isSafe(seg: String): Boolean =
+    seg != null && seg.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") && !seg.contains("..")
+
+  private def checkSegment(seg: String): String = {
+    require(isSafe(seg),
+      s"unsafe catalog identifier segment '$seg': segments must match " +
+        "[A-Za-z0-9][A-Za-z0-9_.-]* and must not contain '..'")
+    seg
+  }
+
   private def nsDir(ns: Array[String]): File = {
     require(ns.length == 1,
       s"frame catalog namespaces are single-level, got ${ns.mkString(".")}")
-    new File(base, ns(0))
+    new File(base, checkSegment(ns(0)))
   }
 
   private def tableDir(ident: Identifier): File =
-    new File(nsDir(ident.namespace), ident.name)
+    new File(nsDir(ident.namespace), checkSegment(ident.name))
 
   private def isTable(dir: File): Boolean = new File(dir, TableDescriptor).isFile
 
@@ -84,8 +102,10 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else if (namespaceExists(namespace)) Array.empty // no nesting
     else throw new NoSuchNamespaceException(namespace)
 
+  // exists-checks answer false for unsafe segments (Spark probes
+  // during resolution); mutating ops go through checkSegment and throw
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && nsDir(namespace).isDirectory
+    namespace.length == 1 && isSafe(namespace(0)) && nsDir(namespace).isDirectory
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     if (namespaceExists(namespace)) java.util.Collections.emptyMap()
@@ -119,7 +139,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && isTable(tableDir(ident))
+    ident.namespace.length == 1 && isSafe(ident.namespace()(0)) &&
+      isSafe(ident.name) && isTable(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = loadTableAsOf(ident, Map.empty)
 
@@ -127,7 +148,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * the log's natural version number: the segment count after the
     * n-th append (reads the first n segments in name = append order).
     * `TIMESTAMP AS OF t` reads segments whose publish mtime ≤ t (the
-    * job-commit rename stamps it). Nothing is copied or snapshotted —
+    * job commit restamps every segment to the commit instant, so mtime
+    * IS publish time, never task write time). Nothing is copied or snapshotted —
     * immutable segments ARE the history, the Iceberg/Delta snapshot
     * idea with the segment list as the manifest.
     */

@@ -194,6 +194,69 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
   }
 
+  test("unsafe identifiers never reach the filesystem: '..' and separator segments rejected") {
+    val cat = freshCatalog("safe")
+    val base = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"))
+    // a sibling dir that a traversal would clobber
+    val sibling = new java.io.File(base.getParentFile, base.getName + "-sibling")
+    sibling.mkdirs()
+    val canary = new java.io.File(sibling, "canary.txt")
+    java.nio.file.Files.writeString(canary.toPath, "alive")
+    try {
+      // DROP NAMESPACE `..` CASCADE must fail, not delete above the base
+      intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.`..` CASCADE"))
+      intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.`../escape`"))
+      intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.`a/b`"))
+      spark.sql(s"CREATE NAMESPACE $cat.ok")
+      intercept[Exception](spark.sql(s"CREATE TABLE $cat.ok.`..` (id BIGINT NOT NULL)"))
+      intercept[Exception](spark.sql(s"DROP TABLE $cat.ok.`../../etc`"))
+      // rename target validated too
+      spark.sql(s"CREATE TABLE $cat.ok.t (id BIGINT NOT NULL)")
+      intercept[Exception](spark.sql(s"ALTER TABLE $cat.ok.t RENAME TO ok.`..`"))
+      assert(canary.isFile && base.isDirectory,
+        "traversal identifiers must never touch the filesystem")
+      // exists-probes with unsafe names answer false instead of throwing
+      val fc = new graft.sources.FrameCatalog
+      fc.initialize("probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("base", base.getAbsolutePath)))
+      assert(!fc.namespaceExists(Array("..")))
+      assert(!fc.tableExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ok"), "../../etc")))
+    } finally {
+      canary.delete(); sibling.delete()
+    }
+  }
+
+  test("batch publish: one mtime per commit (TIMESTAMP AS OF cuts on publish, not task write)") {
+    val cat = freshCatalog("pub")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL)")
+    val t0 = System.currentTimeMillis()
+    // 4 partitions = 4 tasks whose temp files get distinct write times;
+    // the job commit must restamp them all to ONE publish instant
+    spark.range(0, 4000).repartition(4).createOrReplaceTempView("pub_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT id FROM pub_src")
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/t")
+    val mtimes = dir.listFiles().filter(_.getName.endsWith(".bin")).map(_.lastModified()).toSet
+    assert(mtimes.size == 1, s"all segments of one commit must share one publish mtime, got $mtimes")
+    assert(mtimes.head >= t0, "publish mtime must be the commit instant, not the task write time")
+  }
+
+  test("batch stamps are monotone over the log even if the clock steps backwards") {
+    val dir = Files.createTempDirectory("stamp-mono").toFile
+    // a segment stamped in the future (as if written by a fast clock)
+    val future = System.currentTimeMillis() + 10 * 60 * 1000L
+    val fname = f"segment-$future%013d-deadbeef-p00000.bin"
+    java.nio.file.Files.writeString(new java.io.File(dir, fname).toPath, "")
+    val next = graft.sources.AvroFrames.nextBatchStampMs(dir.getAbsolutePath)
+    assert(next == future + 1,
+      s"next stamp must be max(existing+1, now); got $next for existing $future")
+    // empty log: wall clock
+    val empty = Files.createTempDirectory("stamp-empty").toFile
+    val now = System.currentTimeMillis()
+    assert(math.abs(graft.sources.AvroFrames.nextBatchStampMs(empty.getAbsolutePath) - now) < 5000)
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
