@@ -74,9 +74,45 @@ class AvroFrameDataSource extends TableProvider {
 }
 
 class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"avro_frames(${options.get("path")})"
   override def schema(): StructType = schema
+
+  private def isSnapshot: Boolean =
+    options.get("segmentFiles") != null || options.get("asOfSegments") != null ||
+      options.get("asOfTimestampMs") != null
+
+  /** Row-level DELETE (`DELETE FROM cat.ns.t WHERE …`) — the DSv2
+    * delete rung. Accepted when every conjunct is a filter the engine
+    * evaluates exactly ([[AvroFrames.supported]], plus the bare
+    * `DELETE FROM t` always-true case) and the relation is the CURRENT
+    * table (a time-travel snapshot is immutable by definition).
+    * Execution is [[FrameMaintenance.deleteWhere]]: metadata-only for
+    * segments whose sidecar proves all rows match, executor-side
+    * rewrite for straddling segments, originals retained in
+    * `_history/` so `TIMESTAMP AS OF` still reaches the pre-delete
+    * state until expiry.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !isSnapshot && filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case f => AvroFrames.supported(schema, f)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val dir = new java.io.File(options.get("path"))
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) FrameMaintenance.deleteAll(dir)
+    else FrameMaintenance.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, dir,
+      options.get("avroSchema"),
+      Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
+      real)
+  }
+
+  override def truncateTable(): Boolean = { FrameMaintenance.deleteAll(
+    new java.io.File(options.get("path"))); true }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -87,6 +123,14 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     // catalog writes (INSERT INTO) carry no per-write options — the
     // table's own options supply path/avroSchema/schemaId
     new AvroFrameWriteBuilder(info, options)
+
+  /** Declared table partitioning: the bucket transform for bucketed
+    * tables (`PARTITIONED BY (bucket(n, key))` round-trips through
+    * DESCRIBE; the scan reports the matching KeyGroupedPartitioning).
+    */
+  override def partitioning(): Array[Transform] =
+    (for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
+      yield Expressions.bucket(n.toInt, k)).toArray
 
   /** Record provenance — the `topic`/`partition`/`offset` analog of the
     * Kafka source's envelope (SURVEY §1.4), hidden unless selected:
@@ -165,9 +209,14 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
     if (aggs.isDefined || l <= 0) false
     else { limit = l; true }
 
+  // the scan's segment universe: an explicit snapshot file list (time
+  // travel through maintenance history) or the live directory listing
+  private lazy val universe: Array[java.io.File] =
+    AvroFrames.explicitFiles(options)
+      .getOrElse(AvroFrames.listSegments(options.get("path")))
+
   private lazy val allSidecars: Boolean =
-    AvroFrames.listSegments(options.get("path"))
-      .forall(f => new java.io.File(f.getParentFile, f.getName + ".stats").isFile)
+    universe.forall(f => new java.io.File(f.getParentFile, f.getName + ".stats").isFile)
 
   override def build(): Scan =
     new AvroFrameScan(options.get("path"),
@@ -178,7 +227,10 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
       aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit,
       FrameAsOf(Option(options.get("asOfSegments")).map(_.toInt),
-        Option(options.get("asOfTimestampMs")).map(_.toLong)))
+        Option(options.get("asOfTimestampMs")).map(_.toLong)),
+      AvroFrames.explicitFiles(options).map(_.map(_.getAbsolutePath)),
+      for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
+        yield (k, n.toInt))
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -202,14 +254,22 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     aggs: Option[Seq[FrameAgg]] = None,
                     aggComplete: Boolean = false,
                     limit: Int = 0,
-                    asOf: FrameAsOf = FrameAsOf(None, None))
-    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+                    asOf: FrameAsOf = FrameAsOf(None, None),
+                    explicitFiles: Option[Array[String]] = None,
+                    bucketSpec: Option[(String, Int)] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
 
-  /** The batch scan's segment universe: the time-travel slice. */
+  /** The batch scan's segment universe: an explicit snapshot file list
+    * (maintenance-aware time travel resolved by the catalog — may span
+    * the live dir AND `_history/`), else the time-travel slice of the
+    * live listing.
+    */
   private def segmentsAsOf(): Array[java.io.File] =
-    asOf.cut(AvroFrames.listSegments(path))
+    explicitFiles.map(_.map(new java.io.File(_)))
+      .getOrElse(asOf.cut(AvroFrames.listSegments(path)))
 
   /** Runtime (DPP-style) filters, v1-converted. COARSE-grained by the
     * [[SupportsRuntimeV2Filtering]] contract: used only to prune whole
@@ -315,6 +375,43 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       s"Segments=${kept.length}/${all.length} after stat-pruning"
   }
 
+  /** Bucketed read, validated: claimed only when every segment of the
+    * scan universe carries a parseable in-range bucket ordinal in its
+    * name (a foreign segment downgrades the WHOLE scan to unknown
+    * partitioning — correctness first). Validation runs on the
+    * UNPRUNED universe so [[outputPartitioning]] (consulted at plan
+    * time) and [[planInputPartitions]] (after runtime filters) agree.
+    * Pushed aggregates collapse the output to summary rows, which no
+    * longer carry the bucket structure.
+    */
+  private lazy val bucketedRead: Option[(String, Int)] =
+    bucketSpec.filter { case (_, n) =>
+      aggs.isEmpty && {
+        val segs = segmentsAsOf()
+        segs.nonEmpty &&
+          segs.forall(f => AvroFrames.bucketOf(f.getName).exists(b => b >= 0 && b < n))
+      }
+    }
+
+  /** Storage-partitioned-join contract: a bucketed table reports
+    * `KeyGroupedPartitioning(bucket(n, key), n)` with one input split
+    * per bucket ([[AvroFrameBucketPartition]] carries the bucket
+    * ordinal as its partition key). Two frame tables bucketed the same
+    * way then join with ZERO exchange on either side (with
+    * `spark.sql.sources.v2.bucketing.enabled=true`) — at 100 TB the
+    * difference between shuffling both fact tables and shuffling
+    * nothing. The bucket function itself is served by the catalog
+    * ([[FrameFunctions]] `bucket`), bit-equal to the write placement.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketedRead match {
+      case Some((key, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, key)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   // stat-pruning: sidecar min/max/null-counts written by the DSv2
   // write path prove whole segments irrelevant to the pushed filters —
   // they are never opened (the parquet row-group-stats / Iceberg
@@ -334,8 +431,19 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       val segs = plannedSegments()
       if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
       else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath)): InputPartition)
-    case None =>
-      plannedSegments().map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+    case None => bucketedRead match {
+      case Some((_, n)) =>
+        // one split per bucket (including empty buckets — both sides of
+        // a storage-partitioned join must report identical values);
+        // stat-pruned segments just drop out of their bucket's file list
+        val byBucket = plannedSegments()
+          .groupBy(f => AvroFrames.bucketOf(f.getName).get)
+        (0 until n).map(b => AvroFrameBucketPartition(
+          byBucket.getOrElse(b, Array.empty).map(_.getAbsolutePath).toSeq, b)
+          : InputPartition).toArray
+      case None =>
+        plannedSegments().map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -348,6 +456,16 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 }
 
 case class AvroFramePartition(file: String) extends InputPartition
+
+/** Split for a bucketed read: all surviving segments of one bucket,
+  * keyed by the bucket ordinal — the [[HasPartitionKey]] handle Spark's
+  * storage-partitioned join groups and aligns on.
+  */
+case class AvroFrameBucketPartition(files: Seq[String], bucket: Int)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Split for a pushed-aggregation read: the segment files whose
   * contributions this split combines into one emitted row. Complete
@@ -508,7 +626,40 @@ class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
         new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed)
       case AvroFramePartition(file) =>
         new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed, limit)
+      case AvroFrameBucketPartition(files, _) =>
+        new AvroFrameMultiReader(files, avroSchemaJson, schemaId, requiredCols, pushed, limit)
     }
+}
+
+/** Chained reader over one bucket's segment files (in log order) — the
+  * per-split body of a bucketed read. The pushed LIMIT bounds TOTAL
+  * rows across the chain (sound: Spark re-applies the global limit).
+  */
+class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
+                           schemaId: Int, requiredCols: Array[String],
+                           pushed: Array[Filter], limit: Int = 0)
+    extends PartitionReader[InternalRow] {
+  private var idx = 0
+  private var cur: AvroFrameReader = null
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (limit > 0 && emitted >= limit) return false
+    while (true) {
+      if (cur == null) {
+        if (idx >= files.length) return false
+        cur = new AvroFrameReader(files(idx), avroSchemaJson, schemaId,
+          requiredCols, pushed, 0)
+        idx += 1
+      }
+      if (cur.next()) { emitted += 1; return true }
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Sequential decoder over one segment file: streams length-prefixed
@@ -802,6 +953,25 @@ object AvroFrames {
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith(".") && !f.getName.endsWith(".stats"))
       .sortBy(_.getName)
+
+  /** Explicit snapshot file list from the `segmentFiles` option
+    * (newline-joined absolute paths, in log order) — set by the
+    * catalog when maintenance history makes a time-travel slice span
+    * more than a live-listing prefix. Empty string = empty snapshot.
+    */
+  def explicitFiles(options: CaseInsensitiveStringMap): Option[Array[java.io.File]] =
+    Option(options.get("segmentFiles")).map(
+      _.split('\n').filter(_.nonEmpty).map(new java.io.File(_)))
+
+  private val BucketRe = "-p(\\d{5})".r
+
+  /** Bucket ordinal embedded in a segment name by the bucketed write
+    * path (partition id == bucket under the required clustered
+    * distribution). Survives maintenance renames (`.c<g>`/`.d<g>`
+    * suffixes keep the original stem).
+    */
+  def bucketOf(name: String): Option[Int] =
+    BucketRe.findFirstMatchIn(name).map(_.group(1).toInt)
 
   private val BatchStampRe = "^segment-(\\d{13})-".r
 

@@ -106,18 +106,47 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
   private def schemaId: Int =
     Option(opt("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId)
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-        info.queryId(), doTruncate)
+  private def bucketSpec: Option[(String, Int)] =
+    for { k <- Option(opt("bucketKey")); n <- Option(opt("buckets")) } yield (k, n.toInt)
 
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      // the log is append-only: complete/update output modes would need
-      // per-epoch truncation, which breaks the tailing reader's offsets
-      require(!doTruncate, "frame-log streaming writes are append-only " +
-        "(use outputMode(\"append\"))")
-      new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
-        info.queryId())
+  override def build(): Write = bucketSpec match {
+    case Some((key, n)) =>
+      // bucketed table: ask Spark to CLUSTER the incoming rows by the
+      // bucket key into exactly n partitions (HashPartitioning →
+      // partition id = pmod(murmur3(key), n), the same function the
+      // scan's reported bucket(n, key) transform computes), so task
+      // partitionId IS the bucket and each segment holds one bucket —
+      // the storage-partitioned-join write discipline
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.column(key)))
+        override def requiredNumPartitions(): Int = n
+        override def distributionStrictlyRequired(): Boolean = true
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def toBatch: BatchWrite =
+          new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
+            info.queryId(), doTruncate)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          throw new UnsupportedOperationException(
+            "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
+              "write path does not bucket-route rows, which would break the " +
+              "reported KeyGroupedPartitioning")
+      }
+    case None => new Write {
+      override def toBatch: BatchWrite =
+        new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
+          info.queryId(), doTruncate)
+
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        // the log is append-only: complete/update output modes would need
+        // per-epoch truncation, which breaks the tailing reader's offsets
+        require(!doTruncate, "frame-log streaming writes are append-only " +
+          "(use outputMode(\"append\"))")
+        new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
+          info.queryId())
+      }
     }
   }
 }
@@ -147,10 +176,18 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
-    if (truncate)
+    if (truncate) {
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
         .foreach(_.delete())
+      // physical truncate starts a NEW table lineage: drop the
+      // maintenance manifest and retained history too — stale entries
+      // referencing wiped segments would corrupt snapshot replay
+      new File(dir, FrameMaintenance.ManifestFile).delete()
+      val hist = new File(dir, FrameMaintenance.HistoryDirName)
+      Option(hist.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      hist.delete()
+    }
     // one publish instant for the whole job: TIMESTAMP AS OF cuts on
     // segment mtime, and POSIX rename PRESERVES the temp file's mtime
     // (task write time) — without restamping, a timestamp falling

@@ -43,7 +43,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * catalogs. At 100 TB the catalog holds directory pointers, never
   * data; no operation here scales with row count.
   */
-class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: File = _
@@ -144,43 +145,82 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = loadTableAsOf(ident, Map.empty)
 
-  /** Time travel — free on an append-only log. `VERSION AS OF n` is
-    * the log's natural version number: the segment count after the
-    * n-th append (reads the first n segments in name = append order).
-    * `TIMESTAMP AS OF t` reads segments whose publish mtime ≤ t (the
-    * job commit restamps every segment to the commit instant, so mtime
-    * IS publish time, never task write time). Nothing is copied or snapshotted —
-    * immutable segments ARE the history, the Iceberg/Delta snapshot
-    * idea with the segment list as the manifest.
+  /** Time travel — free on an append-only log. `VERSION AS OF n`
+    * addresses the state after the n-th version-minting operation:
+    * each appended segment mints one version (the append-count
+    * contract) and each DELETE mints one; compaction mints none — it
+    * is semantically invisible at every addressable version.
+    * `TIMESTAMP AS OF t` replays the log's event history up to t (the
+    * job commit restamps every segment to the commit instant, so
+    * mtime IS publish time, never task write time). Nothing is copied
+    * or snapshotted — immutable segments ARE the history; segments
+    * replaced by maintenance stay addressable from `_history/` until
+    * `expire_snapshots` drops them ([[FrameMaintenance]]).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val n = scala.util.Try(version.trim.toInt).getOrElse(
       throw new IllegalArgumentException(
-        s"frame-log versions are segment counts; got '$version'"))
-    val have = AvroFrames.listSegments(tableDir(ident).getAbsolutePath).length
-    require(n >= 0 && n <= have,
-      s"version $n does not exist: ${ident.name} has $have segments")
-    loadTableAsOf(ident, Map("asOfSegments" -> n.toString))
+        s"frame-log versions are operation counts (appends + deletes); got '$version'"))
+    val files = FrameMaintenance.resolveVersion(tableDir(ident), n)
+    loadTableAsOf(ident, Map(
+      "segmentFiles" -> files.map(_.getAbsolutePath).mkString("\n")))
   }
 
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    loadTableAsOf(ident, Map("asOfTimestampMs" -> (timestampMicros / 1000L).toString))
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val files = FrameMaintenance.resolveTimestamp(tableDir(ident), timestampMicros / 1000L)
+    loadTableAsOf(ident, Map(
+      "segmentFiles" -> files.map(_.getAbsolutePath).mkString("\n")))
+  }
 
   private def loadTableAsOf(ident: Identifier, asOf: Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (avroSchema, schemaId) = readDescriptor(new File(dir, TableDescriptor))
+    val (avroSchema, schemaId, bucket) = readDescriptor(new File(dir, TableDescriptor))
     val opts = new CaseInsensitiveStringMap((Map(
       "path" -> dir.getAbsolutePath,
       "avroSchema" -> avroSchema,
-      "schemaId" -> schemaId.toString) ++ asOf).asJava)
+      "schemaId" -> schemaId.toString) ++
+      bucket.map { case (k, n) => Map("bucketKey" -> k, "buckets" -> n.toString) }
+        .getOrElse(Map.empty) ++ asOf).asJava)
     new AvroFrameTable(
       AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(avroSchema)), opts)
   }
 
+  /** CREATE TABLE. The only partitioning a segment log supports is
+    * `PARTITIONED BY (bucket(n, col))` — hash-bucketed placement, the
+    * storage-partitioned-join layout: the write path routes each row
+    * to the segment of its bucket ([[AvroFrameWriteBuilder]]
+    * `RequiresDistributionAndOrdering`), the scan reports
+    * `KeyGroupedPartitioning(bucket(n, col))`, and a join of two
+    * tables bucketed the same way runs with ZERO exchange on either
+    * side (the q96 bucketed-join discipline, through the connector).
+    */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    require(info.partitions().isEmpty,
-      "frame tables are unpartitioned segment logs (PARTITIONED BY unsupported)")
+    val bucket: Option[(String, Int)] = info.partitions() match {
+      case Array() => None
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }
+        val key = t.arguments().collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => r.fieldNames()(0)
+        }
+        require(n.isDefined && key.isDefined && n.get > 0 && n.get <= 99999,
+          s"bucket transform must be bucket(<1..99999>, <column>), got $t")
+        val col = info.schema().fields.find(_.name == key.get).getOrElse(
+          throw new IllegalArgumentException(s"bucket column ${key.get} not in schema"))
+        require(Set[DataType](org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType, StringType).contains(col.dataType),
+          s"bucket column must be INT/BIGINT/STRING, got ${col.dataType}")
+        Some((key.get, n.get))
+      case other => throw new IllegalArgumentException(
+        "frame tables support at most one bucket(n, col) transform; got " +
+          other.mkString(", "))
+    }
     if (!namespaceExists(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
@@ -188,7 +228,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val avroSchema = AvroFrames.avroSchemaFor(info.schema(), ident.name)
     val schemaId = Option(info.properties().get("schemaId")).map(_.toInt)
       .getOrElse(AvroFrames.DefaultSchemaId)
-    writeDescriptor(new File(dir, TableDescriptor), avroSchema, schemaId)
+    writeDescriptor(new File(dir, TableDescriptor), avroSchema, schemaId, bucket)
     loadTable(ident)
   }
 
@@ -230,34 +270,79 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadFunction(ident: Identifier): UnboundFunction =
     FrameFunctions.all.getOrElse(ident.name, throw new NoSuchFunctionException(ident))
 
+  // ------------------------------------------------------------ procedures
+
+  /** Stored procedures — the table-maintenance surface as first-class
+    * SQL (`CALL cat.sys.compact(table => 'ns.t')`), the
+    * Iceberg-procedure pattern on the engine's own catalog. Available
+    * in every namespace, like the V2 functions.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    FrameProcedures.names.map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    FrameProcedures.load(this, ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown frame-catalog procedure ${ident.name}; " +
+          s"available: ${FrameProcedures.names.mkString(", ")}"))
+
+  /** `<namespace>.<table>` string (procedure argument form) → table
+    * directory, existence-checked.
+    */
+  private[sources] def resolveTableDir(multipart: String): File = {
+    val parts = multipart.split('.')
+    require(parts.length == 2, s"expected <namespace>.<table>, got '$multipart'")
+    val ident = Identifier.of(Array(parts(0)), parts(1))
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir
+  }
+
   // ------------------------------------------------------------ descriptor io
 
-  private def writeDescriptor(f: File, avroSchema: String, schemaId: Int): Unit = {
+  private def writeDescriptor(f: File, avroSchema: String, schemaId: Int,
+                              bucket: Option[(String, Int)]): Unit = {
     val sw = new java.io.StringWriter()
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     gen.writeStartObject()
     gen.writeStringField("avroSchema", avroSchema)
     gen.writeNumberField("schemaId", schemaId)
+    bucket.foreach { case (k, n) =>
+      gen.writeStringField("bucketKey", k)
+      gen.writeNumberField("buckets", n)
+    }
     gen.writeEndObject(); gen.close()
     java.nio.file.Files.writeString(f.toPath, sw.toString)
   }
 
-  private def readDescriptor(f: File): (String, Int) = {
+  private def readDescriptor(f: File): (String, Int, Option[(String, Int)]) = {
     val p = new com.fasterxml.jackson.core.JsonFactory()
       .createParser(java.nio.file.Files.readString(f.toPath))
     var schema: String = null
     var id = AvroFrames.DefaultSchemaId
+    var bucketKey: String = null
+    var buckets = 0
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
         case "avroSchema" => p.nextToken(); schema = p.getText
         case "schemaId"   => p.nextToken(); id = p.getIntValue
+        case "bucketKey"  => p.nextToken(); bucketKey = p.getText
+        case "buckets"    => p.nextToken(); buckets = p.getIntValue
         case _            => p.nextToken()
       }
     }
     require(schema != null, s"corrupt table descriptor ${f.getAbsolutePath}")
-    (schema, id)
+    (schema, id, if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None)
+  }
+
+  /** Is this table bucketed? (descriptor probe for the maintenance
+    * procedures — compaction must not merge across buckets.)
+    */
+  private[sources] def bucketSpecOf(multipart: String): Option[(String, Int)] = {
+    val dir = resolveTableDir(multipart)
+    readDescriptor(new File(dir, TableDescriptor))._3
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -276,7 +361,8 @@ object FrameFunctions {
 
   val all: Map[String, UnboundFunction] = Map(
     "jaro_winkler" -> JaroWinklerUnbound,
-    "hamming64" -> Hamming64Unbound)
+    "hamming64" -> Hamming64Unbound,
+    "bucket" -> BucketUnbound)
 
   /** Jaro–Winkler similarity as a V2 catalog function — the SAME
     * static kernel as the Catalyst expression
@@ -335,6 +421,77 @@ object FrameFunctions {
     }
   }
 
+  /** The `bucket(n, key)` placement function behind the frame tables'
+    * storage-partitioned join: Spark's analyzer resolves the scan's
+    * reported bucket transform THROUGH this catalog function
+    * (V2ExpressionUtils → FunctionCatalog → bind), and compares both
+    * join sides by its canonical name — so two frame tables bucketed
+    * with the same n align partition-for-partition. The kernel is
+    * bit-equal to the write placement (Spark's HashPartitioning:
+    * `pmod(murmur3(key, seed=42), n)`, with NULL hashing to the bare
+    * seed), so if Spark ever materializes the function — e.g.
+    * partially-clustered distribution shuffling the smaller side — the
+    * computed bucket matches the stored one exactly.
+    */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n INT, key INT|BIGINT|STRING) -> int: storage bucket ordinal, " +
+        "pmod(murmur3(key, 42), n) — the frame write placement"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+          inputType.fields(0).dataType == org.apache.spark.sql.types.IntegerType,
+        s"bucket expects (INT n, key), got $inputType")
+      inputType.fields(1).dataType match {
+        case org.apache.spark.sql.types.LongType    => BucketLongBound
+        case org.apache.spark.sql.types.IntegerType => BucketIntBound
+        case StringType                             => BucketStringBound
+        case other => throw new UnsupportedOperationException(
+          s"bucket key type $other unsupported (INT/BIGINT/STRING)")
+      }
+    }
+  }
+
+  sealed abstract class BucketBound(keyType: DataType) extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(org.apache.spark.sql.types.IntegerType, keyType)
+    override def resultType(): DataType = org.apache.spark.sql.types.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+
+    protected def hashKey(input: InternalRow): Int
+
+    /** pmod(murmur3, n) — exactly HashPartitioning's
+      * partitionIdExpression, NULL hashing to the seed.
+      */
+    override def produceResult(input: InternalRow): java.lang.Integer = {
+      val n = input.getInt(0)
+      val h = if (input.isNullAt(1)) 42 else hashKey(input)
+      val r = h % n
+      Int.box(if (r < 0) r + n else r)
+    }
+  }
+
+  object BucketLongBound extends BucketBound(org.apache.spark.sql.types.LongType) {
+    override protected def hashKey(input: InternalRow): Int =
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(input.getLong(1), 42)
+  }
+
+  object BucketIntBound extends BucketBound(org.apache.spark.sql.types.IntegerType) {
+    override protected def hashKey(input: InternalRow): Int =
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(input.getInt(1), 42)
+  }
+
+  object BucketStringBound extends BucketBound(StringType) {
+    override protected def hashKey(input: InternalRow): Int = {
+      val s = input.getUTF8String(1)
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+    }
+  }
+
   object Hamming64Bound extends ScalarFunction[java.lang.Integer] {
     override def inputTypes(): Array[DataType] =
       Array(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
@@ -350,5 +507,93 @@ object FrameFunctions {
     override def produceResult(input: InternalRow): java.lang.Integer =
       if (input.isNullAt(0) || input.isNullAt(1)) null
       else Int.box(invoke(input.getLong(0), input.getLong(1)))
+  }
+}
+
+/** The catalog's stored-procedure library ([[FrameCatalog.loadProcedure]]):
+  * table maintenance as SQL `CALL`s. Each procedure returns a one-row
+  * summary through a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * so the caller sees what happened (`CALL` surfaces the row).
+  *
+  *  - `compact(table, target_bytes)` — merge runs of consecutive small
+  *    segments into bins of ≤ target_bytes ([[FrameMaintenance.compact]]).
+  *  - `expire_snapshots(table, older_than_ms)` — drop history retained
+  *    by maintenance operations published at or before the cutoff
+  *    ([[FrameMaintenance.expire]]).
+  */
+object FrameProcedures {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+
+  val names: Array[String] = Array("compact", "expire_snapshots")
+
+  def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
+    case "compact"          => Some(new CompactProcedure(cat))
+    case "expire_snapshots" => Some(new ExpireProcedure(cat))
+    case _                  => None
+  }
+
+  /** One-row result scan for a procedure summary. */
+  private def summary(fields: (String, Any)*): java.util.Iterator[Scan] = {
+    val schema = StructType(fields.map { case (n, v) =>
+      StructField(n, v match { case _: Long => LongType; case _ => IntegerType },
+        nullable = false)
+    })
+    val row = new GenericInternalRow(fields.map(_._2.asInstanceOf[Any]).toArray)
+    java.util.Collections.singletonList(new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }: Scan).iterator()
+  }
+
+  abstract class FrameProcedure extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // side-effecting
+  }
+
+  class CompactProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "compact(table STRING, target_bytes BIGINT = unbounded): merge runs of " +
+        "consecutive small segments into bins of at most target_bytes; " +
+        "semantically invisible, replaced segments stay time-travelable until expiry"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("target_bytes", org.apache.spark.sql.types.LongType)
+        .defaultValue("9223372036854775807L")
+        .comment("max bytes per compacted output segment").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val target = if (input.isNullAt(1)) Long.MaxValue else input.getLong(1)
+      require(cat.bucketSpecOf(table).isEmpty,
+        s"compact on bucketed table $table unsupported: byte-concat bins would merge " +
+          "across buckets and break the reported KeyGroupedPartitioning " +
+          "(per-bucket compaction is the extension point)")
+      val res = FrameMaintenance.compact(
+        org.apache.spark.sql.SparkSession.active, cat.resolveTableDir(table), target)
+      summary("compacted_bins" -> res.bins, "replaced_segments" -> res.replacedSegments)
+    }
+  }
+
+  class ExpireProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "expire_snapshots(table STRING, older_than_ms BIGINT): drop history files " +
+        "retained by maintenance operations published at or before the cutoff; " +
+        "snapshots needing them stop resolving"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("older_than_ms", org.apache.spark.sql.types.LongType)
+        .comment("epoch-millis cutoff (inclusive)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cutoff = input.getLong(1)
+      val dropped = FrameMaintenance.expire(cat.resolveTableDir(table), cutoff)
+      summary("expired_segments" -> dropped)
+    }
   }
 }

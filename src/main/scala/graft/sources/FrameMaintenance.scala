@@ -1,0 +1,598 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+
+/** Table maintenance for framed-Avro segment logs — the lifecycle
+  * operations every log-structured format needs once a streaming
+  * writer starts accreting small segments (VERDICT r13 items 1–2):
+  *
+  *  - '''compaction''' rewrites runs of small segments into larger
+  *    ones. Frames are length-prefixed and self-contained, so a
+  *    compacted segment is the byte-concatenation of its inputs — no
+  *    decode, no re-encode, O(bytes) streamed once, executor-side (one
+  *    task per output bin). Semantically invisible: same rows, same
+  *    order, merged stats sidecar.
+  *  - '''row-level delete''' (the `DELETE FROM` path): segments whose
+  *    stats sidecar PROVES every row matches the predicate are deleted
+  *    metadata-only (no file opened); segments whose sidecar proves no
+  *    row matches are untouched; only straddling segments are
+  *    rewritten (executor-side, one task per segment, raw frame bytes
+  *    copied — decode only for predicate evaluation).
+  *  - '''snapshot expiry''' drops the retained pre-maintenance files
+  *    once they age out, bounding storage.
+  *
+  * Time travel survives maintenance: replaced segments move to a
+  * `_history/` subdirectory (mtime preserved — it is their publish
+  * instant) and every operation appends an entry to the
+  * `_maintenance.json` manifest. Snapshot resolution replays the
+  * log's event history — appends from segment mtimes, maintenance
+  * from the manifest — so `VERSION AS OF` / `TIMESTAMP AS OF` resolve
+  * pre-compaction and pre-delete states exactly, until [[expire]]
+  * invalidates them. Version numbering: each appended segment mints a
+  * version (the original append-count contract) and each DELETE mints
+  * one; COMPACTION mints none — it must be invisible at every
+  * addressable version.
+  *
+  * Scale notes: compaction/delete I/O runs on executors; the driver
+  * touches only names, sidecars, and the manifest (O(segments)
+  * metadata, never data). Like most path-based catalogs without a
+  * transaction-log service, maintenance assumes a single maintainer
+  * per table; a reader racing the publish window can observe a
+  * partially-switched listing. A tailing [[AvroFrameMicroBatchStream]]
+  * uses positional offsets over the live listing — compact/delete
+  * only segments every tailing reader has fully consumed, or restart
+  * streams after maintenance (the Delta `dataChange=false` caveat).
+  */
+object FrameMaintenance {
+
+  val ManifestFile = "_maintenance.json"
+  val HistoryDirName = "_history"
+
+  /** One maintenance operation. `replaced(i)` was moved to history at
+    * `publishMs` with original publish mtime `replacedMs(i)` (kept in
+    * the manifest so event replay still orders appends after the file
+    * itself expires); `replacements` are the segments that took their
+    * place in the live log (1 per compaction bin; 0..1 per deleted
+    * segment). `expired` = history files dropped, pre-op snapshots
+    * needing them no longer resolvable.
+    */
+  case class MaintEntry(op: String, publishMs: Long,
+                        replaced: Vector[String], replacedMs: Vector[Long],
+                        replacements: Vector[String], expired: Boolean) {
+    require(op == "compact" || op == "delete", s"unknown maintenance op $op")
+  }
+
+  private def historyDir(dir: File): File = new File(dir, HistoryDirName)
+
+  // ------------------------------------------------------------ manifest io
+
+  def readManifest(dir: File): Vector[MaintEntry] = {
+    val f = new File(dir, ManifestFile)
+    if (!f.isFile) return Vector.empty
+    val p = new com.fasterxml.jackson.core.JsonFactory()
+      .createParser(java.nio.file.Files.readString(f.toPath))
+    import com.fasterxml.jackson.core.JsonToken._
+    val out = Vector.newBuilder[MaintEntry]
+    p.nextToken() // {
+    while (p.nextToken() != END_OBJECT) {
+      p.currentName() match {
+        case "entries" =>
+          p.nextToken() // [
+          while (p.nextToken() != END_ARRAY) { // { per entry
+            var op = ""; var publishMs = 0L; var expired = false
+            val replaced = Vector.newBuilder[String]
+            val replacedMs = Vector.newBuilder[Long]
+            val replacements = Vector.newBuilder[String]
+            while (p.nextToken() != END_OBJECT) {
+              p.currentName() match {
+                case "op"        => p.nextToken(); op = p.getText
+                case "publishMs" => p.nextToken(); publishMs = p.getLongValue
+                case "expired"   => p.nextToken(); expired = p.getBooleanValue
+                case "replaced" =>
+                  p.nextToken(); while (p.nextToken() != END_ARRAY) replaced += p.getText
+                case "replacedMs" =>
+                  p.nextToken(); while (p.nextToken() != END_ARRAY) replacedMs += p.getLongValue
+                case "replacements" =>
+                  p.nextToken(); while (p.nextToken() != END_ARRAY) replacements += p.getText
+                case _ => p.nextToken()
+              }
+            }
+            out += MaintEntry(op, publishMs, replaced.result(), replacedMs.result(),
+              replacements.result(), expired)
+          }
+        case _ => p.nextToken()
+      }
+    }
+    out.result()
+  }
+
+  private def writeManifest(dir: File, entries: Seq[MaintEntry]): Unit = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    gen.writeArrayFieldStart("entries")
+    entries.foreach { e =>
+      gen.writeStartObject()
+      gen.writeStringField("op", e.op)
+      gen.writeNumberField("publishMs", e.publishMs)
+      gen.writeArrayFieldStart("replaced"); e.replaced.foreach(gen.writeString); gen.writeEndArray()
+      gen.writeArrayFieldStart("replacedMs"); e.replacedMs.foreach(gen.writeNumber); gen.writeEndArray()
+      gen.writeArrayFieldStart("replacements"); e.replacements.foreach(gen.writeString); gen.writeEndArray()
+      gen.writeBooleanField("expired", e.expired)
+      gen.writeEndObject()
+    }
+    gen.writeEndArray(); gen.writeEndObject(); gen.close()
+    // atomic swap: a crash mid-write must never corrupt the manifest
+    val tmp = new File(dir, ManifestFile + ".tmp")
+    java.nio.file.Files.writeString(tmp.toPath, sw.toString)
+    java.nio.file.Files.move(tmp.toPath, new File(dir, ManifestFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ------------------------------------------------------------ snapshot resolution
+
+  private sealed trait Event { def time: Long }
+  private case class AppendEv(name: String, time: Long) extends Event
+  private case class MaintEv(entry: MaintEntry, idx: Int) extends Event {
+    def time: Long = entry.publishMs
+  }
+
+  /** The table's full event history: one append event per LOGICAL
+    * segment (a segment that is not itself a maintenance replacement),
+    * interleaved with the manifest's maintenance events. Appends order
+    * by (publish mtime, name); a maintenance event orders after any
+    * append at the same millisecond (it can only touch segments that
+    * already existed).
+    */
+  private def events(dir: File): Vector[Event] = {
+    val manifest = readManifest(dir)
+    val replacements = manifest.flatMap(_.replacements).toSet
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+      .map(f => f.getName -> f.lastModified()).toMap
+    // replaced names with their original publish times (from the
+    // manifest — survives file expiry)
+    val replacedTimes = manifest.flatMap(e => e.replaced.zip(e.replacedMs)).toMap
+    val logical = (live.keySet ++ replacedTimes.keySet) -- replacements
+    val appends: Vector[Event] = logical.toVector.map { n =>
+      AppendEv(n, live.getOrElse(n, replacedTimes(n)))
+    }
+    val maint: Vector[Event] = manifest.zipWithIndex.map { case (e, i) => MaintEv(e, i) }
+    (appends ++ maint).sortBy {
+      case AppendEv(n, t)  => (t, 0, n, 0)
+      case m @ MaintEv(_, i) => (m.time, 1, "", i)
+    }
+  }
+
+  /** Total addressable versions: appends + delete operations (a
+    * compaction mints no version — it is semantically invisible).
+    */
+  def totalVersions(dir: File): Int =
+    events(dir).count {
+      case _: AppendEv => true
+      case MaintEv(e, _) => e.op == "delete"
+    }
+
+  /** Replay to version `v` (or to time `tMs`), returning the snapshot's
+    * physical files in name order. After the cut, LATER compaction
+    * entries are still applied as pure substitutions (replaced set ⊆
+    * snapshot ⇒ swap in the replacement) so snapshots whose history
+    * files have expired remain resolvable whenever a live compacted
+    * segment covers them exactly.
+    */
+  def resolveVersion(dir: File, v: Int): Vector[File] = {
+    val evs = events(dir)
+    val total = totalVersions(dir)
+    require(v >= 0 && v <= total,
+      s"version $v does not exist: ${dir.getName} has $total versions " +
+        "(one per appended segment, one per DELETE)")
+    resolve(dir, evs, stopAtVersion = Some(v), stopAtTime = None)
+  }
+
+  def resolveTimestamp(dir: File, tMs: Long): Vector[File] =
+    resolve(dir, events(dir), stopAtVersion = None, stopAtTime = Some(tMs))
+
+  private def resolve(dir: File, evs: Vector[Event],
+                      stopAtVersion: Option[Int], stopAtTime: Option[Long]): Vector[File] = {
+    var state = Set.empty[String]
+    var version = 0
+    // past the cut, version-minting events no longer apply; compactions
+    // (version-neutral, semantically invisible) are collected and
+    // applied afterwards as pure substitutions
+    var cut = stopAtVersion.contains(0)
+    val laterCompacts = Vector.newBuilder[MaintEntry]
+    evs.foreach { ev =>
+      if (stopAtTime.exists(ev.time > _)) cut = true
+      if (cut) ev match {
+        case MaintEv(e, _) if e.op == "compact" => laterCompacts += e
+        case _ => ()
+      } else ev match {
+        case AppendEv(n, _) =>
+          state += n; version += 1
+          if (stopAtVersion.contains(version)) cut = true
+        case MaintEv(e, _) if e.op == "compact" =>
+          if (e.replaced.toSet.subsetOf(state))
+            state = state -- e.replaced ++ e.replacements
+        case MaintEv(e, _) => // delete
+          state = state -- e.replaced ++ e.replacements
+          version += 1
+          if (stopAtVersion.contains(version)) cut = true
+      }
+    }
+    // substitute later compactions where they cover the snapshot exactly
+    laterCompacts.result().foreach { e =>
+      if (e.replaced.toSet.subsetOf(state))
+        state = state -- e.replaced ++ e.replacements
+    }
+    state.toVector.sorted.map { n =>
+      val liveF = new File(dir, n)
+      val histF = new File(historyDir(dir), n)
+      if (liveF.isFile) liveF
+      else if (histF.isFile) histF
+      else throw new IllegalStateException(
+        s"snapshot is no longer resolvable: segment $n was replaced by " +
+          "maintenance and its history copy has been expired")
+    }
+  }
+
+  // ------------------------------------------------------------ publish helpers
+
+  /** Move a live segment (and its sidecar) to `_history/`, preserving
+    * its publish mtime — replay keys append order on it.
+    */
+  private def retire(dir: File, name: String): Long = {
+    val hist = historyDir(dir); hist.mkdirs()
+    val src = new File(dir, name)
+    val publishMs = src.lastModified()
+    java.nio.file.Files.move(src.toPath, new File(hist, name).toPath)
+    java.nio.file.Files.setLastModifiedTime(new File(hist, name).toPath,
+      java.nio.file.attribute.FileTime.fromMillis(publishMs))
+    val stats = new File(dir, name + ".stats")
+    if (stats.isFile)
+      java.nio.file.Files.move(stats.toPath, new File(hist, name + ".stats").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    publishMs
+  }
+
+  /** Publish an executor-written temp as a visible segment: optional
+    * sidecar first, rename, restamp mtime to the publish instant (the
+    * same discipline as the DSv2 job commit).
+    */
+  private def publishSegment(dir: File, tmpName: String, finalName: String,
+                             statsJson: Option[String], publishMs: Long): Unit = {
+    statsJson.foreach(j => java.nio.file.Files.writeString(
+      new File(dir, finalName + ".stats").toPath, j))
+    val target = new File(dir, finalName)
+    val ok = new File(dir, tmpName).renameTo(target)
+    require(ok, s"maintenance publish rename failed: $tmpName -> $finalName")
+    java.nio.file.Files.setLastModifiedTime(target.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(publishMs))
+  }
+
+  /** Publish instant for a maintenance operation: never before the
+    * wall clock, any live segment's publish time, or any earlier
+    * manifest entry — event replay orders strictly on these.
+    */
+  private def publishInstant(live: Array[File], manifest: Seq[MaintEntry]): Long =
+    math.max(math.max(System.currentTimeMillis(),
+      live.map(_.lastModified()).foldLeft(0L)(math.max)),
+      manifest.lastOption.map(_.publishMs).getOrElse(0L))
+
+  // ------------------------------------------------------------ compaction
+
+  case class CompactResult(bins: Int, replacedSegments: Int)
+
+  /** Merge runs of consecutive small live segments into bins of at
+    * most `targetBytes` (a bin needs ≥ 2 segments to be worth it).
+    * Byte-concatenation on executors — frames are length-prefixed and
+    * self-contained, so no decode happens; the merged sidecar is the
+    * field-wise merge of the inputs' sidecars (omitted unless every
+    * input has one, so pruning stays strictly conservative).
+    *
+    * The replacement is named `<last-replaced>.c<gen>`: it sorts
+    * exactly where the replaced run ended, preserving the log's
+    * lexicographic append-order contract for every later segment.
+    */
+  def compact(spark: SparkSession, dir: File,
+              targetBytes: Long = Long.MaxValue): CompactResult = {
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+    val manifest = readManifest(dir)
+    var gen = manifest.length + 1
+
+    // greedy consecutive bins under the byte target
+    val bins = Vector.newBuilder[Vector[File]]
+    var cur = Vector.empty[File]
+    var curBytes = 0L
+    live.foreach { f =>
+      if (cur.nonEmpty && curBytes + f.length() > targetBytes) {
+        if (cur.length >= 2) bins += cur
+        cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= f; curBytes += f.length()
+    }
+    if (cur.length >= 2) bins += cur
+    val work = bins.result()
+    if (work.isEmpty) return CompactResult(0, 0)
+
+    // executor-side byte concat: one task per bin
+    val dirPath = dir.getAbsolutePath
+    val tasks = work.zipWithIndex.map { case (bin, i) =>
+      val g = gen + i
+      (bin.map(_.getName), f".compacting-g$g%05d", bin.last.getName + s".c$g")
+    }
+    gen += work.length
+    val results = spark.sparkContext
+      .parallelize(tasks, tasks.length)
+      .map { case (names, tmpName, finalName) =>
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new File(dirPath, tmpName)), 1 << 16)
+        try names.foreach { n =>
+          java.nio.file.Files.copy(new File(dirPath, n).toPath, out)
+        } finally out.close()
+        val merged = mergeSidecars(names.map(n => new File(dirPath, n)))
+        (names, tmpName, finalName, merged)
+      }
+      .collect()
+
+    // driver publish: retire inputs, swap in replacements, manifest last
+    val publishMs = publishInstant(live, manifest)
+    val entries = results.map { case (names, tmpName, finalName, merged) =>
+      val replacedMs = names.map(n => retire(dir, n))
+      publishSegment(dir, tmpName, finalName, merged, publishMs)
+      MaintEntry("compact", publishMs, names, replacedMs, Vector(finalName), expired = false)
+    }
+    writeManifest(dir, manifest ++ entries)
+    CompactResult(work.length, work.map(_.length).sum)
+  }
+
+  /** Field-wise merge of the inputs' stats sidecars: sum frames and
+    * nulls, min of mins, max of maxes. None unless every input has a
+    * readable sidecar and the field sets agree — a merged sidecar must
+    * never claim tighter bounds than the data.
+    */
+  private def mergeSidecars(files: Seq[File]): Option[String] = {
+    val all = files.map(AvroFrameStats.read)
+    if (all.exists(_.isEmpty)) return None
+    val read = all.flatten
+    val fieldNames = read.head._2.keySet
+    if (read.exists(_._2.keySet != fieldNames)) return None
+    val frames = read.map(_._1).sum
+    val stats = fieldNames.toSeq.sorted.map { c =>
+      val st = new AvroFrameWrite.FieldStats
+      read.foreach { case (_, fields) =>
+        val (nulls, mn, mx) = fields(c)
+        st.nulls += nulls
+        if (mn != null) st.observe(mn)
+        if (mx != null) st.observe(mx)
+      }
+      c -> st
+    }
+    Some(AvroFrameWrite.statsJson(frames, stats))
+  }
+
+  // ------------------------------------------------------------ delete
+
+  case class DeleteResult(metadataDeleted: Int, rewritten: Int, untouched: Int)
+
+  /** Can the sidecar PROVE every row of the segment matches `f`? The
+    * dual of [[AvroFrameStats.mayMatch]]: comparisons require zero
+    * nulls (a NULL field never matches, so a null row must survive a
+    * comparison delete). Conservative-false — an unprovable segment
+    * just falls back to the rewrite path.
+    */
+  def mustMatch(frames: Long, fields: Map[String, (Long, Any, Any)], f: Filter): Boolean = {
+    import AvroFrameStats.compare
+    def b(c: String): Option[(Long, Any, Any)] = fields.get(c)
+    f match {
+      case EqualTo(c, v) => b(c).exists { case (nulls, mn, mx) =>
+        nulls == 0 && mn != null && mx != null && compare(mn, v) == 0 && compare(mx, v) == 0 }
+      case GreaterThan(c, v) => b(c).exists { case (nulls, mn, _) =>
+        nulls == 0 && mn != null && compare(mn, v) > 0 }
+      case GreaterThanOrEqual(c, v) => b(c).exists { case (nulls, mn, _) =>
+        nulls == 0 && mn != null && compare(mn, v) >= 0 }
+      case LessThan(c, v) => b(c).exists { case (nulls, _, mx) =>
+        nulls == 0 && mx != null && compare(mx, v) < 0 }
+      case LessThanOrEqual(c, v) => b(c).exists { case (nulls, _, mx) =>
+        nulls == 0 && mx != null && compare(mx, v) <= 0 }
+      case IsNotNull(c) => b(c).exists { case (nulls, _, _) => nulls == 0 }
+      case IsNull(c)    => b(c).exists { case (nulls, _, _) => nulls == frames }
+      case _            => false
+    }
+  }
+
+  /** Row-level delete: rows matching ALL `filters` (a conjunction, the
+    * `DELETE FROM … WHERE` condition) are removed. Three per-segment
+    * paths, decided from the stats sidecar without opening the file:
+    * provably-none-match → untouched; provably-all-match →
+    * metadata-only delete; else an executor task rewrites the segment,
+    * copying raw frame bytes of surviving rows (decode only for the
+    * predicate) into `<name>.d<gen>`, which takes the original's
+    * position in the log order. Originals retire to `_history/` for
+    * time travel; one DELETE = one manifest entry = one version.
+    */
+  def deleteWhere(spark: SparkSession, dir: File, avroSchemaJson: String,
+                  schemaId: Int, filters: Array[Filter]): DeleteResult = {
+    require(filters.nonEmpty,
+      "DELETE with no condition: use TRUNCATE / INSERT OVERWRITE instead")
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+    val manifest = readManifest(dir)
+    val gen = manifest.length + 1
+
+    // classify from sidecars (driver-side metadata, no file opens)
+    val (noneMatch, rest) = live.partition { seg =>
+      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+        frames == 0L || filters.exists(!AvroFrameStats.mayMatch(frames, fields, _))
+      }
+    }
+    val (allMatch, rewrite) = rest.partition { seg =>
+      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+        filters.forall(mustMatch(frames, fields, _))
+      }
+    }
+    if (allMatch.isEmpty && rewrite.isEmpty)
+      return DeleteResult(0, 0, noneMatch.length)
+
+    // executor-side rewrite: one task per straddling segment
+    val dirPath = dir.getAbsolutePath
+    val rewriteTasks = rewrite.toVector.map(f =>
+      (f.getName, s".deleting-g$gen-${f.getName}", f.getName + s".d$gen"))
+    val rewritten: Array[(String, Option[(String, String, String)])] =
+      if (rewriteTasks.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(rewriteTasks, rewriteTasks.length)
+        .map { case (name, tmpName, finalName) =>
+          val kept = rewriteSegment(dirPath, name, tmpName, avroSchemaJson, schemaId, filters)
+          kept match {
+            case Some(statsJson) => (name, Some((tmpName, finalName, statsJson)))
+            case None => // every row deleted: no replacement segment
+              new File(dirPath, tmpName).delete()
+              (name, None)
+          }
+        }
+        .collect()
+
+    val publishMs = publishInstant(live, manifest)
+    val replaced = Vector.newBuilder[String]
+    val replacedMs = Vector.newBuilder[Long]
+    val replacements = Vector.newBuilder[String]
+    allMatch.foreach { seg =>
+      replaced += seg.getName
+      replacedMs += retire(dir, seg.getName)
+    }
+    rewritten.foreach { case (name, result) =>
+      replaced += name
+      replacedMs += retire(dir, name)
+      result.foreach { case (tmpName, finalName, statsJson) =>
+        publishSegment(dir, tmpName, finalName, Some(statsJson), publishMs)
+        replacements += finalName
+      }
+    }
+    writeManifest(dir, manifest :+
+      MaintEntry("delete", publishMs, replaced.result(), replacedMs.result(),
+        replacements.result(), expired = false))
+    DeleteResult(allMatch.length, rewritten.length, noneMatch.length)
+  }
+
+  /** Unconditional delete (`DELETE FROM t` with no WHERE / TRUNCATE
+    * through the delete path): every live segment retires to history
+    * in one delete operation — still time-travelable until expiry,
+    * unlike the write path's physical TRUNCATE.
+    */
+  def deleteAll(dir: File): DeleteResult = {
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+    if (live.isEmpty) return DeleteResult(0, 0, 0)
+    val manifest = readManifest(dir)
+    val publishMs = publishInstant(live, manifest)
+    val names = live.toVector.map(_.getName)
+    val times = names.map(n => retire(dir, n))
+    writeManifest(dir, manifest :+
+      MaintEntry("delete", publishMs, names, times, Vector.empty, expired = false))
+    DeleteResult(live.length, 0, 0)
+  }
+
+  /** Executor body of the rewrite path: stream the segment's frames,
+    * decode each for the predicate, copy the RAW bytes of surviving
+    * frames (no re-encode), gather fresh stats. Returns the new
+    * sidecar JSON, or None if no row survived. Malformed frames are
+    * copied through — the scan skips them either way, and a delete
+    * must not silently discard bytes it cannot interpret.
+    */
+  private def rewriteSegment(dirPath: String, name: String, tmpName: String,
+                             avroSchemaJson: String, schemaId: Int,
+                             filters: Array[Filter]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val writerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+    val fieldPos = writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+    val preds = filters.map(AvroFrames.compile(fieldPos, _))
+    val fields = writerSchema.getFields.asScala.toVector
+    val stats = fields.map(_ => new AvroFrameWrite.FieldStats)
+    var kept = 0L
+
+    val datumReader = new org.apache.avro.generic.GenericDatumReader[
+      org.apache.avro.generic.GenericRecord](writerSchema)
+    var decoder: org.apache.avro.io.BinaryDecoder = null
+    var record: org.apache.avro.generic.GenericRecord = null
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(new File(dirPath, name)), 1 << 16))
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(new File(dirPath, tmpName)), 1 << 16))
+    try {
+      var done = false
+      while (!done) {
+        val b0 = in.read()
+        if (b0 < 0) done = true
+        else {
+          val len = (b0 << 24) | (in.read() << 16) | (in.read() << 8) | in.read()
+          if (len < 0) done = true // corrupt length: stop, like the scan
+          else {
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            val rec: org.apache.avro.generic.GenericRecord =
+              if (frame.length < 5 ||
+                  frame(0) != graft.streaming.AvroRecords.MagicByte) null
+              else {
+                val id = ((frame(1) & 0xff) << 24) | ((frame(2) & 0xff) << 16) |
+                         ((frame(3) & 0xff) << 8) | (frame(4) & 0xff)
+                if (id != schemaId) null
+                else try {
+                  decoder = org.apache.avro.io.DecoderFactory.get()
+                    .binaryDecoder(frame, 5, frame.length - 5, decoder)
+                  record = datumReader.read(record, decoder)
+                  record
+                } catch { case scala.util.control.NonFatal(_) => null }
+              }
+            // delete iff decodable AND every conjunct matches
+            val delete = rec != null && preds.forall(_(rec))
+            if (!delete) {
+              out.writeInt(frame.length)
+              out.write(frame)
+              if (rec != null) {
+                kept += 1
+                var i = 0
+                while (i < fields.length) {
+                  stats(i).observe(rec.get(i) match {
+                    case null                      => null
+                    case s: CharSequence           => s.toString
+                    case _: java.nio.ByteBuffer    => null // binary: nulls-only, like the write path
+                    case other                     => other
+                  })
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+      }
+    } finally { in.close(); out.close() }
+    if (kept == 0L) None
+    else Some(AvroFrameWrite.statsJson(kept,
+      fields.map(_.name()).zip(stats)))
+  }
+
+  // ------------------------------------------------------------ expiry
+
+  /** Drop history files retained by maintenance entries whose publish
+    * instant is ≤ `olderThanMs`, marking the entries expired. Versions
+    * remain COUNTED (the event history is immutable); resolving one
+    * that needs an expired file fails with an explicit error — unless
+    * a later compaction covers the snapshot exactly, in which case
+    * resolution substitutes the live compacted segment and succeeds.
+    */
+  def expire(dir: File, olderThanMs: Long): Int = {
+    val manifest = readManifest(dir)
+    var dropped = 0
+    val updated = manifest.map { e =>
+      if (!e.expired && e.publishMs <= olderThanMs) {
+        e.replaced.foreach { n =>
+          val f = new File(historyDir(dir), n)
+          if (f.isFile && f.delete()) dropped += 1
+          new File(historyDir(dir), n + ".stats").delete()
+        }
+        e.copy(expired = true)
+      } else e
+    }
+    if (updated != manifest) writeManifest(dir, updated)
+    dropped
+  }
+}

@@ -71,6 +71,14 @@ object SourceQueries extends QueryGroup {
       .option("schemaId", EventsSchemaId.toString)
       .load()
 
+  /** Retention cutoff for q336's time-window purge (2024-01-10T00:00Z
+    * in epoch micros — mid-range of the events fixture, so old
+    * segments delete metadata-only and exactly one straddles).
+    */
+  val DeleteCutoffUs = 1704844800000000L
+  /** Erased user for q336's GDPR-path delete. */
+  val DeleteUserId = 17L
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ DSv2 frame source (round 13)
@@ -295,8 +303,229 @@ object SourceQueries extends QueryGroup {
       FROM h JOIN a ON h.source = a.source
       GROUP BY h.source
       ORDER BY h.source
+    """)),
+
+    // ------------------------------------------------------------ segment compaction (round 14)
+    // The log-structured table-maintenance rung: the fixture writes the
+    // events log as MANY small segments (one per ts-range slice), then
+    // `CALL <cat>.corpus.compact(...)` byte-concatenates them into a
+    // handful of bins with merged stats sidecars — and the judged
+    // aggregate must be HASH-IDENTICAL to the oracle over the original
+    // parquet, because compaction is semantically invisible
+    // (FrameCatalogSpec also proves before == after and that VERSION
+    // AS OF still resolves pre-compaction states from _history/). At
+    // 100 TB this is what keeps a streaming-written log scannable: the
+    // scan plans one split per compacted bin instead of one per tiny
+    // epoch segment, and the driver's file listing stays O(bins).
+    ("q335_compacted_rollup", (s, d) => {
+      val cat = ensureCompactedFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+        FROM $cat.corpus.events_compacted
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ row-level DELETE (round 14)
+    // The DSv2 delete rung end-to-end: the fixture loads events
+    // ts-range-partitioned, then runs TWO SQL DELETEs — a time-window
+    // purge (`ts_us < cutoff`: whole old segments deleted METADATA-ONLY
+    // from their sidecar bounds, only the straddling segment rewritten)
+    // and a user erasure (`user_id = K`: the GDPR path, executor-side
+    // rewrites copying surviving raw frames). The judged aggregate over
+    // the survivors must match DuckDB computing the same NOT-deleted
+    // predicate over the original parquet — so both delete paths have
+    // to remove exactly the right rows and nothing else. Originals
+    // retire to _history/ (pre-delete snapshots stay addressable until
+    // expiry — FrameCatalogSpec proves it); at 100 TB the retention
+    // purge touches only sidecars for all but one segment.
+    ("q336_delete_survivors", (s, d) => {
+      val cat = ensureDeleteFixture(s, d)
+      s.sql(s"""
+        SELECT user_id,
+               count(*) AS n_events,
+               min(ts_us) AS first_ts_us,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+        FROM $cat.corpus.events_gdpr
+        GROUP BY user_id
+        HAVING count(*) >= 3
+        ORDER BY user_id
+      """)
+    }, Some(s"""
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      WHERE epoch_us(ts::TIMESTAMP) >= $DeleteCutoffUs AND user_id <> $DeleteUserId
+      GROUP BY user_id
+      HAVING count(*) >= 3
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ storage-partitioned join (round 14)
+    // The last pushdown rung the connector lacked (VERDICT r13 item 5):
+    // both tables are created `PARTITIONED BY (bucket(8, user_id))`, so
+    // the DSv2 WRITE clusters rows into one segment per bucket
+    // (RequiresDistributionAndOrdering) and the SCAN reports
+    // KeyGroupedPartitioning over the catalog's own `bucket` V2
+    // function — Spark's storage-partitioned join then aligns the two
+    // sides partition-for-partition and the join runs with ZERO
+    // exchange on either side (FrameCatalogSpec asserts no Exchange in
+    // the executed plan; this judged query proves the whole
+    // write-placement → reported-partitioning → SPJ loop computes the
+    // right answer). At 100 TB this is the difference between
+    // shuffling two fact tables and shuffling nothing.
+    ("q337_bucketed_spj_join", (s, d) => {
+      val cat = ensureBucketedFixture(s, d)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"""
+        SELECT e.user_id,
+               max(u.n_events) AS n_events_total,
+               count(*) AS n_purchases,
+               max(e.ts_us) AS last_ts_us
+        FROM $cat.corpus.events_bucketed e
+        JOIN $cat.corpus.user_stats u ON e.user_id = u.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+        ORDER BY e.user_id
+      """)
+    }, Some("""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id)
+      SELECT e.user_id, max(u.n_events) AS n_events_total,
+             count(*)::BIGINT AS n_purchases,
+             max(epoch_us(e.ts::TIMESTAMP)) AS last_ts_us
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+      ORDER BY e.user_id
     """))
   )
+
+  /** Catalog fixture for q337: events + a per-user stats dim, BOTH
+    * bucketed 8 ways on user_id through `PARTITIONED BY (bucket(8,
+    * user_id))` DDL. Idempotent via a row-count marker.
+    */
+  def ensureBucketedFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_BUCKETED_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_bucketed")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.user_stats")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_bucketed (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        PARTITIONED BY (bucket(8, user_id))""")
+      s.sql(s"""CREATE TABLE $cat.corpus.user_stats (
+        user_id BIGINT NOT NULL, n_events BIGINT NOT NULL)
+        PARTITIONED BY (bucket(8, user_id))""")
+      val view = s"graft_bucketed_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_bucketed SELECT * FROM $view")
+      s.sql(s"INSERT INTO $cat.corpus.user_stats " +
+        s"SELECT user_id, count(*) FROM $view GROUP BY user_id")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q335: events written as many small segments
+    * (range-partitioned on ts_us), then compacted through the stored
+    * procedure. Idempotent via a row-count marker.
+    */
+  def ensureCompactedFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_COMPACTED_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_compacted")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_compacted (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_compact_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(16, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_compacted SELECT * FROM $view")
+      // 16 small segments -> a few bins; target 4x the mean segment size
+      val dir = new java.io.File(base, "corpus/events_compacted")
+      val segs = AvroFrames.listSegments(dir.getAbsolutePath)
+      val target = math.max(1L, segs.map(_.length()).sum / segs.length * 4)
+      s.sql(s"CALL $cat.corpus.compact(table => 'corpus.events_compacted', " +
+        s"target_bytes => ${target}L)")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q336: events loaded ts-range-partitioned,
+    * then purged twice through SQL DELETE (retention window +
+    * user-id erasure). Idempotent via a row-count marker.
+    */
+  def ensureDeleteFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_GDPR_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_gdpr")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_gdpr (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_gdpr_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_gdpr SELECT * FROM $view")
+      s.sql(s"DELETE FROM $cat.corpus.events_gdpr WHERE ts_us < ${DeleteCutoffUs}L")
+      s.sql(s"DELETE FROM $cat.corpus.events_gdpr WHERE user_id = ${DeleteUserId}L")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
 
   /** Register the per-sfDir frame catalog (idempotent; sf-scoped name
     * because Spark caches catalog instances by name for the session's

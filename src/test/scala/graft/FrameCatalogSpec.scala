@@ -257,6 +257,203 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(graft.sources.AvroFrames.nextBatchStampMs(empty.getAbsolutePath) - now) < 5000)
   }
 
+  test("CALL compact: semantically invisible, merged sidecars, time travel intact, expiry invalidates") {
+    val cat = freshCatalog("cmp")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.log (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    def insert(lo: Long, hi: Long): Unit = {
+      spark.range(lo, hi).selectExpr("id", "CAST(id AS DOUBLE) * 0.5 AS v")
+        .coalesce(1).createOrReplaceTempView("cmp_src")
+      spark.sql(s"INSERT INTO $cat.ns.log SELECT * FROM cmp_src")
+      Thread.sleep(5) // distinct publish instants
+    }
+    insert(0, 100); insert(100, 200); insert(200, 300)
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/log")
+    def liveBins = dir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.endsWith(".stats") && !f.getName.endsWith(".tmp")).map(_.getName).sorted
+    assert(liveBins.length == 3)
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    val before = ids(s"SELECT id FROM $cat.ns.log")
+    val v2Before = ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 2")
+    assert(v2Before == (0L until 200L))
+
+    val res = spark.sql(s"CALL $cat.ns.compact(table => 'ns.log')").collect()
+    assert(res.length == 1 && res(0).getInt(0) == 1 && res(0).getInt(1) == 3,
+      s"expected 1 bin over 3 segments, got ${res.toSeq}")
+    assert(liveBins.length == 1 && liveBins.head.contains(".c"),
+      s"live log must be one compacted segment, got ${liveBins.toSeq}")
+
+    // hash-identical result, ONE input partition instead of three
+    assert(ids(s"SELECT id FROM $cat.ns.log") == before, "compaction must be invisible")
+    val plan = spark.sql(s"SELECT id FROM $cat.ns.log")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Segments=1/1"), s"post-compaction scan must plan 1 split:\n$plan")
+    // merged sidecar still answers complete aggregate pushdown
+    val agg = spark.sql(s"SELECT count(*) AS n, max(id) AS mx FROM $cat.ns.log")
+    assert(agg.queryExecution.executedPlan.toString.contains("complete, sidecar-only"))
+    val r0 = agg.collect()(0); assert(r0.getLong(0) == 300L && r0.getLong(1) == 299L)
+
+    // pre-compaction versions resolve from history; the all-appends
+    // version (3) resolves too (covered exactly by the replacement)
+    assert(ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 2") == v2Before)
+    assert(ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 3") == before)
+    assert(new java.io.File(dir, "_history").listFiles()
+      .count(_.getName.endsWith(".bin")) == 3)
+
+    // expiry: version 2 (needs a replaced original) stops resolving;
+    // version 3 (covered by the live replacement) keeps resolving
+    val dropped = spark.sql(
+      s"CALL $cat.ns.expire_snapshots(table => 'ns.log', older_than_ms => ${System.currentTimeMillis()})")
+      .collect()(0).getInt(0)
+    assert(dropped == 3, s"3 history segments should expire, got $dropped")
+    val ex = intercept[Exception](ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 2"))
+    assert(ex.getMessage != null)
+    assert(ids(s"SELECT id FROM $cat.ns.log VERSION AS OF 3") == before)
+    assert(ids(s"SELECT id FROM $cat.ns.log") == before)
+  }
+
+  test("compact respects target_bytes: consecutive bins, order preserved") {
+    val cat = freshCatalog("cmpb")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL)")
+    (0 until 5).foreach { i =>
+      spark.range(i * 10L, i * 10L + 10L).coalesce(1).createOrReplaceTempView("cb_src")
+      spark.sql(s"INSERT INTO $cat.ns.t SELECT id FROM cb_src")
+    }
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/t")
+    val segBytes = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).head.length()
+    // target fits ~2 segments per bin -> bins of 2,2 and a loose tail
+    spark.sql(s"CALL $cat.ns.compact(table => 'ns.t', target_bytes => ${segBytes * 2 + 4})")
+    val live = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(live.length == 3, s"5 segments at 2/bin -> 2 bins + 1 loose, got ${live.toSeq}")
+    // read order unchanged: ids come back in log order within the scan
+    val got = spark.sql(s"SELECT id FROM $cat.ns.t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 50L))
+  }
+
+  test("DELETE FROM: metadata-only fast path, rewrite path, pre-delete time travel, versioning") {
+    val cat = freshCatalog("del")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL, tag STRING)")
+    spark.range(1, 51).selectExpr("id", "CONCAT('a', id % 3) AS tag")
+      .coalesce(1).createOrReplaceTempView("del_one")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM del_one")
+    Thread.sleep(30)
+    spark.range(51, 101).selectExpr("id", "CONCAT('a', id % 3) AS tag")
+      .coalesce(1).createOrReplaceTempView("del_two")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM del_two")
+    Thread.sleep(30)
+    val preDeleteMs = System.currentTimeMillis()
+    Thread.sleep(30)
+
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/t")
+    def liveNames = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+
+    // (a) metadata-only: segment 1 (ids 1..50) provably all-match,
+    // segment 2 provably none-match -> no rewrite anywhere
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id <= 50")
+    assert(liveNames.length == 1 && !liveNames.head.contains(".d"),
+      s"metadata-only delete must not rewrite: ${liveNames.toSeq}")
+    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 100L))
+
+    // (b) rewrite: straddles segment 2
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id >= 90")
+    assert(liveNames.length == 1 && liveNames.head.contains(".d"),
+      s"straddling delete must rewrite in place: ${liveNames.toSeq}")
+    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 89L))
+    // rewritten sidecar is fresh: complete agg pushdown gives new max
+    val agg = spark.sql(s"SELECT max(id) AS mx, count(*) AS n FROM $cat.ns.t")
+    assert(agg.queryExecution.executedPlan.toString.contains("complete, sidecar-only"))
+    val r0 = agg.collect()(0); assert(r0.getLong(0) == 89L && r0.getLong(1) == 39L)
+
+    // versions: 2 appends + 2 deletes = 4; replay each state
+    assert(ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 2") == (1L to 100L))
+    assert(ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 3") == (51L to 100L))
+    assert(ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 4") == (51L to 89L))
+    intercept[Exception](spark.sql(s"SELECT id FROM $cat.ns.t VERSION AS OF 5").collect())
+    // timestamp travel to the pre-delete instant
+    val tsLit = new java.sql.Timestamp(preDeleteMs).toString
+    assert(ids(s"SELECT id FROM $cat.ns.t TIMESTAMP AS OF '$tsLit'") == (1L to 100L))
+
+    // unsupported predicate shapes are rejected at analysis, not wrong
+    intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE tag LIKE 'a%' OR id = 60"))
+    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 89L), "failed delete must change nothing")
+
+    // expiry invalidates pre-delete snapshots but not the current state
+    spark.sql(s"CALL $cat.ns.expire_snapshots(table => 'ns.t', older_than_ms => ${System.currentTimeMillis()})")
+    intercept[Exception](ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 2"))
+    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 89L))
+  }
+
+  test("storage-partitioned join: two bucketed frame tables join with ZERO exchange") {
+    val cat = freshCatalog("spj")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.facts (id BIGINT NOT NULL, v BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (id BIGINT NOT NULL, w BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.range(0, 1000).selectExpr("id % 100 AS id", "id AS v")
+      .createOrReplaceTempView("spj_facts")
+    spark.range(0, 100).selectExpr("id", "id * 10 AS w")
+      .createOrReplaceTempView("spj_dim")
+    spark.sql(s"INSERT INTO $cat.ns.facts SELECT * FROM spj_facts")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT * FROM spj_dim")
+
+    // the write produced at most 4 segments per insert: one per bucket
+    val base = spark.conf.get(s"spark.sql.catalog.$cat.base")
+    val factSegs = graft.sources.AvroFrames.listSegments(s"$base/ns/facts")
+    assert(factSegs.nonEmpty && factSegs.length <= 4,
+      s"bucketed write must emit <=1 segment per bucket, got ${factSegs.map(_.getName).toSeq}")
+    assert(factSegs.forall(f => graft.sources.AvroFrames.bucketOf(f.getName).exists(_ < 4)))
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val q = spark.sql(s"""
+        SELECT f.id, sum(f.v) AS sv, max(d.w) AS w
+        FROM $cat.ns.facts f JOIN $cat.ns.dim d ON f.id = d.id
+        GROUP BY f.id ORDER BY f.id""")
+      val rows = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+      // values: id in 0..99 each 10x in facts; sum v per id; w = id*10
+      assert(rows.length == 100)
+      val r7 = rows(7)
+      assert(r7.getLong(0) == 7L && r7.getLong(2) == 70L)
+      assert(r7.getLong(1) == (0 until 10).map(k => 7L + 100L * k).sum)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+
+    // the catalog bucket function IS the write placement: parity with
+    // Spark's own HashPartitioning id on random keys
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val v = rnd.nextLong(); val n = 1 + rnd.nextInt(64)
+      val viaFn = graft.sources.FrameFunctions.BucketLongBound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(n, v)).intValue
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val expected = { val r = h % n; if (r < 0) r + n else r }
+      assert(viaFn == expected, s"bucket($n, $v): $viaFn != $expected")
+    }
+    // and matches where segments actually landed
+    val seen = spark.sql(s"SELECT id, _segment FROM $cat.ns.dim").collect()
+    seen.foreach { r =>
+      val want = graft.sources.FrameFunctions.BucketLongBound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(4, r.getLong(0))).intValue
+      val got = graft.sources.AvroFrames.bucketOf(r.getString(1)).get
+      assert(got == want, s"id ${r.getLong(0)} landed in bucket $got, function says $want")
+    }
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
