@@ -334,6 +334,64 @@ object Sessions extends QueryGroup {
         .select(col("c_user").as("user_id"), col("n_covered"),
                 col("n_uncovered"), col("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // ------------------------------------------------------------ salted as-of join (round 14)
+    // q264's EXACT relation through the skew-hardened physical path
+    // (VERDICT r13 item 3): AsOfJoinExec's ClusteredDistribution is
+    // invisible to AQE's OptimizeSkewedJoin (which only rewrites
+    // SMJ/SHJ), so a hot user key would serialize one task. leftAsOfSalted
+    // clusters on (key, salt) — the left side salted by whole-row hash,
+    // the right side replicated per salt, the merge grouping widened to
+    // the pair — so the hot key's probes spread across 8 tasks while
+    // each still sees the key's FULL view history. Sharing q264's
+    // independent DuckDB ASOF oracle proves the salted plan computes
+    // the identical relation; AsOfSpec measures the bounded per-task
+    // input on a 100:1 skewed fixture.
+    "q338_salted_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_id"))
+        .select(col("v_user"), col("view_ts"), col("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                col("ts").as("click_ts"))
+      graft.plans.AsOf.leftAsOfSalted(clicks, views,
+          leftKeyCol = "c_user", rightKeyCol = "v_user",
+          leftTsCol = "click_ts", rightTsCol = "view_ts", saltBuckets = 8)
+        .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+                col("view_id"), col("view_ts"))
+        .withColumn("lag_us",
+          when(col("view_ts").isNotNull,
+               unix_micros(col("click_ts")) - unix_micros(col("view_ts"))))
+        .orderBy("click_id")
+    }),
+
+    // ------------------------------------------------------------ salted interval join (round 14)
+    // q332's exact relation through innerIntervalSalted — the sweep's
+    // skew fallback: points salted, windows replicated per salt, the
+    // active-heap grouping widened to (key, salt). Same independent
+    // DuckDB range-join oracle as q332/q262; IntervalJoinSpec measures
+    // the spread on the skewed fixture.
+    "q339_salted_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                unix_micros(col("ts")).as("click_us"))
+      val wins = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("imp_id"), col("user_id").as("i_user"),
+                unix_micros(col("ts")).as("win_start_us"),
+                (unix_micros(col("ts")) + lit(3600L * 1000000L)).as("win_end_us"))
+      graft.plans.IntervalJoin.innerIntervalSalted(clicks, wins,
+          leftKeyCol = "c_user", rightKeyCol = "i_user",
+          leftTsCol = "click_us", rightStartCol = "win_start_us",
+          rightEndCol = "win_end_us", saltBuckets = 8)
+        .select(col("c_user").as("user_id"), col("imp_id"), col("click_id"),
+                (floor(col("click_us") / lit(1000000L)) -
+                 floor(col("win_start_us") / lit(1000000L)))
+                  .cast("long").as("lag_sec"))
+        .orderBy("user_id", "imp_id", "click_id")
     })
   )
 
@@ -490,5 +548,38 @@ object Sessions extends QueryGroup {
         AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
       GROUP BY c.user_id
       ORDER BY c.user_id
+    """.trim,
+
+    // q264's oracle verbatim — the salted physical path must compute
+    // the identical relation (salting is a distribution change only)
+    "q338_salted_asof_join" -> """
+      WITH v AS (
+        SELECT user_id, ts::TIMESTAMP AS view_ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+             CASE WHEN v.view_ts IS NOT NULL
+                  THEN epoch_us(c.click_ts) - epoch_us(v.view_ts) END AS lag_us
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+      ORDER BY click_id
+    """.trim,
+
+    // q332's oracle verbatim — same relation through the salted sweep
+    "q339_salted_interval_join" -> s"""
+      WITH i AS (SELECT event_id AS imp_id, user_id, ts::TIMESTAMP AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT i.user_id, i.imp_id, c.click_id,
+             datediff('second', i.imp_ts, c.click_ts)::BIGINT AS lag_sec
+      FROM i JOIN c
+        ON i.user_id = c.user_id
+        AND c.click_ts >= i.imp_ts
+        AND c.click_ts <= i.imp_ts + INTERVAL 3600 SECOND
+      ORDER BY i.user_id, i.imp_id, c.click_id
     """.trim)
 }

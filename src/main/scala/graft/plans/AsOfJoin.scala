@@ -46,7 +46,9 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    broadcastRight: Boolean = false) extends BinaryNode {
+    broadcastRight: Boolean = false,
+    leftSalt: Option[Attribute] = None,
+    rightSalt: Option[Attribute] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -62,32 +64,44 @@ case class AsOfJoinNode(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, bcast) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, bcast, ls, rs) =>
       if (bcast) BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
-      else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), ls, rs) :: Nil
     case _ => Nil
   }
 }
 
+/** Co-partitioned merge as-of join. `leftSalt`/`rightSalt` (set by
+  * [[AsOf.leftAsOfSalted]]) widen the clustering AND the merge
+  * grouping to (key, salt): AQE's OptimizeSkewedJoin only rewrites
+  * SMJ/SHJ, so a hot key here would otherwise serialize one task — the
+  * salt splits it across `saltBuckets` partitions, with the right side
+  * replicated per salt so every (key, salt) group still sees the full
+  * right history (exact same result, bounded per-task input;
+  * AsOfSpec measures it on a 100:1 skewed fixture).
+  */
 case class AsOfJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightTs: Attribute,
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    leftSalt: Option[Attribute] = None,
+    rightSalt: Option[Attribute] = None) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // co-partition on the key, sort (key, ts) — the same requirements a
-  // sort-merge join would declare, so EnsureRequirements/AQE place the
-  // exchanges, reuse compatible ones, and handle skewed inputs
+  // co-partition on the key (plus salt when present), sort (key, salt,
+  // ts) — the same requirements a sort-merge join would declare, so
+  // EnsureRequirements/AQE place the exchanges and reuse compatible ones
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(Seq(leftKey) ++ leftSalt) ::
+      ClusteredDistribution(Seq(rightKey) ++ rightSalt) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq((Seq(leftKey) ++ leftSalt :+ leftTs).map(SortOrder(_, Ascending)),
+        (Seq(rightKey) ++ rightSalt :+ rightTs).map(SortOrder(_, Ascending)))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    (Seq(leftKey) ++ leftSalt :+ leftTs).map(SortOrder(_, Ascending))
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -100,6 +114,12 @@ case class AsOfJoinExec(
     val rtOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
     require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
       s"as-of key/ts attributes not found in child output: $leftKey/$leftTs/$rightKey/$rightTs")
+    // salt ordinals, -1 when unsalted: the merge groups on (key, salt)
+    // with salt fixed at 0 so the unsalted path costs nothing extra
+    val lsOrd = leftSalt.map(a => left.output.indexWhere(_.exprId == a.exprId)).getOrElse(-1)
+    val rsOrd = rightSalt.map(a => right.output.indexWhere(_.exprId == a.exprId)).getOrElse(-1)
+    require(leftSalt.isEmpty || lsOrd >= 0, s"left salt $leftSalt not found in child output")
+    require(rightSalt.isEmpty || rsOrd >= 0, s"right salt $rightSalt not found in child output")
     val outAttrs = output
     val rightArity = right.output.length
     val rowsMetric = longMetric("numOutputRows")
@@ -112,29 +132,38 @@ case class AsOfJoinExec(
         val nullRight: InternalRow = new GenericInternalRow(rightArity)
         // one-row lookahead over the right side; `matched` holds a COPY
         // of the newest right row whose ts <= the current left ts for
-        // the key in hand (sort iterators reuse their UnsafeRow)
+        // the (key, salt) group in hand (sort iterators reuse their
+        // UnsafeRow)
         var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
         var matched: InternalRow = null
         var matchedKey = 0L
+        var matchedSalt = 0L
         lIter.map { l =>
           rowsMetric += 1
-          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) proj(joined(l, nullRight))
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd) ||
+              (lsOrd >= 0 && l.isNullAt(lsOrd))) proj(joined(l, nullRight))
           else {
             val lk = l.getLong(lkOrd)
+            val ls = if (lsOrd >= 0) l.getLong(lsOrd) else 0L
             val lt = l.getLong(ltOrd)
             var advance = true
             while (advance && rRow != null) {
-              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rtOrd)) {
+              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rtOrd) ||
+                  (rsOrd >= 0 && rRow.isNullAt(rsOrd))) {
                 rRow = if (rIter.hasNext) rIter.next() else null
               } else {
                 val rk = rRow.getLong(rkOrd)
-                if (rk < lk || (rk == lk && rRow.getLong(rtOrd) <= lt)) {
-                  if (rk == lk) { matched = rRow.copy(); matchedKey = rk }
+                val rs = if (rsOrd >= 0) rRow.getLong(rsOrd) else 0L
+                // lexicographic (key, salt) group order, then the ts horizon
+                val groupCmp = if (rk != lk) java.lang.Long.compare(rk, lk)
+                               else java.lang.Long.compare(rs, ls)
+                if (groupCmp < 0 || (groupCmp == 0 && rRow.getLong(rtOrd) <= lt)) {
+                  if (groupCmp == 0) { matched = rRow.copy(); matchedKey = rk; matchedSalt = rs }
                   rRow = if (rIter.hasNext) rIter.next() else null
                 } else advance = false
               }
             }
-            if (matched != null && matchedKey == lk) {
+            if (matched != null && matchedKey == lk && matchedSalt == ls) {
               matchedMetric += 1
               proj(joined(l, matched))
             } else proj(joined(l, nullRight))
@@ -289,10 +318,44 @@ object AsOf {
     build(left, right, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
       broadcastRight = true)
 
+  /** [[leftAsOf]] with SALTED key distribution — the skew hardening for
+    * the merge plan. AQE's OptimizeSkewedJoin only rewrites SMJ/SHJ, so
+    * a hot key (one user producing half the ticks) would serialize a
+    * single task under [[leftAsOf]]. Here the left side gets a
+    * deterministic salt in [0, saltBuckets) (hash of the whole row) and
+    * the right side is replicated once per salt, so the exec clusters
+    * on (key, salt): the hot key's probes spread over `saltBuckets`
+    * tasks, each still seeing the key's FULL right history — results
+    * are exactly [[leftAsOf]]'s (AsOfSpec proves equality plus the
+    * bounded per-task input on a 100:1 skewed fixture). Cost: the
+    * right side shuffles ×saltBuckets — size it like a salted
+    * SMJ (small right side or small salt count); if the right side
+    * fits in memory outright, prefer [[leftAsOfBroadcast]], which has
+    * no skew exposure at all (no shuffle, per-row O(log) probes).
+    */
+  def leftAsOfSalted(left: DataFrame, right: DataFrame,
+                     leftKeyCol: String, rightKeyCol: String,
+                     leftTsCol: String, rightTsCol: String,
+                     saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 2 && saltBuckets <= 4096,
+      s"saltBuckets must be in [2, 4096], got $saltBuckets")
+    import org.apache.spark.sql.functions.{array, explode, lit, pmod, xxhash64}
+    val saltL = "__graft_asof_salt_l"
+    val saltR = "__graft_asof_salt_r"
+    val l2 = left.withColumn(saltL,
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
+    val r2 = right.withColumn(saltR,
+      explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+    build(l2, r2, leftKeyCol, rightKeyCol, leftTsCol, rightTsCol,
+      broadcastRight = false, salt = Some((saltL, saltR)))
+      .drop(saltL, saltR)
+  }
+
   private def build(left: DataFrame, right: DataFrame,
                     leftKeyCol: String, rightKeyCol: String,
                     leftTsCol: String, rightTsCol: String,
-                    broadcastRight: Boolean): DataFrame = {
+                    broadcastRight: Boolean,
+                    salt: Option[(String, String)] = None): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.ensureStrategy(spark, AsOfJoinStrategy)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
@@ -315,7 +378,12 @@ object AsOf {
         s"as-of $what `${a.name}` must be bigint or timestamp, got $other")
     }
     checkType(lk, "key"); checkType(rk, "key"); checkType(lt, "ts"); checkType(rt, "ts")
+    val (ls, rs) = salt match {
+      case Some((slCol, srCol)) =>
+        (Some(attr(lPlan, slCol, "left")), Some(attr(rPlan, srCol, "right")))
+      case None => (None, None)
+    }
     GraftSqlBridge.ofRows(spark,
-      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, broadcastRight))
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, broadcastRight, ls, rs))
   }
 }

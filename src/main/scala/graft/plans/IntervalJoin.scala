@@ -39,7 +39,9 @@ case class IntervalJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute,
-    leftOuter: Boolean = false) extends BinaryNode {
+    leftOuter: Boolean = false,
+    leftSalt: Option[Attribute] = None,
+    rightSalt: Option[Attribute] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
@@ -50,30 +52,48 @@ case class IntervalJoinNode(
 
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lk, rk, lt, rs, re, outer) =>
-      IntervalJoinExec(lk, rk, lt, rs, re, planLater(l), planLater(r), outer) :: Nil
+    case IntervalJoinNode(l, r, lk, rk, lt, rs, re, outer, lsalt, rsalt) =>
+      IntervalJoinExec(lk, rk, lt, rs, re, planLater(l), planLater(r), outer,
+        lsalt, rsalt) :: Nil
     case _ => Nil
   }
 }
 
+/** Interval sweep exec. Skew notes (the two ways one partition can run
+  * hot, and the mitigations):
+  *  - NULL-key points under LEFT OUTER survive unmatched (SQL LEFT
+  *    JOIN), and ClusteredDistribution routes ALL null keys to one
+  *    partition — the same hotspot every built-in join has on
+  *    NULL-heavy data. At scale, split the input into `key IS NULL`
+  *    (append null right columns directly — no join needed) and the
+  *    non-null remainder through this operator.
+  *  - A hot NON-NULL key serializes one task (AQE's OptimizeSkewedJoin
+  *    only rewrites SMJ/SHJ): use [[IntervalJoin.innerIntervalSalted]],
+  *    which clusters on (key, salt) with the interval side replicated
+  *    per salt — exact same rows out, per-task input bounded by
+  *    ~1/saltBuckets of the hot key (IntervalJoinSpec measures it).
+  */
 case class IntervalJoinExec(
     leftKey: Attribute, rightKey: Attribute,
     leftTs: Attribute, rightStart: Attribute, rightEnd: Attribute,
     left: SparkPlan, right: SparkPlan,
-    leftOuter: Boolean = false) extends SparkPlan with BinaryExecNode {
+    leftOuter: Boolean = false,
+    leftSalt: Option[Attribute] = None,
+    rightSalt: Option[Attribute] = None) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(Seq(leftKey) ++ leftSalt) ::
+      ClusteredDistribution(Seq(rightKey) ++ rightSalt) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-        Seq(SortOrder(rightKey, Ascending), SortOrder(rightStart, Ascending)))
+    Seq((Seq(leftKey) ++ leftSalt :+ leftTs).map(SortOrder(_, Ascending)),
+        (Seq(rightKey) ++ rightSalt :+ rightStart).map(SortOrder(_, Ascending)))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    (Seq(leftKey) ++ leftSalt :+ leftTs).map(SortOrder(_, Ascending))
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
@@ -88,6 +108,9 @@ case class IntervalJoinExec(
     val lkOrd = ord(left, leftKey); val ltOrd = ord(left, leftTs)
     val rkOrd = ord(right, rightKey)
     val rsOrd = ord(right, rightStart); val reOrd = ord(right, rightEnd)
+    // salt ordinals, -1 when unsalted (groups then key on (key, 0))
+    val lSaltOrd = leftSalt.map(a => ord(left, a)).getOrElse(-1)
+    val rSaltOrd = rightSalt.map(a => ord(right, a)).getOrElse(-1)
     val outAttrs = output
     val rowsMetric = longMetric("numOutputRows")
     val admittedMetric = longMetric("numAdmitted")
@@ -100,35 +123,45 @@ case class IntervalJoinExec(
         val joined = new JoinedRow
         val nullRight: InternalRow =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightArity)
-        // active intervals of the CURRENT key, min-heap by end: evicting
-        // every end < ts leaves exactly the matching set (start already
-        // passed at insertion, ts nondecreasing within a key)
+        // active intervals of the CURRENT (key, salt) group, min-heap by
+        // end: evicting every end < ts leaves exactly the matching set
+        // (start already passed at insertion, ts nondecreasing within a
+        // group)
         val active = scala.collection.mutable.PriorityQueue.empty[(Long, InternalRow)](
           Ordering.by[(Long, InternalRow), Long](_._1).reverse)
         var activeKey = Long.MinValue
+        var activeSalt = Long.MinValue
         var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
 
         lIter.flatMap { l =>
-          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd) ||
+              (lSaltOrd >= 0 && l.isNullAt(lSaltOrd))) {
             // a NULL key/ts can never satisfy the range — inner drops
             // the point, left-outer keeps it unmatched (SQL LEFT JOIN)
             if (isOuter) { rowsMetric += 1; Iterator.single(proj(joined(l, nullRight))) }
             else Iterator.empty
           } else {
             val lk = l.getLong(lkOrd)
+            val ls = if (lSaltOrd >= 0) l.getLong(lSaltOrd) else 0L
             val lt = l.getLong(ltOrd)
-            if (lk != activeKey) { active.clear(); activeKey = lk }
-            // admit right intervals for keys < lk (drained unseen — no
-            // left partner exists) and this key's starts <= lt
+            if (lk != activeKey || ls != activeSalt) {
+              active.clear(); activeKey = lk; activeSalt = ls
+            }
+            // admit right intervals for groups < (lk, ls) (drained unseen
+            // — no left partner exists) and this group's starts <= lt
             var advance = true
             while (advance && rRow != null) {
-              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rsOrd) || rRow.isNullAt(reOrd)) {
+              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rsOrd) || rRow.isNullAt(reOrd) ||
+                  (rSaltOrd >= 0 && rRow.isNullAt(rSaltOrd))) {
                 rRow = if (rIter.hasNext) rIter.next() else null
               } else {
                 val rk = rRow.getLong(rkOrd)
-                if (rk < lk) {
+                val rs = if (rSaltOrd >= 0) rRow.getLong(rSaltOrd) else 0L
+                val groupCmp = if (rk != lk) java.lang.Long.compare(rk, lk)
+                               else java.lang.Long.compare(rs, ls)
+                if (groupCmp < 0) {
                   rRow = if (rIter.hasNext) rIter.next() else null
-                } else if (rk == lk && rRow.getLong(rsOrd) <= lt) {
+                } else if (groupCmp == 0 && rRow.getLong(rsOrd) <= lt) {
                   admittedMetric += 1
                   active.enqueue((rRow.getLong(reOrd), rRow.copy()))
                   rRow = if (rIter.hasNext) rIter.next() else null
@@ -180,10 +213,38 @@ object IntervalJoin {
     build(left, right, leftKeyCol, rightKeyCol, leftTsCol,
       rightStartCol, rightEndCol, leftOuter = true)
 
+  /** [[innerInterval]] with SALTED key distribution — skew hardening
+    * for the sweep (see [[IntervalJoinExec]]'s scaladoc): the point
+    * side gets a deterministic whole-row-hash salt in
+    * [0, saltBuckets), the interval side is replicated once per salt,
+    * and the exec clusters on (key, salt) — the hot key's points
+    * spread over saltBuckets tasks, each sweeping the key's FULL
+    * interval set. Exactly [[innerInterval]]'s rows; the interval side
+    * shuffles ×saltBuckets, so size the salt like a salted SMJ.
+    */
+  def innerIntervalSalted(left: DataFrame, right: DataFrame,
+                          leftKeyCol: String, rightKeyCol: String,
+                          leftTsCol: String, rightStartCol: String,
+                          rightEndCol: String, saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 2 && saltBuckets <= 4096,
+      s"saltBuckets must be in [2, 4096], got $saltBuckets")
+    import org.apache.spark.sql.functions.{array, explode, lit, pmod, xxhash64}
+    val saltL = "__graft_iv_salt_l"
+    val saltR = "__graft_iv_salt_r"
+    val l2 = left.withColumn(saltL,
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong)))
+    val r2 = right.withColumn(saltR,
+      explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+    build(l2, r2, leftKeyCol, rightKeyCol, leftTsCol, rightStartCol, rightEndCol,
+      leftOuter = false, salt = Some((saltL, saltR)))
+      .drop(saltL, saltR)
+  }
+
   private def build(left: DataFrame, right: DataFrame,
                     leftKeyCol: String, rightKeyCol: String,
                     leftTsCol: String, rightStartCol: String,
-                    rightEndCol: String, leftOuter: Boolean): DataFrame = {
+                    rightEndCol: String, leftOuter: Boolean,
+                    salt: Option[(String, String)] = None): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.ensureStrategy(spark, IntervalJoinStrategy)
     val dup = left.columns.toSet.intersect(right.columns.toSet)
@@ -205,7 +266,12 @@ object IntervalJoin {
           s"interval-join $what `${a.name}` must be bigint or timestamp, got $other")
       }
     }
+    val (lsalt, rsalt) = salt match {
+      case Some((slCol, srCol)) =>
+        (Some(attr(lPlan, slCol, "left")), Some(attr(rPlan, srCol, "right")))
+      case None => (None, None)
+    }
     GraftSqlBridge.ofRows(spark,
-      IntervalJoinNode(lPlan, rPlan, lk, rk, lt, rs, re, leftOuter))
+      IntervalJoinNode(lPlan, rPlan, lk, rk, lt, rs, re, leftOuter, lsalt, rsalt))
   }
 }

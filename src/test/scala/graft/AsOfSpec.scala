@@ -150,4 +150,52 @@ class AsOfSpec extends AnyFunSuite with SparkFixture {
         "kd", "rk", "ts", "rts")
     }
   }
+
+  test("salted as-of: identical results on a 100:1 skewed fixture, per-task input bounded") {
+    // hot key 7 carries ~100x the probes of every other key
+    val hot = (0 until 20000).map(i => (7L, (i * 3).toLong, s"h$i"))
+    val cold = (1 to 40).flatMap(k => (0 until 200).map(i => (100L + k, (i * 7).toLong, s"c$k-$i")))
+    val leftRows = hot ++ cold
+    val rightRows = (Seq(7L) ++ (1 to 40).map(k => 100L + k)).flatMap(k =>
+      (0 until 50).map(i => (k, (i * 100).toLong, s"q$k-$i")))
+    import spark.implicits._
+    val l = leftRows.toDF("k", "lts", "ltag").repartition(8)
+    val r = rightRows.toDF("rk", "rts", "rtag")
+
+    val plain = graft.plans.AsOf.leftAsOf(l, r, "k", "rk", "lts", "rts")
+    val salted = graft.plans.AsOf.leftAsOfSalted(l, r, "k", "rk", "lts", "rts", 8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(w => (w.getLong(0), w.getLong(1), w.getString(2),
+        Option(w.getString(5)))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(norm(salted) == norm(plain), "salting must not change a single row")
+
+    // bounded per-task input: as-of LEFT JOIN emits exactly one row per
+    // left row and preserves the left partitioning, so output partition
+    // sizes ARE the per-task probe loads. Unsalted, one partition holds
+    // the whole hot key; salted it must spread ~8 ways. AQE is disabled
+    // for the measurement — on test-sized data it coalesces every
+    // post-shuffle partition into one, hiding the distribution.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect().max
+      val unsaltedMax = maxPartition(
+        graft.plans.AsOf.leftAsOf(l, r, "k", "rk", "lts", "rts"))
+      val saltedMax = maxPartition(
+        graft.plans.AsOf.leftAsOfSalted(l, r, "k", "rk", "lts", "rts", 8))
+      assert(unsaltedMax >= hot.size,
+        s"sanity: unsalted concentrates the hot key in one task ($unsaltedMax)")
+      // bound is hash-granular: the 8 (key, salt) groups hash into 32
+      // shuffle partitions, so a couple of groups can share a task —
+      // the guarantee is per-GROUP load (~1/8 of the hot key), not a
+      // perfectly even spread
+      assert(saltedMax <= hot.size / 2,
+        s"salted hot-key load must spread across buckets: max task saw $saltedMax of ${hot.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+
+    // the salted plan clusters on (key, salt): visible in the exchange
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_asof_salt"), s"salt must reach the physical plan:\n$plan")
+  }
 }

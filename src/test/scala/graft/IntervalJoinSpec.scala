@@ -141,4 +141,41 @@ class IntervalJoinSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSeq
     assert(a == b, "the native twin must reproduce q262 exactly")
   }
+
+  test("salted interval join: identical rows on a 100:1 skewed fixture") {
+    import spark.implicits._
+    // hot key 3: many points, several overlapping intervals
+    val points = ((0 until 10000).map(i => (3L, i.toLong)) ++
+      (1 to 20).flatMap(k => (0 until 100).map(i => (50L + k, i.toLong))))
+      .toDF("pk", "ts").repartition(8)
+    val intervals = ((0 until 20).map(i => (3L, (i * 500).toLong, (i * 500 + 799).toLong)) ++
+      (1 to 20).map(k => (50L + k, 10L, 60L)))
+      .toDF("ik", "s", "e")
+    val plain = graft.plans.IntervalJoin.innerInterval(
+      points, intervals, "pk", "ik", "ts", "s", "e")
+    val salted = graft.plans.IntervalJoin.innerIntervalSalted(
+      points, intervals, "pk", "ik", "ts", "s", "e", 8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(w => (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3), w.getLong(4)))
+        .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    val p0 = norm(plain); val s0 = norm(salted)
+    assert(p0.nonEmpty && s0 == p0, s"salted sweep must emit exactly the same rows (${p0.size})")
+
+    // per-task point load spreads: inner join output per partition is a
+    // proxy (each point emits its matches inside its own partition).
+    // AQE off for the measurement — it coalesces test-sized shuffles
+    // into one partition and hides the distribution.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator.single(it.size.toLong)).collect().max
+      val plainMax = maxPartition(graft.plans.IntervalJoin.innerInterval(
+        points, intervals, "pk", "ik", "ts", "s", "e"))
+      val saltedMax = maxPartition(graft.plans.IntervalJoin.innerIntervalSalted(
+        points, intervals, "pk", "ik", "ts", "s", "e", 8))
+      assert(saltedMax < plainMax / 2,
+        s"salting must reduce the hottest task's output share ($saltedMax vs $plainMax)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
