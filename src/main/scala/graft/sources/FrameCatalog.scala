@@ -234,8 +234,12 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "frame table schemas are immutable (the Avro writer schema is the wire contract); " +
-        "create a new table and backfill")
+      s"ALTER TABLE ${ident.namespace.mkString(".")}.${ident.name}: frame table " +
+        "schemas are immutable — the Avro writer schema in " +
+        s"${new File(tableDir(ident), TableDescriptor).getAbsolutePath} is the wire " +
+        "contract every already-written frame was encoded with. Create a new table " +
+        "with the desired schema and INSERT INTO it from this one (CTAS works), " +
+        "then RENAME")
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -568,12 +572,23 @@ object FrameProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val target = if (input.isNullAt(1)) Long.MaxValue else input.getLong(1)
-      require(cat.bucketSpecOf(table).isEmpty,
-        s"compact on bucketed table $table unsupported: byte-concat bins would merge " +
-          "across buckets and break the reported KeyGroupedPartitioning " +
-          "(per-bucket compaction is the extension point)")
+      val dir = cat.resolveTableDir(table)
+      // bucketed tables compact PER BUCKET: bins never merge across
+      // buckets, so the replacement keeps its constituents' bucket
+      // ordinal and the reported KeyGroupedPartitioning (and every
+      // storage-partitioned join on it) survives compaction
+      val grouping: java.io.File => Any = cat.bucketSpecOf(table) match {
+        case Some((_, n)) => (f: java.io.File) => {
+          val b = AvroFrames.bucketOf(f.getName)
+          require(b.exists(x => x >= 0 && x < n),
+            s"segment ${f.getName} of bucketed table $table carries no valid " +
+              "bucket ordinal — refusing to compact (foreign writer?)")
+          b.get
+        }
+        case None => (_: java.io.File) => ()
+      }
       val res = FrameMaintenance.compact(
-        org.apache.spark.sql.SparkSession.active, cat.resolveTableDir(table), target)
+        org.apache.spark.sql.SparkSession.active, dir, target, grouping)
       summary("compacted_bins" -> res.bins, "replaced_segments" -> res.replacedSegments)
     }
   }

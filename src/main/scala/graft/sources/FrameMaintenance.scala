@@ -294,25 +294,35 @@ object FrameMaintenance {
     * The replacement is named `<last-replaced>.c<gen>`: it sorts
     * exactly where the replaced run ended, preserving the log's
     * lexicographic append-order contract for every later segment.
+    *
+    * `group` partitions the binning (used for BUCKETED tables: one
+    * group per bucket ordinal, so bins never merge across buckets and
+    * the replacement keeps its constituents' bucket — the reported
+    * KeyGroupedPartitioning survives compaction). Cross-group row
+    * interleaving changes, which is safe: snapshot replay is
+    * set-based and per-group (= per-bucket) row order is preserved.
     */
   def compact(spark: SparkSession, dir: File,
-              targetBytes: Long = Long.MaxValue): CompactResult = {
+              targetBytes: Long = Long.MaxValue,
+              group: File => Any = _ => ()): CompactResult = {
     val live = AvroFrames.listSegments(dir.getAbsolutePath)
     val manifest = readManifest(dir)
     var gen = manifest.length + 1
 
-    // greedy consecutive bins under the byte target
+    // greedy consecutive bins under the byte target, within each group
     val bins = Vector.newBuilder[Vector[File]]
-    var cur = Vector.empty[File]
-    var curBytes = 0L
-    live.foreach { f =>
-      if (cur.nonEmpty && curBytes + f.length() > targetBytes) {
-        if (cur.length >= 2) bins += cur
-        cur = Vector.empty; curBytes = 0L
+    live.groupBy(group).toSeq.sortBy(_._1.toString).foreach { case (_, segs) =>
+      var cur = Vector.empty[File]
+      var curBytes = 0L
+      segs.foreach { f =>
+        if (cur.nonEmpty && curBytes + f.length() > targetBytes) {
+          if (cur.length >= 2) bins += cur
+          cur = Vector.empty; curBytes = 0L
+        }
+        cur :+= f; curBytes += f.length()
       }
-      cur :+= f; curBytes += f.length()
+      if (cur.length >= 2) bins += cur
     }
-    if (cur.length >= 2) bins += cur
     val work = bins.result()
     if (work.isEmpty) return CompactResult(0, 0)
 

@@ -452,6 +452,40 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
       val got = graft.sources.AvroFrames.bucketOf(r.getString(1)).get
       assert(got == want, s"id ${r.getLong(0)} landed in bucket $got, function says $want")
     }
+
+    // PER-BUCKET compaction: a second insert doubles the per-bucket
+    // segment count; compact must merge WITHIN buckets only, so the
+    // bucket structure (and the zero-exchange join) survives
+    spark.sql(s"INSERT INTO $cat.ns.facts SELECT * FROM spj_facts")
+    val factsDir = s"$base/ns/facts"
+    val preBuckets = graft.sources.AvroFrames.listSegments(factsDir)
+      .flatMap(f => graft.sources.AvroFrames.bucketOf(f.getName)).toSeq
+    assert(preBuckets.distinct.exists(b => preBuckets.count(_ == b) >= 2),
+      "fixture must have a bucket with >= 2 segments before compaction")
+    spark.sql(s"CALL $cat.ns.compact(table => 'ns.facts')")
+    val post = graft.sources.AvroFrames.listSegments(factsDir)
+    val postBuckets = post.flatMap(f => graft.sources.AvroFrames.bucketOf(f.getName)).toSeq
+    assert(postBuckets.size == postBuckets.distinct.size,
+      s"per-bucket compaction must leave one segment per bucket, got ${post.map(_.getName).toSeq}")
+    val saved2 = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q2 = spark.sql(s"""
+        SELECT f.id, sum(f.v) AS sv, max(d.w) AS w
+        FROM $cat.ns.facts f JOIN $cat.ns.dim d ON f.id = d.id
+        GROUP BY f.id ORDER BY f.id""")
+      val rows2 = q2.collect()
+      assert(!q2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "the storage-partitioned join must survive per-bucket compaction")
+      // doubled facts: sums double, dim max unchanged
+      assert(rows2.length == 100 && rows2(7).getLong(1) ==
+        2L * (0 until 10).map(k => 7L + 100L * k).sum && rows2(7).getLong(2) == 70L)
+    } finally saved2.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
