@@ -116,7 +116,7 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFrameScanBuilder(schema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

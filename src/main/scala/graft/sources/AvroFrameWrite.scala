@@ -82,9 +82,36 @@ object AvroFrameWrite {
 class AvroFrameWriteBuilder(info: LogicalWriteInfo,
                             tableOpts: org.apache.spark.sql.util.CaseInsensitiveStringMap =
                               org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var doTruncate = false
+  private var overwriteFilters: Array[Filter] = Array.empty
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** Filter-based overwrite (`INSERT INTO t REPLACE WHERE cond …` /
+    * `df.writeTo(t).overwrite(cond)`): matching rows are deleted
+    * through [[FrameMaintenance.deleteWhere]] — metadata-only where
+    * sidecars prove whole segments match, executor rewrite for
+    * straddlers — inside the SAME job commit that publishes the new
+    * segments, so the replace slice swaps in one command. The delete
+    * mints one version and each appended segment mints one, so
+    * `TIMESTAMP AS OF` still reaches the pre-replace state until
+    * expiry. An always-true condition degrades to the physical
+    * TRUNCATE (new lineage), exactly like `INSERT OVERWRITE`.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) { doTruncate = true; return this }
+    val schema = AvroFrames.sparkSchema(
+      new Schema.Parser().parse(Option(opt("avroSchema")).getOrElse(
+        throw new IllegalArgumentException("option `avroSchema` is required to write"))))
+    val unsupported = real.filterNot(AvroFrames.supported(schema, _))
+    require(unsupported.isEmpty,
+      s"REPLACE WHERE condition not supported by the frame source: " +
+        s"${unsupported.mkString(", ")} (comparisons/null tests on top-level " +
+        "orderable columns only)")
+    overwriteFilters = real
+    this
+  }
 
   // per-write options win; catalog writes (INSERT INTO) carry none, so
   // the owning table's options supply path/avroSchema/schemaId
@@ -127,7 +154,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
           Array.empty
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-            info.queryId(), doTruncate)
+            info.queryId(), doTruncate, overwriteFilters)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
@@ -137,12 +164,13 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
     case None => new Write {
       override def toBatch: BatchWrite =
         new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-          info.queryId(), doTruncate)
+          info.queryId(), doTruncate, overwriteFilters)
 
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // the log is append-only: complete/update output modes would need
         // per-epoch truncation, which breaks the tailing reader's offsets
-        require(!doTruncate, "frame-log streaming writes are append-only " +
+        require(!doTruncate && overwriteFilters.isEmpty,
+          "frame-log streaming writes are append-only " +
           "(use outputMode(\"append\"))")
         new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
           info.queryId())
@@ -155,7 +183,8 @@ case class AvroFrameCommitMessage(tmpName: String, finalName: String,
                                   statsJson: String) extends WriterCommitMessage
 
 class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
-                          queryId: String, truncate: Boolean) extends BatchWrite {
+                          queryId: String, truncate: Boolean,
+                          overwriteFilters: Array[Filter] = Array.empty) extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -188,6 +217,13 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       Option(hist.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       hist.delete()
     }
+    // REPLACE WHERE: retire the matching slice first (metadata-only /
+    // rewrite per segment, one delete version), then publish the
+    // replacement segments below — one command, both halves in this
+    // driver commit
+    if (overwriteFilters.nonEmpty)
+      FrameMaintenance.deleteWhere(org.apache.spark.sql.SparkSession.active,
+        dir, avroSchemaJson, schemaId, overwriteFilters)
     // one publish instant for the whole job: TIMESTAMP AS OF cuts on
     // segment mtime, and POSIX rename PRESERVES the temp file's mtime
     // (task write time) — without restamping, a timestamp falling

@@ -79,6 +79,11 @@ object SourceQueries extends QueryGroup {
   /** Erased user for q336's GDPR-path delete. */
   val DeleteUserId = 17L
 
+  /** Backfill cutoff for q340 (2024-01-22T00:00Z in epoch micros —
+    * the "recompute the last third" slice).
+    */
+  val ReplaceCutoffUs = 1705881600000000L
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ DSv2 frame source (round 13)
@@ -411,8 +416,87 @@ object SourceQueries extends QueryGroup {
       WHERE e.event_type = 'purchase'
       GROUP BY e.user_id
       ORDER BY e.user_id
+    """)),
+
+    // ------------------------------------------------------------ REPLACE WHERE (round 14)
+    // Filter-based overwrite — the backfill shape: `INSERT INTO t
+    // REPLACE WHERE ts_us >= cutoff SELECT <recomputed slice>` swaps a
+    // time slice in ONE command. The delete half rides the maintenance
+    // machinery (old segments fully inside the slice retire
+    // metadata-only from their sidecar bounds, the straddler rewrites
+    // executor-side, pre-replace snapshots stay addressable) and the
+    // append half is the normal exactly-once commit. The fixture
+    // replaces the tail slice with value*2 rows; the judged rollup
+    // must match DuckDB computing the same piecewise relation over the
+    // original parquet — so the slice boundary has to be exact on both
+    // the delete and the reinsert. At 100 TB this is the nightly
+    // recompute-last-day pattern costing sidecar reads + one day's
+    // segments, never a table rewrite.
+    ("q340_replace_where_backfill", (s, d) => {
+      val cat = ensureReplaceFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events_replace
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some(s"""
+      WITH t AS (
+        SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+               CASE WHEN epoch_us(ts::TIMESTAMP) >= $ReplaceCutoffUs
+                    THEN value * 2 ELSE value END AS value
+        FROM events)
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+             min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us
+      FROM t
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
+
+  /** Catalog fixture for q340: events loaded ts-range-partitioned,
+    * then the tail slice replaced with value-doubled rows through
+    * `INSERT INTO … REPLACE WHERE`. Idempotent via a row-count marker.
+    */
+  def ensureReplaceFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_REPLACE_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_replace")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_replace (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_replace_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_replace SELECT * FROM $view")
+      s.sql(s"""
+        INSERT INTO $cat.corpus.events_replace
+        REPLACE WHERE ts_us >= ${ReplaceCutoffUs}L
+        SELECT event_id, ts_us, user_id, event_type, value * 2 AS value
+        FROM $view WHERE ts_us >= ${ReplaceCutoffUs}L
+      """)
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
 
   /** Catalog fixture for q337: events + a per-user stats dim, BOTH
     * bucketed 8 ways on user_id through `PARTITIONED BY (bucket(8,

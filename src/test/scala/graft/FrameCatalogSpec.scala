@@ -488,6 +488,51 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("INSERT INTO ... REPLACE WHERE: filter-based overwrite swaps the slice, history intact") {
+    val cat = freshCatalog("rpw")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL, v BIGINT NOT NULL)")
+    spark.range(1, 51).selectExpr("id", "id AS v").coalesce(1)
+      .createOrReplaceTempView("rpw_one")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM rpw_one")
+    Thread.sleep(30)
+    spark.range(51, 101).selectExpr("id", "id AS v").coalesce(1)
+      .createOrReplaceTempView("rpw_two")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM rpw_two")
+    Thread.sleep(30)
+    val preMs = System.currentTimeMillis()
+    Thread.sleep(30)
+
+    // replace the id >= 40 slice with doubled values
+    spark.range(40, 101).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .createOrReplaceTempView("rpw_fix")
+    spark.sql(s"INSERT INTO $cat.ns.t REPLACE WHERE id >= 40 SELECT * FROM rpw_fix")
+
+    def rows(sql: String): Seq[(Long, Long)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = rows(s"SELECT id, v FROM $cat.ns.t")
+    val want = (1L until 40L).map(i => (i, i)) ++ (40L to 100L).map(i => (i, i * 2))
+    assert(got == want, s"replace slice must swap exactly: got ${got.take(5)}...")
+
+    // the delete half used maintenance (history + manifest), so the
+    // pre-replace state is still addressable
+    val tsLit = new java.sql.Timestamp(preMs).toString
+    assert(rows(s"SELECT id, v FROM $cat.ns.t TIMESTAMP AS OF '$tsLit'")
+      == (1L to 100L).map(i => (i, i)),
+      "TIMESTAMP AS OF must reach the pre-replace state")
+    // segment 2 (51..100) was provably all-match -> metadata-only
+    // delete; segment 1 (1..50) straddles -> one .d rewrite
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/t")
+    val names = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(names.count(_.contains(".d")) == 1,
+      s"exactly the straddling segment rewrites: ${names.toSeq}")
+
+    // unsupported replace condition fails at analysis, changes nothing
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.ns.t REPLACE WHERE id % 2 = 0 SELECT * FROM rpw_fix"))
+    assert(rows(s"SELECT id, v FROM $cat.ns.t") == want)
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
