@@ -528,10 +528,16 @@ object AvroFrameAggs {
     })
 }
 
-/** Offset = how many segment files (in lexicographic name order) have
-  * been fully consumed — the topic-offset analog for an append-only
-  * segment log. Serialized into Structured Streaming's checkpoint
-  * offset log as a bare integer.
+/** Offset = how many VERSIONS of the log have been fully consumed
+  * (round 14: logical versions — every appended segment mints one,
+  * every DELETE mints one, compaction mints none — instead of
+  * positions in the live listing, which maintenance shifts). On a
+  * never-maintained log version count == live segment count, so the
+  * wire format (a bare integer in the checkpoint offset log) and the
+  * semantics of existing checkpoints are unchanged; under maintenance
+  * the offset stays meaningful: a tailing stream survives compaction
+  * of segments it has or hasn't consumed (unconsumed originals resolve
+  * from `_history/` until expiry).
   */
 case class SegmentOffset(segments: Int) extends Offset {
   override def json(): String = segments.toString
@@ -545,7 +551,8 @@ case class SegmentOffset(segments: Int) extends Offset {
   *  - contract: segments are immutable once written and their names
   *    lexicographically increase in append order (standard log-segment
   *    naming, e.g. `segment-%09d`); a micro-batch is a contiguous
-  *    name-ordered slice `[start, end)` of the segment list;
+  *    VERSION range of the log's event history (round 14 — stable
+  *    under compaction/delete maintenance, see [[SegmentOffset]]);
   *  - offsets persist in the query's checkpoint offset log
   *    ([[SegmentOffset]]) — restart resumes after the last committed
   *    batch, exactly-once end-to-end with an idempotent sink
@@ -564,15 +571,15 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
                                 pushed: Array[Filter], maxSegmentsPerTrigger: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private def segments(): Array[java.io.File] = AvroFrames.listSegments(path)
+  private def dir = new java.io.File(path)
 
-  // Trigger.AvailableNow: snapshot the log length once at start, drain
-  // up to it in admission-bounded batches, then stop — without this
-  // interface MicroBatchExecution downgrades to Trigger.Once semantics
-  // and ignores the read limit
+  // Trigger.AvailableNow: snapshot the version count once at start,
+  // drain up to it in admission-bounded batches, then stop — without
+  // this interface MicroBatchExecution downgrades to Trigger.Once
+  // semantics and ignores the read limit
   @volatile private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(segments().length)
+    availableNowCap = Some(FrameMaintenance.totalVersions(dir))
 
   override def initialOffset(): Offset = SegmentOffset(0)
 
@@ -588,24 +595,43 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = availableNowCap.getOrElse(segments().length)
+    val total = availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir))
     val from = start.asInstanceOf[SegmentOffset].segments
     limit match {
-      case f: ReadMaxFiles => SegmentOffset(math.min(total, from + f.maxFiles()))
-      case _               => SegmentOffset(total)
+      case f: ReadMaxFiles =>
+        // admission bounds APPENDS (files), not versions: the end
+        // offset is the version of the k-th unconsumed append, plus
+        // any version-minting deletes sitting between it and the next
+        // append (they carry no data — draining them keeps the offset
+        // monotone past maintenance-only stretches of history)
+        val pending = FrameMaintenance.appendVersions(dir)
+          .filter { case (_, v) => v > from && v <= total }
+        if (pending.isEmpty) SegmentOffset(total)
+        else if (pending.length <= f.maxFiles()) SegmentOffset(total)
+        else SegmentOffset(pending(f.maxFiles())._2 - 1)
+      case _ => SegmentOffset(total)
     }
   }
 
-  override def reportLatestOffset(): Offset = SegmentOffset(segments().length)
+  override def reportLatestOffset(): Offset =
+    SegmentOffset(FrameMaintenance.totalVersions(dir))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SegmentOffset].segments
     val e = end.asInstanceOf[SegmentOffset].segments
-    // offsets delimit the slice positionally FIRST (so the committed
-    // range is stable), then stat-pruning drops provably-irrelevant
-    // segments inside it — safe: a pruned segment is still covered by
-    // the committed offset range, its frames just cannot match
-    AvroFrameStats.prune(segments().slice(s, e), pushed)
+    // the batch is the logical appends minted in (s, e] — version
+    // offsets are stable under maintenance, so a compaction between
+    // offset commit and replay cannot shift the committed range. Each
+    // name resolves live-first then _history/ (a compacted-away
+    // unconsumed segment reads its retained original; expiry past a
+    // lagging reader fails loudly). Stat-pruning then drops
+    // provably-irrelevant segments inside the range — safe: a pruned
+    // segment is still covered by the committed offsets, its frames
+    // just cannot match
+    val batch = FrameMaintenance.appendVersions(dir)
+      .filter { case (_, v) => v > s && v <= e }
+      .map { case (n, _) => FrameMaintenance.resolvePhysical(dir, n) }
+    AvroFrameStats.prune(batch.toArray, pushed)
       .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
   }
 

@@ -175,6 +175,36 @@ object FrameMaintenance {
       case MaintEv(e, _) => e.op == "delete"
     }
 
+  /** Logical appends in event order with the version each one minted —
+    * the tailing reader's universe ([[AvroFrameMicroBatchStream]]):
+    * version offsets are stable under maintenance, unlike positions in
+    * the live listing.
+    */
+  def appendVersions(dir: File): Vector[(String, Int)] = {
+    var version = 0
+    events(dir).flatMap {
+      case AppendEv(n, _) => version += 1; Some((n, version))
+      case MaintEv(e, _) if e.op == "delete" => version += 1; None
+      case _ => None
+    }
+  }
+
+  /** The physical file currently carrying a logical segment name:
+    * live first, then `_history/`. Throws if expired — a tailing
+    * reader lagging past the expiry horizon must fail loudly, not
+    * skip data (expire only beyond every stream's retention).
+    */
+  def resolvePhysical(dir: File, name: String): File = {
+    val live = new File(dir, name)
+    if (live.isFile) return live
+    val hist = new File(historyDir(dir), name)
+    if (hist.isFile) return hist
+    throw new IllegalStateException(
+      s"segment $name is no longer resolvable: replaced by maintenance and its " +
+        "history copy has been expired — a reader at this offset cannot resume; " +
+        "expire_snapshots only beyond every tailing stream's retention")
+  }
+
   /** Replay to version `v` (or to time `tMs`), returning the snapshot's
     * physical files in name order. After the cut, LATER compaction
     * entries are still applied as pure substitutions (replaced set ⊆

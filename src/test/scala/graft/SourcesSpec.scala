@@ -320,6 +320,82 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("DSv2 frame source streams: version offsets survive compaction mid-stream (round 14)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("frames-compact-tail"); val ck = tmp("frames-compact-tail-ck")
+    def seg(n: Int, ids: Seq[Long]): Unit =
+      writeFrames(dir, ids.map(i => (i, Some(s"u$i"), i.toDouble, Array[Byte]())),
+        file = f"segment-$n%05d.bin")
+    val out = tmp("frames-compact-tail-out")
+    def start() =
+      spark.readStream.format("graft.sources.AvroFrameDataSource")
+        .option("path", dir).option("avroSchema", frameSchema)
+        .option("schemaId", "7").load()
+        .select("id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(100L)).start()
+    def ids(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+
+    // consume the first two segments, then stop mid-log
+    seg(0, Seq(1L, 2L)); seg(1, Seq(3L))
+    val q1 = start()
+    try { q1.processAllAvailable(); assert(ids() == Seq(1L, 2L, 3L)) } finally q1.stop()
+
+    // two more appends the stream has NOT seen, then compact ALL FOUR
+    // live segments — consumed and unconsumed alike — into one bin
+    seg(2, Seq(4L)); seg(3, Seq(5L, 6L))
+    val res = graft.sources.FrameMaintenance.compact(spark, new java.io.File(dir))
+    assert(res.replacedSegments == 4 && res.bins == 1)
+    assert(graft.sources.AvroFrames.listSegments(dir).length == 1,
+      "live log must be one compacted segment")
+
+    // resume: version offsets are untouched by compaction, and the
+    // unconsumed originals resolve from _history/ — exactly once, no
+    // replay of 1..3, no loss of 4..6
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+        "tailing stream must survive compaction exactly-once")
+      // appends after compaction keep flowing
+      seg(4, Seq(7L))
+      q2.processAllAvailable()
+      assert(ids() == (1L to 7L))
+    } finally q2.stop()
+
+    // a FRESH stream from version 0 reads history + live seamlessly
+    val out2 = tmp("frames-compact-tail-out2"); val ck2 = tmp("frames-compact-tail-ck2")
+    val q3 = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load().select("id")
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.read.parquet(out2).collect().map(_.getLong(0)).sorted.toSeq == (1L to 7L))
+    } finally q3.stop()
+
+    // expiry past a reader's offset fails LOUDLY, never skips: drop the
+    // history and replay from scratch
+    graft.sources.FrameMaintenance.expire(new java.io.File(dir), System.currentTimeMillis())
+    val out3 = tmp("frames-compact-tail-out3"); val ck3 = tmp("frames-compact-tail-ck3")
+    val q4 = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", frameSchema)
+      .option("schemaId", "7").load().select("id")
+      .writeStream.format("parquet").option("path", out3)
+      .option("checkpointLocation", ck3)
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      val ex = intercept[Exception](q4.processAllAvailable())
+      assert(ex.toString.contains("expired") || Option(ex.getCause).exists(_.toString.contains("expired")) ||
+        ex.getMessage.contains("expired"),
+        s"expired history must fail loudly, got $ex")
+    } finally if (q4.isActive) q4.stop()
+  }
+
   test("DSv2 frame source streams: maxSegmentsPerTrigger bounds each micro-batch") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmp("frames-admission"); val ck = tmp("frames-admission-ck")
