@@ -75,9 +75,30 @@ class AvroFrameDataSource extends TableProvider {
 
 class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"avro_frames(${options.get("path")})"
   override def schema(): StructType = schema
+
+  /** Group-based row-level operations — SQL `UPDATE` / `MERGE INTO`,
+    * and `DELETE` conditions the sidecar filters cannot express
+    * (translatable DELETEs still take the metadata-only
+    * [[deleteWhere]] fast path via OptimizeMetadataOnlyDeleteFromTable).
+    * The rewrite is copy-on-write at SEGMENT granularity: the
+    * operation's scan reads affected groups whole (runtime group
+    * filtering narrows them to segments actually containing matches),
+    * Spark computes their new contents, and the commit retires exactly
+    * the scanned segments (one delete version, originals to
+    * `_history/`) while publishing the rewritten rows as ordinary
+    * appends — so time travel, version replay, and the tailing
+    * stream's offsets all keep working. See [[FrameRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!isSnapshot, "row-level operations on a time-travel snapshot are not allowed")
+    () => new FrameRowLevelOperation(info.command(), schema, options)
+  }
 
   private def isSnapshot: Boolean =
     options.get("segmentFiles") != null || options.get("asOfSegments") != null ||
@@ -154,12 +175,15 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     })
 }
 
-class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap,
+                           onPlanned: Array[java.io.File] => Unit = _ => (),
+                           filtersPruneOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pruneOnly: Array[Filter] = Array.empty
   private var aggs: Option[Seq[FrameAgg]] = None
   private var limit: Int = 0 // 0 = no pushed limit
 
@@ -169,6 +193,15 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
     if (aggs.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (filtersPruneOnly) {
+      // row-level operation scans (UPDATE/MERGE/DELETE group rewrite):
+      // affected groups must be read WHOLE — the rewrite preserves
+      // their unmatched rows — so the condition prunes SEGMENTS only,
+      // never rows. Everything is returned as not-pushed: Spark keeps
+      // row-filtering responsibility wherever it needs it.
+      pruneOnly = filters.filter(AvroFrames.supported(fullSchema, _))
+      return filters
+    }
     val (sup, unsup) = filters.partition(AvroFrames.supported(fullSchema, _))
     pushed = sup
     unsup // Spark evaluates these post-scan; the pushed ones it trusts to us
@@ -230,7 +263,8 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
         Option(options.get("asOfTimestampMs")).map(_.toLong)),
       AvroFrames.explicitFiles(options).map(_.map(_.getAbsolutePath)),
       for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
-        yield (k, n.toInt))
+        yield (k, n.toInt),
+      onPlanned, pruneOnly)
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -256,7 +290,9 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     limit: Int = 0,
                     asOf: FrameAsOf = FrameAsOf(None, None),
                     explicitFiles: Option[Array[String]] = None,
-                    bucketSpec: Option[(String, Int)] = None)
+                    bucketSpec: Option[(String, Int)] = None,
+                    onPlanned: Array[java.io.File] => Unit = _ => (),
+                    pruneOnly: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   require(path != null, "option `path` is required")
@@ -288,7 +324,34 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   override def filter(predicates: Array[VPredicate]): Unit =
     runtime = runtime ++ predicates.flatMap(AvroFrames.v2ToV1)
 
-  private def pruneFilters: Array[Filter] = pushed ++ runtime
+  private def pruneFilters: Array[Filter] = pushed ++ runtime ++ pruneOnly
+
+  /** Runtime filters on the `_segment` metadata column prune by FILE
+    * NAME, not by sidecar stats (the sidecar has no such field) — the
+    * group-filter channel of row-level operations: Spark's
+    * RowLevelOperationRuntimeGroupFiltering injects
+    * `_segment IN (<matched groups>)` so only affected segments are
+    * read AND replaced.
+    */
+  private def applySegmentNameFilters(segs: Array[java.io.File],
+                                      fs: Array[Filter]): Array[java.io.File] =
+    fs.foldLeft(segs) { (acc, f) =>
+      f match {
+        case In(c, vs) if c == AvroFrames.SegmentMetaCol =>
+          val names = vs.collect { case s: String => s }.toSet
+          acc.filter(x => names.contains(x.getName))
+        case EqualTo(c, v: String) if c == AvroFrames.SegmentMetaCol =>
+          acc.filter(_.getName == v)
+        case _ => acc
+      }
+    }
+
+  private def dataFilters(fs: Array[Filter]): Array[Filter] =
+    fs.filterNot {
+      case In(c, _)      => c == AvroFrames.SegmentMetaCol
+      case EqualTo(c, _) => c == AvroFrames.SegmentMetaCol
+      case _             => false
+    }
 
   /** Surviving segments after stat-pruning, then — under a pushed
     * LIMIT with no row filters AND no runtime filters — truncated once
@@ -300,7 +363,9 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     * return fewer than min(limit, total) rows.
     */
   private def plannedSegments(): Array[java.io.File] = {
-    val kept = AvroFrameStats.prune(segmentsAsOf(), pruneFilters)
+    val kept = AvroFrameStats.prune(
+      applySegmentNameFilters(segmentsAsOf(), pruneFilters),
+      dataFilters(pruneFilters))
     if (limit <= 0 || pruneFilters.nonEmpty) kept
     else {
       var proven = 0L
@@ -436,13 +501,16 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
         // one split per bucket (including empty buckets — both sides of
         // a storage-partitioned join must report identical values);
         // stat-pruned segments just drop out of their bucket's file list
-        val byBucket = plannedSegments()
-          .groupBy(f => AvroFrames.bucketOf(f.getName).get)
+        val segs = plannedSegments()
+        onPlanned(segs)
+        val byBucket = segs.groupBy(f => AvroFrames.bucketOf(f.getName).get)
         (0 until n).map(b => AvroFrameBucketPartition(
           byBucket.getOrElse(b, Array.empty).map(_.getAbsolutePath).toSeq, b)
           : InputPartition).toArray
       case None =>
-        plannedSegments().map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+        val segs = plannedSegments()
+        onPlanned(segs)
+        segs.map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
     }
   }
 

@@ -484,3 +484,125 @@ object AvroFrameStats {
       }
     }
 }
+
+/** Group-based row-level operation over the segment log — the DSv2
+  * machinery behind SQL `UPDATE`, `MERGE INTO`, and non-translatable
+  * `DELETE` conditions (`AvroFrameTable.newRowLevelOperationBuilder`).
+  * Copy-on-write at SEGMENT granularity:
+  *
+  *  1. Spark plans a [[org.apache.spark.sql.connector.read.Scan]]
+  *     through [[newScanBuilder]]. The command's condition reaches it
+  *     in PRUNE-ONLY mode — affected groups must be read WHOLE (their
+  *     unmatched rows are preserved verbatim by the rewrite), so the
+  *     condition may drop segments but never rows. Spark's runtime
+  *     group filtering then injects `_segment IN (<matched groups>)`,
+  *     narrowing the read-and-replace set to segments actually
+  *     containing matches; the scan reports the FINAL planned set back
+  *     here ([[plannedGroups]]).
+  *  2. Spark computes the new contents of those groups and writes them
+  *     through [[newWriteBuilder]]'s [[AvroFrameReplaceGroupsWrite]]:
+  *     the job commit retires exactly the scanned segments (ONE delete
+  *     version, originals to `_history/` — pre-op snapshots stay
+  *     addressable) and publishes the rewritten rows as ordinary
+  *     appends. Bucketed tables keep their invariant: the write
+  *     requires the same clustered-by-bucket distribution as a normal
+  *     insert, so rewritten segments stay one-bucket-per-file.
+  *
+  * At 100 TB the cost is proportional to the AFFECTED segments (read
+  * whole, rewritten whole), never the table — the standard
+  * copy-on-write trade; translatable DELETEs dodge even that via the
+  * metadata-only fast path (OptimizeMetadataOnlyDeleteFromTable).
+  */
+class FrameRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    schema: StructType,
+    tableOpts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Absolute paths of the segments the operation's scan planned —
+    * null until planInputPartitions ran; the write refuses to commit
+    * without it (the replaced set must be EXACTLY what was read).
+    */
+  @volatile private[sources] var plannedGroups: Array[String] = _
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(AvroFrames.SegmentMetaCol))
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new AvroFrameScanBuilder(schema, tableOpts,
+      onPlanned = segs => plannedGroups = segs.map(_.getAbsolutePath),
+      filtersPruneOnly = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    private def opt(k: String): String = tableOpts.get(k)
+    override def build(): Write = {
+      val schemaJson = opt("avroSchema")
+      require(schemaJson != null, "option `avroSchema` is required to write")
+      val schemaId = Option(opt("schemaId")).map(_.toInt)
+        .getOrElse(AvroFrames.DefaultSchemaId)
+      val bucket = for { k <- Option(opt("bucketKey")); n <- Option(opt("buckets")) }
+        yield (k, n.toInt)
+      bucket match {
+        case Some((key, n)) =>
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                Array(org.apache.spark.sql.connector.expressions.Expressions.column(key)))
+            override def requiredNumPartitions(): Int = n
+            override def distributionStrictlyRequired(): Boolean = true
+            override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
+            override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
+              opt("path"), schemaJson, schemaId, info.queryId(), FrameRowLevelOperation.this)
+          }
+        case None => new Write {
+          override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
+            opt("path"), schemaJson, schemaId, info.queryId(), FrameRowLevelOperation.this)
+        }
+      }
+    }
+  }
+}
+
+/** The write half of a group rewrite: tasks write replacement segments
+  * exactly like a batch insert (hidden temps, stats, monotonic stamp);
+  * the driver commit retires the operation's scanned groups and then
+  * publishes — replace-by-retire-and-append, so every maintenance
+  * invariant (versions, history, stream offsets) holds by construction.
+  */
+class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId: Int,
+                                  queryId: String, op: FrameRowLevelOperation)
+    extends BatchWrite {
+  require(path != null, "option `path` is required")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    val groups = Option(op.plannedGroups).getOrElse(
+      throw new IllegalStateException(
+        "replace-groups write committed before the operation's scan planned its groups"))
+    FrameMaintenance.retireSegments(dir, groups.toSeq.map(p => new File(p).getName))
+    val publish = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
+      java.nio.file.Files.writeString(
+        new File(dir, m.finalName + ".stats").toPath, m.statsJson)
+      val target = new File(dir, m.finalName)
+      val ok = new File(dir, m.tmpName).renameTo(target)
+      require(ok, s"group-rewrite rename failed for ${m.tmpName} -> ${m.finalName}")
+      java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
+      .foreach(m => new File(new File(path), m.tmpName).delete())
+}

@@ -531,6 +531,25 @@ object FrameMaintenance {
     DeleteResult(live.length, 0, 0)
   }
 
+  /** Retire a specific set of live segments as ONE delete operation
+    * (one version) — the group-replacement half of a row-level
+    * UPDATE/MERGE/DELETE rewrite: the affected groups retire here, the
+    * rewritten rows publish as ordinary appends right after.
+    */
+  def retireSegments(dir: File, names: Seq[String]): Unit = {
+    if (names.isEmpty) return
+    val live = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSet
+    val missing = names.filterNot(live.contains)
+    require(missing.isEmpty,
+      s"cannot retire non-live segments ${missing.mkString(", ")} — the replaced " +
+        "group set must come from the operation's own scan")
+    val manifest = readManifest(dir)
+    val publishMs = publishInstant(AvroFrames.listSegments(dir.getAbsolutePath), manifest)
+    val times = names.toVector.map(n => retire(dir, n))
+    writeManifest(dir, manifest :+
+      MaintEntry("delete", publishMs, names.toVector, times, Vector.empty, expired = false))
+  }
+
   /** Executor body of the rewrite path: stream the segment's frames,
     * decode each for the predicate, copy the RAW bytes of surviving
     * frames (no re-encode), gather fresh stats. Returns the new

@@ -378,15 +378,75 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     val tsLit = new java.sql.Timestamp(preDeleteMs).toString
     assert(ids(s"SELECT id FROM $cat.ns.t TIMESTAMP AS OF '$tsLit'") == (1L to 100L))
 
-    // unsupported predicate shapes are rejected at analysis, not wrong
-    intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.ns.t WHERE tag LIKE 'a%' OR id = 60"))
-    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 89L), "failed delete must change nothing")
+    // (c) a condition the sidecar filters CANNOT express routes through
+    // the group-based row-level rewrite (round 14) — still exact
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE id % 2 = 0 AND id >= 80")
+    val afterGroupDelete = (51L to 79L) ++ Seq(81L, 83L, 85L, 87L, 89L)
+    assert(ids(s"SELECT id FROM $cat.ns.t") == afterGroupDelete,
+      "group-rewrite delete must remove exactly the matching rows")
+    // the rewrite = one delete version + one appended segment version
+    assert(ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 4") == (51L to 89L),
+      "pre-rewrite state stays addressable")
 
     // expiry invalidates pre-delete snapshots but not the current state
     spark.sql(s"CALL $cat.ns.expire_snapshots(table => 'ns.t', older_than_ms => ${System.currentTimeMillis()})")
     intercept[Exception](ids(s"SELECT id FROM $cat.ns.t VERSION AS OF 2"))
-    assert(ids(s"SELECT id FROM $cat.ns.t") == (51L to 89L))
+    assert(ids(s"SELECT id FROM $cat.ns.t") == afterGroupDelete)
+  }
+
+  test("row-level ops: SQL UPDATE and MERGE INTO rewrite only affected segments") {
+    val cat = freshCatalog("rlo")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL, v BIGINT NOT NULL)")
+    spark.range(1, 51).selectExpr("id", "id AS v").coalesce(1)
+      .createOrReplaceTempView("rlo_one")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM rlo_one")
+    spark.range(51, 101).selectExpr("id", "id AS v").coalesce(1)
+      .createOrReplaceTempView("rlo_two")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM rlo_two")
+    val dir = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat.base"), "ns/t")
+    val preSegments = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(preSegments.length == 2)
+
+    def rows(sql: String): Seq[(Long, Long)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    // UPDATE with an arithmetic condition (not sidecar-translatable):
+    // matches live only in segment 1 — runtime group filtering should
+    // leave segment 2 untouched
+    spark.sql(s"UPDATE $cat.ns.t SET v = v * 100 WHERE id % 25 = 3 AND id < 50")
+    val wantAfterUpdate = (1L to 100L).map(i =>
+      (i, if (i % 25 == 3 && i < 50) i * 100 else i))
+    assert(rows(s"SELECT id, v FROM $cat.ns.t") == wantAfterUpdate,
+      "UPDATE must rewrite exactly the matching rows")
+    val postUpdate = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(postUpdate.contains(preSegments(1)),
+      s"runtime group filtering must leave the unaffected segment in place: " +
+        s"${postUpdate.toSeq} vs ${preSegments.toSeq}")
+    assert(!postUpdate.contains(preSegments(0)), "the affected segment must be replaced")
+
+    // MERGE INTO: matched update + not-matched insert, one statement
+    spark.range(95, 106).selectExpr("id", "id * 1000 AS v")
+      .createOrReplaceTempView("rlo_src")
+    spark.sql(s"""
+      MERGE INTO $cat.ns.t t USING rlo_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+    """)
+    val wantAfterMerge = (1L to 94L).map(i =>
+      (i, if (i % 25 == 3 && i < 50) i * 100 else i)) ++
+      (95L to 105L).map(i => (i, i * 1000))
+    assert(rows(s"SELECT id, v FROM $cat.ns.t") == wantAfterMerge,
+      "MERGE must upsert exactly")
+
+    // maintenance invariants held throughout: pre-op states addressable
+    assert(rows(s"SELECT id, v FROM $cat.ns.t VERSION AS OF 2")
+      == (1L to 100L).map(i => (i, i)),
+      "the pre-UPDATE state must remain addressable")
+    // and the history grew by exactly the replaced segments
+    val hist = new java.io.File(dir, "_history")
+    assert(hist.listFiles().count(_.getName.endsWith(".bin")) >= 2,
+      "replaced groups must retire to history")
   }
 
   test("storage-partitioned join: two bucketed frame tables join with ZERO exchange") {
