@@ -449,6 +449,63 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
       "replaced groups must retire to history")
   }
 
+  test("row-level UPDATE on a bucketed table preserves the bucket invariant (SPJ survives)") {
+    val cat = freshCatalog("rlob")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.facts (id BIGINT NOT NULL, v BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (id BIGINT NOT NULL, w BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.range(0, 400).selectExpr("id % 100 AS id", "id AS v")
+      .createOrReplaceTempView("rlob_facts")
+    spark.range(0, 100).selectExpr("id", "id * 10 AS w")
+      .createOrReplaceTempView("rlob_dim")
+    spark.sql(s"INSERT INTO $cat.ns.facts SELECT * FROM rlob_facts")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT * FROM rlob_dim")
+
+    // group rewrite with a non-translatable condition
+    spark.sql(s"UPDATE $cat.ns.facts SET v = v + 1000000 WHERE id % 10 = 3")
+    // every live segment still carries a valid bucket ordinal
+    val base = spark.conf.get(s"spark.sql.catalog.$cat.base")
+    val segs = graft.sources.AvroFrames.listSegments(s"$base/ns/facts")
+    assert(segs.nonEmpty && segs.forall(f =>
+      graft.sources.AvroFrames.bucketOf(f.getName).exists(b => b >= 0 && b < 4)),
+      s"rewritten segments must keep bucket ordinals: ${segs.map(_.getName).toSeq}")
+    // rewritten rows landed in the RIGHT buckets (placement == function)
+    spark.sql(s"SELECT id, _segment FROM $cat.ns.facts").collect().foreach { r =>
+      val want = graft.sources.FrameFunctions.BucketLongBound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(4, r.getLong(0))).intValue
+      val got = graft.sources.AvroFrames.bucketOf(r.getString(1)).get
+      assert(got == want, s"id ${r.getLong(0)} in bucket $got, function says $want")
+    }
+
+    // the storage-partitioned join still plans with zero exchange and
+    // computes the updated values
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(s"""
+        SELECT f.id, sum(f.v) AS sv, max(d.w) AS w
+        FROM $cat.ns.facts f JOIN $cat.ns.dim d ON f.id = d.id
+        GROUP BY f.id ORDER BY f.id""")
+      val rows = q.collect()
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "SPJ must survive a row-level rewrite")
+      assert(rows.length == 100)
+      val r3 = rows(3) // id 3 matched the update: 4 rows, each +1000000
+      assert(r3.getLong(0) == 3L &&
+        r3.getLong(1) == (0 until 4).map(k => 3L + 100L * k + 1000000L).sum &&
+        r3.getLong(2) == 30L)
+      val r4 = rows(4) // id 4 untouched
+      assert(r4.getLong(1) == (0 until 4).map(k => 4L + 100L * k).sum)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("storage-partitioned join: two bucketed frame tables join with ZERO exchange") {
     val cat = freshCatalog("spj")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
