@@ -153,6 +153,18 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     (for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
       yield Expressions.bucket(n.toInt, k)).toArray
 
+  /** Surfaced by DESCRIBE TABLE EXTENDED: the wire contract (schema
+    * id), the log location, and the bucket layout.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    Option(options.get("path")).foreach(m.put("path", _))
+    Option(options.get("schemaId")).foreach(m.put("schemaId", _))
+    Option(options.get("bucketKey")).foreach(m.put("bucketKey", _))
+    Option(options.get("buckets")).foreach(m.put("buckets", _))
+    m
+  }
+
   /** Record provenance — the `topic`/`partition`/`offset` analog of the
     * Kafka source's envelope (SURVEY §1.4), hidden unless selected:
     * `_segment` is the segment file name, `_frame_offset` the 0-based
@@ -404,7 +416,42 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     }
     val kept = AvroFrameStats.prune(segmentsAsOf(), pushed)
     val bytes = kept.map(_.length()).sum
-    val rows = kept.map(f => AvroFrameStats.read(f).map(_._1))
+    val sidecars = kept.map(AvroFrameStats.read)
+    val complete = sidecars.nonEmpty && sidecars.forall(_.isDefined)
+    // per-column null counts + min/max merged across the surviving
+    // sidecars — CBO-grade column statistics for free (claimed only
+    // under complete sidecar coverage, like the row count; values in
+    // Catalyst internal form at the column's Spark type)
+    val colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!complete) java.util.Collections.emptyMap()
+      else {
+        val read = sidecars.flatten
+        val m = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.filter(f => read.forall(_._2.contains(f.name))).foreach { f =>
+          var nulls = 0L
+          var mn: Any = null
+          var mx: Any = null
+          read.foreach { case (_, fields) =>
+            val (n, lo, hi) = fields(f.name)
+            nulls += n
+            if (lo != null && (mn == null || AvroFrameStats.compare(lo, mn) < 0)) mn = lo
+            if (hi != null && (mx == null || AvroFrameStats.compare(hi, mx) > 0)) mx = hi
+          }
+          val (minV, maxV) =
+            (AvroFrameStats.toCatalyst(mn, f.dataType), AvroFrameStats.toCatalyst(mx, f.dataType))
+          m.put(Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong = java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(minV.asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.ofNullable(maxV.asInstanceOf[Object])
+            })
+        }
+        m
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -412,9 +459,11 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
         // only claim a row count when EVERY surviving segment has a
         // sidecar — a partial sum would understate and could flip a
         // join the wrong way
-        if (rows.nonEmpty && rows.forall(_.isDefined))
-          java.util.OptionalLong.of(rows.flatten.sum)
+        if (complete)
+          java.util.OptionalLong.of(sidecars.flatten.map(_._1).sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -1005,22 +1054,7 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
     row
   }
 
-  /** Stats-domain value → Catalyst internal value at the column's
-    * Spark type (narrowing the write path's Int→Long / Float→Double
-    * widening back — exact, the widened value originated at the
-    * narrower width).
-    */
-  private def toCatalyst(v: Any, t: DataType): Any = (v, t) match {
-    case (null, _)                          => null
-    case (x: java.lang.Long, IntegerType)   => Int.box(x.intValue)
-    case (x: java.lang.Long, LongType)      => x
-    case (x: java.lang.Double, FloatType)   => Float.box(x.floatValue)
-    case (x: java.lang.Double, DoubleType)  => x
-    case (s: String, StringType)            => UTF8String.fromString(s)
-    case (b: java.lang.Boolean, BooleanType) => b
-    case (x, tt) => throw new IllegalStateException(
-      s"agg value ${x.getClass} does not fit column type $tt")
-  }
+  private def toCatalyst(v: Any, t: DataType): Any = AvroFrameStats.toCatalyst(v, t)
 
   override def close(): Unit = ()
 }

@@ -432,6 +432,24 @@ object AvroFrameStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Stats-domain value → Catalyst internal value at the column's
+    * Spark type (narrowing the write path's Int→Long / Float→Double
+    * widening back — exact, the widened value originated at the
+    * narrower width). Shared by the pushed-aggregation reader and the
+    * scan's reported column statistics.
+    */
+  def toCatalyst(v: Any, t: DataType): Any = (v, t) match {
+    case (null, _)                           => null
+    case (x: java.lang.Long, IntegerType)    => Int.box(x.intValue)
+    case (x: java.lang.Long, LongType)       => x
+    case (x: java.lang.Double, FloatType)    => Float.box(x.floatValue)
+    case (x: java.lang.Double, DoubleType)   => x
+    case (s: String, StringType)             => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (x, tt) => throw new IllegalStateException(
+      s"stats value ${x.getClass} does not fit column type $tt")
+  }
+
   /** Exact comparison on the stats domain: longs compared as longs
     * (never through double — a lossy compare could WRONGLY prune near
     * 2^53), mixed numeric as double, strings/booleans natively.

@@ -650,6 +650,45 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(rows(s"SELECT id, v FROM $cat.ns.t") == want)
   }
 
+  test("scan reports CBO-grade column statistics from the sidecars") {
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog("cbo")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL, tag STRING)")
+    spark.range(1, 101)
+      .selectExpr("id", "IF(id % 10 = 0, NULL, CONCAT('t', id)) AS tag")
+      .coalesce(2).createOrReplaceTempView("cbo_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM cbo_src")
+
+    val base = spark.conf.get(s"spark.sql.catalog.$cat.base")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+      "path", s"$base/ns/t",
+      "avroSchema", graft.sources.AvroFrames.avroSchemaFor(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tag",
+            org.apache.spark.sql.types.StringType, nullable = true))), "t")))
+    val provider = new graft.sources.AvroFrameDataSource()
+    val table = provider.getTable(provider.inferSchema(opts), Array.empty, opts)
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(opts).build()
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 100L)
+    val cs = stats.columnStats()
+    assert(cs.size() == 2, s"both columns must report stats, got ${cs.keySet()}")
+    val idStats = cs.entrySet().asScala.find(_.getKey.describe() == "id").get.getValue
+    assert(idStats.nullCount().getAsLong == 0L)
+    assert(idStats.min().get() == Long.box(1L) && idStats.max().get() == Long.box(100L))
+    val tagStats = cs.entrySet().asScala.find(_.getKey.describe() == "tag").get.getValue
+    assert(tagStats.nullCount().getAsLong == 10L, "every 10th tag is NULL")
+    assert(tagStats.min().get().toString == "t1" && tagStats.max().get().toString == "t99")
+    // DESCRIBE EXTENDED surfaces the wire contract
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.t").collect().map(_.mkString("|"))
+    assert(desc.exists(_.contains("schemaId")), s"properties must surface: ${desc.toSeq.takeRight(5)}")
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
