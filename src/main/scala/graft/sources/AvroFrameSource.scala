@@ -1198,8 +1198,11 @@ object AvroFrames {
   }
 
   /** Which catalyst source Filters the reader evaluates exactly:
-    * comparisons and null tests on top-level fields of orderable
-    * primitive type. Everything else stays post-scan.
+    * comparisons, null tests, and IN on top-level fields of orderable
+    * primitive type, plus AND/OR/NOT compositions of those (round 14 —
+    * evaluated with SQL three-valued logic, so `NOT x = 1` still drops
+    * a NULL x exactly like Spark's own post-scan Filter would).
+    * Everything else stays post-scan.
     */
   def supported(schema: StructType, f: Filter): Boolean = {
     def ok(col: String): Boolean = schema.fieldNames.contains(col) &&
@@ -1209,28 +1212,45 @@ object AvroFrames {
         case _ => false
       })
     f match {
-      case EqualTo(c, _)            => ok(c)
+      case EqualTo(c, v)            => ok(c) && v != null
       case GreaterThan(c, _)        => ok(c)
       case GreaterThanOrEqual(c, _) => ok(c)
       case LessThan(c, _)           => ok(c)
       case LessThanOrEqual(c, _)    => ok(c)
       case IsNotNull(c)             => ok(c)
       case IsNull(c)                => ok(c)
-      case _                        => false
+      case In(c, vs)                => ok(c) && vs.forall(_ != null)
+      case org.apache.spark.sql.sources.And(l, r) => supported(schema, l) && supported(schema, r)
+      case org.apache.spark.sql.sources.Or(l, r)  => supported(schema, l) && supported(schema, r)
+      case org.apache.spark.sql.sources.Not(g)    => supported(schema, g)
+      case _ => false
     }
   }
 
+  // SQL three-valued logic domain for compiled predicates
+  private val TriTrue: Byte = 1
+  private val TriFalse: Byte = 0
+  private val TriUnknown: Byte = -1
+
   /** Compile a pushed Filter to a predicate over the decoded record.
-    * SQL comparison semantics: NULL field ⇒ comparison is not-true ⇒
-    * row dropped (exactly what Spark's own post-scan Filter would do,
-    * so accepting these filters is sound).
+    * Evaluation is SQL THREE-VALUED: a NULL operand makes a comparison
+    * UNKNOWN (not false), NOT flips only definite values, AND/OR
+    * propagate UNKNOWN — and the row is kept iff the whole tree is
+    * definitively TRUE, exactly what Spark's own post-scan Filter
+    * computes, so accepting these filters is sound.
     */
   def compile(fieldPos: Map[String, Int], f: Filter): GenericRecord => Boolean = {
-    def cmp(col: String, v: Any)(sign: Int => Boolean): GenericRecord => Boolean = {
+    val tri = compileTri(fieldPos, f)
+    r => tri(r) == TriTrue
+  }
+
+  private def compileTri(fieldPos: Map[String, Int], f: Filter): GenericRecord => Byte = {
+    def cmp(col: String, v: Any)(sign: Int => Boolean): GenericRecord => Byte = {
       val pos = fieldPos(col)
       r => {
         val x = r.get(pos)
-        x != null && sign(compareValues(x, v))
+        if (x == null) TriUnknown
+        else if (sign(compareValues(x, v))) TriTrue else TriFalse
       }
     }
     f match {
@@ -1239,8 +1259,43 @@ object AvroFrames {
       case GreaterThanOrEqual(c, v) => cmp(c, v)(_ >= 0)
       case LessThan(c, v)           => cmp(c, v)(_ < 0)
       case LessThanOrEqual(c, v)    => cmp(c, v)(_ <= 0)
-      case IsNotNull(c) => val p = fieldPos(c); r => r.get(p) != null
-      case IsNull(c)    => val p = fieldPos(c); r => r.get(p) == null
+      case IsNotNull(c) =>
+        val p = fieldPos(c); r => if (r.get(p) != null) TriTrue else TriFalse
+      case IsNull(c) =>
+        val p = fieldPos(c); r => if (r.get(p) == null) TriTrue else TriFalse
+      case In(c, vs) =>
+        val p = fieldPos(c)
+        val set = vs.filter(_ != null)
+        r => {
+          val x = r.get(p)
+          if (x == null) TriUnknown
+          else if (set.exists(v => compareValues(x, v) == 0)) TriTrue else TriFalse
+        }
+      case org.apache.spark.sql.sources.And(l, rr) =>
+        val a = compileTri(fieldPos, l); val b = compileTri(fieldPos, rr)
+        r => {
+          val x = a(r)
+          if (x == TriFalse) TriFalse
+          else { val y = b(r)
+            if (y == TriFalse) TriFalse
+            else if (x == TriUnknown || y == TriUnknown) TriUnknown else TriTrue }
+        }
+      case org.apache.spark.sql.sources.Or(l, rr) =>
+        val a = compileTri(fieldPos, l); val b = compileTri(fieldPos, rr)
+        r => {
+          val x = a(r)
+          if (x == TriTrue) TriTrue
+          else { val y = b(r)
+            if (y == TriTrue) TriTrue
+            else if (x == TriUnknown || y == TriUnknown) TriUnknown else TriFalse }
+        }
+      case org.apache.spark.sql.sources.Not(g) =>
+        val a = compileTri(fieldPos, g)
+        r => a(r) match {
+          case TriTrue  => TriFalse
+          case TriFalse => TriTrue
+          case _        => TriUnknown
+        }
       case other => throw new IllegalStateException(s"unpushable filter $other")
     }
   }

@@ -482,11 +482,17 @@ object AvroFrameStats {
         mn == null || compare(mn, v) <= 0 }
       case IsNotNull(c) => bounds(c).forall { case (nulls, _, _) => nulls < frames }
       case IsNull(c)    => bounds(c).forall { case (nulls, _, _) => nulls > 0 }
-      // IN arrives via runtime (DPP-style) filtering: the segment
-      // survives iff ANY set member can fall inside its [min,max]
+      // IN arrives pushed or via runtime (DPP-style) filtering: the
+      // segment survives iff ANY set member can fall inside [min,max]
       case In(c, vs) => bounds(c).forall { case (_, mn, mx) =>
         mn == null || mx == null ||
           vs.exists(v => v != null && compare(v, mn) >= 0 && compare(v, mx) <= 0) }
+      // boolean compositions (round 14): AND prunes if either side
+      // proves impossible, OR only if both do; NOT is unbounded here
+      case org.apache.spark.sql.sources.And(l, r) =>
+        mayMatch(frames, fields, l) && mayMatch(frames, fields, r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        mayMatch(frames, fields, l) || mayMatch(frames, fields, r)
       case _ => true
     }
   }

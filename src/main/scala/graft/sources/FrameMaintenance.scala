@@ -42,9 +42,10 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
   * transaction-log service, maintenance assumes a single maintainer
   * per table; a reader racing the publish window can observe a
   * partially-switched listing. A tailing [[AvroFrameMicroBatchStream]]
-  * uses positional offsets over the live listing — compact/delete
-  * only segments every tailing reader has fully consumed, or restart
-  * streams after maintenance (the Delta `dataChange=false` caveat).
+  * uses VERSION offsets over the event history, so it survives
+  * maintenance (unconsumed replaced segments resolve from `_history/`);
+  * the only stream-facing rule is retention: [[expire]] only beyond
+  * every tailing reader's lag, or the lagging reader fails loudly.
   */
 object FrameMaintenance {
 
@@ -438,6 +439,16 @@ object FrameMaintenance {
         nulls == 0 && mx != null && compare(mx, v) <= 0 }
       case IsNotNull(c) => b(c).exists { case (nulls, _, _) => nulls == 0 }
       case IsNull(c)    => b(c).exists { case (nulls, _, _) => nulls == frames }
+      case org.apache.spark.sql.sources.In(c, vs) => b(c).exists { case (nulls, mn, mx) =>
+        nulls == 0 && mn != null && mx != null && compare(mn, mx) == 0 &&
+          vs.exists(v => v != null && compare(mn, v) == 0) }
+      // boolean compositions (round 14): AND needs both halves proven,
+      // OR either half; NOT stays conservative-false (proving "every
+      // row fails g" exactly needs more than min/max under 3VL)
+      case org.apache.spark.sql.sources.And(l, r) =>
+        mustMatch(frames, fields, l) && mustMatch(frames, fields, r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        mustMatch(frames, fields, l) || mustMatch(frames, fields, r)
       case _            => false
     }
   }

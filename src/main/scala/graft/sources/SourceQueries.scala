@@ -492,6 +492,36 @@ object SourceQueries extends QueryGroup {
       ORDER BY event_type
     """)),
 
+    // ------------------------------------------------------------ composite filter pushdown (round 14)
+    // Disjunctions/negations/IN-lists evaluated INSIDE the scan with
+    // exact SQL three-valued semantics (a NULL operand is UNKNOWN, not
+    // false — FrameCatalogSpec pins the 3VL edge cases): this judged
+    // read pushes `(type IN (...) AND value >= x) OR value >= y` whole,
+    // so non-matching frames never allocate a row, and the OR's range
+    // disjuncts prune whole ts-sliced segments via the sidecars where
+    // they can. The DuckDB oracle over the original parquet proves the
+    // composite evaluation row-exact.
+    ("q343_composite_pushdown", (s, d) => {
+      frames(s, d)
+        .filter((col("event_type").isin("click", "purchase") && col("value") >= 400.0)
+          || col("value") >= 495.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             min("event_id").as("min_event"),
+             max("event_id").as("max_event"),
+             graft.operators.Quant.quant6(sum("value")).as("sum_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             min(event_id) AS min_event, max(event_id) AS max_event,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      WHERE (event_type IN ('click', 'purchase') AND value >= 400.0)
+         OR value >= 495.0
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
     // ------------------------------------------------------------ SQL MERGE INTO (round 14)
     // The upsert statement every CDC/corrections pipeline needs, on the
     // engine's own format: matched purchases get corrected values,

@@ -689,6 +689,54 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(desc.exists(_.contains("schemaId")), s"properties must surface: ${desc.toSeq.takeRight(5)}")
   }
 
+  test("composite filter pushdown: OR/NOT/IN push with exact three-valued null semantics") {
+    val cat = freshCatalog("tri")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT NOT NULL, tag STRING)")
+    spark.range(1, 101)
+      .selectExpr("id", "IF(id % 10 = 0, NULL, CONCAT('t', id % 7)) AS tag")
+      .coalesce(1).createOrReplaceTempView("tri_src")
+    spark.sql(s"INSERT INTO $cat.ns.t SELECT * FROM tri_src")
+
+    def ids(where: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM $cat.ns.t WHERE $where")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def oracle(where: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM tri_src WHERE $where")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // OR pushes into the scan (visible in the plan) and matches the
+    // in-memory relation exactly, NULL tags included
+    val q = spark.sql(s"SELECT id FROM $cat.ns.t WHERE id <= 5 OR id >= 95")
+    assert(q.queryExecution.executedPlan.toString.contains("Or("),
+      "disjunction must reach the scan")
+    Seq(
+      "id <= 5 OR id >= 95",
+      "NOT (tag = 't1')",          // NULL tag is UNKNOWN -> dropped
+      "tag IN ('t1', 't3') OR tag IS NULL",
+      "NOT (tag IN ('t1', 't3'))", // 3VL through IN
+      "(id < 20 AND tag = 't2') OR (id > 80 AND tag IS NOT NULL)"
+    ).foreach { w => assert(ids(w) == oracle(w), s"pushdown parity broke for: $w") }
+
+    // OR range delete takes the METADATA-ONLY path on range-partitioned
+    // segments whose sidecars prove each disjunct
+    val cat2 = freshCatalog("tri2")
+    spark.sql(s"CREATE NAMESPACE $cat2.ns")
+    spark.sql(s"CREATE TABLE $cat2.ns.t (id BIGINT NOT NULL)")
+    spark.range(1, 101).selectExpr("id").repartitionByRange(4, col("id"))
+      .createOrReplaceTempView("tri2_src")
+    spark.sql(s"INSERT INTO $cat2.ns.t SELECT * FROM tri2_src")
+    val dir2 = new java.io.File(spark.conf.get(s"spark.sql.catalog.$cat2.base"), "ns/t")
+    assert(graft.sources.AvroFrames.listSegments(dir2.getAbsolutePath).length == 4)
+    // both END quartiles match one disjunct entirely -> retire
+    // metadata-only; the middle two match neither -> untouched
+    spark.sql(s"DELETE FROM $cat2.ns.t WHERE id <= 25 OR id > 75")
+    val live2 = graft.sources.AvroFrames.listSegments(dir2.getAbsolutePath).map(_.getName)
+    assert(live2.length == 2 && !live2.exists(_.contains(".d")),
+      s"OR range delete must be metadata-only on covered segments: ${live2.toSeq}")
+    assert(spark.sql(s"SELECT id FROM $cat2.ns.t").collect().map(_.getLong(0)).sorted.toSeq
+      == (26L to 75L))
+  }
+
   test("catalog INSERT OVERWRITE truncates through the commit protocol") {
     val cat = freshCatalog("ovw")
     spark.sql(s"CREATE NAMESPACE $cat.ns")
