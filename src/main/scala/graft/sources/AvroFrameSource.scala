@@ -63,12 +63,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    scan builder, so pruning/pushdown apply identically.
   */
 class AvroFrameDataSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroFrames.sparkSchema(AvroFrames.writerSchema(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val data = AvroFrames.sparkSchema(AvroFrames.writerSchema(options))
+    if (options.getBoolean("changeFeed", false)) FrameChanges.changeSchema(data)
+    else data
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new AvroFrameTable(schema, new CaseInsensitiveStringMap(properties))
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (opts.getBoolean("changeFeed", false)) new AvroFrameChangesTable(schema, opts)
+    else new AvroFrameTable(schema, opts)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -162,6 +168,8 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     Option(options.get("schemaId")).foreach(m.put("schemaId", _))
     Option(options.get("bucketKey")).foreach(m.put("bucketKey", _))
     Option(options.get("buckets")).foreach(m.put("buckets", _))
+    Option(options.get("bloomColumns")).foreach(m.put("bloomColumns", _))
+    Option(options.get("bloomExpectedItems")).foreach(m.put("bloomExpectedItems", _))
     m
   }
 
@@ -828,7 +836,7 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
     */
   def nextRecord(): GenericRecord = {
     while (true) {
-      val frame = readFrame()
+      val frame = nextFrameBytes()
       if (frame == null) return null
       val rec = decodeFrame(frame)
       if (rec != null) return rec
@@ -836,7 +844,12 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
     null
   }
 
-  private def readFrame(): Array[Byte] = {
+  /** Next RAW frame body (length prefix stripped), or null at end of
+    * segment — the byte-level view the change-data-feed's subsequence
+    * walk diffs on (maintenance rewrites copy raw frame bytes, so
+    * surviving rows are byte-identical between original and rewrite).
+    */
+  def nextFrameBytes(): Array[Byte] = {
     val b0 = in.read()
     if (b0 < 0) return null
     val len = (b0 << 24) | (in.read() << 16) | (in.read() << 8) | in.read()
@@ -847,7 +860,11 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
     buf
   }
 
-  private def decodeFrame(frame: Array[Byte]): GenericRecord =
+  /** Decode one raw frame body (magic byte + BE schema id + Avro
+    * binary) to a REUSED GenericRecord; null (counted malformed) on
+    * bad magic / foreign id / decode failure.
+    */
+  def decodeFrame(frame: Array[Byte]): GenericRecord =
     if (frame.length < 5 || frame(0) != graft.streaming.AvroRecords.MagicByte) {
       malformed += 1; null
     } else {

@@ -54,8 +54,14 @@ object AvroFrameWrite {
       }
   }
 
-  /** JSON for a segment's stats sidecar. */
-  def statsJson(frames: Long, fields: Seq[(String, FieldStats)]): String = {
+  /** JSON for a segment's stats sidecar. `blooms` (round 14) carries
+    * optional per-field serialized Bloom filters (base64) — the
+    * point-lookup pruning index for high-cardinality columns whose
+    * min/max spans everything (see [[AvroFrameStats.prune]]). Readers
+    * that predate the field skip it (unknown-key tolerance).
+    */
+  def statsJson(frames: Long, fields: Seq[(String, FieldStats)],
+                blooms: Map[String, String] = Map.empty): String = {
     val sw = new java.io.StringWriter()
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     gen.writeStartObject()
@@ -72,11 +78,27 @@ object AvroFrameWrite {
         case s                     => gen.writeStringField(k, s.toString)
       }
       writeVal("min", st.min); writeVal("max", st.max)
+      blooms.get(name).foreach(b64 => gen.writeStringField("bloom", b64))
       gen.writeEndObject()
     }
     gen.writeEndObject(); gen.writeEndObject(); gen.close()
     sw.toString
   }
+
+  /** Serialize a Bloom filter to the sidecar's base64 form. */
+  def bloomToB64(b: org.apache.spark.util.sketch.BloomFilter): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  /** Default expected-items sizing for write-time Bloom filters. ONE
+    * fixed size per table (not per segment) keeps every segment's
+    * filter bit-compatible, so compaction can merge them by OR instead
+    * of dropping them.
+    */
+  val DefaultBloomExpectedItems = 100000
+  val BloomFpp = 0.01
 }
 
 class AvroFrameWriteBuilder(info: LogicalWriteInfo,
@@ -136,6 +158,21 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
   private def bucketSpec: Option[(String, Int)] =
     for { k <- Option(opt("bucketKey")); n <- Option(opt("buckets")) } yield (k, n.toInt)
 
+  private def bloomSpec: Option[BloomSpec] =
+    Option(opt("bloomColumns")).map { csv =>
+      val cols = csv.split(',').map(_.trim).filter(_.nonEmpty)
+      val schema = AvroFrames.sparkSchema(new Schema.Parser().parse(opt("avroSchema")))
+      cols.foreach { c =>
+        require(schema.fieldNames.contains(c), s"unknown bloom column $c")
+        require(Set[DataType](IntegerType, LongType, StringType)
+            .contains(schema(c).dataType),
+          s"bloom column $c must be INT/BIGINT/STRING, got ${schema(c).dataType}")
+      }
+      BloomSpec(cols,
+        Option(opt("bloomExpectedItems")).map(_.toLong)
+          .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong))
+    }
+
   override def build(): Write = bucketSpec match {
     case Some((key, n)) =>
       // bucketed table: ask Spark to CLUSTER the incoming rows by the
@@ -154,7 +191,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
           Array.empty
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-            info.queryId(), doTruncate, overwriteFilters)
+            info.queryId(), doTruncate, overwriteFilters, bloomSpec)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
@@ -164,7 +201,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
     case None => new Write {
       override def toBatch: BatchWrite =
         new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-          info.queryId(), doTruncate, overwriteFilters)
+          info.queryId(), doTruncate, overwriteFilters, bloomSpec)
 
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // the log is append-only: complete/update output modes would need
@@ -173,7 +210,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
           "frame-log streaming writes are append-only " +
           "(use outputMode(\"append\"))")
         new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
-          info.queryId())
+          info.queryId(), bloomSpec)
       }
     }
   }
@@ -182,9 +219,16 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
 case class AvroFrameCommitMessage(tmpName: String, finalName: String,
                                   statsJson: String) extends WriterCommitMessage
 
+/** Write-time Bloom filter config: which columns get one, and the
+  * fixed expected-items sizing (one size per table keeps segment
+  * filters bit-compatible for compaction merge).
+  */
+case class BloomSpec(cols: Array[String], expectedItems: Long) extends Serializable
+
 class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
                           queryId: String, truncate: Boolean,
-                          overwriteFilters: Array[Filter] = Array.empty) extends BatchWrite {
+                          overwriteFilters: Array[Filter] = Array.empty,
+                          bloom: Option[BloomSpec] = None) extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -200,7 +244,7 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // deterministic epoch names instead — replay dedup needs them
     // stable across re-runs.
     val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
-    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp)
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -265,13 +309,13 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
   * per log, like one producer per partition for ordering).
   */
 class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: Int,
-                              queryId: String)
+                              queryId: String, bloom: Option[BloomSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(path != null, "option `path` is required")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AvroFrameStreamingWriterFactory(path, avroSchemaJson, schemaId, queryId)
+    new AvroFrameStreamingWriterFactory(path, avroSchemaJson, schemaId, queryId, bloom)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
@@ -301,27 +345,30 @@ class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: In
 }
 
 class AvroFrameStreamingWriterFactory(path: String, avroSchemaJson: String,
-                                      schemaId: Int, queryId: String)
+                                      schemaId: Int, queryId: String,
+                                      bloom: Option[BloomSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     // epoch baked into the name tag: the final name is stable per
     // (queryId, epoch, partition), which is what replay dedup keys on
     new AvroFrameDataWriter(path, avroSchemaJson, schemaId,
-      f"$queryId-e$epochId%09d", partitionId, taskId)
+      f"$queryId-e$epochId%09d", partitionId, taskId, bloom)
 }
 
 class AvroFrameWriterFactory(path: String, avroSchemaJson: String,
-                             schemaId: Int, queryId: String) extends DataWriterFactory {
+                             schemaId: Int, queryId: String,
+                             bloom: Option[BloomSpec] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroFrameDataWriter(path, avroSchemaJson, schemaId, queryId, partitionId, taskId)
+    new AvroFrameDataWriter(path, avroSchemaJson, schemaId, queryId, partitionId, taskId, bloom)
 }
 
 /** Task-side writer: length-prefixed framed-Avro records into a hidden
   * temp file, stats gathered inline. Empty partitions emit no file.
   */
 class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
-                          queryId: String, partitionId: Int, taskId: Long)
+                          queryId: String, partitionId: Int, taskId: Long,
+                          bloom: Option[BloomSpec] = None)
     extends DataWriter[InternalRow] {
 
   private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
@@ -330,6 +377,15 @@ class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
   private val fieldNames: Array[String] = sparkSchema.fieldNames
   private val stats: Array[AvroFrameWrite.FieldStats] =
     fieldNames.map(_ => new AvroFrameWrite.FieldStats)
+  // bloom builders: position -> filter, fixed-size per the table spec
+  private val blooms: Array[org.apache.spark.util.sketch.BloomFilter] = {
+    val out = new Array[org.apache.spark.util.sketch.BloomFilter](fieldNames.length)
+    bloom.foreach(spec => spec.cols.foreach { c =>
+      out(fieldNames.indexOf(c)) = org.apache.spark.util.sketch.BloomFilter
+        .create(spec.expectedItems, AvroFrameWrite.BloomFpp)
+    })
+    out
+  }
   // temp is dot-prefixed: invisible to listSegments until job commit;
   // taskId in the name keeps speculative attempts from colliding
   private val tmpName = f".inprogress-$queryId-p$partitionId%05d-t$taskId"
@@ -355,6 +411,12 @@ class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
         case other => throw new IllegalStateException(s"unwritable type $other")
       }
       stats(i).observe(if (v.isInstanceOf[java.nio.ByteBuffer]) null else v)
+      if (blooms(i) != null && v != null) v match {
+        case x: java.lang.Long    => blooms(i).putLong(x.longValue)
+        case x: java.lang.Integer => blooms(i).putLong(x.longValue) // stats-domain widening
+        case s: String            => blooms(i).putString(s)
+        case _                    => ()
+      }
       rec.put(i, v)
       i += 1
     }
@@ -367,8 +429,13 @@ class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     if (frames == 0L) AvroFrameCommitMessage("", "", "") // empty: nothing to publish
-    else AvroFrameCommitMessage(tmpName, finalName,
-      AvroFrameWrite.statsJson(frames, fieldNames.zip(stats).toSeq))
+    else {
+      val bloomB64 = fieldNames.indices.collect {
+        case i if blooms(i) != null => fieldNames(i) -> AvroFrameWrite.bloomToB64(blooms(i))
+      }.toMap
+      AvroFrameCommitMessage(tmpName, finalName,
+        AvroFrameWrite.statsJson(frames, fieldNames.zip(stats).toSeq, bloomB64))
+    }
   }
 
   override def abort(): Unit = {
@@ -388,7 +455,14 @@ object AvroFrameStats {
     * Double / String / Boolean as written. None if the sidecar is
     * absent or unreadable (⇒ never prune).
     */
-  def read(segment: File): Option[(Long, Map[String, (Long, Any, Any)])] = {
+  def read(segment: File): Option[(Long, Map[String, (Long, Any, Any)])] =
+    readFull(segment).map { case (frames, fields, _) => (frames, fields) }
+
+  /** Full sidecar including the per-field Bloom filter base64 payloads
+    * (round 14) — kept as strings here; [[blooms]] deserializes on
+    * demand so callers that only need min/max never pay the decode.
+    */
+  def readFull(segment: File): Option[(Long, Map[String, (Long, Any, Any)], Map[String, String])] = {
     val f = new File(segment.getParentFile, segment.getName + ".stats")
     if (!f.isFile) return None
     try {
@@ -396,6 +470,7 @@ object AvroFrameStats {
         .createParser(java.nio.file.Files.readString(f.toPath))
       var frames = 0L
       val fields = scala.collection.mutable.Map.empty[String, (Long, Any, Any)]
+      val bloomB64 = scala.collection.mutable.Map.empty[String, String]
       import com.fasterxml.jackson.core.JsonToken._
       p.nextToken() // {
       while (p.nextToken() != END_OBJECT) {
@@ -421,6 +496,8 @@ object AvroFrameStats {
                   case "nulls" => nulls = v.asInstanceOf[java.lang.Long].longValue
                   case "min"   => min = v
                   case "max"   => max = v
+                  case "bloom" => bloomB64(name) = v.asInstanceOf[String]
+                  case _       => ()
                 }
               }
               fields(name) = (nulls, min, max)
@@ -428,8 +505,56 @@ object AvroFrameStats {
           case _ => p.nextToken()
         }
       }
-      Some((frames, fields.toMap))
+      Some((frames, fields.toMap, bloomB64.toMap))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deserialize a sidecar's Bloom payloads. Unreadable filters are
+    * dropped (⇒ that column just never bloom-prunes).
+    */
+  def blooms(b64: Map[String, String]): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    b64.flatMap { case (c, s) =>
+      try Some(c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(s))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Can any row satisfy `f`, judged by the segment's Bloom filters
+    * alone? Conservative-true; only equality shapes consult a filter
+    * (EqualTo / IN, recursively through AND/OR — NOT never prunes).
+    * The value domain matches the write side exactly: ints widened to
+    * long, strings as-is; other types are never bloom-indexed.
+    */
+  def bloomMayMatch(blooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
+                    f: Filter): Boolean = {
+    def contains(c: String, v: Any): Boolean = blooms.get(c) match {
+      case None => true
+      case Some(b) => v match {
+        case x: java.lang.Long    => b.mightContainLong(x.longValue)
+        case x: java.lang.Integer => b.mightContainLong(x.longValue)
+        case s: String            => b.mightContainString(s)
+        case _                    => true
+      }
+    }
+    f match {
+      case EqualTo(c, v) => v != null && contains(c, v)
+      case In(c, vs)     => vs.exists(v => v != null && contains(c, v))
+      case org.apache.spark.sql.sources.And(l, r) =>
+        bloomMayMatch(blooms, l) && bloomMayMatch(blooms, r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        bloomMayMatch(blooms, l) || bloomMayMatch(blooms, r)
+      case _ => true
+    }
+  }
+
+  /** Could `f` possibly consult a Bloom filter? (Gates the bloom
+    * decode — sidecars without equality-shaped filters never pay it.)
+    */
+  def bloomRelevant(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | In(_, _) => true
+    case org.apache.spark.sql.sources.And(l, r) => bloomRelevant(l) || bloomRelevant(r)
+    case org.apache.spark.sql.sources.Or(l, r)  => bloomRelevant(l) || bloomRelevant(r)
+    case _ => false
   }
 
   /** Stats-domain value → Catalyst internal value at the column's
@@ -497,14 +622,27 @@ object AvroFrameStats {
     }
   }
 
-  /** Segments surviving stat-pruning under ALL pushed filters. */
+  /** Segments surviving stat-pruning under ALL pushed filters: min/max
+    * bounds first, then — for equality-shaped filters on segments that
+    * carry Bloom payloads — the Bloom filters (round 14). Both rungs
+    * strictly conservative; a point lookup on a high-cardinality
+    * column whose min/max spans everything prunes on the blooms alone.
+    */
   def prune(segments: Array[File], pushed: Array[Filter]): Array[File] =
     if (pushed.isEmpty) segments
-    else segments.filter { seg =>
-      read(seg) match {
-        case None => true // no sidecar: never prune
-        case Some((frames, fields)) =>
-          pushed.forall(mayMatch(frames, fields, _))
+    else {
+      val wantBloom = pushed.exists(bloomRelevant)
+      segments.filter { seg =>
+        readFull(seg) match {
+          case None => true // no sidecar: never prune
+          case Some((frames, fields, bloomB64)) =>
+            pushed.forall(mayMatch(frames, fields, _)) && {
+              !wantBloom || bloomB64.isEmpty || {
+                val bf = blooms(bloomB64)
+                pushed.forall(bloomMayMatch(bf, _))
+              }
+            }
+        }
       }
     }
 }
@@ -571,6 +709,10 @@ class FrameRowLevelOperation(
         .getOrElse(AvroFrames.DefaultSchemaId)
       val bucket = for { k <- Option(opt("bucketKey")); n <- Option(opt("buckets")) }
         yield (k, n.toInt)
+      val bloomSpec = Option(opt("bloomColumns")).map(csv => BloomSpec(
+        csv.split(',').map(_.trim).filter(_.nonEmpty),
+        Option(opt("bloomExpectedItems")).map(_.toLong)
+          .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong)))
       bucket match {
         case Some((key, n)) =>
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -582,11 +724,13 @@ class FrameRowLevelOperation(
             override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               Array.empty
             override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
-              opt("path"), schemaJson, schemaId, info.queryId(), FrameRowLevelOperation.this)
+              opt("path"), schemaJson, schemaId, info.queryId(),
+              FrameRowLevelOperation.this, bloomSpec)
           }
         case None => new Write {
           override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
-            opt("path"), schemaJson, schemaId, info.queryId(), FrameRowLevelOperation.this)
+            opt("path"), schemaJson, schemaId, info.queryId(),
+            FrameRowLevelOperation.this, bloomSpec)
         }
       }
     }
@@ -600,13 +744,14 @@ class FrameRowLevelOperation(
   * invariant (versions, history, stream offsets) holds by construction.
   */
 class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId: Int,
-                                  queryId: String, op: FrameRowLevelOperation)
+                                  queryId: String, op: FrameRowLevelOperation,
+                                  bloom: Option[BloomSpec] = None)
     extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
-    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp)
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

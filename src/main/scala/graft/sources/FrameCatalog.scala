@@ -177,15 +177,18 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   private def loadTableAsOf(ident: Identifier, asOf: Map[String, String]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (avroSchema, schemaId, bucket) = readDescriptor(new File(dir, TableDescriptor))
+    val d = readDescriptor(new File(dir, TableDescriptor))
     val opts = new CaseInsensitiveStringMap((Map(
       "path" -> dir.getAbsolutePath,
-      "avroSchema" -> avroSchema,
-      "schemaId" -> schemaId.toString) ++
-      bucket.map { case (k, n) => Map("bucketKey" -> k, "buckets" -> n.toString) }
-        .getOrElse(Map.empty) ++ asOf).asJava)
+      "avroSchema" -> d.avroSchema,
+      "schemaId" -> d.schemaId.toString) ++
+      d.bucket.map { case (k, n) => Map("bucketKey" -> k, "buckets" -> n.toString) }
+        .getOrElse(Map.empty) ++
+      d.bloomColumns.map(c => Map("bloomColumns" -> c)).getOrElse(Map.empty) ++
+      d.bloomExpectedItems.map(n => Map("bloomExpectedItems" -> n.toString)).getOrElse(Map.empty) ++
+      asOf).asJava)
     new AvroFrameTable(
-      AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(avroSchema)), opts)
+      AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(d.avroSchema)), opts)
   }
 
   /** CREATE TABLE. The only partitioning a segment log supports is
@@ -228,7 +231,21 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val avroSchema = AvroFrames.avroSchemaFor(info.schema(), ident.name)
     val schemaId = Option(info.properties().get("schemaId")).map(_.toInt)
       .getOrElse(AvroFrames.DefaultSchemaId)
-    writeDescriptor(new File(dir, TableDescriptor), avroSchema, schemaId, bucket)
+    // write-time Bloom filter config (TBLPROPERTIES) — validated here so
+    // a bad CREATE fails, not the first INSERT
+    val bloomCols = Option(info.properties().get("bloomColumns")).map { csv =>
+      csv.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val f = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"bloom column $c not in schema"))
+        require(Set[DataType](org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType, StringType).contains(f.dataType),
+          s"bloom column $c must be INT/BIGINT/STRING, got ${f.dataType}")
+      }
+      csv
+    }
+    val bloomItems = Option(info.properties().get("bloomExpectedItems")).map(_.toLong)
+    writeDescriptor(new File(dir, TableDescriptor),
+      Descriptor(avroSchema, schemaId, bucket, bloomCols, bloomItems))
     loadTable(ident)
   }
 
@@ -304,41 +321,56 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   // ------------------------------------------------------------ descriptor io
 
-  private def writeDescriptor(f: File, avroSchema: String, schemaId: Int,
-                              bucket: Option[(String, Int)]): Unit = {
+  /** The `_table.json` contents: wire schema + id, optional bucket
+    * layout, optional write-time Bloom filter config.
+    */
+  private[sources] case class Descriptor(avroSchema: String, schemaId: Int,
+                                         bucket: Option[(String, Int)],
+                                         bloomColumns: Option[String],
+                                         bloomExpectedItems: Option[Long])
+
+  private def writeDescriptor(f: File, d: Descriptor): Unit = {
     val sw = new java.io.StringWriter()
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
     gen.writeStartObject()
-    gen.writeStringField("avroSchema", avroSchema)
-    gen.writeNumberField("schemaId", schemaId)
-    bucket.foreach { case (k, n) =>
+    gen.writeStringField("avroSchema", d.avroSchema)
+    gen.writeNumberField("schemaId", d.schemaId)
+    d.bucket.foreach { case (k, n) =>
       gen.writeStringField("bucketKey", k)
       gen.writeNumberField("buckets", n)
     }
+    d.bloomColumns.foreach(gen.writeStringField("bloomColumns", _))
+    d.bloomExpectedItems.foreach(gen.writeNumberField("bloomExpectedItems", _))
     gen.writeEndObject(); gen.close()
     java.nio.file.Files.writeString(f.toPath, sw.toString)
   }
 
-  private def readDescriptor(f: File): (String, Int, Option[(String, Int)]) = {
+  private def readDescriptor(f: File): Descriptor = {
     val p = new com.fasterxml.jackson.core.JsonFactory()
       .createParser(java.nio.file.Files.readString(f.toPath))
     var schema: String = null
     var id = AvroFrames.DefaultSchemaId
     var bucketKey: String = null
     var buckets = 0
+    var bloomCols: String = null
+    var bloomItems = -1L
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
     while (p.nextToken() != END_OBJECT) {
       p.currentName() match {
-        case "avroSchema" => p.nextToken(); schema = p.getText
-        case "schemaId"   => p.nextToken(); id = p.getIntValue
-        case "bucketKey"  => p.nextToken(); bucketKey = p.getText
-        case "buckets"    => p.nextToken(); buckets = p.getIntValue
-        case _            => p.nextToken()
+        case "avroSchema"         => p.nextToken(); schema = p.getText
+        case "schemaId"           => p.nextToken(); id = p.getIntValue
+        case "bucketKey"          => p.nextToken(); bucketKey = p.getText
+        case "buckets"            => p.nextToken(); buckets = p.getIntValue
+        case "bloomColumns"       => p.nextToken(); bloomCols = p.getText
+        case "bloomExpectedItems" => p.nextToken(); bloomItems = p.getLongValue
+        case _                    => p.nextToken()
       }
     }
     require(schema != null, s"corrupt table descriptor ${f.getAbsolutePath}")
-    (schema, id, if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None)
+    Descriptor(schema, id,
+      if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None,
+      Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None)
   }
 
   /** Is this table bucketed? (descriptor probe for the maintenance
@@ -346,7 +378,17 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   private[sources] def bucketSpecOf(multipart: String): Option[(String, Int)] = {
     val dir = resolveTableDir(multipart)
-    readDescriptor(new File(dir, TableDescriptor))._3
+    readDescriptor(new File(dir, TableDescriptor)).bucket
+  }
+
+  /** Wire contract of a table: (Avro writer schema JSON, schema id) —
+    * what the change-data-feed reader and the maintenance rewrites
+    * decode with ([[FrameChanges]], [[FrameMatView]]).
+    */
+  private[sources] def wireSchemaOf(multipart: String): (String, Int) = {
+    val dir = resolveTableDir(multipart)
+    val d = readDescriptor(new File(dir, TableDescriptor))
+    (d.avroSchema, d.schemaId)
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -531,12 +573,15 @@ object FrameProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
-  val names: Array[String] = Array("compact", "expire_snapshots")
+  val names: Array[String] =
+    Array("analyze", "compact", "expire_snapshots", "rewrite_clustered")
 
   def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
-    case "compact"          => Some(new CompactProcedure(cat))
-    case "expire_snapshots" => Some(new ExpireProcedure(cat))
-    case _                  => None
+    case "analyze"           => Some(new AnalyzeProcedure(cat))
+    case "compact"           => Some(new CompactProcedure(cat))
+    case "expire_snapshots"  => Some(new ExpireProcedure(cat))
+    case "rewrite_clustered" => Some(new RewriteClusteredProcedure(cat))
+    case _                   => None
   }
 
   /** One-row result scan for a procedure summary. */
@@ -590,6 +635,76 @@ object FrameProcedures {
       val res = FrameMaintenance.compact(
         org.apache.spark.sql.SparkSession.active, dir, target, grouping)
       summary("compacted_bins" -> res.bins, "replaced_segments" -> res.replacedSegments)
+    }
+  }
+
+  class AnalyzeProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "analyze(table STRING, bloom_columns STRING = NULL, bloom_expected_items " +
+        "BIGINT = 100000): recompute every live segment's stats sidecar (decode " +
+        "once, executor-side, data untouched) — repairs sidecar-less foreign " +
+        "segments and, with bloom_columns, retrofits/restores Bloom payloads " +
+        "(maintenance rewrites drop them conservatively)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("bloom_columns", StringType)
+        .defaultValue("CAST(NULL AS STRING)")
+        .comment("comma-separated INT/BIGINT/STRING columns to bloom-index").build(),
+      ProcedureParameter.in("bloom_expected_items", org.apache.spark.sql.types.LongType)
+        .defaultValue(AvroFrameWrite.DefaultBloomExpectedItems.toString + "L")
+        .comment("fixed filter sizing — keep constant per table so compaction can merge").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols =
+        if (input.isNullAt(1)) Seq.empty[String]
+        else input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val items = if (input.isNullAt(2)) AvroFrameWrite.DefaultBloomExpectedItems.toLong
+        else input.getLong(2)
+      val dir = cat.resolveTableDir(table)
+      val (schemaJson, schemaId) = cat.wireSchemaOf(table)
+      val schema = AvroFrames.sparkSchema(
+        new org.apache.avro.Schema.Parser().parse(schemaJson))
+      cols.foreach { c =>
+        require(schema.fieldNames.contains(c), s"unknown bloom column $c")
+        require(Set[DataType](org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType, StringType).contains(schema(c).dataType),
+          s"bloom column $c must be INT/BIGINT/STRING, got ${schema(c).dataType}")
+      }
+      val res = FrameMaintenance.analyze(
+        org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId, cols, items)
+      summary("analyzed_segments" -> res.analyzed)
+    }
+  }
+
+  class RewriteClusteredProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "rewrite_clustered"
+    override def description(): String =
+      "rewrite_clustered(table STRING, by STRING, target_segments INT): re-layout " +
+        "the whole log z-ordered on the (comma-separated) numeric cluster columns, " +
+        "so sidecar pruning works on every cluster column simultaneously; " +
+        "version-neutral like compaction, replaced segments stay time-travelable"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("by", StringType)
+        .comment("comma-separated numeric cluster columns, e.g. 'user_id,ts_us'").build(),
+      ProcedureParameter.in("target_segments", IntegerType)
+        .comment("number of z-range segments to produce").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val by = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+      val target = input.getInt(2)
+      require(cat.bucketSpecOf(table).isEmpty,
+        s"cannot z-order BUCKETED table $table: clustering would break the " +
+          "one-bucket-per-segment invariant behind its reported partitioning")
+      val dir = cat.resolveTableDir(table)
+      val (schemaJson, schemaId) = cat.wireSchemaOf(table)
+      val res = FrameMaintenance.rewriteClustered(
+        org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId,
+        by.toSeq, target)
+      summary("segments" -> res.segments, "replaced_segments" -> res.replacedSegments)
     }
   }
 

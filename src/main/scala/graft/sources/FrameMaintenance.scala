@@ -268,6 +268,70 @@ object FrameMaintenance {
     }
   }
 
+  // ------------------------------------------------------------ change data feed
+
+  /** One unit of the change data feed — a whole segment's worth of
+    * row changes minted by one version:
+    *
+    *  - [[InsertedSegment]]: an append minted version `version`; every
+    *    row of `file` is an `insert` change.
+    *  - [[DeletedSegment]]: a DELETE operation (version `version`)
+    *    retired `origFile`. With no `replacement`, every row of the
+    *    original is a `delete` change (metadata-only deletes, group
+    *    rewrites, TRUNCATE-via-delete). With a `replacement`, the
+    *    rewrite KEPT the surviving rows as an ordered, byte-identical
+    *    subsequence of the original's raw frames
+    *    ([[rewriteSegment]] copies raw bytes, never re-encodes) — so
+    *    the deleted rows are recoverable EXACTLY by a two-pointer
+    *    subsequence walk, with no per-row change log stored anywhere.
+    */
+  sealed trait ChangeUnit extends Serializable {
+    def version: Int
+  }
+  case class InsertedSegment(file: String, version: Int) extends ChangeUnit
+  case class DeletedSegment(origFile: String, replacement: Option[String],
+                            version: Int) extends ChangeUnit
+
+  /** The change units that took the table from version `fromV` to
+    * version `toV` (changes minted by versions in `(fromV, toV]`).
+    * Derived purely from the event history: appends emit insert units,
+    * DELETE operations emit one delete unit per retired segment, and
+    * compaction — version-neutral, semantically invisible — emits
+    * nothing. Files resolve live-first then `_history/`; a change feed
+    * reaching past the expiry horizon fails loudly
+    * ([[resolvePhysical]]), never silently under-reports.
+    *
+    * Matching a retired segment to its rewrite replacement is exact:
+    * the replacement of origin `r` is named `r.d<gen>` — suffix
+    * `.d<digits>` on top of the FULL origin name — so an entry that
+    * retires both `a.bin` and `a.bin.d2` cannot mis-pair them.
+    */
+  def changes(dir: File, fromV: Int, toV: Int): Vector[ChangeUnit] = {
+    val total = totalVersions(dir)
+    require(0 <= fromV && fromV <= toV && toV <= total,
+      s"change range ($fromV, $toV] out of bounds: ${dir.getName} has $total versions")
+    var version = 0
+    val out = Vector.newBuilder[ChangeUnit]
+    events(dir).foreach {
+      case AppendEv(n, _) =>
+        version += 1
+        if (version > fromV && version <= toV)
+          out += InsertedSegment(resolvePhysical(dir, n).getAbsolutePath, version)
+      case MaintEv(e, _) if e.op == "delete" =>
+        version += 1
+        if (version > fromV && version <= toV)
+          e.replaced.foreach { r =>
+            val rep = e.replacements.find(x =>
+              x.length > r.length && x.startsWith(r) &&
+                x.substring(r.length).matches("\\.d\\d+"))
+            out += DeletedSegment(resolvePhysical(dir, r).getAbsolutePath,
+              rep.map(x => resolvePhysical(dir, x).getAbsolutePath), version)
+          }
+      case _ => () // compaction: no version, no changes
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------ publish helpers
 
   /** Move a live segment (and its sidecar) to `_history/`, preserving
@@ -391,10 +455,14 @@ object FrameMaintenance {
   /** Field-wise merge of the inputs' stats sidecars: sum frames and
     * nulls, min of mins, max of maxes. None unless every input has a
     * readable sidecar and the field sets agree — a merged sidecar must
-    * never claim tighter bounds than the data.
+    * never claim tighter bounds than the data. Bloom filters merge by
+    * OR when EVERY input carries a bit-compatible one for the field
+    * (the fixed-size-per-table write discipline guarantees it);
+    * otherwise the merged sidecar just omits that field's bloom —
+    * conservative, the bounds still stand.
     */
   private def mergeSidecars(files: Seq[File]): Option[String] = {
-    val all = files.map(AvroFrameStats.read)
+    val all = files.map(AvroFrameStats.readFull)
     if (all.exists(_.isEmpty)) return None
     val read = all.flatten
     val fieldNames = read.head._2.keySet
@@ -402,7 +470,7 @@ object FrameMaintenance {
     val frames = read.map(_._1).sum
     val stats = fieldNames.toSeq.sorted.map { c =>
       val st = new AvroFrameWrite.FieldStats
-      read.foreach { case (_, fields) =>
+      read.foreach { case (_, fields, _) =>
         val (nulls, mn, mx) = fields(c)
         st.nulls += nulls
         if (mn != null) st.observe(mn)
@@ -410,7 +478,164 @@ object FrameMaintenance {
       }
       c -> st
     }
-    Some(AvroFrameWrite.statsJson(frames, stats))
+    val mergedBlooms: Map[String, String] = fieldNames.toSeq.sorted.flatMap { c =>
+      val b64s = read.map(_._3.get(c))
+      if (b64s.exists(_.isEmpty)) None
+      else try {
+        val parsed = b64s.flatten.map(s =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(s))))
+        val merged = parsed.reduce((a, b) => a.mergeInPlace(b))
+        Some(c -> AvroFrameWrite.bloomToB64(merged))
+      } catch { case scala.util.control.NonFatal(_) => None } // incompatible: drop
+    }.toMap
+    Some(AvroFrameWrite.statsJson(frames, stats, mergedBlooms))
+  }
+
+  // ------------------------------------------------------------ clustered rewrite
+
+  case class ClusterResult(segments: Int, replacedSegments: Int)
+
+  /** Z-order clustered rewrite: re-layout ALL live segments so that
+    * rows are range-partitioned on the MORTON INTERLEAVING of the
+    * cluster columns' normalized 16-bit ranks — after it, the stats
+    * sidecars of every segment are tight on EVERY cluster column
+    * simultaneously, so a pushed filter on any one of them (or any
+    * conjunction) prunes most segments before a file is opened. The
+    * classic lakehouse data-clustering operation: a time-partitioned
+    * ingest layout answers time slices cheaply but scans everything
+    * for a user slice; after `rewriteClustered(by = user, time)` both
+    * predicates prune ~√-fashion. At 100 TB this is the difference
+    * between a full scan and touching the few shards a 2-D selective
+    * query actually needs.
+    *
+    * Mechanics: the snapshot's rows are read through the connector
+    * itself (explicit file list — atomic under concurrent appends),
+    * the z-value is a pure codegen'd bit-interleave column, and the
+    * new segments are written by the DSv2 write path into a hidden
+    * scratch subdirectory (stats sidecars for free), then published as
+    * ONE version-neutral maintenance substitution — exactly like
+    * compaction, because clustering IS compaction with a smarter
+    * order: same multiset of rows at every addressable version, so it
+    * mints no version, emits no change-feed rows, and a tailing
+    * stream's offsets survive it (unconsumed originals resolve from
+    * `_history/`).
+    *
+    * The z-value uses min/max normalization per column (from the
+    * merged sidecars when complete, else one aggregate pass): correct
+    * regardless of skew — pruning never depends on the z-value itself,
+    * only on the RECOMPUTED per-segment sidecars, so a skewed column
+    * merely clusters less evenly, never wrongly.
+    *
+    * Bucketed tables are refused: clustering would break the
+    * one-bucket-per-segment invariant the reported
+    * KeyGroupedPartitioning depends on.
+    */
+  def rewriteClustered(spark: SparkSession, dir: File, avroSchemaJson: String,
+                       schemaId: Int, by: Seq[String],
+                       targetSegments: Int): ClusterResult = {
+    import org.apache.spark.sql.functions._
+    require(by.nonEmpty && by.size <= 4, s"cluster by 1..4 columns, got $by")
+    require(targetSegments > 0, s"target_segments must be positive, got $targetSegments")
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+    if (live.isEmpty) return ClusterResult(0, 0)
+    val manifest = readManifest(dir)
+    val gen = manifest.length + 1
+
+    val sparkSchema = AvroFrames.sparkSchema(
+      new org.apache.avro.Schema.Parser().parse(avroSchemaJson))
+    by.foreach { c =>
+      require(sparkSchema.fieldNames.contains(c), s"unknown cluster column $c")
+      require(Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+          .contains(sparkSchema(c).dataType),
+        s"cluster column $c must be numeric, got ${sparkSchema(c).dataType}")
+    }
+
+    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir.getAbsolutePath)
+      .option("avroSchema", avroSchemaJson)
+      .option("schemaId", schemaId.toString)
+      .option("segmentFiles", live.map(_.getAbsolutePath).mkString("\n"))
+      .load()
+
+    // per-column bounds: merged sidecars when complete (metadata-only),
+    // else one aggregate pass over the snapshot
+    val sidecars = live.map(AvroFrameStats.read)
+    val bounds: Map[String, (Double, Double)] =
+      if (sidecars.forall(_.exists(s => by.forall(c =>
+          s._2.get(c).exists(f => f._2 != null && f._3 != null))))) {
+        val read = sidecars.flatten
+        by.map { c =>
+          val mns = read.map(_._2(c)._2).map(v => v.asInstanceOf[Number].doubleValue)
+          val mxs = read.map(_._2(c)._3).map(v => v.asInstanceOf[Number].doubleValue)
+          c -> (mns.min, mxs.max)
+        }.toMap
+      } else {
+        val exprs = by.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+        by.zipWithIndex.map { case (c, i) =>
+          c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        }.toMap
+      }
+
+    // Morton interleave of each column's 16-bit normalized rank
+    val k = by.length
+    val z = by.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = bounds(c)
+      val span = mx - mn
+      val scaled =
+        if (span <= 0 || span.isNaN) lit(0L)
+        else coalesce(
+          least(lit(65535L), greatest(lit(0L),
+            floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0).cast("long"))),
+          lit(0L))
+      (0 until 16).map { b =>
+        shiftleft(shiftright(scaled, b).bitwiseAND(lit(1L)), b * k + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+
+    // scratch subdir: dot-prefixed (invisible to listSegments and to
+    // the directory's readers) inside the table dir
+    val scratch = new File(dir, f".clustering-g$gen%05d")
+    require(!scratch.exists(), s"stale clustering scratch ${scratch.getName} — " +
+      "remove it before re-running (single maintainer per table)")
+    scratch.mkdirs()
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(targetSegments, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", scratch.getAbsolutePath)
+      .option("avroSchema", avroSchemaJson)
+      .option("schemaId", schemaId.toString)
+      .mode("append").save()
+
+    // publish: move the new segments in under substitution names that
+    // sort where the replaced run ends, retire the originals, ONE
+    // version-neutral manifest entry — the compaction contract
+    val newSegs = AvroFrames.listSegments(scratch.getAbsolutePath)
+    val publishMs = publishInstant(live, manifest)
+    val lastName = live.last.getName
+    val names = live.toVector.map(_.getName)
+    val replacedMs = names.map(n => retire(dir, n))
+    val newNames = newSegs.toVector.zipWithIndex.map { case (f, i) =>
+      val newName = f"$lastName.z$gen-$i%05d"
+      val stats = new File(scratch, f.getName + ".stats")
+      if (stats.isFile)
+        java.nio.file.Files.move(stats.toPath, new File(dir, newName + ".stats").toPath)
+      java.nio.file.Files.move(f.toPath, new File(dir, newName).toPath)
+      java.nio.file.Files.setLastModifiedTime(new File(dir, newName).toPath,
+        java.nio.file.attribute.FileTime.fromMillis(publishMs))
+      newName
+    }
+    Option(scratch.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    scratch.delete()
+    writeManifest(dir, manifest :+
+      MaintEntry("compact", publishMs, names, replacedMs, newNames, expired = false))
+    ClusterResult(newNames.length, names.length)
   }
 
   // ------------------------------------------------------------ delete
@@ -638,6 +863,86 @@ object FrameMaintenance {
     if (kept == 0L) None
     else Some(AvroFrameWrite.statsJson(kept,
       fields.map(_.name()).zip(stats)))
+  }
+
+  // ------------------------------------------------------------ analyze
+
+  case class AnalyzeResult(analyzed: Int)
+
+  /** Recompute the stats sidecars of every LIVE segment — decode once,
+    * executor-side, one task per segment; data files untouched
+    * (sidecars swap in atomically via temp+rename). Two jobs:
+    *
+    *  - repair: foreign or sidecar-less segments gain min/max/null
+    *    stats, turning on pruning, sidecar aggregates, and CBO
+    *    statistics for data the engine didn't write;
+    *  - index: with `bloomCols`, every sidecar gains Bloom payloads —
+    *    the retrofit path for tables created before the bloom config,
+    *    and the REPAIR path after maintenance rewrites (which drop
+    *    blooms conservatively).
+    *
+    * No version is minted and nothing about row content changes —
+    * sidecars are derived metadata, so this is not even a maintenance
+    * event (no manifest entry): time travel, streams and the change
+    * feed are untouched by construction. O(live bytes) decode spread
+    * across the cluster, O(segments) driver work.
+    */
+  def analyze(spark: SparkSession, dir: File, avroSchemaJson: String,
+              schemaId: Int, bloomCols: Seq[String],
+              bloomExpectedItems: Long): AnalyzeResult = {
+    val live = AvroFrames.listSegments(dir.getAbsolutePath)
+    if (live.isEmpty) return AnalyzeResult(0)
+    val dirPath = dir.getAbsolutePath
+    val names = live.toVector.map(_.getName)
+    val cols = bloomCols.toVector
+    spark.sparkContext.parallelize(names, names.length).foreach { name =>
+      val writerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+      import scala.jdk.CollectionConverters._
+      val fields = writerSchema.getFields.asScala.toVector
+      val stats = fields.map(_ => new AvroFrameWrite.FieldStats)
+      val blooms: Vector[org.apache.spark.util.sketch.BloomFilter] =
+        fields.map(f => if (cols.contains(f.name()))
+          org.apache.spark.util.sketch.BloomFilter.create(bloomExpectedItems,
+            AvroFrameWrite.BloomFpp)
+        else null)
+      var frames = 0L
+      val dec = new FrameDecoder(new File(dirPath, name).getAbsolutePath,
+        writerSchema, schemaId)
+      try {
+        var rec = dec.nextRecord()
+        while (rec != null) {
+          frames += 1
+          var i = 0
+          while (i < fields.length) {
+            val v = rec.get(i) match {
+              case null                   => null
+              case s: CharSequence        => s.toString
+              case _: java.nio.ByteBuffer => null // binary: nulls-only, like the write path
+              case other                  => other
+            }
+            stats(i).observe(v)
+            if (blooms(i) != null && v != null) v match {
+              case x: java.lang.Long    => blooms(i).putLong(x.longValue)
+              case x: java.lang.Integer => blooms(i).putLong(x.longValue)
+              case s: String            => blooms(i).putString(s)
+              case _                    => ()
+            }
+            i += 1
+          }
+          rec = dec.nextRecord()
+        }
+      } finally dec.close()
+      val bloomB64 = fields.indices.collect {
+        case i if blooms(i) != null => fields(i).name() -> AvroFrameWrite.bloomToB64(blooms(i))
+      }.toMap
+      val json = AvroFrameWrite.statsJson(frames,
+        fields.map(_.name()).zip(stats), bloomB64)
+      val tmp = new File(dirPath, s".analyzing-$name.stats")
+      java.nio.file.Files.writeString(tmp.toPath, json)
+      java.nio.file.Files.move(tmp.toPath, new File(dirPath, name + ".stats").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    AnalyzeResult(names.length)
   }
 
   // ------------------------------------------------------------ expiry

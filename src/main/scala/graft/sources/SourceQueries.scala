@@ -522,6 +522,156 @@ object SourceQueries extends QueryGroup {
       ORDER BY event_type
     """)),
 
+    // ------------------------------------------------------------ change data feed (round 14)
+    // Row-level CDC with NO stored change log: the feed is derived
+    // exactly from the event history — appends are inserts, DELETE
+    // operations contribute retired rows (metadata-deleted segments
+    // whole; rewrite survivors subtracted by a byte-exact subsequence
+    // walk over raw frames, which maintenance rewrites copy in order),
+    // compaction contributes nothing. This judged query replays the
+    // q336 GDPR fixture's feed from version 0 and must reproduce, per
+    // event_type, exactly the insert count, delete count, the SUM OF
+    // DELETED EVENT IDS and the latest deleted timestamp — an
+    // integer-exact witness that the feed names precisely the purged
+    // rows (both delete paths) and nothing else. At 100 TB an
+    // incremental consumer reads O(changed segments), never the table.
+    ("q344_change_feed_audit", (s, d) => {
+      val cat = ensureDeleteFixture(s, d)
+      val dir = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-frame-catalog-${d.replaceAll("[^A-Za-z0-9]", "_")}"),
+        "corpus/events_gdpr")
+      val schemaJson = AvroFrames.avroSchemaFor(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType, nullable = false))),
+        "events_gdpr")
+      val _ = cat // fixture side effect only; the feed reads the log directly
+      FrameChanges.read(s, dir.getAbsolutePath, schemaJson, AvroFrames.DefaultSchemaId, 0)
+        .groupBy("event_type")
+        .agg(count(when(col("_change_type") === "insert", 1)).as("n_inserts"),
+             count(when(col("_change_type") === "delete", 1)).as("n_deletes"),
+             sum(when(col("_change_type") === "delete", col("event_id"))).as("sum_deleted_ids"),
+             max(when(col("_change_type") === "delete", col("ts_us"))).as("max_deleted_ts"))
+        .orderBy("event_type")
+    }, Some(s"""
+      SELECT event_type,
+             count(*)::BIGINT AS n_inserts,
+             count(CASE WHEN epoch_us(ts::TIMESTAMP) < $DeleteCutoffUs
+                          OR user_id = $DeleteUserId THEN 1 END)::BIGINT AS n_deletes,
+             sum(CASE WHEN epoch_us(ts::TIMESTAMP) < $DeleteCutoffUs
+                        OR user_id = $DeleteUserId THEN event_id END)::BIGINT AS sum_deleted_ids,
+             max(CASE WHEN epoch_us(ts::TIMESTAMP) < $DeleteCutoffUs
+                        OR user_id = $DeleteUserId
+                      THEN epoch_us(ts::TIMESTAMP) END) AS max_deleted_ts
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ incremental materialized view (round 14)
+    // The change feed's flagship consumer: a per-user (cnt, sum) rollup
+    // maintained INCREMENTALLY — the fixture builds it, then mutates
+    // the source (retention DELETE + a late-arriving insert slice) and
+    // refreshes again; the second refresh reads ONLY the change units
+    // minted since the first (FrameChangesSpec pins the version range)
+    // and MERGEs signed deltas into the view through the engine's own
+    // row-level ops. The judged read of the VIEW must match DuckDB
+    // recomputing the final state from scratch — incremental
+    // maintenance and full recompute must be indistinguishable. At
+    // 100 TB: merging a day of deltas vs recomputing a trillion-row
+    // rollup nightly.
+    ("q345_incremental_matview", (s, d) => {
+      val cat = ensureMatViewFixture(s, d)
+      s.sql(s"""
+        SELECT user_id, cnt,
+               CAST(floor(sum_v * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_v
+        FROM $cat.corpus.user_rollup_mv
+        ORDER BY user_id
+      """)
+    }, Some(s"""
+      WITH t AS (
+        SELECT user_id, value FROM events
+        WHERE epoch_us(ts::TIMESTAMP) >= $DeleteCutoffUs
+        UNION ALL
+        SELECT user_id, value * 0.5 FROM events WHERE event_type = 'purchase')
+      SELECT user_id, count(*)::BIGINT AS cnt,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_v
+      FROM t
+      GROUP BY user_id
+      ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ z-order clustered layout (round 14)
+    // Data clustering — the layout operation that makes MULTI-column
+    // pruning real: the fixture ingests events time-sliced (the layout
+    // a stream produces: ts prunes, user_id never does), then
+    // `CALL rewrite_clustered(by => 'user_id,ts_us')` re-lays the log
+    // out z-ordered, after which the recomputed sidecars are tight on
+    // BOTH columns and this user-slice rollup prunes most segments
+    // before opening a file (FrameClusterSpec asserts pruning on each
+    // dimension separately, plus before/after hash-identity and
+    // pre-cluster time travel). The rewrite is version-neutral
+    // maintenance — same multiset of rows at every addressable
+    // version, zero change-feed rows. At 100 TB: a 2-D selective query
+    // touches O(√) of the shards instead of all of them.
+    ("q346_zorder_user_slice", (s, d) => {
+      val cat = ensureZorderFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+        FROM $cat.corpus.events_zorder
+        WHERE user_id BETWEEN 10 AND 19
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      WHERE user_id BETWEEN 10 AND 19
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ bloom-sidecar point lookup (round 14)
+    // The pruning rung min/max cannot provide: the fixture ingests
+    // events HASH-distributed on event_id (the unclustered layout a
+    // parallel backfill produces — every segment's id range spans the
+    // whole table, so range stats prune NOTHING), with write-time Bloom
+    // filters on event_id (`TBLPROPERTIES bloomColumns='event_id'`,
+    // the parquet-bloom / Iceberg-bloom pattern on the engine's own
+    // sidecars). This 8-key IN lookup then opens only the few segments
+    // whose filters might contain a key (FrameBloomSpec asserts the
+    // Segments=k/16 plan line and that the same layout WITHOUT blooms
+    // keeps all 16). At 100 TB this is a point lookup on an unclustered
+    // log costing a handful of shard opens instead of a full scan.
+    ("q347_bloom_point_lookup", (s, d) => {
+      val cat = ensureBloomFixture(s, d)
+      s.sql(s"""
+        SELECT event_id, user_id, event_type, ts_us,
+               CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS value_q
+        FROM $cat.corpus.events_bloom
+        WHERE event_id IN (3, 97, 151, 299, 402, 555, 731, 876)
+        ORDER BY event_id
+      """)
+    }, Some("""
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts::TIMESTAMP) AS ts_us,
+             floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_q
+      FROM events
+      WHERE event_id IN (3, 97, 151, 299, 402, 555, 731, 876)
+      ORDER BY event_id
+    """)),
+
     // ------------------------------------------------------------ SQL MERGE INTO (round 14)
     // The upsert statement every CDC/corrections pipeline needs, on the
     // engine's own format: matched purchases get corrected values,
@@ -794,6 +944,128 @@ object SourceQueries extends QueryGroup {
       s.sql(s"INSERT INTO $cat.corpus.events_gdpr SELECT * FROM $view")
       s.sql(s"DELETE FROM $cat.corpus.events_gdpr WHERE ts_us < ${DeleteCutoffUs}L")
       s.sql(s"DELETE FROM $cat.corpus.events_gdpr WHERE user_id = ${DeleteUserId}L")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q345: a source events table plus a per-user
+    * (cnt, sum_v) materialized rollup, refreshed TWICE — full build,
+    * then source mutation (retention DELETE + late-arriving inserts),
+    * then incremental refresh from the change feed. Idempotent via a
+    * row-count marker. The second refresh's from-version is asserted
+    * > 0: this fixture must never silently degrade to a rebuild.
+    */
+  def ensureMatViewFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_MATVIEW_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_mv")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.user_rollup_mv")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_mv (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      s.sql(s"""CREATE TABLE $cat.corpus.user_rollup_mv (
+        user_id BIGINT NOT NULL, cnt BIGINT NOT NULL, sum_v DOUBLE NOT NULL)""")
+      val view = s"graft_mv_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_mv SELECT * FROM $view")
+      FrameMatView.refresh(s, cat, "corpus.events_mv", "corpus.user_rollup_mv",
+        "user_id", "value")
+      // source mutation: retention purge + a late-arriving slice
+      s.sql(s"DELETE FROM $cat.corpus.events_mv WHERE ts_us < ${DeleteCutoffUs}L")
+      s.sql(s"""
+        INSERT INTO $cat.corpus.events_mv
+        SELECT event_id + 500000000, ts_us, user_id, 'late', value * 0.5
+        FROM $view WHERE event_type = 'purchase'
+      """)
+      val r = FrameMatView.refresh(s, cat, "corpus.events_mv", "corpus.user_rollup_mv",
+        "user_id", "value")
+      require(r.fromVersion > 0 && r.toVersion > r.fromVersion,
+        s"second refresh must be incremental, got $r")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q346: events ingested time-sliced (16
+    * ts-range segments), then z-order-rewritten on (user_id, ts_us)
+    * through the stored procedure. Idempotent via a row-count marker.
+    */
+  def ensureZorderFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_ZORDER_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_zorder")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_zorder (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_zorder_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(16, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_zorder SELECT * FROM $view")
+      s.sql(s"CALL $cat.corpus.rewrite_clustered(table => 'corpus.events_zorder', " +
+        s"by => 'user_id,ts_us', target_segments => 16)")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q347: events HASH-distributed on event_id
+    * into 16 segments (min/max spans everything — the layout where
+    * only blooms can prune), written with Bloom filters on event_id.
+    * Idempotent via a row-count marker.
+    */
+  def ensureBloomFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_BLOOM_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_bloom")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_bloom (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        TBLPROPERTIES ('bloomColumns'='event_id', 'bloomExpectedItems'='100000')""")
+      val view = s"graft_bloom_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(16, col("event_id"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_bloom SELECT * FROM $view")
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat

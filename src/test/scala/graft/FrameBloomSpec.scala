@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AvroFrames, AvroFrameStats}
+
+/** Write-time Bloom filter sidecars ([[graft.sources.AvroFrameWrite]] /
+  * [[AvroFrameStats.prune]]): point-lookup segment pruning on
+  * high-cardinality columns whose min/max spans every segment — the
+  * parquet-bloom / Iceberg-bloom pattern on the engine's own format.
+  */
+class FrameBloomSpec extends AnyFunSuite with SparkFixture {
+
+  private val schemaJson = AvroFrames.avroSchemaFor(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, nullable = false))),
+    "t")
+
+  /** 4096 rows hash-distributed on id into 16 segments: every segment's
+    * id range spans ~the whole table, so min/max never prunes.
+    */
+  private def writeHashLayout(dir: String, bloom: Boolean): Unit = {
+    val w = spark.range(0, 4096)
+      .selectExpr("id", "CONCAT('tag', id) AS tag", "CAST(id AS DOUBLE) AS v")
+      .repartition(16, col("id"))
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir)
+      .option("avroSchema", schemaJson)
+    (if (bloom) w.option("bloomColumns", "id,tag").option("bloomExpectedItems", "5000")
+     else w).mode("append").save()
+  }
+
+  private def readBack(dir: String): DataFrame =
+    spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", schemaJson).load()
+
+  private def segmentsPlanned(q: DataFrame): (Int, Int) = {
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "Segments=(\\d+)/(\\d+) after stat-pruning".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no AvroFrameScan segment count in plan:\n$desc")
+    (m.get.group(1).toInt, m.get.group(2).toInt)
+  }
+
+  test("bloom sidecars prune point lookups that min/max cannot") {
+    val withB = Files.createTempDirectory("bloom-on").toString
+    val without = Files.createTempDirectory("bloom-off").toString
+    writeHashLayout(withB, bloom = true)
+    writeHashLayout(without, bloom = false)
+
+    // sidecars carry the payloads only when asked
+    val seg = AvroFrames.listSegments(withB).head
+    val full = AvroFrameStats.readFull(seg).get
+    assert(full._3.keySet == Set("id", "tag"), s"bloom payloads: ${full._3.keySet}")
+    assert(AvroFrameStats.readFull(AvroFrames.listSegments(without).head).get._3.isEmpty)
+
+    // without blooms the hash layout cannot prune an equality
+    val (k0, n0) = segmentsPlanned(readBack(without).filter(col("id") === 1234L))
+    assert(k0 == n0 && n0 == 16, s"min/max must not prune the hash layout: $k0/$n0")
+
+    // with blooms the same lookup opens ~1 segment (fpp 1% on 15 others)
+    val q1 = readBack(withB).filter(col("id") === 1234L)
+    val (k1, n1) = segmentsPlanned(q1)
+    assert(n1 == 16 && k1 <= 3, s"bloom lookup kept $k1/$n1, expected <= 3")
+    assert(q1.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+
+    // string column too
+    val qs = readBack(withB).filter(col("tag") === "tag77")
+    val (ks, _) = segmentsPlanned(qs)
+    assert(ks <= 3, s"string bloom kept $ks/16")
+    assert(qs.collect().map(_.getLong(0)).toSeq == Seq(77L))
+
+    // IN-list: union of per-key segments, still far under 16
+    val qin = readBack(withB).filter(col("id").isin(5L, 500L, 2500L, 4000L))
+    val (kin, _) = segmentsPlanned(qin)
+    assert(kin <= 8, s"IN bloom kept $kin/16")
+    assert(qin.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 500L, 2500L, 4000L))
+
+    // absent key: in-range for min/max, pruned (near-)everywhere by blooms
+    val qmiss = readBack(withB).filter(col("id") === 99999999L + 0L)
+    val inRange = readBack(withB).filter(col("id") === 2000L)
+    assert(segmentsPlanned(inRange)._1 >= 1)
+    val qmiss2 = readBack(withB).filter(col("id") === 1235L * -1L)
+    assert(segmentsPlanned(qmiss2)._1 <= 2 && qmiss2.count() == 0)
+    val _ = qmiss // silence
+  }
+
+  test("compaction merges blooms (fixed-size OR) and lookups keep pruning") {
+    val dir = Files.createTempDirectory("bloom-compact").toString
+    writeHashLayout(dir, bloom = true)
+    val res = graft.sources.FrameMaintenance.compact(spark, new java.io.File(dir),
+      targetBytes = AvroFrames.listSegments(dir).map(_.length()).sum / 4 + 1)
+    assert(res.bins >= 3, s"expected ~4 bins, got $res")
+
+    // merged sidecars still carry blooms
+    val segs = AvroFrames.listSegments(dir)
+    assert(segs.forall(s => AvroFrameStats.readFull(s).get._3.keySet == Set("id", "tag")),
+      "compacted sidecars must keep merged blooms")
+
+    val q = readBack(dir).filter(col("id") === 1234L)
+    val (k, n) = segmentsPlanned(q)
+    assert(k < n, s"post-compaction bloom lookup kept $k/$n")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+  }
+
+  test("CALL analyze retrofits blooms onto a bloom-less table and repairs lost sidecars") {
+    val base = Files.createTempDirectory("bloom-analyze").toString
+    val cat = "fbloom_an"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    // created WITHOUT bloom config — the retrofit case
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 2000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .repartition(8, col("id")).createOrReplaceTempView("bloom_an_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM bloom_an_src")
+
+    def lookup(): DataFrame = spark.sql(s"SELECT v FROM $cat.corpus.t WHERE id = 777")
+    assert(segmentsPlanned(lookup())._1 == 8, "hash layout without blooms keeps all")
+
+    val summary = spark.sql(s"CALL $cat.corpus.analyze(table => 'corpus.t', " +
+      "bloom_columns => 'id', bloom_expected_items => 5000L)").collect()(0)
+    assert(summary.getInt(0) == 8, s"expected 8 analyzed segments, got $summary")
+    val (k, n) = segmentsPlanned(lookup())
+    assert(n == 8 && k <= 2, s"post-analyze lookup kept $k/$n")
+    assert(lookup().collect().map(_.getDouble(0)).toSeq == Seq(777.0))
+
+    // sidecar destroyed (foreign segment) -> analyze repairs it, stats AND bloom
+    val dir = new java.io.File(base, "corpus/t")
+    val seg = AvroFrames.listSegments(dir.getAbsolutePath).head
+    assert(new java.io.File(dir, seg.getName + ".stats").delete())
+    val statsBefore = AvroFrameStats.readFull(seg)
+    assert(statsBefore.isEmpty)
+    spark.sql(s"CALL $cat.corpus.analyze(table => 'corpus.t', bloom_columns => 'id', " +
+      "bloom_expected_items => 5000L)").collect()
+    val repaired = AvroFrameStats.readFull(seg)
+    assert(repaired.exists(r => r._1 > 0 && r._3.contains("id")),
+      s"analyze must rebuild the sidecar: $repaired")
+    // frame counts agree with a real read (the LIMIT/agg proofs depend on it)
+    assert(AvroFrames.listSegments(dir.getAbsolutePath)
+      .flatMap(AvroFrameStats.read).map(_._1).sum == 2000L)
+
+    // values still exact end-to-end
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.corpus.t").collect()(0)
+      .toSeq == Seq(2000L, (0L until 2000L).sum))
+  }
+
+  test("catalog: TBLPROPERTIES bloom config round-trips and inserts build filters") {
+    val base = Files.createTempDirectory("bloom-cat").toString
+    val cat = "fbloom_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)
+      TBLPROPERTIES ('bloomColumns'='id', 'bloomExpectedItems'='5000')""")
+    spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .repartition(8, col("id")).createOrReplaceTempView("bloom_cat_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM bloom_cat_src")
+
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.corpus.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Table Properties").exists(_.contains("bloomColumns=id")),
+      s"DESCRIBE must surface the bloom config: $desc")
+
+    val q = spark.sql(s"SELECT v FROM $cat.corpus.t WHERE id = 421")
+    val (k, n) = segmentsPlanned(q)
+    assert(n == 8 && k <= 2, s"catalog bloom lookup kept $k/$n")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(421.0))
+
+    // bad config fails at CREATE, not first INSERT
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.corpus.bad (id BIGINT NOT NULL, v DOUBLE NOT NULL)
+        TBLPROPERTIES ('bloomColumns'='v')""")
+    }
+    assert(e.getMessage.contains("INT/BIGINT/STRING"))
+  }
+}
