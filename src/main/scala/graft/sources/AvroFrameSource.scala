@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataC
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal => VLiteral, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -135,7 +136,7 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
       org.apache.spark.sql.SparkSession.active, dir,
       options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
-      real)
+      real, options.get("avroSchemaHistory"))
   }
 
   override def truncateTable(): Boolean = { FrameMaintenance.deleteAll(
@@ -199,13 +200,14 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
                            onPlanned: Array[java.io.File] => Unit = _ => (),
                            filtersPruneOnly: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pruneOnly: Array[Filter] = Array.empty
   private var aggs: Option[Seq[FrameAgg]] = None
   private var limit: Int = 0 // 0 = no pushed limit
+  private var topN: Option[FrameTopN] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // once an aggregation is pushed the scan's output IS the aggregate
@@ -262,6 +264,38 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
     if (aggs.isDefined || l <= 0) false
     else { limit = l; true }
 
+  /** ORDER BY … LIMIT n: each reader keeps only its n best rows in a
+    * bounded heap, so a global top-n over a million-segment log ships
+    * n rows PER SPLIT across the scan boundary instead of every row —
+    * Spark's TakeOrderedAndProject merges. Partial by contract
+    * (isPartiallyPushed), so correctness never depends on the heap.
+    * Accepted for sort keys that are top-level orderable primitives;
+    * declined under a pushed aggregate (the aggregate IS the output).
+    */
+  override def pushTopN(orders: Array[VSortOrder], l: Int): Boolean = {
+    if (aggs.isDefined || l <= 0 || filtersPruneOnly) return false
+    val keys = orders.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(nr.fieldNames()(0)) &&
+            (fullSchema(nr.fieldNames()(0)).dataType match {
+              case _: StringType | _: IntegerType | _: LongType | _: FloatType |
+                   _: DoubleType | _: BooleanType => true
+              case _ => false
+            }) =>
+          Some(FrameSortKey(nr.fieldNames()(0),
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) return false
+    topN = Some(FrameTopN(keys.flatten.toSeq, l))
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   // the scan's segment universe: an explicit snapshot file list (time
   // travel through maintenance history) or the live directory listing
   private lazy val universe: Array[java.io.File] =
@@ -278,13 +312,14 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
         .getOrElse(AvroFrames.DefaultSchemaId),
       required, pushed,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(0),
-      aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit,
+      aggs, aggs.isDefined && pushed.isEmpty && allSidecars, limit, topN,
       FrameAsOf(Option(options.get("asOfSegments")).map(_.toInt),
         Option(options.get("asOfTimestampMs")).map(_.toLong)),
       AvroFrames.explicitFiles(options).map(_.map(_.getAbsolutePath)),
       for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
         yield (k, n.toInt),
-      onPlanned, pruneOnly)
+      onPlanned, pruneOnly,
+      options.get("avroSchemaHistory"))
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -308,11 +343,13 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     aggs: Option[Seq[FrameAgg]] = None,
                     aggComplete: Boolean = false,
                     limit: Int = 0,
+                    topN: Option[FrameTopN] = None,
                     asOf: FrameAsOf = FrameAsOf(None, None),
                     explicitFiles: Option[Array[String]] = None,
                     bucketSpec: Option[(String, Int)] = None,
                     onPlanned: Array[java.io.File] => Unit = _ => (),
-                    pruneOnly: Array[Filter] = Array.empty)
+                    pruneOnly: Array[Filter] = Array.empty,
+                    historyJson: String = null)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   require(path != null, "option `path` is required")
@@ -345,6 +382,20 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     runtime = runtime ++ predicates.flatMap(AvroFrames.v2ToV1)
 
   private def pruneFilters: Array[Filter] = pushed ++ runtime ++ pruneOnly
+
+  // last planning outcome, for reportDriverMetrics (planInputPartitions
+  // always runs before Spark collects driver metrics)
+  @volatile private var lastPlanned: Int = -1
+  @volatile private var lastUniverse: Int = -1
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FrameScanMetrics.SegmentsPlanned, new FrameScanMetrics.SegmentsPruned,
+      new FrameScanMetrics.FramesEmitted, new FrameScanMetrics.FramesMalformed)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    if (lastPlanned < 0) Array.empty
+    else Array(FrameScanMetrics.Value("segments_planned", lastPlanned.toLong),
+      FrameScanMetrics.Value("segments_pruned", (lastUniverse - lastPlanned).toLong))
 
   /** Runtime filters on the `_segment` metadata column prune by FILE
     * NAME, not by sidecar stats (the sidecar has no such field) — the
@@ -493,6 +544,9 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       aggs.map(s => s"PushedAggregates=${s.mkString("[", ", ", "]")} " +
         s"(${if (aggComplete) "complete, sidecar-only" else "partial, per-segment"}), ").getOrElse("") +
       (if (limit > 0) s"PushedLimit=$limit, " else "") +
+      topN.map(t => s"PushedTopN=${t.keys.map(k =>
+        k.col + (if (k.asc) " ASC" else " DESC")).mkString("[", ",", "]")} LIMIT ${t.limit}, ")
+        .getOrElse("") +
       (if (runtime.nonEmpty) s"RuntimeFilters=${runtime.mkString("[", ", ", "]")}, " else "") +
       s"Segments=${kept.length}/${all.length} after stat-pruning"
   }
@@ -544,13 +598,16 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       // one split carrying the full surviving segment list: the reader
       // combines sidecars executor-side and emits THE final row —
       // sidecar reads are O(bytes of metadata), no segment is opened
-      Array(AvroFrameAggPartition(plannedSegments().map(_.getAbsolutePath).toSeq))
+      val segs = plannedSegments()
+      lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
+      Array(AvroFrameAggPartition(segs.map(_.getAbsolutePath).toSeq))
     case Some(_) =>
       // partial: one split per segment, each emitting exactly one
       // partial row (Spark's final aggregate merges). A split is
       // planned even when everything pruned away: the rewritten
       // count = SUM(partial counts) must see a 0, not an empty input.
       val segs = plannedSegments()
+      lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
       if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
       else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath)): InputPartition)
     case None => bucketedRead match {
@@ -559,6 +616,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
         // a storage-partitioned join must report identical values);
         // stat-pruned segments just drop out of their bucket's file list
         val segs = plannedSegments()
+        lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
         onPlanned(segs)
         val byBucket = segs.groupBy(f => AvroFrames.bucketOf(f.getName).get)
         (0 until n).map(b => AvroFrameBucketPartition(
@@ -566,6 +624,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
           : InputPartition).toArray
       case None =>
         val segs = plannedSegments()
+        lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
         onPlanned(segs)
         segs.map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
     }
@@ -573,11 +632,11 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroFrameReaderFactory(avroSchemaJson, schemaId,
-      required.fieldNames, pushed, aggs, limit)
+      required.fieldNames, pushed, aggs, limit, historyJson, topN)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AvroFrameMicroBatchStream(path, avroSchemaJson, schemaId,
-      required.fieldNames, pushed, maxSegmentsPerTrigger)
+      required.fieldNames, pushed, maxSegmentsPerTrigger, historyJson)
 }
 
 case class AvroFramePartition(file: String) extends InputPartition
@@ -693,7 +752,8 @@ case class SegmentOffset(segments: Int) extends Offset {
   */
 class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
                                 schemaId: Int, requiredCols: Array[String],
-                                pushed: Array[Filter], maxSegmentsPerTrigger: Int)
+                                pushed: Array[Filter], maxSegmentsPerTrigger: Int,
+                                historyJson: String = null)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def dir = new java.io.File(path)
@@ -761,7 +821,8 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroFrameReaderFactory(avroSchemaJson, schemaId, requiredCols, pushed)
+    new AvroFrameReaderFactory(avroSchemaJson, schemaId, requiredCols, pushed,
+      historyJson = historyJson)
 
   override def commit(end: Offset): Unit = () // offset log is the source of truth
   override def stop(): Unit = ()
@@ -769,17 +830,139 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
 
 class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
                              requiredCols: Array[String], pushed: Array[Filter],
-                             aggs: Option[Seq[FrameAgg]] = None, limit: Int = 0)
+                             aggs: Option[Seq[FrameAgg]] = None, limit: Int = 0,
+                             historyJson: String = null,
+                             topN: Option[FrameTopN] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case AvroFrameAggPartition(files) =>
-        new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed)
+        new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed, historyJson)
       case AvroFramePartition(file) =>
-        new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed, limit)
+        wrapTopN(new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed,
+          limit, historyJson))
       case AvroFrameBucketPartition(files, _) =>
-        new AvroFrameMultiReader(files, avroSchemaJson, schemaId, requiredCols, pushed, limit)
+        wrapTopN(new AvroFrameMultiReader(files, avroSchemaJson, schemaId, requiredCols,
+          pushed, limit, historyJson))
     }
+
+  /** Bounded-heap decoration of a row reader for a pushed TopN. */
+  private def wrapTopN(inner: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+    topN match {
+      case Some(t) => new FrameTopNReader(inner, t, requiredCols,
+        AvroFrames.sparkSchema(new Schema.Parser().parse(avroSchemaJson)))
+      case None    => inner
+    }
+}
+
+/** Scan observability (round 14): DSv2 custom metrics surfaced in the
+  * Spark UI's SQL tab per scan node — the operational counters a log
+  * reader needs: how many segments the planner kept vs pruned
+  * (driver-side), and how many frames each task emitted vs skipped as
+  * malformed (task-side, summed). Names match between
+  * [[AvroFrameScan.supportedCustomMetrics]] and the reported values.
+  */
+object FrameScanMetrics {
+  class SegmentsPlanned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "segments_planned"
+    override def description(): String = "segments planned after stat/bloom pruning"
+  }
+  class SegmentsPruned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "segments_pruned"
+    override def description(): String = "segments pruned by sidecar stats/blooms"
+  }
+  class FramesEmitted extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "frames_emitted"
+    override def description(): String = "frames decoded and emitted as rows"
+  }
+  class FramesMalformed extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "frames_malformed"
+    override def description(): String = "malformed frames skipped (bad magic/id/body)"
+  }
+  case class Value(metricName: String, v: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = v
+  }
+}
+
+/** One sort key of a pushed TopN: column, direction, null placement. */
+case class FrameSortKey(col: String, asc: Boolean, nullsFirst: Boolean)
+case class FrameTopN(keys: Seq[FrameSortKey], limit: Int)
+
+/** Keeps only the `limit` best rows of the wrapped reader in a bounded
+  * heap (worst-on-top), then replays them. Sort keys are read from the
+  * MATERIALIZED row (Spark guarantees the required columns include the
+  * order-by columns when it pushes a partial TopN), compared in
+  * Catalyst value form. Memory is O(limit) per split by construction.
+  */
+class FrameTopNReader(inner: PartitionReader[InternalRow], topN: FrameTopN,
+                      requiredCols: Array[String], tableSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val keyIdx: Array[Int] = topN.keys.map(k => requiredCols.indexOf(k.col)).toArray
+  require(keyIdx.forall(_ >= 0),
+    s"pushed TopN keys ${topN.keys.map(_.col)} must be in the read schema " +
+      requiredCols.mkString("[", ",", "]"))
+
+  /** Total order on rows per the pushed keys; rows compare EQUAL past
+    * the keys (any of them may be kept — Spark's final sort decides).
+    */
+  private val cmp = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      var i = 0
+      while (i < keyIdx.length) {
+        val k = topN.keys(i)
+        val t = tableSchema.find(_.name == k.col)
+          .map(_.dataType).getOrElse(StringType)
+        val an = a.isNullAt(keyIdx(i)); val bn = b.isNullAt(keyIdx(i))
+        val c =
+          if (an && bn) 0
+          else if (an) { if (k.nullsFirst) -1 else 1 }
+          else if (bn) { if (k.nullsFirst) 1 else -1 }
+          else {
+            val raw = t match {
+              case _: IntegerType => Integer.compare(a.getInt(keyIdx(i)), b.getInt(keyIdx(i)))
+              case _: LongType    => java.lang.Long.compare(a.getLong(keyIdx(i)), b.getLong(keyIdx(i)))
+              case _: FloatType   => java.lang.Float.compare(a.getFloat(keyIdx(i)), b.getFloat(keyIdx(i)))
+              case _: DoubleType  => java.lang.Double.compare(a.getDouble(keyIdx(i)), b.getDouble(keyIdx(i)))
+              case _: BooleanType => java.lang.Boolean.compare(a.getBoolean(keyIdx(i)), b.getBoolean(keyIdx(i)))
+              case _              => a.getUTF8String(keyIdx(i)).compareTo(b.getUTF8String(keyIdx(i)))
+            }
+            if (k.asc) raw else -raw
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  private var replay: java.util.Iterator[InternalRow] = null
+  private var current: InternalRow = null
+
+  private def fill(): Unit = {
+    // worst-first heap: peek is the weakest kept row
+    val heap = new java.util.PriorityQueue[InternalRow](
+      math.max(1, topN.limit), cmp.reversed())
+    while (inner.next()) {
+      val row = inner.get().copy() // readers reuse row buffers
+      if (heap.size < topN.limit) heap.add(row)
+      else if (cmp.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row) }
+    }
+    replay = heap.iterator()
+  }
+
+  override def next(): Boolean = {
+    if (replay == null) fill()
+    if (replay.hasNext) { current = replay.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** Chained reader over one bucket's segment files (in log order) — the
@@ -788,11 +971,13 @@ class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
   */
 class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
                            schemaId: Int, requiredCols: Array[String],
-                           pushed: Array[Filter], limit: Int = 0)
+                           pushed: Array[Filter], limit: Int = 0,
+                           historyJson: String = null)
     extends PartitionReader[InternalRow] {
   private var idx = 0
   private var cur: AvroFrameReader = null
   private var emitted = 0L
+  private var closedMalformed = 0L
 
   override def next(): Boolean = {
     if (limit > 0 && emitted >= limit) return false
@@ -800,10 +985,11 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
       if (cur == null) {
         if (idx >= files.length) return false
         cur = new AvroFrameReader(files(idx), avroSchemaJson, schemaId,
-          requiredCols, pushed, 0)
+          requiredCols, pushed, 0, historyJson)
         idx += 1
       }
       if (cur.next()) { emitted += 1; return true }
+      closedMalformed += cur.malformed
       cur.close(); cur = null
     }
     false
@@ -811,15 +997,37 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
 
   override def get(): InternalRow = cur.get()
   override def close(): Unit = if (cur != null) cur.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FrameScanMetrics.Value("frames_emitted", emitted),
+      FrameScanMetrics.Value("frames_malformed",
+        closedMalformed + (if (cur != null) cur.malformed else 0L)))
 }
 
 /** Sequential decoder over one segment file: streams length-prefixed
-  * frames, decodes each body with one reused GenericDatumReader /
-  * decoder, counts-and-skips malformed frames. Shared by the row
-  * reader and the pushed-aggregation reader.
+  * frames, decodes each body with a reused per-schema-id
+  * GenericDatumReader / decoder, counts-and-skips malformed frames.
+  * Shared by the row reader and the pushed-aggregation reader.
+  *
+  * Multi-schema (round 14, schema evolution): `schemas` is the
+  * registry — embedded id → writer schema — and every frame resolves
+  * against ONE reader schema (the table's latest): Avro schema
+  * resolution fills fields the writer lacked with their declared
+  * defaults (ADD COLUMN ⇒ nullable ⇒ null), so a log whose frames
+  * span schema versions reads as one uniform relation, exactly the
+  * Confluent registry consume path (reference `Processor.java:128-130`
+  * id-lookup semantics). Unknown ids stay malformed-skip.
   */
-class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
-  private val datumReader = new GenericDatumReader[GenericRecord](writerSchema)
+class FrameDecoder(file: String, readerSchema: Schema, schemas: Map[Int, Schema]) {
+
+  /** Single-schema convenience: writer == reader, one known id. */
+  def this(file: String, writerSchema: Schema, schemaId: Int) =
+    this(file, writerSchema, Map(schemaId -> writerSchema))
+
+  private val readers: Map[Int, GenericDatumReader[GenericRecord]] =
+    schemas.map { case (id, w) =>
+      id -> new GenericDatumReader[GenericRecord](w, readerSchema)
+    }
   private val in = new java.io.DataInputStream(
     new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
   private var record: GenericRecord = null
@@ -870,12 +1078,15 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
     } else {
       val id = ((frame(1) & 0xff) << 24) | ((frame(2) & 0xff) << 16) |
                ((frame(3) & 0xff) << 8) | (frame(4) & 0xff)
-      if (id != schemaId) { malformed += 1; null }
-      else try {
-        decoder = DecoderFactory.get().binaryDecoder(frame, 5, frame.length - 5, decoder)
-        record = datumReader.read(record, decoder)
-        record
-      } catch { case scala.util.control.NonFatal(_) => malformed += 1; null }
+      readers.get(id) match {
+        case None => malformed += 1; null
+        case Some(r) =>
+          try {
+            decoder = DecoderFactory.get().binaryDecoder(frame, 5, frame.length - 5, decoder)
+            record = r.read(record, decoder)
+            record
+          } catch { case scala.util.control.NonFatal(_) => malformed += 1; null }
+      }
     }
 
   def close(): Unit = in.close()
@@ -890,13 +1101,17 @@ class FrameDecoder(file: String, writerSchema: Schema, schemaId: Int) {
   */
 class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
                       requiredCols: Array[String], pushed: Array[Filter],
-                      limit: Int = 0)
+                      limit: Int = 0, historyJson: String = null)
     extends PartitionReader[InternalRow] {
 
-  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
-  private val dec = new FrameDecoder(file, writerSchema, schemaId)
+  // the table's CURRENT schema is the reader schema; frames written
+  // under earlier schema versions resolve against it (missing fields
+  // take their declared null defaults — the ADD COLUMN contract)
+  private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val dec = new FrameDecoder(file, readerSchema,
+    AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
   private val fieldPos: Map[String, Int] =
-    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+    readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
   // metadata columns materialize from the reader's own state, not the
   // decoded record — encoded as negative positions
   private val MetaSeg = -1
@@ -907,7 +1122,7 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
     case c                         => fieldPos(c)
   }
   private val requiredTypes: Array[DataType] = {
-    val spark = AvroFrames.sparkSchema(writerSchema)
+    val spark = AvroFrames.sparkSchema(readerSchema)
     requiredCols.map {
       case AvroFrames.SegmentMetaCol => StringType
       case AvroFrames.OffsetMetaCol  => LongType
@@ -948,6 +1163,10 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
 
   override def get(): InternalRow = current
   override def close(): Unit = dec.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FrameScanMetrics.Value("frames_emitted", emitted),
+      FrameScanMetrics.Value("frames_malformed", dec.malformed))
 }
 
 /** Reader for a pushed-aggregation split: emits EXACTLY ONE row — the
@@ -960,12 +1179,12 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   */
 class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
                          schemaId: Int, aggs: Seq[FrameAgg],
-                         pushed: Array[Filter])
+                         pushed: Array[Filter], historyJson: String = null)
     extends PartitionReader[InternalRow] {
 
-  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
   private val fieldPos: Map[String, Int] =
-    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+    readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
   private var done = false
   var decodedSegments: Long = 0L // visible to SourcesSpec
 
@@ -1021,7 +1240,8 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
       case FrameMax(c, _)   => fieldPos(c)
       case FrameCountStar   => -1
     }.toArray
-    val dec = new FrameDecoder(file, writerSchema, schemaId)
+    val dec = new FrameDecoder(file, readerSchema,
+      AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
     try {
       var rec = dec.nextRecord()
       while (rec != null) {
@@ -1139,6 +1359,53 @@ object AvroFrames {
     val json = options.get("avroSchema")
     require(json != null, "option `avroSchema` (writer schema JSON) is required")
     new Schema.Parser().parse(json)
+  }
+
+  /** The log's schema registry: embedded id → writer schema, parsed
+    * from the `avroSchemaHistory` option (JSON array of
+    * `{"id":n,"schema":"<avro json>"}` — written by the catalog after
+    * ALTER TABLE ADD COLUMNS). Null/absent history = the single
+    * current (schemaId → avroSchema) entry; the current entry is
+    * always ensured present.
+    */
+  def schemaHistory(avroSchemaJson: String, schemaId: Int,
+                    historyJson: String): Map[Int, Schema] = {
+    val latest = new Schema.Parser().parse(avroSchemaJson)
+    val base = Map(schemaId -> latest)
+    if (historyJson == null || historyJson.isEmpty) return base
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(historyJson)
+    import com.fasterxml.jackson.core.JsonToken._
+    val out = scala.collection.mutable.Map.empty[Int, Schema]
+    p.nextToken() // [
+    while (p.nextToken() != END_ARRAY) { // { per entry
+      var id = -1; var schema: String = null
+      while (p.nextToken() != END_OBJECT) {
+        p.currentName() match {
+          case "id"     => p.nextToken(); id = p.getIntValue
+          case "schema" => p.nextToken(); schema = p.getText
+          case _        => p.nextToken()
+        }
+      }
+      if (id >= 0 && schema != null) out(id) = new Schema.Parser().parse(schema)
+    }
+    out.toMap ++ base
+  }
+
+  /** Serialize a schema history for the `avroSchemaHistory` option /
+    * descriptor (inverse of [[schemaHistory]]).
+    */
+  def historyJson(entries: Seq[(Int, String)]): String = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartArray()
+    entries.foreach { case (id, schema) =>
+      gen.writeStartObject()
+      gen.writeNumberField("id", id)
+      gen.writeStringField("schema", schema)
+      gen.writeEndObject()
+    }
+    gen.writeEndArray(); gen.close()
+    sw.toString
   }
 
   /** Avro→Spark type mapping for the supported subset: primitives plus

@@ -191,7 +191,8 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
           Array.empty
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-            info.queryId(), doTruncate, overwriteFilters, bloomSpec)
+            info.queryId(), doTruncate, overwriteFilters, bloomSpec,
+            opt("avroSchemaHistory"))
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
@@ -201,7 +202,8 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
     case None => new Write {
       override def toBatch: BatchWrite =
         new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
-          info.queryId(), doTruncate, overwriteFilters, bloomSpec)
+          info.queryId(), doTruncate, overwriteFilters, bloomSpec,
+          opt("avroSchemaHistory"))
 
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // the log is append-only: complete/update output modes would need
@@ -228,7 +230,8 @@ case class BloomSpec(cols: Array[String], expectedItems: Long) extends Serializa
 class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
                           queryId: String, truncate: Boolean,
                           overwriteFilters: Array[Filter] = Array.empty,
-                          bloom: Option[BloomSpec] = None) extends BatchWrite {
+                          bloom: Option[BloomSpec] = None,
+                          historyJson: String = null) extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -267,7 +270,7 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // driver commit
     if (overwriteFilters.nonEmpty)
       FrameMaintenance.deleteWhere(org.apache.spark.sql.SparkSession.active,
-        dir, avroSchemaJson, schemaId, overwriteFilters)
+        dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
     // one publish instant for the whole job: TIMESTAMP AS OF cuts on
     // segment mtime, and POSIX rename PRESERVES the temp file's mtime
     // (task write time) — without restamping, a timestamp falling

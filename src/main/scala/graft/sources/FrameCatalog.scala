@@ -186,6 +186,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         .getOrElse(Map.empty) ++
       d.bloomColumns.map(c => Map("bloomColumns" -> c)).getOrElse(Map.empty) ++
       d.bloomExpectedItems.map(n => Map("bloomExpectedItems" -> n.toString)).getOrElse(Map.empty) ++
+      d.historyJson.map(h => Map("avroSchemaHistory" -> h)).getOrElse(Map.empty) ++
       asOf).asJava)
     new AvroFrameTable(
       AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(d.avroSchema)), opts)
@@ -249,14 +250,52 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE ${ident.namespace.mkString(".")}.${ident.name}: frame table " +
-        "schemas are immutable — the Avro writer schema in " +
-        s"${new File(tableDir(ident), TableDescriptor).getAbsolutePath} is the wire " +
-        "contract every already-written frame was encoded with. Create a new table " +
-        "with the desired schema and INSERT INTO it from this one (CTAS works), " +
-        "then RENAME")
+  /** Schema evolution — `ALTER TABLE … ADD COLUMNS (c TYPE, …)`, the
+    * one change an immutable wire format can honor exactly: already-
+    * written frames keep their original schema version (the embedded
+    * Confluent id IS the version pointer), the descriptor appends a
+    * NEW registry entry (id = max + 1) whose schema is the old one
+    * plus the nullable new fields, and every reader resolves each
+    * frame's writer schema against the CURRENT schema — old frames
+    * surface the new columns as NULL (Avro default-value resolution),
+    * new writes encode them under the new id. Nothing is rewritten:
+    * ADD COLUMNS is O(descriptor). Everything else (drop/rename/
+    * retype — changes that would re-interpret existing bytes) stays
+    * rejected with the CTAS guidance.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.length != changes.length)
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE ${ident.namespace.mkString(".")}.${ident.name}: frame tables " +
+          "support ADD COLUMNS only (nullable, top-level) — the Avro writer schema in " +
+          s"${new File(tableDir(ident), TableDescriptor).getAbsolutePath} is the wire " +
+          "contract every already-written frame was encoded with; for any other " +
+          "change, create a new table with the desired schema and INSERT INTO it " +
+          "from this one (CTAS works), then RENAME")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val d = readDescriptor(new File(dir, TableDescriptor))
+    val current = AvroFrames.sparkSchema(
+      new org.apache.avro.Schema.Parser().parse(d.avroSchema))
+    val newFields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"ADD COLUMNS supports top-level columns only, got ${a.fieldNames.mkString(".")}")
+      val name = a.fieldNames()(0)
+      require(!current.fieldNames.contains(name), s"column $name already exists")
+      require(a.isNullable,
+        s"ADD COLUMNS $name: new columns must be nullable — frames written before " +
+          "the change carry no value for them (they read as NULL)")
+      org.apache.spark.sql.types.StructField(name, a.dataType(), nullable = true)
+    }
+    val evolved = StructType(current.fields ++ newFields)
+    val newSchema = AvroFrames.avroSchemaFor(evolved, ident.name)
+    val newId = (d.history.map(_._1) :+ d.schemaId).max + 1
+    writeDescriptor(new File(dir, TableDescriptor),
+      d.copy(avroSchema = newSchema, schemaId = newId,
+        history = d.history :+ ((newId, newSchema))))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -321,13 +360,22 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   // ------------------------------------------------------------ descriptor io
 
-  /** The `_table.json` contents: wire schema + id, optional bucket
-    * layout, optional write-time Bloom filter config.
+  /** The `_table.json` contents: CURRENT wire schema + id, the full
+    * schema-version history (id → schema, the table's private
+    * registry — populated past one entry by ALTER TABLE ADD COLUMNS),
+    * optional bucket layout, optional write-time Bloom filter config.
     */
   private[sources] case class Descriptor(avroSchema: String, schemaId: Int,
                                          bucket: Option[(String, Int)],
                                          bloomColumns: Option[String],
-                                         bloomExpectedItems: Option[Long])
+                                         bloomExpectedItems: Option[Long],
+                                         history: Vector[(Int, String)] = Vector.empty) {
+    /** History option value for readers/writers; None when the table
+      * has a single schema version (zero plumbing overhead).
+      */
+    def historyJson: Option[String] =
+      if (history.length <= 1) None else Some(AvroFrames.historyJson(history))
+  }
 
   private def writeDescriptor(f: File, d: Descriptor): Unit = {
     val sw = new java.io.StringWriter()
@@ -341,8 +389,22 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     d.bloomColumns.foreach(gen.writeStringField("bloomColumns", _))
     d.bloomExpectedItems.foreach(gen.writeNumberField("bloomExpectedItems", _))
+    if (d.history.length > 1) {
+      gen.writeArrayFieldStart("schemas")
+      d.history.foreach { case (id, schema) =>
+        gen.writeStartObject()
+        gen.writeNumberField("id", id)
+        gen.writeStringField("schema", schema)
+        gen.writeEndObject()
+      }
+      gen.writeEndArray()
+    }
     gen.writeEndObject(); gen.close()
-    java.nio.file.Files.writeString(f.toPath, sw.toString)
+    // atomic swap: ALTER must never leave a torn descriptor
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    java.nio.file.Files.writeString(tmp.toPath, sw.toString)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readDescriptor(f: File): Descriptor = {
@@ -354,6 +416,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var buckets = 0
     var bloomCols: String = null
     var bloomItems = -1L
+    val history = Vector.newBuilder[(Int, String)]
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
     while (p.nextToken() != END_OBJECT) {
@@ -364,13 +427,28 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "buckets"            => p.nextToken(); buckets = p.getIntValue
         case "bloomColumns"       => p.nextToken(); bloomCols = p.getText
         case "bloomExpectedItems" => p.nextToken(); bloomItems = p.getLongValue
+        case "schemas" =>
+          p.nextToken() // [
+          while (p.nextToken() != END_ARRAY) {
+            var hid = -1; var hschema: String = null
+            while (p.nextToken() != END_OBJECT) {
+              p.currentName() match {
+                case "id"     => p.nextToken(); hid = p.getIntValue
+                case "schema" => p.nextToken(); hschema = p.getText
+                case _        => p.nextToken()
+              }
+            }
+            if (hid >= 0 && hschema != null) history += ((hid, hschema))
+          }
         case _                    => p.nextToken()
       }
     }
     require(schema != null, s"corrupt table descriptor ${f.getAbsolutePath}")
+    val hist = history.result()
     Descriptor(schema, id,
       if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None,
-      Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None)
+      Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None,
+      if (hist.nonEmpty) hist else Vector((id, schema)))
   }
 
   /** Is this table bucketed? (descriptor probe for the maintenance
@@ -385,10 +463,19 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * what the change-data-feed reader and the maintenance rewrites
     * decode with ([[FrameChanges]], [[FrameMatView]]).
     */
-  private[sources] def wireSchemaOf(multipart: String): (String, Int) = {
+  private[graft] def wireSchemaOf(multipart: String): (String, Int) = {
     val dir = resolveTableDir(multipart)
     val d = readDescriptor(new File(dir, TableDescriptor))
     (d.avroSchema, d.schemaId)
+  }
+
+  /** `avroSchemaHistory` option value for a table (None = single
+    * schema version) — what maintenance procedures and the matview
+    * refresher pass so multi-version logs decode completely.
+    */
+  private[graft] def historyJsonOf(multipart: String): Option[String] = {
+    val dir = resolveTableDir(multipart)
+    readDescriptor(new File(dir, TableDescriptor)).historyJson
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -673,7 +760,8 @@ object FrameProcedures {
           s"bloom column $c must be INT/BIGINT/STRING, got ${schema(c).dataType}")
       }
       val res = FrameMaintenance.analyze(
-        org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId, cols, items)
+        org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId, cols, items,
+        cat.historyJsonOf(table).orNull)
       summary("analyzed_segments" -> res.analyzed)
     }
   }
@@ -703,7 +791,7 @@ object FrameProcedures {
       val (schemaJson, schemaId) = cat.wireSchemaOf(table)
       val res = FrameMaintenance.rewriteClustered(
         org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId,
-        by.toSeq, target)
+        by.toSeq, target, cat.historyJsonOf(table).orNull)
       summary("segments" -> res.segments, "replaced_segments" -> res.replacedSegments)
     }
   }

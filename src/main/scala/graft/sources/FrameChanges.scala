@@ -77,7 +77,8 @@ object FrameChanges {
     * as a DataFrame. `to = None` means the current version.
     */
   def read(spark: SparkSession, path: String, avroSchemaJson: String,
-           schemaId: Int, fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+           schemaId: Int, fromVersion: Int, toVersion: Option[Int] = None,
+           historyJson: Option[String] = None): DataFrame = {
     val r = spark.read.format("graft.sources.AvroFrameDataSource")
       .option("path", path)
       .option("avroSchema", avroSchemaJson)
@@ -85,6 +86,7 @@ object FrameChanges {
       .option("changeFeed", "true")
       .option("startingVersion", fromVersion.toString)
     toVersion.foreach(v => r.option("endingVersion", v.toString))
+    historyJson.foreach(h => r.option("avroSchemaHistory", h))
     r.load()
   }
 }
@@ -120,12 +122,13 @@ class AvroFrameChangesScanBuilder(fullSchema: StructType, options: CaseInsensiti
     val to = Option(options.get("endingVersion")).map(_.toInt).getOrElse(total)
     new AvroFrameChangesScan(path, options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
-      required, from, to)
+      required, from, to, options.get("avroSchemaHistory"))
   }
 }
 
 class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
-                           required: StructType, fromVersion: Int, toVersion: Int)
+                           required: StructType, fromVersion: Int, toVersion: Int,
+                           historyJson: String = null)
     extends Scan with Batch {
   require(avroSchemaJson != null, "option `avroSchema` is required")
 
@@ -150,7 +153,7 @@ class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameChangeReaderFactory(avroSchemaJson, schemaId, required.fieldNames)
+    new FrameChangeReaderFactory(avroSchemaJson, schemaId, required.fieldNames, historyJson)
 
   /** Streaming CDC: `spark.readStream ... .option("changeFeed","true")`
     * tails the change feed — each micro-batch is the change units of a
@@ -165,12 +168,13 @@ class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FrameChangesMicroBatchStream(path, avroSchemaJson, schemaId,
-      required.fieldNames, fromVersion)
+      required.fieldNames, fromVersion, historyJson)
 }
 
 class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
                                    schemaId: Int, requiredCols: Array[String],
-                                   startVersion: Int) extends MicroBatchStream {
+                                   startVersion: Int, historyJson: String = null)
+    extends MicroBatchStream {
   private def dir = new java.io.File(path)
 
   override def initialOffset(): Offset = SegmentOffset(startVersion)
@@ -190,7 +194,7 @@ class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FrameChangeReaderFactory(avroSchemaJson, schemaId, requiredCols)
+    new FrameChangeReaderFactory(avroSchemaJson, schemaId, requiredCols, historyJson)
 
   override def commit(end: Offset): Unit = () // offset log is the source of truth
   override def stop(): Unit = ()
@@ -200,11 +204,12 @@ case class FrameChangePartition(file: String, replacement: Option[String],
                                 isDelete: Boolean, version: Int) extends InputPartition
 
 class FrameChangeReaderFactory(avroSchemaJson: String, schemaId: Int,
-                               requiredCols: Array[String])
+                               requiredCols: Array[String],
+                               historyJson: String = null)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FrameChangePartition]
-    new FrameChangeReader(p, avroSchemaJson, schemaId, requiredCols)
+    new FrameChangeReader(p, avroSchemaJson, schemaId, requiredCols, historyJson)
   }
 }
 
@@ -222,17 +227,19 @@ class FrameChangeReaderFactory(avroSchemaJson: String, schemaId: Int,
   *    invents rows the scan would not have produced.
   */
 class FrameChangeReader(part: FrameChangePartition, avroSchemaJson: String,
-                        schemaId: Int, requiredCols: Array[String])
+                        schemaId: Int, requiredCols: Array[String],
+                        historyJson: String = null)
     extends PartitionReader[InternalRow] {
 
-  private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
-  private val dec = new FrameDecoder(part.file, writerSchema, schemaId)
+  private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val registry = AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson)
+  private val dec = new FrameDecoder(part.file, readerSchema, registry)
   private val rep: FrameDecoder =
-    part.replacement.map(new FrameDecoder(_, writerSchema, schemaId)).orNull
+    part.replacement.map(new FrameDecoder(_, readerSchema, registry)).orNull
   private var repFrame: Array[Byte] = if (rep != null) rep.nextFrameBytes() else null
 
   private val fieldPos: Map[String, Int] =
-    writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+    readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
   private val MetaType = -1
   private val MetaVersion = -2
   private val requiredPos: Array[Int] = requiredCols.map {
@@ -241,7 +248,7 @@ class FrameChangeReader(part: FrameChangePartition, avroSchemaJson: String,
     case c                             => fieldPos(c)
   }
   private val requiredTypes: Array[DataType] = {
-    val spark = AvroFrames.sparkSchema(writerSchema)
+    val spark = AvroFrames.sparkSchema(readerSchema)
     requiredCols.map {
       case FrameChanges.ChangeTypeCol    => StringType
       case FrameChanges.CommitVersionCol => LongType

@@ -533,7 +533,7 @@ object FrameMaintenance {
     */
   def rewriteClustered(spark: SparkSession, dir: File, avroSchemaJson: String,
                        schemaId: Int, by: Seq[String],
-                       targetSegments: Int): ClusterResult = {
+                       targetSegments: Int, historyJson: String = null): ClusterResult = {
     import org.apache.spark.sql.functions._
     require(by.nonEmpty && by.size <= 4, s"cluster by 1..4 columns, got $by")
     require(targetSegments > 0, s"target_segments must be positive, got $targetSegments")
@@ -553,12 +553,13 @@ object FrameMaintenance {
         s"cluster column $c must be numeric, got ${sparkSchema(c).dataType}")
     }
 
-    val df = spark.read.format("graft.sources.AvroFrameDataSource")
+    val reader0 = spark.read.format("graft.sources.AvroFrameDataSource")
       .option("path", dir.getAbsolutePath)
       .option("avroSchema", avroSchemaJson)
       .option("schemaId", schemaId.toString)
       .option("segmentFiles", live.map(_.getAbsolutePath).mkString("\n"))
-      .load()
+    val df = Option(historyJson).fold(reader0)(h =>
+      reader0.option("avroSchemaHistory", h)).load()
 
     // per-column bounds: merged sidecars when complete (metadata-only),
     // else one aggregate pass over the snapshot
@@ -689,7 +690,8 @@ object FrameMaintenance {
     * time travel; one DELETE = one manifest entry = one version.
     */
   def deleteWhere(spark: SparkSession, dir: File, avroSchemaJson: String,
-                  schemaId: Int, filters: Array[Filter]): DeleteResult = {
+                  schemaId: Int, filters: Array[Filter],
+                  historyJson: String = null): DeleteResult = {
     require(filters.nonEmpty,
       "DELETE with no condition: use TRUNCATE / INSERT OVERWRITE instead")
     val live = AvroFrames.listSegments(dir.getAbsolutePath)
@@ -718,7 +720,8 @@ object FrameMaintenance {
       if (rewriteTasks.isEmpty) Array.empty
       else spark.sparkContext.parallelize(rewriteTasks, rewriteTasks.length)
         .map { case (name, tmpName, finalName) =>
-          val kept = rewriteSegment(dirPath, name, tmpName, avroSchemaJson, schemaId, filters)
+          val kept = rewriteSegment(dirPath, name, tmpName, avroSchemaJson, schemaId,
+            filters, historyJson)
           kept match {
             case Some(statsJson) => (name, Some((tmpName, finalName, statsJson)))
             case None => // every row deleted: no replacement segment
@@ -787,79 +790,61 @@ object FrameMaintenance {
   }
 
   /** Executor body of the rewrite path: stream the segment's frames,
-    * decode each for the predicate, copy the RAW bytes of surviving
-    * frames (no re-encode), gather fresh stats. Returns the new
-    * sidecar JSON, or None if no row survived. Malformed frames are
-    * copied through — the scan skips them either way, and a delete
-    * must not silently discard bytes it cannot interpret.
+    * decode each for the predicate (multi-schema: every registry id
+    * resolves against the CURRENT reader schema, so a delete on a
+    * post-evolution column sees null for pre-evolution frames — exact
+    * 3VL), copy the RAW bytes of surviving frames (no re-encode, the
+    * original schema version travels with each frame), gather fresh
+    * stats over the reader-schema view. Returns the new sidecar JSON,
+    * or None if no row survived. Malformed frames are copied through —
+    * the scan skips them either way, and a delete must not silently
+    * discard bytes it cannot interpret.
     */
   private def rewriteSegment(dirPath: String, name: String, tmpName: String,
                              avroSchemaJson: String, schemaId: Int,
-                             filters: Array[Filter]): Option[String] = {
+                             filters: Array[Filter],
+                             historyJson: String): Option[String] = {
     import scala.jdk.CollectionConverters._
-    val writerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
-    val fieldPos = writerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
+    val readerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+    val fieldPos = readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
     val preds = filters.map(AvroFrames.compile(fieldPos, _))
-    val fields = writerSchema.getFields.asScala.toVector
+    val fields = readerSchema.getFields.asScala.toVector
     val stats = fields.map(_ => new AvroFrameWrite.FieldStats)
     var kept = 0L
 
-    val datumReader = new org.apache.avro.generic.GenericDatumReader[
-      org.apache.avro.generic.GenericRecord](writerSchema)
-    var decoder: org.apache.avro.io.BinaryDecoder = null
-    var record: org.apache.avro.generic.GenericRecord = null
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      new java.io.FileInputStream(new File(dirPath, name)), 1 << 16))
+    val dec = new FrameDecoder(new File(dirPath, name).getAbsolutePath,
+      readerSchema, AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(new File(dirPath, tmpName)), 1 << 16))
     try {
       var done = false
       while (!done) {
-        val b0 = in.read()
-        if (b0 < 0) done = true
+        val frame = dec.nextFrameBytes()
+        if (frame == null) done = true
         else {
-          val len = (b0 << 24) | (in.read() << 16) | (in.read() << 8) | in.read()
-          if (len < 0) done = true // corrupt length: stop, like the scan
-          else {
-            val frame = new Array[Byte](len)
-            in.readFully(frame)
-            val rec: org.apache.avro.generic.GenericRecord =
-              if (frame.length < 5 ||
-                  frame(0) != graft.streaming.AvroRecords.MagicByte) null
-              else {
-                val id = ((frame(1) & 0xff) << 24) | ((frame(2) & 0xff) << 16) |
-                         ((frame(3) & 0xff) << 8) | (frame(4) & 0xff)
-                if (id != schemaId) null
-                else try {
-                  decoder = org.apache.avro.io.DecoderFactory.get()
-                    .binaryDecoder(frame, 5, frame.length - 5, decoder)
-                  record = datumReader.read(record, decoder)
-                  record
-                } catch { case scala.util.control.NonFatal(_) => null }
-              }
-            // delete iff decodable AND every conjunct matches
-            val delete = rec != null && preds.forall(_(rec))
-            if (!delete) {
-              out.writeInt(frame.length)
-              out.write(frame)
-              if (rec != null) {
-                kept += 1
-                var i = 0
-                while (i < fields.length) {
-                  stats(i).observe(rec.get(i) match {
-                    case null                      => null
-                    case s: CharSequence           => s.toString
-                    case _: java.nio.ByteBuffer    => null // binary: nulls-only, like the write path
-                    case other                     => other
-                  })
-                  i += 1
-                }
+          val rec = dec.decodeFrame(frame)
+          // delete iff decodable AND every conjunct matches
+          val delete = rec != null && preds.forall(_(rec))
+          if (!delete) {
+            out.writeInt(frame.length)
+            out.write(frame)
+            if (rec != null) {
+              kept += 1
+              var i = 0
+              while (i < fields.length) {
+                stats(i).observe(rec.get(i) match {
+                  case null                      => null
+                  case s: CharSequence           => s.toString
+                  case _: java.nio.ByteBuffer    => null // binary: nulls-only, like the write path
+                  case other                     => other
+                })
+                i += 1
               }
             }
           }
         }
       }
-    } finally { in.close(); out.close() }
+    } finally { dec.close(); out.close() }
     if (kept == 0L) None
     else Some(AvroFrameWrite.statsJson(kept,
       fields.map(_.name()).zip(stats)))
@@ -889,16 +874,16 @@ object FrameMaintenance {
     */
   def analyze(spark: SparkSession, dir: File, avroSchemaJson: String,
               schemaId: Int, bloomCols: Seq[String],
-              bloomExpectedItems: Long): AnalyzeResult = {
+              bloomExpectedItems: Long, historyJson: String = null): AnalyzeResult = {
     val live = AvroFrames.listSegments(dir.getAbsolutePath)
     if (live.isEmpty) return AnalyzeResult(0)
     val dirPath = dir.getAbsolutePath
     val names = live.toVector.map(_.getName)
     val cols = bloomCols.toVector
     spark.sparkContext.parallelize(names, names.length).foreach { name =>
-      val writerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+      val readerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
       import scala.jdk.CollectionConverters._
-      val fields = writerSchema.getFields.asScala.toVector
+      val fields = readerSchema.getFields.asScala.toVector
       val stats = fields.map(_ => new AvroFrameWrite.FieldStats)
       val blooms: Vector[org.apache.spark.util.sketch.BloomFilter] =
         fields.map(f => if (cols.contains(f.name()))
@@ -907,7 +892,7 @@ object FrameMaintenance {
         else null)
       var frames = 0L
       val dec = new FrameDecoder(new File(dirPath, name).getAbsolutePath,
-        writerSchema, schemaId)
+        readerSchema, AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
       try {
         var rec = dec.nextRecord()
         while (rec != null) {

@@ -88,7 +88,7 @@ object FrameMatView {
 
     // signed per-key delta over exactly the new change units
     val changes = FrameChanges.read(spark, srcDir.getAbsolutePath,
-      schemaJson, schemaId, from, Some(to))
+      schemaJson, schemaId, from, Some(to), cat.historyJsonOf(src))
     val sign = when(col(FrameChanges.ChangeTypeCol) === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = changes
       .groupBy(col(keyCol).as("k"))
@@ -99,6 +99,9 @@ object FrameMatView {
       .filter(col("d_cnt") =!= 0L || col("d_sum") =!= 0.0)
 
     val view = s"graft_mv_delta_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // cache across the two consumers (key count + MERGE source): the
+    // change units are read ONCE, not once per job
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     delta.createOrReplaceTempView(view)
     val deltaKeys = delta.count()
     try {
@@ -111,9 +114,70 @@ object FrameMatView {
         WHEN NOT MATCHED AND s.d_cnt > 0 THEN
           INSERT ($keyCol, cnt, sum_v) VALUES (s.k, s.d_cnt, s.d_sum)
       """)
-    } finally spark.catalog.dropTempView(view)
+    } finally {
+      spark.catalog.dropTempView(view)
+      delta.unpersist()
+    }
 
     writeWatermark(dstDir, to)
     RefreshResult(from, to, deltaKeys)
+  }
+
+  /** Continuous maintenance: a streaming query that tails the source's
+    * change feed and MERGEs each micro-batch's signed deltas into the
+    * view — the same algebra as [[refresh]], driven by the engine's own
+    * streaming CDC ([[FrameChangesMicroBatchStream]]) instead of a
+    * manual watermark: Spark's checkpoint offset log IS the watermark,
+    * so restarts resume exactly where the last committed batch ended
+    * and every insert/delete is applied exactly once. foreachBatch is
+    * the right sink shape because the apply is a MERGE (arbitrary
+    * writer), the standard Structured Streaming upsert pattern.
+    */
+  def continuous(spark: SparkSession, catalog: String, src: String, dst: String,
+                 keyCol: String, valueCol: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cat = spark.sessionState.catalogManager.catalog(catalog) match {
+      case c: FrameCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"catalog '$catalog' is not a FrameCatalog: ${other.getClass.getName}")
+    }
+    val srcDir = cat.resolveTableDir(src)
+    cat.resolveTableDir(dst) // existence check
+    val (schemaJson, schemaId) = cat.wireSchemaOf(src)
+
+    val reader = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", srcDir.getAbsolutePath)
+      .option("avroSchema", schemaJson)
+      .option("schemaId", schemaId.toString)
+      .option("changeFeed", "true")
+    cat.historyJsonOf(src).foreach(h => reader.option("avroSchemaHistory", h))
+
+    reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (changes: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val sign = when(col(FrameChanges.ChangeTypeCol) === "insert", lit(1L))
+          .otherwise(lit(-1L))
+        val delta = changes
+          .groupBy(col(keyCol).as("k"))
+          .agg(sum(sign).as("d_cnt"),
+               sum(sign.cast("double") * col(valueCol)).as("d_sum"))
+          .filter(col("d_cnt") =!= 0L || col("d_sum") =!= 0.0)
+        val view = s"graft_mv_stream_delta_$batchId"
+        delta.createOrReplaceTempView(view)
+        try {
+          delta.sparkSession.sql(s"""
+            MERGE INTO $catalog.$dst t
+            USING $view s
+            ON t.$keyCol = s.k
+            WHEN MATCHED AND t.cnt + s.d_cnt = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.d_cnt, sum_v = t.sum_v + s.d_sum
+            WHEN NOT MATCHED AND s.d_cnt > 0 THEN
+              INSERT ($keyCol, cnt, sum_v) VALUES (s.k, s.d_cnt, s.d_sum)
+          """)
+        } finally delta.sparkSession.catalog.dropTempView(view)
+        ()
+      }
+      .start()
   }
 }

@@ -672,6 +672,75 @@ object SourceQueries extends QueryGroup {
       ORDER BY event_id
     """)),
 
+    // ------------------------------------------------------------ schema evolution (round 14)
+    // ALTER TABLE ADD COLUMNS on an immutable wire format: the fixture
+    // loads the pre-cutoff half of events, evolves the table (+channel,
+    // +score — descriptor appends a NEW registry entry, id = max + 1,
+    // nothing rewritten), then loads the post-cutoff half WITH values.
+    // Every reader resolves each frame's embedded schema id against the
+    // CURRENT schema — exactly the Confluent-registry consume path the
+    // reference is built around (Processor.java:128-130), made
+    // first-class: old frames surface the new columns as NULL. The
+    // judged rollup mixes both frame generations — count(channel) and
+    // the score sum must split exactly at the cutoff — against DuckDB
+    // composing the same piecewise relation from the original parquet.
+    // At 100 TB: adding a column costs one descriptor write, not a
+    // table rewrite.
+    ("q348_schema_evolution", (s, d) => {
+      val cat = ensureEvolutionFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(channel) AS n_evolved,
+               count(DISTINCT channel) AS n_channels,
+               CAST(floor(sum(coalesce(score, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS score_sum,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events_evo
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some(s"""
+      SELECT event_type,
+             count(*)::BIGINT AS n_events,
+             count(CASE WHEN epoch_us(ts::TIMESTAMP) >= $DeleteCutoffUs THEN 1 END)::BIGINT AS n_evolved,
+             count(DISTINCT CASE WHEN epoch_us(ts::TIMESTAMP) >= $DeleteCutoffUs
+                                 THEN event_type || '-ch' END)::BIGINT AS n_channels,
+             floor(sum(CASE WHEN epoch_us(ts::TIMESTAMP) >= $DeleteCutoffUs
+                            THEN value * 0.01 ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 AS score_sum,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ TopN pushdown (round 14)
+    // ORDER BY … LIMIT reaches the scan (SupportsPushDownTopN): each
+    // split keeps only its 20 best rows in a bounded heap, so the
+    // global top-20 ships ≤ 20 rows PER SEGMENT across the scan
+    // boundary instead of every frame — at 100 TB the difference
+    // between a leaderboard query reading the log and shuffling it.
+    // Partial by contract: Spark's TakeOrderedAndProject merges, so
+    // correctness never depends on the heap (FrameScanSpec pins the
+    // PushedTopN plan line, null-ordering edge cases, and parity with
+    // the unpushed plan). Tie-broken by unique event_id — the judged
+    // row set is deterministic and DuckDB-exact.
+    ("q349_topn_pushdown", (s, d) => {
+      frames(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.operators.Quant.quant6(col("value")).as("value_q"), col("value"))
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(20)
+        .select("event_id", "user_id", "event_type", "value_q")
+    }, Some("""
+      SELECT event_id, user_id, event_type,
+             floor(value * 1000000.0 + 0.5) / 1000000.0 AS value_q
+      FROM events
+      ORDER BY value DESC, event_id
+      LIMIT 20
+    """)),
+
     // ------------------------------------------------------------ SQL MERGE INTO (round 14)
     // The upsert statement every CDC/corrections pipeline needs, on the
     // engine's own format: matched purchases get corrected values,
@@ -1066,6 +1135,47 @@ object SourceQueries extends QueryGroup {
         .repartition(16, col("event_id"))
         .createOrReplaceTempView(view)
       s.sql(s"INSERT INTO $cat.corpus.events_bloom SELECT * FROM $view")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q348: pre-cutoff events loaded under schema
+    * v1, table evolved (+channel STRING, +score DOUBLE), post-cutoff
+    * events loaded under schema v2 with values. Idempotent via a
+    * row-count marker.
+    */
+  def ensureEvolutionFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_EVOLUTION_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_evo")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_evo (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_evo_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_evo " +
+        s"SELECT * FROM $view WHERE ts_us < ${DeleteCutoffUs}L")
+      s.sql(s"ALTER TABLE $cat.corpus.events_evo ADD COLUMNS (channel STRING, score DOUBLE)")
+      s.sql(s"""
+        INSERT INTO $cat.corpus.events_evo
+        SELECT event_id, ts_us, user_id, event_type, value,
+               event_type || '-ch' AS channel, value * 0.01 AS score
+        FROM $view WHERE ts_us >= ${DeleteCutoffUs}L
+      """)
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat

@@ -94,7 +94,10 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"CREATE TABLE $cat.ns.a (id BIGINT NOT NULL)"))
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.ns.a (id BIGINT NOT NULL)") // no throw
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.ns.missing").collect())
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a ADD COLUMN x BIGINT"))
+    // ADD COLUMN is supported since the schema-evolution round; the
+    // byte-reinterpreting changes stay rejected
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a DROP COLUMN id"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a RENAME COLUMN id TO id2"))
     // the RENAME target is a catalog-relative multipart name
     spark.sql(s"ALTER TABLE $cat.ns.a RENAME TO ns.b")
     assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect().map(_.getString(1)).toSeq == Seq("b"))

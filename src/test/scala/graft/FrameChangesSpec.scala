@@ -178,7 +178,17 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
     def recompute(): Map[String, (Long, Double)] =
       spark.sql(s"SELECT grp, count(*), sum(v) FROM $cat.corpus.src GROUP BY grp").collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(mvState() == recompute())
+    // counts integer-exact; sums equal up to double-addition
+    // reassociation (task completion order varies under load)
+    def assertMatches(): Unit = {
+      val (a, b) = (mvState(), recompute())
+      assert(a.keySet == b.keySet, s"keys: ${a.keySet} vs ${b.keySet}")
+      a.foreach { case (k, (cnt, sum)) =>
+        assert(cnt == b(k)._1, s"cnt($k): $cnt vs ${b(k)._1}")
+        assert(math.abs(sum - b(k)._2) < 1e-6, s"sum($k): $sum vs ${b(k)._2}")
+      }
+    }
+    assertMatches()
 
     // no-op refresh: zero-length range, nothing merged
     val r2 = FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
@@ -195,7 +205,7 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
     val r3 = FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
     assert(r3.fromVersion == r1.toVersion,
       s"incremental refresh must start at the previous watermark: $r3 vs $r1")
-    assert(mvState() == recompute())
+    assertMatches()
     // the deleted group LEFT the view (cnt reached 0 => MERGE DELETE)
     assert(!mvState().contains("g0") && mvState().contains("g9"))
   }
@@ -238,6 +248,49 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
         after.filter(_._2 == "delete").map(_._1).sorted == Seq(0L, 1L, 2L),
         s"stream must surface exactly the deleted rows: $after")
       assert(after.count(_._2 == "insert") == 10, "compaction must emit nothing")
+    } finally q.stop()
+  }
+
+  test("continuous matview: a streaming CDC query keeps the view equal to a recompute") {
+    val (cat, _) = freshCatalog("cmv")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.src (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)")
+    spark.sql(s"CREATE TABLE $cat.corpus.mv (grp STRING NOT NULL, cnt BIGINT NOT NULL, sum_v DOUBLE NOT NULL)")
+    spark.range(0, 60).coalesce(1)
+      .selectExpr("id", "CONCAT('g', id % 3) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("cmv_src_0")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM cmv_src_0")
+
+    import graft.sources.FrameMatView
+    val q = FrameMatView.continuous(spark, cat, "corpus.src", "corpus.mv",
+      "grp", "v", Files.createTempDirectory("cmv-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      def mvState(): Map[String, (Long, Double)] =
+        spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.corpus.mv").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      def recompute(): Map[String, (Long, Double)] =
+        spark.sql(s"SELECT grp, count(*), sum(v) FROM $cat.corpus.src GROUP BY grp")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      def assertMatches(): Unit = {
+        val (a, b) = (mvState(), recompute())
+        assert(a.keySet == b.keySet, s"keys: ${a.keySet} vs ${b.keySet}")
+        a.foreach { case (k, (cnt, sum)) =>
+          assert(cnt == b(k)._1, s"cnt($k): $cnt vs ${b(k)._1}")
+          assert(math.abs(sum - b(k)._2) < 1e-6, s"sum($k): $sum vs ${b(k)._2}")
+        }
+      }
+      assertMatches()
+
+      // mutate mid-stream: the running query folds the deltas in
+      spark.sql(s"DELETE FROM $cat.corpus.src WHERE grp = 'g0'")
+      spark.range(60, 70).coalesce(1)
+        .selectExpr("id", "'g9' AS grp", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("cmv_src_1")
+      spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM cmv_src_1")
+      q.processAllAvailable()
+      assertMatches()
+      assert(!mvState().contains("g0") && mvState().contains("g9"))
     } finally q.stop()
   }
 

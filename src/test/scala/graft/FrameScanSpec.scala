@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AvroFrames
+
+/** Round-14 scan rungs: TopN pushdown (bounded per-split heaps) and
+  * DSv2 custom metrics (segments planned/pruned, frames
+  * emitted/malformed).
+  */
+class FrameScanSpec extends AnyFunSuite with SparkFixture {
+
+  private val schemaJson = AvroFrames.avroSchemaFor(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, nullable = false))),
+    "t")
+
+  private def writeFixture(dir: String): Unit =
+    spark.range(0, 1000)
+      .selectExpr("id", "IF(id % 10 = 0, NULL, CONCAT('t', LPAD(CAST(id AS STRING), 4, '0'))) AS tag",
+        "CAST((id * 37) % 1000 AS DOUBLE) AS v")
+      .repartitionByRange(8, col("id"))
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", schemaJson)
+      .mode("append").save()
+
+  private def readBack(dir: String): DataFrame =
+    spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", schemaJson).load()
+
+  test("TopN pushdown: plan line, exact parity with unpushed, null orderings, DESC") {
+    val dir = Files.createTempDirectory("topn").toString
+    writeFixture(dir)
+
+    // multi-key DESC/ASC
+    val q = readBack(dir).orderBy(col("v").desc, col("id").asc).limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN=[v DESC,id ASC] LIMIT 7"),
+      s"TopN must reach the scan:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val expected = (0L until 1000L).map(i => (i, (i * 37 % 1000).toDouble))
+      .sortBy { case (id, v) => (-v, id) }.take(7)
+    assert(got == expected)
+
+    // nullable key, NULLS FIRST (asc default) and NULLS LAST
+    val nf = readBack(dir).orderBy(col("tag").asc_nulls_first, col("id")).limit(5)
+    assert(nf.queryExecution.executedPlan.toString.contains("PushedTopN=[tag ASC,id ASC]"))
+    assert(nf.collect().map(_.getLong(0)).toSeq == Seq(0L, 10L, 20L, 30L, 40L),
+      "NULLS FIRST must surface the null-tag rows")
+    val nl = readBack(dir).orderBy(col("tag").asc_nulls_last, col("id")).limit(3)
+    assert(nl.collect().map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("t0001"), Some("t0002"), Some("t0003")))
+
+    // with a pushed filter: heap sees only matching rows
+    val f = readBack(dir).filter(col("v") >= 500.0).orderBy(col("v").asc, col("id")).limit(4)
+    val fGot = f.collect().map(r => (r.getDouble(2), r.getLong(0))).toSeq
+    val fExp = (0L until 1000L).map(i => ((i * 37 % 1000).toDouble, i))
+      .filter(_._1 >= 500.0).sorted.take(4)
+    assert(fGot == fExp)
+  }
+
+  test("custom metrics: segments planned/pruned and frames emitted/malformed") {
+    val dir = Files.createTempDirectory("metrics").toString
+    writeFixture(dir)
+    // a range filter on the id-sliced layout prunes most segments;
+    // row-shaped read (an aggregate would push into the scan and use
+    // the agg reader, which reports no per-frame metrics)
+    val q = readBack(dir).filter(col("id") < 100L).select("id", "v")
+    assert(q.collect().length == 100)
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no BatchScanExec in plan"))
+    // metric updates ride listener events; poll until they land
+    val deadline = System.currentTimeMillis() + 30000
+    while (scan.metrics("frames_emitted").value == 0 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val m = scan.metrics
+    assert(m.contains("segments_planned") && m.contains("segments_pruned") &&
+      m.contains("frames_emitted") && m.contains("frames_malformed"),
+      s"custom metrics missing: ${m.keySet}")
+    assert(m("segments_planned").value >= 1 && m("segments_planned").value < 8,
+      s"planned=${m("segments_planned").value}")
+    assert(m("segments_planned").value + m("segments_pruned").value == 8)
+    // pushed filter drops non-matching frames pre-materialization
+    assert(m("frames_emitted").value == 100L, s"emitted=${m("frames_emitted").value}")
+    assert(m("frames_malformed").value == 0L)
+  }
+}
