@@ -143,7 +143,22 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     ident.namespace.length == 1 && isSafe(ident.namespace()(0)) &&
       isSafe(ident.name) && isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = loadTableAsOf(ident, Map.empty)
+  /** Metadata tables (round 14) — the Iceberg-style SQL inspection
+    * surface: `SELECT * FROM cat.ns.t.segments` / `cat.ns.t.history`.
+    * Spark parses the extra path step as a 2-level namespace, so a
+    * load of `(ns, t).segments` where `(ns).t` is a real table serves
+    * the metadata relation instead. Driver-built rows, O(segments) /
+    * O(history events) — metadata, never data.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    if (ident.namespace.length == 2 && FrameMetaTables.names.contains(ident.name)) {
+      val inner = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+      if (tableExists(inner))
+        return new FrameMetaTable(ident.name, tableDir(inner))
+    }
+    if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
+    loadTableAsOf(ident, Map.empty)
+  }
 
   /** Time travel — free on an append-only log. `VERSION AS OF n`
     * addresses the state after the n-th version-minting operation:

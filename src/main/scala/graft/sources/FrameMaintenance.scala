@@ -190,6 +190,27 @@ object FrameMaintenance {
     }
   }
 
+  /** The event history in replay order for the SQL `history` metadata
+    * table: (version or -1 for the version-neutral compactions, kind,
+    * detail, publish ms). Driver-side O(history) metadata.
+    */
+  def historyRows(dir: File): Vector[(Int, String, String, Long)] = {
+    var version = 0
+    events(dir).map {
+      case AppendEv(n, t) =>
+        version += 1; (version, "append", n, t)
+      case MaintEv(e, _) if e.op == "delete" =>
+        version += 1
+        (version, "delete",
+          s"replaced ${e.replaced.length} segment(s), ${e.replacements.length} rewritten" +
+            (if (e.expired) " [expired]" else ""), e.publishMs)
+      case MaintEv(e, _) =>
+        (-1, "compact",
+          s"replaced ${e.replaced.length} segment(s) with ${e.replacements.length}" +
+            (if (e.expired) " [expired]" else ""), e.publishMs)
+    }
+  }
+
   /** The physical file currently carrying a logical segment name:
     * live first, then `_history/`. Throws if expired — a tailing
     * reader lagging past the expiry horizon must fail loudly, not

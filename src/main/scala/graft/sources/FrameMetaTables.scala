@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL metadata tables for frame logs (round 14) — the inspection
+  * surface every lakehouse format grows (`t.files` / `t.history` in
+  * Iceberg, `DESCRIBE HISTORY` in Delta), served through the normal
+  * multipart-name path:
+  *
+  * {{{
+  * SELECT * FROM cat.ns.t.segments   -- one row per physical segment
+  * SELECT * FROM cat.ns.t.history    -- the version event log
+  * }}}
+  *
+  * Rows are built on the driver from names, sidecars, and the
+  * maintenance manifest — O(segments)/O(events) metadata, never data —
+  * and executed as a [[LocalScan]].
+  */
+object FrameMetaTables {
+  val Segments = "segments"
+  val History = "history"
+  val names: Set[String] = Set(Segments, History)
+
+  val SegmentsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("location", StringType, nullable = false), // live | history
+    StructField("bytes", LongType, nullable = false),
+    StructField("frames", LongType, nullable = true),      // from the sidecar
+    StructField("publish_ms", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("has_bloom", BooleanType, nullable = false)))
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = true), // NULL for compactions
+    StructField("kind", StringType, nullable = false),    // append | delete | compact
+    StructField("detail", StringType, nullable = false),
+    StructField("publish_ms", LongType, nullable = false)))
+
+  def schemaOf(name: String): StructType = name match {
+    case Segments => SegmentsSchema
+    case History  => HistorySchema
+    case other    => throw new IllegalArgumentException(s"unknown metadata table $other")
+  }
+
+  private def segmentRow(f: File, location: String): InternalRow = {
+    val stats = AvroFrameStats.readFull(f)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(f.getName),
+      UTF8String.fromString(location),
+      f.length(),
+      stats.map(_._1: java.lang.Long).orNull,
+      f.lastModified(),
+      AvroFrames.bucketOf(f.getName).map(Int.box).orNull,
+      stats.exists(_._3.nonEmpty)))
+  }
+
+  def rows(name: String, dir: File): Array[InternalRow] = name match {
+    case Segments =>
+      val live = AvroFrames.listSegments(dir.getAbsolutePath)
+        .map(segmentRow(_, "live"))
+      val hist = Option(new File(dir, FrameMaintenance.HistoryDirName).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.endsWith(".stats"))
+        .sortBy(_.getName)
+        .map(segmentRow(_, "history"))
+      live ++ hist
+    case History =>
+      FrameMaintenance.historyRows(dir).map { case (v, kind, detail, ms) =>
+        new GenericInternalRow(Array[Any](
+          if (v < 0) null else Int.box(v),
+          UTF8String.fromString(kind),
+          UTF8String.fromString(detail),
+          ms)): InternalRow
+      }.toArray
+    case other => throw new IllegalArgumentException(s"unknown metadata table $other")
+  }
+}
+
+class FrameMetaTable(metaName: String, dir: File) extends Table with SupportsRead {
+  override def name(): String = s"frame_meta($metaName, ${dir.getAbsolutePath})"
+  override def schema(): StructType = FrameMetaTables.schemaOf(metaName)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def rows(): Array[InternalRow] = FrameMetaTables.rows(metaName, dir)
+      override def readSchema(): StructType = FrameMetaTables.schemaOf(metaName)
+      override def description(): String = name()
+    }: Scan
+}

@@ -65,6 +65,42 @@ class FrameScanSpec extends AnyFunSuite with SparkFixture {
     assert(fGot == fExp)
   }
 
+  test("metadata tables: cat.ns.t.segments and cat.ns.t.history inspect the log") {
+    val base = Files.createTempDirectory("meta-tables").toString
+    val cat = "fmeta_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    (0 until 2).foreach { k =>
+      spark.range(k * 10, k * 10 + 10).coalesce(1)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView(s"meta_src_$k")
+      spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM meta_src_$k")
+    }
+    spark.sql(s"CALL $cat.corpus.compact(table => 'corpus.t')")
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id < 5")
+
+    val segs = spark.sql(s"SELECT name, location, frames FROM $cat.corpus.t.segments")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // live: the delete-rewritten compacted segment; history: the two
+    // originals + the pre-delete compacted segment
+    assert(segs.count(_._2 == "live") == 1 && segs.count(_._2 == "history") == 3,
+      s"got ${segs.toSeq}")
+    assert(segs.filter(_._2 == "live").map(_._3).sum == 15L)
+    assert(spark.sql(s"SELECT sum(frames) FROM $cat.corpus.t.segments " +
+      "WHERE location = 'live'").collect()(0).getLong(0) == 15L)
+
+    val hist = spark.sql(s"SELECT version, kind FROM $cat.corpus.t.history")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getString(1)))
+    assert(hist.toSeq == Seq(
+      (Some(1), "append"), (Some(2), "append"), (None, "compact"), (Some(3), "delete")),
+      s"got ${hist.toSeq}")
+
+    // unknown metadata name / deep paths stay NoSuchTable
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.corpus.t.nonsense").collect())
+  }
+
   test("custom metrics: segments planned/pruned and frames emitted/malformed") {
     val dir = Files.createTempDirectory("metrics").toString
     writeFixture(dir)
