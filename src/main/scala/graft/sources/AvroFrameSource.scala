@@ -131,11 +131,21 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val dir = new java.io.File(options.get("path"))
     val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    val schemaId = Option(options.get("schemaId")).map(_.toInt)
+      .getOrElse(AvroFrames.DefaultSchemaId)
     if (real.isEmpty) FrameMaintenance.deleteAll(dir)
+    else if ("merge-on-read".equalsIgnoreCase(options.get("deleteMode")))
+      // deletion vectors (round 15): straddling segments get a position
+      // sidecar instead of a rewrite — O(deleted rows), folded by
+      // compaction. Non-translatable conditions still go through the
+      // group rewrite (newRowLevelOperationBuilder), which is
+      // copy-on-write by nature.
+      FrameMaintenance.deleteWhereMoR(
+        org.apache.spark.sql.SparkSession.active, dir,
+        options.get("avroSchema"), schemaId, real, options.get("avroSchemaHistory"))
     else FrameMaintenance.deleteWhere(
       org.apache.spark.sql.SparkSession.active, dir,
-      options.get("avroSchema"),
-      Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
+      options.get("avroSchema"), schemaId,
       real, options.get("avroSchemaHistory"))
   }
 
@@ -319,7 +329,8 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
       for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
         yield (k, n.toInt),
       onPlanned, pruneOnly,
-      options.get("avroSchemaHistory"))
+      options.get("avroSchemaHistory"),
+      options.getBoolean("columnar", true))
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -349,7 +360,8 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     bucketSpec: Option[(String, Int)] = None,
                     onPlanned: Array[java.io.File] => Unit = _ => (),
                     pruneOnly: Array[Filter] = Array.empty,
-                    historyJson: String = null)
+                    historyJson: String = null,
+                    columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   require(path != null, "option `path` is required")
@@ -357,12 +369,46 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 
   /** The batch scan's segment universe: an explicit snapshot file list
     * (maintenance-aware time travel resolved by the catalog — may span
-    * the live dir AND `_history/`), else the time-travel slice of the
-    * live listing.
+    * the live dir AND `_history/`, and may carry the snapshot's
+    * deletion vectors), else the time-travel slice of the live
+    * listing. Vectors are split out of the explicit list and paired by
+    * base name ([[dvFor]]); data segments alone flow through pruning,
+    * statistics, and split planning.
     */
+  private def explicitSplit: Option[(Array[java.io.File], Map[String, java.io.File])] =
+    explicitFiles.map(fs => FrameDv.split(fs.map(new java.io.File(_))))
+
   private def segmentsAsOf(): Array[java.io.File] =
-    explicitFiles.map(_.map(new java.io.File(_)))
+    explicitSplit.map(_._1)
       .getOrElse(asOf.cut(AvroFrames.listSegments(path)))
+
+  /** Active deletion vector per base segment name for this scan's
+    * universe. Explicit snapshots carry their own (version-exact)
+    * vectors; a current live read pairs the live vectors; a raw
+    * `asOfTimestampMs` cut applies only vectors published by the
+    * cutoff (a vector minted later must not delete rows from an
+    * earlier snapshot); the legacy `asOfSegments` prefix cut predates
+    * maintenance entirely and applies none (the catalog's VERSION AS
+    * OF resolves maintenance-aware snapshots through the manifest
+    * instead).
+    */
+  private def dvFor(): Map[String, java.io.File] =
+    explicitSplit.map(_._2).getOrElse {
+      if (asOf.segments.isDefined) Map.empty
+      else {
+        val m = AvroFrames.liveDvMap(path)
+        asOf.tsMs.fold(m)(t => m.filter(_._2.lastModified() <= t))
+      }
+    }
+
+  /** Exact live row count of a segment from metadata alone: sidecar
+    * frames minus vector cardinality (vectors hold decodable positions
+    * only). None without a sidecar.
+    */
+  private def liveRowCount(f: java.io.File, dvs: Map[String, java.io.File]): Option[Long] =
+    AvroFrameStats.read(f).map { case (frames, _) =>
+      frames - dvs.get(f.getName).map(FrameDv.count(_).toLong).getOrElse(0L)
+    }
 
   /** Runtime (DPP-style) filters, v1-converted. COARSE-grained by the
     * [[SupportsRuntimeV2Filtering]] contract: used only to prune whole
@@ -439,12 +485,16 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       dataFilters(pruneFilters))
     if (limit <= 0 || pruneFilters.nonEmpty) kept
     else {
+      // the proof must count LIVE rows: a deletion vector's positions
+      // never reach the consumer, so sidecar counts are discounted by
+      // vector cardinality (else the truncation could under-ship)
+      val dvs = dvFor()
       var proven = 0L
       val out = Array.newBuilder[java.io.File]
       var i = 0
       while (i < kept.length && proven < limit) {
         out += kept(i)
-        proven += AvroFrameStats.read(kept(i)).map(_._1).getOrElse(0L)
+        proven += liveRowCount(kept(i), dvs).getOrElse(0L)
         i += 1
       }
       out.result()
@@ -517,10 +567,12 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       override def numRows(): java.util.OptionalLong =
         // only claim a row count when EVERY surviving segment has a
         // sidecar — a partial sum would understate and could flip a
-        // join the wrong way
-        if (complete)
-          java.util.OptionalLong.of(sidecars.flatten.map(_._1).sum)
-        else java.util.OptionalLong.empty()
+        // join the wrong way. Deletion-vector cardinalities are
+        // subtracted: vectored rows never reach the consumer.
+        if (complete) {
+          val dvs = dvFor()
+          java.util.OptionalLong.of(kept.map(f => liveRowCount(f, dvs).getOrElse(0L)).sum)
+        } else java.util.OptionalLong.empty()
       override def columnStats(): java.util.Map[NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
@@ -593,70 +645,87 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   // they are never opened (the parquet row-group-stats / Iceberg
   // manifest pattern; strictly conservative, sidecar-less segments
   // always survive)
-  override def planInputPartitions(): Array[InputPartition] = aggs match {
-    case Some(_) if aggComplete =>
-      // one split carrying the full surviving segment list: the reader
-      // combines sidecars executor-side and emits THE final row —
-      // sidecar reads are O(bytes of metadata), no segment is opened
-      val segs = plannedSegments()
-      lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
-      Array(AvroFrameAggPartition(segs.map(_.getAbsolutePath).toSeq))
-    case Some(_) =>
-      // partial: one split per segment, each emitting exactly one
-      // partial row (Spark's final aggregate merges). A split is
-      // planned even when everything pruned away: the rewritten
-      // count = SUM(partial counts) must see a 0, not an empty input.
-      val segs = plannedSegments()
-      lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
-      if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
-      else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath)): InputPartition)
-    case None => bucketedRead match {
-      case Some((_, n)) =>
-        // one split per bucket (including empty buckets — both sides of
-        // a storage-partitioned join must report identical values);
-        // stat-pruned segments just drop out of their bucket's file list
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvs = dvFor()
+    def dvPath(f: java.io.File): Option[String] = dvs.get(f.getName).map(_.getAbsolutePath)
+    aggs match {
+      case Some(_) if aggComplete =>
+        // one split carrying the full surviving segment list: the reader
+        // combines sidecars executor-side and emits THE final row —
+        // sidecar reads are O(bytes of metadata), no segment is opened
+        // (vectored segments fall back to a decode inside the reader)
         val segs = plannedSegments()
         lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
-        onPlanned(segs)
-        val byBucket = segs.groupBy(f => AvroFrames.bucketOf(f.getName).get)
-        (0 until n).map(b => AvroFrameBucketPartition(
-          byBucket.getOrElse(b, Array.empty).map(_.getAbsolutePath).toSeq, b)
-          : InputPartition).toArray
-      case None =>
+        Array(AvroFrameAggPartition(segs.map(_.getAbsolutePath).toSeq,
+          segs.map(dvPath).toSeq))
+      case Some(_) =>
+        // partial: one split per segment, each emitting exactly one
+        // partial row (Spark's final aggregate merges). A split is
+        // planned even when everything pruned away: the rewritten
+        // count = SUM(partial counts) must see a 0, not an empty input.
         val segs = plannedSegments()
         lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
-        onPlanned(segs)
-        segs.map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
+        if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
+        else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath),
+          Seq(dvPath(f))): InputPartition)
+      case None => bucketedRead match {
+        case Some((_, n)) =>
+          // one split per bucket (including empty buckets — both sides of
+          // a storage-partitioned join must report identical values);
+          // stat-pruned segments just drop out of their bucket's file list
+          val segs = plannedSegments()
+          lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
+          onPlanned(segs)
+          val byBucket = segs.groupBy(f => AvroFrames.bucketOf(f.getName).get)
+          (0 until n).map { b =>
+            val fs = byBucket.getOrElse(b, Array.empty)
+            AvroFrameBucketPartition(fs.map(_.getAbsolutePath).toSeq, b,
+              fs.map(dvPath).toSeq): InputPartition
+          }.toArray
+        case None =>
+          val segs = plannedSegments()
+          lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
+          onPlanned(segs)
+          segs.map(f => AvroFramePartition(f.getAbsolutePath, dvPath(f)): InputPartition)
+      }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroFrameReaderFactory(avroSchemaJson, schemaId,
-      required.fieldNames, pushed, aggs, limit, historyJson, topN)
+      required.fieldNames, pushed, aggs, limit, historyJson, topN, columnar)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AvroFrameMicroBatchStream(path, avroSchemaJson, schemaId,
       required.fieldNames, pushed, maxSegmentsPerTrigger, historyJson)
 }
 
-case class AvroFramePartition(file: String) extends InputPartition
+/** One segment split; `dv` is the absolute path of the segment's
+  * active deletion vector (round 15) — positions in it are skipped by
+  * every reader, so a merge-on-read DELETE is invisible above the scan.
+  */
+case class AvroFramePartition(file: String, dv: Option[String] = None) extends InputPartition
 
-/** Split for a bucketed read: all surviving segments of one bucket,
+/** Split for a bucketed read: all surviving segments of one bucket
+  * (with their deletion vectors, parallel to `files`; empty = none),
   * keyed by the bucket ordinal — the [[HasPartitionKey]] handle Spark's
   * storage-partitioned join groups and aligns on.
   */
-case class AvroFrameBucketPartition(files: Seq[String], bucket: Int)
+case class AvroFrameBucketPartition(files: Seq[String], bucket: Int,
+                                    dvs: Seq[Option[String]] = Seq.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
 }
 
 /** Split for a pushed-aggregation read: the segment files whose
-  * contributions this split combines into one emitted row. Complete
-  * mode ships the whole surviving list in one split; partial mode one
-  * segment per split (empty list = the zero row).
+  * contributions this split combines into one emitted row (deletion
+  * vectors parallel to `files`; empty = none). Complete mode ships the
+  * whole surviving list in one split; partial mode one segment per
+  * split (empty list = the zero row).
   */
-case class AvroFrameAggPartition(files: Seq[String]) extends InputPartition
+case class AvroFrameAggPartition(files: Seq[String],
+                                 dvs: Seq[Option[String]] = Seq.empty) extends InputPartition
 
 /** A pushed aggregate the frame source can answer. Min/Max carry the
   * Spark-facing column type so sidecar values (normalized to
@@ -832,18 +901,43 @@ class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
                              requiredCols: Array[String], pushed: Array[Filter],
                              aggs: Option[Seq[FrameAgg]] = None, limit: Int = 0,
                              historyJson: String = null,
-                             topN: Option[FrameTopN] = None)
+                             topN: Option[FrameTopN] = None,
+                             columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Columnar output (round 15) for plain row-scan splits — pushed
+    * aggregates emit one summary row and pushed TopN keeps a row heap,
+    * both stay on the row readers. Spark requires ALL splits of a scan
+    * to agree, which holds: a scan plans either all-row-shaped or
+    * all-agg splits.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && aggs.isEmpty && topN.isEmpty &&
+      (partition.isInstanceOf[AvroFramePartition] ||
+        partition.isInstanceOf[AvroFrameBucketPartition])
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case AvroFramePartition(file, dv) =>
+        new AvroFrameColumnarReader(Seq(file), Seq(dv), avroSchemaJson, schemaId,
+          requiredCols, pushed, limit, historyJson)
+      case AvroFrameBucketPartition(files, _, dvs) =>
+        new AvroFrameColumnarReader(files, dvs, avroSchemaJson, schemaId,
+          requiredCols, pushed, limit, historyJson)
+      case other => throw new IllegalStateException(s"not a columnar split: $other")
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFrameAggPartition(files) =>
-        new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed, historyJson)
-      case AvroFramePartition(file) =>
+      case AvroFrameAggPartition(files, dvs) =>
+        new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed,
+          historyJson, dvs)
+      case AvroFramePartition(file, dv) =>
         wrapTopN(new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed,
-          limit, historyJson))
-      case AvroFrameBucketPartition(files, _) =>
+          limit, historyJson, dv))
+      case AvroFrameBucketPartition(files, _, dvs) =>
         wrapTopN(new AvroFrameMultiReader(files, avroSchemaJson, schemaId, requiredCols,
-          pushed, limit, historyJson))
+          pushed, limit, historyJson, dvs))
     }
 
   /** Bounded-heap decoration of a row reader for a pushed TopN. */
@@ -972,7 +1066,8 @@ class FrameTopNReader(inner: PartitionReader[InternalRow], topN: FrameTopN,
 class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
                            schemaId: Int, requiredCols: Array[String],
                            pushed: Array[Filter], limit: Int = 0,
-                           historyJson: String = null)
+                           historyJson: String = null,
+                           dvs: Seq[Option[String]] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private var idx = 0
   private var cur: AvroFrameReader = null
@@ -985,7 +1080,8 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
       if (cur == null) {
         if (idx >= files.length) return false
         cur = new AvroFrameReader(files(idx), avroSchemaJson, schemaId,
-          requiredCols, pushed, 0, historyJson)
+          requiredCols, pushed, 0, historyJson,
+          if (idx < dvs.length) dvs(idx) else None)
         idx += 1
       }
       if (cur.next()) { emitted += 1; return true }
@@ -1024,12 +1120,20 @@ class FrameDecoder(file: String, readerSchema: Schema, schemas: Map[Int, Schema]
   def this(file: String, writerSchema: Schema, schemaId: Int) =
     this(file, writerSchema, Map(schemaId -> writerSchema))
 
+  /** Active deletion vector (round 15): positions in it are skipped by
+    * [[nextRecord]] — a merge-on-read DELETE is invisible to every
+    * record-level consumer. Callers driving [[nextFrameBytes]]
+    * directly (the change feed's byte walks) manage positions
+    * themselves.
+    */
+  var deleted: FrameDv.Cursor = null
+
   private val readers: Map[Int, GenericDatumReader[GenericRecord]] =
     schemas.map { case (id, w) =>
       id -> new GenericDatumReader[GenericRecord](w, readerSchema)
     }
   private val in = new java.io.DataInputStream(
-    new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+    new java.io.BufferedInputStream(AvroFrames.openWithHistoryFallback(file), 1 << 16))
   private var record: GenericRecord = null
   private var decoder: org.apache.avro.io.BinaryDecoder = null
   var malformed: Long = 0L
@@ -1046,8 +1150,10 @@ class FrameDecoder(file: String, readerSchema: Schema, schemas: Map[Int, Schema]
     while (true) {
       val frame = nextFrameBytes()
       if (frame == null) return null
-      val rec = decodeFrame(frame)
-      if (rec != null) return rec
+      if (deleted == null || !deleted.contains(position)) {
+        val rec = decodeFrame(frame)
+        if (rec != null) return rec
+      }
     }
     null
   }
@@ -1101,7 +1207,8 @@ class FrameDecoder(file: String, readerSchema: Schema, schemas: Map[Int, Schema]
   */
 class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
                       requiredCols: Array[String], pushed: Array[Filter],
-                      limit: Int = 0, historyJson: String = null)
+                      limit: Int = 0, historyJson: String = null,
+                      dv: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   // the table's CURRENT schema is the reader schema; frames written
@@ -1110,6 +1217,7 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
   private val dec = new FrameDecoder(file, readerSchema,
     AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
+  dv.foreach(d => dec.deleted = FrameDv.cursor(d))
   private val fieldPos: Map[String, Int] =
     readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
   // metadata columns materialize from the reader's own state, not the
@@ -1179,7 +1287,8 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   */
 class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
                          schemaId: Int, aggs: Seq[FrameAgg],
-                         pushed: Array[Filter], historyJson: String = null)
+                         pushed: Array[Filter], historyJson: String = null,
+                         dvs: Seq[Option[String]] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
@@ -1231,7 +1340,7 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
     case other                => other
   }
 
-  private def decodeSegment(file: String): Unit = {
+  private def decodeSegment(file: String, dv: Option[String]): Unit = {
     decodedSegments += 1
     val preds = pushed.map(AvroFrames.compile(fieldPos, _))
     val aggPos: Array[Int] = aggs.map {
@@ -1242,6 +1351,7 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
     }.toArray
     val dec = new FrameDecoder(file, readerSchema,
       AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
+    dv.foreach(d => dec.deleted = FrameDv.cursor(d))
     try {
       var rec = dec.nextRecord()
       while (rec != null) {
@@ -1266,12 +1376,16 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
 
   override def next(): Boolean = {
     if (done) return false
-    files.foreach { f =>
-      val sidecarOk = pushed.isEmpty &&
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dv = if (i < dvs.length) dvs(i) else None
+      // a vectored segment's sidecar describes the PRE-delete superset
+      // (stale min/max, stale null counts) — only the decode path is
+      // exact for it
+      val sidecarOk = pushed.isEmpty && dv.isEmpty &&
         AvroFrameStats.read(new java.io.File(f)).exists { case (frames, fields) =>
           sidecarAnswers(frames, fields) && { observeSidecar(frames, fields); true }
         }
-      if (!sidecarOk) decodeSegment(f)
+      if (!sidecarOk) decodeSegment(f, dv)
     }
     done = true
     true
@@ -1316,8 +1430,40 @@ object AvroFrames {
   def listSegments(path: String): Array[java.io.File] =
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".") && !f.getName.endsWith(".stats"))
+        !f.getName.startsWith(".") && !f.getName.endsWith(".stats") &&
+        !FrameDv.isDvName(f.getName))
       .sortBy(_.getName)
+
+  /** Open a planned file, falling back to its `_history/` copy if
+    * maintenance retired it between planning and the task's open
+    * (round 15): retirement MOVES files (byte-identical, retained
+    * until explicit expiry), so the fallback gives a racing reader
+    * exactly the snapshot it planned — plan-time snapshot isolation
+    * without any reader-side locking. A file missing from history too
+    * (expired under a running reader) still fails loudly.
+    */
+  def openWithHistoryFallback(path: String): java.io.FileInputStream =
+    try new java.io.FileInputStream(path)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        val f = new java.io.File(path)
+        val hist = new java.io.File(
+          new java.io.File(f.getParentFile, FrameMaintenance.HistoryDirName), f.getName)
+        try new java.io.FileInputStream(hist)
+        catch { case _: java.io.FileNotFoundException => throw e }
+    }
+
+  /** Live deletion vectors of a log, keyed by base segment name — one
+    * directory listing, max gen per base (exactly one per base by the
+    * retire discipline; max-gen wins defensively).
+    */
+  def liveDvMap(path: String): Map[String, java.io.File] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && FrameDv.isDvName(f.getName))
+      .groupBy(f => FrameDv.baseOf(f.getName))
+      .map { case (base, fs) =>
+        base -> fs.maxBy(f => f.getName.substring(f.getName.lastIndexOf("dv") + 2).toInt)
+      }
 
   /** Explicit snapshot file list from the `segmentFiles` option
     * (newline-joined absolute paths, in log order) — set by the

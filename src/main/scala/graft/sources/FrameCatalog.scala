@@ -201,6 +201,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         .getOrElse(Map.empty) ++
       d.bloomColumns.map(c => Map("bloomColumns" -> c)).getOrElse(Map.empty) ++
       d.bloomExpectedItems.map(n => Map("bloomExpectedItems" -> n.toString)).getOrElse(Map.empty) ++
+      d.deleteMode.map(m => Map("deleteMode" -> m)).getOrElse(Map.empty) ++
       d.historyJson.map(h => Map("avroSchemaHistory" -> h)).getOrElse(Map.empty) ++
       asOf).asJava)
     new AvroFrameTable(
@@ -260,8 +261,17 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       csv
     }
     val bloomItems = Option(info.properties().get("bloomExpectedItems")).map(_.toLong)
+    // row-level DELETE strategy (TBLPROPERTIES): copy-on-write rewrites
+    // straddling segments (default); merge-on-read publishes deletion
+    // vectors instead — O(deleted rows), folded in by compaction
+    val deleteMode = Option(info.properties().get("deleteMode")).map { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"deleteMode must be 'copy-on-write' or 'merge-on-read', got '$m'")
+      m
+    }
     writeDescriptor(new File(dir, TableDescriptor),
-      Descriptor(avroSchema, schemaId, bucket, bloomCols, bloomItems))
+      Descriptor(avroSchema, schemaId, bucket, bloomCols, bloomItems,
+        deleteMode = deleteMode))
     loadTable(ident)
   }
 
@@ -384,7 +394,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                                          bucket: Option[(String, Int)],
                                          bloomColumns: Option[String],
                                          bloomExpectedItems: Option[Long],
-                                         history: Vector[(Int, String)] = Vector.empty) {
+                                         history: Vector[(Int, String)] = Vector.empty,
+                                         deleteMode: Option[String] = None) {
     /** History option value for readers/writers; None when the table
       * has a single schema version (zero plumbing overhead).
       */
@@ -404,6 +415,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     d.bloomColumns.foreach(gen.writeStringField("bloomColumns", _))
     d.bloomExpectedItems.foreach(gen.writeNumberField("bloomExpectedItems", _))
+    d.deleteMode.foreach(gen.writeStringField("deleteMode", _))
     if (d.history.length > 1) {
       gen.writeArrayFieldStart("schemas")
       d.history.foreach { case (id, schema) =>
@@ -431,6 +443,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var buckets = 0
     var bloomCols: String = null
     var bloomItems = -1L
+    var deleteMode: String = null
     val history = Vector.newBuilder[(Int, String)]
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
@@ -442,6 +455,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "buckets"            => p.nextToken(); buckets = p.getIntValue
         case "bloomColumns"       => p.nextToken(); bloomCols = p.getText
         case "bloomExpectedItems" => p.nextToken(); bloomItems = p.getLongValue
+        case "deleteMode"         => p.nextToken(); deleteMode = p.getText
         case "schemas" =>
           p.nextToken() // [
           while (p.nextToken() != END_ARRAY) {
@@ -463,7 +477,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     Descriptor(schema, id,
       if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None,
       Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None,
-      if (hist.nonEmpty) hist else Vector((id, schema)))
+      if (hist.nonEmpty) hist else Vector((id, schema)),
+      Option(deleteMode))
   }
 
   /** Is this table bucketed? (descriptor probe for the maintenance

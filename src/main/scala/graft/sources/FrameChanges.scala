@@ -122,13 +122,14 @@ class AvroFrameChangesScanBuilder(fullSchema: StructType, options: CaseInsensiti
     val to = Option(options.get("endingVersion")).map(_.toInt).getOrElse(total)
     new AvroFrameChangesScan(path, options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
-      required, from, to, options.get("avroSchemaHistory"))
+      required, from, to, options.get("avroSchemaHistory"),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0))
   }
 }
 
 class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
                            required: StructType, fromVersion: Int, toVersion: Int,
-                           historyJson: String = null)
+                           historyJson: String = null, maxVersionsPerTrigger: Int = 0)
     extends Scan with Batch {
   require(avroSchemaJson != null, "option `avroSchema` is required")
 
@@ -145,12 +146,8 @@ class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
     * events) — metadata only, no file opens.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    FrameMaintenance.changes(new java.io.File(path), fromVersion, toVersion).map {
-      case FrameMaintenance.InsertedSegment(f, v) =>
-        FrameChangePartition(f, None, isDelete = false, v): InputPartition
-      case FrameMaintenance.DeletedSegment(orig, rep, v) =>
-        FrameChangePartition(orig, rep, isDelete = true, v): InputPartition
-    }.toArray
+    FrameMaintenance.changes(new java.io.File(path), fromVersion, toVersion)
+      .map(FrameChangePartition.of).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FrameChangeReaderFactory(avroSchemaJson, schemaId, required.fieldNames, historyJson)
@@ -168,29 +165,60 @@ class AvroFrameChangesScan(path: String, avroSchemaJson: String, schemaId: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FrameChangesMicroBatchStream(path, avroSchemaJson, schemaId,
-      required.fieldNames, fromVersion, historyJson)
+      required.fieldNames, fromVersion, historyJson, maxVersionsPerTrigger)
 }
 
+/** Streaming CDC source with admission control (round 15): without a
+  * cap, the FIRST trigger of a stream over a long-lived table would
+  * materialize the table's entire change history as one micro-batch.
+  * `maxVersionsPerTrigger` bounds each batch to that many versions —
+  * the change-feed analog of the row stream's `maxSegmentsPerTrigger`
+  * — so a backfilling CDC consumer drains deep history in bounded
+  * slices. Under `Trigger.AvailableNow` the version count is
+  * snapshotted once at start and drained up to it in capped batches.
+  */
 class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
                                    schemaId: Int, requiredCols: Array[String],
-                                   startVersion: Int, historyJson: String = null)
-    extends MicroBatchStream {
+                                   startVersion: Int, historyJson: String = null,
+                                   maxVersionsPerTrigger: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
   private def dir = new java.io.File(path)
+
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(FrameMaintenance.totalVersions(dir))
 
   override def initialOffset(): Offset = SegmentOffset(startVersion)
   override def deserializeOffset(json: String): Offset = SegmentOffset(json.trim.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerTrigger > 0) ReadLimit.maxFiles(maxVersionsPerTrigger)
+    else ReadLimit.allAvailable()
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir))
+    val from = start.asInstanceOf[SegmentOffset].segments
+    limit match {
+      case f: ReadMaxFiles => SegmentOffset(math.min(total, from + f.maxFiles()))
+      case _               => SegmentOffset(total)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     SegmentOffset(FrameMaintenance.totalVersions(dir))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SegmentOffset].segments
     val e = end.asInstanceOf[SegmentOffset].segments
-    FrameMaintenance.changes(dir, s, e).map {
-      case FrameMaintenance.InsertedSegment(f, v) =>
-        FrameChangePartition(f, None, isDelete = false, v): InputPartition
-      case FrameMaintenance.DeletedSegment(orig, rep, v) =>
-        FrameChangePartition(orig, rep, isDelete = true, v): InputPartition
-    }.toArray
+    FrameMaintenance.changes(dir, s, e).map(FrameChangePartition.of).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -201,7 +229,20 @@ class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
 }
 
 case class FrameChangePartition(file: String, replacement: Option[String],
-                                isDelete: Boolean, version: Int) extends InputPartition
+                                isDelete: Boolean, version: Int,
+                                priorDv: Option[String] = None,
+                                dvFile: Option[String] = None) extends InputPartition
+
+object FrameChangePartition {
+  def of(u: FrameMaintenance.ChangeUnit): InputPartition = u match {
+    case FrameMaintenance.InsertedSegment(f, v) =>
+      FrameChangePartition(f, None, isDelete = false, v)
+    case FrameMaintenance.DeletedSegment(orig, rep, v, priorDv) =>
+      FrameChangePartition(orig, rep, isDelete = true, v, priorDv)
+    case FrameMaintenance.DvDeletedSegment(orig, dv, priorDv, v) =>
+      FrameChangePartition(orig, None, isDelete = true, v, priorDv, Some(dv))
+  }
+}
 
 class FrameChangeReaderFactory(avroSchemaJson: String, schemaId: Int,
                                requiredCols: Array[String],
@@ -224,7 +265,13 @@ class FrameChangeReaderFactory(avroSchemaJson: String, schemaId: Int,
   *    replacement's next frame survived (skip, advance both); anything
   *    else was deleted (emit). Malformed frames are copied through by
   *    the rewrite, so they match and skip — a change feed never
-  *    invents rows the scan would not have produced.
+  *    invents rows the scan would not have produced;
+  *  - dv unit (round 15, merge-on-read delete): emit exactly the rows
+  *    at the NEW vector's positions — row-exact by construction;
+  *  - `priorDv` on any delete-shaped unit: those positions were
+  *    deleted by an EARLIER version (vectors are cumulative; rewrites
+  *    and retirements drop them too) and are skipped outright — never
+  *    re-reported, never walked against the replacement.
   */
 class FrameChangeReader(part: FrameChangePartition, avroSchemaJson: String,
                         schemaId: Int, requiredCols: Array[String],
@@ -237,6 +284,8 @@ class FrameChangeReader(part: FrameChangePartition, avroSchemaJson: String,
   private val rep: FrameDecoder =
     part.replacement.map(new FrameDecoder(_, readerSchema, registry)).orNull
   private var repFrame: Array[Byte] = if (rep != null) rep.nextFrameBytes() else null
+  private val priorDvCur: FrameDv.Cursor = part.priorDv.map(FrameDv.cursor).orNull
+  private val dvCur: FrameDv.Cursor = part.dvFile.map(FrameDv.cursor).orNull
 
   private val fieldPos: Map[String, Int] =
     readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
@@ -264,27 +313,36 @@ class FrameChangeReader(part: FrameChangePartition, avroSchemaJson: String,
     while (true) {
       val frame = dec.nextFrameBytes()
       if (frame == null) return false
-      val survived = repFrame != null && java.util.Arrays.equals(frame, repFrame)
-      if (survived) repFrame = rep.nextFrameBytes()
-      else {
-        val rec: GenericRecord = dec.decodeFrame(frame)
-        if (rec != null) {
-          val row = new GenericInternalRow(requiredPos.length)
-          var i = 0
-          while (i < requiredPos.length) {
-            val p = requiredPos(i)
-            row.update(i,
-              if (p == MetaType) changeType
-              else if (p == MetaVersion) part.version.toLong
-              else AvroFrames.convert(rec.get(p), requiredTypes(i)))
-            i += 1
-          }
-          current = row
-          return true
-        }
+      val pos = dec.position
+      if (priorDvCur != null && priorDvCur.contains(pos)) {
+        // deleted by an earlier version: not one of this unit's changes
+      } else if (dvCur != null) {
+        // dv unit: this version deleted exactly the vector's positions
+        if (dvCur.contains(pos) && emit(frame)) return true
+      } else {
+        val survived = repFrame != null && java.util.Arrays.equals(frame, repFrame)
+        if (survived) repFrame = rep.nextFrameBytes()
+        else if (emit(frame)) return true
       }
     }
     false
+  }
+
+  private def emit(frame: Array[Byte]): Boolean = {
+    val rec: GenericRecord = dec.decodeFrame(frame)
+    if (rec == null) return false
+    val row = new GenericInternalRow(requiredPos.length)
+    var i = 0
+    while (i < requiredPos.length) {
+      val p = requiredPos(i)
+      row.update(i,
+        if (p == MetaType) changeType
+        else if (p == MetaVersion) part.version.toLong
+        else AvroFrames.convert(rec.get(p), requiredTypes(i)))
+      i += 1
+    }
+    current = row
+    true
   }
 
   override def get(): InternalRow = current

@@ -78,6 +78,11 @@ object SourceQueries extends QueryGroup {
   val DeleteCutoffUs = 1704844800000000L
   /** Erased user for q336's GDPR-path delete. */
   val DeleteUserId = 17L
+  /** Erased users for q350/q351's merge-on-read deletes (present at
+    * every scale factor — sf0.001 only has users 0..14).
+    */
+  val DvUserA = 7L
+  val DvUserB = 11L
 
   /** Backfill cutoff for q340 (2024-01-22T00:00Z in epoch micros —
     * the "recompute the last third" slice).
@@ -775,6 +780,74 @@ object SourceQueries extends QueryGroup {
       FROM t
       GROUP BY event_type
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ merge-on-read delete (round 15)
+    // Deletion vectors — the Iceberg-v2 position-delete pattern on the
+    // engine's own format: the fixture table is
+    // `TBLPROPERTIES('deleteMode'='merge-on-read')`, so its two sparse
+    // user-erasure DELETEs (both straddle every ts-sliced segment)
+    // write tiny `.dv<gen>` position sidecars instead of rewriting the
+    // log — the fixture ASSERTS zero data segments were rewritten, and
+    // FrameDvSpec pins cumulative second deletes, version-exact time
+    // travel through vector history, and compaction folding. Every
+    // scan rung (filters, aggregates, limits, the feed) applies the
+    // vector, so this post-delete rollup must match DuckDB filtering
+    // the original parquet. At 100 TB: a GDPR erasure touching 0.1% of
+    // rows in every shard costs O(deleted positions), not a table
+    // rewrite — copy-on-write's worst case turned into merge-on-read's
+    // best.
+    ("q350_mor_sparse_delete", (s, d) => {
+      val cat = ensureDvFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events_dv
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some(s"""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
+      FROM events WHERE user_id NOT IN ($DvUserA, $DvUserB)
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ row-exact CDC from vectors (round 15)
+    // What merge-on-read buys the change feed: a vector names the
+    // deleted POSITIONS, so the feed reports exactly the erased rows —
+    // no group-grain delete+reinsert pairs, no subsequence walk. This
+    // audit reads the table's full change feed, keeps only the delete
+    // rows, and rolls them up per erased user; DuckDB recomputes the
+    // same rows from the original parquet. The erasure-certificate
+    // query a GDPR pipeline runs after the purge.
+    ("q351_dv_change_audit", (s, d) => {
+      val cat = ensureDvFixture(s, d)
+      val c = s.sessionState.catalogManager.catalog(cat).asInstanceOf[FrameCatalog]
+      val dir = c.resolveTableDir("corpus.events_dv").getAbsolutePath
+      val (schemaJson, schemaId) = c.wireSchemaOf("corpus.events_dv")
+      FrameChanges.read(s, dir, schemaJson, schemaId, 0, None,
+          c.historyJsonOf("corpus.events_dv"))
+        .filter(col(FrameChanges.ChangeTypeCol) === "delete")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_deleted"),
+          (floor(sum(col("value")) * 1000000.0 + 0.5) / 1000000.0)
+            .cast("double").as("sum_deleted"))
+        .orderBy("user_id")
+    }, Some(s"""
+      SELECT user_id, count(*)::BIGINT AS n_deleted,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_deleted
+      FROM events WHERE user_id IN ($DvUserA, $DvUserB)
+      GROUP BY user_id
+      ORDER BY user_id
     """))
   )
 
@@ -1176,6 +1249,53 @@ object SourceQueries extends QueryGroup {
                event_type || '-ch' AS channel, value * 0.01 AS score
         FROM $view WHERE ts_us >= ${DeleteCutoffUs}L
       """)
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q350/q351: events loaded ts-range-partitioned
+    * into a `deleteMode='merge-on-read'` table, then two sparse
+    * user-erasure DELETEs — each straddles every segment, so each
+    * mints deletion vectors, never a rewrite (asserted: the data
+    * segment listing is unchanged and live vectors exist). Idempotent
+    * via a row-count marker.
+    */
+  def ensureDvFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_DV_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_dv")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_dv (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        TBLPROPERTIES ('deleteMode'='merge-on-read')""")
+      val view = s"graft_dv_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_dv SELECT * FROM $view")
+      val dir = new java.io.File(base, "corpus/events_dv")
+      val segsBefore = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq
+      s.sql(s"DELETE FROM $cat.corpus.events_dv WHERE user_id = ${DvUserA}L")
+      s.sql(s"DELETE FROM $cat.corpus.events_dv WHERE user_id = ${DvUserB}L")
+      val segsAfter = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq
+      require(segsAfter == segsBefore,
+        s"merge-on-read DELETE must not rewrite data segments: $segsBefore -> $segsAfter")
+      require(Option(dir.listFiles()).getOrElse(Array.empty)
+          .exists(f => FrameDv.isDvName(f.getName)),
+        "merge-on-read DELETE must have minted deletion vectors")
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat

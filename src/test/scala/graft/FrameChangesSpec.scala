@@ -312,4 +312,157 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
     assert(q.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       (0L to 3L).map(i => (i, "insert")))
   }
+
+  /** The round-15 exactly-once contract: a refresh killed in either
+    * half of the apply window (intent→MERGE, MERGE→watermark) must
+    * leave the view equal to a full recompute after the NEXT refresh —
+    * never double-applied, never dropped.
+    */
+  test("matview refresh crash-killed around the MERGE recovers exactly-once") {
+    import graft.sources.FrameMatView
+    val (cat, base) = freshCatalog("crash")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.src (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)")
+    spark.sql(s"CREATE TABLE $cat.corpus.mv (grp STRING NOT NULL, cnt BIGINT NOT NULL, sum_v DOUBLE NOT NULL)")
+
+    def mvState(): Map[String, (Long, Double)] =
+      spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.corpus.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def recompute(): Map[String, (Long, Double)] =
+      spark.sql(s"SELECT grp, count(*), sum(v) FROM $cat.corpus.src GROUP BY grp").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def assertMatches(): Unit = {
+      val (a, b) = (mvState(), recompute())
+      assert(a.keySet == b.keySet, s"keys: ${a.keySet} vs ${b.keySet}")
+      a.foreach { case (k, (cnt, sum)) =>
+        assert(cnt == b(k)._1, s"cnt($k): $cnt vs ${b(k)._1}")
+        assert(math.abs(sum - b(k)._2) < 1e-6, s"sum($k): $sum vs ${b(k)._2}")
+      }
+    }
+
+    spark.range(0, 50).coalesce(1)
+      .selectExpr("id", "CONCAT('g', id % 4) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("mvc_src_0")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM mvc_src_0")
+    val r1 = FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+    assertMatches()
+
+    // --- crash AFTER the MERGE committed, before the watermark write:
+    // a naive re-run would re-apply the same signed deltas and
+    // double-count. The intent protocol must detect the committed
+    // MERGE and only finalize the watermark.
+    spark.range(50, 70).coalesce(1)
+      .selectExpr("id", "CONCAT('g', id % 4) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("mvc_src_1")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM mvc_src_1")
+    FrameMatView.onAfterMerge = () => throw new RuntimeException("crash-after-merge")
+    try {
+      val e = intercept[RuntimeException] {
+        FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+      }
+      assert(e.getMessage == "crash-after-merge")
+    } finally FrameMatView.onAfterMerge = () => ()
+    // the intent is still on disk; the view already holds the merged
+    // state — a blind watermark-based re-run would double it
+    assert(new java.io.File(base, s"corpus/mv/${FrameMatView.IntentFile}").isFile)
+    val r2 = FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+    assert(r2.deltaKeys == 0 && r2.fromVersion == r2.toVersion,
+      s"recovery after a committed MERGE must finalize, not re-apply: $r2")
+    assertMatches()
+
+    // --- crash BEFORE the MERGE (intent written, nothing applied):
+    // recovery must discard the intent and re-run the range normally.
+    spark.range(70, 90).coalesce(1)
+      .selectExpr("id", "CONCAT('g', id % 4) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("mvc_src_2")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM mvc_src_2")
+    FrameMatView.onBeforeMerge = () => throw new RuntimeException("crash-before-merge")
+    try {
+      intercept[RuntimeException] {
+        FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+      }
+    } finally FrameMatView.onBeforeMerge = () => ()
+    val r3 = FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+    assert(r3.deltaKeys > 0 && r3.fromVersion == r1.toVersion + 1,
+      s"recovery after an uncommitted MERGE must re-apply the range: $r3")
+    assertMatches()
+  }
+
+  test("matview delta treats NULL-valued change rows as zero, not NULL") {
+    import graft.sources.FrameMatView
+    val (cat, _) = freshCatalog("nullv")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    // nullable value column: a key whose delta rows are all NULL-valued
+    // must contribute d_sum = 0.0 (what a recompute's null-skipping sum
+    // does), never NULL (which would null-out the accumulated sum and
+    // poison the net-zero filter)
+    spark.sql(s"CREATE TABLE $cat.corpus.src (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.corpus.mv (grp STRING NOT NULL, cnt BIGINT NOT NULL, sum_v DOUBLE NOT NULL)")
+    spark.range(0, 10).coalesce(1)
+      .selectExpr("id", "CONCAT('g', id % 2) AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("mvn_src_0")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM mvn_src_0")
+    FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+
+    // second slice: g0 gains only NULL-valued rows; g7 is a brand-new
+    // key with only NULL values (insert path must write 0.0, the
+    // column is NOT NULL)
+    spark.range(10, 16).coalesce(1)
+      .selectExpr("id", "IF(id % 2 = 0, 'g0', 'g7') AS grp", "CAST(NULL AS DOUBLE) AS v")
+      .createOrReplaceTempView("mvn_src_1")
+    spark.sql(s"INSERT INTO $cat.corpus.src SELECT * FROM mvn_src_1")
+    FrameMatView.refresh(spark, cat, "corpus.src", "corpus.mv", "grp", "v")
+
+    val got = spark.sql(s"SELECT grp, cnt, sum_v FROM $cat.corpus.mv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = spark.sql(
+      s"SELECT grp, count(*), coalesce(sum(v), 0.0) FROM $cat.corpus.src GROUP BY grp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    got.foreach { case (k, (cnt, sum)) =>
+      assert(cnt == want(k)._1, s"cnt($k)")
+      assert(math.abs(sum - want(k)._2) < 1e-9, s"sum($k): $sum vs ${want(k)._2}")
+    }
+  }
+
+  test("streaming change feed honors maxVersionsPerTrigger admission control") {
+    val (cat, base) = freshCatalog("adm")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)")
+    val dir = new java.io.File(base, "corpus/t").getAbsolutePath
+
+    // 5 single-segment inserts = 5 versions of history BEFORE the
+    // stream starts: without admission control the first trigger
+    // materializes all of it as one batch
+    (0 until 5).foreach { k =>
+      spark.range(k * 10, k * 10 + 10).coalesce(1)
+        .selectExpr("id", "'g' AS grp", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView(s"cdf_adm_src_$k")
+      spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM cdf_adm_src_$k")
+    }
+
+    val sinkName = "cdf_adm_sink"
+    val q = spark.readStream.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir)
+      .option("avroSchema", schemaJson)
+      .option("changeFeed", "true")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .selectExpr("id", "_commit_version")
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdf-adm-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // everything arrives...
+      assert(spark.table(sinkName).count() == 50)
+      // ...but in capped slices: each batch spans at most 2 versions
+      // (20 rows), so the 5-version backlog took >= 3 batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3 && batches.forall(_.numInputRows <= 20),
+        s"expected >=3 admission-capped batches of <=20 rows, got " +
+          batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }

@@ -116,5 +116,23 @@ class FrameClusterSpec extends AnyFunSuite with SparkFixture {
         "by => 'tag', target_segments => 2)").collect()
     }
     assert(e2.getMessage.contains("numeric"))
+
+    // round 15: the refusal is enforced at the OPERATION, not just the
+    // SQL entry point — a direct FrameMaintenance call on the bucketed
+    // log must hit the same guard (the descriptor probe), not silently
+    // destroy the one-bucket-per-segment invariant
+    val dir = new java.io.File(
+      spark.conf.get(s"spark.sql.catalog.$cat.base"), "corpus/b")
+    val schemaJson = graft.sources.AvroFrames.avroSchemaFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = false))), "b")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.FrameMaintenance.rewriteClustered(
+        spark, dir, schemaJson, 1, Seq("id"), 4)
+    }
+    assert(e3.getMessage.contains("BUCKETED"))
   }
 }

@@ -135,4 +135,61 @@ class FrameScanSpec extends AnyFunSuite with SparkFixture {
     assert(m("frames_emitted").value == 100L, s"emitted=${m("frames_emitted").value}")
     assert(m("frames_malformed").value == 0L)
   }
+
+  /** Round 15: the plain row scan ships ColumnarBatches — Spark plans
+    * a ColumnarToRow above the scan and every value (nulls, strings
+    * with NULL tags, doubles, metadata columns, pushed filters, limit,
+    * multi-file bucket chains) round-trips exactly equal to the row
+    * path.
+    */
+  test("columnar read path: executed plan is columnar and value-identical to the row path") {
+    val dir = Files.createTempDirectory("columnar").toString
+    writeFixture(dir)
+
+    val cols = readBack(dir)
+    val plan = cols.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"plain frame scans must read columnar:\n$plan")
+
+    val rows = spark.read.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir).option("avroSchema", schemaJson)
+      .option("columnar", "false").load()
+    assert(!rows.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+
+    def canon(df: DataFrame): Seq[(Long, String, Double)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(canon(cols) == canon(rows))
+    assert(cols.count() == 1000)
+
+    // pushed filter + projection + metadata columns through the
+    // columnar reader
+    val proj = cols.filter(col("v") >= 500.0)
+      .select(col("id"), col("tag"), col("_segment"), col("_frame_offset"))
+    val projRows = rows.filter(col("v") >= 500.0)
+      .select(col("id"), col("tag"), col("_segment"), col("_frame_offset"))
+    assert(proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def canon4(df: DataFrame): Seq[(Long, String, String, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(canon4(proj) == canon4(projRows) && canon4(proj).nonEmpty)
+
+    // pushed aggregates and TopN stay row-shaped (summary/heap output)
+    val agg = cols.agg(count(lit(1)), min("v"), max("v"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(agg.collect()(0).getLong(0) == 1000)
+    val topn = cols.orderBy(col("v").desc, col("id")).limit(5)
+    assert(topn.collect().length == 5)
+
+    // deletion vector applied inside the columnar reader
+    val del: Seq[Long] = (0L until 1000L).filter(_ % 97 == 0)
+    graft.sources.FrameMaintenance.deleteWhereMoR(spark, new java.io.File(dir),
+      schemaJson, AvroFrames.DefaultSchemaId,
+      Array(org.apache.spark.sql.sources.In("id", del.map(x => Long.box(x): Any).toArray)))
+    val after = readBack(dir)
+    assert(after.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(after.count() == 1000 - del.length)
+    assert(canon(after).map(_._1) == (0L until 1000L).filterNot(del.contains))
+  }
 }
