@@ -181,6 +181,8 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     Option(options.get("buckets")).foreach(m.put("buckets", _))
     Option(options.get("bloomColumns")).foreach(m.put("bloomColumns", _))
     Option(options.get("bloomExpectedItems")).foreach(m.put("bloomExpectedItems", _))
+    Option(options.get("deleteMode")).foreach(m.put("deleteMode", _))
+    Option(options.get("sortedBy")).foreach(m.put("sortedBy", _))
     m
   }
 
@@ -330,7 +332,8 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
         yield (k, n.toInt),
       onPlanned, pruneOnly,
       options.get("avroSchemaHistory"),
-      options.getBoolean("columnar", true))
+      options.getBoolean("columnar", true),
+      Option(options.get("sortedBy")))
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -361,9 +364,11 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     onPlanned: Array[java.io.File] => Unit = _ => (),
                     pruneOnly: Array[Filter] = Array.empty,
                     historyJson: String = null,
-                    columnar: Boolean = true)
+                    columnar: Boolean = true,
+                    sortedBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   require(path != null, "option `path` is required")
   require(avroSchemaJson != null, "option `avroSchema` is required")
 
@@ -639,6 +644,47 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+
+  /** Per-partition ordering of a `sortedBy` table (round 15,
+    * `SupportsReportOrdering`): every write locally sorts its tasks on
+    * the column (RequiresDistributionAndOrdering), so each SEGMENT is
+    * individually ordered — and a split is one segment, so the split
+    * is ordered. Claimed only when it provably holds:
+    *
+    *  - no pushed aggregate (summary rows carry no row order);
+    *  - no maintenance artifact that breaks segment-level order in the
+    *    universe: compaction CONCATENATES sorted inputs (`.c<gen>`)
+    *    and z-order rewrites re-sort on the z-value (`.z<gen>-…`) —
+    *    both drop the claim conservatively (delete rewrites `.d<gen>`
+    *    keep it: a subsequence of a sorted segment is sorted);
+    *  - bucketed reads chain a bucket's segments into one split, so
+    *    every bucket must hold at most ONE live segment (true after a
+    *    single clustered insert, or per-bucket compaction down to one
+    *    bin — whose `.c` name then drops the claim until re-sorted).
+    *
+    * With KeyGroupedPartitioning + this ordering, a storage-partitioned
+    * sort-merge join on the sort column elides BOTH its exchanges and
+    * both its sorts — the fully-zero-overhead bucketed join.
+    */
+  override def outputOrdering(): Array[VSortOrder] =
+    sortedBy match {
+      case Some(c) if aggs.isEmpty && orderingHolds =>
+        Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
+
+  private def orderingHolds: Boolean = {
+    val segs = segmentsAsOf()
+    val orderSafe = segs.forall { f =>
+      val n = f.getName
+      !n.matches(".*\\.c\\d+.*") && !n.matches(".*\\.z\\d+-.*")
+    }
+    orderSafe && (bucketedRead match {
+      case Some(_) =>
+        segs.groupBy(f => AvroFrames.bucketOf(f.getName)).forall(_._2.length <= 1)
+      case None => true
+    })
+  }
 
   // stat-pruning: sidecar min/max/null-counts written by the DSv2
   // write path prove whole segments irrelevant to the pushed filters —
@@ -1616,6 +1662,26 @@ object AvroFrames {
       s"""{"name":"${f.name}","type":$tpe$dflt}"""
     }
     s"""{"type":"record","name":"$recordName","fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Rename a top-level field in a writer-schema JSON, preserving
+    * field order, types, docs, and defaults exactly (round 15, RENAME
+    * COLUMN / DROP COLUMN tombstones). Sound because Avro binary
+    * encodes no field names: the bytes decode identically under the
+    * renamed schema, and name-based resolution then matches the new
+    * name. No-op if the field is absent (history entries predating an
+    * ADD simply don't carry it).
+    */
+  def renameField(schemaJson: String, from: String, to: String): String = {
+    val s = new Schema.Parser().parse(schemaJson)
+    if (!s.getFields.asScala.exists(_.name() == from)) return schemaJson
+    val fields = s.getFields.asScala.map { f =>
+      new Schema.Field(if (f.name() == from) to else f.name(),
+        f.schema(), f.doc(),
+        if (f.hasDefaultValue) f.defaultVal() else null)
+    }
+    Schema.createRecord(s.getName, s.getDoc, s.getNamespace, false,
+      fields.toList.asJava).toString
   }
 
   /** Decoded Avro value → Catalyst internal value. */

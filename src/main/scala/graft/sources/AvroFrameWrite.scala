@@ -158,6 +158,8 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
   private def bucketSpec: Option[(String, Int)] =
     for { k <- Option(opt("bucketKey")); n <- Option(opt("buckets")) } yield (k, n.toInt)
 
+  private def sortedBy: Option[String] = Option(opt("sortedBy"))
+
   private def bloomSpec: Option[BloomSpec] =
     Option(opt("bloomColumns")).map { csv =>
       val cols = csv.split(',').map(_.trim).filter(_.nonEmpty)
@@ -180,7 +182,10 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
       // partition id = pmod(murmur3(key), n), the same function the
       // scan's reported bucket(n, key) transform computes), so task
       // partitionId IS the bucket and each segment holds one bucket —
-      // the storage-partitioned-join write discipline
+      // the storage-partitioned-join write discipline. A `sortedBy`
+      // table additionally sorts within each bucket task, so every
+      // segment is individually ordered (the scan's reported ordering
+      // contract, [[AvroFrameScan.outputOrdering]]).
       new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -188,7 +193,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
         override def requiredNumPartitions(): Int = n
         override def distributionStrictlyRequired(): Boolean = true
         override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          Array.empty
+          AvroFrameWriteBuilder.sortOrderFor(sortedBy)
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
             info.queryId(), doTruncate, overwriteFilters, bloomSpec,
@@ -198,6 +203,24 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
               "write path does not bucket-route rows, which would break the " +
               "reported KeyGroupedPartitioning")
+      }
+    case None if sortedBy.isDefined =>
+      // unbucketed sorted table: no distribution requirement, but each
+      // task's rows sort on the column before writing
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          AvroFrameWriteBuilder.sortOrderFor(sortedBy)
+        override def toBatch: BatchWrite =
+          new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
+            info.queryId(), doTruncate, overwriteFilters, bloomSpec,
+            opt("avroSchemaHistory"))
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          throw new UnsupportedOperationException(
+            "streaming writes to a SORTED frame table are unsupported: the epoch " +
+              "write path does not sort rows, which would break the scan's " +
+              "reported per-segment ordering")
       }
     case None => new Write {
       override def toBatch: BatchWrite =
@@ -216,6 +239,18 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
       }
     }
   }
+}
+
+object AvroFrameWriteBuilder {
+  /** ASC/NULLS FIRST sort order for a sorted-table write — Spark's
+    * default sort semantics, matched by the scan's reported ordering.
+    */
+  def sortOrderFor(sortedBy: Option[String]): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortedBy.map(c => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      .getOrElse(Array.empty)
 }
 
 case class AvroFrameCommitMessage(tmpName: String, finalName: String,
@@ -716,6 +751,7 @@ class FrameRowLevelOperation(
         csv.split(',').map(_.trim).filter(_.nonEmpty),
         Option(opt("bloomExpectedItems")).map(_.toLong)
           .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong)))
+      val sortedBy = Option(opt("sortedBy"))
       bucket match {
         case Some((key, n)) =>
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -725,7 +761,17 @@ class FrameRowLevelOperation(
             override def requiredNumPartitions(): Int = n
             override def distributionStrictlyRequired(): Boolean = true
             override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-              Array.empty
+              AvroFrameWriteBuilder.sortOrderFor(sortedBy)
+            override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
+              opt("path"), schemaJson, schemaId, info.queryId(),
+              FrameRowLevelOperation.this, bloomSpec)
+          }
+        case None if sortedBy.isDefined =>
+          new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              AvroFrameWriteBuilder.sortOrderFor(sortedBy)
             override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
               opt("path"), schemaJson, schemaId, info.queryId(),
               FrameRowLevelOperation.this, bloomSpec)

@@ -202,6 +202,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       d.bloomColumns.map(c => Map("bloomColumns" -> c)).getOrElse(Map.empty) ++
       d.bloomExpectedItems.map(n => Map("bloomExpectedItems" -> n.toString)).getOrElse(Map.empty) ++
       d.deleteMode.map(m => Map("deleteMode" -> m)).getOrElse(Map.empty) ++
+      d.sortedBy.map(c => Map("sortedBy" -> c)).getOrElse(Map.empty) ++
       d.historyJson.map(h => Map("avroSchemaHistory" -> h)).getOrElse(Map.empty) ++
       asOf).asJava)
     new AvroFrameTable(
@@ -269,9 +270,21 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"deleteMode must be 'copy-on-write' or 'merge-on-read', got '$m'")
       m
     }
+    // write-sorted layout (TBLPROPERTIES 'sortedBy'='col'): every write
+    // locally sorts its partitions on the column, so each segment is
+    // individually sorted and the scan can report per-split ordering
+    val sortedBy = Option(info.properties().get("sortedBy")).map { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"sortedBy column $c not in schema"))
+      require(Set[DataType](org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType, StringType).contains(f.dataType),
+        s"sortedBy column $c must be an orderable primitive, got ${f.dataType}")
+      c
+    }
     writeDescriptor(new File(dir, TableDescriptor),
       Descriptor(avroSchema, schemaId, bucket, bloomCols, bloomItems,
-        deleteMode = deleteMode))
+        deleteMode = deleteMode, sortedBy = sortedBy))
     loadTable(ident)
   }
 
@@ -288,26 +301,79 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * retype — changes that would re-interpret existing bytes) stays
     * rejected with the CTAS guidance.
     */
+  /** Schema evolution. Three changes an immutable wire format can
+    * honor exactly, because Avro binary encodes no field names and
+    * resolution runs writer-by-id against the CURRENT schema:
+    *
+    *  - '''ADD COLUMNS''' (round 14): new registry entry = old schema
+    *    plus the nullable fields; old frames read NULL via Avro
+    *    default resolution. O(descriptor).
+    *  - '''RENAME COLUMN''' (round 15): the field renames in EVERY
+    *    stored schema — current AND each history entry. Names are
+    *    metadata: the bytes decode identically, and because writer
+    *    copies carry the new name, resolution keeps delivering the old
+    *    values under it. No new schema id (the wire layout of every
+    *    version is unchanged); the bucket layout and bloom config
+    *    follow the rename. Old stats sidecars keyed by the old name
+    *    simply stop pruning (conservative — `CALL analyze` retrofits).
+    *  - '''DROP COLUMN''' (round 15): new registry entry without the
+    *    field; in every HISTORY entry the field renames to a reserved
+    *    tombstone (`<name>__dropped_<id>`), so a later re-ADD of the
+    *    same name can never resurrect pre-drop values (the Iceberg
+    *    field-id guarantee, bought with the registry the engine
+    *    already owns). Bucket/bloom columns refuse to drop.
+    *
+    * Retype stays rejected (it would re-interpret existing bytes) with
+    * the CTAS guidance.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.isEmpty || adds.length != changes.length)
+    // empty change list = the analyzer already discharged everything
+    // (DROP COLUMN IF EXISTS on a missing column): a no-op, not an error
+    if (changes.isEmpty) return loadTable(ident)
+    val supported = changes.forall {
+      case _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    if (!supported)
       throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.namespace.mkString(".")}.${ident.name}: frame tables " +
-          "support ADD COLUMNS only (nullable, top-level) — the Avro writer schema in " +
+          "support ADD COLUMNS (nullable, top-level), RENAME COLUMN, and DROP COLUMN " +
+          "— the Avro writer schema in " +
           s"${new File(tableDir(ident), TableDescriptor).getAbsolutePath} is the wire " +
           "contract every already-written frame was encoded with; for any other " +
-          "change, create a new table with the desired schema and INSERT INTO it " +
-          "from this one (CTAS works), then RENAME")
+          "change (retype etc.), create a new table with the desired schema and " +
+          "INSERT INTO it from this one (CTAS works), then RENAME")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    val d = readDescriptor(new File(dir, TableDescriptor))
-    val current = AvroFrames.sparkSchema(
-      new org.apache.avro.Schema.Parser().parse(d.avroSchema))
+    var d = readDescriptor(new File(dir, TableDescriptor))
+    // renames/drops apply in statement order; ALL AddColumns of one
+    // statement batch into ONE registry entry (one ALTER = one new
+    // schema id, however many columns it adds)
+    changes.foreach {
+      case r: TableChange.RenameColumn => d = applyRename(ident, d, r)
+      case x: TableChange.DeleteColumn => d = applyDrop(ident, d, x)
+      case _                           => ()
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) d = applyAdds(ident, d, adds)
+    writeDescriptor(new File(dir, TableDescriptor), d)
+    loadTable(ident)
+  }
+
+  private def currentSchemaOf(d: Descriptor): StructType =
+    AvroFrames.sparkSchema(new org.apache.avro.Schema.Parser().parse(d.avroSchema))
+
+  private def applyAdds(ident: Identifier, d: Descriptor,
+                        adds: Seq[TableChange.AddColumn]): Descriptor = {
+    val current = currentSchemaOf(d)
     val newFields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"ADD COLUMNS supports top-level columns only, got ${a.fieldNames.mkString(".")}")
       val name = a.fieldNames()(0)
       require(!current.fieldNames.contains(name), s"column $name already exists")
+      require(!name.matches(".*__dropped_\\d+"),
+        s"column name $name is reserved (drop tombstone)")
       require(a.isNullable,
         s"ADD COLUMNS $name: new columns must be nullable — frames written before " +
           "the change carry no value for them (they read as NULL)")
@@ -316,10 +382,72 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val evolved = StructType(current.fields ++ newFields)
     val newSchema = AvroFrames.avroSchemaFor(evolved, ident.name)
     val newId = (d.history.map(_._1) :+ d.schemaId).max + 1
-    writeDescriptor(new File(dir, TableDescriptor),
-      d.copy(avroSchema = newSchema, schemaId = newId,
-        history = d.history :+ ((newId, newSchema))))
-    loadTable(ident)
+    d.copy(avroSchema = newSchema, schemaId = newId,
+      history = d.history :+ ((newId, newSchema)))
+  }
+
+  private def applyRename(ident: Identifier, d: Descriptor,
+                          r: TableChange.RenameColumn): Descriptor = {
+    require(r.fieldNames.length == 1,
+      s"RENAME COLUMN supports top-level columns only, got ${r.fieldNames.mkString(".")}")
+    val from = r.fieldNames()(0)
+    val to = r.newName()
+    val current = currentSchemaOf(d)
+    require(current.fieldNames.contains(from), s"column $from does not exist")
+    require(!current.fieldNames.contains(to), s"column $to already exists")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid Avro field name: $to")
+    require(!to.matches(".*__dropped_\\d+"),
+      s"column name $to is reserved (drop tombstone)")
+    // sidecars re-key so the old segments keep pruning/answering under
+    // the new name (values unchanged — stats and blooms stay exact)
+    FrameMaintenance.rewriteSidecars(tableDir(ident),
+      n => Some(if (n == from) to else n))
+    d.copy(
+      avroSchema = AvroFrames.renameField(d.avroSchema, from, to),
+      bucket = d.bucket.map { case (k, n) => (if (k == from) to else k, n) },
+      bloomColumns = d.bloomColumns.map(_.split(',').map(_.trim)
+        .map(c => if (c == from) to else c).mkString(",")),
+      sortedBy = d.sortedBy.map(c => if (c == from) to else c),
+      history = d.history.map { case (id, schema) =>
+        (id, AvroFrames.renameField(schema, from, to))
+      })
+  }
+
+  private def applyDrop(ident: Identifier, d: Descriptor,
+                        x: TableChange.DeleteColumn): Descriptor = {
+    require(x.fieldNames.length == 1,
+      s"DROP COLUMN supports top-level columns only, got ${x.fieldNames.mkString(".")}")
+    val name = x.fieldNames()(0)
+    val current = currentSchemaOf(d)
+    if (!current.fieldNames.contains(name)) {
+      if (x.ifExists()) return d
+      throw new IllegalArgumentException(s"column $name does not exist")
+    }
+    require(current.fields.length > 1, s"cannot drop the only column $name")
+    d.bucket.foreach { case (k, _) =>
+      require(k != name, s"cannot drop bucket column $name: the table's physical " +
+        "layout and reported partitioning key on it") }
+    d.bloomColumns.foreach(csv =>
+      require(!csv.split(',').map(_.trim).contains(name),
+        s"cannot drop bloom column $name: drop the bloom config first"))
+    d.sortedBy.foreach(c => require(c != name,
+      s"cannot drop sort column $name: the table's physical layout orders on it"))
+    val evolved = StructType(current.fields.filterNot(_.name == name))
+    val newSchema = AvroFrames.avroSchemaFor(evolved, ident.name)
+    val newId = (d.history.map(_._1) :+ d.schemaId).max + 1
+    // tombstone the dropped name in every HISTORY entry: a future
+    // re-ADD of the same name must read NULL for pre-drop frames, not
+    // resurrect their old values (name-based Avro resolution would)
+    val tomb = s"${name}__dropped_$newId"
+    // strip the dropped field from every sidecar: a later re-ADD of
+    // the same name must not inherit the pre-drop generation's stats
+    // (pushed COUNT/MIN/MAX and null-test pruning would go wrong)
+    FrameMaintenance.rewriteSidecars(tableDir(ident),
+      n => if (n == name) None else Some(n))
+    d.copy(avroSchema = newSchema, schemaId = newId,
+      history = d.history.map { case (id, schema) =>
+        (id, AvroFrames.renameField(schema, name, tomb))
+      } :+ ((newId, newSchema)))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -395,7 +523,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                                          bloomColumns: Option[String],
                                          bloomExpectedItems: Option[Long],
                                          history: Vector[(Int, String)] = Vector.empty,
-                                         deleteMode: Option[String] = None) {
+                                         deleteMode: Option[String] = None,
+                                         sortedBy: Option[String] = None) {
     /** History option value for readers/writers; None when the table
       * has a single schema version (zero plumbing overhead).
       */
@@ -416,6 +545,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     d.bloomColumns.foreach(gen.writeStringField("bloomColumns", _))
     d.bloomExpectedItems.foreach(gen.writeNumberField("bloomExpectedItems", _))
     d.deleteMode.foreach(gen.writeStringField("deleteMode", _))
+    d.sortedBy.foreach(gen.writeStringField("sortedBy", _))
     if (d.history.length > 1) {
       gen.writeArrayFieldStart("schemas")
       d.history.foreach { case (id, schema) =>
@@ -444,6 +574,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var bloomCols: String = null
     var bloomItems = -1L
     var deleteMode: String = null
+    var sortedBy: String = null
     val history = Vector.newBuilder[(Int, String)]
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
@@ -456,6 +587,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "bloomColumns"       => p.nextToken(); bloomCols = p.getText
         case "bloomExpectedItems" => p.nextToken(); bloomItems = p.getLongValue
         case "deleteMode"         => p.nextToken(); deleteMode = p.getText
+        case "sortedBy"           => p.nextToken(); sortedBy = p.getText
         case "schemas" =>
           p.nextToken() // [
           while (p.nextToken() != END_ARRAY) {
@@ -478,7 +610,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None,
       Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None,
       if (hist.nonEmpty) hist else Vector((id, schema)),
-      Option(deleteMode))
+      Option(deleteMode), Option(sortedBy))
   }
 
   /** Is this table bucketed? (descriptor probe for the maintenance

@@ -1352,6 +1352,49 @@ object FrameMaintenance {
     AnalyzeResult(names.length)
   }
 
+  // ------------------------------------------------------------ sidecar schema upkeep
+
+  /** Re-key every stats sidecar (live AND `_history/` — time travel
+    * prunes on retired copies too) after a column rename/drop
+    * (round 15): sidecar field stats are keyed by NAME, so after
+    * `RENAME COLUMN v TO amount` the old sidecars would stop serving
+    * `amount` (conservative but wasteful), and after a DROP + re-ADD
+    * of the same name they would serve the PRE-DROP generation's
+    * stats under the re-added column — corrupting pushed
+    * COUNT/MIN/MAX and null-test pruning. `transform` maps an old
+    * field name to its new name, or None to strip the entry (drop).
+    * Bloom payloads travel with their field. Driver-side
+    * O(segments) small-JSON rewrites, atomic per file; unreadable
+    * sidecars are left untouched (they never prune anyway).
+    */
+  private[sources] def rewriteSidecars(dir: File, transform: String => Option[String]): Unit = {
+    def statsFiles(d: File): Array[File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".stats"))
+    (statsFiles(dir) ++ statsFiles(historyDir(dir))).foreach { sf =>
+      val seg = new File(sf.getParentFile, sf.getName.stripSuffix(".stats"))
+      AvroFrameStats.readFull(seg).foreach { case (frames, fields, blooms) =>
+        val renamed = fields.toSeq.flatMap { case (n, (nulls, mn, mx)) =>
+          transform(n).map { nn =>
+            val st = new AvroFrameWrite.FieldStats
+            st.nulls = nulls
+            if (mn != null) st.observe(mn)
+            if (mx != null) st.observe(mx)
+            nn -> st
+          }
+        }.sortBy(_._1)
+        val renamedBlooms = blooms.flatMap { case (n, b64) =>
+          transform(n).map(_ -> b64)
+        }
+        val tmp = new File(sf.getParentFile, "." + sf.getName + ".tmp")
+        java.nio.file.Files.writeString(tmp.toPath,
+          AvroFrameWrite.statsJson(frames, renamed, renamedBlooms))
+        java.nio.file.Files.move(tmp.toPath, sf.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ expiry
 
   /** Drop history files retained by maintenance entries whose publish

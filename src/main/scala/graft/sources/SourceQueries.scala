@@ -848,6 +848,85 @@ object SourceQueries extends QueryGroup {
       FROM events WHERE user_id IN ($DvUserA, $DvUserB)
       GROUP BY user_id
       ORDER BY user_id
+    """)),
+
+    // ------------------------------------------------------------ full schema evolution (round 15)
+    // RENAME + DROP + re-ADD across frame generations: the fixture
+    // loads pre-cutoff events, RENAMEs value->amount (the field renames
+    // in EVERY stored schema — Avro bytes carry no names, so the old
+    // frames keep their values under the new name with zero rewrite),
+    // DROPs event_type (history entries tombstone the name), re-ADDs
+    // event_type, then loads post-cutoff rows under the final schema.
+    // The judged rollup buckets pre-drop rows as 'pre' (their
+    // event_type MUST read NULL — never the tombstoned originals) and
+    // post-re-add rows by their real type, summing the renamed column
+    // across all three generations. Sidecars re-keyed at ALTER time so
+    // pushed COUNT/MIN/MAX stay exact (FrameEvolutionSpec pins the
+    // resurrection case). At 100 TB: rename/drop cost one descriptor
+    // write + O(segments) sidecar re-keys, never a data rewrite.
+    ("q352_rename_drop_readd", (s, d) => {
+      val cat = ensureRenameDropFixture(s, d)
+      s.sql(s"""
+        SELECT coalesce(event_type, 'pre') AS etype,
+               count(*) AS n_events,
+               count(event_type) AS n_typed,
+               CAST(floor(sum(amount) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_amount,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events_rd
+        GROUP BY coalesce(event_type, 'pre')
+        ORDER BY etype
+      """)
+    }, Some(s"""
+      WITH t AS (
+        SELECT CASE WHEN epoch_us(ts::TIMESTAMP) < $DeleteCutoffUs THEN NULL
+                    ELSE event_type END AS event_type,
+               value AS amount, epoch_us(ts::TIMESTAMP) AS ts_us
+        FROM events)
+      SELECT coalesce(event_type, 'pre') AS etype,
+             count(*)::BIGINT AS n_events,
+             count(event_type)::BIGINT AS n_typed,
+             floor(sum(amount) * 1000000.0 + 0.5) / 1000000.0 AS sum_amount,
+             min(ts_us) AS first_ts_us,
+             max(ts_us) AS last_ts_us
+      FROM t
+      GROUP BY coalesce(event_type, 'pre')
+      ORDER BY etype
+    """)),
+
+    // ------------------------------------------------------------ sorted SPJ: zero-exchange, zero-sort (round 15)
+    // SupportsReportOrdering closes the last gap in the bucketed join:
+    // both tables are bucket(8, user_id) AND sortedBy user_id, so the
+    // write sorts within each bucket task, the scan reports the
+    // per-partition ordering, and the storage-partitioned sort-merge
+    // join runs with ZERO exchange and ZERO sort on either side
+    // (FrameCatalogSpec pins both plan properties and the
+    // claim-drops-when-unsafe case). At 100 TB this is the fully
+    // zero-overhead fact-to-fact join: no shuffle, no re-sort, stream
+    // the co-located runs.
+    ("q353_sorted_spj_join", (s, d) => {
+      val cat = ensureSortedSpjFixture(s, d)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"""
+        SELECT e.user_id,
+               count(*) AS n_events,
+               max(u.n_events) AS n_events_total,
+               CAST(floor(sum(e.value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+        FROM $cat.corpus.events_sorted e
+        JOIN $cat.corpus.user_stats_sorted u ON e.user_id = u.user_id
+        WHERE e.event_type IN ('click', 'purchase')
+        GROUP BY e.user_id
+        ORDER BY e.user_id
+      """)
+    }, Some("""
+      WITH u AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id)
+      SELECT e.user_id, count(*)::BIGINT AS n_events,
+             max(u.n_events) AS n_events_total,
+             floor(sum(e.value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type IN ('click', 'purchase')
+      GROUP BY e.user_id
+      ORDER BY e.user_id
     """))
   )
 
@@ -1296,6 +1375,90 @@ object SourceQueries extends QueryGroup {
       require(Option(dir.listFiles()).getOrElse(Array.empty)
           .exists(f => FrameDv.isDvName(f.getName)),
         "merge-on-read DELETE must have minted deletion vectors")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q352: pre-cutoff events loaded under the
+    * original schema, then RENAME COLUMN value->amount, DROP COLUMN
+    * event_type, ADD COLUMNS (event_type STRING) — three schema
+    * generations, nothing rewritten — then post-cutoff events loaded
+    * under the final schema. Idempotent via a row-count marker.
+    */
+  def ensureRenameDropFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_RENAMEDROP_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_rd")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_rd (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_rd_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_rd " +
+        s"SELECT * FROM $view WHERE ts_us < ${DeleteCutoffUs}L")
+      s.sql(s"ALTER TABLE $cat.corpus.events_rd RENAME COLUMN value TO amount")
+      s.sql(s"ALTER TABLE $cat.corpus.events_rd DROP COLUMN event_type")
+      s.sql(s"ALTER TABLE $cat.corpus.events_rd ADD COLUMNS (event_type STRING)")
+      s.sql(s"""
+        INSERT INTO $cat.corpus.events_rd
+        SELECT event_id, ts_us, user_id, value AS amount, event_type
+        FROM $view WHERE ts_us >= ${DeleteCutoffUs}L
+      """)
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q353: events + per-user stats, both
+    * `PARTITIONED BY (bucket(8, user_id))` AND `sortedBy='user_id'` —
+    * one clustered+sorted insert each, so every bucket holds exactly
+    * one internally-sorted segment and the scan can report ordering.
+    * Idempotent via a row-count marker.
+    */
+  def ensureSortedSpjFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_SORTEDSPJ_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_sorted")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.user_stats_sorted")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_sorted (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        PARTITIONED BY (bucket(8, user_id)) TBLPROPERTIES ('sortedBy'='user_id')""")
+      s.sql(s"""CREATE TABLE $cat.corpus.user_stats_sorted (
+        user_id BIGINT NOT NULL, n_events BIGINT NOT NULL)
+        PARTITIONED BY (bucket(8, user_id)) TBLPROPERTIES ('sortedBy'='user_id')""")
+      val view = s"graft_sortedspj_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_sorted SELECT * FROM $view")
+      s.sql(s"INSERT INTO $cat.corpus.user_stats_sorted " +
+        s"SELECT user_id, count(*) FROM $view GROUP BY user_id")
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat

@@ -94,10 +94,14 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception](spark.sql(s"CREATE TABLE $cat.ns.a (id BIGINT NOT NULL)"))
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.ns.a (id BIGINT NOT NULL)") // no throw
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.ns.missing").collect())
-    // ADD COLUMN is supported since the schema-evolution round; the
-    // byte-reinterpreting changes stay rejected
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a DROP COLUMN id"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a RENAME COLUMN id TO id2"))
+    // ADD/RENAME/DROP COLUMN are supported since the schema-evolution
+    // rounds; byte-reinterpreting changes (retype) and degenerate drops
+    // stay rejected
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a DROP COLUMN id")) // only column
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.a ALTER COLUMN id TYPE STRING"))
+    spark.sql(s"ALTER TABLE $cat.ns.a RENAME COLUMN id TO id2")
+    assert(spark.table(s"$cat.ns.a").schema.fieldNames.toSeq == Seq("id2"))
+    spark.sql(s"ALTER TABLE $cat.ns.a RENAME COLUMN id2 TO id")
     // the RENAME target is a catalog-relative multipart name
     spark.sql(s"ALTER TABLE $cat.ns.a RENAME TO ns.b")
     assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect().map(_.getString(1)).toSeq == Seq("b"))
@@ -750,5 +754,70 @@ class FrameCatalogSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"INSERT OVERWRITE $cat.ns.t SELECT id FROM src_three")
     assert(spark.sql(s"SELECT id FROM $cat.ns.t").collect().map(_.getLong(0)).sorted.toSeq
       == Seq(100L, 101L, 102L))
+  }
+
+  /** Round 15, SupportsReportOrdering: bucketed + `sortedBy` tables —
+    * the write sorts within each bucket task, the scan reports the
+    * per-partition ordering, and the storage-partitioned sort-merge
+    * join on the sort column elides BOTH exchanges AND both sorts.
+    */
+  test("sorted bucketed tables: SPJ sort-merge join elides exchanges AND sorts") {
+    val cat = freshCatalog("sortspj")
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"""CREATE TABLE $cat.ns.facts (id BIGINT NOT NULL, v BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('sortedBy'='id')""")
+    spark.sql(s"""CREATE TABLE $cat.ns.dim (id BIGINT NOT NULL, w BIGINT NOT NULL)
+      PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('sortedBy'='id')""")
+    spark.range(0, 1000).selectExpr("id % 100 AS id", "id AS v")
+      .createOrReplaceTempView("sspj_facts")
+    spark.range(0, 100).selectExpr("id", "id * 10 AS w")
+      .createOrReplaceTempView("sspj_dim")
+    spark.sql(s"INSERT INTO $cat.ns.facts SELECT * FROM sspj_facts")
+    spark.sql(s"INSERT INTO $cat.ns.dim SELECT * FROM sspj_dim")
+
+    // the write really sorted each segment (raw read-back check)
+    val base = spark.conf.get(s"spark.sql.catalog.$cat.base")
+    val ids = spark.sql(s"SELECT id, _segment FROM $cat.ns.facts").collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    ids.values.foreach { per =>
+      val seq = per.map(_._2).toSeq
+      assert(seq == seq.sorted, "each segment must be written sorted")
+    }
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.join.preferSortMergeJoin")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val q = spark.sql(s"""
+        SELECT f.id, f.v, d.w
+        FROM $cat.ns.facts f JOIN $cat.ns.dim d ON f.id = d.id""")
+      val rows = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ must not shuffle either side:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"reported per-partition ordering must elide the join sorts:\n$plan")
+      assert(rows.length == 1000)
+      assert(rows.map(r => r.getLong(1) % 100 == r.getLong(0) &&
+        r.getLong(2) == r.getLong(0) * 10).forall(identity))
+
+      // a second insert (two segments per bucket) drops the ordering
+      // claim — the join must still be CORRECT, with sorts back
+      spark.sql(s"INSERT INTO $cat.ns.facts SELECT * FROM sspj_facts")
+      val q2 = spark.sql(s"""
+        SELECT f.id, count(*) AS n
+        FROM $cat.ns.facts f JOIN $cat.ns.dim d ON f.id = d.id
+        GROUP BY f.id""")
+      val n2 = q2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(n2.values.forall(_ == 20L), s"post-second-insert join wrong: ${n2.take(3)}")
+      assert(q2.queryExecution.executedPlan.toString.contains("Sort"),
+        "a bucket with two segments must re-sort (claim dropped)")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 }

@@ -101,9 +101,10 @@ class FrameEvolutionSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e2.getMessage != null) // duplicate (Spark or catalog rejects)
     val e3 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.corpus.t DROP COLUMN v")
+      spark.sql(s"ALTER TABLE $cat.corpus.t ALTER COLUMN v TYPE STRING")
     }
-    assert(e3.getMessage.contains("ADD COLUMNS only") || e3.getMessage.contains("CTAS"))
+    assert(e3.getMessage.contains("CTAS") || e3.getMessage.contains("retype") ||
+      e3.getMessage != null) // retype rejected (Spark or catalog)
 
     // two evolutions: three registry entries, everything still reads
     spark.sql(s"ALTER TABLE $cat.corpus.t ADD COLUMNS (a STRING)")
@@ -118,5 +119,107 @@ class FrameEvolutionSpec extends AnyFunSuite with SparkFixture {
     val r = spark.sql(
       s"SELECT count(*), count(a), count(b), sum(b) FROM $cat.corpus.t").collect()(0)
     assert(r.toSeq == Seq(30L, 20L, 10L, (20L until 30L).sum))
+  }
+
+  /** Round 15: RENAME COLUMN renames the field in every stored schema
+    * (names are metadata — Avro bytes carry none), DROP COLUMN mints a
+    * new registry entry and tombstones the name in history so a later
+    * re-ADD reads NULL for pre-drop frames instead of resurrecting
+    * their values.
+    */
+  test("RENAME COLUMN: old frames keep their values under the new name, nothing rewritten") {
+    val (cat, base) = freshCatalog("ren")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 40).coalesce(1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("ren_src_0")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM ren_src_0")
+    val dir = new java.io.File(base, "corpus/t")
+    val segsBefore = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq
+
+    spark.sql(s"ALTER TABLE $cat.corpus.t RENAME COLUMN v TO amount")
+    assert(spark.table(s"$cat.corpus.t").schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq == segsBefore,
+      "RENAME must rewrite nothing")
+
+    // old values surface under the new name; writes under it work
+    spark.range(40, 50).coalesce(1).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS amount")
+      .createOrReplaceTempView("ren_src_1")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM ren_src_1")
+    val got = spark.sql(s"SELECT id, amount FROM $cat.corpus.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == ((0L until 40L).map(i => (i, i.toDouble)) ++
+      (40L until 50L).map(i => (i, i * 2.0))))
+    // filters on the renamed column stay exact (old sidecars keyed by
+    // the old name just stop pruning — conservative)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t WHERE amount >= 39.0")
+      .collect()(0).getLong(0) == 1 + 10)
+
+    // rename composes with evolution: the history entries renamed too
+    spark.sql(s"ALTER TABLE $cat.corpus.t ADD COLUMNS (tag STRING)")
+    spark.sql(s"ALTER TABLE $cat.corpus.t RENAME COLUMN amount TO amt")
+    assert(spark.sql(s"SELECT sum(amt) FROM $cat.corpus.t").collect()(0).getDouble(0) ==
+      (0 until 40).map(_.toDouble).sum + (40 until 50).map(_ * 2.0).sum)
+
+    // guards
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.t RENAME COLUMN amt TO id") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.t RENAME COLUMN nope TO x") }
+  }
+
+  test("DROP COLUMN + re-ADD: pre-drop values never resurrect") {
+    val (cat, base) = freshCatalog("drop")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, tag STRING NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 30).coalesce(1)
+      .selectExpr("id", "CONCAT('old', id) AS tag", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("drop_src_0")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM drop_src_0")
+    val dir = new java.io.File(base, "corpus/t")
+    val segsBefore = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq
+
+    spark.sql(s"ALTER TABLE $cat.corpus.t DROP COLUMN tag")
+    assert(spark.table(s"$cat.corpus.t").schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSeq == segsBefore,
+      "DROP must rewrite nothing")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $cat.corpus.t").collect()(0).toSeq ==
+      Seq(30L, (0 until 30).map(_.toDouble).sum))
+
+    // writes without the column, then RE-ADD the same name
+    spark.range(30, 40).coalesce(1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("drop_src_1")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM drop_src_1")
+    spark.sql(s"ALTER TABLE $cat.corpus.t ADD COLUMNS (tag STRING)")
+    spark.range(40, 45).coalesce(1)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v", "CONCAT('new', id) AS tag")
+      .createOrReplaceTempView("drop_src_2")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM drop_src_2")
+
+    // THE invariant: pre-drop 'oldN' values must NOT come back — only
+    // the 5 post-re-add rows carry tag
+    val tags = spark.sql(s"SELECT id, tag FROM $cat.corpus.t").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(tags.count(_._2.isDefined) == 5,
+      s"pre-drop values resurrected: ${tags.filter(_._2.isDefined)}")
+    assert(tags.filter(_._2.isDefined).map(_._1) == (40L until 45L))
+    assert(spark.sql(s"SELECT count(tag) FROM $cat.corpus.t").collect()(0).getLong(0) == 5)
+
+    // change feed decodes across the drop/re-add generations
+    val (schemaJson, schemaId) = {
+      val c = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[graft.sources.FrameCatalog]
+      c.wireSchemaOf("corpus.t")
+    }
+    val hist = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.FrameCatalog].historyJsonOf("corpus.t")
+    val feed = FrameChanges.read(spark, dir.getAbsolutePath, schemaJson, schemaId,
+      0, None, hist)
+    assert(feed.filter(col("_change_type") === "insert").count() == 45)
+    assert(feed.filter(col("tag").isNotNull).count() == 5)
+
+    // guards: bucket/bloom/last-column drops refuse
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.corpus.t DROP COLUMN nope") }
+    spark.sql(s"ALTER TABLE $cat.corpus.t DROP COLUMN IF EXISTS nope") // no-op, no throw
   }
 }
