@@ -104,7 +104,17 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!isSnapshot, "row-level operations on a time-travel snapshot are not allowed")
-    () => new FrameRowLevelOperation(info.command(), schema, options)
+    // merge-on-read tables run DELTA-based operations (round 15):
+    // changed rows only — deletes become deletion vectors, inserts
+    // ordinary appends ([[FrameDeltaOperation]]). Bucketed and sorted
+    // tables keep the group rewrite: their physical invariants
+    // (one-bucket-per-segment routing, per-segment sort) are preserved
+    // by republishing whole groups through the clustered/sorted write.
+    val delta = "merge-on-read".equalsIgnoreCase(options.get("deleteMode")) &&
+      options.get("bucketKey") == null && options.get("sortedBy") == null
+    () =>
+      if (delta) new FrameDeltaOperation(info.command(), schema, options)
+      else new FrameRowLevelOperation(info.command(), schema, options)
   }
 
   private def isSnapshot: Boolean =

@@ -197,7 +197,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
             info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-            opt("avroSchemaHistory"))
+            opt("avroSchemaHistory"), opt("deleteMode"))
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
@@ -215,7 +215,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
             info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-            opt("avroSchemaHistory"))
+            opt("avroSchemaHistory"), opt("deleteMode"))
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a SORTED frame table are unsupported: the epoch " +
@@ -226,7 +226,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
       override def toBatch: BatchWrite =
         new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
           info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-          opt("avroSchemaHistory"))
+          opt("avroSchemaHistory"), opt("deleteMode"))
 
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // the log is append-only: complete/update output modes would need
@@ -266,7 +266,8 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
                           queryId: String, truncate: Boolean,
                           overwriteFilters: Array[Filter] = Array.empty,
                           bloom: Option[BloomSpec] = None,
-                          historyJson: String = null) extends BatchWrite {
+                          historyJson: String = null,
+                          deleteMode: String = null) extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -300,12 +301,17 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       hist.delete()
     }
     // REPLACE WHERE: retire the matching slice first (metadata-only /
-    // rewrite per segment, one delete version), then publish the
-    // replacement segments below — one command, both halves in this
-    // driver commit
-    if (overwriteFilters.nonEmpty)
-      FrameMaintenance.deleteWhere(org.apache.spark.sql.SparkSession.active,
-        dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
+    // rewrite per segment on copy-on-write tables; metadata-only /
+    // deletion-vector on merge-on-read), then publish the replacement
+    // segments below — one command, both halves in this driver commit
+    if (overwriteFilters.nonEmpty) {
+      if ("merge-on-read".equalsIgnoreCase(deleteMode))
+        FrameMaintenance.deleteWhereMoR(org.apache.spark.sql.SparkSession.active,
+          dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
+      else
+        FrameMaintenance.deleteWhere(org.apache.spark.sql.SparkSession.active,
+          dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
+    }
     // one publish instant for the whole job: TIMESTAMP AS OF cuts on
     // segment mtime, and POSIX rename PRESERVES the temp file's mtime
     // (task write time) — without restamping, a timestamp falling

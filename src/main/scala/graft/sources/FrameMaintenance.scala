@@ -1352,6 +1352,70 @@ object FrameMaintenance {
     AnalyzeResult(names.length)
   }
 
+  // ------------------------------------------------------------ delta commit
+
+  /** Driver publish of a delta-based row-level operation
+    * ([[FrameDeltaOperation]]): the delete half becomes ONE `dv`
+    * manifest entry (cumulative vectors, priors retired), the insert
+    * half publishes as ordinary appends — all under the commit lock,
+    * CAS-validated against the manifest version the operation's scan
+    * read (`expectedLen`). A conflict here is NOT retryable: the
+    * collected positions describe segments as they were at scan time,
+    * and a maintenance rewrite in between invalidates them — fail
+    * loudly, the statement re-runs against fresh state.
+    */
+  private[sources] def publishDeltaCommit(dir: File, expectedLen: Int,
+                                          deletes: Map[String, Array[Int]],
+                                          inserts: Seq[(String, String, String)]): Unit = {
+    val realDeletes = deletes.filter(_._2.nonEmpty)
+    if (realDeletes.isEmpty && inserts.isEmpty) return
+    try publishLocked(dir, expectedLen) {
+      val manifest = readManifest(dir)
+      val gen = manifest.length + 1
+      val live = AvroFrames.listSegments(dir.getAbsolutePath)
+      val publishMs = publishInstant(live, manifest)
+      val entries = Vector.newBuilder[MaintEntry]
+      if (realDeletes.nonEmpty) {
+        val replaced = Vector.newBuilder[String]
+        val replacedMs = Vector.newBuilder[Long]
+        val replacements = Vector.newBuilder[String]
+        realDeletes.toSeq.sortBy(_._1).foreach { case (seg, delta) =>
+          require(new File(dir, seg).isFile,
+            s"delta delete targets non-live segment $seg — was the table " +
+              "maintained during the operation?")
+          val prior = FrameDv.liveDvOf(dir, seg)
+          val priorPos = prior.map(d => FrameDv.read(new File(dir, d)))
+            .getOrElse(Array.empty[Int])
+          // the scan already skips prior-vector positions, so the delta
+          // is disjoint from them by construction; union defensively
+          val merged = (priorPos ++ delta).distinct.sorted
+          val dvName = FrameDv.nameFor(seg, gen)
+          FrameDv.write(new File(dir, dvName), merged)
+          java.nio.file.Files.setLastModifiedTime(new File(dir, dvName).toPath,
+            java.nio.file.attribute.FileTime.fromMillis(publishMs))
+          prior.foreach { d => replaced += d; replacedMs += retire(dir, d) }
+          replacements += dvName
+        }
+        entries += MaintEntry("dv", publishMs, replaced.result(), replacedMs.result(),
+          replacements.result(), expired = false)
+      }
+      // inserts publish as ordinary appends (each mints a version via
+      // its publish mtime; at an equal millisecond appends order before
+      // the maintenance event — the positions reference pre-insert
+      // segments only, so either order reconstructs exactly)
+      inserts.foreach { case (tmp, fin, stats) =>
+        publishSegment(dir, tmp, fin, Some(stats), publishMs)
+      }
+      writeManifest(dir, manifest ++ entries.result())
+    } catch {
+      case c: CommitConflict =>
+        inserts.foreach { case (tmp, _, _) => new File(dir, tmp).delete() }
+        throw new IllegalStateException(
+          "row-level operation lost a race with concurrent maintenance — its " +
+            "collected row positions may be stale; re-run the statement", c)
+    }
+  }
+
   // ------------------------------------------------------------ sidecar schema upkeep
 
   /** Re-key every stats sidecar (live AND `_history/` — time travel

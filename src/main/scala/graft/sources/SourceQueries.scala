@@ -927,6 +927,45 @@ object SourceQueries extends QueryGroup {
       WHERE e.event_type IN ('click', 'purchase')
       GROUP BY e.user_id
       ORDER BY e.user_id
+    """)),
+
+    // ------------------------------------------------------------ delta MERGE (merge-on-read, round 15)
+    // q342's upsert statement re-run on a merge-on-read table — planned
+    // DELTA-based (SupportsDelta, rowId = (_segment, _frame_offset)):
+    // matched purchases become deletion-vector positions + re-inserted
+    // rows, unmatched corrections plain inserts — the fixture ASSERTS
+    // no data segment was retired or rewritten (q342's group rewrite
+    // republishes whole segments; this ships only changed rows). The
+    // judged rollup must match the same DuckDB piecewise relation as
+    // q342 — two physical strategies, one answer. At 100 TB: a CDC
+    // upsert wave touching 0.1% of rows costs O(changed rows), not
+    // O(touched segments).
+    ("q354_delta_merge_upsert", (s, d) => {
+      val cat = ensureDeltaMergeFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+        FROM $cat.corpus.events_dmerge
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some("""
+      WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+        FROM events),
+      inserted AS (
+        SELECT event_id + 100000000, user_id, 'correction', value * 2
+        FROM events WHERE event_type = 'purchase'),
+      t AS (SELECT * FROM base UNION ALL SELECT * FROM inserted)
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM t
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
 
@@ -1459,6 +1498,64 @@ object SourceQueries extends QueryGroup {
       s.sql(s"INSERT INTO $cat.corpus.events_sorted SELECT * FROM $view")
       s.sql(s"INSERT INTO $cat.corpus.user_stats_sorted " +
         s"SELECT user_id, count(*) FROM $view GROUP BY user_id")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q354: events loaded into a merge-on-read
+    * table, then ONE MERGE doubling purchase values and inserting
+    * correction rows — planned delta-based, so the fixture asserts the
+    * original segments all survive untouched (vectors + appends only).
+    * Idempotent via a row-count marker.
+    */
+  def ensureDeltaMergeFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_DELTAMERGE_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_dmerge")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_dmerge (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        TBLPROPERTIES ('deleteMode'='merge-on-read')""")
+      val view = s"graft_dmerge_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_dmerge SELECT * FROM $view")
+      val dir = new java.io.File(base, "corpus/events_dmerge")
+      val segsBefore = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSet
+      s.sql(s"""
+        MERGE INTO $cat.corpus.events_dmerge t
+        USING (
+          SELECT event_id AS m_id, ts_us AS m_ts_us, user_id AS m_user,
+                 value * 2 AS m_value
+          FROM $view WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT event_id + 100000000, ts_us, user_id, value * 2
+          FROM $view WHERE event_type = 'purchase') s
+        ON t.event_id = s.m_id
+        WHEN MATCHED THEN UPDATE SET value = s.m_value
+        WHEN NOT MATCHED THEN INSERT (event_id, ts_us, user_id, event_type, value)
+          VALUES (s.m_id, s.m_ts_us, s.m_user, 'correction', s.m_value)
+      """)
+      val segsAfter = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName).toSet
+      require(segsBefore.subsetOf(segsAfter),
+        s"delta MERGE must not retire data segments: lost ${segsBefore -- segsAfter}")
+      require(Option(dir.listFiles()).getOrElse(Array.empty)
+          .exists(f => FrameDv.isDvName(f.getName)),
+        "delta MERGE must have minted deletion vectors for the matched rows")
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat
