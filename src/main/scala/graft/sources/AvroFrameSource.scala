@@ -1435,13 +1435,22 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
     files.zipWithIndex.foreach { case (f, i) =>
       val dv = if (i < dvs.length) dvs(i) else None
       // a vectored segment's sidecar describes the PRE-delete superset
-      // (stale min/max, stale null counts) — only the decode path is
-      // exact for it
+      // (stale min/max, stale null counts) — the decode path is the
+      // exact one, EXCEPT for pure COUNT(*): vectors hold decodable
+      // positions only, so `frames − |dv|` is the exact live count and
+      // the segment still never opens
       val sidecarOk = pushed.isEmpty && dv.isEmpty &&
         AvroFrameStats.read(new java.io.File(f)).exists { case (frames, fields) =>
           sidecarAnswers(frames, fields) && { observeSidecar(frames, fields); true }
         }
-      if (!sidecarOk) decodeSegment(f, dv)
+      val countStarOk = !sidecarOk && pushed.isEmpty && dv.isDefined &&
+        aggs.forall(_ == FrameCountStar) &&
+        AvroFrameStats.read(new java.io.File(f)).exists { case (frames, _) =>
+          val live = frames - FrameDv.count(new java.io.File(dv.get))
+          counts.indices.foreach(counts(_) += live)
+          true
+        }
+      if (!sidecarOk && !countStarOk) decodeSegment(f, dv)
     }
     done = true
     true

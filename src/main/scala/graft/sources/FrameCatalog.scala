@@ -156,6 +156,26 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (tableExists(inner))
         return new FrameMetaTable(ident.name, tableDir(inner))
     }
+    // `SELECT * FROM cat.ns.t.changes` (round 15): the change data feed
+    // as a first-class SQL relation — the whole history by default;
+    // `WHERE _commit_version > n` narrows it (or use the reader options
+    // for planning-time version bounds). Same scan the DataFrame API
+    // builds, configured from the table's own descriptor.
+    if (ident.namespace.length == 2 && ident.name == "changes") {
+      val inner = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+      if (tableExists(inner)) {
+        val d = readDescriptor(new File(tableDir(inner), TableDescriptor))
+        val opts = new CaseInsensitiveStringMap((Map(
+          "path" -> tableDir(inner).getAbsolutePath,
+          "avroSchema" -> d.avroSchema,
+          "schemaId" -> d.schemaId.toString,
+          "changeFeed" -> "true") ++
+          d.historyJson.map(h => Map("avroSchemaHistory" -> h)).getOrElse(Map.empty)).asJava)
+        return new AvroFrameChangesTable(
+          FrameChanges.changeSchema(AvroFrames.sparkSchema(
+            new org.apache.avro.Schema.Parser().parse(d.avroSchema))), opts)
+      }
+    }
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
     loadTableAsOf(ident, Map.empty)
   }

@@ -279,4 +279,42 @@ class FrameDvSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sql(s"SELECT id FROM $cat.corpus.t").collect()
       .map(_.getLong(0)).sorted.toSeq == rows2)
   }
+
+  test("COUNT(*) on a vectored table answers from sidecars (frames - |dv|), zero decodes") {
+    val (cat, _) = freshCatalog("cnt")
+    val dir = build(cat)
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id IN (3, 14, 25, 26)")
+    assert(dvNames(dir).size == 3)
+
+    // reader-level proof: the pushed-agg reader never opens a file
+    val files = AvroFrames.listSegments(dir).map(_.getAbsolutePath).toSeq
+    val dvs = files.map(f => FrameDv.liveDvOf(new java.io.File(dir),
+      new java.io.File(f).getName).map(new java.io.File(dir, _).getAbsolutePath))
+    val r = new graft.sources.AvroFrameAggReader(files, schemaJson,
+      AvroFrames.DefaultSchemaId, Seq(graft.sources.FrameCountStar), Array.empty,
+      dvs = dvs)
+    assert(r.next())
+    assert(r.get().getLong(0) == 26, "frames - |dv| must be the exact live count")
+    assert(r.decodedSegments == 0L, "COUNT(*) over vectors must not open segments")
+
+    // SQL end-to-end (complete pushdown path)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 26)
+  }
+
+  test("SQL surface: SELECT FROM cat.ns.t.changes serves the change feed") {
+    val (cat, _) = freshCatalog("sqlcdf")
+    val dir = build(cat)
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id IN (4, 17)")
+
+    val rows = spark.sql(s"""
+      SELECT id, _change_type, _commit_version FROM $cat.corpus.t.changes
+      ORDER BY _commit_version, _change_type, id""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.count(_._2 == "insert") == 30)
+    assert(rows.filter(_._2 == "delete").map(_._1) == Seq(4L, 17L))
+    assert(rows.filter(_._2 == "delete").forall(_._3 == 4L))
+    // version-bounded slice via the ordinary column filter
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t.changes WHERE _commit_version > 3")
+      .collect()(0).getLong(0) == 2)
+  }
 }
