@@ -843,12 +843,13 @@ object FrameProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
   val names: Array[String] =
-    Array("analyze", "compact", "expire_snapshots", "rewrite_clustered")
+    Array("analyze", "compact", "expire_snapshots", "remove_orphans", "rewrite_clustered")
 
   def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
     case "analyze"           => Some(new AnalyzeProcedure(cat))
     case "compact"           => Some(new CompactProcedure(cat))
     case "expire_snapshots"  => Some(new ExpireProcedure(cat))
+    case "remove_orphans"    => Some(new RemoveOrphansProcedure(cat))
     case "rewrite_clustered" => Some(new RewriteClusteredProcedure(cat))
     case _                   => None
   }
@@ -975,6 +976,28 @@ object FrameProcedures {
         org.apache.spark.sql.SparkSession.active, dir, schemaJson, schemaId,
         by.toSeq, target, cat.historyJsonOf(table).orNull)
       summary("segments" -> res.segments, "replaced_segments" -> res.replacedSegments)
+    }
+  }
+
+  class RemoveOrphansProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "remove_orphans"
+    override def description(): String =
+      "remove_orphans(table STRING, older_than_ms BIGINT = now - 10 minutes): " +
+        "delete dot-prefixed task temps and scratch dirs abandoned by crashed " +
+        "writers/maintainers — invisible to readers by construction, pure GC; " +
+        "pass a horizon above your longest write job"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("older_than_ms", org.apache.spark.sql.types.LongType)
+        .defaultValue("CAST(NULL AS BIGINT)")
+        .comment("epoch-millis cutoff (inclusive); default now - 10 min").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cutoff = if (input.isNullAt(1)) System.currentTimeMillis() - 10 * 60 * 1000L
+        else input.getLong(1)
+      val removed = FrameMaintenance.removeOrphans(cat.resolveTableDir(table), cutoff)
+      summary("removed_files" -> removed)
     }
   }
 

@@ -1352,6 +1352,37 @@ object FrameMaintenance {
     AnalyzeResult(names.length)
   }
 
+  // ------------------------------------------------------------ orphan cleanup
+
+  /** Remove ORPHANED temporaries (round 15): dot-prefixed task temps
+    * and scratch directories left by crashed writers/maintainers —
+    * `.inprogress-…` (task writes), `.compacting-…` / `.deleting-…`
+    * (maintenance rewrites), `.clustering-…` scratch dirs, `.…​.tmp`
+    * swap temps — older than the cutoff. Dot-prefixed names are
+    * invisible to every reader by construction, so this is pure
+    * garbage collection: no version, no manifest entry, nothing a
+    * scan, stream, or snapshot can observe. The age cutoff is the
+    * safety margin against deleting a LIVE writer's temp (pass a
+    * horizon comfortably above the longest write job; in-flight
+    * commits rename their temps away atomically, so a temp older than
+    * any running job is definitionally abandoned). The Iceberg
+    * `remove_orphan_files` rung, scoped to what this format can
+    * actually orphan.
+    */
+  def removeOrphans(dir: File, olderThanMs: Long): Int = {
+    def sweep(f: File): Int = {
+      if (!f.getName.startsWith(".")) return 0
+      if (f.lastModified() > olderThanMs) return 0
+      if (f.isDirectory) {
+        val n = Option(f.listFiles()).getOrElse(Array.empty)
+          .map { c => if (c.delete()) 1 else 0 }.sum
+        if (f.delete()) n + 1 else n
+      } else if (f.delete()) 1 else 0
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != LockFile).map(sweep).sum
+  }
+
   // ------------------------------------------------------------ delta commit
 
   /** Driver publish of a delta-based row-level operation

@@ -124,4 +124,41 @@ class FrameCommitSpec extends AnyFunSuite with SparkFixture {
     assert(res.bins == 1 && !lock.isFile)
     assert(ids(cat) == (0L until 20L))
   }
+
+  test("remove_orphans sweeps aged crashed-writer temps, spares fresh ones and live data") {
+    val (cat, base) = freshCatalog("orph")
+    val dirS = build(cat, 2)
+    val dir = new java.io.File(dirS)
+
+    // simulate a crashed writer + maintainer: aged temps and scratch
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    def plant(name: String, aged: Boolean, dirEntry: Boolean = false): java.io.File = {
+      val f = new java.io.File(dir, name)
+      if (dirEntry) { f.mkdirs()
+        java.nio.file.Files.writeString(new java.io.File(f, "part").toPath, "x")
+      } else java.nio.file.Files.writeString(f.toPath, "junk")
+      if (aged) {
+        if (dirEntry) java.nio.file.Files.setLastModifiedTime(
+          new java.io.File(f, "part").toPath,
+          java.nio.file.attribute.FileTime.fromMillis(old))
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(old))
+      }
+      f
+    }
+    val agedTmp = plant(".inprogress-dead-p00000-t1", aged = true)
+    val agedScr = plant(".clustering-g0001", aged = true, dirEntry = true)
+    val agedSwp = plant("._maintenance.json.tmp", aged = true)
+    val fresh   = plant(".inprogress-live-p00000-t2", aged = false)
+
+    val before = ids(cat)
+    val removed = spark.sql(
+      s"CALL $cat.corpus.remove_orphans(table => 'corpus.t')").collect()(0).getInt(0)
+    assert(removed == 4, s"expected 4 files removed (temp + scratch dir + part + swap), got $removed")
+    assert(!agedTmp.exists && !agedScr.exists && !agedSwp.exists)
+    assert(fresh.exists, "a fresh temp (possibly a live writer) must survive")
+    assert(ids(cat) == before, "live data untouched")
+    assert(FrameMaintenance.totalVersions(dir) == 2, "no version minted")
+    fresh.delete()
+  }
 }
