@@ -1716,8 +1716,11 @@ object AvroFrames {
     * comparisons, null tests, and IN on top-level fields of orderable
     * primitive type, plus AND/OR/NOT compositions of those (round 14 —
     * evaluated with SQL three-valued logic, so `NOT x = 1` still drops
-    * a NULL x exactly like Spark's own post-scan Filter would).
-    * Everything else stays post-scan.
+    * a NULL x exactly like Spark's own post-scan Filter would), plus
+    * the string-match shapes `LIKE 'p%'` / `'%s'` / `'%m%'`
+    * (round 15 — StartsWith additionally prunes segments whose sidecar
+    * min/max truncations exclude the prefix). Everything else stays
+    * post-scan.
     */
   def supported(schema: StructType, f: Filter): Boolean = {
     def ok(col: String): Boolean = schema.fieldNames.contains(col) &&
@@ -1735,6 +1738,12 @@ object AvroFrames {
       case IsNotNull(c)             => ok(c)
       case IsNull(c)                => ok(c)
       case In(c, vs)                => ok(c) && vs.forall(_ != null)
+      case org.apache.spark.sql.sources.StringStartsWith(c, v) =>
+        v != null && schema.fieldNames.contains(c) && schema(c).dataType == StringType
+      case org.apache.spark.sql.sources.StringEndsWith(c, v) =>
+        v != null && schema.fieldNames.contains(c) && schema(c).dataType == StringType
+      case org.apache.spark.sql.sources.StringContains(c, v) =>
+        v != null && schema.fieldNames.contains(c) && schema(c).dataType == StringType
       case org.apache.spark.sql.sources.And(l, r) => supported(schema, l) && supported(schema, r)
       case org.apache.spark.sql.sources.Or(l, r)  => supported(schema, l) && supported(schema, r)
       case org.apache.spark.sql.sources.Not(g)    => supported(schema, g)
@@ -1786,6 +1795,21 @@ object AvroFrames {
           if (x == null) TriUnknown
           else if (set.exists(v => compareValues(x, v) == 0)) TriTrue else TriFalse
         }
+      case org.apache.spark.sql.sources.StringStartsWith(c, v) =>
+        val p = fieldPos(c)
+        r => { val x = r.get(p)
+          if (x == null) TriUnknown
+          else if (x.toString.startsWith(v)) TriTrue else TriFalse }
+      case org.apache.spark.sql.sources.StringEndsWith(c, v) =>
+        val p = fieldPos(c)
+        r => { val x = r.get(p)
+          if (x == null) TriUnknown
+          else if (x.toString.endsWith(v)) TriTrue else TriFalse }
+      case org.apache.spark.sql.sources.StringContains(c, v) =>
+        val p = fieldPos(c)
+        r => { val x = r.get(p)
+          if (x == null) TriUnknown
+          else if (x.toString.contains(v)) TriTrue else TriFalse }
       case org.apache.spark.sql.sources.And(l, rr) =>
         val a = compileTri(fieldPos, l); val b = compileTri(fieldPos, rr)
         r => {

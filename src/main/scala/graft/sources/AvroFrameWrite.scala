@@ -656,6 +656,17 @@ object AvroFrameStats {
       case In(c, vs) => bounds(c).forall { case (_, mn, mx) =>
         mn == null || mx == null ||
           vs.exists(v => v != null && compare(v, mn) >= 0 && compare(v, mx) <= 0) }
+      // prefix pruning (round 15): a string whose prefix-length
+      // truncation falls outside [min.take(p), max.take(p)] cannot
+      // exist in the segment — the parquet StartsWith stats rule
+      case org.apache.spark.sql.sources.StringStartsWith(c, v) =>
+        bounds(c).forall { case (_, mn, mx) =>
+          mn == null || mx == null || !mn.isInstanceOf[String] || !mx.isInstanceOf[String] || {
+            val p = v.length
+            mn.asInstanceOf[String].take(p) <= v &&
+              v <= mx.asInstanceOf[String].take(p)
+          }
+        }
       // boolean compositions (round 14): AND prunes if either side
       // proves impossible, OR only if both do; NOT is unbounded here
       case org.apache.spark.sql.sources.And(l, r) =>

@@ -928,6 +928,12 @@ object FrameMaintenance {
       case org.apache.spark.sql.sources.In(c, vs) => b(c).exists { case (nulls, mn, mx) =>
         nulls == 0 && mn != null && mx != null && compare(mn, mx) == 0 &&
           vs.exists(v => v != null && compare(mn, v) == 0) }
+      // prefix purge fast path (round 15): every row provably matches
+      // LIKE 'v%' iff zero nulls and BOTH bounds carry the prefix
+      case org.apache.spark.sql.sources.StringStartsWith(c, v) =>
+        b(c).exists { case (nulls, mn, mx) =>
+          nulls == 0 && mn.isInstanceOf[String] && mx.isInstanceOf[String] &&
+            mn.asInstanceOf[String].startsWith(v) && mx.asInstanceOf[String].startsWith(v) }
       // boolean compositions (round 14): AND needs both halves proven,
       // OR either half; NOT stays conservative-false (proving "every
       // row fails g" exactly needs more than min/max under 3VL)
@@ -1077,16 +1083,19 @@ object FrameMaintenance {
       return DeleteResult(0, 0, noneMatch.length)
 
     // executor task per straddling segment: decode, evaluate the
-    // conjunction, return the NEW cumulative position vector (prior
-    // positions already excluded from evaluation but re-included in
-    // the union). Empty delta -> no vector minted for that segment.
+    // conjunction, and write the NEW cumulative vector to a hidden
+    // TEMP file executor-side (prior positions excluded from
+    // evaluation but re-included in the union) — only (name, temp,
+    // count) metadata returns to the driver, never the positions: a
+    // wide erasure across a million segments must not funnel billions
+    // of ordinals through the driver. Empty delta -> no vector minted.
     val dirPath = dir.getAbsolutePath
     val tasks = straddle.toVector.map(f =>
-      (f.getName, FrameDv.liveDvOf(dir, f.getName)))
-    val vectors: Array[(String, Option[String], Array[Int])] =
+      (f.getName, FrameDv.liveDvOf(dir, f.getName), s".dvtmp-g$gen-${f.getName}"))
+    val vectors: Array[(String, Option[String], String, Long)] =
       if (tasks.isEmpty) Array.empty
       else spark.sparkContext.parallelize(tasks, tasks.length)
-        .map { case (name, priorDv) =>
+        .map { case (name, priorDv, tmpName) =>
           val readerSchema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
           val fieldPos = {
             import scala.jdk.CollectionConverters._
@@ -1110,8 +1119,11 @@ object FrameMaintenance {
             }
           } finally dec.close()
           val delta = hit.result()
-          (name, priorDv,
-            if (delta.isEmpty) Array.empty[Int] else (prior ++ delta).sorted)
+          if (delta.isEmpty) (name, priorDv, "", 0L)
+          else {
+            FrameDv.write(new File(dirPath, tmpName), (prior ++ delta).sorted)
+            (name, priorDv, tmpName, delta.length.toLong)
+          }
         }
         .collect()
 
@@ -1119,7 +1131,7 @@ object FrameMaintenance {
     if (allMatch.isEmpty && minted.isEmpty)
       return DeleteResult(0, 0, noneMatch.length + straddle.length)
 
-    publishLocked(dir, manifest.length) {
+    try publishLocked(dir, manifest.length) {
     val publishMs = publishInstant(live, manifest)
     val entries = Vector.newBuilder[MaintEntry]
     if (allMatch.nonEmpty) {
@@ -1141,9 +1153,11 @@ object FrameMaintenance {
       val replaced = Vector.newBuilder[String]
       val replacedMs = Vector.newBuilder[Long]
       val replacements = Vector.newBuilder[String]
-      minted.foreach { case (name, priorDv, positions) =>
+      minted.foreach { case (name, priorDv, tmpName, _) =>
         val dvName = FrameDv.nameFor(name, gen)
-        FrameDv.write(new File(dir, dvName), positions)
+        // the executor already wrote the vector: publish is a rename
+        val ok = new File(dir, tmpName).renameTo(new File(dir, dvName))
+        require(ok, s"deletion vector publish rename failed: $tmpName -> $dvName")
         java.nio.file.Files.setLastModifiedTime(new File(dir, dvName).toPath,
           java.nio.file.attribute.FileTime.fromMillis(publishMs))
         priorDv.foreach { d => replaced += d; replacedMs += retire(dir, d) }
@@ -1153,6 +1167,9 @@ object FrameMaintenance {
         replacements.result(), expired = false)
     }
     writeManifest(dir, manifest ++ entries.result())
+    } catch { case c: CommitConflict =>
+      minted.foreach { case (_, _, tmpName, _) => new File(dir, tmpName).delete() }
+      throw c
     }
     DeleteResult(allMatch.length, minted.length,
       noneMatch.length + (straddle.length - minted.length))

@@ -966,6 +966,36 @@ object SourceQueries extends QueryGroup {
       FROM t
       GROUP BY event_type
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ LIKE pushdown (round 15)
+    // String-match filters reach the scan: `event_type LIKE 'pu%'`
+    // pushes as StringStartsWith (evaluated on the decoded record
+    // BEFORE row materialization, exact 3VL), and the sidecar prefix
+    // bounds prune whole segments whose [min.take(p), max.take(p)]
+    // range excludes the prefix — the parquet StartsWith stats rule on
+    // the engine's own sidecars (FrameScanSpec pins pruning to <=2/8
+    // segments on a prefix-clustered layout plus EndsWith/Contains
+    // row-filter parity). At 100 TB: a prefix lookup on a
+    // lexicographically-clustered column opens the few shards whose
+    // bounds can match.
+    ("q355_like_prefix_pushdown", (s, d) => {
+      frames(s, d)
+        .filter(col("event_type").startsWith("pu"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (floor(sum(col("value")) * 1000000.0 + 0.5) / 1000000.0)
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      WHERE event_type LIKE 'pu%'
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
 

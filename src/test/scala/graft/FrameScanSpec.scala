@@ -192,4 +192,42 @@ class FrameScanSpec extends AnyFunSuite with SparkFixture {
     assert(after.count() == 1000 - del.length)
     assert(canon(after).map(_._1) == (0L until 1000L).filterNot(del.contains))
   }
+
+  /** Round 15: LIKE pushdown. StartsWith prunes segments via sidecar
+    * prefix bounds; EndsWith/Contains row-filter exactly (3VL on NULL
+    * tags). Parity with the unpushed plans everywhere.
+    */
+  test("LIKE pushdown: StartsWith prunes by prefix bounds; all three shapes row-exact") {
+    val dir = Files.createTempDirectory("like").toString
+    writeFixture(dir) // tags t0001..t0999 ordered with id, NULLs at id%10==0
+
+    val df = readBack(dir)
+    def canon(q: DataFrame): Seq[Long] =
+      q.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    def unpushed(pred: org.apache.spark.sql.Column): Seq[Long] =
+      canon(readBack(dir).withColumn("keep", pred).filter(col("keep")).drop("keep"))
+
+    // StartsWith: pushed AND pruned (tags ordered with id: one octile)
+    val sw = df.filter(col("tag").startsWith("t09"))
+    val plan = sw.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith"),
+      s"LIKE 'p%' must push into the scan:\n$plan")
+    val seg = "Segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan).get
+    assert(seg.group(1).toInt <= 2 && seg.group(2).toInt == 8,
+      s"prefix bounds must prune most segments: ${seg.matched}")
+    assert(canon(sw) == unpushed(col("tag").startsWith("t09")) && canon(sw).nonEmpty)
+
+    // EndsWith / Contains: pushed row filters, exact vs unpushed
+    val ew = df.filter(col("tag").endsWith("7"))
+    assert(ew.queryExecution.executedPlan.toString.contains("StringEndsWith"))
+    assert(canon(ew) == unpushed(col("tag").endsWith("7")) && canon(ew).nonEmpty)
+    val ct = df.filter(col("tag").contains("055"))
+    assert(ct.queryExecution.executedPlan.toString.contains("StringContains"))
+    assert(canon(ct) == unpushed(col("tag").contains("055")) && canon(ct).nonEmpty)
+
+    // 3VL: NOT LIKE must drop NULL tags exactly like Spark's own filter
+    val nn = df.filter(!col("tag").startsWith("t0"))
+    assert(canon(nn) == unpushed(!col("tag").startsWith("t0")))
+    assert(canon(nn).isEmpty || canon(nn).forall(_ % 10 != 0))
+  }
 }
