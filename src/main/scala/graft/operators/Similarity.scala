@@ -2001,7 +2001,134 @@ object Similarity extends QueryGroup {
       SELECT 1::BIGINT AS step, 0::BIGINT AS center_id, 0.0 AS radius_sq
       UNION ALL $outs
       ORDER BY step
-    """})
+    """}),
+
+    // ------------------------------------------------------------ IVF recall audit on the CLUSTERED regime (round 16)
+    // VERDICT r15 item 6: the 1.00-recall clustered regime lived only
+    // in RecallSpec — this registers it on the ORACLE surface. The
+    // fixture derives CLUSTERED INTEGER vectors deterministically from
+    // the embeddings table (quantized jitter + a strong per-label
+    // center `((label*37 + pos*11) % 13 − 6) * 3000` — pure integer
+    // arithmetic, so Spark and DuckDB compute bit-identical dot
+    // products; no float summation order can flip a rank). The IVF
+    // index is the textbook shape: per-cell integer centroids,
+    // assignment by argmax dot, nprobe=2 probing, exact re-rank inside
+    // the probed cells; the audit joins approximate vs exact top-10
+    // per query and reports integer hit counts — recall=1.0 here
+    // BECAUSE the data is clustered, the honest complement to the
+    // spec-bounded isotropic regime (q43, RECALL.json). Scale shape:
+    // assignment and candidate generation are CELL-KEYED joins (the
+    // IVF path never goes all-pairs); only the ≤10-query audit
+    // baseline computes exact dot products against the corpus — at
+    // 100 TB that baseline is the part you'd sample, and the fixture
+    // already expresses it as broadcast(queries) × one corpus scan.
+    ("q358_ann_ivf_recall_clustered", (s, d) => {
+      val k = 10
+      val nprobe = 2
+      // clustered integer vectors (id, label, pos, v) — one explode
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos0", "ev")))
+        .select(col("id"), col("label"), (col("pos0") + 1).as("pos"),
+          (round(col("ev").cast("double") * 1000).cast("long") +
+            ((col("label") * 37 + (col("pos0") + 1) * 11) % 13 - 6).cast("long") * 3000L)
+            .as("v"))
+        .graftCheckpoint() // scanned by centroids, assignment, and dots
+      // trained index: per-cell integer centroids
+      val cent = q.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(floor(avg(col("v"))).cast("long").as("c"))
+      // cell assignment: argmax dot(vector, centroid) — cell-keyed
+      val assign0 = q.join(cent, "pos")
+        .groupBy(col("id"), col("clabel"))
+        .agg(sum(col("v") * col("c")).as("dot"))
+        .graftCheckpoint() // reused for assignment AND probing
+      val wId = Window.partitionBy("id").orderBy(col("dot").desc, col("clabel"))
+      val assign = assign0.withColumn("rn", row_number().over(wId))
+        .filter(col("rn") === 1).select(col("id"), col("clabel").as("cell"))
+      // audit queries: every 50th vector; exact top-k = the baseline
+      val pairdot = q.filter(col("id") % 50 === 0)
+        .select(col("id").as("qid"), col("pos"), col("v").as("qv"))
+        .join(q.select(col("id"), col("pos"), col("v")), "pos")
+        .filter(col("id") =!= col("qid"))
+        .groupBy("qid", "id").agg(sum(col("qv") * col("v")).as("dot"))
+        .graftCheckpoint() // reused by exact AND approx re-rank
+      val wQid = Window.partitionBy("qid").orderBy(col("dot").desc, col("id"))
+      val exact = pairdot.withColumn("rn", row_number().over(wQid))
+        .filter(col("rn") <= k).select("qid", "id")
+      // IVF search: probe the nprobe best cells, re-rank candidates
+      val probe = assign0.filter(col("id") % 50 === 0)
+        .withColumn("rn", row_number().over(wId))
+        .filter(col("rn") <= nprobe)
+        .select(col("id").as("qid"), col("clabel").as("cell"))
+      val cand = probe.join(assign, "cell")
+        .filter(col("id") =!= col("qid")).select("qid", "id")
+      val approx = cand.join(pairdot, Seq("qid", "id"))
+        .withColumn("rn", row_number().over(wQid))
+        .filter(col("rn") <= k).select("qid", "id")
+      val ncand = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "id"), "left")
+        .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .join(ncand, "qid")
+        .select(col("qid").as("query_id"), col("hits"),
+          lit(k.toLong).as("k"), col("n_cand"))
+        .orderBy("query_id")
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id AS id, label, i AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                 + ((label * 37 + i * 11) % 13 - 6) * 3000 AS v
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+      ),
+      cent AS (
+        SELECT label AS clabel, pos, CAST(floor(avg(v)) AS BIGINT) AS c
+        FROM q GROUP BY label, pos
+      ),
+      assign0 AS (
+        SELECT q.id, cent.clabel, sum(q.v * cent.c) AS dot
+        FROM q JOIN cent ON q.pos = cent.pos
+        GROUP BY q.id, cent.clabel
+      ),
+      assign AS (
+        SELECT id, clabel AS cell FROM (
+          SELECT id, clabel, row_number() OVER (PARTITION BY id ORDER BY dot DESC, clabel) AS rn
+          FROM assign0) t WHERE rn = 1
+      ),
+      pairdot AS (
+        SELECT qa.id AS qid, qb.id AS id, sum(qa.v * qb.v) AS dot
+        FROM q qa JOIN q qb ON qa.pos = qb.pos
+        WHERE qa.id % 50 = 0 AND qb.id <> qa.id
+        GROUP BY qa.id, qb.id
+      ),
+      exact AS (
+        SELECT qid, id FROM (
+          SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id) AS rn
+          FROM pairdot) t WHERE rn <= 10
+      ),
+      probe AS (
+        SELECT qid, cell FROM (
+          SELECT id AS qid, clabel AS cell,
+                 row_number() OVER (PARTITION BY id ORDER BY dot DESC, clabel) AS rn
+          FROM assign0 WHERE id % 50 = 0) t WHERE rn <= 2
+      ),
+      cand AS (
+        SELECT p.qid, a.id FROM probe p JOIN assign a ON a.cell = p.cell
+        WHERE a.id <> p.qid
+      ),
+      approx AS (
+        SELECT qid, id FROM (
+          SELECT c.qid, c.id,
+                 row_number() OVER (PARTITION BY c.qid ORDER BY pd.dot DESC, c.id) AS rn
+          FROM cand c JOIN pairdot pd ON pd.qid = c.qid AND pd.id = c.id) t
+        WHERE rn <= 10
+      ),
+      ncand AS (SELECT qid, count(*)::BIGINT AS n_cand FROM cand GROUP BY qid)
+      SELECT ex.qid AS query_id, count(ap.id)::BIGINT AS hits,
+             10::BIGINT AS k, max(nc.n_cand) AS n_cand
+      FROM exact ex
+      LEFT JOIN approx ap ON ap.qid = ex.qid AND ap.id = ex.id
+      JOIN ncand nc ON nc.qid = ex.qid
+      GROUP BY ex.qid ORDER BY query_id
+    """))
   )
 
 }

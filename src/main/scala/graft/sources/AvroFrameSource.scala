@@ -111,7 +111,8 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     // (one-bucket-per-segment routing, per-segment sort) are preserved
     // by republishing whole groups through the clustered/sorted write.
     val delta = "merge-on-read".equalsIgnoreCase(options.get("deleteMode")) &&
-      options.get("bucketKey") == null && options.get("sortedBy") == null
+      options.get("bucketKey") == null && options.get("sortedBy") == null &&
+      options.get("partitionCol") == null
     () =>
       if (delta) new FrameDeltaOperation(info.command(), schema, options)
       else new FrameRowLevelOperation(info.command(), schema, options)
@@ -152,7 +153,9 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
       // copy-on-write by nature.
       FrameMaintenance.deleteWhereMoR(
         org.apache.spark.sql.SparkSession.active, dir,
-        options.get("avroSchema"), schemaId, real, options.get("avroSchemaHistory"))
+        options.get("avroSchema"), schemaId, real, options.get("avroSchemaHistory"),
+        Option(options.get("dvFoldThreshold")).map(_.toDouble)
+          .getOrElse(FrameMaintenance.DefaultDvFoldThreshold))
     else FrameMaintenance.deleteWhere(
       org.apache.spark.sql.SparkSession.active, dir,
       options.get("avroSchema"), schemaId,
@@ -176,9 +179,20 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     * tables (`PARTITIONED BY (bucket(n, key))` round-trips through
     * DESCRIBE; the scan reports the matching KeyGroupedPartitioning).
     */
-  override def partitioning(): Array[Transform] =
-    (for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
-      yield Expressions.bucket(n.toInt, k)).toArray
+  override def partitioning(): Array[Transform] = {
+    val time: Option[Transform] = FrameTimePart.fromOptions(options).map { tp =>
+      tp.unit match {
+        case "hours"  => Expressions.hours(tp.col)
+        case "days"   => Expressions.days(tp.col)
+        case "months" => Expressions.months(tp.col)
+        case "years"  => Expressions.years(tp.col)
+      }
+    }
+    val bucket: Option[Transform] =
+      for { k <- Option(options.get("bucketKey")); n <- Option(options.get("buckets")) }
+        yield Expressions.bucket(n.toInt, k)
+    (time.toSeq ++ bucket.toSeq).toArray
+  }
 
   /** Surfaced by DESCRIBE TABLE EXTENDED: the wire contract (schema
     * id), the log location, and the bucket layout.
@@ -193,6 +207,8 @@ class AvroFrameTable(schema: StructType, options: CaseInsensitiveStringMap)
     Option(options.get("bloomExpectedItems")).foreach(m.put("bloomExpectedItems", _))
     Option(options.get("deleteMode")).foreach(m.put("deleteMode", _))
     Option(options.get("sortedBy")).foreach(m.put("sortedBy", _))
+    Option(options.get("partitionCol")).foreach(m.put("partitionCol", _))
+    Option(options.get("partitionUnit")).foreach(m.put("partitionUnit", _))
     m
   }
 
@@ -324,8 +340,11 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
     AvroFrames.explicitFiles(options)
       .getOrElse(AvroFrames.listSegments(options.get("path")))
 
-  private lazy val allSidecars: Boolean =
-    universe.forall(f => new java.io.File(f.getParentFile, f.getName + ".stats").isFile)
+  // ledger-first stats access (round 16): ONE metadata read for the
+  // whole builder, per-segment sidecar fallback for unledgered names
+  private lazy val builderStats = new FrameStatsView(new java.io.File(options.get("path")))
+
+  private lazy val allSidecars: Boolean = universe.forall(builderStats.has)
 
   override def build(): Scan =
     new AvroFrameScan(options.get("path"),
@@ -343,7 +362,8 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
       onPlanned, pruneOnly,
       options.get("avroSchemaHistory"),
       options.getBoolean("columnar", true),
-      Option(options.get("sortedBy")))
+      Option(options.get("sortedBy")),
+      FrameTimePart.fromOptions(options))
 }
 
 /** Time-travel cut over the segment list (batch reads only): first-n
@@ -375,7 +395,8 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
                     pruneOnly: Array[Filter] = Array.empty,
                     historyJson: String = null,
                     columnar: Boolean = true,
-                    sortedBy: Option[String] = None)
+                    sortedBy: Option[String] = None,
+                    timePart: Option[FrameTimePart] = None)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -416,12 +437,20 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       }
     }
 
+  /** Ledger-first stats for every planning decision this scan makes
+    * (round 16): one `_stats.ledger.json` read per scan instance
+    * replaces the per-segment sidecar opens that were the O(#segments)
+    * driver metadata wall; segments the ledger doesn't know fall back
+    * to their own sidecars.
+    */
+  private lazy val statsView = new FrameStatsView(new java.io.File(path))
+
   /** Exact live row count of a segment from metadata alone: sidecar
     * frames minus vector cardinality (vectors hold decodable positions
     * only). None without a sidecar.
     */
   private def liveRowCount(f: java.io.File, dvs: Map[String, java.io.File]): Option[Long] =
-    AvroFrameStats.read(f).map { case (frames, _) =>
+    statsView.read(f).map { case (frames, _) =>
       frames - dvs.get(f.getName).map(FrameDv.count(_).toLong).getOrElse(0L)
     }
 
@@ -495,9 +524,13 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     * return fewer than min(limit, total) rows.
     */
   private def plannedSegments(): Array[java.io.File] = {
-    val kept = AvroFrameStats.prune(
-      applySegmentNameFilters(segmentsAsOf(), pruneFilters),
-      dataFilters(pruneFilters))
+    // hidden-partition pruning first (round 16): partition values parse
+    // from segment NAMES, so whole time partitions drop before any
+    // stats are consulted — works for sidecar-less segments too
+    val byName = applySegmentNameFilters(segmentsAsOf(), pruneFilters)
+    val byPartition = timePart.fold(byName)(tp =>
+      FrameTimePart.prune(tp, byName, dataFilters(pruneFilters)))
+    val kept = statsView.prune(byPartition, dataFilters(pruneFilters))
     if (limit <= 0 || pruneFilters.nonEmpty) kept
     else {
       // the proof must count LIVE rows: a deletion vector's positions
@@ -530,7 +563,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
       // aggregate pushdown: output is one row (complete) or one row
       // per surviving segment (partial) — report that, not raw bytes
       val n = if (aggComplete) 1L
-        else math.max(1L, AvroFrameStats.prune(segmentsAsOf(), pushed).length.toLong)
+        else math.max(1L, statsView.prune(segmentsAsOf(), pushed).length.toLong)
       return new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(n * 64L)
@@ -538,9 +571,9 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
           java.util.OptionalLong.of(n)
       }
     }
-    val kept = AvroFrameStats.prune(segmentsAsOf(), pushed)
+    val kept = statsView.prune(segmentsAsOf(), pushed)
     val bytes = kept.map(_.length()).sum
-    val sidecars = kept.map(AvroFrameStats.read)
+    val sidecars = kept.map(statsView.read)
     val complete = sidecars.nonEmpty && sidecars.forall(_.isDefined)
     // per-column null counts + min/max merged across the surviving
     // sidecars — CBO-grade column statistics for free (claimed only
@@ -941,7 +974,10 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
     val batch = FrameMaintenance.appendVersions(dir)
       .filter { case (_, v) => v > s && v <= e }
       .map { case (n, _) => FrameMaintenance.resolvePhysical(dir, n) }
-    AvroFrameStats.prune(batch.toArray, pushed)
+    // one ledger read per micro-batch; segments the batch resolved from
+    // `_history/` are no longer ledgered and fall back to their
+    // (retired-alongside) sidecars
+    new FrameStatsView(dir).prune(batch.toArray, pushed)
       .map(f => AvroFramePartition(f.getAbsolutePath): InputPartition)
   }
 

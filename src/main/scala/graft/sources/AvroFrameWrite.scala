@@ -160,6 +160,10 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
 
   private def sortedBy: Option[String] = Option(opt("sortedBy"))
 
+  private def timePart: Option[FrameTimePart] =
+    for { c <- Option(opt("partitionCol")); u <- Option(opt("partitionUnit")) }
+      yield FrameTimePart(c, u)
+
   private def bloomSpec: Option[BloomSpec] =
     Option(opt("bloomColumns")).map { csv =>
       val cols = csv.split(',').map(_.trim).filter(_.nonEmpty)
@@ -197,7 +201,9 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
             info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-            opt("avroSchemaHistory"), opt("deleteMode"))
+            opt("avroSchemaHistory"), opt("deleteMode"),
+            Option(opt("dvFoldThreshold")).map(_.toDouble)
+              .getOrElse(FrameMaintenance.DefaultDvFoldThreshold), timePart)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a BUCKETED frame table are unsupported: the epoch " +
@@ -215,7 +221,9 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
         override def toBatch: BatchWrite =
           new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
             info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-            opt("avroSchemaHistory"), opt("deleteMode"))
+            opt("avroSchemaHistory"), opt("deleteMode"),
+            Option(opt("dvFoldThreshold")).map(_.toDouble)
+              .getOrElse(FrameMaintenance.DefaultDvFoldThreshold), timePart)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           throw new UnsupportedOperationException(
             "streaming writes to a SORTED frame table are unsupported: the epoch " +
@@ -226,7 +234,9 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
       override def toBatch: BatchWrite =
         new AvroFrameBatchWrite(opt("path"), checkedSchema(), schemaId,
           info.queryId(), doTruncate, overwriteFilters, bloomSpec,
-          opt("avroSchemaHistory"), opt("deleteMode"))
+          opt("avroSchemaHistory"), opt("deleteMode"),
+          Option(opt("dvFoldThreshold")).map(_.toDouble)
+            .getOrElse(FrameMaintenance.DefaultDvFoldThreshold), timePart)
 
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         // the log is append-only: complete/update output modes would need
@@ -235,7 +245,7 @@ class AvroFrameWriteBuilder(info: LogicalWriteInfo,
           "frame-log streaming writes are append-only " +
           "(use outputMode(\"append\"))")
         new AvroFrameStreamingWrite(opt("path"), checkedSchema(), schemaId,
-          info.queryId(), bloomSpec)
+          info.queryId(), bloomSpec, timePart)
       }
     }
   }
@@ -253,8 +263,18 @@ object AvroFrameWriteBuilder {
       .getOrElse(Array.empty)
 }
 
+/** One task's publishable files. Unpartitioned tasks fill the three
+  * head fields (empty tmpName = empty task); a TIME-PARTITIONED task
+  * (round 16) may emit several per-partition files, carried in `more`.
+  * Commit sites iterate [[parts]], which normalizes both shapes.
+  */
 case class AvroFrameCommitMessage(tmpName: String, finalName: String,
-                                  statsJson: String) extends WriterCommitMessage
+                                  statsJson: String,
+                                  more: Seq[(String, String, String)] = Nil)
+    extends WriterCommitMessage {
+  def parts: Seq[(String, String, String)] =
+    (if (tmpName.nonEmpty) Seq((tmpName, finalName, statsJson)) else Nil) ++ more
+}
 
 /** Write-time Bloom filter config: which columns get one, and the
   * fixed expected-items sizing (one size per table keeps segment
@@ -267,7 +287,10 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
                           overwriteFilters: Array[Filter] = Array.empty,
                           bloom: Option[BloomSpec] = None,
                           historyJson: String = null,
-                          deleteMode: String = null) extends BatchWrite {
+                          deleteMode: String = null,
+                          dvFoldThreshold: Double =
+                            FrameMaintenance.DefaultDvFoldThreshold,
+                          part: Option[FrameTimePart] = None) extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -283,7 +306,7 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // deterministic epoch names instead — replay dedup needs them
     // stable across re-runs.
     val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
-    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom)
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom, part)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -293,9 +316,11 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
         .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
         .foreach(_.delete())
       // physical truncate starts a NEW table lineage: drop the
-      // maintenance manifest and retained history too — stale entries
-      // referencing wiped segments would corrupt snapshot replay
+      // maintenance manifest, retained history, and the stats ledger
+      // too — stale entries referencing wiped segments would corrupt
+      // snapshot replay / pruning
       new File(dir, FrameMaintenance.ManifestFile).delete()
+      FrameStatsLedger.drop(dir)
       val hist = new File(dir, FrameMaintenance.HistoryDirName)
       Option(hist.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       hist.delete()
@@ -307,7 +332,8 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     if (overwriteFilters.nonEmpty) {
       if ("merge-on-read".equalsIgnoreCase(deleteMode))
         FrameMaintenance.deleteWhereMoR(org.apache.spark.sql.SparkSession.active,
-          dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
+          dir, avroSchemaJson, schemaId, overwriteFilters, historyJson,
+          dvFoldThreshold)
       else
         FrameMaintenance.deleteWhere(org.apache.spark.sql.SparkSession.active,
           dir, avroSchemaJson, schemaId, overwriteFilters, historyJson)
@@ -321,21 +347,32 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // empty partitions commit a no-op message (tmpName empty): nothing
     // to publish — filtering them here, not just at the writer, keeps
     // a sparse dataframe write from minting phantom files
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
+    val published = messages.collect {
+      case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+    published.foreach { case (tmpName, finalName, statsJson) =>
       // sidecar lands first; readers tolerate a missing sidecar but a
       // visible segment must never precede job commit
       java.nio.file.Files.writeString(
-        new File(dir, m.finalName + ".stats").toPath, m.statsJson)
-      val target = new File(dir, m.finalName)
-      val ok = new File(dir, m.tmpName).renameTo(target)
-      require(ok, s"commit rename failed for ${m.tmpName} -> ${m.finalName}")
+        new File(dir, finalName + ".stats").toPath, statsJson)
+      val target = new File(dir, finalName)
+      val ok = new File(dir, tmpName).renameTo(target)
+      require(ok, s"commit rename failed for $tmpName -> $finalName")
       java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
+    }
+    // fold the new segments' stats into the table ledger (round 16):
+    // entries come from the very statsJson the tasks returned, so O(1)
+    // planning metadata costs zero extra I/O here — segments land
+    // FIRST, so a crash before the fold leaves them merely unledgered
+    // (reads fall back to their sidecars, never miss them)
+    if (published.nonEmpty) FrameMaintenance.withDirLock(dir) {
+      FrameStatsLedger.fold(dir, add = published.flatMap { case (_, fin, json) =>
+        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
-      .foreach(m => new File(new File(path), m.tmpName).delete())
+    messages.collect { case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+      .foreach { case (tmpName, _, _) => new File(new File(path), tmpName).delete() }
 }
 
 /** Streaming write into the segment log — the sink half of the Kafka
@@ -353,94 +390,146 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
   * per log, like one producer per partition for ordering).
   */
 class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: Int,
-                              queryId: String, bloom: Option[BloomSpec] = None)
+                              queryId: String, bloom: Option[BloomSpec] = None,
+                              part: Option[FrameTimePart] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(path != null, "option `path` is required")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new AvroFrameStreamingWriterFactory(path, avroSchemaJson, schemaId, queryId, bloom)
+    new AvroFrameStreamingWriterFactory(path, avroSchemaJson, schemaId, queryId, bloom, part)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
     // publish instant for the epoch (TIMESTAMP AS OF contract — rename
     // preserves the temp's task-write mtime, so restamp explicitly)
     val publish = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
-      val target = new File(dir, m.finalName)
-      if (target.isFile) {
-        // replayed epoch: the first commit's segment stands — dropping
-        // the re-run's temp is what makes the sink exactly-once (and
-        // the first commit's publish mtime stands with it)
-        new File(dir, m.tmpName).delete()
-      } else {
-        java.nio.file.Files.writeString(
-          new File(dir, m.finalName + ".stats").toPath, m.statsJson)
-        val ok = new File(dir, m.tmpName).renameTo(target)
-        require(ok, s"epoch $epochId commit rename failed for ${m.tmpName} -> ${m.finalName}")
-        java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
+    val fresh = Array.newBuilder[(String, String, String)]
+    messages.collect { case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+      .foreach { case (tmpName, finalName, statsJson) =>
+        val target = new File(dir, finalName)
+        if (target.isFile) {
+          // replayed epoch: the first commit's segment stands — dropping
+          // the re-run's temp is what makes the sink exactly-once (and
+          // the first commit's publish mtime stands with it)
+          new File(dir, tmpName).delete()
+        } else {
+          java.nio.file.Files.writeString(
+            new File(dir, finalName + ".stats").toPath, statsJson)
+          val ok = new File(dir, tmpName).renameTo(target)
+          require(ok, s"epoch $epochId commit rename failed for $tmpName -> $finalName")
+          java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
+          fresh += ((tmpName, finalName, statsJson))
+        }
       }
+    // ledger fold for the FIRST publish of each name only (a replayed
+    // epoch's entry is already present and identical)
+    val adds = fresh.result()
+    if (adds.nonEmpty) FrameMaintenance.withDirLock(dir) {
+      FrameStatsLedger.fold(dir, add = adds.flatMap { case (_, fin, json) =>
+        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
-      .foreach(m => new File(new File(path), m.tmpName).delete())
+    messages.collect { case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+      .foreach { case (tmpName, _, _) => new File(new File(path), tmpName).delete() }
 }
 
 class AvroFrameStreamingWriterFactory(path: String, avroSchemaJson: String,
                                       schemaId: Int, queryId: String,
-                                      bloom: Option[BloomSpec] = None)
+                                      bloom: Option[BloomSpec] = None,
+                                      part: Option[FrameTimePart] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     // epoch baked into the name tag: the final name is stable per
-    // (queryId, epoch, partition), which is what replay dedup keys on
+    // (queryId, epoch, partition, partition-value), which is what
+    // replay dedup keys on
     new AvroFrameDataWriter(path, avroSchemaJson, schemaId,
-      f"$queryId-e$epochId%09d", partitionId, taskId, bloom)
+      f"$queryId-e$epochId%09d", partitionId, taskId, bloom, part)
 }
 
 class AvroFrameWriterFactory(path: String, avroSchemaJson: String,
                              schemaId: Int, queryId: String,
-                             bloom: Option[BloomSpec] = None) extends DataWriterFactory {
+                             bloom: Option[BloomSpec] = None,
+                             part: Option[FrameTimePart] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroFrameDataWriter(path, avroSchemaJson, schemaId, queryId, partitionId, taskId, bloom)
+    new AvroFrameDataWriter(path, avroSchemaJson, schemaId, queryId, partitionId, taskId,
+      bloom, part)
 }
 
-/** Task-side writer: length-prefixed framed-Avro records into a hidden
-  * temp file, stats gathered inline. Empty partitions emit no file.
+/** Task-side writer: length-prefixed framed-Avro records into hidden
+  * temp files, stats gathered inline. Empty partitions emit no file.
+  *
+  * Time-partitioned tables (round 16, `part` defined): each row routes
+  * to its partition's own file — one task may emit several, each named
+  * with the `-T<value>` token the scan's partition pruning parses. The
+  * per-file state (stream, stats, blooms) lives in one [[Sink]] per
+  * partition value; unpartitioned tasks use a single sink keyed 0.
   */
 class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
                           queryId: String, partitionId: Int, taskId: Long,
-                          bloom: Option[BloomSpec] = None)
+                          bloom: Option[BloomSpec] = None,
+                          part: Option[FrameTimePart] = None)
     extends DataWriter[InternalRow] {
 
   private val writerSchema = new Schema.Parser().parse(avroSchemaJson)
   private val sparkSchema = AvroFrames.sparkSchema(writerSchema)
   private val fieldTypes: Array[DataType] = sparkSchema.fields.map(_.dataType)
   private val fieldNames: Array[String] = sparkSchema.fieldNames
-  private val stats: Array[AvroFrameWrite.FieldStats] =
-    fieldNames.map(_ => new AvroFrameWrite.FieldStats)
-  // bloom builders: position -> filter, fixed-size per the table spec
-  private val blooms: Array[org.apache.spark.util.sketch.BloomFilter] = {
-    val out = new Array[org.apache.spark.util.sketch.BloomFilter](fieldNames.length)
-    bloom.foreach(spec => spec.cols.foreach { c =>
-      out(fieldNames.indexOf(c)) = org.apache.spark.util.sketch.BloomFilter
-        .create(spec.expectedItems, AvroFrameWrite.BloomFpp)
-    })
-    out
+  private val partPos: Int = part.map { tp =>
+    val i = fieldNames.indexOf(tp.col)
+    require(i >= 0 && fieldTypes(i) == LongType,
+      s"partition column ${tp.col} must be a BIGINT field of the table")
+    i
+  }.getOrElse(-1)
+
+  /** Per-output-file state. `token` is "" (unpartitioned) or the
+    * partition's `-T<value>` name token.
+    */
+  private final class Sink(token: String) {
+    // temp is dot-prefixed: invisible to listSegments until job commit;
+    // taskId in the name keeps speculative attempts from colliding
+    val tmpName = f".inprogress-$queryId-p$partitionId%05d-t$taskId$token"
+    val finalName = f"segment-$queryId-p$partitionId%05d$token.bin"
+    val stats: Array[AvroFrameWrite.FieldStats] =
+      fieldNames.map(_ => new AvroFrameWrite.FieldStats)
+    // bloom builders: position -> filter, fixed-size per the table spec
+    val blooms: Array[org.apache.spark.util.sketch.BloomFilter] = {
+      val out = new Array[org.apache.spark.util.sketch.BloomFilter](fieldNames.length)
+      bloom.foreach(spec => spec.cols.foreach { c =>
+        out(fieldNames.indexOf(c)) = org.apache.spark.util.sketch.BloomFilter
+          .create(spec.expectedItems, AvroFrameWrite.BloomFpp)
+      })
+      out
+    }
+    var frames = 0L
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(new File(path, tmpName)), 1 << 16))
+    def statsJson: String = {
+      val bloomB64 = fieldNames.indices.collect {
+        case i if blooms(i) != null => fieldNames(i) -> AvroFrameWrite.bloomToB64(blooms(i))
+      }.toMap
+      AvroFrameWrite.statsJson(frames, fieldNames.zip(stats).toSeq, bloomB64)
+    }
   }
-  // temp is dot-prefixed: invisible to listSegments until job commit;
-  // taskId in the name keeps speculative attempts from colliding
-  private val tmpName = f".inprogress-$queryId-p$partitionId%05d-t$taskId"
-  private val finalName = f"segment-$queryId-p$partitionId%05d.bin"
-  private var out: java.io.DataOutputStream = null
-  private var frames = 0L
+
+  private val sinks = scala.collection.mutable.LinkedHashMap.empty[Long, Sink]
+
+  private def sinkFor(row: InternalRow): Sink = {
+    val key = if (partPos < 0) 0L else {
+      require(!row.isNullAt(partPos),
+        s"partition column ${part.get.col} is NULL — time-partitioned tables " +
+          "require a NOT NULL routing value")
+      part.get.value(row.getLong(partPos))
+    }
+    sinks.getOrElseUpdate(key,
+      new Sink(if (partPos < 0) "" else FrameTimePart.token(key)))
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (out == null)
-      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(new File(path, tmpName)), 1 << 16))
+    val sink = sinkFor(row)
     val rec = new GenericData.Record(writerSchema)
     var i = 0
     while (i < fieldTypes.length) {
@@ -454,37 +543,39 @@ class AvroFrameDataWriter(path: String, avroSchemaJson: String, schemaId: Int,
         case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
         case other => throw new IllegalStateException(s"unwritable type $other")
       }
-      stats(i).observe(if (v.isInstanceOf[java.nio.ByteBuffer]) null else v)
-      if (blooms(i) != null && v != null) v match {
-        case x: java.lang.Long    => blooms(i).putLong(x.longValue)
-        case x: java.lang.Integer => blooms(i).putLong(x.longValue) // stats-domain widening
-        case s: String            => blooms(i).putString(s)
+      sink.stats(i).observe(if (v.isInstanceOf[java.nio.ByteBuffer]) null else v)
+      if (sink.blooms(i) != null && v != null) v match {
+        case x: java.lang.Long    => sink.blooms(i).putLong(x.longValue)
+        case x: java.lang.Integer => sink.blooms(i).putLong(x.longValue) // stats-domain widening
+        case s: String            => sink.blooms(i).putString(s)
         case _                    => ()
       }
       rec.put(i, v)
       i += 1
     }
-    frames += 1
+    sink.frames += 1
     val frame = AvroFrames.frameRecord(schemaId, rec)
-    out.writeInt(frame.length)
-    out.write(frame)
+    sink.out.writeInt(frame.length)
+    sink.out.write(frame)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
-    if (frames == 0L) AvroFrameCommitMessage("", "", "") // empty: nothing to publish
-    else {
-      val bloomB64 = fieldNames.indices.collect {
-        case i if blooms(i) != null => fieldNames(i) -> AvroFrameWrite.bloomToB64(blooms(i))
-      }.toMap
-      AvroFrameCommitMessage(tmpName, finalName,
-        AvroFrameWrite.statsJson(frames, fieldNames.zip(stats).toSeq, bloomB64))
+    sinks.values.foreach(_.out.close())
+    val parts = sinks.values.filter(_.frames > 0L)
+      .map(s => (s.tmpName, s.finalName, s.statsJson)).toSeq
+    sinks.values.filter(_.frames == 0L)
+      .foreach(s => new File(path, s.tmpName).delete())
+    parts match {
+      case Seq() => AvroFrameCommitMessage("", "", "") // empty: nothing to publish
+      case (t, f, j) +: rest => AvroFrameCommitMessage(t, f, j, rest)
     }
   }
 
   override def abort(): Unit = {
-    if (out != null) out.close()
-    new File(path, tmpName).delete()
+    sinks.values.foreach { s =>
+      s.out.close()
+      new File(path, s.tmpName).delete()
+    }
   }
 
   override def close(): Unit = ()
@@ -502,6 +593,13 @@ object AvroFrameStats {
   def read(segment: File): Option[(Long, Map[String, (Long, Any, Any)])] =
     readFull(segment).map { case (frames, fields, _) => (frames, fields) }
 
+  /** Sidecar FILE opens performed by this JVM — the observability hook
+    * the round-16 O(1)-planning-metadata spec counts: on a ledgered
+    * table, planning a query must not move this by more than a small
+    * constant however many segments are live.
+    */
+  private[graft] val sidecarOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Full sidecar including the per-field Bloom filter base64 payloads
     * (round 14) — kept as strings here; [[blooms]] deserializes on
     * demand so callers that only need min/max never pay the decode.
@@ -509,9 +607,18 @@ object AvroFrameStats {
   def readFull(segment: File): Option[(Long, Map[String, (Long, Any, Any)], Map[String, String])] = {
     val f = new File(segment.getParentFile, segment.getName + ".stats")
     if (!f.isFile) return None
+    sidecarOpens.incrementAndGet()
+    try parseStatsJson(java.nio.file.Files.readString(f.toPath))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Parse a stats sidecar's JSON body (shared with the ledger, which
+    * folds commit-message statsJson in without any file read). None on
+    * malformed input.
+    */
+  def parseStatsJson(json: String): Option[(Long, Map[String, (Long, Any, Any)], Map[String, String])] = {
     try {
-      val p = new com.fasterxml.jackson.core.JsonFactory()
-        .createParser(java.nio.file.Files.readString(f.toPath))
+      val p = new com.fasterxml.jackson.core.JsonFactory().createParser(json)
       var frames = 0L
       val fields = scala.collection.mutable.Map.empty[String, (Long, Any, Any)]
       val bloomB64 = scala.collection.mutable.Map.empty[String, String]
@@ -769,6 +876,8 @@ class FrameRowLevelOperation(
         Option(opt("bloomExpectedItems")).map(_.toLong)
           .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong)))
       val sortedBy = Option(opt("sortedBy"))
+      val timePart = for { c <- Option(opt("partitionCol")); u <- Option(opt("partitionUnit")) }
+        yield FrameTimePart(c, u)
       bucket match {
         case Some((key, n)) =>
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -781,7 +890,7 @@ class FrameRowLevelOperation(
               AvroFrameWriteBuilder.sortOrderFor(sortedBy)
             override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
               opt("path"), schemaJson, schemaId, info.queryId(),
-              FrameRowLevelOperation.this, bloomSpec)
+              FrameRowLevelOperation.this, bloomSpec, timePart)
           }
         case None if sortedBy.isDefined =>
           new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -791,12 +900,12 @@ class FrameRowLevelOperation(
               AvroFrameWriteBuilder.sortOrderFor(sortedBy)
             override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
               opt("path"), schemaJson, schemaId, info.queryId(),
-              FrameRowLevelOperation.this, bloomSpec)
+              FrameRowLevelOperation.this, bloomSpec, timePart)
           }
         case None => new Write {
           override def toBatch: BatchWrite = new AvroFrameReplaceGroupsWrite(
             opt("path"), schemaJson, schemaId, info.queryId(),
-            FrameRowLevelOperation.this, bloomSpec)
+            FrameRowLevelOperation.this, bloomSpec, timePart)
         }
       }
     }
@@ -811,13 +920,14 @@ class FrameRowLevelOperation(
   */
 class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId: Int,
                                   queryId: String, op: FrameRowLevelOperation,
-                                  bloom: Option[BloomSpec] = None)
+                                  bloom: Option[BloomSpec] = None,
+                                  part: Option[FrameTimePart] = None)
     extends BatchWrite {
   require(path != null, "option `path` is required")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val stamp = f"${AvroFrames.nextBatchStampMs(path)}%013d-${queryId.take(8)}"
-    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom)
+    new AvroFrameWriterFactory(path, avroSchemaJson, schemaId, stamp, bloom, part)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -827,17 +937,25 @@ class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId
         "replace-groups write committed before the operation's scan planned its groups"))
     FrameMaintenance.retireSegments(dir, groups.toSeq.map(p => new File(p).getName))
     val publish = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }.foreach { m =>
+    val published = messages.collect {
+      case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+    published.foreach { case (tmpName, finalName, statsJson) =>
       java.nio.file.Files.writeString(
-        new File(dir, m.finalName + ".stats").toPath, m.statsJson)
-      val target = new File(dir, m.finalName)
-      val ok = new File(dir, m.tmpName).renameTo(target)
-      require(ok, s"group-rewrite rename failed for ${m.tmpName} -> ${m.finalName}")
+        new File(dir, finalName + ".stats").toPath, statsJson)
+      val target = new File(dir, finalName)
+      val ok = new File(dir, tmpName).renameTo(target)
+      require(ok, s"group-rewrite rename failed for $tmpName -> $finalName")
       java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
+    }
+    // retires already left the ledger (inside retireSegments); fold the
+    // rewritten groups' replacement appends in
+    if (published.nonEmpty) FrameMaintenance.withDirLock(dir) {
+      FrameStatsLedger.fold(dir, add = published.flatMap { case (_, fin, json) =>
+        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: AvroFrameCommitMessage if m.tmpName.nonEmpty => m }
-      .foreach(m => new File(new File(path), m.tmpName).delete())
+    messages.collect { case m: AvroFrameCommitMessage => m }.flatMap(_.parts)
+      .foreach { case (tmpName, _, _) => new File(new File(path), tmpName).delete() }
 }

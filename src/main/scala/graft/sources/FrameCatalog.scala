@@ -194,9 +194,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val n = scala.util.Try(version.trim.toInt).getOrElse(
-      throw new IllegalArgumentException(
-        s"frame-log versions are operation counts (appends + deletes); got '$version'"))
+    // a non-numeric version is a TAG (round 16): `FOR VERSION AS OF
+    // 'validated'` resolves through `_tags.json`
+    val n = FrameTags.resolveVersionArg(tableDir(ident), version)
     val files = FrameMaintenance.resolveVersion(tableDir(ident), n)
     loadTableAsOf(ident, Map(
       "segmentFiles" -> files.map(_.getAbsolutePath).mkString("\n")))
@@ -223,6 +223,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       d.bloomExpectedItems.map(n => Map("bloomExpectedItems" -> n.toString)).getOrElse(Map.empty) ++
       d.deleteMode.map(m => Map("deleteMode" -> m)).getOrElse(Map.empty) ++
       d.sortedBy.map(c => Map("sortedBy" -> c)).getOrElse(Map.empty) ++
+      d.dvFoldThreshold.map(t => Map("dvFoldThreshold" -> t.toString)).getOrElse(Map.empty) ++
+      d.timePart.map { case (c, u) =>
+        Map("partitionCol" -> c, "partitionUnit" -> u) }.getOrElse(Map.empty) ++
       d.historyJson.map(h => Map("avroSchemaHistory" -> h)).getOrElse(Map.empty) ++
       asOf).asJava)
     new AvroFrameTable(
@@ -239,9 +242,14 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * side (the q96 bucketed-join discipline, through the connector).
     */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val bucket: Option[(String, Int)] = info.partitions() match {
-      case Array() => None
-      case Array(t) if t.name == "bucket" =>
+    // PARTITIONED BY: at most one bucket(n, col) + at most one hidden
+    // time transform (hours/days/months/years over a BIGINT NOT NULL
+    // epoch-micros column) — round 16, the time-partitioned ingest rung
+    var bucket: Option[(String, Int)] = None
+    var timePart: Option[(String, String)] = None
+    info.partitions().foreach {
+      case t if t.name == "bucket" =>
+        require(bucket.isEmpty, "at most one bucket transform")
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             l.value.asInstanceOf[Number].intValue
@@ -257,10 +265,25 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(Set[DataType](org.apache.spark.sql.types.IntegerType,
             org.apache.spark.sql.types.LongType, StringType).contains(col.dataType),
           s"bucket column must be INT/BIGINT/STRING, got ${col.dataType}")
-        Some((key.get, n.get))
+        bucket = Some((key.get, n.get))
+      case t if FrameTimePart.Units.contains(t.name) =>
+        require(timePart.isEmpty, "at most one time-partition transform")
+        val key = t.arguments().collectFirst {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 => r.fieldNames()(0)
+        }
+        require(key.isDefined, s"${t.name} transform needs a column argument, got $t")
+        val col = info.schema().fields.find(_.name == key.get).getOrElse(
+          throw new IllegalArgumentException(s"partition column ${key.get} not in schema"))
+        require(col.dataType == org.apache.spark.sql.types.LongType && !col.nullable,
+          s"${t.name}(${key.get}): partition column must be BIGINT NOT NULL holding " +
+            s"epoch microseconds, got ${col.dataType}" +
+            (if (col.nullable) " (nullable)" else ""))
+        timePart = Some((key.get, t.name))
       case other => throw new IllegalArgumentException(
-        "frame tables support at most one bucket(n, col) transform; got " +
-          other.mkString(", "))
+        "frame tables support PARTITIONED BY with one optional " +
+          "hours/days/months/years(col) transform and one optional bucket(n, col); " +
+          s"got $other")
     }
     if (!namespaceExists(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
@@ -293,6 +316,14 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // write-sorted layout (TBLPROPERTIES 'sortedBy'='col'): every write
     // locally sorts its partitions on the column, so each segment is
     // individually sorted and the scan can report per-split ordering
+    // auto DV-fold trigger (TBLPROPERTIES 'dvFoldThreshold'): fraction
+    // of a segment's rows its cumulative deletion vector may reach
+    // before maintenance folds it; >1 disables, default 0.5
+    val dvFold = Option(info.properties().get("dvFoldThreshold")).map { t =>
+      val v = t.toDouble
+      require(v > 0.0, s"dvFoldThreshold must be positive, got $t")
+      v
+    }
     val sortedBy = Option(info.properties().get("sortedBy")).map { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"sortedBy column $c not in schema"))
@@ -304,7 +335,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     writeDescriptor(new File(dir, TableDescriptor),
       Descriptor(avroSchema, schemaId, bucket, bloomCols, bloomItems,
-        deleteMode = deleteMode, sortedBy = sortedBy))
+        deleteMode = deleteMode, sortedBy = sortedBy, dvFoldThreshold = dvFold,
+        timePart = timePart))
     loadTable(ident)
   }
 
@@ -425,6 +457,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     d.copy(
       avroSchema = AvroFrames.renameField(d.avroSchema, from, to),
       bucket = d.bucket.map { case (k, n) => (if (k == from) to else k, n) },
+      timePart = d.timePart.map { case (c, u) => (if (c == from) to else c, u) },
       bloomColumns = d.bloomColumns.map(_.split(',').map(_.trim)
         .map(c => if (c == from) to else c).mkString(",")),
       sortedBy = d.sortedBy.map(c => if (c == from) to else c),
@@ -452,6 +485,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"cannot drop bloom column $name: drop the bloom config first"))
     d.sortedBy.foreach(c => require(c != name,
       s"cannot drop sort column $name: the table's physical layout orders on it"))
+    d.timePart.foreach { case (c, _) => require(c != name,
+      s"cannot drop partition column $name: the table's physical layout and " +
+        "partition pruning route on it") }
     val evolved = StructType(current.fields.filterNot(_.name == name))
     val newSchema = AvroFrames.avroSchemaFor(evolved, ident.name)
     val newId = (d.history.map(_._1) :+ d.schemaId).max + 1
@@ -544,7 +580,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                                          bloomExpectedItems: Option[Long],
                                          history: Vector[(Int, String)] = Vector.empty,
                                          deleteMode: Option[String] = None,
-                                         sortedBy: Option[String] = None) {
+                                         sortedBy: Option[String] = None,
+                                         dvFoldThreshold: Option[Double] = None,
+                                         timePart: Option[(String, String)] = None) {
     /** History option value for readers/writers; None when the table
       * has a single schema version (zero plumbing overhead).
       */
@@ -566,6 +604,11 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     d.bloomExpectedItems.foreach(gen.writeNumberField("bloomExpectedItems", _))
     d.deleteMode.foreach(gen.writeStringField("deleteMode", _))
     d.sortedBy.foreach(gen.writeStringField("sortedBy", _))
+    d.dvFoldThreshold.foreach(gen.writeNumberField("dvFoldThreshold", _))
+    d.timePart.foreach { case (c, u) =>
+      gen.writeStringField("partitionCol", c)
+      gen.writeStringField("partitionUnit", u)
+    }
     if (d.history.length > 1) {
       gen.writeArrayFieldStart("schemas")
       d.history.foreach { case (id, schema) =>
@@ -595,6 +638,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var bloomItems = -1L
     var deleteMode: String = null
     var sortedBy: String = null
+    var dvFold = Double.NaN
+    var partCol: String = null
+    var partUnit: String = null
     val history = Vector.newBuilder[(Int, String)]
     import com.fasterxml.jackson.core.JsonToken._
     p.nextToken()
@@ -608,6 +654,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case "bloomExpectedItems" => p.nextToken(); bloomItems = p.getLongValue
         case "deleteMode"         => p.nextToken(); deleteMode = p.getText
         case "sortedBy"           => p.nextToken(); sortedBy = p.getText
+        case "dvFoldThreshold"    => p.nextToken(); dvFold = p.getDoubleValue
+        case "partitionCol"       => p.nextToken(); partCol = p.getText
+        case "partitionUnit"      => p.nextToken(); partUnit = p.getText
         case "schemas" =>
           p.nextToken() // [
           while (p.nextToken() != END_ARRAY) {
@@ -630,7 +679,9 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (bucketKey != null && buckets > 0) Some((bucketKey, buckets)) else None,
       Option(bloomCols), if (bloomItems > 0) Some(bloomItems) else None,
       if (hist.nonEmpty) hist else Vector((id, schema)),
-      Option(deleteMode), Option(sortedBy))
+      Option(deleteMode), Option(sortedBy),
+      if (dvFold.isNaN) None else Some(dvFold),
+      if (partCol != null && partUnit != null) Some((partCol, partUnit)) else None)
   }
 
   /** Is this table bucketed? (descriptor probe for the maintenance
@@ -843,14 +894,18 @@ object FrameProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
   val names: Array[String] =
-    Array("analyze", "compact", "expire_snapshots", "remove_orphans", "rewrite_clustered")
+    Array("analyze", "compact", "create_tag", "drop_tag", "expire_snapshots",
+      "remove_orphans", "rewrite_clustered", "rollback")
 
   def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
     case "analyze"           => Some(new AnalyzeProcedure(cat))
     case "compact"           => Some(new CompactProcedure(cat))
+    case "create_tag"        => Some(new CreateTagProcedure(cat))
+    case "drop_tag"          => Some(new DropTagProcedure(cat))
     case "expire_snapshots"  => Some(new ExpireProcedure(cat))
     case "remove_orphans"    => Some(new RemoveOrphansProcedure(cat))
     case "rewrite_clustered" => Some(new RewriteClusteredProcedure(cat))
+    case "rollback"          => Some(new RollbackProcedure(cat))
     case _                   => None
   }
 
@@ -883,7 +938,10 @@ object FrameProcedures {
         .comment("<namespace>.<table> in this catalog").build(),
       ProcedureParameter.in("target_bytes", org.apache.spark.sql.types.LongType)
         .defaultValue("9223372036854775807L")
-        .comment("max bytes per compacted output segment").build())
+        .comment("max bytes per compacted output segment").build(),
+      ProcedureParameter.in("partition", org.apache.spark.sql.types.LongType)
+        .defaultValue("CAST(NULL AS BIGINT)")
+        .comment("time-partition value to scope to (default: whole table)").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val target = if (input.isNullAt(1)) Long.MaxValue else input.getLong(1)
@@ -892,7 +950,7 @@ object FrameProcedures {
       // buckets, so the replacement keeps its constituents' bucket
       // ordinal and the reported KeyGroupedPartitioning (and every
       // storage-partitioned join on it) survives compaction
-      val grouping: java.io.File => Any = cat.bucketSpecOf(table) match {
+      val bucketGroup: java.io.File => Any = cat.bucketSpecOf(table) match {
         case Some((_, n)) => (f: java.io.File) => {
           val b = AvroFrames.bucketOf(f.getName)
           require(b.exists(x => x >= 0 && x < n),
@@ -902,8 +960,22 @@ object FrameProcedures {
         }
         case None => (_: java.io.File) => ()
       }
+      // time-partitioned tables compact PER PARTITION: bins never merge
+      // across partition values, so the replacement keeps its members'
+      // `-T` token and partition pruning survives compaction
+      val grouping: java.io.File => Any =
+        (f: java.io.File) => (bucketGroup(f), FrameTimePart.valueOf(f.getName))
+      // optional partition scope: compact exactly one time partition,
+      // leaving every other partition's segments untouched
+      val only: Option[Set[String]] =
+        if (input.isNullAt(2)) None
+        else {
+          val pv = input.getLong(2)
+          Some(AvroFrames.listSegments(dir.getAbsolutePath)
+            .map(_.getName).filter(n => FrameTimePart.valueOf(n).contains(pv)).toSet)
+        }
       val res = FrameMaintenance.compact(
-        org.apache.spark.sql.SparkSession.active, dir, target, grouping)
+        org.apache.spark.sql.SparkSession.active, dir, target, grouping, only)
       summary("compacted_bins" -> res.bins, "replaced_segments" -> res.replacedSegments)
     }
   }
@@ -998,6 +1070,77 @@ object FrameProcedures {
         else input.getLong(1)
       val removed = FrameMaintenance.removeOrphans(cat.resolveTableDir(table), cutoff)
       summary("removed_files" -> removed)
+    }
+  }
+
+  class RollbackProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "rollback(table STRING, version STRING): make the CURRENT table state equal " +
+        "the addressed snapshot (a version number or a tag name) as one new " +
+        "version-minting operation — retired files stay time-travelable, restored " +
+        "files move back from history, the change feed reports the delta row-exactly"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("version", StringType)
+        .comment("target version number, or a tag name").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = cat.resolveTableDir(table)
+      val v = FrameTags.resolveVersionArg(dir, input.getUTF8String(1).toString)
+      val res = FrameMaintenance.rollback(dir, v)
+      summary("retired_files" -> res.retired, "restored_files" -> res.restored)
+    }
+  }
+
+  class CreateTagProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "create_tag(table STRING, tag STRING, version BIGINT = current): name an " +
+        "addressable version — `FOR VERSION AS OF '<tag>'` and rollback resolve it; " +
+        "pure metadata, nothing is pinned against expiry"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("tag", StringType)
+        .comment("tag name ([A-Za-z0-9_.-]+, not a bare integer)").build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+        .defaultValue("CAST(NULL AS BIGINT)")
+        .comment("version to tag; default = the current version").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      require(tag.matches("[A-Za-z0-9_.-]+") && scala.util.Try(tag.toInt).isFailure,
+        s"invalid tag name '$tag': [A-Za-z0-9_.-]+ and not a bare integer " +
+          "(integers address versions directly)")
+      val dir = cat.resolveTableDir(table)
+      val total = FrameMaintenance.totalVersions(dir)
+      val v = if (input.isNullAt(2)) total else input.getLong(2).toInt
+      require(v >= 0 && v <= total,
+        s"cannot tag version $v: $table has $total versions")
+      FrameTags.write(dir, FrameTags.read(dir) + (tag -> v))
+      summary("tagged_version" -> v)
+    }
+  }
+
+  class DropTagProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "drop_tag(table STRING, tag STRING): remove a version tag (metadata only)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("tag", StringType).comment("tag name").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val dir = cat.resolveTableDir(table)
+      val tags = FrameTags.read(dir)
+      require(tags.contains(tag), s"no tag '$tag' on $table " +
+        s"(tags: ${tags.keys.toSeq.sorted.mkString(", ")})")
+      FrameTags.write(dir, tags - tag)
+      summary("dropped" -> 1)
     }
   }
 

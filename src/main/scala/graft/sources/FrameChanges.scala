@@ -235,12 +235,20 @@ case class FrameChangePartition(file: String, replacement: Option[String],
 
 object FrameChangePartition {
   def of(u: FrameMaintenance.ChangeUnit): InputPartition = u match {
-    case FrameMaintenance.InsertedSegment(f, v) =>
-      FrameChangePartition(f, None, isDelete = false, v)
+    // a restored-with-vector insert (rollback) reuses the priorDv slot:
+    // the reader's first branch skips those positions for any unit
+    // shape, leaving exactly the live rows as inserts
+    case FrameMaintenance.InsertedSegment(f, v, dv) =>
+      FrameChangePartition(f, None, isDelete = false, v, dv)
     case FrameMaintenance.DeletedSegment(orig, rep, v, priorDv) =>
       FrameChangePartition(orig, rep, isDelete = true, v, priorDv)
     case FrameMaintenance.DvDeletedSegment(orig, dv, priorDv, v) =>
       FrameChangePartition(orig, None, isDelete = true, v, priorDv, Some(dv))
+    // vector removed by rollback: INSERTS at (removed \ restored) —
+    // dvFile selects the removed vector's positions, priorDv masks the
+    // restored one's
+    case FrameMaintenance.DvRestoredSegment(orig, removed, restored, v) =>
+      FrameChangePartition(orig, None, isDelete = false, v, restored, Some(removed))
   }
 }
 

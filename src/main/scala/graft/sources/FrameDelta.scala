@@ -79,7 +79,9 @@ class FrameDeltaOperation(
           Option(tableOpts.get("bloomColumns")).map(csv => BloomSpec(
             csv.split(',').map(_.trim).filter(_.nonEmpty),
             Option(tableOpts.get("bloomExpectedItems")).map(_.toLong)
-              .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong))))
+              .getOrElse(AvroFrameWrite.DefaultBloomExpectedItems.toLong))),
+          Option(tableOpts.get("dvFoldThreshold")).map(_.toDouble)
+            .getOrElse(FrameMaintenance.DefaultDvFoldThreshold))
       }
     }
 }
@@ -93,7 +95,9 @@ case class FrameDeltaCommitMessage(insertTmp: String, insertFinal: String,
     extends WriterCommitMessage
 
 class FrameDeltaBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
-                           queryId: String, bloom: Option[BloomSpec])
+                           queryId: String, bloom: Option[BloomSpec],
+                           dvFoldThreshold: Double =
+                             FrameMaintenance.DefaultDvFoldThreshold)
     extends DeltaBatchWrite {
   require(path != null, "option `path` is required")
   private val dir = new File(path)
@@ -116,6 +120,12 @@ class FrameDeltaBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     FrameMaintenance.publishDeltaCommit(dir, manifestLenAtStart, deletes,
       msgs.filter(_.insertTmp.nonEmpty)
         .map(m => (m.insertTmp, m.insertFinal, m.insertStats)).toSeq)
+    // auto-fold: vectors this operation grew past the threshold fold
+    // into real bytes now (version-neutral compaction of exactly those
+    // segments)
+    if (deletes.valuesIterator.exists(_.nonEmpty))
+      FrameMaintenance.autoFoldVectors(
+        org.apache.spark.sql.SparkSession.active, dir, dvFoldThreshold)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

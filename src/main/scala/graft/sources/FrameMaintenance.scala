@@ -88,6 +88,22 @@ object FrameMaintenance {
     */
   private def publishLocked[T](dir: File, expectedLen: Int)(body: => T): T = {
     beforePublishHook(dir)
+    withDirLock(dir) {
+      val nowLen = readManifest(dir).length
+      if (nowLen != expectedLen)
+        throw new CommitConflict(
+          s"manifest advanced $expectedLen -> $nowLen during ${dir.getName} " +
+            "maintenance — re-classify and retry")
+      body
+    }
+  }
+
+  /** The table's filesystem mutex WITHOUT the manifest CAS — for
+    * metadata folds that are not racing a classification (ledger
+    * updates from plain append commits, ledger rebuilds). `createNewFile`
+    * is atomic; publishes hold it for milliseconds.
+    */
+  private[sources] def withDirLock[T](dir: File)(body: => T): T = {
     val lock = new File(dir, LockFile)
     var waited = 0
     while (!lock.createNewFile()) {
@@ -101,14 +117,7 @@ object FrameMaintenance {
         Thread.sleep(10)
       }
     }
-    try {
-      val nowLen = readManifest(dir).length
-      if (nowLen != expectedLen)
-        throw new CommitConflict(
-          s"manifest advanced $expectedLen -> $nowLen during ${dir.getName} " +
-            "maintenance — re-classify and retry")
-      body
-    } finally lock.delete()
+    try body finally lock.delete()
   }
 
   /** Bounded conflict-retry driver for the public operations. */
@@ -135,7 +144,8 @@ object FrameMaintenance {
   case class MaintEntry(op: String, publishMs: Long,
                         replaced: Vector[String], replacedMs: Vector[Long],
                         replacements: Vector[String], expired: Boolean) {
-    require(op == "compact" || op == "delete" || op == "dv", s"unknown maintenance op $op")
+    require(op == "compact" || op == "delete" || op == "dv" || op == "rollback",
+      s"unknown maintenance op $op")
   }
 
   private def historyDir(dir: File): File = new File(dir, HistoryDirName)
@@ -222,7 +232,12 @@ object FrameMaintenance {
     */
   private def events(dir: File): Vector[Event] = {
     val manifest = readManifest(dir)
-    val replacements = manifest.flatMap(_.replacements).toSet
+    // a ROLLBACK's "replacements" are restored names that already minted
+    // their append versions when first published — unlike compaction /
+    // delete replacements (new maintenance artifacts), they must NOT be
+    // suppressed from the logical-append history, or every version
+    // number after the original append would shift
+    val replacements = manifest.filter(_.op != "rollback").flatMap(_.replacements).toSet
     val live = AvroFrames.listSegments(dir.getAbsolutePath)
       .map(f => f.getName -> f.lastModified()).toMap
     // replaced names with their original publish times (from the
@@ -285,6 +300,11 @@ object FrameMaintenance {
         version += 1
         (version, "dv",
           s"${e.replacements.length} deletion vector(s)" +
+            (if (e.expired) " [expired]" else ""), e.publishMs)
+      case MaintEv(e, _) if e.op == "rollback" =>
+        version += 1
+        (version, "rollback",
+          s"retired ${e.replaced.length} file(s), restored ${e.replacements.length}" +
             (if (e.expired) " [expired]" else ""), e.publishMs)
       case MaintEv(e, _) =>
         (-1, "compact",
@@ -391,7 +411,12 @@ object FrameMaintenance {
   sealed trait ChangeUnit extends Serializable {
     def version: Int
   }
-  case class InsertedSegment(file: String, version: Int) extends ChangeUnit
+  /** `dv` (round 16, rollback): the segment entered the live set WITH a
+    * restored deletion vector — its insert changes are the rows NOT at
+    * the vector's positions (a plain append never carries one).
+    */
+  case class InsertedSegment(file: String, version: Int,
+                             dv: Option[String] = None) extends ChangeUnit
   /** `priorDv` (round 15): the segment's deletion vector as of the
     * version BEFORE this delete — rows at those positions were deleted
     * by an earlier `dv` version and must not be re-reported here.
@@ -405,6 +430,13 @@ object FrameMaintenance {
     */
   case class DvDeletedSegment(origFile: String, dvFile: String,
                               priorDv: Option[String], version: Int) extends ChangeUnit
+  /** A ROLLBACK (round 16) removed `removedDv` from a segment that
+    * stayed live (restoring `restoredDv`, or no vector at all): the
+    * rows at positions `removedDv` MINUS `restoredDv` came back — they
+    * are this version's INSERT changes.
+    */
+  case class DvRestoredSegment(origFile: String, removedDv: String,
+                               restoredDv: Option[String], version: Int) extends ChangeUnit
 
   /** The change units that took the table from version `fromV` to
     * version `toV` (changes minted by versions in `(fromV, toV]`).
@@ -459,6 +491,41 @@ object FrameMaintenance {
               curDv.get(base).map(x => resolvePhysical(dir, x).getAbsolutePath), version)
           curDv(base) = d
         }
+      case MaintEv(e, _) if e.op == "rollback" =>
+        // the rollback delta, row-exactly: retired segments' live rows
+        // are deletes, restored segments' live rows inserts, and a
+        // staying segment whose vector changed re-inserts the rows the
+        // removed vector had deleted (and deletes any the restored one
+        // adds — possible only when rolling forward over a rollback)
+        version += 1
+        def res(n: String): String = resolvePhysical(dir, n).getAbsolutePath
+        val leavingSegs = e.replaced.filterNot(FrameDv.isDvName)
+        val enteringSegs = e.replacements.filterNot(FrameDv.isDvName)
+        val leavingDvs = e.replaced.filter(FrameDv.isDvName)
+          .map(d => FrameDv.baseOf(d) -> d).toMap
+        val enteringDvs = e.replacements.filter(FrameDv.isDvName)
+          .map(d => FrameDv.baseOf(d) -> d).toMap
+        if (version > fromV && version <= toV) {
+          leavingSegs.foreach { r =>
+            out += DeletedSegment(res(r), None, version, curDv.get(r).map(res))
+          }
+          enteringSegs.foreach { n =>
+            out += InsertedSegment(res(n), version, enteringDvs.get(n).map(res))
+          }
+          (leavingDvs.keySet ++ enteringDvs.keySet)
+            .filterNot(b => leavingSegs.contains(b) || enteringSegs.contains(b))
+            .toSeq.sorted.foreach { b =>
+              val removed = leavingDvs.get(b)
+              val restored = enteringDvs.get(b)
+              removed.foreach(a =>
+                out += DvRestoredSegment(res(b), res(a), restored.map(res), version))
+              restored.foreach(t =>
+                out += DvDeletedSegment(res(b), res(t), removed.map(res), version))
+            }
+        }
+        leavingSegs.foreach(curDv -= _)
+        leavingDvs.keys.foreach(b => if (!enteringDvs.contains(b)) curDv -= b)
+        enteringDvs.foreach { case (b, d) => curDv(b) = d }
       case MaintEv(e, _) => // compaction: no version, no changes; folded
         // vectors leave the replay state with their segments
         e.replaced.foreach(curDv -= _)
@@ -533,12 +600,18 @@ object FrameMaintenance {
     */
   def compact(spark: SparkSession, dir: File,
               targetBytes: Long = Long.MaxValue,
-              group: File => Any = _ => ()): CompactResult =
-    withConflictRetry("compact")(() => compactOnce(spark, dir, targetBytes, group))
+              group: File => Any = _ => (),
+              only: Option[Set[String]] = None): CompactResult =
+    withConflictRetry("compact")(() => compactOnce(spark, dir, targetBytes, group, only))
 
   private def compactOnce(spark: SparkSession, dir: File,
-                          targetBytes: Long, group: File => Any): CompactResult = {
+                          targetBytes: Long, group: File => Any,
+                          only: Option[Set[String]] = None): CompactResult = {
+    // `only` (round 16, auto DV-fold): restrict the compaction universe
+    // to named segments — used to fold specific over-threshold deletion
+    // vectors without touching the rest of the table
     val live = AvroFrames.listSegments(dir.getAbsolutePath)
+      .filter(f => only.forall(_.contains(f.getName)))
     val manifest = readManifest(dir)
     var gen = manifest.length + 1
 
@@ -618,6 +691,11 @@ object FrameMaintenance {
         MaintEntry("compact", publishMs, names, replacedMs, Vector(finalName), expired = false)
       }
       writeManifest(dir, manifest ++ entries)
+      FrameStatsLedger.fold(dir,
+        add = results.flatMap { case (_, _, finalName, merged) =>
+          merged.flatMap(FrameStatsLedger.entryFromJson).map(finalName -> _)
+        }.toMap,
+        remove = results.flatMap(_._1.map(_._1)).toSeq)
     } catch { case c: CommitConflict =>
       results.foreach { case (_, tmpName, _, _) => new File(dirPath, tmpName).delete() }
       throw c
@@ -781,7 +859,7 @@ object FrameMaintenance {
 
     // per-column bounds: merged sidecars when complete (metadata-only),
     // else one aggregate pass over the snapshot
-    val sidecars = live.map(AvroFrameStats.read)
+    val sidecars = live.map(new FrameStatsView(dir).read)
     val bounds: Map[String, (Double, Double)] =
       if (sidecars.forall(_.exists(s => by.forall(c =>
           s._2.get(c).exists(f => f._2 != null && f._3 != null))))) {
@@ -864,6 +942,12 @@ object FrameMaintenance {
       scratch.delete()
       writeManifest(dir, manifest :+
         MaintEntry("compact", publishMs, names, replacedMs, newNames, expired = false))
+      FrameStatsLedger.fold(dir,
+        add = newNames.flatMap { n =>
+          AvroFrameStats.readFull(new File(dir, n)).map { case (frames, fields, blooms) =>
+            n -> FrameStatsLedger.Entry(frames, fields, blooms.keySet) }
+        }.toMap,
+        remove = names)
       ClusterResult(newNames.length, names.length)
     } catch { case c: CommitConflict =>
       Option(scratch.listFiles()).getOrElse(Array.empty).foreach(_.delete())
@@ -970,14 +1054,16 @@ object FrameMaintenance {
     val manifest = readManifest(dir)
     val gen = manifest.length + 1
 
-    // classify from sidecars (driver-side metadata, no file opens)
+    // classify from the stats ledger (one metadata read; sidecar
+    // fallback per unledgered segment)
+    val stats = new FrameStatsView(dir)
     val (noneMatch, rest) = live.partition { seg =>
-      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+      stats.read(seg).exists { case (frames, fields) =>
         frames == 0L || filters.exists(!AvroFrameStats.mayMatch(frames, fields, _))
       }
     }
     val (allMatch, rewrite) = rest.partition { seg =>
-      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+      stats.read(seg).exists { case (frames, fields) =>
         filters.forall(mustMatch(frames, fields, _))
       }
     }
@@ -1028,9 +1114,16 @@ object FrameMaintenance {
           replacements += finalName
         }
       }
+      val replacedV = replaced.result()
       writeManifest(dir, manifest :+
-        MaintEntry("delete", publishMs, replaced.result(), replacedMs.result(),
+        MaintEntry("delete", publishMs, replacedV, replacedMs.result(),
           replacements.result(), expired = false))
+      FrameStatsLedger.fold(dir,
+        add = rewritten.flatMap { case (_, _, result) =>
+          result.flatMap { case (_, finalName, statsJson) =>
+            FrameStatsLedger.entryFromJson(statsJson).map(finalName -> _) }
+        }.toMap,
+        remove = replacedV)
     } catch { case c: CommitConflict =>
       rewritten.foreach { case (_, _, r) =>
         r.foreach { case (tmpName, _, _) => new File(dirPath, tmpName).delete() }
@@ -1056,9 +1149,17 @@ object FrameMaintenance {
     */
   def deleteWhereMoR(spark: SparkSession, dir: File, avroSchemaJson: String,
                      schemaId: Int, filters: Array[Filter],
-                     historyJson: String = null): DeleteResult =
-    withConflictRetry("delete (merge-on-read)")(() =>
+                     historyJson: String = null,
+                     foldThreshold: Double = DefaultDvFoldThreshold): DeleteResult = {
+    val res = withConflictRetry("delete (merge-on-read)")(() =>
       deleteWhereMoROnce(spark, dir, avroSchemaJson, schemaId, filters, historyJson))
+    // auto-fold policy: vectors this delete grew past the threshold
+    // fold into real bytes now, as an ordinary (version-neutral)
+    // compaction — read amplification stays bounded without operator
+    // intervention
+    if (res.rewritten > 0) autoFoldVectors(spark, dir, foldThreshold)
+    res
+  }
 
   private def deleteWhereMoROnce(spark: SparkSession, dir: File, avroSchemaJson: String,
                                  schemaId: Int, filters: Array[Filter],
@@ -1069,13 +1170,14 @@ object FrameMaintenance {
     val manifest = readManifest(dir)
     val gen = manifest.length + 1
 
+    val stats = new FrameStatsView(dir)
     val (noneMatch, rest) = live.partition { seg =>
-      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+      stats.read(seg).exists { case (frames, fields) =>
         frames == 0L || filters.exists(!AvroFrameStats.mayMatch(frames, fields, _))
       }
     }
     val (allMatch, straddle) = rest.partition { seg =>
-      AvroFrameStats.read(seg).exists { case (frames, fields) =>
+      stats.read(seg).exists { case (frames, fields) =>
         filters.forall(mustMatch(frames, fields, _))
       }
     }
@@ -1146,8 +1248,10 @@ object FrameMaintenance {
         replaced += seg.getName
         replacedMs += retire(dir, seg.getName)
       }
-      entries += MaintEntry("delete", publishMs, replaced.result(), replacedMs.result(),
+      val replacedV = replaced.result()
+      entries += MaintEntry("delete", publishMs, replacedV, replacedMs.result(),
         Vector.empty, expired = false)
+      FrameStatsLedger.fold(dir, remove = replacedV)
     }
     if (minted.nonEmpty) {
       val replaced = Vector.newBuilder[String]
@@ -1175,6 +1279,41 @@ object FrameMaintenance {
       noneMatch.length + (straddle.length - minted.length))
   }
 
+  /** Default auto-fold trigger: a segment whose cumulative deletion
+    * vector covers at least this fraction of its rows is folded into
+    * real bytes during the next merge-on-read delete's maintenance
+    * pass. Override per table with TBLPROPERTIES('dvFoldThreshold').
+    */
+  val DefaultDvFoldThreshold = 0.5
+
+  /** Automatic deletion-vector fold (round 16, VERDICT r15 item 4):
+    * find live segments whose vector cardinality / sidecar row count
+    * is >= `threshold` and compact EXACTLY those, one bin per segment
+    * (a single-member bin with a vector folds it — the round-15
+    * compaction rule), bounding read amplification on delete-heavy
+    * tables without the operator ever calling `CALL compact`. Version-
+    * neutral like all compaction; O(folded segments' bytes) executor
+    * I/O, zero if nothing crosses the threshold. Returns bins folded.
+    */
+  def autoFoldVectors(spark: SparkSession, dir: File,
+                      threshold: Double = DefaultDvFoldThreshold): Int = {
+    require(threshold > 0.0, s"dvFoldThreshold must be positive, got $threshold")
+    if (threshold > 1.0) return 0 // explicit opt-out (e.g. 2.0 = never)
+    val stats = new FrameStatsView(dir)
+    val foldable = AvroFrames.liveDvMap(dir.getAbsolutePath).flatMap {
+      case (base, dvFile) =>
+        val seg = new File(dir, base)
+        if (!seg.isFile) None
+        else stats.read(seg).collect {
+          case (frames, _) if frames > 0L &&
+              FrameDv.count(dvFile).toDouble / frames >= threshold => base
+        }
+    }.toSet
+    if (foldable.isEmpty) 0
+    else compact(spark, dir, Long.MaxValue,
+      group = (f: File) => f.getName, only = Some(foldable)).bins
+  }
+
   /** Unconditional delete (`DELETE FROM t` with no WHERE / TRUNCATE
     * through the delete path): every live segment retires to history
     * in one delete operation — still time-travelable until expiry,
@@ -1193,6 +1332,7 @@ object FrameMaintenance {
     val times = names.map(n => retire(dir, n))
     writeManifest(dir, manifest :+
       MaintEntry("delete", publishMs, names, times, Vector.empty, expired = false))
+    FrameStatsLedger.fold(dir, remove = names)
     }
     DeleteResult(live.length, 0, 0)
   })
@@ -1221,6 +1361,7 @@ object FrameMaintenance {
     val times = withDvs.map(n => retire(dir, n))
     writeManifest(dir, manifest :+
       MaintEntry("delete", publishMs, withDvs, times, Vector.empty, expired = false))
+    FrameStatsLedger.fold(dir, remove = withDvs)
     }
     })
 
@@ -1366,6 +1507,10 @@ object FrameMaintenance {
       java.nio.file.Files.move(tmp.toPath, new File(dirPath, name + ".stats").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // the sidecars just changed under the ledger's feet — rebuild it
+    // from them (also the RETROFIT path: `CALL analyze` on a pre-ledger
+    // table mints its first ledger, turning on O(1) planning metadata)
+    withDirLock(dir) { FrameStatsLedger.rebuild(dir) }
     AnalyzeResult(names.length)
   }
 
@@ -1387,14 +1532,19 @@ object FrameMaintenance {
     * actually orphan.
     */
   def removeOrphans(dir: File, olderThanMs: Long): Int = {
+    // fully recursive delete of a scratch tree (round 16 — a crashed
+    // maintainer's scratch can contain subdirectories, e.g. a write
+    // job's own temp dirs inside a `.clustering-…` scratch; the old
+    // one-level sweep left those behind)
+    def purge(f: File): Int =
+      if (f.isDirectory) {
+        val n = Option(f.listFiles()).getOrElse(Array.empty).map(purge).sum
+        if (f.delete()) n + 1 else n
+      } else if (f.delete()) 1 else 0
     def sweep(f: File): Int = {
       if (!f.getName.startsWith(".")) return 0
       if (f.lastModified() > olderThanMs) return 0
-      if (f.isDirectory) {
-        val n = Option(f.listFiles()).getOrElse(Array.empty)
-          .map { c => if (c.delete()) 1 else 0 }.sum
-        if (f.delete()) n + 1 else n
-      } else if (f.delete()) 1 else 0
+      purge(f)
     }
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName != LockFile).map(sweep).sum
@@ -1455,6 +1605,9 @@ object FrameMaintenance {
         publishSegment(dir, tmp, fin, Some(stats), publishMs)
       }
       writeManifest(dir, manifest ++ entries.result())
+      FrameStatsLedger.fold(dir,
+        add = inserts.flatMap { case (_, fin, stats) =>
+          FrameStatsLedger.entryFromJson(stats).map(fin -> _) }.toMap)
     } catch {
       case c: CommitConflict =>
         inserts.foreach { case (tmp, _, _) => new File(dir, tmp).delete() }
@@ -1505,6 +1658,82 @@ object FrameMaintenance {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    // the ledger mirrors live sidecars — re-key it with the same
+    // transform (a stale pre-drop entry under a re-added name would
+    // corrupt pruning exactly like the stale sidecar would)
+    FrameStatsLedger.rewriteFields(dir, transform)
+  }
+
+  // ------------------------------------------------------------ rollback
+
+  case class RollbackResult(retired: Int, restored: Int)
+
+  /** Roll the table's CURRENT state back to an addressable version
+    * (round 16, VERDICT r15 item 3) — the ops answer to "a bad
+    * backfill just landed": the live set becomes exactly the target
+    * snapshot's file set, as ONE version-minting manifest operation.
+    * Nothing is copied and no history is rewritten:
+    *
+    *  - files the target lacks RETIRE to `_history/` (time travel to
+    *    the pre-rollback state keeps working until expiry);
+    *  - files the target needs that live in `_history/` MOVE back,
+    *    publish mtime preserved (it is their append-order key) — legal
+    *    because a name is live or retired, never both;
+    *  - the manifest gains a `rollback` entry whose replaced/
+    *    replacements describe the transition, so snapshot replay,
+    *    version numbering, the tailing stream's offsets, and the
+    *    change feed (which reports the rollback delta row-exactly —
+    *    the q-audit contract) all keep working by construction.
+    *
+    * Rolling back PAST an expired snapshot fails loudly in resolution.
+    * Rollback of a rollback works (the event history is append-only).
+    * O(|delta files|) metadata moves, zero data bytes.
+    */
+  def rollback(dir: File, toVersion: Int): RollbackResult =
+    withConflictRetry("rollback")(() => rollbackOnce(dir, toVersion))
+
+  private def rollbackOnce(dir: File, toVersion: Int): RollbackResult = {
+    val manifest = readManifest(dir)
+    val target = resolveVersion(dir, toVersion)
+    val targetNames = target.map(_.getName).toSet
+    val liveSegs = AvroFrames.listSegments(dir.getAbsolutePath)
+    val liveAll = liveSegs.map(_.getName).toVector ++
+      AvroFrames.liveDvMap(dir.getAbsolutePath).values.map(_.getName)
+    val toRetire = liveAll.filterNot(targetNames.contains).sorted
+    val toRestore = target.filter(f => !new File(dir, f.getName).isFile)
+    if (toRetire.isEmpty && toRestore.isEmpty) return RollbackResult(0, 0)
+
+    publishLocked(dir, manifest.length) {
+      val publishMs = publishInstant(liveSegs, manifest)
+      // restore FIRST (restored names are disjoint from live names by
+      // definition, so a reader listing mid-publish sees at worst some
+      // rows twice — never an emptier table than either state)
+      toRestore.foreach { hf =>
+        val dst = new File(dir, hf.getName)
+        val ms = hf.lastModified()
+        java.nio.file.Files.move(hf.toPath, dst.toPath)
+        java.nio.file.Files.setLastModifiedTime(dst.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(ms))
+        val stats = new File(hf.getParentFile, hf.getName + ".stats")
+        if (stats.isFile)
+          java.nio.file.Files.move(stats.toPath,
+            new File(dir, hf.getName + ".stats").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val replacedMs = toRetire.map(n => retire(dir, n))
+      writeManifest(dir, manifest :+
+        MaintEntry("rollback", publishMs, toRetire, replacedMs,
+          toRestore.map(_.getName), expired = false))
+      FrameStatsLedger.fold(dir,
+        add = toRestore.flatMap { f =>
+          val restored = new File(dir, f.getName)
+          if (FrameDv.isDvName(restored.getName)) None
+          else AvroFrameStats.readFull(restored).map { case (fr, fl, bl) =>
+            restored.getName -> FrameStatsLedger.Entry(fr, fl, bl.keySet) }
+        }.toMap,
+        remove = toRetire)
+    }
+    RollbackResult(toRetire.length, toRestore.length)
   }
 
   // ------------------------------------------------------------ expiry

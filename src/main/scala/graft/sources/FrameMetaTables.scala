@@ -24,10 +24,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * maintenance manifest — O(segments)/O(events) metadata, never data —
   * and executed as a [[LocalScan]].
   */
+/** Named version tags (round 16) — `_tags.json` maps a human name to
+  * an addressable version, the Iceberg-tag rung: `FOR VERSION AS OF
+  * 'validated'` resolves through the catalog, `CALL create_tag` /
+  * `drop_tag` maintain them, and `CALL rollback` accepts either form.
+  * Tags pin NOTHING physically — expiry can still invalidate the
+  * snapshot a tag names (resolution then fails loudly); they are pure
+  * metadata, one tiny JSON file, atomic-swap updated.
+  */
+object FrameTags {
+  val TagsFile = "_tags.json"
+
+  def read(dir: File): Map[String, Int] = {
+    val f = new File(dir, TagsFile)
+    if (!f.isFile) return Map.empty
+    try {
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(java.nio.file.Files.readString(f.toPath))
+      import com.fasterxml.jackson.core.JsonToken._
+      val out = Map.newBuilder[String, Int]
+      p.nextToken()
+      while (p.nextToken() != END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        out += name -> p.getIntValue
+      }
+      out.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  def write(dir: File, tags: Map[String, Int]): Unit = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    tags.toSeq.sortBy(_._1).foreach { case (n, v) => gen.writeNumberField(n, v) }
+    gen.writeEndObject(); gen.close()
+    val tmp = new File(dir, "." + TagsFile + ".tmp")
+    java.nio.file.Files.writeString(tmp.toPath, sw.toString)
+    java.nio.file.Files.move(tmp.toPath, new File(dir, TagsFile).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve a `VERSION AS OF` argument: a bare integer is a version,
+    * anything else must be a tag name.
+    */
+  def resolveVersionArg(dir: File, arg: String): Int =
+    scala.util.Try(arg.trim.toInt).getOrElse {
+      read(dir).getOrElse(arg.trim,
+        throw new IllegalArgumentException(
+          s"'$arg' is neither a version number nor a tag of ${dir.getName} " +
+            s"(tags: ${read(dir).keys.toSeq.sorted.mkString(", ")})"))
+    }
+}
+
 object FrameMetaTables {
   val Segments = "segments"
   val History = "history"
-  val names: Set[String] = Set(Segments, History)
+  val Tags = "tags"
+  val names: Set[String] = Set(Segments, History, Tags)
 
   val SegmentsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -44,9 +98,14 @@ object FrameMetaTables {
     StructField("detail", StringType, nullable = false),
     StructField("publish_ms", LongType, nullable = false)))
 
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
   def schemaOf(name: String): StructType = name match {
     case Segments => SegmentsSchema
     case History  => HistorySchema
+    case Tags     => TagsSchema
     case other    => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 
@@ -79,6 +138,11 @@ object FrameMetaTables {
           UTF8String.fromString(kind),
           UTF8String.fromString(detail),
           ms)): InternalRow
+      }.toArray
+    case Tags =>
+      FrameTags.read(dir).toSeq.sortBy(_._1).map { case (tag, v) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(tag), v)): InternalRow
       }.toArray
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }

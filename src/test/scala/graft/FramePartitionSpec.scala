@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AvroFrames, FrameMaintenance, FrameStatsLedger, FrameTimePart}
+
+/** Round-16 hidden time-partition transforms (VERDICT r15 item 2):
+  * `PARTITIONED BY (days(ts_us))` routes writes into per-partition
+  * segments, prunes partitions from NAMES + pushed filters on the
+  * SOURCE column (hidden partitioning — queries never mention the
+  * transform), and scopes maintenance to partition grain.
+  */
+class FramePartitionSpec extends AnyFunSuite with SparkFixture {
+
+  private val DayUs = 86400000000L
+
+  private def freshCatalog(tag: String): (String, String) = {
+    val base = Files.createTempDirectory(s"frame-part-$tag").toString
+    val cat = s"fpart_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    (cat, base)
+  }
+
+  /** 4 days × 25 rows, inserted as ONE statement — the writer must
+    * split them into per-day segments by itself.
+    */
+  private def loadDays(cat: String): Unit = {
+    spark.range(0, 100)
+      .selectExpr("id", s"id % 4 * $DayUs + id * 1000000 AS ts_us",
+        "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("part_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM part_src")
+  }
+
+  test("days(ts_us): write splits per day, scan prunes partitions from names alone") {
+    val (cat, base) = freshCatalog("days")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    loadDays(cat)
+    val dir = base + "/corpus/t"
+    val names = AvroFrames.listSegments(dir).map(_.getName).toSeq
+    // every segment carries a partition token; 4 distinct days exist
+    val pvs = names.flatMap(FrameTimePart.valueOf)
+    assert(pvs.length == names.length, s"every segment must carry -T<pv>: $names")
+    assert(pvs.toSet == Set(0L, 1L, 2L, 3L))
+
+    // DESCRIBE surfaces the transform
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.corpus.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.exists { case (k, v) => k.startsWith("Part") && v.contains("days(ts_us)") } ||
+      spark.table(s"$cat.corpus.t").queryExecution.analyzed.toString.nonEmpty)
+
+    // hidden partition pruning: a ts range covering one day plans only
+    // that day's segments — visible in the scan description — and the
+    // answer is exact
+    val q = spark.sql(s"""SELECT count(*) AS n, sum(id) AS s FROM $cat.corpus.t
+      WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
+    val r = q.collect()(0)
+    val expected = (0L until 100L).filter(_ % 4 == 1)
+    assert(r.getLong(0) == expected.length && r.getLong(1) == expected.sum)
+    val day1Segs = names.count(n => FrameTimePart.valueOf(n).contains(1L))
+    val plan = spark.sql(s"""SELECT id FROM $cat.corpus.t
+      WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"Segments=$day1Segs/${names.length} after stat-pruning"),
+      s"partition pruning must narrow the plan to day 1's segments:\n$plan")
+
+    // pruning works even WITHOUT stats: drop all sidecars and the
+    // ledger — names alone still prune, rows still exact
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
+      .foreach(_.delete())
+    FrameStatsLedger.drop(new java.io.File(dir))
+    val q2 = spark.sql(s"""SELECT count(*) AS n FROM $cat.corpus.t
+      WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
+    assert(q2.collect()(0).getLong(0) == expected.length)
+    val plan2 = spark.sql(s"""SELECT id FROM $cat.corpus.t
+      WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains(s"Segments=$day1Segs/${names.length}"),
+      s"name-only partition pruning must hold with zero metadata:\n$plan2")
+  }
+
+  test("partition-scoped maintenance: compact one day, others untouched; delete by time") {
+    val (cat, base) = freshCatalog("maint")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    // two inserts -> at least two segments per day
+    loadDays(cat); loadDays(cat)
+    val dir = base + "/corpus/t"
+    val before = AvroFrames.listSegments(dir).map(_.getName).toSeq
+    assert(before.count(n => FrameTimePart.valueOf(n).contains(2L)) >= 2)
+
+    // compact ONLY day 2
+    val res = spark.sql(
+      s"CALL $cat.sys.compact(table => 'corpus.t', partition => 2)").collect()(0)
+    assert(res.getInt(0) >= 1, "day 2 must compact at least one bin")
+    val after = AvroFrames.listSegments(dir).map(_.getName).toSeq
+    // day 2 now one segment (still carrying its token); other days untouched
+    val day2 = after.filter(n => FrameTimePart.valueOf(n).contains(2L))
+    assert(day2.size == 1 && day2.head.matches(".*\\.c\\d+$"), s"day2: $day2")
+    (Seq(0L, 1L, 3L)).foreach { d =>
+      assert(after.filter(n => FrameTimePart.valueOf(n).contains(d)) ==
+        before.filter(n => FrameTimePart.valueOf(n).contains(d)),
+        s"day $d must be untouched by a day-2-scoped compaction")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 200L)
+
+    // unscoped compact groups BY partition: never merges across days
+    spark.sql(s"CALL $cat.sys.compact(table => 'corpus.t')")
+    val folded = AvroFrames.listSegments(dir).map(_.getName).toSeq
+    assert(folded.size == 4 &&
+      folded.flatMap(FrameTimePart.valueOf).toSet == Set(0L, 1L, 2L, 3L),
+      s"per-partition compaction must yield one segment per day: $folded")
+
+    // partition-grain retention: DELETE by time range is metadata-only
+    // (per-day segments' stats prove all rows match)
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE ts_us < $DayUs")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 150L)
+    assert(AvroFrames.listSegments(dir).map(_.getName)
+      .forall(n => !FrameTimePart.valueOf(n).contains(0L)),
+      "day 0 must retire whole (metadata-only delete)")
+  }
+
+  test("days + bucket compose: SPJ partitioning preserved, rows route by both") {
+    val (cat, base) = freshCatalog("combo")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us), bucket(4, id))""")
+    loadDays(cat)
+    val dir = base + "/corpus/t"
+    val names = AvroFrames.listSegments(dir).map(_.getName).toSeq
+    assert(names.forall(n => FrameTimePart.valueOf(n).isDefined &&
+      AvroFrames.bucketOf(n).exists(b => b >= 0 && b < 4)),
+      s"segments must carry bucket ordinal AND partition token: $names")
+    // exactness through the combined layout
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.corpus.t").collect()(0).getLong(0) ==
+      (0L until 100L).sum)
+    // time filter still partition-prunes on the combined names
+    val plan = spark.sql(s"SELECT id FROM $cat.corpus.t WHERE ts_us < $DayUs")
+      .queryExecution.executedPlan.toString
+    val day0 = names.count(n => FrameTimePart.valueOf(n).contains(0L))
+    assert(plan.contains(s"Segments=$day0/${names.length}"), plan)
+  }
+
+  test("months/years/hours transform arithmetic is UTC-exact") {
+    val tp = FrameTimePart("ts", "months")
+    // 2024-02-15 12:00:00 UTC
+    val feb2024 = java.time.Instant.parse("2024-02-15T12:00:00Z").getEpochSecond * 1000000L
+    val pv = tp.value(feb2024)
+    assert(pv == (2024 - 1970) * 12 + 1)
+    val (lo, hi) = tp.boundsUs(pv)
+    assert(lo == java.time.Instant.parse("2024-02-01T00:00:00Z").getEpochSecond * 1000000L)
+    assert(hi == java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond * 1000000L - 1)
+    val ty = FrameTimePart("ts", "years")
+    assert(ty.value(feb2024) == 54L)
+    assert(ty.boundsUs(54L)._1 ==
+      java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L)
+    val th = FrameTimePart("ts", "hours")
+    assert(th.value(3600000000L * 5 + 17) == 5L)
+    // pre-epoch values floor correctly (no truncation-towards-zero bug)
+    val td = FrameTimePart("ts", "days")
+    assert(td.value(-1L) == -1L)
+    assert(td.boundsUs(-1L) == (-DayUs, -1L))
+  }
+
+  test("guards: nullable/typed partition columns refused; drop refused; rename follows") {
+    val (cat, _) = freshCatalog("guards")
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.corpus.bad1 (
+        id BIGINT NOT NULL, ts_us BIGINT, v DOUBLE NOT NULL)
+        PARTITIONED BY (days(ts_us))""")
+    }
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.corpus.bad2 (
+        id BIGINT NOT NULL, ts_us STRING NOT NULL, v DOUBLE NOT NULL)
+        PARTITIONED BY (days(ts_us))""")
+    }
+    spark.sql(s"""CREATE TABLE $cat.corpus.ok (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.ok DROP COLUMN ts_us")
+    }
+    spark.sql(s"ALTER TABLE $cat.corpus.ok RENAME COLUMN ts_us TO event_us")
+    loadOk(cat)
+    // pruning follows the rename (descriptor partitionCol updated):
+    // only day-0 segments survive the plan
+    val names = AvroFrames.listSegments(
+      spark.conf.get(s"spark.sql.catalog.$cat.base") + "/corpus/ok").map(_.getName)
+    val day0 = names.count(n => FrameTimePart.valueOf(n).contains(0L))
+    assert(day0 > 0 && day0 < names.length)
+    val plan = spark.sql(s"SELECT id FROM $cat.corpus.ok WHERE event_us < $DayUs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"Segments=$day0/${names.length}"), plan)
+  }
+
+  private def loadOk(cat: String): Unit = {
+    spark.range(0, 20)
+      .selectExpr("id", s"id % 2 * $DayUs AS event_us", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("part_ok_src")
+    spark.sql(s"INSERT INTO $cat.corpus.ok SELECT * FROM part_ok_src")
+  }
+}

@@ -677,10 +677,13 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   test("DSv2 agg pushdown: sidecar-less segments decode; distinct/group-by decline cleanly") {
     val dir = tmp("frames-agg-mixed")
     writeStatsFixture(dir)
-    // drop one sidecar: complete pushdown must NOT be claimed; the
-    // partial path decodes that one segment and the answer is exact
+    // drop one sidecar AND the stats ledger (round 16: the ledger alone
+    // can prove a deleted sidecar's stats — here we model a genuinely
+    // stats-less foreign segment): complete pushdown must NOT be
+    // claimed; the partial path decodes that one segment, answer exact
     new java.io.File(dir).listFiles().filter(_.getName.endsWith(".stats"))
       .take(1).foreach(_.delete())
+    graft.sources.FrameStatsLedger.drop(new java.io.File(dir))
     val agg = readFixture(dir).agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("partial, per-segment"),
