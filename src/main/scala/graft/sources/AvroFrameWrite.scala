@@ -316,11 +316,14 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
         .filter(f => f.getName.startsWith("segment-") || f.getName.endsWith(".stats"))
         .foreach(_.delete())
       // physical truncate starts a NEW table lineage: drop the
-      // maintenance manifest, retained history, and the stats ledger
-      // too — stale entries referencing wiped segments would corrupt
-      // snapshot replay / pruning
+      // maintenance manifest, retained history, the stats ledger, and
+      // version TAGS too — stale entries/tags referencing the wiped
+      // lineage would corrupt snapshot replay / pruning / tag reads
+      // (a surviving tag would silently address the NEW lineage's
+      // version numbers)
       new File(dir, FrameMaintenance.ManifestFile).delete()
       FrameStatsLedger.drop(dir)
+      new File(dir, FrameTags.TagsFile).delete()
       val hist = new File(dir, FrameMaintenance.HistoryDirName)
       Option(hist.listFiles()).getOrElse(Array.empty).foreach(_.delete())
       hist.delete()

@@ -54,6 +54,37 @@ object FrameStatsLedger {
 
   val LedgerFile = "_stats.ledger.json"
 
+  /** Append-log of folds since the last base checkpoint — the
+    * Delta-log half of the checkpoint+log design: a plain append
+    * commit writes O(its own delta) bytes here instead of rewriting
+    * the whole base (which at 10⁵–10⁶ segments would be the metadata
+    * wall again, on the WRITE side). One JSON line per fold
+    * (`{"add":{…},"remove":[…]}`), replayed in order over the base at
+    * read; once the log reaches [[CheckpointEveryDeltas]] lines the
+    * next fold compacts everything into a fresh base. Appends happen
+    * under the table's commit lock, so lines never interleave; a crash
+    * can only tear the LAST line, which replay tolerates (a lost add =
+    * an unledgered segment = sidecar fallback; a lost remove = a stale
+    * entry for a retired name, which planning never consults because
+    * it keys off the live listing).
+    */
+  val DeltaFile = "_stats.ledger.delta.jsonl"
+
+  /** Base-rewrite cadence: read cost stays O(base + ≤64 lines), write
+    * cost O(delta) per commit + O(table)/64 amortized.
+    */
+  val CheckpointEveryDeltas = 64
+
+  /** Driver-side parse cache keyed by both files' (length, mtime) —
+    * repeated plans against an unchanged table skip the parse
+    * entirely. Staleness on a rare key alias is SAFE by the same
+    * arguments as crash-consistency: a missed add falls back to the
+    * sidecar, a missed remove names a retired segment the live
+    * listing never presents.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long, Long, Long), Map[String, Entry])]()
+
   /** One live segment's planning stats: sidecar frame count, per-field
     * (nulls, min, max) in the stats value domain
     * (Long/Double/String/Boolean), and which fields carry a Bloom
@@ -70,11 +101,28 @@ object FrameStatsLedger {
       Entry(frames, fields, blooms.keySet)
     }
 
-  /** Read the table's ledger: segment name → entry. None when the
-    * ledger file is absent (pre-ledger table) or unreadable (treated
-    * as absent — every read then falls back to sidecars).
+  /** Read the table's ledger: segment name → entry (base checkpoint +
+    * delta-log replay, parse-cached on both files' length/mtime). None
+    * when no base exists (pre-ledger table) or it is unreadable
+    * (treated as absent — every read then falls back to sidecars).
     */
   def read(dir: File): Option[Map[String, Entry]] = {
+    val base = new File(dir, LedgerFile)
+    if (!base.isFile) return None
+    val delta = new File(dir, DeltaFile)
+    val key = (base.length(), base.lastModified(), delta.length(), delta.lastModified())
+    val hit = cache.get(dir.getAbsolutePath)
+    if (hit != null && hit._1 == key) return Some(hit._2)
+    val out = readBase(dir).map { b =>
+      val folded = replayDeltas(delta, b)
+      cache.put(dir.getAbsolutePath, (key, folded))
+      folded
+    }
+    out
+  }
+
+  /** Parse the base checkpoint file alone. */
+  private def readBase(dir: File): Option[Map[String, Entry]] = {
     val f = new File(dir, LedgerFile)
     if (!f.isFile) return None
     try {
@@ -134,15 +182,11 @@ object FrameStatsLedger {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Atomic-swap write of the full ledger. Callers must hold the
-    * table's commit lock (or be the only possible writer, e.g. inside
-    * a catalog DDL).
+  /** Serialize an entries map to the ledger object form (shared by the
+    * base checkpoint and each delta line's `add` field).
     */
-  def write(dir: File, entries: Map[String, Entry]): Unit = {
-    val sw = new java.io.StringWriter()
-    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
-    gen.writeStartObject()
-    gen.writeObjectFieldStart("entries")
+  private def writeEntries(gen: com.fasterxml.jackson.core.JsonGenerator,
+                           entries: Map[String, Entry]): Unit = {
     entries.toSeq.sortBy(_._1).foreach { case (seg, e) =>
       gen.writeObjectFieldStart(seg)
       gen.writeNumberField("frames", e.frames)
@@ -164,31 +208,172 @@ object FrameStatsLedger {
       gen.writeEndObject() // fields
       gen.writeEndObject() // segment
     }
+  }
+
+  /** Atomic-swap write of the FULL ledger as a fresh base checkpoint
+    * (the delta log resets with it). Callers must hold the table's
+    * commit lock (or be the only possible writer, e.g. a catalog DDL).
+    */
+  def write(dir: File, entries: Map[String, Entry]): Unit = {
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    gen.writeObjectFieldStart("entries")
+    writeEntries(gen, entries)
     gen.writeEndObject() // entries
     gen.writeEndObject(); gen.close()
     val tmp = new File(dir, "." + LedgerFile + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath, sw.toString)
     java.nio.file.Files.move(tmp.toPath, new File(dir, LedgerFile).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new File(dir, DeltaFile).delete()
+    cache.remove(dir.getAbsolutePath)
   }
 
   /** Fold the ledger forward: drop `remove`d segment names, add/replace
-    * `add` entries. A table with no ledger yet gains one holding just
-    * the adds — correct, because reads only consult it for names it
-    * HAS (everything else falls back to sidecars). Caller must hold
-    * the table's commit lock.
+    * `add` entries. A table with no ledger yet gains a base holding
+    * just the adds — correct, because reads only consult it for names
+    * it HAS (everything else falls back to sidecars). With a base
+    * present, the fold APPENDS one delta line — O(delta) bytes, never
+    * O(table) — and compacts into a fresh base once the log reaches
+    * [[CheckpointEveryDeltas]] lines. Caller must hold the table's
+    * commit lock.
     */
   def fold(dir: File, add: Map[String, Entry] = Map.empty,
            remove: Iterable[String] = Nil): Unit = {
     if (add.isEmpty && remove.isEmpty) return
-    val cur = read(dir).getOrElse(Map.empty)
-    write(dir, cur -- remove ++ add)
+    if (!new File(dir, LedgerFile).isFile) {
+      write(dir, add)
+      return
+    }
+    val sw = new java.io.StringWriter()
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(sw)
+    gen.writeStartObject()
+    gen.writeObjectFieldStart("add")
+    writeEntries(gen, add)
+    gen.writeEndObject()
+    gen.writeArrayFieldStart("remove")
+    remove.toSeq.sorted.foreach(gen.writeString)
+    gen.writeEndArray()
+    gen.writeEndObject(); gen.close()
+    val delta = new File(dir, DeltaFile)
+    // heal a torn tail (crash mid-append): if the file doesn't end in a
+    // newline, terminate the torn line first so this fold's line stays
+    // parseable — the torn line alone is skipped at replay
+    val needsNewline = delta.isFile && delta.length() > 0 && {
+      val raf = new java.io.RandomAccessFile(delta, "r")
+      try { raf.seek(delta.length() - 1); raf.read() != '\n' }
+      finally raf.close()
+    }
+    val out = new java.io.FileOutputStream(delta, true)
+    try out.write(((if (needsNewline) "\n" else "") + sw.toString + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    cache.remove(dir.getAbsolutePath)
+    // checkpoint: compact base + log into a fresh base
+    val lines = {
+      val st = java.nio.file.Files.lines(delta.toPath)
+      try st.count() finally st.close()
+    }
+    if (lines >= CheckpointEveryDeltas) read(dir).foreach(write(dir, _))
+  }
+
+  /** Replay the delta log over a base state. A torn line (crash
+    * mid-append, healed-and-terminated by the next fold) is SKIPPED:
+    * missing its adds means those segments read from their sidecars,
+    * missing its removes leaves stale entries for retired names the
+    * live listing never presents — under-apply is safe both ways.
+    */
+  private def replayDeltas(delta: File, base: Map[String, Entry]): Map[String, Entry] = {
+    if (!delta.isFile) return base
+    var state = base
+    val src = scala.io.Source.fromFile(delta)(scala.io.Codec.UTF8)
+    try {
+      for (line <- src.getLines() if line.nonEmpty) {
+        parseDeltaLine(line).foreach { case (add, remove) =>
+          state = state -- remove ++ add
+        }
+      }
+      state
+    } finally src.close()
+  }
+
+  private def parseDeltaLine(line: String): Option[(Map[String, Entry], Seq[String])] =
+    try {
+      val p = new com.fasterxml.jackson.core.JsonFactory().createParser(line)
+      import com.fasterxml.jackson.core.JsonToken._
+      val add = Map.newBuilder[String, Entry]
+      val remove = Seq.newBuilder[String]
+      p.nextToken() // {
+      while (p.nextToken() != END_OBJECT) {
+        p.currentName() match {
+          case "add" =>
+            p.nextToken() // {
+            while (p.nextToken() != END_OBJECT) {
+              val seg = p.currentName()
+              parseEntry(p).foreach(e => add += seg -> e)
+            }
+          case "remove" =>
+            p.nextToken() // [
+            while (p.nextToken() != END_ARRAY) remove += p.getText
+          case _ => p.nextToken()
+        }
+      }
+      Some((add.result(), remove.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parse one segment's entry object (parser positioned at the field
+    * name; consumes through its END_OBJECT).
+    */
+  private def parseEntry(p: com.fasterxml.jackson.core.JsonParser): Option[Entry] = {
+    import com.fasterxml.jackson.core.JsonToken._
+    var frames = 0L
+    val fields = Map.newBuilder[String, (Long, Any, Any)]
+    val bloomFields = Set.newBuilder[String]
+    p.nextToken() // {
+    while (p.nextToken() != END_OBJECT) {
+      p.currentName() match {
+        case "frames" => p.nextToken(); frames = p.getLongValue
+        case "fields" =>
+          p.nextToken() // {
+          while (p.nextToken() != END_OBJECT) {
+            val name = p.currentName()
+            var nulls = 0L; var min: Any = null; var max: Any = null
+            p.nextToken() // {
+            while (p.nextToken() != END_OBJECT) {
+              val k = p.currentName()
+              val t = p.nextToken()
+              val v: Any = t match {
+                case VALUE_NUMBER_INT   => Long.box(p.getLongValue)
+                case VALUE_NUMBER_FLOAT => Double.box(p.getDoubleValue)
+                case VALUE_TRUE         => Boolean.box(true)
+                case VALUE_FALSE        => Boolean.box(false)
+                case _                  => p.getText
+              }
+              k match {
+                case "nulls" => nulls = v.asInstanceOf[java.lang.Long].longValue
+                case "min"   => min = v
+                case "max"   => max = v
+                case "bloom" => if (v == Boolean.box(true)) bloomFields += name
+                case _       => ()
+              }
+            }
+            fields += name -> ((nulls, min, max))
+          }
+        case _ => p.nextToken()
+      }
+    }
+    Some(Entry(frames, fields.result(), bloomFields.result()))
   }
 
   /** Drop the ledger outright (physical TRUNCATE starts a new lineage;
     * a corrupt ledger heals by deletion — sidecars remain authoritative).
     */
-  def drop(dir: File): Unit = new File(dir, LedgerFile).delete()
+  def drop(dir: File): Unit = {
+    new File(dir, LedgerFile).delete()
+    new File(dir, DeltaFile).delete()
+    cache.remove(dir.getAbsolutePath)
+  }
 
   /** Rebuild the ledger from every live segment's sidecar — the
     * retrofit path for pre-ledger tables and the repair path after any

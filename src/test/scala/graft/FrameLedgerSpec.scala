@@ -101,11 +101,11 @@ class FrameLedgerSpec extends AnyFunSuite with SparkFixture {
   test("many-segment log: planning metadata is flat in segment count after retrofit") {
     val small = Files.createTempDirectory("ledger-many-small").toFile
     val big = Files.createTempDirectory("ledger-many-big").toFile
-    writeTinySegments(small, 400)
-    writeTinySegments(big, 2000)
+    writeTinySegments(small, 1000)
+    writeTinySegments(big, 5000)
     // retrofit: one rebuild turns a pre-ledger log into a ledgered one
-    assert(FrameStatsLedger.rebuild(small) == 400)
-    assert(FrameStatsLedger.rebuild(big) == 2000)
+    assert(FrameStatsLedger.rebuild(small) == 1000)
+    assert(FrameStatsLedger.rebuild(big) == 5000)
 
     def planOnly(dir: File): (Long, Long) = {
       val before = AvroFrameStats.sidecarOpens.get()
@@ -117,8 +117,8 @@ class FrameLedgerSpec extends AnyFunSuite with SparkFixture {
     }
     val (opensSmall, msSmall) = planOnly(small)
     val (opensBig, msBig) = planOnly(big)
-    info(s"planning: 400 segments -> $msSmall ms / $opensSmall opens; " +
-      s"2000 segments -> $msBig ms / $opensBig opens")
+    info(s"planning: 1000 segments -> $msSmall ms / $opensSmall opens; " +
+      s"5000 segments -> $msBig ms / $opensBig opens")
     assert(opensSmall == 0L && opensBig == 0L,
       s"ledgered planning must open no sidecars (got $opensSmall / $opensBig)")
     // correctness of the pruned result on the big log
@@ -126,7 +126,7 @@ class FrameLedgerSpec extends AnyFunSuite with SparkFixture {
     // and pruning actually narrowed the planned set
     val desc = readBack(big.toString).filter(col("id") < 10L)
       .queryExecution.executedPlan.toString
-    assert(desc.contains("Segments=10/2000"), desc)
+    assert(desc.contains("Segments=10/5000"), desc)
   }
 
   test("ledger pruning is exactly as conservative as sidecar pruning") {
@@ -233,6 +233,48 @@ class FrameLedgerSpec extends AnyFunSuite with SparkFixture {
     spark.sql(s"ALTER TABLE $cat.corpus.t ADD COLUMNS (amount DOUBLE)")
     val out = spark.sql(s"SELECT count(*) AS n FROM $cat.corpus.t WHERE amount IS NULL")
     assert(out.collect()(0).getLong(0) == 100L)
+  }
+
+  test("delta log: folds append O(delta), checkpoint compacts, torn tail tolerated") {
+    val dir = Files.createTempDirectory("ledger-delta").toFile
+    def entry(k: Long) = FrameStatsLedger.Entry(1L,
+      Map("id" -> ((0L, Long.box(k): Any, Long.box(k): Any))), Set.empty)
+    // first fold mints the base; later folds append delta lines
+    FrameStatsLedger.fold(dir, add = Map("s0" -> entry(0)))
+    assert(new File(dir, FrameStatsLedger.LedgerFile).isFile)
+    assert(!new File(dir, FrameStatsLedger.DeltaFile).isFile)
+    FrameStatsLedger.fold(dir, add = Map("s1" -> entry(1)))
+    FrameStatsLedger.fold(dir, add = Map("s2" -> entry(2)), remove = Seq("s0"))
+    val deltaFile = new File(dir, FrameStatsLedger.DeltaFile)
+    assert(deltaFile.isFile, "append folds must hit the delta log, not rewrite the base")
+    assert(FrameStatsLedger.read(dir).get.keySet == Set("s1", "s2"))
+    // the base alone must still be pre-delta (s0 only): the fold wrote
+    // O(delta) bytes, not the whole table
+    val baseLen = new File(dir, FrameStatsLedger.LedgerFile).length()
+    // torn tail: a half-written last line under-applies, never corrupts
+    val fos = new java.io.FileOutputStream(deltaFile, true)
+    fos.write("{\"add\":{\"s3\":{\"fra".getBytes); fos.close()
+    assert(FrameStatsLedger.read(dir).get.keySet == Set("s1", "s2"),
+      "torn tail must replay the intact prefix only")
+    // checkpoint: enough folds compact everything into a fresh base;
+    // folds after the checkpoint may re-open a (short) delta log
+    (3 to 3 + FrameStatsLedger.CheckpointEveryDeltas).foreach { k =>
+      FrameStatsLedger.fold(dir, add = Map(s"s$k" -> entry(k.toLong)))
+    }
+    val residualLines =
+      if (!deltaFile.isFile) 0L
+      else {
+        val st = java.nio.file.Files.lines(deltaFile.toPath)
+        try st.count() finally st.close()
+      }
+    assert(residualLines < FrameStatsLedger.CheckpointEveryDeltas,
+      s"a checkpoint must have compacted the log (residual $residualLines lines)")
+    assert(new File(dir, FrameStatsLedger.LedgerFile).length() > baseLen,
+      "the compacted base must carry the folded entries")
+    val all = FrameStatsLedger.read(dir).get.keySet
+    assert(all.contains("s1") && all.contains("s2") &&
+      all.contains(s"s${3 + FrameStatsLedger.CheckpointEveryDeltas}") &&
+      !all.contains("s0"))
   }
 
   test("remove_orphans purges nested scratch trees recursively") {

@@ -155,6 +155,19 @@ class FrameRollbackSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("physical TRUNCATE drops tags with the lineage") {
+    val dir = Files.createTempDirectory("rollback-trunc").toFile
+    writeRows(dir.toString, 0, 5)
+    FrameTags.write(dir, Map("clean" -> 1))
+    // INSERT OVERWRITE = physical truncate = new lineage
+    spark.range(0, 3).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1)
+      .write.format("graft.sources.AvroFrameDataSource")
+      .option("path", dir.toString).option("avroSchema", schemaJson)
+      .mode("overwrite").save()
+    assert(FrameTags.read(dir).isEmpty,
+      "a tag surviving a physical truncate would address the new lineage's versions")
+  }
+
   test("rollback refuses unreachable targets; no-op rollback mints nothing") {
     val dir = Files.createTempDirectory("rollback-err").toFile
     writeRows(dir.toString, 0, 5) // v1
