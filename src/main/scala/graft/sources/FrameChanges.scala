@@ -108,18 +108,65 @@ class AvroFrameChangesTable(fullSchema: StructType, options: CaseInsensitiveStri
 }
 
 class AvroFrameChangesScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  // planning-time version bounds tightened by pushed _commit_version
+  // comparisons (round 16): `SELECT … FROM t.changes WHERE
+  // _commit_version > n` must PLAN O(versions since n) change units,
+  // not the table's whole history — the incremental-consumer shape.
+  private var pushedLo = 0            // exclusive, like startingVersion
+  private var pushedHi = Int.MaxValue // inclusive
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Consume NOTHING (Spark keeps every filter post-scan — exactness
+    * never depends on the narrowing), but tighten the planned version
+    * range from comparisons on the commit-version column. Values
+    * arrive at the column's LongType.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def asInt(v: Any): Option[Int] = v match {
+      case l: java.lang.Long    => Some(math.min(l.longValue, Int.MaxValue.toLong).toInt)
+      case i: java.lang.Integer => Some(i.intValue)
+      case _                    => None
+    }
+    val C = FrameChanges.CommitVersionCol
+    filters.foreach {
+      case GreaterThan(C, v)        => asInt(v).foreach(x => pushedLo = math.max(pushedLo, x))
+      case GreaterThanOrEqual(C, v) => asInt(v).foreach(x => pushedLo = math.max(pushedLo, x - 1))
+      case LessThan(C, v)           => asInt(v).foreach(x => pushedHi = math.min(pushedHi, x - 1))
+      case LessThanOrEqual(C, v)    => asInt(v).foreach(x => pushedHi = math.min(pushedHi, x))
+      case EqualTo(C, v)            => asInt(v).foreach { x =>
+        pushedLo = math.max(pushedLo, x - 1); pushedHi = math.min(pushedHi, x) }
+      case _ => ()
+    }
+    filters // all stay post-scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def build(): Scan = {
     val path = options.get("path")
     require(path != null, "option `path` is required")
     val dir = new java.io.File(path)
     val total = FrameMaintenance.totalVersions(dir)
-    val from = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
-    val to = Option(options.get("endingVersion")).map(_.toInt).getOrElse(total)
+    // PUSHED bounds clamp to the table's version range (they are an
+    // optimization — an over-range predicate just plans nothing);
+    // EXPLICIT reader options stay unclamped so an out-of-range
+    // startingVersion/endingVersion still fails loudly downstream
+    val from = math.max(
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      math.min(pushedLo, total))
+    val baseTo = Option(options.get("endingVersion")).map(_.toInt).getOrElse(total)
+    val to0 =
+      if (pushedHi == Int.MaxValue) baseTo // no pushed upper bound: explicit option stays raw
+      else math.max(from, math.min(baseTo, math.min(pushedHi, total)))
+    // a pushed bound contradicting the explicit range is an EMPTY feed,
+    // not an error (the predicate simply matches nothing)
+    val to = if (to0 < from && (pushedLo > 0 || pushedHi != Int.MaxValue)) from else to0
     new AvroFrameChangesScan(path, options.get("avroSchema"),
       Option(options.get("schemaId")).map(_.toInt).getOrElse(AvroFrames.DefaultSchemaId),
       required, from, to, options.get("avroSchemaHistory"),

@@ -81,7 +81,8 @@ object FrameMetaTables {
   val Segments = "segments"
   val History = "history"
   val Tags = "tags"
-  val names: Set[String] = Set(Segments, History, Tags)
+  val Partitions = "partitions"
+  val names: Set[String] = Set(Segments, History, Tags, Partitions)
 
   val SegmentsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -102,11 +103,50 @@ object FrameMetaTables {
     StructField("tag", StringType, nullable = false),
     StructField("version", IntegerType, nullable = false)))
 
+  /** Partition-grain observability (round 16): one row per live
+    * (time-partition value, bucket ordinal) pair — the operational view
+    * a time-partitioned retention/compaction policy is driven from.
+    * Rows/dv counts come from the stats ledger (one metadata read) and
+    * deletion-vector headers; NULL partition/bucket = segments without
+    * that token (unpartitioned/unbucketed tables collapse to one row).
+    */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", LongType, nullable = true),
+    StructField("bucket", IntegerType, nullable = true),
+    StructField("n_segments", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),      // ledger/sidecars; NULL if any segment lacks stats
+    StructField("dv_positions", LongType, nullable = false)))
+
   def schemaOf(name: String): StructType = name match {
-    case Segments => SegmentsSchema
-    case History  => HistorySchema
-    case Tags     => TagsSchema
+    case Segments   => SegmentsSchema
+    case History    => HistorySchema
+    case Tags       => TagsSchema
+    case Partitions => PartitionsSchema
     case other    => throw new IllegalArgumentException(s"unknown metadata table $other")
+  }
+
+  /** Bucket count declared by the table descriptor (0 = unbucketed /
+    * no descriptor — path-based logs cannot be bucketed).
+    */
+  private def descriptorBuckets(dir: File): Int = {
+    val f = new File(dir, "_table.json")
+    if (!f.isFile) return 0
+    try {
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(java.nio.file.Files.readString(f.toPath))
+      import com.fasterxml.jackson.core.JsonToken._
+      var buckets = 0
+      p.nextToken()
+      while (p.nextToken() != END_OBJECT) {
+        p.currentName() match {
+          case "buckets" => p.nextToken(); buckets = p.getIntValue
+          case "schemas" => p.nextToken(); p.skipChildren()
+          case _         => p.nextToken()
+        }
+      }
+      buckets
+    } catch { case scala.util.control.NonFatal(_) => 0 }
   }
 
   private def segmentRow(f: File, location: String): InternalRow = {
@@ -144,6 +184,30 @@ object FrameMetaTables {
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(tag), v)): InternalRow
       }.toArray
+    case Partitions =>
+      val stats = new FrameStatsView(dir)
+      val dvs = AvroFrames.liveDvMap(dir.getAbsolutePath)
+      // the -p##### token is a BUCKET ordinal only on bucketed tables
+      // (elsewhere it is the writing task's partition id) — consult
+      // the descriptor before reporting it
+      val bucketed = FrameMetaTables.descriptorBuckets(dir) > 0
+      AvroFrames.listSegments(dir.getAbsolutePath)
+        .groupBy(f => (FrameTimePart.valueOf(f.getName),
+          if (bucketed) AvroFrames.bucketOf(f.getName) else None))
+        .toSeq
+        .sortBy { case ((pv, b), _) => (pv.getOrElse(Long.MinValue), b.getOrElse(-1)) }
+        .map { case ((pv, b), segs) =>
+          val rows = segs.map(f => stats.read(f).map(_._1))
+          val dvCount = segs.flatMap(f => dvs.get(f.getName))
+            .map(FrameDv.count(_).toLong).sum
+          new GenericInternalRow(Array[Any](
+            pv.map(Long.box).orNull,
+            b.map(Int.box).orNull,
+            segs.length.toLong,
+            segs.map(_.length()).sum,
+            if (rows.forall(_.isDefined)) Long.box(rows.flatten.sum - dvCount) else null,
+            dvCount)): InternalRow
+        }.toArray
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 }

@@ -313,6 +313,36 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
       (0L to 3L).map(i => (i, "insert")))
   }
 
+  test("_commit_version bounds push into change-scan PLANNING (round 16)") {
+    val (cat, base) = freshCatalog("vpush")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    (0 until 5).foreach { k =>
+      spark.range(k * 10, k * 10 + 10).coalesce(1)
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView(s"cdf_vpush_src_$k")
+      spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM cdf_vpush_src_$k")
+    }
+    // the incremental-consumer shape: only versions (3, 5] may be
+    // PLANNED — the whole-history scan would plan 5 change units
+    val q = spark.sql(
+      s"SELECT id FROM $cat.corpus.t.changes WHERE _commit_version > 3")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("versions=(3,5]"),
+      s"pushed _commit_version bound must narrow the planned range:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (30L until 50L))
+    // two-sided + equality, still exact (Spark re-filters post-scan)
+    val q2 = spark.sql(s"SELECT id FROM $cat.corpus.t.changes " +
+      "WHERE _commit_version >= 2 AND _commit_version < 4")
+    assert(q2.queryExecution.executedPlan.toString.contains("versions=(1,3]"))
+    assert(q2.collect().map(_.getLong(0)).sorted.toSeq == (10L until 30L))
+    val q3 = spark.sql(s"SELECT count(*) FROM $cat.corpus.t.changes WHERE _commit_version = 5")
+    assert(q3.collect()(0).getLong(0) == 10L)
+    // an empty range plans (and returns) nothing, no error
+    assert(spark.sql(
+      s"SELECT id FROM $cat.corpus.t.changes WHERE _commit_version > 99").collect().isEmpty)
+  }
+
   /** The round-15 exactly-once contract: a refresh killed in either
     * half of the apply window (intent→MERGE, MERGE→watermark) must
     * leave the view equal to a full recompute after the NEXT refresh —

@@ -149,6 +149,36 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains(s"Segments=$day0/${names.length}"), plan)
   }
 
+  test("t.partitions metadata table: per-day rows from names + the ledger") {
+    val (cat, base) = freshCatalog("meta")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    loadDays(cat)
+    val rows = spark.sql(s"SELECT * FROM $cat.corpus.t.partitions ORDER BY partition")
+      .collect()
+    // 4 days, each with exact ledger-sourced row counts (25 rows/day)
+    val perDay = rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(perDay.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(perDay.forall { case (_, nSegs, nRows, dv) => nSegs >= 1 && nRows == 25L && dv == 0L },
+      s"per-day rows must be ledger-exact: ${perDay.toSeq}")
+    // deletes surface as dv_positions on a merge-on-read table
+    spark.sql(s"""CREATE TABLE $cat.corpus.m (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))
+      TBLPROPERTIES ('deleteMode'='merge-on-read', 'dvFoldThreshold'='2.0')""")
+    spark.range(0, 100)
+      .selectExpr("id", s"id % 4 * $DayUs + id * 1000000 AS ts_us", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("part_meta_src")
+    spark.sql(s"INSERT INTO $cat.corpus.m SELECT * FROM part_meta_src")
+    spark.sql(s"DELETE FROM $cat.corpus.m WHERE id IN (1, 5)") // day 1
+    val m = spark.sql(s"""SELECT partition, sum(n_rows) AS live, sum(dv_positions) AS dv
+      FROM $cat.corpus.m.partitions GROUP BY partition ORDER BY partition""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq((0L, 25L, 0L), (1L, 23L, 2L), (2L, 25L, 0L), (3L, 25L, 0L)),
+      s"dv positions must surface per partition: ${m.toSeq}")
+  }
+
   test("months/years/hours transform arithmetic is UTC-exact") {
     val tp = FrameTimePart("ts", "months")
     // 2024-02-15 12:00:00 UTC
