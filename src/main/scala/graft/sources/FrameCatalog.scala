@@ -378,6 +378,15 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * Retype stays rejected (it would re-interpret existing bytes) with
     * the CTAS guidance.
     */
+  /** TBLPROPERTIES an ALTER may change after CREATE (round 16): the
+    * BEHAVIORAL knobs — delete strategy, fold threshold, write-time
+    * bloom config. Physical-layout properties (bucket/sort/partition)
+    * and identity (path/schemaId) stay immutable: segments already on
+    * disk embody them.
+    */
+  private val MutableProps: Set[String] =
+    Set("deleteMode", "dvFoldThreshold", "bloomColumns", "bloomExpectedItems")
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     // empty change list = the analyzer already discharged everything
     // (DROP COLUMN IF EXISTS on a missing column): a no-op, not an error
@@ -385,32 +394,80 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val supported = changes.forall {
       case _: TableChange.AddColumn | _: TableChange.RenameColumn |
            _: TableChange.DeleteColumn => true
+      case p: TableChange.SetProperty    => MutableProps.contains(p.property)
+      case p: TableChange.RemoveProperty => MutableProps.contains(p.property)
       case _ => false
     }
     if (!supported)
       throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.namespace.mkString(".")}.${ident.name}: frame tables " +
-          "support ADD COLUMNS (nullable, top-level), RENAME COLUMN, and DROP COLUMN " +
+          "support ADD COLUMNS (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
+          s"and SET/UNSET TBLPROPERTIES of ${MutableProps.toSeq.sorted.mkString("/")} " +
           "— the Avro writer schema in " +
           s"${new File(tableDir(ident), TableDescriptor).getAbsolutePath} is the wire " +
-          "contract every already-written frame was encoded with; for any other " +
-          "change (retype etc.), create a new table with the desired schema and " +
-          "INSERT INTO it from this one (CTAS works), then RENAME")
+          "contract every already-written frame was encoded with, and physical-layout " +
+          "properties (bucket/sort/partition) are embodied by segments already on " +
+          "disk; for any other change (retype etc.), create a new table with the " +
+          "desired shape and INSERT INTO it from this one (CTAS works), then RENAME")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
     var d = readDescriptor(new File(dir, TableDescriptor))
-    // renames/drops apply in statement order; ALL AddColumns of one
-    // statement batch into ONE registry entry (one ALTER = one new
-    // schema id, however many columns it adds)
+    // renames/drops/property changes apply in statement order; ALL
+    // AddColumns of one statement batch into ONE registry entry (one
+    // ALTER = one new schema id, however many columns it adds)
     changes.foreach {
-      case r: TableChange.RenameColumn => d = applyRename(ident, d, r)
-      case x: TableChange.DeleteColumn => d = applyDrop(ident, d, x)
-      case _                           => ()
+      case r: TableChange.RenameColumn   => d = applyRename(ident, d, r)
+      case x: TableChange.DeleteColumn   => d = applyDrop(ident, d, x)
+      case p: TableChange.SetProperty    => d = applySetProp(d, p.property, p.value)
+      case p: TableChange.RemoveProperty => d = applyRemoveProp(d, p.property)
+      case _                             => ()
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) d = applyAdds(ident, d, adds)
     writeDescriptor(new File(dir, TableDescriptor), d)
     loadTable(ident)
+  }
+
+  /** Behavioral-property change, validated like CREATE (round 16):
+    * `deleteMode` affects FUTURE row-level operations only (existing
+    * deletion vectors keep applying to scans either way);
+    * `dvFoldThreshold` tunes the auto-fold policy; the bloom config
+    * applies to future writes — `CALL analyze(..., bloom_columns)`
+    * retrofits existing segments.
+    */
+  private def applySetProp(d: Descriptor, key: String, value: String): Descriptor =
+    key match {
+      case "deleteMode" =>
+        require(value == "copy-on-write" || value == "merge-on-read",
+          s"deleteMode must be 'copy-on-write' or 'merge-on-read', got '$value'")
+        d.copy(deleteMode = Some(value))
+      case "dvFoldThreshold" =>
+        val v = value.toDouble
+        require(v > 0.0, s"dvFoldThreshold must be positive, got $value")
+        d.copy(dvFoldThreshold = Some(v))
+      case "bloomColumns" =>
+        val schema = currentSchemaOf(d)
+        value.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(s"bloom column $c not in schema"))
+          require(Set[DataType](org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType, StringType).contains(f.dataType),
+            s"bloom column $c must be INT/BIGINT/STRING, got ${f.dataType}")
+        }
+        d.copy(bloomColumns = Some(value))
+      case "bloomExpectedItems" =>
+        val v = value.toLong
+        require(v > 0, s"bloomExpectedItems must be positive, got $value")
+        d.copy(bloomExpectedItems = Some(v))
+      case other => throw new UnsupportedOperationException(s"immutable property $other")
+    }
+
+  private def applyRemoveProp(d: Descriptor, key: String): Descriptor = key match {
+    case "deleteMode"         => d.copy(deleteMode = None) // default: copy-on-write
+    case "dvFoldThreshold"    => d.copy(dvFoldThreshold = None)
+    case "bloomColumns"       => d.copy(bloomColumns = None)
+    case "bloomExpectedItems" => d.copy(bloomExpectedItems = None)
+    case other => throw new UnsupportedOperationException(s"immutable property $other")
   }
 
   private def currentSchemaOf(d: Descriptor): StructType =

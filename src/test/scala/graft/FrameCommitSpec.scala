@@ -110,6 +110,17 @@ class FrameCommitSpec extends AnyFunSuite with SparkFixture {
     FrameMaintenance.compact(spark, dir)
     assert(ids(cat) == ((0L until 20L) ++ (100L until 160L)))
     assert(!new java.io.File(dir, FrameMaintenance.LockFile).isFile)
+    // the stats ledger survived the melee in lockstep (round 16): every
+    // live segment ledgered, every entry mirroring its sidecar — the
+    // dir-lock serialization of folds is what this asserts
+    val led = graft.sources.FrameStatsLedger.read(dir).get
+    val live = graft.sources.AvroFrames.listSegments(dir.getAbsolutePath)
+    assert(led.keySet == live.map(_.getName).toSet,
+      s"ledger must cover exactly the live set after concurrent commits")
+    live.foreach { f =>
+      val (frames, fields, _) = graft.sources.AvroFrameStats.readFull(f).get
+      assert(led(f.getName).frames == frames && led(f.getName).fields == fields)
+    }
   }
 
   test("stale lock from a crashed maintainer is broken, not waited on forever") {

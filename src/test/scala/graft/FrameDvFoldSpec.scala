@@ -75,6 +75,60 @@ class FrameDvFoldSpec extends AnyFunSuite with SparkFixture {
     assert(AvroFrames.liveDvMap(dir.toString).isEmpty)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES flips behavioral knobs after CREATE (round 16)") {
+    val base = Files.createTempDirectory("dvfold-alter").toString
+    val cat = "fdvalter_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.FrameCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    // born copy-on-write, no bloom config
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1)
+      .createOrReplaceTempView("dvalter_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM dvalter_src")
+    val dir = new java.io.File(base, "corpus/t")
+
+    // CoW delete rewrites (no vector)
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id = 0")
+    assert(dvNames(dir).isEmpty, "copy-on-write delete must not mint vectors")
+
+    // switch the delete strategy + pin a no-fold threshold, post-create
+    spark.sql(s"""ALTER TABLE $cat.corpus.t SET TBLPROPERTIES (
+      'deleteMode'='merge-on-read', 'dvFoldThreshold'='2.0')""")
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.corpus.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id = 1")
+    assert(dvNames(dir).size == 1,
+      s"post-ALTER deletes must be merge-on-read (desc: ${desc.get("Table Properties")})")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 98L)
+
+    // bloom config added post-create applies to FUTURE writes; analyze
+    // retrofits the existing segments
+    spark.sql(s"""ALTER TABLE $cat.corpus.t SET TBLPROPERTIES (
+      'bloomColumns'='id', 'bloomExpectedItems'='1000')""")
+    spark.sql(s"CALL $cat.sys.analyze(table => 'corpus.t', bloom_columns => 'id', " +
+      "bloom_expected_items => 1000)")
+    assert(graft.sources.AvroFrames.listSegments(dir.toString)
+      .forall(f => graft.sources.AvroFrameStats.readFull(f).exists(_._3.contains("id"))),
+      "analyze must retrofit blooms after the property change")
+
+    // UNSET restores the copy-on-write default
+    spark.sql(s"ALTER TABLE $cat.corpus.t UNSET TBLPROPERTIES ('deleteMode')")
+    spark.sql(s"DELETE FROM $cat.corpus.t WHERE id = 2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 97L)
+
+    // physical-layout and identity properties stay immutable
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.t SET TBLPROPERTIES ('sortedBy'='id')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.t SET TBLPROPERTIES ('path'='/elsewhere')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.corpus.t SET TBLPROPERTIES ('deleteMode'='bogus')")
+    }
+  }
+
   test("threshold > 1 opts out; explicit threshold engages through SQL DELETE") {
     val base = Files.createTempDirectory("dvfold-sql").toString
     val cat = "fdvfold_cat"
