@@ -624,6 +624,76 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     dir
   }
 
+  // ------------------------------------------------------------ clone
+
+  /** Zero-copy snapshot clone (round 16): materialize `srcMultipart`'s
+    * CURRENT state (or any addressable version/tag) as a brand-new
+    * table via HARDLINKS — segments are immutable and maintenance
+    * retires by RENAME (the inode persists under the other link), so
+    * the two tables can never observe each other's mutations; bytes
+    * are shared until one side's lifecycle diverges. Per file:
+    * hardlink, with a plain copy fallback (cross-device). The clone
+    * gets: the source descriptor minus nothing (schema history, bucket
+    * /sort/partition layout, behavioral props all carry), linked stats
+    * sidecars, a REBUILT stats ledger, and — when the snapshot carries
+    * deletion vectors — a synthesized one-entry manifest declaring
+    * them, so replay, scans, and the clone's change feed all see a
+    * consistent history (appends, then one dv op). Version tags do NOT
+    * copy: the clone's version numbering is its own (the source's tag
+    * numbers would silently address different states).
+    */
+  private[sources] def cloneTable(srcMultipart: String, dstMultipart: String,
+                                  version: Option[String]): (Int, Int) = {
+    val srcDir = resolveTableDir(srcMultipart)
+    val dstParts = dstMultipart.split('.')
+    require(dstParts.length == 2, s"expected <namespace>.<table>, got '$dstMultipart'")
+    val dstIdent = Identifier.of(Array(checkSegment(dstParts(0))), checkSegment(dstParts(1)))
+    if (!namespaceExists(dstIdent.namespace)) throw new NoSuchNamespaceException(dstIdent.namespace)
+    if (isTable(tableDir(dstIdent))) throw new TableAlreadyExistsException(dstIdent)
+    val d = readDescriptor(new File(srcDir, TableDescriptor))
+
+    // snapshot file set: live listing + live vectors (current), or the
+    // version/tag-addressed resolution (may span _history/)
+    val files: Vector[File] = version match {
+      case None =>
+        AvroFrames.listSegments(srcDir.getAbsolutePath).toVector ++
+          AvroFrames.liveDvMap(srcDir.getAbsolutePath).values.toVector.sortBy(_.getName)
+      case Some(v) =>
+        FrameMaintenance.resolveVersion(srcDir, FrameTags.resolveVersionArg(srcDir, v))
+    }
+    val dstDir = tableDir(dstIdent)
+    dstDir.mkdirs()
+    var linked = 0
+    var copied = 0
+    def bring(src: File, name: String): Unit = {
+      val dst = new File(dstDir, name)
+      try { java.nio.file.Files.createLink(dst.toPath, src.toPath); linked += 1 }
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        copied += 1
+      }
+    }
+    files.foreach { f =>
+      bring(f, f.getName)
+      val stats = new File(f.getParentFile, f.getName + ".stats")
+      if (stats.isFile) bring(stats, f.getName + ".stats")
+    }
+    // vectors need a manifest declaration: without one, replay/changes
+    // would treat the vectored segments' deleted rows as live history
+    val dvNames = files.map(_.getName).filter(FrameDv.isDvName)
+    if (dvNames.nonEmpty) {
+      val publishMs = math.max(System.currentTimeMillis(),
+        files.map(_.lastModified()).max + 1)
+      FrameMaintenance.writeManifestForClone(dstDir,
+        FrameMaintenance.MaintEntry("dv", publishMs, Vector.empty, Vector.empty,
+          dvNames.sorted, expired = false))
+    }
+    writeDescriptor(new File(dstDir, TableDescriptor), d)
+    FrameStatsLedger.rebuild(dstDir)
+    (linked, copied)
+  }
+
   // ------------------------------------------------------------ descriptor io
 
   /** The `_table.json` contents: CURRENT wire schema + id, the full
@@ -951,11 +1021,12 @@ object FrameProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
   val names: Array[String] =
-    Array("analyze", "compact", "create_tag", "drop_tag", "expire_snapshots",
+    Array("analyze", "clone", "compact", "create_tag", "drop_tag", "expire_snapshots",
       "remove_orphans", "rewrite_clustered", "rollback")
 
   def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
     case "analyze"           => Some(new AnalyzeProcedure(cat))
+    case "clone"             => Some(new CloneProcedure(cat))
     case "compact"           => Some(new CompactProcedure(cat))
     case "create_tag"        => Some(new CreateTagProcedure(cat))
     case "drop_tag"          => Some(new DropTagProcedure(cat))
@@ -1127,6 +1198,32 @@ object FrameProcedures {
         else input.getLong(1)
       val removed = FrameMaintenance.removeOrphans(cat.resolveTableDir(table), cutoff)
       summary("removed_files" -> removed)
+    }
+  }
+
+  class CloneProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "clone(table STRING, target STRING, version STRING = current): materialize a " +
+        "snapshot (current, a version number, or a tag) as a NEW independent table " +
+        "via hardlinks — zero data bytes copied (copy fallback cross-device); " +
+        "immutable segments + rename-based maintenance mean neither table can " +
+        "observe the other's mutations. The dev/test-fork rung."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> source in this catalog").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("<namespace>.<table> to create (must not exist)").build(),
+      ProcedureParameter.in("version", StringType)
+        .defaultValue("CAST(NULL AS STRING)")
+        .comment("version number or tag; default = the current state").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val target = input.getUTF8String(1).toString
+      val version =
+        if (input.isNullAt(2)) None else Some(input.getUTF8String(2).toString)
+      val (linked, copied) = cat.cloneTable(table, target, version)
+      summary("linked_files" -> linked, "copied_files" -> copied)
     }
   }
 

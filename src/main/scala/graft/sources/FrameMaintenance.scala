@@ -215,6 +215,14 @@ object FrameMaintenance {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Write a fresh single-entry manifest for a CLONE (round 16): the
+    * clone's only maintenance history is the synthesized `dv` entry
+    * declaring its inherited deletion vectors. Target dir must be a
+    * brand-new table (no manifest to race).
+    */
+  private[sources] def writeManifestForClone(dir: File, entry: MaintEntry): Unit =
+    writeManifest(dir, Vector(entry))
+
   // ------------------------------------------------------------ snapshot resolution
 
   private sealed trait Event { def time: Long }
