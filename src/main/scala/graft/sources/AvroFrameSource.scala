@@ -480,7 +480,8 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new FrameScanMetrics.SegmentsPlanned, new FrameScanMetrics.SegmentsPruned,
-      new FrameScanMetrics.FramesEmitted, new FrameScanMetrics.FramesMalformed)
+      new FrameScanMetrics.FramesEmitted, new FrameScanMetrics.FramesMalformed,
+      new FrameScanMetrics.SegmentsBloomSkipped)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     if (lastPlanned < 0) Array.empty
@@ -1065,6 +1066,11 @@ object FrameScanMetrics {
     override def name(): String = "frames_malformed"
     override def description(): String = "malformed frames skipped (bad magic/id/body)"
   }
+  class SegmentsBloomSkipped extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "segments_bloom_skipped"
+    override def description(): String =
+      "segments skipped executor-side by their own Bloom sidecars (no data file opened)"
+  }
   case class Value(metricName: String, v: Long)
       extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
     override def name(): String = metricName
@@ -1178,6 +1184,7 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
       }
       if (cur.next()) { emitted += 1; return true }
       closedMalformed += cur.malformed
+      if (cur.bloomSkipped) skippedTally += 1
       cur.close(); cur = null
     }
     false
@@ -1186,10 +1193,18 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
   override def get(): InternalRow = cur.get()
   override def close(): Unit = if (cur != null) cur.close()
 
+  private def bloomSkips: Long = {
+    // chain readers record their own gate; count the closed ones via a
+    // running tally maintained in next()
+    skippedTally + (if (cur != null && cur.bloomSkipped) 1L else 0L)
+  }
+  private var skippedTally = 0L
+
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(FrameScanMetrics.Value("frames_emitted", emitted),
       FrameScanMetrics.Value("frames_malformed",
-        closedMalformed + (if (cur != null) cur.malformed else 0L)))
+        closedMalformed + (if (cur != null) cur.malformed else 0L)),
+      FrameScanMetrics.Value("segments_bloom_skipped", bloomSkips))
 }
 
 /** Sequential decoder over one segment file: streams length-prefixed
@@ -1307,9 +1322,15 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   // under earlier schema versions resolve against it (missing fields
   // take their declared null defaults — the ADD COLUMN contract)
   private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
-  private val dec = new FrameDecoder(file, readerSchema,
-    AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
-  dv.foreach(d => dec.deleted = FrameDv.cursor(d))
+  // executor-side bloom gate (round 16): the segment's own sidecar can
+  // prove no row matches the pushed equality filters — then the data
+  // file is never even opened
+  private val bloomBlocked: Boolean = AvroFrameStats.bloomBlocked(file, pushed)
+  private val dec: FrameDecoder =
+    if (bloomBlocked) null
+    else new FrameDecoder(file, readerSchema,
+      AvroFrames.schemaHistory(avroSchemaJson, schemaId, historyJson))
+  if (dec != null) dv.foreach(d => dec.deleted = FrameDv.cursor(d))
   private val fieldPos: Map[String, Int] =
     readerSchema.getFields.asScala.map(f => f.name() -> f.pos()).toMap
   // metadata columns materialize from the reader's own state, not the
@@ -1335,9 +1356,11 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
 
   private var current: InternalRow = null
   private var emitted: Long = 0L
-  def malformed: Long = dec.malformed // visible to SourcesSpec
+  def malformed: Long = if (dec == null) 0L else dec.malformed // visible to SourcesSpec
+  def bloomSkipped: Boolean = bloomBlocked // visible to FrameBloomSpec
 
   override def next(): Boolean = {
+    if (dec == null) return false // bloom-blocked: zero rows by proof
     if (limit > 0 && emitted >= limit) return false
     while (true) {
       val rec = dec.nextRecord()
@@ -1362,11 +1385,12 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = dec.close()
+  override def close(): Unit = if (dec != null) dec.close()
 
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(FrameScanMetrics.Value("frames_emitted", emitted),
-      FrameScanMetrics.Value("frames_malformed", dec.malformed))
+      FrameScanMetrics.Value("frames_malformed", malformed),
+      FrameScanMetrics.Value("segments_bloom_skipped", if (bloomBlocked) 1L else 0L))
 }
 
 /** Reader for a pushed-aggregation split: emits EXACTLY ONE row — the
@@ -1486,7 +1510,11 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
           counts.indices.foreach(counts(_) += live)
           true
         }
-      if (!sidecarOk && !countStarOk) decodeSegment(f, dv)
+      // bloom gate (round 16): a filtered partial aggregate skips
+      // segments whose own blooms prove zero matching rows — they
+      // contribute nothing to any of the pushed aggregates
+      if (!sidecarOk && !countStarOk && !AvroFrameStats.bloomBlocked(f, pushed))
+        decodeSegment(f, dv)
     }
     done = true
     true

@@ -701,6 +701,28 @@ object AvroFrameStats {
     }
   }
 
+  /** Executor-side bloom gate (round 16): judged from the segment's
+    * OWN sidecar, can any row satisfy the pushed filters' equality
+    * shapes? Readers call this BEFORE opening the data file, so a
+    * point lookup on a bloom-indexed table costs each task one small
+    * sidecar read instead of a full-segment decode — the distributed
+    * half of bloom pruning, complementing the driver-side residual
+    * check (which is capped at [[FrameStatsView.MaxDriverBloomOpens]]
+    * per plan; beyond the cap, THIS gate still catches every
+    * non-matching segment, just executor-side). Conservative-false:
+    * no blooms / no equality filters / unreadable sidecar = not
+    * blocked.
+    */
+  def bloomBlocked(file: String, pushed: Array[Filter]): Boolean =
+    pushed.nonEmpty && pushed.exists(bloomRelevant) && {
+      readFull(new File(file)) match {
+        case Some((_, _, b64)) if b64.nonEmpty =>
+          val bf = blooms(b64)
+          !pushed.forall(bloomMayMatch(bf, _))
+        case _ => false
+      }
+    }
+
   /** Could `f` possibly consult a Bloom filter? (Gates the bloom
     * decode — sidecars without equality-shaped filters never pay it.)
     */

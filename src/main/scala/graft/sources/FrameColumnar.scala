@@ -70,8 +70,17 @@ class AvroFrameColumnarReader(files: Seq[String], dvs: Seq[Option[String]],
   private var emittedThisSegment = 0L
   private var malformedClosed = 0L
 
+  private var bloomSkipped = 0L
+
   private def openNext(): Boolean = {
     if (dec != null) { malformedClosed += dec.malformed; dec.close(); dec = null }
+    // executor-side bloom gate (round 16): segments whose own sidecar
+    // proves no equality match are never opened
+    while (fileIdx < files.length &&
+        AvroFrameStats.bloomBlocked(files(fileIdx), pushed)) {
+      bloomSkipped += 1
+      fileIdx += 1
+    }
     if (fileIdx >= files.length) return false
     val f = files(fileIdx)
     dec = new FrameDecoder(f, readerSchema,
@@ -150,5 +159,6 @@ class AvroFrameColumnarReader(files: Seq[String], dvs: Seq[Option[String]],
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(FrameScanMetrics.Value("frames_emitted", emitted),
       FrameScanMetrics.Value("frames_malformed",
-        malformedClosed + (if (dec != null) dec.malformed else 0L)))
+        malformedClosed + (if (dec != null) dec.malformed else 0L)),
+      FrameScanMetrics.Value("segments_bloom_skipped", bloomSkipped))
 }

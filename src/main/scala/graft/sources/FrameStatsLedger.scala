@@ -43,8 +43,9 @@ import java.io.File
   *    carry one; plan-time bloom pruning opens sidecars only for the
   *    min/max SURVIVORS that claim a bloom, and only up to
   *    [[FrameStatsView.MaxDriverBloomOpens]] — beyond that the
-  *    residual pruning is skipped (strictly conservative; the pushed
-  *    filters still drop rows executor-side).
+  *    residual pruning moves EXECUTOR-side ([[AvroFrameStats
+  *    .bloomBlocked]]: each task consults its own segment's bloom
+  *    before opening the data file), so it is distributed, never lost.
   *
   * Executors never read the ledger: task-side logic (per-segment
   * sidecar aggregates, decode fallbacks) keeps using the sidecars,
@@ -484,9 +485,11 @@ object FrameStatsView {
   /** Driver-side Bloom residual-pruning budget per plan: each check
     * opens one sidecar, so a point lookup that min/max can't narrow on
     * a million-segment table must not reopen the metadata wall the
-    * ledger just tore down. Past the cap, segments pass unpruned
-    * (conservative) and the pushed filters drop their rows
-    * executor-side.
+    * ledger just tore down. Past the cap, segments pass unpruned here
+    * and the EXECUTOR-side gate takes over
+    * ([[AvroFrameStats.bloomBlocked]]): each task consults its own
+    * segment's bloom before opening the data file, so the residual
+    * pruning is distributed rather than lost.
     */
   val MaxDriverBloomOpens = 512
 }

@@ -47,6 +47,59 @@ class FrameBloomSpec extends AnyFunSuite with SparkFixture {
     (m.get.group(1).toInt, m.get.group(2).toInt)
   }
 
+  test("executor-side bloom gate: a reader never opens a segment its own bloom excludes (round 16)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = Files.createTempDirectory("bloom-exec").toString
+    writeHashLayout(dir, bloom = true)
+    val segs = AvroFrames.listSegments(dir)
+    // find a segment that CONTAINS id=7 and one whose bloom excludes it
+    def holds(seg: java.io.File): Boolean = {
+      val b64 = AvroFrameStats.readFull(seg).get._3
+      AvroFrameStats.bloomMayMatch(AvroFrameStats.blooms(b64), EqualTo("id", 7L))
+    }
+    val hit = segs.find(holds).get
+    val miss = segs.find(!holds(_)).get
+
+    // blocked reader: proves zero rows WITHOUT opening the data file
+    // (we delete the segment bytes to prove it — only the sidecar is read)
+    val missCopyDir = Files.createTempDirectory("bloom-exec-miss").toFile
+    val ghost = new java.io.File(missCopyDir, miss.getName)
+    java.nio.file.Files.copy(
+      new java.io.File(miss.getParentFile, miss.getName + ".stats").toPath,
+      new java.io.File(missCopyDir, miss.getName + ".stats").toPath)
+    // NOTE: ghost data file deliberately NOT created
+    val blocked = new graft.sources.AvroFrameReader(ghost.getAbsolutePath, schemaJson,
+      AvroFrames.DefaultSchemaId, Array("id", "v"), Array(EqualTo("id", 7L)))
+    assert(blocked.bloomSkipped, "the gate must fire from the sidecar alone")
+    assert(!blocked.next(), "a bloom-blocked reader emits nothing")
+    blocked.close()
+
+    // unblocked reader on the containing segment still finds the row
+    val open = new graft.sources.AvroFrameReader(hit.getAbsolutePath, schemaJson,
+      AvroFrames.DefaultSchemaId, Array("id", "v"), Array(EqualTo("id", 7L)))
+    assert(!open.bloomSkipped)
+    assert(open.next() && open.get().getLong(0) == 7L)
+    open.close()
+
+    // columnar chain: same gate, counted per skipped member
+    val chain = new graft.sources.AvroFrameColumnarReader(
+      Seq(miss.getAbsolutePath, hit.getAbsolutePath), Seq(None, None),
+      schemaJson, AvroFrames.DefaultSchemaId, Array("id"), Array(EqualTo("id", 7L)))
+    var got = Vector.empty[Long]
+    while (chain.next()) {
+      val b = chain.get()
+      (0 until b.numRows()).foreach(i => got :+= b.column(0).getLong(i))
+    }
+    assert(got == Vector(7L))
+    assert(chain.currentMetricsValues()
+      .exists(m => m.name == "segments_bloom_skipped" && m.value == 1L),
+      "the skipped member must surface in the task metric")
+    chain.close()
+
+    // end-to-end value parity stands (the full-query path)
+    assert(readBack(dir).filter(col("id") === 7L).count() == 1L)
+  }
+
   test("bloom sidecars prune point lookups that min/max cannot") {
     val withB = Files.createTempDirectory("bloom-on").toString
     val without = Files.createTempDirectory("bloom-off").toString
