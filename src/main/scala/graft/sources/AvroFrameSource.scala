@@ -335,14 +335,27 @@ class AvroFrameScanBuilder(fullSchema: StructType, options: CaseInsensitiveStrin
   override def isPartiallyPushed(): Boolean = true
 
   // the scan's segment universe: an explicit snapshot file list (time
-  // travel through maintenance history) or the live directory listing
-  private lazy val universe: Array[java.io.File] =
-    AvroFrames.explicitFiles(options)
-      .getOrElse(AvroFrames.listSegments(options.get("path")))
+  // travel through maintenance history), the authoritative ledger's
+  // live set (round 17 — zero directory listings), or the live
+  // directory listing as the unledgered fallback
+  private lazy val builderLive: Option[Map[String, FrameStatsLedger.Entry]] =
+    if (AvroFrames.explicitFiles(options).isDefined) None
+    else AvroFrames.ledgerLiveSet(options.get("path"))
 
-  // ledger-first stats access (round 16): ONE metadata read for the
-  // whole builder, per-segment sidecar fallback for unledgered names
-  private lazy val builderStats = new FrameStatsView(new java.io.File(options.get("path")))
+  private lazy val universe: Array[java.io.File] =
+    AvroFrames.explicitFiles(options).getOrElse {
+      val path = options.get("path")
+      builderLive match {
+        case Some(entries) => entries.keys.toArray.sorted.map(new java.io.File(path, _))
+        case None          => AvroFrames.listSegments(path)
+      }
+    }
+
+  // ledger-first stats access: ONE metadata read for the whole builder
+  // (shared with the universe), per-segment sidecar fallback for
+  // unledgered names
+  private lazy val builderStats =
+    new FrameStatsView(new java.io.File(options.get("path")), builderLive)
 
   private lazy val allSidecars: Boolean = universe.forall(builderStats.has)
 
@@ -414,9 +427,54 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   private def explicitSplit: Option[(Array[java.io.File], Map[String, java.io.File])] =
     explicitFiles.map(fs => FrameDv.split(fs.map(new java.io.File(_))))
 
-  private def segmentsAsOf(): Array[java.io.File] =
-    explicitSplit.map(_._1)
-      .getOrElse(asOf.cut(AvroFrames.listSegments(path)))
+  /** Which time-partition ledger SHARDS this scan needs: only a
+    * current-snapshot read of a time-partitioned table with pushed
+    * filters can skip shards (a time-travel cut needs the complete
+    * name-ordered set for its VERSION prefix semantics). Strictly
+    * conservative — shard selection uses the exact same
+    * bounds-vs-mayMatch rule as [[FrameTimePart.prune]], which re-runs
+    * on the result anyway. Runtime (DPP) filters arrive after this
+    * resolution and prune on top of it.
+    */
+  private def shardKeep: Option[Long => Boolean] =
+    if (!asOf.isCurrent) None
+    else timePart.flatMap { tp =>
+      val fs = dataFilters(pushed ++ pruneOnly)
+      if (fs.isEmpty) None
+      else Some((pv: Long) => {
+        val (lo, hi) = tp.boundsUs(pv)
+        val synthetic = Map(tp.col -> ((0L, Long.box(lo): Any, Long.box(hi): Any)))
+        fs.forall(AvroFrameStats.mayMatch(1L, synthetic, _))
+      })
+    }
+
+  /** The ledger-derived live set (round 17): one authoritative-ledger
+    * read serves the segment universe, the publish instants, the
+    * deletion vectors, AND the planning stats — the data directory is
+    * never listed on this path. None = no authoritative ledger; every
+    * consumer falls back to the pre-round-17 directory listing.
+    * Resolved once per scan instance = plan-time snapshot isolation.
+    */
+  private lazy val ledgerLive: Option[Map[String, FrameStatsLedger.Entry]] =
+    if (explicitFiles.isDefined) None
+    else AvroFrames.ledgerLiveSet(path, shardKeep)
+
+  private lazy val segmentsAsOfV: Array[java.io.File] =
+    explicitSplit.map(_._1).getOrElse {
+      ledgerLive match {
+        case Some(entries) =>
+          // VERSION prefix cut over name order; TIMESTAMP cut over the
+          // recorded publish instants (= commit mtimes) — no stat calls
+          val names = entries.keys.toArray.sorted
+          val byVersion = asOf.segments.fold(names)(n => names.take(n))
+          val byTime = asOf.tsMs.fold(byVersion)(t =>
+            byVersion.filter(n => entries(n).publishMs <= t))
+          byTime.map(n => new java.io.File(path, n))
+        case None => asOf.cut(AvroFrames.listSegments(path))
+      }
+    }
+
+  private def segmentsAsOf(): Array[java.io.File] = segmentsAsOfV
 
   /** Active deletion vector per base segment name for this scan's
     * universe. Explicit snapshots carry their own (version-exact)
@@ -428,22 +486,33 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
     * OF resolves maintenance-aware snapshots through the manifest
     * instead).
     */
-  private def dvFor(): Map[String, java.io.File] =
+  private def dvFor(): Map[String, java.io.File] = dvForV
+
+  private lazy val dvForV: Map[String, java.io.File] =
     explicitSplit.map(_._2).getOrElse {
       if (asOf.segments.isDefined) Map.empty
-      else {
-        val m = AvroFrames.liveDvMap(path)
-        asOf.tsMs.fold(m)(t => m.filter(_._2.lastModified() <= t))
+      else ledgerLive match {
+        case Some(entries) =>
+          // vector associations travel on the ledger entries — same
+          // zero-listing read as the segment universe; the tsMs cut
+          // uses the recorded vector publish instant
+          entries.collect {
+            case (base, e) if e.dv.isDefined && asOf.tsMs.forall(e.dvMs <= _) =>
+              base -> new java.io.File(path, e.dv.get)
+          }
+        case None =>
+          val m = AvroFrames.liveDvMap(path)
+          asOf.tsMs.fold(m)(t => m.filter(_._2.lastModified() <= t))
       }
     }
 
-  /** Ledger-first stats for every planning decision this scan makes
-    * (round 16): one `_stats.ledger.json` read per scan instance
-    * replaces the per-segment sidecar opens that were the O(#segments)
-    * driver metadata wall; segments the ledger doesn't know fall back
-    * to their own sidecars.
+  /** Ledger-first stats for every planning decision this scan makes:
+    * the scan's own live-set entries are handed over, so on an
+    * authoritative table the stats come from the SAME single ledger
+    * read that produced the universe; segments the ledger doesn't know
+    * fall back to their own sidecars.
     */
-  private lazy val statsView = new FrameStatsView(new java.io.File(path))
+  private lazy val statsView = new FrameStatsView(new java.io.File(path), ledgerLive)
 
   /** Exact live row count of a segment from metadata alone: sidecar
     * frames minus vector cardinality (vectors hold decodable positions
@@ -1553,15 +1622,25 @@ object AvroFrames {
   val SegmentMetaCol = "_segment"
   val OffsetMetaCol = "_frame_offset"
 
+  /** Data-directory listings performed by this JVM — the observability
+    * hook the round-17 live-set contract counts: planning a query on a
+    * ledgered (authoritative) table must not move this AT ALL, however
+    * many segments are live. Listings remain on the write/bootstrap/
+    * maintenance/repair paths only.
+    */
+  private[graft] val dirListings = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Segment files of a log directory in lexicographic (= append)
     * order; metadata files (`_SUCCESS`, dotfiles) excluded.
     */
-  def listSegments(path: String): Array[java.io.File] =
+  def listSegments(path: String): Array[java.io.File] = {
+    dirListings.incrementAndGet()
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith(".") && !f.getName.endsWith(".stats") &&
         !FrameDv.isDvName(f.getName))
       .sortBy(_.getName)
+  }
 
   /** Open a planned file, falling back to its `_history/` copy if
     * maintenance retired it between planning and the task's open
@@ -1586,13 +1665,30 @@ object AvroFrames {
     * directory listing, max gen per base (exactly one per base by the
     * retire discipline; max-gen wins defensively).
     */
-  def liveDvMap(path: String): Map[String, java.io.File] =
+  def liveDvMap(path: String): Map[String, java.io.File] = {
+    dirListings.incrementAndGet()
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && FrameDv.isDvName(f.getName))
       .groupBy(f => FrameDv.baseOf(f.getName))
       .map { case (base, fs) =>
         base -> fs.maxBy(f => f.getName.substring(f.getName.lastIndexOf("dv") + 2).toInt)
       }
+  }
+
+  /** Ledger-derived live set for PLANNING (round 17): the live segment
+    * entries (names, publish instants, deletion vectors, stats) read
+    * from the table's authoritative stats ledger — zero data-directory
+    * listings. None when the table has no authoritative ledger (v1 /
+    * foreign / bootstrap-pending), in which case callers fall back to
+    * [[listSegments]]/[[liveDvMap]]. `keepPv` optionally prunes which
+    * time-partition SHARDS are parsed (strictly conservative: the
+    * result is a superset of the in-window live set, and downstream
+    * name-token partition pruning re-drops the rest).
+    */
+  def ledgerLiveSet(path: String, keepPv: Option[Long => Boolean] = None)
+      : Option[Map[String, FrameStatsLedger.Entry]] =
+    FrameStatsLedger.readLive(new java.io.File(path), keepPv)
+      .collect { case ls if ls.authoritative => ls.entries }
 
   /** Explicit snapshot file list from the `segmentFiles` option
     * (newline-joined absolute paths, in log order) — set by the

@@ -368,8 +368,9 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
     // FIRST, so a crash before the fold leaves them merely unledgered
     // (reads fall back to their sidecars, never miss them)
     if (published.nonEmpty) FrameMaintenance.withDirLock(dir) {
-      FrameStatsLedger.fold(dir, add = published.flatMap { case (_, fin, json) =>
-        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
+      FrameStatsLedger.fold(dir, add = published.map { case (_, fin, json) =>
+        fin -> FrameStatsLedger.entryFromJsonOrBare(json)
+          .copy(publishMs = publish.toMillis) }.toMap)
     }
   }
 
@@ -429,8 +430,9 @@ class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: In
     // epoch's entry is already present and identical)
     val adds = fresh.result()
     if (adds.nonEmpty) FrameMaintenance.withDirLock(dir) {
-      FrameStatsLedger.fold(dir, add = adds.flatMap { case (_, fin, json) =>
-        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
+      FrameStatsLedger.fold(dir, add = adds.map { case (_, fin, json) =>
+        fin -> FrameStatsLedger.entryFromJsonOrBare(json)
+          .copy(publishMs = publish.toMillis) }.toMap)
     }
   }
 
@@ -975,8 +977,9 @@ class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId
     // retires already left the ledger (inside retireSegments); fold the
     // rewritten groups' replacement appends in
     if (published.nonEmpty) FrameMaintenance.withDirLock(dir) {
-      FrameStatsLedger.fold(dir, add = published.flatMap { case (_, fin, json) =>
-        FrameStatsLedger.entryFromJson(json).map(fin -> _) }.toMap)
+      FrameStatsLedger.fold(dir, add = published.map { case (_, fin, json) =>
+        fin -> FrameStatsLedger.entryFromJsonOrBare(json)
+          .copy(publishMs = publish.toMillis) }.toMap)
     }
   }
 

@@ -700,8 +700,10 @@ object FrameMaintenance {
       }
       writeManifest(dir, manifest ++ entries)
       FrameStatsLedger.fold(dir,
-        add = results.flatMap { case (_, _, finalName, merged) =>
-          merged.flatMap(FrameStatsLedger.entryFromJson).map(finalName -> _)
+        add = results.map { case (_, _, finalName, merged) =>
+          finalName -> merged.map(FrameStatsLedger.entryFromJsonOrBare)
+            .getOrElse(FrameStatsLedger.Entry(-1L, Map.empty, Set.empty))
+            .copy(publishMs = publishMs)
         }.toMap,
         remove = results.flatMap(_._1.map(_._1)).toSeq)
     } catch { case c: CommitConflict =>
@@ -951,9 +953,12 @@ object FrameMaintenance {
       writeManifest(dir, manifest :+
         MaintEntry("compact", publishMs, names, replacedMs, newNames, expired = false))
       FrameStatsLedger.fold(dir,
-        add = newNames.flatMap { n =>
-          AvroFrameStats.readFull(new File(dir, n)).map { case (frames, fields, blooms) =>
-            n -> FrameStatsLedger.Entry(frames, fields, blooms.keySet) }
+        add = newNames.map { n =>
+          n -> (AvroFrameStats.readFull(new File(dir, n)) match {
+            case Some((frames, fields, blooms)) =>
+              FrameStatsLedger.Entry(frames, fields, blooms.keySet, publishMs)
+            case None => FrameStatsLedger.Entry(-1L, Map.empty, Set.empty, publishMs)
+          })
         }.toMap,
         remove = names)
       ClusterResult(newNames.length, names.length)
@@ -1128,8 +1133,9 @@ object FrameMaintenance {
           replacements.result(), expired = false))
       FrameStatsLedger.fold(dir,
         add = rewritten.flatMap { case (_, _, result) =>
-          result.flatMap { case (_, finalName, statsJson) =>
-            FrameStatsLedger.entryFromJson(statsJson).map(finalName -> _) }
+          result.map { case (_, finalName, statsJson) =>
+            finalName -> FrameStatsLedger.entryFromJsonOrBare(statsJson)
+              .copy(publishMs = publishMs) }
         }.toMap,
         remove = replacedV)
     } catch { case c: CommitConflict =>
@@ -1277,6 +1283,11 @@ object FrameMaintenance {
       }
       entries += MaintEntry("dv", publishMs, replaced.result(), replacedMs.result(),
         replacements.result(), expired = false)
+      // the ledger carries each live segment's active vector (round 17:
+      // ledger-derived planning must see the delete) — prior vectors
+      // are superseded by the overwrite, never left dangling
+      FrameStatsLedger.fold(dir, dvSet = minted.map { case (name, _, _, _) =>
+        name -> ((FrameDv.nameFor(name, gen), publishMs)) }.toMap)
     }
     writeManifest(dir, manifest ++ entries.result())
     } catch { case c: CommitConflict =>
@@ -1614,8 +1625,11 @@ object FrameMaintenance {
       }
       writeManifest(dir, manifest ++ entries.result())
       FrameStatsLedger.fold(dir,
-        add = inserts.flatMap { case (_, fin, stats) =>
-          FrameStatsLedger.entryFromJson(stats).map(fin -> _) }.toMap)
+        add = inserts.map { case (_, fin, stats) =>
+          fin -> FrameStatsLedger.entryFromJsonOrBare(stats)
+            .copy(publishMs = publishMs) }.toMap,
+        dvSet = realDeletes.keys.map(seg =>
+          seg -> ((FrameDv.nameFor(seg, gen), publishMs))).toMap)
     } catch {
       case c: CommitConflict =>
         inserts.foreach { case (tmp, _, _) => new File(dir, tmp).delete() }
@@ -1732,14 +1746,29 @@ object FrameMaintenance {
       writeManifest(dir, manifest :+
         MaintEntry("rollback", publishMs, toRetire, replacedMs,
           toRestore.map(_.getName), expired = false))
+      // ledger: restored data segments re-enter as adds; restored
+      // vectors re-attach to their (live) bases; a retired vector whose
+      // base stays live with no restored replacement clears its entry
+      val retiredSet = toRetire.toSet
+      val restoredDvs = toRestore.filter(f => FrameDv.isDvName(f.getName)).map { f =>
+        FrameDv.baseOf(f.getName) ->
+          ((f.getName, new File(dir, f.getName).lastModified()))
+      }.toMap
+      val clearedDvBases = toRetire.filter(FrameDv.isDvName).map(FrameDv.baseOf)
+        .filterNot(retiredSet.contains).filterNot(restoredDvs.contains).distinct
       FrameStatsLedger.fold(dir,
-        add = toRestore.flatMap { f =>
+        add = toRestore.filterNot(f => FrameDv.isDvName(f.getName)).map { f =>
           val restored = new File(dir, f.getName)
-          if (FrameDv.isDvName(restored.getName)) None
-          else AvroFrameStats.readFull(restored).map { case (fr, fl, bl) =>
-            restored.getName -> FrameStatsLedger.Entry(fr, fl, bl.keySet) }
+          restored.getName -> (AvroFrameStats.readFull(restored) match {
+            case Some((fr, fl, bl)) =>
+              FrameStatsLedger.Entry(fr, fl, bl.keySet, restored.lastModified())
+            case None => FrameStatsLedger.Entry(-1L, Map.empty, Set.empty,
+              restored.lastModified())
+          })
         }.toMap,
-        remove = toRetire)
+        remove = toRetire,
+        dvSet = restoredDvs,
+        dvClear = clearedDvBases)
     }
     RollbackResult(toRetire.length, toRestore.length)
   }

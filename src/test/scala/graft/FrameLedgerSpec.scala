@@ -143,16 +143,23 @@ class FrameLedgerSpec extends AnyFunSuite with SparkFixture {
     assert(ledgerKept.size == 32)
   }
 
-  test("unledgered segments fall back to sidecars; a dropped ledger only loses speed") {
+  test("foreign files: invisible until analyze registers them; a dropped ledger falls back to the listing") {
     val dir = Files.createTempDirectory("ledger-fallback").toFile
-    writeRows(dir.toString, 0, 500, 2)   // ledgered
-    writeTinySegments(dir, 8)            // foreign: sidecars, no ledger entries
+    writeRows(dir.toString, 0, 500, 2)   // ledgered (authoritative since round 17)
+    writeTinySegments(dir, 8)            // foreign: dropped into the dir out-of-band
     val led = ledgerOf(dir.toString)
     assert(led.keySet.size == 2, "foreign direct writes must not appear in the ledger")
-    // both populations readable and pruned correctly
+    // round 17: the authoritative ledger IS the live set — a foreign
+    // drop-in is not part of the table until analyze reconciles it
+    // (the Delta-log contract; the directory stays the physical truth
+    // the repair path reads)
     val q = readBack(dir.toString).filter(col("id") < 4L)
-    assert(q.count() == 8L) // 4 from the DSv2 rows + 4 one-row foreign segments
-    // dropping the ledger entirely must not change any answer
+    assert(q.count() == 4L, "foreign files must not be served before registration")
+    // rebuild (= CALL analyze's ledger half) registers them
+    assert(FrameStatsLedger.rebuild(dir) == 10)
+    assert(readBack(dir.toString).filter(col("id") < 4L).count() == 8L)
+    // dropping the ledger entirely falls back to the directory listing
+    // — still every row, only slower (per-sidecar planning)
     FrameStatsLedger.drop(dir)
     assert(readBack(dir.toString).filter(col("id") < 4L).count() == 8L)
   }

@@ -68,7 +68,10 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     val plan = spark.sql(s"""SELECT id FROM $cat.corpus.t
       WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
       .queryExecution.executedPlan.toString
-    assert(plan.contains(s"Segments=$day1Segs/${names.length} after stat-pruning"),
+    // round 17: in-window partitions are pruned at the ledger-SHARD
+    // level, before their metadata is even parsed — the scan's loaded
+    // universe is already day 1's segments alone
+    assert(plan.contains(s"Segments=$day1Segs/$day1Segs after stat-pruning"),
       s"partition pruning must narrow the plan to day 1's segments:\n$plan")
 
     // pruning works even WITHOUT stats: drop all sidecars and the
@@ -82,6 +85,8 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     val plan2 = spark.sql(s"""SELECT id FROM $cat.corpus.t
       WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
       .queryExecution.executedPlan.toString
+    // with the ledger dropped the universe is the full listing again;
+    // name-token pruning still narrows the planned set
     assert(plan2.contains(s"Segments=$day1Segs/${names.length}"),
       s"name-only partition pruning must hold with zero metadata:\n$plan2")
   }
@@ -146,7 +151,7 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     val plan = spark.sql(s"SELECT id FROM $cat.corpus.t WHERE ts_us < $DayUs")
       .queryExecution.executedPlan.toString
     val day0 = names.count(n => FrameTimePart.valueOf(n).contains(0L))
-    assert(plan.contains(s"Segments=$day0/${names.length}"), plan)
+    assert(plan.contains(s"Segments=$day0/$day0"), plan) // shard-level prune
   }
 
   test("t.partitions metadata table: per-day rows from names + the ledger") {
@@ -228,7 +233,7 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     assert(day0 > 0 && day0 < names.length)
     val plan = spark.sql(s"SELECT id FROM $cat.corpus.ok WHERE event_us < $DayUs")
       .queryExecution.executedPlan.toString
-    assert(plan.contains(s"Segments=$day0/${names.length}"), plan)
+    assert(plan.contains(s"Segments=$day0/$day0"), plan) // shard-level prune
   }
 
   private def loadOk(cat: String): Unit = {
