@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-import graft.expressions.{AudioMetaExpr, FloatDotProduct, FloatDoubleDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, LongDotProduct, MinHashScheme, MinHashSignature, NfcNormalize, SimHash64, TokenHashArray}
+import graft.expressions.{AudioMetaExpr, FloatDotProduct, FloatDoubleDotProduct, ImageMetaExpr, IntersectionSize, JaroWinkler, LongDotProduct, MinHashScheme, MinHashSignature, NfcNormalize, PackFloats, SimHash64, TokenHashArray, UnpackFloats}
 
 /** SQL-surface registration for graft's custom Catalyst expressions,
   * so `spark.sql("SELECT float_dot(a, b) ...")` works alongside the
@@ -31,6 +31,8 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHash64(exprs(0), 60)),
     "nfc_normalize" -> (exprs => NfcNormalize({ checkArity("nfc_normalize", exprs, 1 to 1); exprs(0) })),
     "intersection_size" -> (exprs => IntersectionSize(exprs(0), exprs(1))),
+    "pack_floats" -> (exprs => PackFloats({ checkArity("pack_floats", exprs, 1 to 1); exprs(0) })),
+    "unpack_floats" -> (exprs => UnpackFloats({ checkArity("unpack_floats", exprs, 1 to 1); exprs(0) })),
     "jaro_winkler" -> (exprs => JaroWinkler({ checkArity("jaro_winkler", exprs, 2 to 2); exprs(0) }, exprs(1))),
     "image_meta" -> (exprs => ImageMetaExpr({ checkArity("image_meta", exprs, 1 to 1); exprs(0) })),
     "audio_meta" -> (exprs => AudioMetaExpr({ checkArity("audio_meta", exprs, 1 to 1); exprs(0) })),

@@ -26,6 +26,21 @@ object VectorFunctions {
   /** Σ aᵢ² — dot(a, a). */
   def normSq(a: Column): Column = dot(a, a)
 
+  /** `array<float>` → packed big-endian IEEE-754 bytes (bit-exact;
+    * the persisted ANN index's vector storage — frame columns are
+    * scalar, so a vector travels as one binary cell).
+    */
+  def packFloats(a: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.PackFloats(
+        org.apache.spark.sql.GraftSqlBridge.expression(a)))
+
+  /** Packed bytes → `array<float>` (inverse of [[packFloats]]). */
+  def unpackFloats(a: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.UnpackFloats(
+        org.apache.spark.sql.GraftSqlBridge.expression(a)))
+
   /** Σ aᵢ·bᵢ over `array<bigint>` — codegen'd tight loop
     * (LongDotProduct). Exact integer arithmetic: order-free, so no
     * sequencing contract is needed for oracle parity.

