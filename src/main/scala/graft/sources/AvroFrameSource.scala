@@ -807,6 +807,10 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val dvs = dvFor()
     def dvPath(f: java.io.File): Option[String] = dvs.get(f.getName).map(_.getAbsolutePath)
+    // round 17: per-split bloom-probe hint — tasks whose segment the
+    // ledger proves bloom-less (for the pushed columns) skip the
+    // executor-side sidecar probe entirely
+    def probe(f: java.io.File): Boolean = statsView.probeBloom(f, pushed)
     aggs match {
       case Some(_) if aggComplete =>
         // one split carrying the full surviving segment list: the reader
@@ -816,7 +820,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
         val segs = plannedSegments()
         lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
         Array(AvroFrameAggPartition(segs.map(_.getAbsolutePath).toSeq,
-          segs.map(dvPath).toSeq))
+          segs.map(dvPath).toSeq, segs.map(probe).toSeq))
       case Some(_) =>
         // partial: one split per segment, each emitting exactly one
         // partial row (Spark's final aggregate merges). A split is
@@ -826,7 +830,7 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
         lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
         if (segs.isEmpty) Array(AvroFrameAggPartition(Seq.empty))
         else segs.map(f => AvroFrameAggPartition(Seq(f.getAbsolutePath),
-          Seq(dvPath(f))): InputPartition)
+          Seq(dvPath(f)), Seq(probe(f))): InputPartition)
       case None => bucketedRead match {
         case Some((_, n)) =>
           // one split per bucket (including empty buckets — both sides of
@@ -839,13 +843,14 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
           (0 until n).map { b =>
             val fs = byBucket.getOrElse(b, Array.empty)
             AvroFrameBucketPartition(fs.map(_.getAbsolutePath).toSeq, b,
-              fs.map(dvPath).toSeq): InputPartition
+              fs.map(dvPath).toSeq, fs.map(probe).toSeq): InputPartition
           }.toArray
         case None =>
           val segs = plannedSegments()
           lastPlanned = segs.length; lastUniverse = segmentsAsOf().length
           onPlanned(segs)
-          segs.map(f => AvroFramePartition(f.getAbsolutePath, dvPath(f)): InputPartition)
+          segs.map(f => AvroFramePartition(f.getAbsolutePath, dvPath(f),
+            probe(f)): InputPartition)
       }
     }
   }
@@ -862,8 +867,13 @@ class AvroFrameScan(path: String, avroSchemaJson: String, schemaId: Int,
 /** One segment split; `dv` is the absolute path of the segment's
   * active deletion vector (round 15) — positions in it are skipped by
   * every reader, so a merge-on-read DELETE is invisible above the scan.
+  * `probeBloom` (round 17) is the driver's ledger-derived hint for the
+  * executor-side bloom gate: false = the segment provably carries no
+  * bloom payload on any pushed equality column (or the driver already
+  * verified it), so the task skips the sidecar probe before decode.
   */
-case class AvroFramePartition(file: String, dv: Option[String] = None) extends InputPartition
+case class AvroFramePartition(file: String, dv: Option[String] = None,
+                              probeBloom: Boolean = true) extends InputPartition
 
 /** Split for a bucketed read: all surviving segments of one bucket
   * (with their deletion vectors, parallel to `files`; empty = none),
@@ -871,7 +881,8 @@ case class AvroFramePartition(file: String, dv: Option[String] = None) extends I
   * storage-partitioned join groups and aligns on.
   */
 case class AvroFrameBucketPartition(files: Seq[String], bucket: Int,
-                                    dvs: Seq[Option[String]] = Seq.empty)
+                                    dvs: Seq[Option[String]] = Seq.empty,
+                                    probes: Seq[Boolean] = Seq.empty)
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -884,7 +895,8 @@ case class AvroFrameBucketPartition(files: Seq[String], bucket: Int,
   * split (empty list = the zero row).
   */
 case class AvroFrameAggPartition(files: Seq[String],
-                                 dvs: Seq[Option[String]] = Seq.empty) extends InputPartition
+                                 dvs: Seq[Option[String]] = Seq.empty,
+                                 probes: Seq[Boolean] = Seq.empty) extends InputPartition
 
 /** A pushed aggregate the frame source can answer. Min/Max carry the
   * Spark-facing column type so sidecar values (normalized to
@@ -1080,26 +1092,26 @@ class AvroFrameReaderFactory(avroSchemaJson: String, schemaId: Int,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
-      case AvroFramePartition(file, dv) =>
+      case AvroFramePartition(file, dv, probeBloom) =>
         new AvroFrameColumnarReader(Seq(file), Seq(dv), avroSchemaJson, schemaId,
-          requiredCols, pushed, limit, historyJson)
-      case AvroFrameBucketPartition(files, _, dvs) =>
+          requiredCols, pushed, limit, historyJson, Seq(probeBloom))
+      case AvroFrameBucketPartition(files, _, dvs, probes) =>
         new AvroFrameColumnarReader(files, dvs, avroSchemaJson, schemaId,
-          requiredCols, pushed, limit, historyJson)
+          requiredCols, pushed, limit, historyJson, probes)
       case other => throw new IllegalStateException(s"not a columnar split: $other")
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case AvroFrameAggPartition(files, dvs) =>
+      case AvroFrameAggPartition(files, dvs, probes) =>
         new AvroFrameAggReader(files, avroSchemaJson, schemaId, aggs.get, pushed,
-          historyJson, dvs)
-      case AvroFramePartition(file, dv) =>
+          historyJson, dvs, probes)
+      case AvroFramePartition(file, dv, probeBloom) =>
         wrapTopN(new AvroFrameReader(file, avroSchemaJson, schemaId, requiredCols, pushed,
-          limit, historyJson, dv))
-      case AvroFrameBucketPartition(files, _, dvs) =>
+          limit, historyJson, dv, probeBloom))
+      case AvroFrameBucketPartition(files, _, dvs, probes) =>
         wrapTopN(new AvroFrameMultiReader(files, avroSchemaJson, schemaId, requiredCols,
-          pushed, limit, historyJson, dvs))
+          pushed, limit, historyJson, dvs, probes))
     }
 
   /** Bounded-heap decoration of a row reader for a pushed TopN. */
@@ -1234,7 +1246,8 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
                            schemaId: Int, requiredCols: Array[String],
                            pushed: Array[Filter], limit: Int = 0,
                            historyJson: String = null,
-                           dvs: Seq[Option[String]] = Seq.empty)
+                           dvs: Seq[Option[String]] = Seq.empty,
+                           probes: Seq[Boolean] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private var idx = 0
   private var cur: AvroFrameReader = null
@@ -1248,7 +1261,8 @@ class AvroFrameMultiReader(files: Seq[String], avroSchemaJson: String,
         if (idx >= files.length) return false
         cur = new AvroFrameReader(files(idx), avroSchemaJson, schemaId,
           requiredCols, pushed, 0, historyJson,
-          if (idx < dvs.length) dvs(idx) else None)
+          if (idx < dvs.length) dvs(idx) else None,
+          if (idx < probes.length) probes(idx) else true)
         idx += 1
       }
       if (cur.next()) { emitted += 1; return true }
@@ -1384,7 +1398,7 @@ class FrameDecoder(file: String, readerSchema: Schema, schemas: Map[Int, Schema]
 class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
                       requiredCols: Array[String], pushed: Array[Filter],
                       limit: Int = 0, historyJson: String = null,
-                      dv: Option[String] = None)
+                      dv: Option[String] = None, probeBloom: Boolean = true)
     extends PartitionReader[InternalRow] {
 
   // the table's CURRENT schema is the reader schema; frames written
@@ -1393,8 +1407,9 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
   private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
   // executor-side bloom gate (round 16): the segment's own sidecar can
   // prove no row matches the pushed equality filters — then the data
-  // file is never even opened
-  private val bloomBlocked: Boolean = AvroFrameStats.bloomBlocked(file, pushed)
+  // file is never even opened. The split's ledger-derived hint (round
+  // 17) skips the probe when no relevant bloom payload can exist.
+  private val bloomBlocked: Boolean = probeBloom && AvroFrameStats.bloomBlocked(file, pushed)
   private val dec: FrameDecoder =
     if (bloomBlocked) null
     else new FrameDecoder(file, readerSchema,
@@ -1473,7 +1488,8 @@ class AvroFrameReader(file: String, avroSchemaJson: String, schemaId: Int,
 class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
                          schemaId: Int, aggs: Seq[FrameAgg],
                          pushed: Array[Filter], historyJson: String = null,
-                         dvs: Seq[Option[String]] = Seq.empty)
+                         dvs: Seq[Option[String]] = Seq.empty,
+                         probes: Seq[Boolean] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(avroSchemaJson)
@@ -1581,8 +1597,12 @@ class AvroFrameAggReader(files: Seq[String], avroSchemaJson: String,
         }
       // bloom gate (round 16): a filtered partial aggregate skips
       // segments whose own blooms prove zero matching rows — they
-      // contribute nothing to any of the pushed aggregates
-      if (!sidecarOk && !countStarOk && !AvroFrameStats.bloomBlocked(f, pushed))
+      // contribute nothing to any of the pushed aggregates. The
+      // split's probe hint (round 17) spares bloom-less segments
+      // the sidecar read.
+      val probe = i >= probes.length || probes(i)
+      if (!sidecarOk && !countStarOk &&
+          !(probe && AvroFrameStats.bloomBlocked(f, pushed)))
         decodeSegment(f, dv)
     }
     done = true

@@ -717,6 +717,7 @@ object AvroFrameStats {
     */
   def bloomBlocked(file: String, pushed: Array[Filter]): Boolean =
     pushed.nonEmpty && pushed.exists(bloomRelevant) && {
+      bloomProbeReads.incrementAndGet()
       readFull(new File(file)) match {
         case Some((_, _, b64)) if b64.nonEmpty =>
           val bf = blooms(b64)
@@ -724,6 +725,13 @@ object AvroFrameStats {
         case _ => false
       }
     }
+
+  /** Sidecar reads performed by [[bloomBlocked]] in this JVM — the
+    * observability hook for the split-level probe hint (round 17):
+    * a plan whose splits carry `probeBloom = false` (the ledger knows
+    * no relevant bloom payload exists) must not move this at all.
+    */
+  private[graft] val bloomProbeReads = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Could `f` possibly consult a Bloom filter? (Gates the bloom
     * decode — sidecars without equality-shaped filters never pay it.)
@@ -733,6 +741,20 @@ object AvroFrameStats {
     case org.apache.spark.sql.sources.And(l, r) => bloomRelevant(l) || bloomRelevant(r)
     case org.apache.spark.sql.sources.Or(l, r)  => bloomRelevant(l) || bloomRelevant(r)
     case _ => false
+  }
+
+  /** Columns whose Bloom filter `f` could consult (the equality-shaped
+    * leaves [[bloomMayMatch]] probes). Drives the split-level probe
+    * hint: a segment whose ledger entry records no bloom payload on
+    * any of these columns can never be gate-blocked, so its task
+    * skips the sidecar probe entirely.
+    */
+  def bloomColumns(f: Filter): Set[String] = f match {
+    case EqualTo(c, _) => Set(c)
+    case In(c, _)      => Set(c)
+    case org.apache.spark.sql.sources.And(l, r) => bloomColumns(l) ++ bloomColumns(r)
+    case org.apache.spark.sql.sources.Or(l, r)  => bloomColumns(l) ++ bloomColumns(r)
+    case _ => Set.empty
   }
 
   /** Stats-domain value → Catalyst internal value at the column's

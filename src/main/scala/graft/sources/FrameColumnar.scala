@@ -34,7 +34,8 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 class AvroFrameColumnarReader(files: Seq[String], dvs: Seq[Option[String]],
                               avroSchemaJson: String, schemaId: Int,
                               requiredCols: Array[String], pushed: Array[Filter],
-                              limit: Int = 0, historyJson: String = null)
+                              limit: Int = 0, historyJson: String = null,
+                              probes: Seq[Boolean] = Seq.empty)
     extends PartitionReader[ColumnarBatch] {
 
   private val BatchRows = 4096
@@ -75,8 +76,10 @@ class AvroFrameColumnarReader(files: Seq[String], dvs: Seq[Option[String]],
   private def openNext(): Boolean = {
     if (dec != null) { malformedClosed += dec.malformed; dec.close(); dec = null }
     // executor-side bloom gate (round 16): segments whose own sidecar
-    // proves no equality match are never opened
+    // proves no equality match are never opened; the split's probe
+    // hint (round 17) spares bloom-less members the sidecar read
     while (fileIdx < files.length &&
+        (fileIdx >= probes.length || probes(fileIdx)) &&
         AvroFrameStats.bloomBlocked(files(fileIdx), pushed)) {
       bloomSkipped += 1
       fileIdx += 1

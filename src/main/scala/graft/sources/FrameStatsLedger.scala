@@ -653,6 +653,35 @@ final class FrameStatsView(dir: File,
   private lazy val ledger: Map[String, FrameStatsLedger.Entry] =
     preloaded.getOrElse(FrameStatsLedger.read(dir).getOrElse(Map.empty))
 
+  // segments whose bloom payloads the driver's residual pass already
+  // evaluated against the pushed filters and found may-match — the
+  // executor-side gate would reach the same verdict, so their splits
+  // carry probeBloom = false and the task skips the sidecar re-read
+  private val driverVerified = scala.collection.mutable.Set.empty[String]
+
+  /** Split-level probe hint (round 17): should this segment's TASK
+    * consult its own sidecar blooms before opening the data file
+    * ([[AvroFrameStats.bloomBlocked]])? False when the ledger proves
+    * no bloom payload exists on any column the pushed filters probe,
+    * or when the driver's residual pass already evaluated this exact
+    * segment. Conservative-true for segments the ledger doesn't know
+    * (their sidecar may carry blooms the driver never saw). Purely an
+    * I/O hint — a wrong `true` costs one small sidecar read, a `false`
+    * only skips an optimization; row output is identical either way.
+    */
+  def probeBloom(segment: File, pushed: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    if (!pushed.exists(AvroFrameStats.bloomRelevant)) return false
+    if (driverVerified.contains(segment.getName)) return false
+    ledger.get(segment.getName) match {
+      case Some(e) if e.hasStats =>
+        e.bloomFields.nonEmpty && {
+          val cols = pushed.iterator.flatMap(AvroFrameStats.bloomColumns).toSet
+          e.bloomFields.exists(cols)
+        }
+      case _ => true
+    }
+  }
+
   /** (frames, fields) for a segment — ledger entry if present (with
     * stats), else its sidecar. None = no stats anywhere (never prune,
     * never claim).
@@ -694,7 +723,11 @@ final class FrameStatsView(dir: File,
                   AvroFrameStats.readFull(seg) match {
                     case Some((_, _, b64)) if b64.nonEmpty =>
                       val bf = AvroFrameStats.blooms(b64)
-                      pushed.forall(AvroFrameStats.bloomMayMatch(bf, _))
+                      val ok = pushed.forall(AvroFrameStats.bloomMayMatch(bf, _))
+                      // driver evaluated THESE filters against THESE
+                      // blooms: the executor gate need not repeat it
+                      if (ok) driverVerified += seg.getName
+                      ok
                     case _ => true
                   }
                 }
@@ -707,7 +740,9 @@ final class FrameStatsView(dir: File,
                 pushed.forall(AvroFrameStats.mayMatch(frames, fields, _)) && {
                   !wantBloom || bloomB64.isEmpty || {
                     val bf = AvroFrameStats.blooms(bloomB64)
-                    pushed.forall(AvroFrameStats.bloomMayMatch(bf, _))
+                    val ok = pushed.forall(AvroFrameStats.bloomMayMatch(bf, _))
+                    if (ok) driverVerified += seg.getName
+                    ok
                   }
                 }
             }

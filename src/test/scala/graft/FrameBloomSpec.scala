@@ -100,6 +100,56 @@ class FrameBloomSpec extends AnyFunSuite with SparkFixture {
     assert(readBack(dir).filter(col("id") === 7L).count() == 1L)
   }
 
+  test("split-level probe hint: no-bloom tasks skip the executor sidecar probe (round 17)") {
+    // a bloom-LESS table: every split must carry probeBloom = false,
+    // so the executor gate never opens a sidecar however many pushed
+    // equality filters arrive
+    val plain = Files.createTempDirectory("bloom-probe-off").toString
+    writeHashLayout(plain, bloom = false)
+    val before = AvroFrameStats.bloomProbeReads.get()
+    val q = readBack(plain).filter(col("id") === 1234L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(AvroFrameStats.bloomProbeReads.get() == before,
+      "a ledgered bloom-less table must plan zero executor bloom probes")
+
+    // blooms on (id, tag) but the lookup probes v: no relevant payload
+    // can exist, so the hint still suppresses every probe
+    val withB = Files.createTempDirectory("bloom-probe-irrel").toString
+    writeHashLayout(withB, bloom = true)
+    val before2 = AvroFrameStats.bloomProbeReads.get()
+    val q2 = readBack(withB).filter(col("v") === 77.0)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(77L))
+    assert(AvroFrameStats.bloomProbeReads.get() == before2,
+      "equality on an un-bloomed column must not probe sidecars")
+
+    // relevant lookup on the bloomed table: the driver's residual pass
+    // (under the 512-open cap here) already verified the survivors, so
+    // their tasks ALSO skip the re-probe — and pruning still holds
+    val before3 = AvroFrameStats.bloomProbeReads.get()
+    val q3 = readBack(withB).filter(col("id") === 1234L)
+    assert(q3.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(AvroFrameStats.bloomProbeReads.get() == before3,
+      "driver-verified survivors must not re-probe executor-side")
+
+    // aggregate pushdown over the bloom-less table: the partial-agg
+    // readers honor the same hint
+    val before4 = AvroFrameStats.bloomProbeReads.get()
+    assert(readBack(plain).filter(col("id") === 9L)
+      .agg(count(lit(1))).collect()(0).getLong(0) == 1L)
+    assert(AvroFrameStats.bloomProbeReads.get() == before4,
+      "agg splits over a bloom-less table must not probe")
+
+    // the gate itself still works when the hint says probe (direct
+    // reader, no ledger knowledge = conservative true)
+    import org.apache.spark.sql.sources.EqualTo
+    val seg = AvroFrames.listSegments(withB).head
+    val r = new graft.sources.AvroFrameReader(seg.getAbsolutePath, schemaJson,
+      AvroFrames.DefaultSchemaId, Array("id"), Array(EqualTo("id", -1L)))
+    assert(r.bloomSkipped, "conservative probe must still block a proven miss")
+    assert(AvroFrameStats.bloomProbeReads.get() > before4)
+    r.close()
+  }
+
   test("bloom sidecars prune point lookups that min/max cannot") {
     val withB = Files.createTempDirectory("bloom-on").toString
     val without = Files.createTempDirectory("bloom-off").toString
