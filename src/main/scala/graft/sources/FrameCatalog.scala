@@ -819,6 +819,14 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     readDescriptor(new File(dir, TableDescriptor)).bucket
   }
 
+  /** Hidden time-partition transform of a table: (source column, unit),
+    * None when unpartitioned — the `drop_partitions` retention guard.
+    */
+  private[sources] def timePartOf(multipart: String): Option[(String, String)] = {
+    val dir = resolveTableDir(multipart)
+    readDescriptor(new File(dir, TableDescriptor)).timePart
+  }
+
   /** Wire contract of a table: (Avro writer schema JSON, schema id) —
     * what the change-data-feed reader and the maintenance rewrites
     * decode with ([[FrameChanges]], [[FrameMatView]]).
@@ -1021,14 +1029,15 @@ object FrameProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
 
   val names: Array[String] =
-    Array("analyze", "clone", "compact", "create_tag", "drop_tag", "expire_snapshots",
-      "remove_orphans", "rewrite_clustered", "rollback")
+    Array("analyze", "clone", "compact", "create_tag", "drop_partitions", "drop_tag",
+      "expire_snapshots", "remove_orphans", "rewrite_clustered", "rollback")
 
   def load(cat: FrameCatalog, name: String): Option[UnboundProcedure] = name match {
     case "analyze"           => Some(new AnalyzeProcedure(cat))
     case "clone"             => Some(new CloneProcedure(cat))
     case "compact"           => Some(new CompactProcedure(cat))
     case "create_tag"        => Some(new CreateTagProcedure(cat))
+    case "drop_partitions"   => Some(new DropPartitionsProcedure(cat))
     case "drop_tag"          => Some(new DropTagProcedure(cat))
     case "expire_snapshots"  => Some(new ExpireProcedure(cat))
     case "remove_orphans"    => Some(new RemoveOrphansProcedure(cat))
@@ -1105,6 +1114,32 @@ object FrameProcedures {
       val res = FrameMaintenance.compact(
         org.apache.spark.sql.SparkSession.active, dir, target, grouping, only)
       summary("compacted_bins" -> res.bins, "replaced_segments" -> res.replacedSegments)
+    }
+  }
+
+  class DropPartitionsProcedure(cat: FrameCatalog) extends FrameProcedure {
+    override def name(): String = "drop_partitions"
+    override def description(): String =
+      "drop_partitions(table STRING, older_than BIGINT): metadata-only retention " +
+        "sweep on a time-partitioned table — retires every segment whose partition " +
+        "value is < older_than as ONE delete version (zero data bytes touched); " +
+        "dropped partitions stay time-travelable until expiry and the version's " +
+        "change feed is exactly the dropped rows as deletes"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("<namespace>.<table> in this catalog").build(),
+      ProcedureParameter.in("older_than", org.apache.spark.sql.types.LongType)
+        .comment("exclusive partition-value cutoff (day/hour/month/year ordinal " +
+          "of the table's transform); partitions < this are dropped").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val olderThan = input.getLong(1)
+      require(cat.timePartOf(table).isDefined,
+        s"drop_partitions: $table is not time-partitioned — retention by " +
+          "partition value needs a PARTITIONED BY (days/hours/months/years(col)) table")
+      val res = FrameMaintenance.dropPartitions(cat.resolveTableDir(table), olderThan)
+      summary("dropped_partitions" -> res.partitions,
+        "dropped_segments" -> res.segments)
     }
   }
 

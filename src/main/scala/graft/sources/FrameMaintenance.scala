@@ -1356,6 +1356,44 @@ object FrameMaintenance {
     DeleteResult(live.length, 0, 0)
   })
 
+  case class DropPartitionsResult(partitions: Int, segments: Int)
+
+  /** Partition retention (round 17, VERDICT r16 item 4): retire every
+    * live segment whose hidden-time-partition token is STRICTLY older
+    * than `olderThan` (a partition value of the table's transform —
+    * day ordinal for `days(…)`, hour ordinal for `hours(…)`, …) as ONE
+    * metadata-only delete operation. Zero data bytes are read or
+    * written — classification is the name token alone, so it works for
+    * sidecar-less segments too — and one version is minted: the
+    * retention sweep on a petabyte log costs O(dropped segments) file
+    * moves. Dropped partitions stay time-travelable until expiry, and
+    * the minted version's change feed is exactly the dropped rows as
+    * deletes (the standard whole-segment-delete replay contract).
+    * Tokenless (pre-transform / foreign) segments are never touched.
+    */
+  def dropPartitions(dir: File, olderThan: Long): DropPartitionsResult =
+    withConflictRetry("drop_partitions")(() => {
+      val live = AvroFrames.listSegments(dir.getAbsolutePath)
+      val victims = live.filter(f =>
+        FrameTimePart.valueOf(f.getName).exists(_ < olderThan))
+      if (victims.isEmpty) return DropPartitionsResult(0, 0)
+      val manifest = readManifest(dir)
+      publishLocked(dir, manifest.length) {
+        val publishMs = publishInstant(live, manifest)
+        // each victim's live deletion vector retires WITH it (listed
+        // before its base so change replay drops the vector state first)
+        val names = victims.toVector.flatMap(f =>
+          FrameDv.liveDvOf(dir, f.getName).toVector :+ f.getName)
+        val times = names.map(n => retire(dir, n))
+        writeManifest(dir, manifest :+
+          MaintEntry("delete", publishMs, names, times, Vector.empty, expired = false))
+        FrameStatsLedger.fold(dir, remove = names)
+      }
+      DropPartitionsResult(
+        victims.flatMap(f => FrameTimePart.valueOf(f.getName)).distinct.length,
+        victims.length)
+    })
+
   /** Retire a specific set of live segments as ONE delete operation
     * (one version) — the group-replacement half of a row-level
     * UPDATE/MERGE/DELETE rewrite: the affected groups retire here, the

@@ -154,6 +154,70 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains(s"Segments=$day0/$day0"), plan) // shard-level prune
   }
 
+  test("CALL drop_partitions: metadata-only retention, CDC row-exact, time travel intact (round 17)") {
+    val (cat, base) = freshCatalog("retain")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    loadDays(cat) // 4 days × 25 rows; day = id % 4
+    val dir = new java.io.File(base, "corpus/t")
+    val before = AvroFrames.listSegments(dir.getAbsolutePath)
+      .map(f => f.getName -> f.length()).toMap
+    val victims = before.keySet.filter(n => FrameTimePart.valueOf(n).exists(_ < 2L))
+    val preVersions = FrameMaintenance.totalVersions(dir)
+
+    // unpartitioned tables are refused
+    spark.sql(s"CREATE TABLE $cat.corpus.flat (id BIGINT NOT NULL)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.corpus.drop_partitions(table => 'corpus.flat', older_than => 2)")
+    }
+    assert(e.getMessage.contains("not time-partitioned"))
+
+    // drop days 0 and 1: ONE call, one minted version
+    val res = spark.sql(
+      s"CALL $cat.corpus.drop_partitions(table => 'corpus.t', older_than => 2)")
+      .collect()(0)
+    assert(res.getInt(0) == 2, s"2 partitions dropped, got $res")
+    assert(res.getInt(1) == victims.size, s"segment count must match: $res")
+    assert(FrameMaintenance.totalVersions(dir) == preVersions + 1)
+
+    // live set: exactly days 2..3, survivors untouched; rows exact
+    val names = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(names.flatMap(FrameTimePart.valueOf(_)).toSet == Set(2L, 3L))
+    val kept = spark.sql(s"SELECT id FROM $cat.corpus.t").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 100L).filter(_ % 4 >= 2).toSet)
+
+    // metadata-only: every dropped segment sits in _history BYTE-IDENTICAL
+    // (moved, never rewritten) and no replacement segment was minted
+    victims.foreach { n =>
+      val h = new java.io.File(dir, s"_history/$n")
+      assert(h.isFile && h.length() == before(n), s"$n must retire byte-identical")
+    }
+    assert(names.forall(before.contains), "retention must not mint segments")
+
+    // the minted version's change feed is exactly the dropped rows as deletes
+    val feed = spark.sql(s"""SELECT id, _change_type FROM $cat.corpus.t.changes
+      WHERE _commit_version = ${preVersions + 1}""").collect()
+    assert(feed.forall(_.getString(1) == "delete"))
+    assert(feed.map(_.getLong(0)).toSet == (0L until 100L).filter(_ % 4 < 2).toSet,
+      "CDC must report exactly the dropped rows")
+
+    // time travel to the pre-retention version still serves the dropped days
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t VERSION AS OF $preVersions")
+      .collect()(0).getLong(0) == 100L)
+
+    // t.partitions reflects the drop
+    val parts = spark.sql(s"SELECT partition FROM $cat.corpus.t.partitions")
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(2L, 3L), s"t.partitions must drop days 0-1: $parts")
+
+    // idempotent: nothing older remains
+    val res2 = spark.sql(
+      s"CALL $cat.corpus.drop_partitions(table => 'corpus.t', older_than => 2)")
+      .collect()(0)
+    assert(res2.getInt(0) == 0 && res2.getInt(1) == 0)
+  }
+
   test("t.partitions metadata table: per-day rows from names + the ledger") {
     val (cat, base) = freshCatalog("meta")
     spark.sql(s"""CREATE TABLE $cat.corpus.t (
@@ -182,6 +246,99 @@ class FramePartitionSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(m.toSeq == Seq((0L, 25L, 0L), (1L, 23L, 2L), (2L, 25L, 0L), (3L, 25L, 0L)),
       s"dv positions must surface per partition: ${m.toSeq}")
+  }
+
+  test("streaming ingest into a partitioned table: per-day segments, replay exactly-once, retention composes (round 17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val (cat, base) = freshCatalog("stream")
+    spark.sql(s"""CREATE TABLE $cat.corpus.t (
+      id BIGINT NOT NULL, ts_us BIGINT NOT NULL, v DOUBLE NOT NULL)
+      PARTITIONED BY (days(ts_us))""")
+    val ck = Files.createTempDirectory("frame-part-stream-ck").toString
+    val in = MemoryStream[Long]
+    val q = in.toDF()
+      .selectExpr("value AS id", s"value % 4 * $DayUs + value * 1000000 AS ts_us",
+        "CAST(value AS DOUBLE) AS v")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable(s"$cat.corpus.t")
+    try {
+      in.addData(0L until 50L: _*); q.processAllAvailable()
+      in.addData(50L until 100L: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // two epochs landed across four days: every segment carries its
+    // day token AND the epoch tag (the exactly-once replay key)
+    val dir = new java.io.File(base, "corpus/t")
+    val names = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+    assert(names.forall(_.matches(".*-e\\d{9}-p\\d{5}-T\\d+\\.bin")),
+      s"streamed segments must carry epoch + day tokens: ${names.toSeq}")
+    assert(names.flatMap(FrameTimePart.valueOf(_)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 100L)
+
+    // crash-replay of a partitioned epoch: the first commit stands for
+    // EVERY per-day file of the task (the multi-file `more` shape)
+    import graft.sources.{AvroFrameCommitMessage, AvroFrameStreamingWrite, AvroFrameStreamingWriterFactory}
+    val (schemaJson, schemaId) = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.FrameCatalog].wireSchemaOf("corpus.t")
+    val part = Some(FrameTimePart("ts_us", "days"))
+    val w = new AvroFrameStreamingWrite(dir.getAbsolutePath, schemaJson, schemaId,
+      "qpart", None, part)
+    val factory = new AvroFrameStreamingWriterFactory(dir.getAbsolutePath, schemaJson,
+      schemaId, "qpart", None, part)
+    def runEpoch(epoch: Long, ids: Seq[Long], task: Long): AvroFrameCommitMessage = {
+      val writer = factory.createWriter(0, task, epoch)
+      ids.foreach { i =>
+        writer.write(org.apache.spark.sql.catalyst.InternalRow(
+          i, i % 4 * DayUs + i * 1000000L, i.toDouble))
+      }
+      writer.commit().asInstanceOf[AvroFrameCommitMessage]
+    }
+    w.commit(7L, Array(runEpoch(7L, Seq(1000L, 1001L), task = 1L))) // days 0,1
+    assert(spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0) == 102L)
+    w.commit(7L, Array(runEpoch(7L, Seq(1000L, 1001L), task = 2L))) // replay, same data
+    val after = spark.sql(s"SELECT id FROM $cat.corpus.t WHERE id >= 1000 AND id < 2000")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1000L, 1001L), s"replayed partitioned epoch must not duplicate: $after")
+    assert(!dir.listFiles().exists(_.getName.startsWith(".inprogress")),
+      "replay temps must be cleaned up")
+
+    // partial-commit crash: only day 0's file of epoch 8 reached the
+    // log before the "crash"; the replay COMPLETES the epoch — day 0
+    // dedups on its (epoch, task-partition, day) name, day 1 lands —
+    // converging to exactly-once per row
+    val full = runEpoch(8L, Seq(2000L, 2001L), task = 3L) // days 0,1
+    val parts = full.parts
+    assert(parts.length == 2, s"two per-day files expected: $parts")
+    w.commit(8L, Array(AvroFrameCommitMessage("", "", "", parts.take(1))))
+    // the crashed attempt's unpublished temp is litter the orphan GC owns
+    parts.drop(1).foreach { case (tmp, _, _) => new java.io.File(dir, tmp).delete() }
+    w.commit(8L, Array(runEpoch(8L, Seq(2000L, 2001L), task = 4L)))
+    val e8 = spark.sql(s"SELECT id FROM $cat.corpus.t WHERE id >= 2000")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(e8 == Seq(2000L, 2001L),
+      s"replay must complete a partially-committed epoch exactly-once: $e8")
+
+    // the stream-built table prunes and retains like any partitioned
+    // table: window scan plans day 1 only, then retention drops day 0
+    val day1 = AvroFrames.listSegments(dir.getAbsolutePath)
+      .count(f => FrameTimePart.valueOf(f.getName).contains(1L))
+    val plan = spark.sql(s"""SELECT id FROM $cat.corpus.t
+      WHERE ts_us >= $DayUs AND ts_us < ${2 * DayUs}""")
+      .queryExecution.executedPlan.toString
+    val seg = "Segments=(\\d+)/(\\d+) after stat-pruning".r.findFirstMatchIn(plan)
+    assert(seg.exists(_.group(1).toInt == day1),
+      s"stream-built partitions must prune (want $day1 planned):\n$plan")
+    val res = spark.sql(
+      s"CALL $cat.corpus.drop_partitions(table => 'corpus.t', older_than => 1)")
+      .collect()(0)
+    assert(res.getInt(0) == 1 && res.getInt(1) >= 3,
+      s"day 0 (three epochs' segments) must drop as one partition: $res")
+    val left = spark.sql(s"SELECT count(*) FROM $cat.corpus.t").collect()(0).getLong(0)
+    assert(left == 104L - 25L - 2L, s"exactly day 0's rows must go: $left")
   }
 
   test("months/years/hours transform arithmetic is UTC-exact") {
