@@ -107,8 +107,7 @@ object AnnIndex {
     val tmp = new File(f.getParentFile, f.getName + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath,
       fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.FrameCommitIo.impl.swap(tmp, f)
   }
 
   /** The integer-quantized component: floor(x·10⁶ + 0.5) as BIGINT —

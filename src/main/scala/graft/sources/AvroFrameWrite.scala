@@ -358,7 +358,7 @@ class AvroFrameBatchWrite(path: String, avroSchemaJson: String, schemaId: Int,
       java.nio.file.Files.writeString(
         new File(dir, finalName + ".stats").toPath, statsJson)
       val target = new File(dir, finalName)
-      val ok = new File(dir, tmpName).renameTo(target)
+      val ok = FrameCommitIo.impl.publish(new File(dir, tmpName), target)
       require(ok, s"commit rename failed for $tmpName -> $finalName")
       java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
     }
@@ -420,7 +420,7 @@ class AvroFrameStreamingWrite(path: String, avroSchemaJson: String, schemaId: In
         } else {
           java.nio.file.Files.writeString(
             new File(dir, finalName + ".stats").toPath, statsJson)
-          val ok = new File(dir, tmpName).renameTo(target)
+          val ok = FrameCommitIo.impl.publish(new File(dir, tmpName), target)
           require(ok, s"epoch $epochId commit rename failed for $tmpName -> $finalName")
           java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
           fresh += ((tmpName, finalName, statsJson))
@@ -992,7 +992,7 @@ class AvroFrameReplaceGroupsWrite(path: String, avroSchemaJson: String, schemaId
       java.nio.file.Files.writeString(
         new File(dir, finalName + ".stats").toPath, statsJson)
       val target = new File(dir, finalName)
-      val ok = new File(dir, tmpName).renameTo(target)
+      val ok = FrameCommitIo.impl.publish(new File(dir, tmpName), target)
       require(ok, s"group-rewrite rename failed for $tmpName -> $finalName")
       java.nio.file.Files.setLastModifiedTime(target.toPath, publish)
     }

@@ -575,7 +575,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(newIdent.namespace)
-    val ok = tableDir(oldIdent).renameTo(tableDir(newIdent))
+    val ok = FrameCommitIo.impl.renameDir(tableDir(oldIdent), tableDir(newIdent))
     require(ok, s"rename failed: $oldIdent -> $newIdent")
   }
 
@@ -667,8 +667,8 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     var copied = 0
     def bring(src: File, name: String): Unit = {
       val dst = new File(dstDir, name)
-      try { java.nio.file.Files.createLink(dst.toPath, src.toPath); linked += 1 }
-      catch { case scala.util.control.NonFatal(_) =>
+      if (FrameCommitIo.impl.link(src, dst)) linked += 1
+      else {
         java.nio.file.Files.copy(src.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
         copied += 1
@@ -750,8 +750,7 @@ class FrameCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // atomic swap: ALTER must never leave a torn descriptor
     val tmp = new File(f.getParentFile, f.getName + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath, sw.toString)
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, f)
   }
 
   private def readDescriptor(f: File): Descriptor = {

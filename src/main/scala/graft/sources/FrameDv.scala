@@ -59,8 +59,7 @@ object FrameDv {
       out.writeInt(positions.length)
       positions.foreach(out.writeInt)
     } finally out.close()
-    java.nio.file.Files.move(tmp.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, target)
   }
 
   /** Read a vector's positions (sorted). Fails loudly on corruption —

@@ -106,9 +106,9 @@ object FrameMaintenance {
   private[sources] def withDirLock[T](dir: File)(body: => T): T = {
     val lock = new File(dir, LockFile)
     var waited = 0
-    while (!lock.createNewFile()) {
+    while (!FrameCommitIo.impl.tryLock(lock)) {
       val age = System.currentTimeMillis() - lock.lastModified()
-      if (age > StaleLockMs) lock.delete() // presumed-crashed maintainer
+      if (age > StaleLockMs) FrameCommitIo.impl.unlock(lock) // presumed-crashed maintainer
       else {
         waited += 1
         require(waited < 3000,
@@ -117,7 +117,7 @@ object FrameMaintenance {
         Thread.sleep(10)
       }
     }
-    try body finally lock.delete()
+    try body finally FrameCommitIo.impl.unlock(lock)
   }
 
   /** Bounded conflict-retry driver for the public operations. */
@@ -211,8 +211,7 @@ object FrameMaintenance {
     // atomic swap: a crash mid-write must never corrupt the manifest
     val tmp = new File(dir, ManifestFile + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath, sw.toString)
-    java.nio.file.Files.move(tmp.toPath, new File(dir, ManifestFile).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, new File(dir, ManifestFile))
   }
 
   /** Write a fresh single-entry manifest for a CLONE (round 16): the
@@ -550,13 +549,10 @@ object FrameMaintenance {
     val hist = historyDir(dir); hist.mkdirs()
     val src = new File(dir, name)
     val publishMs = src.lastModified()
-    java.nio.file.Files.move(src.toPath, new File(hist, name).toPath)
-    java.nio.file.Files.setLastModifiedTime(new File(hist, name).toPath,
-      java.nio.file.attribute.FileTime.fromMillis(publishMs))
+    FrameCommitIo.impl.move(src, new File(hist, name))
     val stats = new File(dir, name + ".stats")
     if (stats.isFile)
-      java.nio.file.Files.move(stats.toPath, new File(hist, name + ".stats").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      FrameCommitIo.impl.move(stats, new File(hist, name + ".stats"), replace = true)
     publishMs
   }
 
@@ -569,7 +565,7 @@ object FrameMaintenance {
     statsJson.foreach(j => java.nio.file.Files.writeString(
       new File(dir, finalName + ".stats").toPath, j))
     val target = new File(dir, finalName)
-    val ok = new File(dir, tmpName).renameTo(target)
+    val ok = FrameCommitIo.impl.publish(new File(dir, tmpName), target)
     require(ok, s"maintenance publish rename failed: $tmpName -> $finalName")
     java.nio.file.Files.setLastModifiedTime(target.toPath,
       java.nio.file.attribute.FileTime.fromMillis(publishMs))
@@ -941,8 +937,9 @@ object FrameMaintenance {
         val newName = f"$lastName.z$gen-$i%05d"
         val stats = new File(scratch, f.getName + ".stats")
         if (stats.isFile)
-          java.nio.file.Files.move(stats.toPath, new File(dir, newName + ".stats").toPath)
-        java.nio.file.Files.move(f.toPath, new File(dir, newName).toPath)
+          FrameCommitIo.impl.move(stats, new File(dir, newName + ".stats"))
+        val ok = FrameCommitIo.impl.publish(f, new File(dir, newName))
+        require(ok, s"z-order publish rename failed: ${f.getName} -> $newName")
         java.nio.file.Files.setLastModifiedTime(new File(dir, newName).toPath,
           java.nio.file.attribute.FileTime.fromMillis(publishMs))
         newName
@@ -1274,7 +1271,7 @@ object FrameMaintenance {
       minted.foreach { case (name, priorDv, tmpName, _) =>
         val dvName = FrameDv.nameFor(name, gen)
         // the executor already wrote the vector: publish is a rename
-        val ok = new File(dir, tmpName).renameTo(new File(dir, dvName))
+        val ok = FrameCommitIo.impl.publish(new File(dir, tmpName), new File(dir, dvName))
         require(ok, s"deletion vector publish rename failed: $tmpName -> $dvName")
         java.nio.file.Files.setLastModifiedTime(new File(dir, dvName).toPath,
           java.nio.file.attribute.FileTime.fromMillis(publishMs))
@@ -1561,8 +1558,7 @@ object FrameMaintenance {
         fields.map(_.name()).zip(stats), bloomB64)
       val tmp = new File(dirPath, s".analyzing-$name.stats")
       java.nio.file.Files.writeString(tmp.toPath, json)
-      java.nio.file.Files.move(tmp.toPath, new File(dirPath, name + ".stats").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      FrameCommitIo.impl.swap(tmp, new File(dirPath, name + ".stats"))
     }
     // the sidecars just changed under the ledger's feet — rebuild it
     // from them (also the RETROFIT path: `CALL analyze` on a pre-ledger
@@ -1714,8 +1710,7 @@ object FrameMaintenance {
         val tmp = new File(sf.getParentFile, "." + sf.getName + ".tmp")
         java.nio.file.Files.writeString(tmp.toPath,
           AvroFrameWrite.statsJson(frames, renamed, renamedBlooms))
-        java.nio.file.Files.move(tmp.toPath, sf.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        FrameCommitIo.impl.swap(tmp, sf)
       }
     }
     // the ledger mirrors live sidecars — re-key it with the same
@@ -1769,16 +1764,11 @@ object FrameMaintenance {
       // definition, so a reader listing mid-publish sees at worst some
       // rows twice — never an emptier table than either state)
       toRestore.foreach { hf =>
-        val dst = new File(dir, hf.getName)
-        val ms = hf.lastModified()
-        java.nio.file.Files.move(hf.toPath, dst.toPath)
-        java.nio.file.Files.setLastModifiedTime(dst.toPath,
-          java.nio.file.attribute.FileTime.fromMillis(ms))
+        FrameCommitIo.impl.move(hf, new File(dir, hf.getName))
         val stats = new File(hf.getParentFile, hf.getName + ".stats")
         if (stats.isFile)
-          java.nio.file.Files.move(stats.toPath,
-            new File(dir, hf.getName + ".stats").toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          FrameCommitIo.impl.move(stats,
+            new File(dir, hf.getName + ".stats"), replace = true)
       }
       val replacedMs = toRetire.map(n => retire(dir, n))
       writeManifest(dir, manifest :+

@@ -88,8 +88,7 @@ object FrameMatView {
     val tmp = new File(f.getParentFile, f.getName + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath,
       fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, f)
   }
 
   private def readWatermark(dstDir: File): Int =

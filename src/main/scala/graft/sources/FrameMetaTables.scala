@@ -61,8 +61,7 @@ object FrameTags {
     gen.writeEndObject(); gen.close()
     val tmp = new File(dir, "." + TagsFile + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath, sw.toString)
-    java.nio.file.Files.move(tmp.toPath, new File(dir, TagsFile).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, new File(dir, TagsFile))
   }
 
   /** Resolve a `VERSION AS OF` argument: a bare integer is a version,

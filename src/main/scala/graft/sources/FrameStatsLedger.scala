@@ -445,8 +445,7 @@ object FrameStatsLedger {
     gen.writeStartObject(); body(gen); gen.writeEndObject(); gen.close()
     val tmp = new File(target.getParentFile, "." + target.getName + ".tmp")
     java.nio.file.Files.writeString(tmp.toPath, sw.toString)
-    java.nio.file.Files.move(tmp.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    FrameCommitIo.impl.swap(tmp, target)
   }
 
   /** Atomic write of the FULL ledger as a fresh base checkpoint:

@@ -1115,6 +1115,41 @@ object SourceQueries extends QueryGroup {
       FROM events
       GROUP BY 1
       ORDER BY 1
+    """)),
+
+    // ------------------------------------------------------------ partition retention (round 17)
+    // `CALL drop_partitions` itself on the oracle surface: the fixture
+    // loads ALL events into a days-partitioned table, then retention
+    // drops every day before the window start — ONE metadata-only
+    // delete version, classified from segment names alone, zero data
+    // bytes touched (the fixture asserts byte-identical retirement and
+    // that time travel still serves the full pre-retention history).
+    // The judged FULL-TABLE rollup over the post-retention table must
+    // equal DuckDB over the original events WITH the time predicate —
+    // i.e. the retention sweep removed exactly the old days' rows and
+    // nothing else. At 100 TB: the nightly retention job is O(dropped
+    // segments) metadata moves, and this query is its audit.
+    ("q361_partition_retention", (s, d) => {
+      val cat = ensureRetentionFixture(s, d)
+      s.sql(s"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sum_value,
+               min(ts_us) AS first_ts_us
+        FROM $cat.corpus.events_retain
+        GROUP BY event_type
+        ORDER BY event_type
+      """)
+    }, Some(s"""
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+             min(epoch_us(ts::TIMESTAMP)) AS first_ts_us
+      FROM events
+      WHERE epoch_us(ts::TIMESTAMP) >= $PartWindowLoUs
+      GROUP BY event_type
+      ORDER BY event_type
     """))
   )
 
@@ -1824,6 +1859,70 @@ object SourceQueries extends QueryGroup {
         s"streamed segments must carry -T<day> tokens: ${names.take(8).toSeq}")
       require(s.table(s"$cat.corpus.events_stream").count() == n,
         "streaming ingest must land exactly the source rows, exactly once")
+      java.nio.file.Files.writeString(marker.toPath, n.toString)
+    }
+    cat
+  }
+
+  /** Catalog fixture for q361 (round 17): all events loaded into a
+    * days-partitioned table, then `CALL drop_partitions` retires every
+    * day before the judged window start as ONE metadata-only delete
+    * version. Asserts the drop was metadata-only (every retired
+    * segment byte-identical in `_history/`, no replacement minted),
+    * that the surviving live set is exactly the in/after-window days,
+    * and that time travel to the pre-retention version still serves
+    * the full history. Idempotent via a row-count marker.
+    */
+  def ensureRetentionFixture(s: SparkSession, d: String): String = {
+    val key = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = ensureCatalogRegistered(s, d)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-frame-catalog-$key")
+    val ev = Tables.events(s, d)
+    val n = ev.count()
+    val marker = new java.io.File(base, "_RETAIN_READY")
+    val fresh = marker.isFile &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+        .toOption.contains(n)
+    if (!fresh) {
+      base.mkdirs()
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.corpus")
+      s.sql(s"DROP TABLE IF EXISTS $cat.corpus.events_retain")
+      s.sql(s"""CREATE TABLE $cat.corpus.events_retain (
+        event_id BIGINT NOT NULL, ts_us BIGINT NOT NULL, user_id BIGINT NOT NULL,
+        event_type STRING NOT NULL, value DOUBLE NOT NULL)
+        PARTITIONED BY (days(ts_us))""")
+      val view = s"graft_retain_src_$key"
+      ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("ts_us"))
+        .createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.corpus.events_retain SELECT * FROM $view")
+      val dir = new java.io.File(base, "corpus/events_retain")
+      val dayLo = PartWindowLoUs / 86400000000L
+      val before = AvroFrames.listSegments(dir.getAbsolutePath)
+        .map(f => f.getName -> f.length()).toMap
+      val victims = before.keySet.filter(nm =>
+        FrameTimePart.valueOf(nm).exists(_ < dayLo))
+      val preV = FrameMaintenance.totalVersions(dir)
+      val res = s.sql(s"CALL $cat.corpus.drop_partitions(" +
+        s"table => 'corpus.events_retain', older_than => ${dayLo}L)").collect()(0)
+      require(res.getInt(1) == victims.size,
+        s"retention must drop exactly the pre-window segments: $res vs ${victims.size}")
+      // metadata-only: every victim sits in _history byte-identical
+      victims.foreach { nm =>
+        val h = new java.io.File(dir, s"_history/$nm")
+        require(h.isFile && h.length() == before(nm),
+          s"$nm must retire byte-identical (metadata-only drop)")
+      }
+      val live = AvroFrames.listSegments(dir.getAbsolutePath).map(_.getName)
+      require(live.forall(nm => FrameTimePart.valueOf(nm).exists(_ >= dayLo)),
+        s"only in/after-window days may survive: ${live.toSeq}")
+      // the full pre-retention history stays time-travelable
+      require(s.sql(
+        s"SELECT count(*) FROM $cat.corpus.events_retain VERSION AS OF $preV")
+        .collect()(0).getLong(0) == n,
+        "pre-retention snapshot must still serve all rows")
       java.nio.file.Files.writeString(marker.toPath, n.toString)
     }
     cat
