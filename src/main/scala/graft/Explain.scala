@@ -36,8 +36,20 @@ object Explain {
         }
       }
     })
+    // SPARK_GRAFT_PLAN_DIR: also write `explain("formatted")` per query
+    // (the r17 optimization deliverable format) as <dir>/<query>_<tag>.txt,
+    // tag from SPARK_GRAFT_PLAN_TAG (default "plan").
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val planTag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "plan")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      planDir.foreach { dir =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, s"${n}_$planTag.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
       val t0 = System.nanoTime()
       df.collect()   // drive THIS execution so AQE finalizes in place
       println(f"==== $n  (${(System.nanoTime() - t0) / 1e9}%.1f s) ====")

@@ -45,11 +45,22 @@ object Graph extends QueryGroup {
     * contraction terminates exactly, not just asymptotically).
     */
   private[graft] def pagerankParts(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
-    val li = Tables.fanOut(Tables.lineitem(s, d))
+    // no fanOut: the first operation is the keyed self-join, whose ok
+    // exchange already fans the pipeline out — a round-robin
+    // repartition ahead of it is a second full shuffle of the scan
+    // for nothing (r17 profile: one extra 600k-row exchange per query)
+    val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // co-purchase edges, both directions (symmetric ⇒ every node in
-    // the graph has outdeg ≥ 1 — no dangling-mass correction needed)
-    val edges = li.as("a").join(li.as("b"),
+    // the graph has outdeg ≥ 1 — no dangling-mass correction needed).
+    // hint("merge"): lineitem's small file estimate otherwise makes the
+    // planner BROADCAST one side of the self-join — backwards at scale
+    // (lineitem is the fact table) and locally it runs the whole pair
+    // expansion inside the single-task scan stage (r17 profile: 2.39M
+    // pair rows written by 1 task). The ok-keyed exchange is reused by
+    // both sides, so the merge join costs ONE shuffle of the scan and
+    // distributes the expansion.
+    val edges = li.as("a").join(li.as("b").hint("merge"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
@@ -83,9 +94,9 @@ object Graph extends QueryGroup {
     */
   private[graft] def bfs(s: SparkSession, d: String,
                          cap: Int): Iterative.Converged[(DataFrame, DataFrame, Long)] = {
-    val li = Tables.fanOut(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)  // no fanOut — see pagerankParts
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"),
+    val edges = li.as("a").join(li.as("b").hint("merge"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
@@ -124,7 +135,7 @@ object Graph extends QueryGroup {
     * count as co-purchase weight (q116's edge contract).
     */
   private[graft] def strongSym(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.fanOut(Tables.lineitem(s, d))
+    val li = Tables.lineitem(s, d)  // no fanOut — see pagerankParts
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val e0 = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -268,7 +279,9 @@ object Graph extends QueryGroup {
       // and REJECTED: the set aggregation + array HOFs cost more CPU
       // than the exchange they save — 15.2 s vs 12.6 s total task time
       // at sf0.1.)
-      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val li = Tables.lineitem(s, d)  // no fanOut — the distinct's own
+        // exchange fans out; a round-robin repartition ahead of it is a
+        // second full shuffle of the scan for nothing (see pagerankParts)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val e = li.as("a").join(li.as("b"),
@@ -313,7 +326,9 @@ object Graph extends QueryGroup {
     // division of exact integer counts — both engines divide the same
     // two longs, so the doubles hash-match (the q105 discipline).
     ("q120_association_rules", (s, d) => {
-      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val li = Tables.lineitem(s, d)  // no fanOut — the distinct's own
+        // exchange fans out; a round-robin repartition ahead of it is a
+        // second full shuffle of the scan for nothing (see pagerankParts)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
         .graftCheckpoint() // read by pair supports, item supports, and N
@@ -368,7 +383,9 @@ object Graph extends QueryGroup {
     // output is "how alike are DIRECTLY-linked products", the
     // recommendation form.
     ("q145_node_jaccard", (s, d) => {
-      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val li = Tables.lineitem(s, d)  // no fanOut — the distinct's own
+        // exchange fans out; a round-robin repartition ahead of it is a
+        // second full shuffle of the scan for nothing (see pagerankParts)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val e = li.as("a").join(li.as("b"),
@@ -427,7 +444,9 @@ object Graph extends QueryGroup {
     // (distinct degree values); the regression is one aggregate over
     // it. Unweighted graph degrees reuse the q145 adjacency.
     ("q155_degree_powerlaw", (s, d) => {
-      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val li = Tables.lineitem(s, d)  // no fanOut — the distinct's own
+        // exchange fans out; a round-robin repartition ahead of it is a
+        // second full shuffle of the scan for nothing (see pagerankParts)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val e = li.as("a").join(li.as("b"),
@@ -513,7 +532,9 @@ object Graph extends QueryGroup {
     // is node-keyed and vocab-bounded. Coefficient is an exact
     // int/int double division — deterministic, hash-matchable.
     ("q179_local_clustering", (s, d) => {
-      val li = Tables.fanOut(Tables.lineitem(s, d))
+      val li = Tables.lineitem(s, d)  // no fanOut — the distinct's own
+        // exchange fans out; a round-robin repartition ahead of it is a
+        // second full shuffle of the scan for nothing (see pagerankParts)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val e = li.as("a").join(li.as("b"),
@@ -572,9 +593,12 @@ object Graph extends QueryGroup {
     // aggregate on the edge list — the same message-passing shape as
     // q108 PageRank, shuffles only on graph keys, no driver state.
     ("q200_hits_authorities", (s, d) => {
-      val edges = Tables.fanOut(Tables.lineitem(s, d))
+      val edges = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
-        .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+        // merge hint (q108 discipline): both sides are fact tables at
+        // scale — never broadcast; the shared ok exchange fans out, so
+        // the fanOut round-robin shuffle above it was pure overhead
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")).hint("merge"), "ok")
         .select("cust", "part").distinct()
         .graftCheckpoint() // read 4× (one per hop); never recompute the join
       val h1 = edges.groupBy("cust").agg(count(lit(1)).as("h1"))

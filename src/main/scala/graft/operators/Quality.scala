@@ -1892,7 +1892,13 @@ object Quality extends QueryGroup {
     // aggregates cross-joined (broadcast) onto the 16-row pattern
     // census — the corpus is never rescanned per field.
     ("q272_linkage_weights", (s, d) => {
-      val p = Tables.part(s, d)
+      // fanOut BEFORE the checkpoint: part is a single-row-group file
+      // locally, so the checkpointed relation otherwise has ONE
+      // partition and the noun-blocked pair census below (the heavy
+      // stage — blocks × block² comparisons) streams through a single
+      // task (r17 profile: 4.4 s CPU on 1 task of 16 output rows). At
+      // scale the scan has many splits and fanOut is a no-op.
+      val p = Tables.fanOut(Tables.part(s, d))
         .select(col("p_partkey"), element_at(split(col("p_name"), " "), 2).as("noun"),
                 col("p_brand"), col("p_type").as("p_tclass"),
                 element_at(split(col("p_name"), " "), 1).as("p_tmat"), col("p_size"))

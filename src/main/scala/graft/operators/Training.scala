@@ -248,7 +248,15 @@ object Training extends QueryGroup {
           Window.orderBy(col("w").desc, col("sym"))).cast("long").as("token_id"))
       val wordSyms = finalSyms.join(symId, "sym")
         .select(col("word"), col("pos"), col("token_id"), col("sym"))
-      docToks.join(wordSyms, "word")
+      // EXPLICIT broadcast of the vocab-bounded encoding table: the
+      // checkpointed symbol relation carries no size estimate, so the
+      // planner instead broadcast the CORPUS token stream (tiny file
+      // estimate locally — and data-sized at scale) and ran the whole
+      // encode join + per-doc window on the vocab side's single
+      // partition (r17 profile: 1.9 s, 1 task). Broadcasting the
+      // per-word encoding is the scale-correct side: it is bounded by
+      // |vocab| × avg symbols/word, never by the corpus.
+      docToks.join(broadcast(wordSyms), "word")
         .withColumn("tok_pos", row_number().over(
           Window.partitionBy("doc_id").orderBy("wpos", "pos")).cast("long"))
         .select(col("doc_id"), col("tok_pos"), col("token_id"), col("sym"))
@@ -295,7 +303,10 @@ object Training extends QueryGroup {
       val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docToks.join(wordLen, "word")
+      // broadcast the vocab-bounded per-word length (q164 discipline:
+      // the un-estimable checkpoint side otherwise flips the broadcast
+      // onto the corpus token stream)
+      docToks.join(broadcast(wordLen), "word")
         .groupBy("doc_id", "source").agg(sum("n_sym").as("n_tok"))
         .withColumn("tok_end", sum("n_tok").over(w))
         .select(col("doc_id"), col("source"), col("n_tok"),
@@ -353,7 +364,8 @@ object Training extends QueryGroup {
       val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docToks.join(wordLen, "word")
+      // broadcast the vocab-bounded per-word length (q164 discipline)
+      docToks.join(broadcast(wordLen), "word")
         .groupBy("doc_id", "source").agg(sum("n_sym").as("n_tok"))
         .withColumn("tok_end", sum("n_tok").over(w))
         .select(col("source"), col("n_tok"), col("tok_end"),
@@ -428,7 +440,8 @@ object Training extends QueryGroup {
                 posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
       val (_, finalSyms) = bpeRounds(syms0, rounds)
       val wordLen = finalSyms.groupBy("word").agg(count(lit(1)).as("n_sym"))
-      docToks.join(wordLen, "word")
+      // broadcast the vocab-bounded per-word length (q164 discipline)
+      docToks.join(broadcast(wordLen), "word")
         .groupBy("source").agg(
           count(lit(1)).as("n_words"),
           sum("n_sym").as("n_tokens"),
