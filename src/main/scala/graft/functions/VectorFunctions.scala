@@ -51,6 +51,35 @@ object VectorFunctions {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Σ aᵢ·bᵢ of an `array<float>` against an `array<double>` —
+    * codegen'd tight loop (FloatDoubleDotProduct); bit-identical to
+    * the sequential HOF fold it replaces. The IVF/kNN coarse-probe
+    * shape: float vectors scored against double centroid vectors.
+    */
+  def dotFD(f: Column, dd: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.FloatDoubleDotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(f),
+        org.apache.spark.sql.GraftSqlBridge.expression(dd)))
+
+  /** Σ (aᵢ−bᵢ)² over two `array<double>` columns — codegen'd tight
+    * loop (DoubleSqDist); per element d = x−y then d·d, accumulated
+    * left-to-right: the bit-identical IEEE sequence of the HOF
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)),0.0,+)` it replaces.
+    */
+  def sqDistD(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.DoubleSqDist(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Σ aᵢ·bᵢ over two `array<double>` columns — codegen'd (DoubleDotProduct). */
+  def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.DoubleDotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** HOF reference implementation of the dot product (kept for spec
     * cross-checks of the codegen'd expression).
     */

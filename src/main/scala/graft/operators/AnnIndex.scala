@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{dot, l2Norm, unpackFloats}
+import graft.functions.VectorFunctions.{dot, dotFD, l2Norm, unpackFloats}
 import graft.sources.{FrameCatalog, FrameChanges, FrameMaintenance}
 
 /** Persisted, incrementally-maintained IVF index (round 17, VERDICT
@@ -273,8 +273,6 @@ object AnnIndex {
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(col("pc"))), t => t.getField("c")).as("cv"))
       .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
-    def dotFD(f: Column, dd: Column) =
-      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     val q = queries.select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"))
     val wp = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))
     val probes = cvec.crossJoin(broadcast(q))

@@ -192,8 +192,15 @@ object Dedup extends QueryGroup {
     * per round (see q64's rationale).
     */
   private[graft] def labelPropagation(s: SparkSession, d: String,
-                                      cap: Int): Iterative.Converged[DataFrame] = {
-    val pairs = minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint()
+                                      cap: Int,
+                                      pairs0: Option[DataFrame] = None): Iterative.Converged[DataFrame] = {
+    // pairs0: a caller-supplied checkpointed (doc_a, doc_b) relation —
+    // q285 already materializes the identical pair set for its edge /
+    // degree / modularity reads, and without the handoff the whole
+    // band+verify pipeline (two tokenize scans) ran TWICE per query
+    // (r17 profile: four identical heavy stages)
+    val pairs = pairs0.getOrElse(
+      minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint())
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // checkpointed (via cpWitnessed below): round 1 reads `labels` on
@@ -1259,7 +1266,11 @@ object Dedup extends QueryGroup {
     // a 1-row broadcast (sanctioned cross shape).
     ("q285_graph_modularity", (s, d) => {
       val pairs = minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint()
-      val labels = clusterLabels(s, d)
+      // reuse THIS pair checkpoint for the propagation — labels and
+      // modularity must see the same graph anyway, and the handoff
+      // halves the query's tokenize+band+verify work (see
+      // labelPropagation)
+      val labels = labelPropagation(s, d, cap = 3, pairs0 = Some(pairs)).state
       val deg = pairs.select(col("doc_a").as("doc_id"))
         .union(pairs.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg"))

@@ -218,8 +218,6 @@ object Similarity extends QueryGroup {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                      t => t.getField("c")).as("cv"))
       .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
-    def dotFD(f: Column, dd: Column) =
-      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     val e = vectors.select(col("vec_id"), col("label"), col("embedding"),
                            l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < nQueries)
@@ -258,8 +256,6 @@ object Similarity extends QueryGroup {
                      t => t.getField("c")).as("cv"))
       .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
       .select(col("label").as("cell"), col("cv"), col("cnrm"))
-    def dotFD(f: Column, dd: Column) =
-      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     val e = vectors.select(col("vec_id"), col("label"), col("embedding"),
                            l2Norm(col("embedding")).as("nrm"))
     val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
@@ -390,8 +386,6 @@ object Similarity extends QueryGroup {
                      t => t.getField("c")).as("cv"))
       .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
       .select(col("label").as("pred_label"), col("cv"), col("cnrm"))
-    def dotFD(f: Column, dd: Column) =
-      aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label"))
     normed(s, d)
       .crossJoin(broadcast(cvec))
@@ -777,8 +771,9 @@ object Similarity extends QueryGroup {
         .select(col("vec_id"), posexplode(slices).as(Seq("m", "sd")))
       val init = svd.filter(col("vec_id") < seeds)
         .select(col("m"), col("vec_id").as("cid"), col("sd").as("cv"))
-      def sqd(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      // codegen'd squared distance (round 17) — bit-identical IEEE
+      // sequence of the HOF fold it replaces (see DoubleSqDist)
+      def sqd(a: Column, b: Column): Column = sqDistD(a, b)
       def assign(to: DataFrame): DataFrame = svd.join(broadcast(to), Seq("m"))
         .groupBy("vec_id", "m")
         .agg(min(struct(sqd(col("sd"), col("cv")).as("dist"), col("cid"))).as("a"),
@@ -940,8 +935,6 @@ object Similarity extends QueryGroup {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
         .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
-      def dotFD(f: Column, dd: Column) =
-        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
       val wr = Window.partitionBy("label").orderBy(col("proto_cos").desc, col("vec_id"))
       val wn = Window.partitionBy("label")
       normed(s, d).join(broadcast(cvec), Seq("label"))
@@ -1300,8 +1293,6 @@ object Similarity extends QueryGroup {
                        t => t.getField("c")).as("cv"))
         .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
         .select(col("label").as("cell"), col("cv"), col("cnrm"))
-      def dotFD(f: Column, dd: Column) =
-        aggregate(zip_with(f, dd, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
       val e = normed(s, d)
       val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
       val probes = e.select(col("vec_id").as("src"), col("label").as("src_label"),
@@ -1635,8 +1626,7 @@ object Similarity extends QueryGroup {
       val b = cvec.select(col("label").as("label_b"), col("cv").as("vb"))
       a.join(b, col("label_a") < col("label_b"))
         .select(col("label_a"), col("label_b"),
-          round(sqrt(aggregate(zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v)), 6).as("l2_dist"))
+          round(sqrt(sqDistD(col("va"), col("vb"))), 6).as("l2_dist"))
         .orderBy("label_a", "label_b")
     }, Some(s"""
       WITH cent AS (
