@@ -60,10 +60,17 @@ object Graph extends QueryGroup {
     // pair rows written by 1 task). The ok-keyed exchange is reused by
     // both sides, so the merge join costs ONE shuffle of the scan and
     // distributes the expansion.
+    // repartition(src) BEFORE the checkpoint: the checkpoint preserves
+    // the hash partitioning, so the outdeg aggregate AND every
+    // iteration's src-keyed message join consume the edges without
+    // re-shuffling them (one extra build exchange buys zero edge
+    // exchanges per round — guide's share-one-exchange rule; the
+    // distinct's (src,dst) partitioning satisfied none of them)
     val edges = li.as("a").join(li.as("b").hint("merge"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .graftCheckpoint()
     // checkpointed: BOTH withDeg and r0 read outdeg — without the
     // checkpoint Spark recomputes the full-edge-pass aggregation
@@ -96,10 +103,16 @@ object Graph extends QueryGroup {
                          cap: Int): Iterative.Converged[(DataFrame, DataFrame, Long)] = {
     val li = Tables.lineitem(s, d)  // no fanOut — see pagerankParts
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // no distinct: BFS reachability is insensitive to edge multiplicity
+    // (the per-hop frontier distincts its nodes anyway) and the r17
+    // profile showed the distinct shuffled 2.399M rows to remove 0.3%
+    // of them. repartition(src) instead: the checkpoint keeps the hash
+    // partitioning, so every hop's frontier join consumes the edges
+    // with ZERO re-shuffle (the frontier side alone exchanges).
     val edges = li.as("a").join(li.as("b").hint("merge"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
+      .repartition(col("src"))
       .graftCheckpoint()
     // deterministic seed set: the 3 smallest node ids in the graph
     // (edges are symmetric, so src covers every node)

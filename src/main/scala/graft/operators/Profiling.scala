@@ -721,7 +721,11 @@ object Profiling extends QueryGroup {
       def nsk(a: Column, b: Column): Column =
         concat(coalesce(a.cast("string"), lit("\u0001")), lit("\u0002"),
                coalesce(b.cast("string"), lit("\u0001")))
-      val agg = Tables.events(s, d).agg(
+      // fanOut (q82 discipline): the multi-distinct Expand multiplies
+      // the scan ×8 and events is a single-row-group file locally —
+      // without it the whole 100k→409k Expand ran partial-agg in one
+      // task (r17 profile, 0.7 s single-task stage)
+      val agg = Tables.fanOut(Tables.events(s, d)).agg(
         count(lit(1)).as("n"),
         countDistinct(col("event_id")).as("nd_eid"),
         countDistinct(col("user_id")).as("nd_uid"),
