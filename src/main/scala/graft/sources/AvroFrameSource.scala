@@ -1020,8 +1020,13 @@ class AvroFrameMicroBatchStream(path: String, avroSchemaJson: String,
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir))
     val from = start.asInstanceOf[SegmentOffset].segments
+    // max(from, ·): totalVersions reads manifest + live listing without
+    // the commit lock and can transiently read LOW against a concurrent
+    // maintenance publish; versions are append-only, so clamp to the
+    // committed offset (see FrameChangesMicroBatchStream.latestOffset).
+    val total = math.max(from,
+      availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir)))
     limit match {
       case f: ReadMaxFiles =>
         // admission bounds APPENDS (files), not versions: the end

@@ -251,8 +251,18 @@ class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir))
     val from = start.asInstanceOf[SegmentOffset].segments
+    // max(from, ·): totalVersions reads the manifest and the live
+    // listing WITHOUT the commit lock, so a concurrent maintenance
+    // publish (e.g. a DELETE that has retired the segment but not yet
+    // surfaced its manifest entry) can transiently read LOW — observed
+    // as a (committed, lower] range crash in the continuous-matview
+    // spec. Versions are append-only (rollback MINTS one, never
+    // removes), so a reading below the committed offset is always a
+    // torn read; clamping makes the trigger a no-op and the next one
+    // sees the settled state.
+    val total = math.max(from,
+      availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir)))
     limit match {
       case f: ReadMaxFiles => SegmentOffset(math.min(total, from + f.maxFiles()))
       case _               => SegmentOffset(total)

@@ -294,6 +294,32 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming offsets never regress under a torn version reading (r17)") {
+    // totalVersions reads manifest + live listing without the commit
+    // lock, so a concurrent maintenance publish can make it transiently
+    // read LOW (observed: a (1, 0] change range crashing the continuous
+    // matview). The stream must clamp to the committed offset: simulate
+    // the torn read by asking for the latest offset from a start far
+    // beyond the table's real version count.
+    val (cat, base) = freshCatalog("clamp")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 4).coalesce(1)
+      .selectExpr("id", "'g' AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("cdf_clamp_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM cdf_clamp_src")
+    val dir = new java.io.File(base, "corpus/t").getAbsolutePath
+    val real = FrameMaintenance.totalVersions(new java.io.File(dir))
+    assert(real >= 1)
+    val stream = new graft.sources.FrameChangesMicroBatchStream(
+      dir, schemaJson, AvroFrames.DefaultSchemaId, Array("id"), 0)
+    val committed = real + 5 // as if the reading raced 5 versions behind
+    val end = stream.latestOffset(graft.sources.SegmentOffset(committed),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end.asInstanceOf[graft.sources.SegmentOffset].segments >= committed,
+      s"latest offset $end regressed below committed $committed")
+  }
+
   test("column pruning reaches the change scan") {
     val (cat, base) = freshCatalog("prune")
     spark.sql(s"CREATE NAMESPACE $cat.corpus")
