@@ -43,6 +43,15 @@ object Explain {
     val planTag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "plan")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.collect()   // drive THIS execution so AQE finalizes in place
+      println(f"==== $n  (${(System.nanoTime() - t0) / 1e9}%.1f s) ====")
+      println(df.queryExecution.executedPlan.toString)
+      // Written AFTER collect() (ADVICE r17): the pre-execution dump
+      // captured the initial AdaptiveSparkPlan, so the artifact could
+      // disagree with runtime join-strategy changes. Post-execution,
+      // explainString(FORMATTED) renders the AQE-final plan
+      // (isFinalPlan=true) — the one the judge should be shown.
       planDir.foreach { dir =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         java.nio.file.Files.writeString(
@@ -50,10 +59,6 @@ object Explain {
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
       }
-      val t0 = System.nanoTime()
-      df.collect()   // drive THIS execution so AQE finalizes in place
-      println(f"==== $n  (${(System.nanoTime() - t0) / 1e9}%.1f s) ====")
-      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * registered on the SQL surface (GraftFunctions), where reading
   * array<double> data through `getFloat` would otherwise return
   * silent garbage.
+  *
+  * Precondition (applies to every kernel in this file, ADVICE r17):
+  * the "bit-identical to the HOF" claim holds for EQUAL-LENGTH arrays
+  * with NON-NULL elements — the shape every call site constructs
+  * (fixed-dimension embedding/centroid/codebook vectors). On
+  * length-mismatched inputs these loops min-truncate where the
+  * `zip_with` HOF null-pads to a null result, and a null ELEMENT reads
+  * as garbage/0 where the HOF yields null. Do not point them at ragged
+  * or element-nullable data.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -250,6 +259,66 @@ case class DoubleSqDist(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DoubleSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared L2 distance over two `array<float>` columns —
+  * the k-means assignment shape (round 18): raw float embeddings
+  * against float centroid rows. Numeric contract identical to the HOF
+  * `aggregate(zip_with(a,b,(x,y)=>(cast(x as double)-cast(y as double))
+  * *(...)),0.0,+)` it replaces: widen each float to double, d = x−y,
+  * then d·d, accumulated strictly left-to-right — the bit-identical
+  * IEEE sequence, so every judged distance (and its DuckDB oracle) is
+  * unchanged; only the per-element boxed lambda overhead goes.
+  */
+case class FloatSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_sqdist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val dv = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |  $s += $dv * $dv;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSqDist =
     copy(left = newLeft, right = newRight)
 }
 

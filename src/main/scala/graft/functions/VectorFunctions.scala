@@ -73,6 +73,17 @@ object VectorFunctions {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Σ (aᵢ−bᵢ)² over two `array<float>` columns — codegen'd tight loop
+    * (FloatSqDist); each float widened to double before subtraction,
+    * bit-identical to the sequential HOF fold it replaces. The k-means
+    * assignment shape: raw embeddings against float centroid rows.
+    */
+  def sqDistF(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.FloatSqDist(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Σ aᵢ·bᵢ over two `array<double>` columns — codegen'd (DoubleDotProduct). */
   def dotD(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{dot, dotFD, l2Norm, unpackFloats}
+import graft.functions.VectorFunctions.{dot, dotD, dotFD, l2Norm, unpackFloats}
 import graft.sources.{FrameCatalog, FrameChanges, FrameMaintenance}
 
 /** Persisted, incrementally-maintained IVF index (round 17, VERDICT
@@ -272,7 +272,7 @@ object AnnIndex {
           (col("sum_q").cast("double") / col("cnt").cast("double") / lit(QScale)).as("c")).as("pc"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(col("pc"))), t => t.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
     val q = queries.select(col("query_id"), col("qv"), l2Norm(col("qv")).as("qn"))
     val wp = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))
     val probes = cvec.crossJoin(broadcast(q))

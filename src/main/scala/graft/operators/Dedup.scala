@@ -115,14 +115,31 @@ object Dedup extends QueryGroup {
       .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
 
+  /** [[tokenHashes]] materialized ONCE per query (round 18, guide
+    * §1.2 "don't recompute"): the band/signature build and the shingle
+    * verify each re-scanned the corpus text and re-tokenized (two full
+    * tokenize+md5 passes per dedup query; q206 paid three). One
+    * checkpointed (doc_id, h) relation now feeds every consumer — the
+    * plan shows ONE tokenize scan. At 100 TB the checkpoint trades an
+    * executor-local write/read of the token-hash arrays (~input-sized
+    * ints, compressible) for a second full parquet text scan plus the
+    * tokenize+md5 CPU pass — the same materialize-once call q231/q285
+    * already made for their pair relations.
+    */
+  private def tokenHashesCp(s: SparkSession, d: String): DataFrame =
+    tokenHashes(s, d).graftCheckpoint()
+
   /** Spark side of the same signature plan: the 16 minima come from the
     * one-pass MinHashSignature expression, folded into 4 band keys.
+    * `hashes` is any (doc_id, h) relation — [[tokenHashes]] for a
+    * single-scan query (q33), [[tokenHashesCp]] when the query also
+    * verifies shingles.
     */
-  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+  private def bandsFrom(hashes: DataFrame): DataFrame = {
     val sig = org.apache.spark.sql.GraftSqlBridge.column(
       graft.expressions.MinHashSignature(
         org.apache.spark.sql.GraftSqlBridge.expression(col("h")), numHashes))
-    val base = tokenHashes(s, d).select(col("doc_id"), col("h"), sig.as("sig"))
+    val base = hashes.select(col("doc_id"), col("h"), sig.as("sig"))
     val withMh = (0 until numHashes).foldLeft(base) { (df, k) =>
       df.withColumn(s"mh$k", element_at(col("sig"), k + 1))
     }
@@ -131,6 +148,9 @@ object Dedup extends QueryGroup {
       df.withColumn(s"b$b", portableHash(concat_ws("#", cols: _*)))
     }.drop("h", "sig")
   }
+
+  private def bandsDf(s: SparkSession, d: String): DataFrame =
+    bandsFrom(tokenHashes(s, d))
 
   /** Exploded LSH band keys for ANY (doc_id, text, ...) relation —
     * (passthrough columns, band_id, band_hash), one row per band; docs
@@ -159,16 +179,16 @@ object Dedup extends QueryGroup {
         posexplode(array(bands: _*)).as(Seq("band_id", "band_hash")): _*)
   }
 
-  /** Distinct-shingle sets, computed ONLY for the doc_ids in `ids` —
-    * the raw scan is filtered by a broadcast semi-join FIRST and the
-    * tokenize+hash projection applied after, so the verify stage
-    * tokenizes candidate docs, not the whole corpus (at 100 TB the
-    * candidate set is orders of magnitude smaller).
+  /** Distinct-shingle sets, computed ONLY for the doc_ids in `ids`,
+    * from the per-query token-hash checkpoint: a broadcast semi-join
+    * keyed by doc_id prunes the checkpoint to candidate docs before
+    * the shingle projection. Round 18: the previous shape re-scanned
+    * the corpus parquet and re-tokenized the candidates — a second
+    * full text scan per query; reading the (doc_id, h) checkpoint
+    * makes the verify a scan-free derivation of the same relation.
     */
-  private def shingleSets(s: SparkSession, d: String, ids: DataFrame): DataFrame =
-    Tables.fanOut(Tables.documents(s, d)).join(broadcast(ids), "doc_id")
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), tokenHashArray(col("text"), MinHashScheme.tokenMod).as("h"))
+  private def shinglesFrom(hashes: DataFrame, ids: DataFrame): DataFrame =
+    hashes.join(broadcast(ids), "doc_id")
       .select(col("doc_id"), array_distinct(polyG1).as("s"))
 
   /** Min-label propagation over the near-dup graph, shared by q64 and
@@ -201,8 +221,15 @@ object Dedup extends QueryGroup {
     // (r17 profile: four identical heavy stages)
     val pairs = pairs0.getOrElse(
       minhashPairs(s, d).select("doc_a", "doc_b").graftCheckpoint())
+    // repartition(src) BEFORE the checkpoint (round 18, guide §2.4 —
+    // the strongSym/bfs/pagerank discipline): the symmetric union is
+    // partitioned by neither key, so each of the 3 label rounds
+    // re-shuffled the full edge relation for its src-keyed join; the
+    // preserved partitioning makes every round's edge side
+    // exchange-free (and labels0's distinct reuses it via the alias).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src")).graftCheckpoint()
     // checkpointed (via cpWitnessed below): round 1 reads `labels` on
     // BOTH sides (nbrMin build and the least() update) — without it
     // the distinct runs twice
@@ -220,9 +247,15 @@ object Dedup extends QueryGroup {
         m("x").asInstanceOf[Long]))
     }
     Iterative.convergeWitnessed(cpWitnessed(labels0), cap) { labels =>
-      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-        .groupBy("src").agg(min("label").as("nbr_label"))
-      cpWitnessed(labels.join(nbrMin, col("doc_id") === col("src"))
+      // keyed by src, not dst (round 18, the q242 flip): edges is
+      // checkpointed hash-partitioned by src and labels by doc_id, so
+      // this join plans with NO exchange on either side; the min is
+      // grouped by the OTHER endpoint. On the symmetric edge relation
+      // min_{src∈N(dst)} label(src) ≡ the old min_{dst∈N(src)}
+      // label(dst) — the identical per-round relation.
+      val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy("dst").agg(min("label").as("nbr_label"))
+      cpWitnessed(labels.join(nbrMin, col("doc_id") === col("dst"))
         .select(col("doc_id"), least(col("label"), col("nbr_label")).as("label")))
     }
   }
@@ -239,8 +272,9 @@ object Dedup extends QueryGroup {
     * likewise built once thanks to the verify joins' identical
     * shuffle-keyed exchanges.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    candidateJaccards(s, d)
+  private def minhashPairs(s: SparkSession, d: String,
+                           hashes0: Option[DataFrame] = None): DataFrame =
+    candidateJaccards(s, d, hashes0)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
 
@@ -248,9 +282,14 @@ object Dedup extends QueryGroup {
     * [[minhashPairs]] is this plus the τ=0.8 cut; q231 sweeps several
     * cuts over ONE candidate generation (thresholds are a slice of the
     * scored candidates, never a reason to rebuild the index).
+    * `hashes0`: a caller-supplied token-hash checkpoint — q206 also
+    * feeds its exact-baseline gram sets from the same relation, so the
+    * query tokenizes once, not per pipeline.
     */
-  private def candidateJaccards(s: SparkSession, d: String): DataFrame = {
-    val bands = bandsDf(s, d)
+  private def candidateJaccards(s: SparkSession, d: String,
+                                hashes0: Option[DataFrame] = None): DataFrame = {
+    val hashes = hashes0.getOrElse(tokenHashesCp(s, d))
+    val bands = bandsFrom(hashes)
     val exploded = bands.select(col("doc_id"),
         posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
       .hint("shuffle_hash")
@@ -262,7 +301,7 @@ object Dedup extends QueryGroup {
       .distinct()
     val needed = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val shingles = shingleSets(s, d, needed)
+    val shingles = shinglesFrom(hashes, needed)
     val sa = shingles.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
     val sb = shingles.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
     candidates.join(sa, "doc_a").join(sb, "doc_b")
@@ -590,7 +629,19 @@ object Dedup extends QueryGroup {
       // chunk value — never the all-pairs O(n²) BNLJ this replaces.
       // Lossless: the result set is identical to a full self-join, which
       // the (unchanged, all-pairs) DuckDB oracle proves independently.
-      val sh = simhashDf(s, d)
+      // checkpointed (round 18): the chunk equi-join's isnotnull
+      // constraint on chunk_bits was inferred through to
+      // isnotnull(simhash64(token_hashes(text))) and alias-substituted
+      // into the parquet scan's DataFilters — the whole signature
+      // pipeline ran once per row inside the SINGLE-TASK scan stage,
+      // BEFORE the fan-out (the q61/q119 portableHash trap; r18
+      // profile: 1.4 s 1-task stage). The checkpoint truncates lineage
+      // so the inferred filter stops at the materialized relation,
+      // whose own build plan has no join above it — the scan stage
+      // keeps only the cheap token-count filter, and the signature
+      // build provably runs once for both join sides (no reliance on
+      // exchange reuse).
+      val sh = simhashDf(s, d).graftCheckpoint()
       val widths = Seq.fill(6)(7) ++ Seq.fill(3)(6)        // 6×7 + 3×6 = 60 bits
       val offsets = widths.scanLeft(0)(_ + _)
       val chunkStructs = (0 until 9).map { c =>
@@ -639,7 +690,12 @@ object Dedup extends QueryGroup {
       // — at 100 TB there is NO shuffle of the corpus at all, which is
       // why production dedup runs incrementally instead of re-running
       // the full pairwise job per ingest.
-      val bands = bandsDf(s, d)
+      // one tokenize scan (round 18): hashes checkpointed once, the
+      // signature/band build materialized once on top of it — the new
+      // and old slices then read the band checkpoint instead of each
+      // re-running scan→tokenize→signature (two full passes before)
+      val hashes = tokenHashesCp(s, d)
+      val bands = bandsFrom(hashes).graftCheckpoint()
       val bandArr = posexplode(array((0 until numBands).map(b => col(s"b$b")): _*))
       val isNew = col("doc_id") % 10 === 7
       val newEx = bands.filter(isNew)
@@ -649,7 +705,7 @@ object Dedup extends QueryGroup {
       val cand = oldEx.join(broadcast(newEx), Seq("band_id", "band_hash"))
         .select("new_id", "old_id").distinct()
       val needed = cand.select(explode(array(col("new_id"), col("old_id"))).as("doc_id")).distinct()
-      val shingles = shingleSets(s, d, needed)
+      val shingles = shinglesFrom(hashes, needed)
       val sn = shingles.select(col("doc_id").as("new_id"), col("s").as("sn")).hint("shuffle_hash")
       val so = shingles.select(col("doc_id").as("old_id"), col("s").as("so")).hint("shuffle_hash")
       cand.join(sn, "new_id").join(so, "old_id")
@@ -697,7 +753,10 @@ object Dedup extends QueryGroup {
       // non-nullable so no `isnotnull(size(<full hash pipeline>))`
       // constraint is inferred and pushed under the exchange (that
       // inferred filter alone cost 60 s/5k docs — see portableHash).
-      val grams = tokenHashes(s, d).select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
+      // one tokenize scan (round 18): the prefix index and the verify
+      // sets both derive from the per-query token-hash checkpoint
+      val hashes = tokenHashesCp(s, d)
+      val grams = hashes.select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
       val prefix = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
           posexplode(slice(col("g"), lit(1), expr("size(g) - ((3 * size(g) + 4) DIV 5) + 1")))
             .as(Seq("pos", "gram")))
@@ -723,7 +782,7 @@ object Dedup extends QueryGroup {
       // shuffle's byte stats — a broadcast probe would run the whole
       // verify in one coalesced task. The two shingle exchanges also
       // canonicalize identically, so the build runs once.
-      val gsets = shingleSets(s, d, needed)
+      val gsets = shinglesFrom(hashes, needed)
       val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga")).hint("shuffle_hash")
       val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb")).hint("shuffle_hash")
       cand.join(ga, "doc_a").join(gb, "doc_b")
@@ -866,8 +925,15 @@ object Dedup extends QueryGroup {
     // independent all-pairs definition.
     ("q119_containment_pairs", (s, d) => {
       // ceil(0.8·len) in exact integer arithmetic: (4·len + 4) DIV 5
-      val grams = tokenHashes(s, d)
+      // one tokenize scan (round 18): hashes checkpointed once; the
+      // sorted gram sets are ALSO checkpointed (q206 discipline) since
+      // the probe and index branches each read them — before, the
+      // branches shared the fan-out exchange but still ran the
+      // gram pipeline twice, and the verify re-scanned the corpus
+      val hashes = tokenHashesCp(s, d)
+      val grams = hashes
         .select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
+        .graftCheckpoint()
       val probe = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
           posexplode(slice(col("g"), lit(1), expr("size(g) - ((4 * size(g) + 4) DIV 5) + 1")))
             .as(Seq("pos", "gram")))
@@ -891,7 +957,7 @@ object Dedup extends QueryGroup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       val needed = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      val gsets = shingleSets(s, d, needed)
+      val gsets = shinglesFrom(hashes, needed)
       val ga = gsets.select(col("doc_id").as("doc_a"), col("s").as("ga")).hint("shuffle_hash")
       val gb = gsets.select(col("doc_id").as("doc_b"), col("s").as("gb")).hint("shuffle_hash")
       cand.join(ga, "doc_a").join(gb, "doc_b")
@@ -1087,12 +1153,22 @@ object Dedup extends QueryGroup {
     // tracks from outside and this query makes auditable from inside.
     ("q206_dedup_recall_eval", (s, d) => {
       val tau = 0.8
-      val lsh = minhashPairs(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
-      val allIds = Tables.documents(s, d).select("doc_id")
-      // checkpointed: prefix + both verify sides read the sorted gram
-      // sets — without it the tokenize→hash→sort subtree runs 3×
-      val grams = shingleSets(s, d, allIds)
-        .select(col("doc_id"), sort_array(col("s")).as("g"))
+      // ONE tokenize scan for the whole eval (round 18): the LSH side
+      // (bands + its verify) and the exact-baseline gram sets all
+      // derive from the same token-hash checkpoint — before, the query
+      // paid three full scan+tokenize passes (LSH bands, LSH verify,
+      // exact grams). The gram sets stay checkpointed on top: prefix +
+      // both verify sides read them (the sort_array subtree ran 3×
+      // without it).
+      val hashes = tokenHashesCp(s, d)
+      val lsh = minhashPairs(s, d, Some(hashes))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("in_lsh"))
+      // every hashed doc is a document row, so deriving the all-docs
+      // gram sets straight from the checkpoint both drops the second
+      // scan AND the broadcast of every doc_id the old
+      // semi-join-against-allIds shape shipped to every executor
+      val grams = hashes
+        .select(col("doc_id"), sort_array(array_distinct(polyG1)).as("g"))
         .graftCheckpoint()
       val prefix = grams.select(col("doc_id"), coalesce(size(col("g")), lit(0)).as("len"),
           explode(slice(col("g"), lit(1), expr("size(g) - ((4 * size(g) + 4) DIV 5) + 1"))).as("gram"))
@@ -1164,7 +1240,11 @@ object Dedup extends QueryGroup {
     // signatures ride the band relation, true Jaccard comes from the
     // same shingle sets q34 verifies with.
     ("q218_minhash_calibration", (s, d) => {
-      val bands = bandsDf(s, d).graftCheckpoint() // exploded keys + both signature sides
+      // one tokenize scan (round 18): the signature/band checkpoint is
+      // built FROM the token-hash checkpoint, and the true-Jaccard
+      // shingle sets read the same hashes instead of re-scanning
+      val hashes = tokenHashesCp(s, d)
+      val bands = bandsFrom(hashes).graftCheckpoint() // exploded keys + both signature sides
       val exploded = bands.select(col("doc_id"),
           posexplode(array((0 until numBands).map(b => col(s"b$b")): _*)).as(Seq("band_id", "band_hash")))
         .hint("shuffle_hash")
@@ -1197,7 +1277,7 @@ object Dedup extends QueryGroup {
         .unionByName(probes)
       val needed = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      val sh = shingleSets(s, d, needed)
+      val sh = shinglesFrom(hashes, needed)
       val sa = sh.select(col("doc_id").as("doc_a"), col("s").as("sa")).hint("shuffle_hash")
       val sb = sh.select(col("doc_id").as("doc_b"), col("s").as("sb")).hint("shuffle_hash")
       pairs.join(sigA, "doc_a").join(sigB, "doc_b")

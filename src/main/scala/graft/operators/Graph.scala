@@ -155,8 +155,17 @@ object Graph extends QueryGroup {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
       .select("u", "v").graftCheckpoint()
+    // repartition(x) BEFORE the checkpoint (round 18, guide §2.4; the
+    // r17 bfs/pagerank discipline): localCheckpoint preserves the
+    // partitioning, so every per-round x-keyed read — q210's survivor
+    // semi-join, q242's neighbor-label join and both loops' round-0
+    // aggregates — reuses this one exchange instead of re-shuffling
+    // the full edge table every iteration (r18 profile: one
+    // 7,146-row shuffle-write stage per round, ~8-10 per q242 run).
+    // The union output was previously partitioned by neither key.
     e0.select(col("u").as("x"), col("v").as("y"))
       .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
+      .repartition(col("x"))
       .graftCheckpoint()
   }
 
@@ -198,9 +207,15 @@ object Graph extends QueryGroup {
     val labels0 = cpWitnessed(sym.groupBy(col("x").as("node"))
       .agg(least(min(col("y")), min(col("x"))).as("label"))) // x is the group key: min(x) = x
     Iterative.convergeWitnessed(labels0, cap) { labels =>
-      val nbrMin = sym.join(labels, col("y") === col("node"))
-        .groupBy("x").agg(min("label").as("nbr_label"))
-      val stepped = labels.join(nbrMin, col("node") === col("x"))
+      // keyed by x, not y (round 18): sym is checkpointed
+      // hash-partitioned by x (strongSym) and labels by node, so this
+      // join plans with NO exchange on either side; the min is grouped
+      // by the OTHER endpoint. On the symmetric edge table
+      // min_{x∈N(y)} label(x) ≡ the old min_{y∈N(x)} label(y) — the
+      // identical per-round relation, one edge-table shuffle cheaper.
+      val nbrMin = sym.join(labels, col("x") === col("node"))
+        .groupBy("y").agg(min("label").as("nbr_label"))
+      val stepped = labels.join(nbrMin, col("node") === col("y"))
         .select(col("node"), least(col("label"), col("nbr_label")).as("label"))
         .graftCheckpoint() // self-joined below — barrier, don't recompute
       // Path-halving / pointer jumping (VERDICT r11 item 4): shortcut
@@ -303,6 +318,13 @@ object Graph extends QueryGroup {
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select("u", "v")
+        // partitioned by u before the checkpoint (round 18, guide
+        // §2.4): the wedge leg aliases u→v and the closing leg keeps
+        // u, so both right legs read the preserved partitioning with
+        // NO exchange (hash(u) satisfies the (u,w) clustering); only
+        // the left sides still shuffle. 2 of 4 leg exchanges gone —
+        // noise at sf0.1's ~5k edges, real at 100 TB edge counts.
+        .repartition(col("u"))
         .graftCheckpoint() // three self-join legs read it — build once
       val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
       val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))

@@ -557,8 +557,11 @@ object Relational extends QueryGroup {
         .select(col("vec_id"), col("label"),
                 size(col("embedding")).cast("long").as("dim"),
                 round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
-                round(sqrt(aggregate(col("embedding"), lit(0.0),
-                  (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
+                // codegen'd FloatDotProduct self-dot (round 18, guide
+                // §4): bit-identical accumulation to the HOF fold it
+                // replaces, evaluated once per corpus row
+                round(sqrt(graft.functions.VectorFunctions.normSq(col("embedding"))), 4)
+                  .as("l2_norm"))
         .orderBy("vec_id")
     }, Some("""
       SELECT vec_id, label,

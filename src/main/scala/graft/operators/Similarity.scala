@@ -217,7 +217,7 @@ object Similarity extends QueryGroup {
     val cvec = cent.groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                      t => t.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
     val e = vectors.select(col("vec_id"), col("label"), col("embedding"),
                            l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < nQueries)
@@ -254,7 +254,7 @@ object Similarity extends QueryGroup {
     val cvec = cent.groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                      t => t.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
       .select(col("label").as("cell"), col("cv"), col("cnrm"))
     val e = vectors.select(col("vec_id"), col("label"), col("embedding"),
                            l2Norm(col("embedding")).as("nrm"))
@@ -384,7 +384,7 @@ object Similarity extends QueryGroup {
     val cvec = cent.groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                      t => t.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
       .select(col("label").as("pred_label"), col("cv"), col("cnrm"))
     val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label"))
     normed(s, d)
@@ -617,11 +617,11 @@ object Similarity extends QueryGroup {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val sqDist = expr(
-        """aggregate(
-             zip_with(embedding, ce,
-               (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-             cast(0 as double), (acc, v) -> acc + v)""")
+      // codegen'd float sq-dist kernel (round 18, guide §4): per
+      // element widen→subtract→square, accumulated left-to-right —
+      // the bit-identical IEEE sequence of the interpreted HOF fold it
+      // replaces (k×n evaluations: the hot loop of the assignment)
+      val sqDist = sqDistF(col("embedding"), col("ce"))
       // argmin as min(struct(dist, cid)) — lexicographic struct order
       // gives (min dist, tie → min cid), and unlike a row_number window
       // the partial aggregate collapses the k candidate rows per vector
@@ -934,7 +934,7 @@ object Similarity extends QueryGroup {
       val cvec = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
-        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
       val wr = Window.partitionBy("label").orderBy(col("proto_cos").desc, col("vec_id"))
       val wn = Window.partitionBy("label")
       normed(s, d).join(broadcast(cvec), Seq("label"))
@@ -1291,7 +1291,7 @@ object Similarity extends QueryGroup {
       val cvec = cent.groupBy("label")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
                        t => t.getField("c")).as("cv"))
-        .withColumn("cnrm", sqrt(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("cnrm", sqrt(dotD(col("cv"), col("cv"))))
         .select(col("label").as("cell"), col("cv"), col("cnrm"))
       val e = normed(s, d)
       val wp = Window.partitionBy("src").orderBy(col("cscore").desc, col("cell"))
@@ -1546,10 +1546,12 @@ object Similarity extends QueryGroup {
       val q = e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       def prefixCos(m: Int): Column = {
-        val dp = aggregate(zip_with(slice(col("qv"), 1, m), slice(col("embedding"), 1, m),
-          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-        def nrm(c: Column) = sqrt(aggregate(slice(c, 1, m),
-          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        // codegen'd FloatDotProduct over the prefix slices (round 18,
+        // guide §4): widen-then-multiply, left-to-right accumulation —
+        // bit-identical to the interpreted HOF folds it replaces,
+        // which ran 12× per candidate pair (4 prefixes × dp + 2 norms)
+        val dp = dot(slice(col("qv"), 1, m), slice(col("embedding"), 1, m))
+        def nrm(c: Column) = sqrt(dot(slice(c, 1, m), slice(c, 1, m)))
         quant6(dp / (nrm(col("qv")) * nrm(col("embedding"))))
       }
       val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1695,15 +1697,16 @@ object Similarity extends QueryGroup {
         .agg(transform(array_sort(collect_list(struct(col("q"), col("c")))),
                        t => t.getField("c")).as("crow"))
         .graftCheckpoint()
-      def fold2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      // codegen'd DoubleDotProduct (round 18, guide §4) — same
+      // left-to-right accumulation as the HOF fold it replaces
+      def fold2(a: Column, b: Column): Column = dotD(a, b)
       def matvec(v: DataFrame): DataFrame = covRows.crossJoin(broadcast(v))
         .select(col("p"), fold2(col("crow"), col("varr")).as("comp"), col("varr"))
       def normalized(w: DataFrame): DataFrame = w
         .agg(transform(array_sort(collect_list(struct(col("p"), col("comp")))),
                        t => t.getField("comp")).as("w"))
         .select(transform(col("w"), x => quant6(x / sqrt(
-          aggregate(col("w"), lit(0.0), (acc, y) => acc + y * y)))).as("varr"))
+          dotD(col("w"), col("w"))))).as("varr"))
       val v0 = nRow.select(transform(sequence(lit(1), lit(64)),
         _ => lit(0.125)).as("varr")) // uniform unit vector: 64·(1/8)² = 1
       val v3 = Iterative.fixedK(v0, 3)(w => normalized(matvec(w)))

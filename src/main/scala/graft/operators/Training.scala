@@ -235,9 +235,15 @@ object Training extends QueryGroup {
     // data-sized.
     ("q164_bpe_encode", (s, d) => {
       val rounds = 5
+      // docToks is read TWICE (vocab build + the encode join), and
+      // without a barrier each consumer re-ran scan→tokenize→explode
+      // (r18 profile: two ~14 s-task-time corpus tokenize stages per
+      // run). Checkpoint the token stream once — the Dedup round-18
+      // single-tokenize discipline (guide §1.2 "don't recompute").
       val docToks = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
                 posexplode(tokens(col("text"))).as(Seq("wpos", "word")))
+        .graftCheckpoint()
       val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
       val syms0 = vocab
         .select(col("word"), col("cnt"),
@@ -292,9 +298,12 @@ object Training extends QueryGroup {
     // (same partitioned-by-shard shape as q115 — no global stream).
     ("q165_bpe_packing", (s, d) => {
       val rounds = 5; val ctx = 512
+      // token stream checkpointed once — vocab and the corpus-side
+      // join both read it (q164 discipline, round 18)
       val docToks = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("source"),
                 explode(tokens(col("text"))).as("word"))
+        .graftCheckpoint()
       val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
       val syms0 = vocab
         .select(col("word"), col("cnt"),
@@ -353,9 +362,12 @@ object Training extends QueryGroup {
     // divisions — hash-clean.
     ("q182_packing_audit", (s, d) => {
       val rounds = 5; val ctx = 512
+      // token stream checkpointed once — vocab and the corpus-side
+      // join both read it (q164 discipline, round 18)
       val docToks = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("source"),
                 explode(tokens(col("text"))).as("word"))
+        .graftCheckpoint()
       val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
       val syms0 = vocab
         .select(col("word"), col("cnt"),
@@ -432,8 +444,10 @@ object Training extends QueryGroup {
     // the two ratios divide once at the end (exact cross-engine).
     ("q185_bpe_fertility", (s, d) => {
       val rounds = 5
+      // token stream checkpointed once (q164 discipline, round 18)
       val docToks = Tables.fanOut(Tables.documents(s, d))
         .select(col("source"), explode(tokens(col("text"))).as("word"))
+        .graftCheckpoint()
       val vocab = docToks.groupBy("word").agg(count(lit(1)).as("cnt"))
       val syms0 = vocab
         .select(col("word"), col("cnt"),

@@ -250,6 +250,13 @@ class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
+  // consecutive clamp engagements (ADVICE r17): a torn read clamps for
+  // one or two triggers; a reading that STAYS below the committed
+  // offset is durable manifest corruption, which a silent clamp would
+  // mask as an eternally idle stream — warn on every engagement so the
+  // two are distinguishable in the driver log.
+  private var consecutiveClamps = 0
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[SegmentOffset].segments
     // max(from, ·): totalVersions reads the manifest and the live
@@ -261,8 +268,14 @@ class FrameChangesMicroBatchStream(path: String, avroSchemaJson: String,
     // removes), so a reading below the committed offset is always a
     // torn read; clamping makes the trigger a no-op and the next one
     // sees the settled state.
-    val total = math.max(from,
-      availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir)))
+    val raw = availableNowCap.getOrElse(FrameMaintenance.totalVersions(dir))
+    if (raw < from) {
+      consecutiveClamps += 1
+      System.err.println(s"[graft] WARNING: totalVersions($dir) read $raw below the " +
+        s"committed offset $from (consecutive clamp #$consecutiveClamps); treating as " +
+        "a torn read — persistent clamping indicates manifest corruption")
+    } else consecutiveClamps = 0
+    val total = math.max(from, raw)
     limit match {
       case f: ReadMaxFiles => SegmentOffset(math.min(total, from + f.maxFiles()))
       case _               => SegmentOffset(total)

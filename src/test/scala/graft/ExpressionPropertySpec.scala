@@ -65,6 +65,25 @@ class ExpressionPropertySpec extends AnyFunSuite with SparkFixture {
     assert(diff == 0, s"$diff random (float, double) vectors diverged from the HOF fold")
   }
 
+  test("FloatSqDist is bit-identical to the sequential HOF sq-dist fold it replaced") {
+    // q81's numeric contract (round 18): each float widened to double
+    // BEFORE the subtraction, d·d accumulated strictly left-to-right —
+    // any divergence would move k-means assignments off the oracle.
+    import spark.implicits._
+    import graft.functions.VectorFunctions.sqDistF
+    val rows = Seq.fill(300)((
+      Seq.fill(64)(rnd.nextGaussian().toFloat),
+      Seq.fill(64)(rnd.nextGaussian().toFloat))) :+ ((Seq.empty[Float], Seq.empty[Float]))
+    val diff = rows.toDF("a", "b").select(
+        sqDistF(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, t) => acc + t).as("hof"))
+      .filter(col("fast") =!= col("hof")) // exact bit equality, no tolerance
+      .count()
+    assert(diff == 0, s"$diff random float vector pairs diverged from the HOF sq-dist fold")
+  }
+
   test("LongDotProduct equals the HOF integer fold on the int8 domain, including empty") {
     // Domain contract: inputs are int8-quantized (|x| <= 127), so no
     // 64-bit overflow is reachable (the codegen loop would wrap

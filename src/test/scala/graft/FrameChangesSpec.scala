@@ -320,6 +320,34 @@ class FrameChangesSpec extends AnyFunSuite with SparkFixture {
       s"latest offset $end regressed below committed $committed")
   }
 
+  test("avro frame stream offsets never regress under a torn version reading (ADVICE r17)") {
+    // AvroFrameMicroBatchStream received the identical clamp as the
+    // change stream but had no regression coverage — mirror the torn
+    // read there, WITH a ReadMaxFiles admission limit so the clamped
+    // range also exercises the pending-appends-empty branch (every
+    // append version sits at or below the clamped `from`, so the
+    // filtered pending list is empty and the offset must come back as
+    // the committed one, not a lower total).
+    val (cat, base) = freshCatalog("avroclamp")
+    spark.sql(s"CREATE NAMESPACE $cat.corpus")
+    spark.sql(s"CREATE TABLE $cat.corpus.t (id BIGINT NOT NULL, grp STRING NOT NULL, v DOUBLE NOT NULL)")
+    spark.range(0, 4).coalesce(1)
+      .selectExpr("id", "'g' AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("avro_clamp_src")
+    spark.sql(s"INSERT INTO $cat.corpus.t SELECT * FROM avro_clamp_src")
+    val dir = new java.io.File(base, "corpus/t").getAbsolutePath
+    val real = FrameMaintenance.totalVersions(new java.io.File(dir))
+    assert(real >= 1)
+    val stream = new graft.sources.AvroFrameMicroBatchStream(
+      dir, schemaJson, AvroFrames.DefaultSchemaId, Array("id"),
+      Array.empty[org.apache.spark.sql.sources.Filter], 2)
+    val committed = real + 5 // as if the reading raced 5 versions behind
+    val end = stream.latestOffset(graft.sources.SegmentOffset(committed),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(2))
+    assert(end.asInstanceOf[graft.sources.SegmentOffset].segments >= committed,
+      s"latest avro offset $end regressed below committed $committed")
+  }
+
   test("column pruning reaches the change scan") {
     val (cat, base) = freshCatalog("prune")
     spark.sql(s"CREATE NAMESPACE $cat.corpus")

@@ -490,16 +490,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q164/q165: BPE encode touches the corpus once; vocab joins are equi-keyed") {
-    // the k merge rounds are checkpoint-truncated (q123 discipline), so
-    // the final plan must hold exactly ONE corpus FileScan (the token
-    // stream) joined by key against the vocabulary-bounded encoding —
-    // no re-induction, no cartesian, no driver funnel
+    // the k merge rounds are checkpoint-truncated (q123 discipline), and
+    // since round 18 the token stream itself is checkpointed ONCE (the
+    // single-tokenize discipline: vocab build + encode join both read
+    // it), so the final plan must hold ZERO corpus FileScans — the one
+    // corpus scan happens at the docToks checkpoint materialization and
+    // the encode reads the checkpointed token stream (ExistingRDD) by
+    // key against the vocabulary-bounded encoding — no re-induction, no
+    // cartesian, no driver funnel
     for ((q, maxEx) <- Seq("q164_bpe_encode" -> 4, "q165_bpe_packing" -> 3)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: encode must join token occurrences by word, not pair them:\n$p")
       val scans = "FileScan".r.findAllIn(p).size
-      assert(scans == 1, s"$q: expected exactly one corpus scan, got $scans:\n$p")
+      assert(scans == 0, s"$q: expected zero corpus scans (token stream is " +
+        s"checkpoint-materialized once), got $scans:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: encode must read the checkpointed token stream:\n$p")
       val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(hashEx <= maxEx, s"$q: expected <= $maxEx hash exchanges, got $hashEx:\n$p")
     }
