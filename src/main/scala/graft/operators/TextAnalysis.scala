@@ -1072,14 +1072,28 @@ object TextAnalysis extends QueryGroup {
                     element_at(t, i + 2).as("w")))
       def grams2(t: Column) = transform(sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("u"), element_at(t, i + 1).as("v")))
+      // tokenized ONCE for train AND held (round 18, guide §1.2): the
+      // checkpoint moved up from the train slice to the full tokenized
+      // doc relation — the held side previously re-scanned and
+      // re-tokenized the corpus (r18 profile: a second single-task
+      // 5000-doc scan stage). One corpus scan total; the per-doc token
+      // ARRAYS (not an exploded stream) are what's materialized. The
+      // size filter sits ABOVE the checkpoint: below it, the pushed
+      // predicate's tokens(text) reference dragged the whole tokenize
+      // into the single-task parquet scan stage under the fan-out
+      // exchange (r18 profile: tasks=1, cpu≈2 s — the q36 trap in
+      // filter-pushdown form); above it, the scan ships raw text, the
+      // 32-task post-exchange stage tokenizes, and the filter is a
+      // cheap size() check on each checkpoint read.
       val docs = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .graftCheckpoint()
         .filter(size(col("t")) >= 3)
       // held-out key is doc_id % 7: the fixture assigns source as
       // doc_id % 20, so a %5 (or any divisor-of-20) split would
       // starve 16 of 20 sources of eval data; 7 is coprime to 20 →
       // every source holds out ~1/7 of its docs
-      val train = docs.filter(col("doc_id") % 7 =!= 0).graftCheckpoint()
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
       val uni = train.select(explode(col("t")).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
       val tot = uni.agg(sum("c1").as("tt"), count(lit(1)).as("vsz"))
       val bi = train.select(explode(grams2(col("t"))).as("g"))
